@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl._
+
+/** Reference-parity operator queries (SURVEY.md §2 rows 5-7, 11-18, 20)
+  * expressed over the harness testdata tables, each with a DuckDB oracle.
+  *
+  * Every query ends in a total ORDER BY on a unique key, mirrored in the
+  * oracle SQL, so result comparison is order-deterministic. Aggregates
+  * that touch doubles are cast to DECIMAL before summing in BOTH engines
+  * so arithmetic is exact and order-independent.
+  */
+object RefQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The literal stand-in for the reference's Field Config: routes
+    * customer columns to two target tables, with deliberately mixed-case
+    * target names (the config mixes `Leads`/`leads`; SURVEY.md §1.3). */
+  private def fieldConfig(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("c_name", "Profile"),
+      ("c_acctbal", "profile"),
+      ("c_mktsegment", "Segment"),
+      ("c_nationkey", "segment")
+    ).toDF("column_name", "target_table")
+  }
+
+  // ---- §2 #6/#7: trim_strings + fill_nulls --------------------------------
+  def cleanTrimFill(s: SparkSession, dir: String): DataFrame = {
+    val df = Clean.fillNulls(Clean.trimStrings(t(s, dir, "customer")))
+    df.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- §2 #5: standardize applied to data values --------------------------
+  def standardizeValues(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        Standardize.snakeCaseCol(col("p_name")).as("name_std"),
+        Standardize.snakeCaseCol(col("p_type")).as("type_std"))
+      .orderBy(col("p_partkey"))
+
+  // ---- §2 #14: natural key -------------------------------------------------
+  def naturalKeyQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        Keys.naturalKey(Seq(col("c_name"), col("c_custkey"))).as("natural_key"))
+      .orderBy(col("c_custkey"))
+
+  // ---- §2 #15: sha256-prefix hash key -------------------------------------
+  def hashKeyQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(
+        col("c_custkey"),
+        Keys.hashKey(Seq(col("c_name"), col("c_nationkey"))).as("c_key"))
+      .orderBy(col("c_custkey"))
+
+  // ---- §2 #11-#13: config-driven vertical split ---------------------------
+  def configSplit(s: SparkSession, dir: String): DataFrame = {
+    val wide = t(s, dir, "customer")
+      .withColumn("c_key", Keys.hashKey(Seq(col("c_custkey"))))
+    val lists = Split.columnLists(
+      fieldConfig(s),
+      mainTable = "profile",
+      mainKeys = Seq("c_key"),
+      dimKeys = Map.empty,
+      factKey = Seq("c_key"))
+    Split.split(wide, lists)("segment").orderBy(col("c_key"))
+  }
+
+  // ---- §2 #16: dimension dedup --------------------------------------------
+  def dimDedup(s: SparkSession, dir: String): DataFrame =
+    Dims.dedup(t(s, dir, "customer").select(col("c_mktsegment"), col("c_nationkey")))
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  // ---- §2 #20: deterministic surrogate ids --------------------------------
+  def surrogateId(s: SparkSession, dir: String): DataFrame = {
+    val dim = Dims.dedup(t(s, dir, "customer").select(col("c_mktsegment")))
+    Dims.withSurrogateId(dim, "id", Seq(col("c_mktsegment")))
+      .select(col("id"), col("c_mktsegment"))
+      .orderBy(col("id"))
+  }
+
+  // ---- §2 #17/#18: FK resolution (broadcast join) + reorder ---------------
+  def fkResolve(s: SparkSession, dir: String): DataFrame = {
+    val dim = Dims.withSurrogateId(
+      t(s, dir, "customer").select(col("c_custkey")), "customer_id", Seq(col("c_custkey")))
+    val fact = t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_custkey"))
+      .withColumnRenamed("o_custkey", "c_custkey")
+    Reorder.lastToFirst(
+      Dims.resolveFk(fact, dim, "c_custkey", "customer_id", "customer_id"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // ---- §7.3 flagship: the full cleaning→keys→dedup→surrogate-id chain -----
+  def medallion(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = Clean.clean(t(s, dir, "customer"))
+    val keyed = cleaned.withColumn(
+      "c_key", Keys.hashKey(Seq(col("c_name"), col("c_nationkey"))))
+    val dd = Dims.dedup(keyed)
+    Dims.withSurrogateId(dd, "id", Seq(col("c_key"), col("c_custkey")))
+      .select(col("id"), col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"), col("c_key"))
+      .orderBy(col("id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_clean_trim_fill" -> (cleanTrimFill _),
+    "ref_standardize_values" -> (standardizeValues _),
+    "ref_natural_key" -> (naturalKeyQ _),
+    "ref_hash_key" -> (hashKeyQ _),
+    "ref_config_split" -> (configSplit _),
+    "ref_dim_dedup" -> (dimDedup _),
+    "ref_surrogate_id" -> (surrogateId _),
+    "ref_fk_resolve" -> (fkResolve _),
+    "ref_medallion" -> (medallion _)
+  )
+
+  /** DuckDB equivalents. Note DuckDB regexes are RE2 (`\1` backrefs, 'g'
+    * flag); Spark's are Java (`$1`, global by default) — formulations
+    * differ syntactically, semantics verified identical. */
+  val oracleSql: Map[String, String] = Map(
+    "ref_clean_trim_fill" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    "ref_standardize_values" ->
+      """SELECT p_partkey,
+         replace(lower(regexp_replace(trim(p_name), '([^A-Z_])([A-Z])', '\1_\2', 'g')), ' ', '') AS name_std,
+         replace(lower(regexp_replace(trim(p_type), '([^A-Z_])([A-Z])', '\1_\2', 'g')), ' ', '') AS type_std
+         FROM part ORDER BY p_partkey""",
+    "ref_natural_key" ->
+      """SELECT c_custkey,
+         concat_ws('|', CAST(c_name AS VARCHAR), CAST(c_custkey AS VARCHAR)) AS natural_key
+         FROM customer ORDER BY c_custkey""",
+    "ref_hash_key" ->
+      """SELECT c_custkey,
+         substr(sha256(concat(coalesce(CAST(c_name AS VARCHAR), 'nan'),
+                              coalesce(CAST(c_nationkey AS VARCHAR), 'nan'))), 1, 16) AS c_key
+         FROM customer ORDER BY c_custkey""",
+    "ref_config_split" ->
+      """SELECT substr(sha256(coalesce(CAST(c_custkey AS VARCHAR), 'nan')), 1, 16) AS c_key,
+         c_mktsegment, c_nationkey
+         FROM customer ORDER BY c_key""",
+    "ref_dim_dedup" ->
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+         ORDER BY c_mktsegment, c_nationkey""",
+    "ref_surrogate_id" ->
+      """SELECT CAST(row_number() OVER (ORDER BY c_mktsegment) AS INT) AS id, c_mktsegment
+         FROM (SELECT DISTINCT c_mktsegment FROM customer)
+         ORDER BY id""",
+    "ref_fk_resolve" ->
+      """WITH dim AS (
+           SELECT c_custkey, CAST(row_number() OVER (ORDER BY c_custkey) AS INT) AS customer_id
+           FROM customer)
+         SELECT d.customer_id, o.o_orderkey, o.o_orderstatus
+         FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
+         ORDER BY o.o_orderkey""",
+    "ref_medallion" ->
+      """WITH cleaned AS (
+           SELECT c_custkey,
+                  coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+                  c_nationkey,
+                  coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+           FROM customer),
+         keyed AS (
+           SELECT *, substr(sha256(concat(coalesce(CAST(c_name AS VARCHAR), 'nan'),
+                                          coalesce(CAST(c_nationkey AS VARCHAR), 'nan'))), 1, 16) AS c_key
+           FROM cleaned),
+         dd AS (SELECT DISTINCT * FROM keyed)
+         SELECT CAST(row_number() OVER (ORDER BY c_key, c_custkey) AS INT) AS id,
+                c_custkey, c_name, c_nationkey, c_mktsegment, c_key
+         FROM dd ORDER BY id"""
+  )
+}
