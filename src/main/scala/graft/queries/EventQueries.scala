@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch analytics over the `events` table (SURVEY.md §7.5):
+  * tumbling and sliding time windows, and gap-based sessionization.
+  * These are the batch twins of the Structured Streaming operators in
+  * `graft.streaming` — identical logic, bounded input.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+
+  private def dec(c: String) = col(c).cast("decimal(12,2)")
+
+  /** Tumbling 1-hour windows per event type, via Spark's `window()`
+    * (epoch-aligned, same alignment as DuckDB's time_bucket). Pure
+    * hash aggregate — one shuffle on (window, type). */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Sliding windows: 1-hour length, 30-minute slide — each event lands
+    * in exactly 2 windows. Spark expands via its window generator; the
+    * oracle expands explicitly with a 2-way UNION ALL of shifted
+    * half-hour buckets. */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity gap) per user: the
+    * classic lag → new-session flag → running-sum session id, then
+    * per-session metrics. One shuffle on user_id; window sort is
+    * per-user, so it scales with the largest single user's history,
+    * not the table. Gap comparison is in exact epoch microseconds. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = 30L * 60 * 1000000
+    ev(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id").cast("int").as("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(dec("value")).cast("double").as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_tumbling" -> (tumbling _),
+    "q_events_sliding" -> (sliding _),
+    "q_events_sessionize" -> (sessionize _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, event_type,
+           count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_sliding" ->
+      """WITH expanded AS (
+           SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws, event_type, value FROM events
+           UNION ALL
+           SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) - INTERVAL 30 MINUTE AS ws, event_type, value FROM events)
+         SELECT ws, event_type, count(1) AS n,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+         FROM expanded GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)) AS prev
+           FROM events),
+         m AS (
+           SELECT user_id, ts, value,
+             CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END AS is_new
+           FROM o),
+         sess AS (
+           SELECT user_id, ts, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM m)
+         SELECT user_id, CAST(session_id AS INT) AS session_id, count(1) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2"""
+  )
+}
