@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (build brief): media as opaque `binary`
+  * columns with typed metadata, processed by iterator-based
+  * `mapPartitions` pipelines.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio codecs ship
+  * in this environment): [[StubCodec.decode]] derives deterministic fake
+  * metadata from the bytes. Everything AROUND the stub is the real
+  * production shape — binary column in the DataFrame, typed
+  * `Dataset[T]` boundary, partition-local batch iteration (one codec
+  * init per partition, not per row), and a schema-stable typed output —
+  * exactly how a JNI/FFMpeg/libjpeg decode stage plugs into Spark at
+  * scale. Partitioning note: decode is CPU-bound and embarrassingly
+  * parallel; no shuffle is introduced, so throughput scales linearly
+  * with executor cores.
+  */
+object Multimodal {
+
+  /** A row carrying an opaque media payload. */
+  case class MediaBlob(doc_id: Long, lang: String, payload: Array[Byte])
+
+  /** Typed metadata extracted by the (stub) decoder. */
+  case class MediaMeta(
+      doc_id: Long, lang: String, n_bytes: Int,
+      width: Int, height: Int, format: String)
+
+  /** A sampled "frame": fixed-size byte slice + its index. */
+  case class Frame(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  object StubCodec {
+    /** STUB decode — a real implementation would parse the container
+      * header (JPEG SOF / WAV fmt / MP4 moov). Deterministic fake:
+      * dimensions derived from payload length and first byte. */
+    def decode(b: MediaBlob): MediaMeta = {
+      val first = if (b.payload.nonEmpty) b.payload(0) & 0xff else 0
+      MediaMeta(
+        doc_id = b.doc_id,
+        lang = b.lang,
+        n_bytes = b.payload.length,
+        width = 64 + (b.payload.length % 512),
+        height = 64 + ((first * 7) % 512),
+        format = b.payload.length % 3 match {
+          case 0 => "img"; case 1 => "audio"; case _ => "video"
+        })
+    }
+
+    /** STUB frame sampler: every `stride`-th 16-byte slice. */
+    def sampleFrames(b: MediaBlob, stride: Int): Iterator[Frame] =
+      b.payload.grouped(16).zipWithIndex
+        .filter { case (_, i) => i % stride == 0 }
+        .map { case (bytes, i) => Frame(b.doc_id, i, bytes) }
+  }
+
+  /** Attach a binary payload column (here: UTF-8 bytes of a text column
+    * standing in for media bytes — the testdata ships no binaries). */
+  def withPayload(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** The decode stage: typed, partition-local. Codec state (expensive
+    * in a real decoder) is initialized once per partition. */
+  def decodeMeta(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition codec init would go here
+      it.map(StubCodec.decode)
+    }
+  }
+
+  /** The frame-sampling stage: one-to-many, still partition-local. */
+  def sampleFrames(spark: SparkSession, blobs: Dataset[MediaBlob], stride: Int): Dataset[Frame] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.flatMap(StubCodec.sampleFrames(_, stride)))
+  }
+
+  /** documents → payload → decode → per-language media stats. */
+  def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val blobs = withPayload(docs, "text")
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[MediaBlob]
+    decodeMeta(spark, blobs).toDF()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (build brief): exact cosine in decimal
+  * arithmetic (oracle-reproducible), brute-force top-k, near-duplicate
+  * pair mining with a cheap double-precision prefilter, and a
+  * random-hyperplane LSH bucketing as the scale path.
+  *
+  * Numeric policy: every cosine the engine OUTPUTS is computed from
+  * exact DECIMAL sums (element-wise products at DECIMAL(18,9) summed at
+  * DECIMAL(38,18)), then cast to double — the value is independent of
+  * partitioning and bit-equal to the DuckDB oracle. The cheap
+  * double-precision [[cosDouble]] is used only as a PREFILTER with a
+  * safety margin, never as an output.
+  */
+object Similarity {
+
+  /** Element type for exact arithmetic. Products are (25,18); the
+    * accumulator is re-cast to (28,18) after every add so Spark's
+    * decimal-addition precision growth never hits the 38-digit cap
+    * (which would silently drop to scale 17 and de-sync from the
+    * oracle). All steps are exact for |element| < 10³, |sum| < 10¹⁰. */
+  private val D = "decimal(12,9)"
+  private val ACC = "decimal(28,18)"
+
+  /** float → double → decimal: the double hop widens the float exactly
+    * and the double→decimal cast rounds correctly in BOTH engines
+    * (DuckDB's direct float→decimal cast scales in float precision and
+    * is off by ~1e-8 — verified empirically). */
+  private def d(x: Column): Column = x.cast("double").cast(D)
+
+  /** Exact decimal dot product of two float/double arrays. */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => d(x) * d(y)),
+      lit(0).cast(ACC),
+      (acc, x) => (acc + x).cast(ACC))
+
+  /** Exact decimal squared norm. */
+  def norm2Decimal(a: Column): Column =
+    aggregate(
+      transform(a, x => d(x) * d(x)),
+      lit(0).cast(ACC),
+      (acc, x) => (acc + x).cast(ACC))
+
+  /** decimal → double via a string hop: both engines parse decimal
+    * digit strings with correct rounding, whereas DuckDB's direct
+    * decimal→double cast (value / 10^scale in double arithmetic) can be
+    * 1 ULP off Java's BigDecimal conversion. */
+  def decToDouble(x: Column): Column = x.cast("string").cast("double")
+
+  /** Deterministic cosine: exact decimal sums, double only at the end. */
+  def cosExact(a: Column, b: Column, n2a: Column, n2b: Column): Column =
+    decToDouble(dotDecimal(a, b)) /
+      (sqrt(decToDouble(n2a)) * sqrt(decToDouble(n2b)))
+
+  /** Fast double-precision cosine for prefiltering (NOT output-stable
+    * across summation orders; use with a margin). */
+  def cosDouble(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force exact top-k: broadcast the (small) query set against
+    * the distributed candidate set — the candidate table never
+    * shuffles; per-query ranking is a bounded window. This is the
+    * correctness baseline ANN variants are judged against. */
+  def bruteForceTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qe"),
+      norm2Decimal(col("embedding")).as("qn2"))
+    val c = candidates.select(
+      col("vec_id").as("cid"), col("embedding").as("ce"),
+      norm2Decimal(col("embedding")).as("cn2"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cos", cosExact(col("qe"), col("ce"), col("qn2"), col("cn2")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
+  /** Near-duplicate pairs by cosine ≥ threshold. Two-phase: cheap
+    * double prefilter at (threshold − margin), exact decimal rescore of
+    * survivors only — the double pass is ~50× cheaper than decimal and
+    * the margin (1e-3 ≫ double summation error ~1e-12) makes the
+    * prefilter provably lossless. */
+  def cosineNearDupPairs(
+      vecs: DataFrame, threshold: Double, margin: Double = 1e-3): DataFrame = {
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos_fast", cosDouble(col("ea"), col("eb")))
+      .filter(col("cos_fast") >= threshold - margin)
+    pairs
+      .withColumn("cos",
+        cosExact(col("ea"), col("eb"), norm2Decimal(col("ea")), norm2Decimal(col("eb"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
+    * long. Plane components are pseudo-random but fully deterministic —
+    * derived from xxhash64(plane, dim) — so bucket assignment is stable
+    * across runs, executors, and cluster layouts. The scale path: ANN
+    * search touches only same-bucket candidates (corpus/2^planes per
+    * bucket in expectation). */
+  def lshBucket(embedding: Column, planes: Int = 8, dims: Int = 64): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = (0 until dims).map { d =>
+        // component in [-0.5, 0.5): deterministic hash of (plane, dim)
+        val h = pmod(xxhash64(lit(p * 1009 + d)), lit(1000000L)).cast("double") / 1000000.0 - 0.5
+        element_at(embedding, d + 1).cast("double") * h
+      }.reduce(_ + _)
+      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Bucketed ANN: top-1 same-bucket neighbor per query vector. */
+  def lshAnnTop1(vecs: DataFrame, planes: Int = 8): DataFrame = {
+    val bucketed = vecs
+      .select(col("vec_id"), col("embedding"), lshBucket(col("embedding"), planes).as("bucket"))
+    val a = bucketed.select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val b = bucketed.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
+    val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos",
+        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("qid"), col("bucket"), col("cid"), col("cos"))
+  }
+}

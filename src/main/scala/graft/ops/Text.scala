@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines
+  * (build brief / SURVEY.md §7.5): tokenization, shingling, quality
+  * metrics, stopword scoring, heuristic language ID.
+  *
+  * Everything here is a pure Column expression over `functions._`
+  * built-ins — codegen'd, shuffle-free, and replicable in ANSI SQL for
+  * the DuckDB oracle. No UDFs in the hot path.
+  */
+object Text {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct n-word shingles (n consecutive tokens joined by a single
+    * space) — the MinHash/Jaccard input unit. Documents shorter than n
+    * tokens yield an empty array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = tokens(text)
+    val idxs = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    array_distinct(
+      transform(idxs, i => {
+        // concat_ws over the n consecutive tokens
+        (1 until n).foldLeft(element_at(ws, i + 1)) { (acc, k) =>
+          concat(acc, lit(" "), element_at(ws, i + k + 1))
+        }
+      }))
+  }
+
+  /** Number of whitespace-separated tokens. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish pre-tokenizer counts: runs of letters, runs of digits,
+    * single punctuation marks. */
+  def alphaTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0)))
+  def digitTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[0-9]+"), lit(0)))
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+
+  /** Occurrences of any word in `words` (word-boundary matched). */
+  def stopwordCount(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(
+      lower(text), lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"),
+      lit(0)))
+
+  /** Marker vocabularies for the heuristic language-ID scorer. Scores
+    * are word-boundary hit counts; the guess is the arg-max with an
+    * alphabetical tie-break. (A real system would use char-n-gram
+    * models; the *operator shape* — score columns + deterministic
+    * arg-max — is what matters at 100 TB, and it is one projection.) */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "data", "table"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "datos", "tabla"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "daten", "tabelle"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "de", "données", "tableau")
+  )
+
+  /** (langScoreCols, guessCol): one score column per language plus the
+    * deterministic arg-max guess. */
+  def langId(text: Column): (Seq[(String, Column)], Column) = {
+    val scores = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      lang -> stopwordCount(text, words)
+    }
+    val guess = scores.tail.foldLeft(
+      (scores.head._2, lit(scores.head._1))) { case ((bestScore, bestLang), (lang, score)) =>
+        val better = score > bestScore
+        (when(better, score).otherwise(bestScore),
+         when(better, lit(lang)).otherwise(bestLang))
+    }._2
+    (scores, guess)
+  }
+}

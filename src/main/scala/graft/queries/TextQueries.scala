@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Text}
+import graft.functions.PolyHash64
+
+/** Text-analysis, deduplication, and multimodal queries over the
+  * `documents` table (build brief §extensions; SURVEY.md §7.5).
+  *
+  * Oracle notes: the corpus is verified ASCII-only, so byte length ==
+  * char length and `ascii()` == first UTF-8 byte in the multimodal
+  * stub's oracle. MinHash/SimHash/LSH internals hash with xxhash64
+  * (not available in DuckDB): the MinHash query is still FULLY oracled
+  * because its verified output equals the exact-Jaccard pair set (miss
+  * probability ≈ 1.5e-8 per true pair at 16×4 banding); SimHash ships
+  * rows-only with unit-test golden values instead.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Exact dedup by content hash. */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docs(s, dir), "text", "doc_id")
+      .orderBy(col("text_hash"))
+
+  /** Token statistics: whitespace + BPE-ish pre-tokenizer counts. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      Text.tokenCount(col("text")).as("n_ws"),
+      Text.alphaTokenCount(col("text")).as("n_alpha"),
+      Text.digitTokenCount(col("text")).as("n_digit"),
+      Text.punctCount(col("text")).as("n_punct"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length/word/stopword/punctuation metrics. */
+  def quality(s: SparkSession, dir: String): DataFrame = {
+    val nWords = Text.tokenCount(col("text"))
+    val nStop = Text.stopwordCount(col("text"), Text.langMarkers("en"))
+    docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        nWords.as("n_words"),
+        (length(col("text")).cast("double") / nWords.cast("double")).as("chars_per_word"),
+        (Text.punctCount(col("text")).cast("double") / length(col("text")).cast("double"))
+          .as("punct_ratio"),
+        (nStop.cast("double") / nWords.cast("double")).as("stop_ratio"))
+      .withColumn("quality",
+        when(col("n_words") >= 5 && col("n_words") <= 10000 && col("stop_ratio") >= 0.01, "ok")
+          .otherwise("low"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID: marker-word scores + deterministic argmax. */
+  def langIdQ(s: SparkSession, dir: String): DataFrame = {
+    val (scores, guess) = Text.langId(col("text"))
+    docs(s, dir).select(
+      col("doc_id") +: col("lang") +:
+        scores.map { case (l, c) => c.as(s"s_$l") } :+ guess.as("lang_guess"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprint via the custom codegen'd PolyHash64
+    * expression; oracled in DuckDB with a list_reduce over bytes. */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    PolyHash64.register(s)
+    docs(s, dir).select(
+        col("doc_id"),
+        PolyHash64.polyHash64("text").as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash + LSH near-dup pairs, exact-verified at 0.8. */
+  def minhashDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(docs(s, dir), "text", "doc_id", 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** All-pairs exact 3-gram Jaccard at 0.5 (brute-force baseline). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** SimHash signatures (rows-only: xxhash64 not oracle-expressible). */
+  def simhashQ(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(docs(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Multimodal metadata pipeline (binary payload → stub decode). */
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMetaPipeline(s, docs(s, dir))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_exact_dedup" -> (exactDedup _),
+    "q_text_tokens" -> (tokenStats _),
+    "q_text_quality" -> (quality _),
+    "q_text_langid" -> (langIdQ _),
+    "q_text_fingerprint" -> (fingerprint _),
+    "q_dedup_minhash" -> (minhashDedup _),
+    "q_dedup_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_simhash" -> (simhashQ _),
+    "q_multimodal_meta" -> (multimodalMeta _)
+  )
+
+  private val shingleCte =
+    """WITH sp AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM documents),
+       sh AS (
+         SELECT doc_id,
+           unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                 for i in range(1, len(w) - 1)])) AS shingle
+         FROM sp),
+       sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+       jacs AS (
+         SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_exact_dedup" ->
+      """SELECT sha256(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
+           count(1) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_text_tokens" ->
+      """SELECT doc_id,
+           CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS n_alpha,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit,
+           CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_words,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|data|table)\b')) AS INT) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_chars, n_words,
+           CAST(n_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS chars_per_word,
+           CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+           CASE WHEN n_words >= 5 AND n_words <= 10000
+                     AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.01
+                THEN 'ok' ELSE 'low' END AS quality
+         FROM m ORDER BY doc_id""",
+    "q_text_langid" ->
+      """WITH s AS (
+           SELECT doc_id, lang,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|daten|tabelle)\b')) AS INT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|data|table)\b')) AS INT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|datos|tabla)\b')) AS INT) AS s_es,
+             CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|données|tableau)\b')) AS INT) AS s_fr
+           FROM documents)
+         SELECT doc_id, lang, s_de, s_en, s_es, s_fr,
+           CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess
+         FROM s ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(CAST(1125899906842597 AS HUGEINT),
+                            [CAST(ascii(c) AS HUGEINT) for c in regexp_extract_all(text, '.')]),
+               (acc, x) -> (acc * 31 + x) % CAST(18446744073709551616 AS HUGEINT)) AS h
+           FROM documents)
+         ORDER BY doc_id""",
+    "q_dedup_minhash" ->
+      (shingleCte + """
+         SELECT doc_a, doc_b, jaccard FROM jacs
+         WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
+    "q_dedup_ngram_jaccard" ->
+      (shingleCte + """
+         SELECT doc_a, doc_b, jaccard FROM jacs
+         WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""),
+    "q_multimodal_meta" ->
+      """SELECT doc_id, lang,
+           CAST(length(text) AS INT) AS n_bytes,
+           CAST(64 + length(text) % 512 AS INT) AS width,
+           CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 512 AS INT) AS height,
+           CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS format
+         FROM documents ORDER BY doc_id"""
+  )
+}
