@@ -1,0 +1,91 @@
+package graft.io
+
+import java.io.InputStream
+import java.util.zip.ZipFile
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.Element
+import scala.collection.mutable.ArrayBuffer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Minimal XLSX reader (SURVEY.md §2 #2): the reference reads
+  * `Field Config.xlsx` via pandas/openpyxl
+  * (dags/dag_etl_minio_to_postgres.py:42-43); no Spark built-in exists
+  * and this environment resolves no external packages, so this is a
+  * from-scratch reader of the OOXML container: a zip holding
+  * `xl/sharedStrings.xml` (string pool) and `xl/worksheets/sheetN.xml`
+  * (cells with A1-style refs, shared-string / inline / numeric types).
+  *
+  * Config workbooks are tiny by construction (one row per column of the
+  * dataset), so this is a DRIVER-SIDE read into a local Seq followed by
+  * `createDataFrame` — the same treatment the engine gives all
+  * config-as-data (SURVEY.md §1.1). Big-data inputs arrive as
+  * CSV/parquet, never xlsx. All cells surface as strings; the first row
+  * is the header (mirroring `pd.read_excel` defaults for this file).
+  */
+object Xlsx {
+
+  private def parseXml(in: InputStream): Element = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.newDocumentBuilder().parse(in).getDocumentElement
+  }
+
+  private def elems(parent: Element, tag: String): Seq[Element] = {
+    val nl = parent.getElementsByTagName(tag)
+    (0 until nl.getLength).map(nl.item(_).asInstanceOf[Element])
+  }
+
+  /** "BC12" → 0-based column index 54. */
+  private[io] def colIndex(cellRef: String): Int =
+    cellRef.takeWhile(_.isLetter).foldLeft(0)((acc, c) => acc * 26 + (c - 'A' + 1)) - 1
+
+  /** Read sheet `sheetIdx` (1-based) as rows of strings. */
+  def readRows(path: String, sheetIdx: Int = 1): Seq[Seq[String]] = {
+    val zip = new ZipFile(path)
+    try {
+      val shared: IndexedSeq[String] = Option(zip.getEntry("xl/sharedStrings.xml")) match {
+        case Some(e) =>
+          elems(parseXml(zip.getInputStream(e)), "si")
+            .map(si => elems(si, "t").map(_.getTextContent).mkString).toIndexedSeq
+        case None => IndexedSeq.empty
+      }
+      val sheetEntry = Option(zip.getEntry(s"xl/worksheets/sheet$sheetIdx.xml"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"$path: no worksheet #$sheetIdx"))
+      val sheet = parseXml(zip.getInputStream(sheetEntry))
+      elems(sheet, "row").map { row =>
+        val cells = ArrayBuffer.empty[String]
+        elems(row, "c").foreach { c =>
+          val idx = colIndex(c.getAttribute("r"))
+          while (cells.length <= idx) cells += null
+          val v = c.getAttribute("t") match {
+            case "s" => // shared string
+              elems(c, "v").headOption.map(v => shared(v.getTextContent.trim.toInt)).orNull
+            case "inlineStr" =>
+              elems(c, "is").headOption.map(is => elems(is, "t").map(_.getTextContent).mkString).orNull
+            case _ => // numeric / str / bool: take the raw value text
+              elems(c, "v").headOption.map(_.getTextContent).orNull
+          }
+          cells(idx) = v
+        }
+        cells.toSeq
+      }
+    } finally zip.close()
+  }
+
+  /** First row = header (snake-cased by callers as needed); remaining
+    * rows = data; every column StringType. */
+  def read(spark: SparkSession, path: String, sheetIdx: Int = 1): DataFrame = {
+    val rows = readRows(path, sheetIdx)
+    require(rows.nonEmpty, s"$path: empty sheet")
+    val header = rows.head.map(h => Option(h).getOrElse(""))
+    val width = header.length
+    val data = rows.tail.map { r =>
+      Row.fromSeq(r.padTo(width, null).take(width))
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toList, 1), schema)
+  }
+}

@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl._
+import graft.io.{Sinks, Sources}
+
+/** The full medallion pipeline (SURVEY.md §3): bronze (format
+  * unification) → silver (standardize/clean) → gold (config-driven
+  * star-schema normalization). One Spark application, one lazy plan per
+  * sink — versus the reference's three Airflow subprocesses with full
+  * materialization and XCom hand-offs between each (§3.1).
+  *
+  * The gold stage reproduces the reference's semantics exactly
+  * (dags/dag_etl_minio_to_postgres.py:365-597) with engine-side
+  * mechanics: sha256-prefix hash keys instead of row-wise Python
+  * hashing, `dropDuplicates` dims, `row_number` surrogate ids instead
+  * of SERIAL+RETURNING read-backs, and broadcast FK joins instead of
+  * the global `id_mapping` dict.
+  */
+object Medallion {
+
+  /** Gold-stage shape parameters (the reference hard-codes these for
+    * its real-estate dataset; the engine takes them as config). */
+  case class GoldSpec(
+      mainTable: String,
+      naturalKeyCols: Seq[String],
+      mainHashKeyCols: Seq[String],
+      dimKeyCols: Map[String, Seq[String]],
+      surrogateIdCol: String = "id")
+
+  /** bronze: any supported format → CSV objects (SURVEY.md §3.2). */
+  def bronze(spark: SparkSession, rawPaths: Seq[String], bronzeDir: String): Seq[String] =
+    rawPaths.map { p =>
+      val df = Sources.read(spark, p)
+      val name = p.substring(p.lastIndexOf('/') + 1).takeWhile(_ != '.')
+      Sinks.csvSingleFile(df, bronzeDir, name)
+    }
+
+  /** silver: standardize headers, trim/lower strings, typed null fill
+    * (SURVEY.md §3.3). One collapsed projection. */
+  def silver(df: DataFrame): DataFrame = Clean.clean(df)
+
+  /** silver for the field-config frame: headers AND the column_name
+    * VALUES are standardized (reference :291-293). */
+  def silverConfig(df: DataFrame): DataFrame =
+    Clean.trimStrings(Standardize.standardizeHeaders(df))
+      .withColumn("column_name", Standardize.snakeCaseCol(col("column_name")))
+
+  /** gold: the star-schema normalization (SURVEY.md §3.4). Returns one
+    * DataFrame per target table, surrogate-keyed and FK-resolved.
+    *
+    * Scale notes: the wide frame is cached once and re-read by N narrow
+    * projections (§2 #13); dims are small by definition (dedup output)
+    * so their row_number windows and the FK joins broadcast; the main
+    * table's surrogate-id window is the one global sort — swap
+    * [[Dims.withDistributedId]] in when the main table is
+    * fact-sized. */
+  def gold(wide0: DataFrame, config: DataFrame, spec: GoldSpec): Map[String, DataFrame] = {
+    // 1. key synthesis on the wide frame (reference :386-391)
+    val dimKeyed = spec.dimKeyCols.foldLeft(wide0) { case (df, (dim, cols)) =>
+      df.withColumn(s"${dim}_key", Keys.hashKey(cols.map(col)))
+    }
+    val wide = dimKeyed
+      .withColumn("natural_key", Keys.naturalKey(spec.naturalKeyCols.map(col)))
+      .withColumn(s"${spec.mainTable}_key", Keys.hashKey(spec.mainHashKeyCols.map(col)))
+      .cache()
+
+    // 2. config-driven column routing with keys injected (:393-401)
+    val mainKey = s"${spec.mainTable}_key"
+    val lists = Split.columnLists(
+      config,
+      mainTable = spec.mainTable,
+      mainKeys = Seq("natural_key", mainKey) ++ spec.dimKeyCols.keys.toSeq.sorted.map(d => s"${d}_key"),
+      dimKeys = spec.dimKeyCols.keys.map(d => d -> Seq(s"${d}_key")).toMap,
+      factKey = Seq(mainKey))
+    val frames = Split.split(wide, lists)
+
+    // 3. dims: dedup + deterministic surrogate ids (:410-411, :481-485)
+    val dims = spec.dimKeyCols.keys.map { d =>
+      d -> Dims.withSurrogateId(
+        Dims.dedup(frames(d)), spec.surrogateIdCol, Seq(col(s"${d}_key")))
+    }.toMap
+
+    // 4. main table: surrogate id ordered by its hash key (:478)
+    val main = Dims.withSurrogateId(
+      frames(spec.mainTable), spec.surrogateIdCol,
+      Seq(col(mainKey), col("natural_key")))
+
+    // 5. facts: property_key → property_id broadcast join + id-first
+    //    reorder (:490-496)
+    val mainIds = main.select(col(mainKey), col(spec.surrogateIdCol))
+    val facts = (lists.keySet -- dims.keySet - spec.mainTable).map { f =>
+      f -> Reorder.lastToFirst(
+        Dims.resolveFk(frames(f), mainIds, mainKey,
+          spec.surrogateIdCol, s"${spec.mainTable}_id"))
+    }.toMap
+
+    dims ++ facts + (spec.mainTable -> Reorder.keyFirst(main, spec.surrogateIdCol))
+  }
+
+  /** The reference's own gold spec (SURVEY.md §1.3). */
+  val referenceSpec: GoldSpec = GoldSpec(
+    mainTable = "property",
+    naturalKeyCols = Seq("property_title", "zip"),
+    mainHashKeyCols = Seq("property_title", "zip"),
+    dimKeyCols = Map(
+      "hoa" -> Seq("hoa", "hoa_flag"),
+      "taxes" -> Seq("taxes")))
+
+  /** End-to-end: raw files → bronze CSVs → silver frames → gold star
+    * schema, all in one lazy program. */
+  def run(
+      spark: SparkSession,
+      dataPath: String, configPath: String,
+      bronzeDir: String, spec: GoldSpec): Map[String, DataFrame] = {
+    val Seq(bronzeData, bronzeConfig) =
+      bronze(spark, Seq(dataPath, configPath), bronzeDir)
+    val silverData = silver(Sources.read(spark, bronzeData))
+    val silverCfg = silverConfig(Sources.read(spark, bronzeConfig))
+    gold(silverData, silverCfg, spec)
+  }
+}

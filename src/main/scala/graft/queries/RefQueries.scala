@@ -112,7 +112,27 @@ object RefQueries {
       .orderBy(col("id"))
   }
 
+  // ---- §3.4: the whole gold stage (Split+Keys+Dims+Reorder composed
+  //      by Medallion.gold) driven as one query -----------------------------
+  def goldStar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val config = Seq(
+      ("c_name", "profile"), ("c_acctbal", "Profile"),
+      ("c_mktsegment", "segment"), ("c_nationkey", "contact")
+    ).toDF("column_name", "target_table")
+    val spec = graft.pipeline.Medallion.GoldSpec(
+      mainTable = "profile",
+      naturalKeyCols = Seq("c_name"),
+      mainHashKeyCols = Seq("c_name"),
+      dimKeyCols = Map("segment" -> Seq("c_mktsegment")))
+    val gold = graft.pipeline.Medallion.gold(t(s, dir, "customer"), config, spec)
+    gold("contact")
+      .select(col("profile_id"), col("c_nationkey"))
+      .orderBy(col("profile_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_gold_star" -> (goldStar _),
     "ref_clean_trim_fill" -> (cleanTrimFill _),
     "ref_standardize_values" -> (standardizeValues _),
     "ref_natural_key" -> (naturalKeyQ _),
@@ -128,6 +148,15 @@ object RefQueries {
     * flag); Spark's are Java (`$1`, global by default) — formulations
     * differ syntactically, semantics verified identical. */
   val oracleSql: Map[String, String] = Map(
+    "ref_gold_star" ->
+      """WITH k AS (
+           SELECT c_name, c_nationkey,
+             substr(sha256(coalesce(CAST(c_name AS VARCHAR), 'nan')), 1, 16) AS profile_key
+           FROM customer),
+         main AS (
+           SELECT *, CAST(row_number() OVER (ORDER BY profile_key, c_name) AS INT) AS id
+           FROM k)
+         SELECT id AS profile_id, c_nationkey FROM main ORDER BY profile_id""",
     "ref_clean_trim_fill" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,

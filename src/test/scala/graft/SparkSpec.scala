@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+/** Shared local SparkSession for specs. Everything writes under
+  * target/test-tmp (never outside the repo). */
+trait SparkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSpec.session
+  def tmpDir(name: String): String = {
+    val p = java.nio.file.Paths.get("target", "test-tmp", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+}
+
+object SparkSpec {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

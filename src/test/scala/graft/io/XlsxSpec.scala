@@ -1,0 +1,60 @@
+package graft.io
+
+import java.io.FileOutputStream
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import graft.SparkSpec
+
+/** Builds a minimal OOXML workbook by hand (zip + XML — the same wire
+  * format decoded for FIXTURES.md §2) and reads it back. */
+class XlsxSpec extends SparkSpec {
+
+  private def writeXlsx(path: String): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>Column Name</t></si><si><t>Target Table</t></si>
+        |<si><t>Property_Title</t></si><si><t>property</t></si>
+        |<si><t>Reviewed_Status</t></si><si><t>Leads</t></si>
+        |<si><t>HOA_Flag</t></si><si><t>HOA</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" t="s"><v>3</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3" t="s"><v>5</v></c></row>
+        |<row r="4"><c r="A4" t="s"><v>6</v></c><c r="B4" t="s"><v>7</v></c></row>
+        |<row r="5"><c r="A5"><v>42</v></c><c r="B5" t="inlineStr"><is><t>inline</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  "Xlsx.read" should "decode shared strings, inline strings, and numbers" in {
+    val path = tmpDir("xlsx") + "/config.xlsx"
+    writeXlsx(path)
+    val df = Xlsx.read(spark, path)
+    df.columns.toSeq shouldBe Seq("Column Name", "Target Table")
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    rows should contain theSameElementsInOrderAs Seq(
+      ("Property_Title", "property"),
+      ("Reviewed_Status", "Leads"),
+      ("HOA_Flag", "HOA"),
+      ("42", "inline"))
+  }
+
+  "colIndex" should "decode A1-style refs" in {
+    Xlsx.colIndex("A1") shouldBe 0
+    Xlsx.colIndex("Z9") shouldBe 25
+    Xlsx.colIndex("AA3") shouldBe 26
+    Xlsx.colIndex("BC12") shouldBe 54
+  }
+
+  "Sources.read" should "reject unsupported formats" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sources.read(spark, "/tmp/x.json")
+  }
+}
