@@ -1,0 +1,120 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch event analytics
+  * (SURVEY.md §2.1 — the reference has no streaming at all; its @daily
+  * Airflow schedule is batch orchestration).
+  *
+  * Design: `readStream → transform → writeStream` with event-time
+  * watermarks bounding state. The tumbling/sliding aggregations reuse
+  * the exact expressions of the batch queries (EventQueries) — the plan
+  * is identical, only the source/sink differ, which is the Spark
+  * promise this engine leans on: one declarative definition, two
+  * execution modes.
+  *
+  * State-scale note: watermark = 2 hours bounds the window state to
+  * (#active windows × #event types); sessionization state is one small
+  * struct per ACTIVE user, evicted by event-time timeout — both
+  * O(active keys), not O(stream length).
+  */
+object EventStreams {
+
+  case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int, session_value: Double)
+
+  /** Internal session accumulator (public: Spark's codegen'd encoder
+    * must instantiate and read it from generated Java). */
+  case class SessionState(
+      startMs: Long, endMs: Long, n: Int, total: Double)
+
+  /** Tumbling 1-hour counts per event type, 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute windows, 2-hour watermark. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+
+  /** Built-in gap sessionization: `session_window` (30-min gap). */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Custom stateful sessionization via flatMapGroupsWithState — the
+    * fully-general state machine (the built-in session_window can't
+    * e.g. cap session length or emit mid-session updates). One state
+    * struct per active user; event-time timeout at watermark + gap
+    * closes and emits the session. */
+  def statefulSessions(
+      spark: SparkSession, events: Dataset[Event],
+      gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import spark.implicits._
+
+    def update(
+        userId: Long, batch: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut) {
+          cur.foreach { s =>
+            closed ::= Session(userId, new Timestamp(s.startMs),
+              new Timestamp(s.endMs), s.n, s.total)
+          }
+          state.remove()
+        }
+      } else {
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.endMs <= gapMs =>
+              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
+                s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.startMs),
+                new Timestamp(s.endMs), s.n, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs + gapMs)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class EventStreamsSpec extends SparkSpec {
+
+  // offset well past epoch 0: an event at exactly the initial watermark
+  // (epoch 0) is dropped as late by stateful operators
+  private val base = 86400000L
+  private def ts(min: Int): Timestamp = new Timestamp(base + min * 60000L)
+
+  private def ev(id: Long, min: Int, user: Long, typ: String, v: Double) =
+    EventStreams.Event(id, ts(min), user, typ, v)
+
+  "tumblingCounts" should "aggregate per hour window over a stream" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        ev(1, 5, 1, "click", 1.0), ev(2, 20, 1, "click", 2.0),
+        ev(3, 65, 2, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling")
+        .collect().map(r => ((r.getTimestamp(0).getTime - 86400000L) / 60000, r.getString(1), r.getLong(2)))
+        .toSet
+      rows shouldBe Set((0L, "click", 2L), (60L, "view", 1L))
+    } finally q.stop()
+  }
+
+  "statefulSessions" should "close sessions on gap and emit on watermark" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.statefulSessions(spark, mem.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two sessions separated by a 40-min gap
+      mem.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, 50, 1, "click", 4.0))
+      q.processAllAvailable()
+      // push the watermark far ahead so the open session times out
+      mem.addData(ev(9, 600, 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(10, 1200, 2, "view", 0.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sessions")
+        .collect().map(r => (r.getLong(0), (r.getTimestamp(1).getTime - 86400000L) / 60000,
+          (r.getTimestamp(2).getTime - 86400000L) / 60000, r.getInt(3), r.getDouble(4)))
+        .toSet
+      sessions should contain((1L, 0L, 10L, 2, 3.0))   // first session closed by gap
+      sessions should contain((1L, 50L, 50L, 1, 4.0))  // second closed by timeout
+    } finally q.stop()
+  }
+
+  "sessionWindows" should "use the built-in session_window" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "view", 2.0))
+      q.processAllAvailable()
+      // advance the watermark past session end + gap so append emits it
+      mem.addData(ev(9, 600, 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(ev(10, 1200, 2, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("swin").collect()
+      rows.length should be >= 1
+      rows.map(_.getLong(3)).max shouldBe 2 // both events in one session
+    } finally q.stop()
+  }
+}
