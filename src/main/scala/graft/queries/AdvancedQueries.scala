@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+import graft.ops.Similarity.decToDouble
+
+/** Second wave of relational capability: skew-salted joins, exact
+  * percentiles, moment-based variance, range window frames, pivot, and
+  * approximate distinct counting. Same numeric policy as
+  * [[RelationalQueries]].
+  */
+object AdvancedQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.t(s, dir, name)
+
+  private def dec(c: String, p: Int = 12, sc: Int = 2) =
+    col(c).cast(s"decimal($p,$sc)")
+
+  /** Salted join (8 buckets): result is EXACTLY the plain join — the
+    * oracle is the plain join — only the shuffle distribution differs.
+    * Demonstrates the hot-key escape hatch AQE can't always reach. */
+  def joinSalted(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val small = t(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    SkewJoin.saltedJoin(big, small, "partkey", saltBuckets = 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`). */
+  def percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Population variance from exact decimal moments (n, Σx, Σx²): the
+    * double formula runs on string-hopped exact sums, so it is
+    * partitioning-independent — unlike var_pop over doubles. */
+  def variance(s: SparkSession, dir: String): DataFrame = {
+    val sx = sum(dec("o_totalprice")) // Σx exact
+    val sx2 = sum(dec("o_totalprice") * dec("o_totalprice")) // Σx² exact
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decToDouble(sx).as("sum_x"),
+        decToDouble(sx2).as("sum_x2"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .withColumn("var_pop",
+        (col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"))
+      .select(col("o_orderpriority"), col("n"), col("mean"), col("var_pop"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** RANGE window frame: trailing-30-day spend per customer, evaluated
+    * per order. Frame bounds in epoch seconds == the oracle's INTERVAL
+    * bounds. */
+  def windowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("sec"))
+      .rangeBetween(-30L * 86400, 0)
+    t(s, dir, "orders")
+      .withColumn("sec", unix_timestamp(col("o_orderdate")))
+      .withColumn("trailing_30d",
+        sum(dec("o_totalprice")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("trailing_30d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Pivot (explicit value list for a stable schema). */
+  def pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("bucket", (col("user_id") % 10).cast("int"))
+      .groupBy(col("bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .count()
+      .na.fill(0L)
+      .orderBy(col("bucket"))
+
+  /** HLL approximate distinct (rows-only: sketch internals are
+    * implementation-specific; exactness is covered by q_agg_distinct). */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_salted" -> (joinSalted _),
+    "q_percentiles" -> (percentiles _),
+    "q_agg_variance" -> (variance _),
+    "q_window_range" -> (windowRange _),
+    "q_pivot" -> (pivot _),
+    "q_approx_distinct" -> (approxDistinct _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_salted" ->
+      """SELECT p_brand, count(1) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS p50_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_variance" ->
+      """WITH m AS (
+           SELECT o_orderpriority, count(1) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x2
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n, sum_x / n AS mean,
+           (sum_x2 - sum_x * sum_x / n) / n AS var_pop
+         FROM m ORDER BY o_orderpriority""",
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_30d
+         FROM orders ORDER BY o_orderkey""",
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS INT) AS bucket,
+           count(1) FILTER (WHERE event_type = 'click') AS click,
+           count(1) FILTER (WHERE event_type = 'error') AS error,
+           count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(1) FILTER (WHERE event_type = 'signup') AS signup,
+           count(1) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY 1"""
+  )
+}
