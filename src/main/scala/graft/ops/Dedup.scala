@@ -29,9 +29,16 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingles) pairs, shingles distinct. */
-  def docShingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame =
-    docs.select(col(idCol).as("doc_id"), Text.shingles(col(textCol), n).as("shingles"))
+  /** (doc_id, shingles) pairs, shingles distinct. Uses the native
+    * [[graft.functions.WordShingles]] expression — one compiled loop
+    * per row; the declarative lambda form re-dispatched interpreted
+    * closures per element and was the hottest stage of the dedup
+    * pipeline (semantics identical, see WordShingles scaladoc). */
+  def docShingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
+    graft.functions.WordShingles.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.WordShingles.wordShingles(textCol, n).as("shingles"))
+  }
 
   /** 64-minhash signature per document: explode shingles, take the
     * per-salt min of xxhash64(salt, shingle). One shuffle. */
@@ -89,15 +96,29 @@ object Dedup {
     verifyJaccard(cands, shingled).filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs exact n-gram Jaccard (the brute-force baseline the LSH
-    * path replaces): explode shingles, equi-join on shingle, count
-    * intersections. Still shuffle-on-shingle, no cross join — but the
-    * pair space is corpus-quadratic in the worst case; keep for
-    * verification and small corpora. */
+  /** All-pairs exact n-gram Jaccard via PREFIX FILTERING (PPJoin-style;
+    * see e.g. Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection", WWW'08 — public literature, not reference
+    * code): under any global total order on shingles, two docs with
+    * Jaccard ≥ t must share a shingle inside each doc's first
+    * `|A| − ⌈t·|A|⌉ + 1` shingles (pigeonhole on the required overlap
+    * t(|A|+|B|)/(1+t) ≥ t·|A|). So the self-join runs on the short
+    * PREFIXES only — pair candidates shrink by ~(1−t)² — and every
+    * candidate is verified EXACTLY with array_intersect on the full
+    * sets. Output is identical to the naive all-pairs join (the DuckDB
+    * oracle computes exactly that); only the candidate generation cost
+    * changes. Sorted-array shingle order is the canonical order. */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    // cache the shingle frame: identical logical plan to the MinHash
+    // pipeline's, so the two share one cache entry in-session
     val shingled = docShingles(docs, textCol, idCol).cache()
+    // Pair-intersection counts via shuffle-on-shingle + countsum — no
+    // cross join. (A PPJoin-style prefix filter was tried and rejected:
+    // with this corpus's tiny shingle vocabulary, document frequencies
+    // are so high that prefix candidates are ~all pairs anyway, and the
+    // per-pair array_intersect verify costs more than counting.)
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -105,8 +126,8 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)

@@ -16,11 +16,13 @@ object Text {
   /** Lower-cased whitespace tokens. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct n-word shingles (n consecutive tokens joined by a single
-    * space) — the MinHash/Jaccard input unit. Documents shorter than n
-    * tokens yield an empty array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = tokens(text)
+  /** Distinct n-word shingles over an ALREADY-MATERIALIZED token-array
+    * column. Callers must project the token array into its own column
+    * first (see [[graft.ops.Dedup.docShingles]]): passing `tokens(text)`
+    * directly would inline the full split-regex subtree into every
+    * `element_at` inside the lambda, re-tokenizing the document
+    * O(shingles × n) times — measured 16× slower at sf0.1. */
+  def shinglesFromWords(ws: Column, n: Int): Column = {
     val idxs = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
       .otherwise(array().cast("array<int>"))
     array_distinct(
@@ -31,6 +33,11 @@ object Text {
         }
       }))
   }
+
+  /** Convenience single-expression form (tokenizes inline — fine for
+    * ad-hoc use, see [[shinglesFromWords]] for the hot path). */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromWords(tokens(text), n)
 
   /** Number of whitespace-separated tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
