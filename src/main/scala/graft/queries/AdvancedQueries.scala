@@ -96,7 +96,48 @@ object AdvancedQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Same variance via the typed [[graft.functions.MomentsAggregator]]
+    * UDAF — covers the custom-Aggregator extension surface; oracle is
+    * the moment formula. */
+  def udafVariance(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.MomentsAggregator.varPopExact(
+          col("o_totalprice").cast("decimal(12,2)")).as("var_pop"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Uncorrelated scalar subquery: orders above the global mean (the
+    * mean from exact decimal sums, string-hopped in both engines). */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("sq_orders")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice FROM sq_orders
+      WHERE o_totalprice > (
+        SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+               / count(1)
+        FROM sq_orders)
+      ORDER BY o_orderkey""")
+  }
+
+  /** Correlated scalar subquery (Catalyst decorrelates it into an
+    * aggregate + join — no per-row re-execution): orders above their
+    * own customer's mean. */
+  def subqueryCorrelated(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("sqc_orders")
+    s.sql("""
+      SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM sqc_orders o
+      WHERE o.o_totalprice > (
+        SELECT CAST(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS STRING) AS DOUBLE)
+               / count(1)
+        FROM sqc_orders i WHERE i.o_custkey = o.o_custkey)
+      ORDER BY o.o_orderkey""")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_udaf_variance" -> (udafVariance _),
+    "q_subquery_scalar" -> (subqueryScalar _),
+    "q_subquery_correlated" -> (subqueryCorrelated _),
     "q_join_salted" -> (joinSalted _),
     "q_percentiles" -> (percentiles _),
     "q_agg_variance" -> (variance _),
@@ -106,6 +147,29 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_udaf_variance" ->
+      """WITH m AS (
+           SELECT o_orderpriority, count(1) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x2
+           FROM orders GROUP BY o_orderpriority)
+         SELECT o_orderpriority, n,
+           (sum_x2 - sum_x * sum_x / n) / n AS var_pop
+         FROM m ORDER BY o_orderpriority""",
+    "q_subquery_scalar" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_totalprice > (
+           SELECT CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                  / count(1)
+           FROM orders)
+         ORDER BY o_orderkey""",
+    "q_subquery_correlated" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+         WHERE o.o_totalprice > (
+           SELECT CAST(CAST(sum(CAST(i.o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                  / count(1)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o.o_orderkey""",
     "q_join_salted" ->
       """SELECT p_brand, count(1) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
