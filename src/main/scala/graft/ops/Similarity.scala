@@ -165,6 +165,72 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** IVF-style ANN: coarse quantization into K lists, then probe only
+    * the nearest `nprobe` lists per query. Centroids here are the K
+    * lowest-id vectors (deterministic "seeding" — a production build
+    * would run a few Lloyd iterations; the LIST STRUCTURE and probe
+    * path, which is what scales, is identical). Assignment reuses the
+    * broadcast-matrix kernel: one pass, no shuffle of the vectors.
+    * Returns top-1 same/adjacent-list neighbor per query vector. */
+  def ivfAnnTop1(vecs: DataFrame, k: Int = 16, nprobe: Int = 2): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val typed = vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val centroids = typed.orderBy(col("vec_id")).limit(k).collect()
+      .map { case (_, arr) => unitD(arr) }
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    // each vector → its `nprobe` nearest centroid lists
+    val assigned = typed.mapPartitions { it =>
+      val cents = bc.value
+      it.flatMap { case (id, arr) =>
+        val v = unitD(arr)
+        val sims = cents.zipWithIndex.map { case (c, ci) =>
+          var dot = 0.0; var i = 0
+          while (i < v.length) { dot += v(i) * c(i); i += 1 }
+          (dot, ci)
+        }.sortBy { case (d, ci) => (-d, ci) }
+        // primary list (membership) + probe lists for search
+        sims.take(nprobe).zipWithIndex.map { case ((_, ci), rank) =>
+          (id, ci, rank == 0)
+        }
+      }
+    }.toDF("vec_id", "list_id", "is_member")
+
+    val norm = sqrt(aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val members = assigned.filter(col("is_member"))
+      .select(col("vec_id").as("cid"), col("list_id"))
+      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        norm.as("cn")), "cid")
+    val probes = assigned
+      .select(col("vec_id").as("qid"), col("list_id"))
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        norm.as("qn")), "qid")
+    val dot = aggregate(
+      zip_with(col("qe"), col("ce"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = probes.join(members, Seq("list_id")).filter(col("qid") =!= col("cid"))
+      .withColumn("cos_fast", dot / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .withColumn("cos",
+        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+      .select(col("qid"), col("cid"), col("cos"))
+      .distinct()
+  }
+
+  /** float[] → unit-normalized double[]. */
+  private def unitD(arr: Array[Float]): Array[Double] = {
+    val v = new Array[Double](arr.length)
+    var n2 = 0.0; var i = 0
+    while (i < arr.length) { v(i) = arr(i).toDouble; n2 += v(i) * v(i); i += 1 }
+    val inv = 1.0 / math.sqrt(n2); i = 0
+    while (i < arr.length) { v(i) *= inv; i += 1 }
+    v
+  }
+
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Plane components are pseudo-random but fully deterministic —
     * derived from xxhash64(plane, dim) — so bucket assignment is stable
@@ -188,10 +254,10 @@ object Similarity {
     * (norms computed ONCE per vector, pair work is a single dot fold);
     * only the winning pair per query is exact-decimal rescored, so the
     * decimal cost is O(n), not O(in-bucket pairs). */
-  def lshAnnTop1(vecs: DataFrame, planes: Int = 8): DataFrame = {
+  def lshAnnTop1(vecs: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame = {
     val normed = vecs.select(
       col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket"),
+      lshBucket(col("embedding"), planes, dims).as("bucket"),
       sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)).as("norm"))
     val a = normed.select(col("vec_id").as("qid"), col("embedding").as("qe"),

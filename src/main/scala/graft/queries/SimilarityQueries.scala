@@ -49,7 +49,14 @@ object SimilarityQueries {
     Similarity.lshAnnTop1(emb(s, dir), planes = 6)
       .orderBy(col("qid"))
 
+  /** IVF-style coarse-quantized ANN (rows-only: centroid assignment is
+    * a kernel, not SQL). */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 2)
+      .orderBy(col("qid"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_ivf" -> (ivfAnn _),
     "q_ann_topk" -> (annTopK _),
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_stats" -> (embedStats _),

@@ -93,7 +93,31 @@ object TextQueries {
     Multimodal.mediaMetaPipeline(s, docs(s, dir))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF top-3 terms per document. tf = in-doc term count, df from
+    * the (doc, term) pairs, idf = ln((N+1)/(df+1)) + 1 (smoothed).
+    * Fully declarative: two aggregations + a broadcast of the doc
+    * count + one window — no driver-side actions. */
+  def tfidfTop(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val total = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_tokens" -> (tokenStats _),
     "q_text_quality" -> (quality _),
@@ -126,6 +150,23 @@ object TextQueries {
          JOIN sizes sb ON sb.doc_id = doc_b)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY 1, 2),
+         dfreq AS (SELECT term, count(1) AS df FROM tf GROUP BY 1),
+         total AS (SELECT count(1) AS n_docs FROM documents),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+           FROM tf JOIN dfreq USING (term) CROSS JOIN total),
+         ranked AS (
+           SELECT doc_id, term, tf, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_text_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
            count(1) AS n_copies

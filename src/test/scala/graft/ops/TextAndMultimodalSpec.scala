@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAndMultimodalSpec extends SparkSpec {
+
+  "Text metrics" should "count tokens, punctuation, and stopwords" in {
+    import spark.implicits._
+    val df = Seq("The data table is big, really big!").toDF("text")
+    val r = df.select(
+      Text.tokenCount(col("text")).as("ws"),
+      Text.alphaTokenCount(col("text")).as("alpha"),
+      Text.punctCount(col("text")).as("punct"),
+      Text.stopwordCount(col("text"), Text.langMarkers("en")).as("stop"))
+      .collect()(0)
+    r.getInt(0) shouldBe 7 // whitespace tokens
+    r.getInt(1) shouldBe 7 // letter runs
+    r.getInt(2) shouldBe 2 // ',' and '!'
+    r.getInt(3) shouldBe 4 // the, data, table, is
+  }
+
+  "langId" should "pick the marker-heavy language deterministically" in {
+    import spark.implicits._
+    val (_, guess) = Text.langId(col("text"))
+    val out = Seq(
+      "the data table is in the database",
+      "el datos y la tabla en consulta",
+      "no markers whatsoever xyz qqq"
+    ).toDF("text").select(guess.as("g")).collect().map(_.getString(0))
+    out(0) shouldBe "en"
+    out(1) shouldBe "es"
+    out(2) shouldBe "de" // all-zero tie → first language alphabetically
+  }
+
+  "WordShingles" should "agree with the declarative shingle expression" in {
+    import spark.implicits._
+    graft.functions.WordShingles.register(spark)
+    val df = Seq("a b c d e", "one two", " Mixed  CASE   words here ").toDF("text")
+    val native = df.select(
+      graft.functions.WordShingles.wordShingles("text", 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    val declarative = df
+      .select(Text.tokens(col("text")).as("w"))
+      .select(Text.shinglesFromWords(col("w"), 3).as("s"))
+      .collect().map(_.getSeq[String](0).toList)
+    native.toSeq shouldBe declarative.toSeq
+  }
+
+  "Multimodal stub pipeline" should "decode deterministic metadata" in {
+    import spark.implicits._
+    val docs = Seq((7L, "en", "hello world")).toDF("doc_id", "lang", "text")
+    val meta = Multimodal.mediaMetaPipeline(spark, docs).collect()(0)
+    meta.getAs[Int]("n_bytes") shouldBe 11
+    meta.getAs[Int]("width") shouldBe 64 + 11 % 512
+    meta.getAs[Int]("height") shouldBe 64 + ('h'.toInt * 7) % 512
+    meta.getAs[String]("format") shouldBe "video" // 11 % 3 == 2
+  }
+
+  it should "sample frames with the stride" in {
+    import spark.implicits._
+    val blobs = Seq(Multimodal.MediaBlob(1L, "en", Array.fill[Byte](100)(1)))
+      .toDS()
+    val frames = Multimodal.sampleFrames(spark, blobs, stride = 2).collect()
+    // 100 bytes → 7 slices of 16 (last partial) → indices 0,2,4,6 kept
+    frames.map(_.frame_idx).sorted.toSeq shouldBe Seq(0, 2, 4, 6)
+    frames.find(_.frame_idx == 0).get.bytes.length shouldBe 16
+  }
+}
