@@ -53,6 +53,20 @@ class XlsxSpec extends SparkSpec {
     Xlsx.colIndex("BC12") shouldBe 54
   }
 
+  "the xlsx DataSource V2" should "read via spark.read.format with pruning" in {
+    val path = tmpDir("xlsx") + "/dsv2.xlsx"
+    writeXlsx(path)
+    val df = spark.read.format("xlsx").load(path)
+    df.columns.toSeq shouldBe Seq("Column Name", "Target Table")
+    df.count() shouldBe 4
+    // column pruning path: request one column only
+    val one = df.select(df.col("Target Table")).collect().map(_.getString(0))
+    one should contain("Leads")
+    // option-driven sheet selection + schema inference agree with Xlsx.read
+    spark.read.format("xlsx").option("sheet", "1").load(path).collect()
+      .map(_.toSeq) shouldBe Xlsx.read(spark, path).collect().map(_.toSeq)
+  }
+
   "Sources.read" should "reject unsupported formats" in {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/x.json")
