@@ -134,7 +134,13 @@ object AdvancedQueries {
       ORDER BY o.o_orderkey""")
   }
 
+  /** Per-column data-quality profile of `customer`: one scan. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quality.profile(t(s, dir, "customer"))
+      .orderBy(col("column"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_profile" -> (dqProfile _),
     "q_udaf_variance" -> (udafVariance _),
     "q_subquery_scalar" -> (subqueryScalar _),
     "q_subquery_correlated" -> (subqueryCorrelated _),
@@ -147,6 +153,29 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_dq_profile" ->
+      """WITH t AS (SELECT count(1) AS n_rows FROM customer)
+         SELECT * FROM (
+           SELECT 'c_custkey' AS "column",
+             (SELECT count(1) FROM customer WHERE c_custkey IS NULL) AS n_nulls,
+             (SELECT count(DISTINCT c_custkey) FROM customer) AS n_distinct, n_rows FROM t
+           UNION ALL
+           SELECT 'c_name',
+             (SELECT count(1) FROM customer WHERE c_name IS NULL),
+             (SELECT count(DISTINCT c_name) FROM customer), n_rows FROM t
+           UNION ALL
+           SELECT 'c_nationkey',
+             (SELECT count(1) FROM customer WHERE c_nationkey IS NULL),
+             (SELECT count(DISTINCT c_nationkey) FROM customer), n_rows FROM t
+           UNION ALL
+           SELECT 'c_acctbal',
+             (SELECT count(1) FROM customer WHERE c_acctbal IS NULL),
+             (SELECT count(DISTINCT c_acctbal) FROM customer), n_rows FROM t
+           UNION ALL
+           SELECT 'c_mktsegment',
+             (SELECT count(1) FROM customer WHERE c_mktsegment IS NULL),
+             (SELECT count(DISTINCT c_mktsegment) FROM customer), n_rows FROM t)
+         ORDER BY "column"""",
     "q_udaf_variance" ->
       """WITH m AS (
            SELECT o_orderpriority, count(1) AS n,
