@@ -155,6 +155,13 @@ object Similarity {
       }
     }.toDF("id_a", "id_b")
 
+    rescoreExact(candidates, vecs, threshold)
+  }
+
+  /** Phase 2 shared by the near-dup variants: exact decimal rescore of
+    * (id_a, id_b) candidate pairs. */
+  private def rescoreExact(
+      candidates: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
     val ea = vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     candidates
@@ -163,6 +170,74 @@ object Similarity {
         cosExact(col("ea"), col("eb"), norm2Decimal(col("ea")), norm2Decimal(col("eb"))))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** Beyond-broadcast all-pairs variant: BLOCK the matrix instead of
+    * broadcasting it. Vectors are hashed into `blocks` blocks; every
+    * block PAIR (i ≤ j) becomes one group whose task materializes just
+    * its two blocks (memory per task = 2·n/blocks·d doubles — tune
+    * `blocks` to executor memory) and scans them with the same
+    * primitive-loop kernel. Work is spread over blocks·(blocks+1)/2
+    * independent tasks; no row-pair ever materializes in a shuffle.
+    * Output is identical to [[cosineNearDupPairs]] (same exact rescore
+    * phase — the query oracle covers both). */
+  def cosineNearDupPairsBlocked(
+      vecs: DataFrame, threshold: Double, margin: Double = 1e-3,
+      blocks: Int = 8): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cut = threshold - margin
+
+    val sided = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, arr) =>
+        val b = (id % blocks).toInt
+        val left = (b until blocks).map(j => (b * blocks + j, 0.toByte, id, arr))
+        val right = (0 until b).map(i => (i * blocks + b, 1.toByte, id, arr))
+        left ++ right
+      }
+
+    val candidates = sided
+      .groupByKey(_._1)
+      .flatMapGroups { (pairKey: Int, it: Iterator[(Int, Byte, Long, Array[Float])]) =>
+        val sameBlock = pairKey / blocks == pairKey % blocks
+        val ls = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, role, id, arr) =>
+          val u = unitD(arr)
+          if (role == 0) ls += ((id, u)) else rs += ((id, u))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0; var k = 0
+          while (k < a.length) { s += a(k) * b(k); k += 1 }; s
+        }
+        if (sameBlock) {
+          var i = 0
+          while (i < ls.length) {
+            var j = i + 1
+            while (j < ls.length) {
+              if (dot(ls(i)._2, ls(j)._2) >= cut) {
+                val (x, y) = (ls(i)._1, ls(j)._1)
+                out += ((math.min(x, y), math.max(x, y)))
+              }
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          ls.foreach { case (li, lv) =>
+            rs.foreach { case (ri, rv) =>
+              if (dot(lv, rv) >= cut)
+                out += ((math.min(li, ri), math.max(li, ri)))
+            }
+          }
+        }
+        out.iterator
+      }
+      .toDF("id_a", "id_b")
+
+    rescoreExact(candidates, vecs, threshold)
   }
 
   /** IVF-style ANN: coarse quantization into K lists, then probe only

@@ -55,7 +55,14 @@ object SimilarityQueries {
     Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 2)
       .orderBy(col("qid"))
 
+  /** Blocked (beyond-broadcast) near-dup variant — identical output to
+    * q_embed_neardup, so it shares that oracle. */
+  def cosineNearDupsBlocked(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsBlocked(emb(s, dir), threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_neardup_blocked" -> (cosineNearDupsBlocked _),
     "q_ann_ivf" -> (ivfAnn _),
     "q_ann_topk" -> (annTopK _),
     "q_embed_neardup" -> (cosineNearDups _),
@@ -94,6 +101,11 @@ object SimilarityQueries {
       (cosSql("", "") + """
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
+    "q_embed_neardup_blocked" ->
+      (cosSql("", "") + """
+          SELECT qid AS id_a, cid AS id_b, cos FROM scored
+          WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
+
     "q_embed_stats" ->
       """WITH n AS (
            SELECT label, vec_id,

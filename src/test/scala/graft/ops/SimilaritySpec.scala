@@ -30,6 +30,15 @@ class SimilaritySpec extends SparkSpec {
     pairs shouldBe Set((10L, 20L)) // cos ≈ 0.9939
   }
 
+  "cosineNearDupPairsBlocked" should "match the broadcast variant exactly" in {
+    val broadcastOut = Similarity.cosineNearDupPairs(vecs, threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    val blockedOut = Similarity.cosineNearDupPairsBlocked(vecs, threshold = 0.3, blocks = 2)
+      .collect().map(_.toSeq).toSet
+    blockedOut shouldBe broadcastOut
+    blockedOut should not be empty
+  }
+
   "ivfAnnTop1" should "return one nearest neighbor per vector" in {
     val out = Similarity.ivfAnnTop1(vecs, k = 2, nprobe = 2).collect()
     out.length shouldBe 5
