@@ -53,6 +53,19 @@ object Multimodal {
       b.payload.grouped(16).zipWithIndex
         .filter { case (_, i) => i % stride == 0 }
         .map { case (bytes, i) => Frame(b.doc_id, i, bytes) }
+
+    /** STUB resize: a real implementation would decode + rescale
+      * pixels; the fake deterministically downsamples the byte payload
+      * to `targetBytes` by striding — preserving the production shape
+      * (binary in, smaller binary out, same row count). */
+    def resize(b: MediaBlob, targetBytes: Int): MediaBlob =
+      if (b.payload.length <= targetBytes) b
+      else {
+        val stride = math.max(1, b.payload.length / targetBytes)
+        MediaBlob(b.doc_id, b.lang,
+          b.payload.indices.collect { case i if i % stride == 0 => b.payload(i) }
+            .take(targetBytes).toArray)
+      }
   }
 
   /** Attach a binary payload column (here: UTF-8 bytes of a text column
@@ -74,6 +87,12 @@ object Multimodal {
   def sampleFrames(spark: SparkSession, blobs: Dataset[MediaBlob], stride: Int): Dataset[Frame] = {
     import spark.implicits._
     blobs.mapPartitions(_.flatMap(StubCodec.sampleFrames(_, stride)))
+  }
+
+  /** The resize stage: one-to-one, partition-local, shrinks payloads. */
+  def resize(spark: SparkSession, blobs: Dataset[MediaBlob], targetBytes: Int): Dataset[MediaBlob] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
   }
 
   /** documents → payload → decode → per-language media stats. */

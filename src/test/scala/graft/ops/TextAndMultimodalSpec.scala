@@ -57,6 +57,15 @@ class TextAndMultimodalSpec extends SparkSpec {
     meta.getAs[String]("format") shouldBe "video" // 11 % 3 == 2
   }
 
+  it should "resize payloads deterministically" in {
+    import spark.implicits._
+    val blobs = Seq(Multimodal.MediaBlob(1L, "en", Array.tabulate[Byte](100)(_.toByte)))
+      .toDS()
+    val out = Multimodal.resize(spark, blobs, targetBytes = 25).collect()(0)
+    out.payload.length should be <= 25
+    out.payload(1) shouldBe 4.toByte // stride 4: bytes 0,4,8…
+  }
+
   it should "sample frames with the stride" in {
     import spark.implicits._
     val blobs = Seq(Multimodal.MediaBlob(1L, "en", Array.fill[Byte](100)(1)))
