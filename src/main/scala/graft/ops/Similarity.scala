@@ -72,20 +72,38 @@ object Similarity {
   /** Brute-force exact top-k: broadcast the (small) query set against
     * the distributed candidate set — the candidate table never
     * shuffles; per-query ranking is a bounded window. This is the
-    * correctness baseline ANN variants are judged against. */
+    * correctness baseline ANN variants are judged against.
+    *
+    * Two-phase like the near-dup path: rank ALL pairs with cheap double
+    * cosines (norms precomputed once per vector, pair work = one fold),
+    * keep a k+8 safety window, exact-decimal rescore only those and
+    * re-rank — double-vs-exact disagreement is ~1e-14 relative, so the
+    * true top-k always survives the cut, and the OUTPUT ranking/scores
+    * come from the exact pass (bit-identical to the oracle). */
   def bruteForceTopK(
       queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val dNorm2 = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
     val q = queries.select(
       col("vec_id").as("qid"), col("embedding").as("qe"),
-      norm2Decimal(col("embedding")).as("qn2"))
+      sqrt(dNorm2).as("qn"))
     val c = candidates.select(
       col("vec_id").as("cid"), col("embedding").as("ce"),
-      norm2Decimal(col("embedding")).as("cn2"))
-    val scored = c.crossJoin(broadcast(q))
-      .withColumn("cos", cosExact(col("qe"), col("ce"), col("qn2"), col("cn2")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
-    scored
-      .withColumn("rnk", row_number().over(w))
+      sqrt(dNorm2).as("cn"))
+    val dDot = aggregate(
+      zip_with(col("qe"), col("ce"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val wFast = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .withColumn("cos_fast", dDot / (col("qn") * col("cn")))
+      .withColumn("rf", row_number().over(wFast))
+      .filter(col("rf") <= k + 8)
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .withColumn("cos",
+        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+      .withColumn("rnk", row_number().over(wExact))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
