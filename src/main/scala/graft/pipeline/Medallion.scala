@@ -42,10 +42,15 @@ object Medallion {
   def silver(df: DataFrame): DataFrame = Clean.clean(df)
 
   /** silver for the field-config frame: headers AND the column_name
-    * VALUES are standardized (reference :291-293). */
+    * VALUES are standardized (reference :291-293). Order matters and
+    * mirrors the reference: standardize the values BEFORE trim_strings —
+    * trim lowercases everything, which would destroy the camelCase
+    * word boundaries snake_casing needs (`BasementYesNo` would become
+    * `basementyesno`, not `basement_yes_no`). */
   def silverConfig(df: DataFrame): DataFrame =
-    Clean.trimStrings(Standardize.standardizeHeaders(df))
-      .withColumn("column_name", Standardize.snakeCaseCol(col("column_name")))
+    Clean.trimStrings(
+      Standardize.standardizeHeaders(df)
+        .withColumn("column_name", Standardize.snakeCaseCol(col("column_name"))))
 
   /** gold: the star-schema normalization (SURVEY.md §3.4). Returns one
     * DataFrame per target table, surrogate-keyed and FK-resolved.

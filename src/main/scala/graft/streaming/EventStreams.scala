@@ -64,6 +64,16 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming deduplication by event id: exactly-once event delivery
+    * on top of an at-least-once transport, with state bounded by the
+    * watermark window (`dropDuplicatesWithinWatermark` evicts seen-keys
+    * older than the watermark — unbounded-state-free, unlike plain
+    * dropDuplicates on a stream). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization via flatMapGroupsWithState — the
     * fully-general state machine (the built-in session_window can't
     * e.g. cap session length or emit mid-session updates). One state

@@ -62,6 +62,54 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  "dedupStream" should "drop duplicate event ids within the watermark" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, 0, 1, "click", 1.0), ev(1, 0, 1, "click", 1.0),
+        ev(2, 5, 1, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(1, 6, 1, "click", 1.0)) // replayed duplicate, still in state
+      q.processAllAvailable()
+      spark.table("dedup").collect().map(_.getLong(0)).sorted.toSeq shouldBe Seq(1L, 2L)
+    } finally q.stop()
+  }
+
+  "file-source streaming" should "run csv readStream → parquet sink with checkpoint" in {
+    import spark.implicits._
+    val base = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "test-tmp", "stream")).toString
+    val inDir = s"$base/in"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(inDir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(inDir, "batch1.csv"),
+      "event_id,ts,user_id,event_type,value\n" +
+        "1,2024-01-01 00:05:00,1,click,1.5\n" +
+        "2,2024-01-01 00:20:00,2,view,2.5\n")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    val stream = spark.readStream.schema(schema)
+      .option("header", "true").csv(inDir)
+    val q = EventStreams.tumblingCounts(stream)
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // append mode: windows flush once the watermark passes them
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(inDir, "batch2.csv"),
+        "event_id,ts,user_id,event_type,value\n" +
+          "3,2024-01-01 09:00:00,1,click,0.5\n")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(outDir)
+    out.count() shouldBe 2 // the two hour-0 windows, flushed by batch2's watermark
+  }
+
   "sessionWindows" should "use the built-in session_window" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
