@@ -104,6 +104,27 @@ object Medallion {
     dims ++ facts + (spec.mainTable -> Reorder.keyFirst(main, spec.surrogateIdCol))
   }
 
+  /** CREATE TABLE DDLs for the gold outputs, reproducing the
+    * reference's constraint surface (SURVEY.md §2 #21) for the JDBC
+    * sink: UNIQUE on dim keys, facts FK→main, main FK→dims. Ids are
+    * engine-assigned (no SERIAL — the read-back pattern is gone). */
+  def goldDdls(
+      gold: Map[String, DataFrame], spec: GoldSpec,
+      schemaName: String = "gold"): Map[String, String] =
+    gold.map { case (t, df) =>
+      val isDim = spec.dimKeyCols.contains(t)
+      val unique = if (isDim) Seq(s"${t}_key") else Nil
+      val fks: Map[String, String] =
+        if (t == spec.mainTable)
+          spec.dimKeyCols.keys.map(d =>
+            s"${d}_key" -> s"$schemaName.$d(${d}_key)").toMap
+        else if (!isDim)
+          Map(s"${spec.mainTable}_id" ->
+            s"$schemaName.${spec.mainTable}(${spec.surrogateIdCol})")
+        else Map.empty
+      t -> Sinks.createTableDdl(df.schema, schemaName, t, None, unique, fks)
+    }
+
   /** The reference's own gold spec (SURVEY.md §1.3). */
   val referenceSpec: GoldSpec = GoldSpec(
     mainTable = "property",

@@ -139,7 +139,35 @@ object AdvancedQueries {
     graft.ops.Quality.profile(t(s, dir, "customer"))
       .orderBy(col("column"))
 
+  /** Distributed (no-global-sort) surrogate ids over the fact-sized
+    * events table — the 100 TB id path. Ids themselves depend on the
+    * partitioning, so the oracle checks the INVARIANT instead: ids are
+    * unique and dense-count (n_distinct == n_rows). */
+  def distributedId(s: SparkSession, dir: String): DataFrame = {
+    val withIds = graft.etl.Dims.withDistributedId(t(s, dir, "events"), "row_id")
+    withIds.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("row_id")).as("n_distinct_ids"))
+  }
+
+  /** Bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (the plain variants in q_set_ops deduplicate). */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def typed(kind: String) =
+      ev.filter(col("event_type") === kind).select(col("user_id"))
+    val interAll = typed("click").intersectAll(typed("view"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(lit("click_intersect_all_view").as("tag"), col("user_id"), col("n"))
+    val exceptAll = typed("click").exceptAll(typed("purchase"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .select(lit("click_except_all_purchase").as("tag"), col("user_id"), col("n"))
+    interAll.unionAll(exceptAll).orderBy(col("tag"), col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_distributed_id" -> (distributedId _),
+    "q_set_ops_all" -> (setOpsAll _),
     "q_dq_profile" -> (dqProfile _),
     "q_udaf_variance" -> (udafVariance _),
     "q_subquery_scalar" -> (subqueryScalar _),
@@ -153,6 +181,20 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_distributed_id" ->
+      """SELECT count(1) AS n_rows, count(1) AS n_distinct_ids FROM events""",
+    "q_set_ops_all" ->
+      """WITH c AS (SELECT user_id FROM events WHERE event_type = 'click'),
+            v AS (SELECT user_id FROM events WHERE event_type = 'view'),
+            p AS (SELECT user_id FROM events WHERE event_type = 'purchase')
+         SELECT 'click_intersect_all_view' AS tag, user_id, count(1) AS n
+         FROM (SELECT user_id FROM c INTERSECT ALL SELECT user_id FROM v)
+         GROUP BY user_id
+         UNION ALL
+         SELECT 'click_except_all_purchase' AS tag, user_id, count(1) AS n
+         FROM (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
+         GROUP BY user_id
+         ORDER BY tag, user_id""",
     "q_dq_profile" ->
       """WITH t AS (SELECT count(1) AS n_rows FROM customer)
          SELECT * FROM (

@@ -80,5 +80,12 @@ class FullConfigSpec extends SparkSpec {
     gold("leads").count() shouldBe 3
     Dims.fkViolations(gold("property"), gold("hoa"), "hoa_key").count() shouldBe 0
     gold("rehab").filter(col("property_id").isNull).count() shouldBe 0
+
+    // DDL emission reproduces the reference's constraint surface
+    val ddls = Medallion.goldDdls(gold, Medallion.referenceSpec)
+    ddls("hoa") should include("hoa_key TEXT UNIQUE")
+    ddls("leads") should include("property_id INTEGER REFERENCES gold.property(id)")
+    ddls("property") should include("hoa_key TEXT REFERENCES gold.hoa(hoa_key)")
+    ddls("property") should include("taxes_key TEXT REFERENCES gold.taxes(taxes_key)")
   }
 }
