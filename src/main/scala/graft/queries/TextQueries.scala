@@ -93,6 +93,20 @@ object TextQueries {
     Multimodal.mediaMetaPipeline(s, docs(s, dir))
       .orderBy(col("doc_id"))
 
+  /** Multimodal frame sampling (one-to-many mapPartitions): frames per
+    * document at stride 3 over 16-byte slices. The oracle replays the
+    * count formula: ((ceil(n_bytes/16) − 1) // 3) + 1. */
+  def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[Multimodal.MediaBlob]
+    Multimodal.sampleFrames(s, blobs, stride = 3)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"))
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-3 terms per document. tf = in-doc term count, df from
     * the (doc, term) pairs, idf = ln((N+1)/(df+1)) + 1 (smoothed).
     * Fully declarative: two aggregations + a broadcast of the doc
@@ -126,7 +140,8 @@ object TextQueries {
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
-    "q_multimodal_meta" -> (multimodalMeta _)
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_frames" -> (multimodalFrames _)
   )
 
   private val shingleCte =
@@ -228,6 +243,10 @@ object TextQueries {
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""),
+    "q_multimodal_frames" ->
+      """SELECT doc_id,
+           ((CAST(ceil(length(text) / 16.0) AS BIGINT) - 1) // 3) + 1 AS n_frames
+         FROM documents ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """SELECT doc_id, lang,
            CAST(length(text) AS INT) AS n_bytes,
