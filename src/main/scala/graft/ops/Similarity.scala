@@ -273,7 +273,8 @@ object Similarity {
       .map { case (_, arr) => unitD(arr) }
     val bc = spark.sparkContext.broadcast(centroids)
 
-    // each vector → its `nprobe` nearest centroid lists
+    // each vector → its `nprobe` nearest centroid lists (role-tagged:
+    // member of its top-1 list, probe everywhere it searches)
     val assigned = typed.mapPartitions { it =>
       val cents = bc.value
       it.flatMap { case (id, arr) =>
@@ -283,35 +284,52 @@ object Similarity {
           while (i < v.length) { dot += v(i) * c(i); i += 1 }
           (dot, ci)
         }.sortBy { case (d, ci) => (-d, ci) }
-        // primary list (membership) + probe lists for search
         sims.take(nprobe).zipWithIndex.map { case ((_, ci), rank) =>
-          (id, ci, rank == 0)
+          (ci, rank == 0, id, v) // unit vector rides along once
         }
       }
-    }.toDF("vec_id", "list_id", "is_member")
+    }
 
-    val norm = sqrt(aggregate(
-      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val members = assigned.filter(col("is_member"))
-      .select(col("vec_id").as("cid"), col("list_id"))
-      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-        norm.as("cn")), "cid")
-    val probes = assigned
-      .select(col("vec_id").as("qid"), col("list_id"))
-      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        norm.as("qn")), "qid")
-    val dot = aggregate(
-      zip_with(col("qe"), col("ce"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = probes.join(members, Seq("list_id")).filter(col("qid") =!= col("cid"))
-      .withColumn("cos_fast", dot / (col("qn") * col("cn")))
+    // per-list scan in ONE task per list: members vs probes with
+    // primitive loops (the expression-tree formulation re-dispatched
+    // interpreted lambdas per pair and was the bench's hottest query)
+    val perList = assigned
+      .groupByKey(_._1)
+      .flatMapGroups { (_: Int, it: Iterator[(Int, Boolean, Long, Array[Double])]) =>
+        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, isMember, id, v) =>
+          if (isMember) members += ((id, v))
+          probes += ((id, v)) // members also probe their own list
+        }
+        probes.iterator.flatMap { case (qid, qv) =>
+          var best = -2.0
+          var bestId = -1L
+          members.foreach { case (cid, cv) =>
+            if (cid != qid) {
+              var dot = 0.0; var k = 0
+              while (k < qv.length) { dot += qv(k) * cv(k); k += 1 }
+              if (dot > best || (dot == best && cid < bestId)) {
+                best = dot; bestId = cid
+              }
+            }
+          }
+          if (bestId >= 0) Some((qid, bestId, best)) else None
+        }
+      }
+      .toDF("qid", "cid", "cos_fast")
+
+    // best across the nprobe lists, then exact rescore of the winners
     val w = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+    val winners = perList
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("qid"), col("cid"))
+    winners
+      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .select(col("qid"), col("cid"), col("cos"))
-      .distinct()
   }
 
   /** float[] → unit-normalized double[]. */

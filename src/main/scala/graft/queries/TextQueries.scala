@@ -130,7 +130,21 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Deterministic content-hash sampling — the reproducible train/test
+    * split of data pipelines: a row's split follows md5 of its id, so
+    * membership is stable across runs, partitionings, engines, and
+    * incremental re-runs (unlike rand()-based sampling). ~10% sample:
+    * first md5 byte < 0x1a. md5 is identical in Spark and DuckDB, so
+    * the sample is fully oracle-checked. */
+  def hashSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .filter(col("h") < "1a")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_hash" -> (hashSample _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_tokens" -> (tokenStats _),
@@ -165,6 +179,10 @@ object TextQueries {
          JOIN sizes sb ON sb.doc_id = doc_b)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_hash" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+         ORDER BY doc_id""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
