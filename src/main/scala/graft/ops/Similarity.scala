@@ -366,22 +366,37 @@ object Similarity {
     * only the winning pair per query is exact-decimal rescored, so the
     * decimal cost is O(n), not O(in-bucket pairs). */
   def lshAnnTop1(vecs: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val normed = vecs.select(
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val bucketed = vecs.select(
       col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes, dims).as("bucket"),
-      sqrt(aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
-        lit(0.0), (acc, x) => acc + x)).as("norm"))
-    val a = normed.select(col("vec_id").as("qid"), col("embedding").as("qe"),
-      col("bucket"), col("norm").as("qn"))
-    val b = normed.select(col("vec_id").as("cid"), col("embedding").as("ce"),
-      col("bucket"), col("norm").as("cn"))
-    val dot = aggregate(
-      zip_with(col("qe"), col("ce"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val scored = a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid"))
-      .withColumn("cos_fast", dot / (col("qn") * col("cn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      lshBucket(col("embedding"), planes, dims).as("bucket"))
+      .as[(Long, Array[Float], Long)]
+    // per-bucket all-vs-all in one task with primitive loops (same
+    // kernel shape as the IVF list scan)
+    val perBucket = bucketed
+      .groupByKey(_._3)
+      .flatMapGroups { (bucket: Long, it: Iterator[(Long, Array[Float], Long)]) =>
+        val vs = it.map { case (id, arr, _) => (id, unitD(arr)) }.toArray
+        vs.iterator.flatMap { case (qid, qv) =>
+          var best = -2.0
+          var bestId = -1L
+          vs.foreach { case (cid, cv) =>
+            if (cid != qid) {
+              var dot = 0.0; var k = 0
+              while (k < qv.length) { dot += qv(k) * cv(k); k += 1 }
+              if (dot > best || (dot == best && cid < bestId)) {
+                best = dot; bestId = cid
+              }
+            }
+          }
+          if (bestId >= 0) Some((qid, bucket, bestId)) else None
+        }
+      }
+      .toDF("qid", "bucket", "cid")
+    perBucket
+      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .select(col("qid"), col("bucket"), col("cid"), col("cos"))

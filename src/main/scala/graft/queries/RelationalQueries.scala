@@ -340,9 +340,9 @@ object RelationalQueries {
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
             b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
             sg AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')
-         SELECT 'click_and_buy' AS tag, user_id FROM (FROM c INTERSECT FROM b)
+         SELECT 'click_and_buy' AS tag, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM b)
          UNION ALL
-         SELECT 'click_no_signup' AS tag, user_id FROM (FROM c EXCEPT FROM sg)
+         SELECT 'click_no_signup' AS tag, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM sg)
          ORDER BY tag, user_id""",
     "q_json_extract" ->
       """SELECT event_type,
