@@ -88,4 +88,43 @@ class FullConfigSpec extends SparkSpec {
     ddls("property") should include("hoa_key TEXT REFERENCES gold.hoa(hoa_key)")
     ddls("property") should include("taxes_key TEXT REFERENCES gold.taxes(taxes_key)")
   }
+
+  it should "run file-based end-to-end with the 66-row workbook" in {
+    // the real pipeline shape: raw CSV + Field Config XLSX → bronze CSVs
+    // → silver → gold, through the actual file formats
+    val dir = tmpDir("fullconfig")
+    val headers = routing.map(_._1)
+
+    val csv = s"$dir/fake_data.csv"
+    val pw = new java.io.PrintWriter(new java.io.FileOutputStream(csv))
+    pw.println(headers.mkString(","))
+    (1 to 4).foreach { r => pw.println(headers.map(h => s"V${r} $h").mkString(",")) }
+    pw.close()
+
+    val xlsx = s"$dir/Field Config.xlsx"
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(xlsx))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val strings = ("Column Name" -> "Target Table") +: routing
+    entry("xl/sharedStrings.xml",
+      "<sst>" + strings.flatMap(p => Seq(p._1, p._2))
+        .map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    entry("xl/worksheets/sheet1.xml",
+      "<worksheet><sheetData>" + strings.indices.map { r =>
+        s"""<row r="${r + 1}"><c r="A${r + 1}" t="s"><v>${2 * r}</v></c><c r="B${r + 1}" t="s"><v>${2 * r + 1}</v></c></row>"""
+      }.mkString + "</sheetData></worksheet>")
+    zos.close()
+
+    val gold = Medallion.run(spark, csv, xlsx, s"$dir/bronze", Medallion.referenceSpec)
+    gold.keySet shouldBe Set("property", "leads", "valuation", "rehab", "hoa", "taxes")
+    gold("property").count() shouldBe 4
+    gold("property").columns.length shouldBe 37
+    gold("rehab").columns.length shouldBe 14
+    // silver cleaning applied through the file path: lowered values
+    gold("leads").select("reviewed_status").collect()
+      .map(_.getString(0)).toSet shouldBe
+      (1 to 4).map(r => s"v$r reviewed_status").toSet
+  }
 }
