@@ -179,6 +179,20 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Distribution ranks: ntile / percent_rank / cume_dist (exact
+    * integer-ratio outputs — deterministic doubles). */
+  def windowRanks(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Top-k per group via row_number ≤ k — the scalable top-k: partial
     * per-partition top-k under AQE, no global sort of the fact table. */
   def topkPerGroup(s: SparkSession, dir: String): DataFrame = {
@@ -244,6 +258,7 @@ object RelationalQueries {
     "q_join_range" -> (joinRange _),
     "q_join_asof" -> (joinAsOf _),
     "q_window_funcs" -> (windowFuncs _),
+    "q_window_ranks" -> (windowRanks _),
     "q_topk_per_group" -> (topkPerGroup _),
     "q_sort_limit" -> (sortLimit _),
     "q_set_ops" -> (setOps _),
@@ -252,6 +267,14 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_orderkey""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
