@@ -165,7 +165,51 @@ object AdvancedQueries {
     interAll.unionAll(exceptAll).orderBy(col("tag"), col("user_id"))
   }
 
+  /** Scalar string-function battery (upper/substring/replace/lpad/
+    * reverse/levenshtein/strpos — all definition-identical in DuckDB). */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        regexp_replace(col("p_name"), "a", "@").as("rep"),
+        lpad(col("p_brand"), 12, "_").as("pad"),
+        reverse(col("p_type")).as("rev"),
+        levenshtein(col("p_brand"), col("p_type")).as("lev"),
+        instr(col("p_name"), "e").as("pos"))
+      .orderBy(col("p_partkey"))
+
+  /** Scalar math functions over exact decimal inputs (ln verified
+    * bit-identical across engines; the rest are exact or IEEE). */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        abs(dec("o_totalprice") * -1).cast("double").as("abs_v"),
+        floor(col("o_totalprice")).as("fl"),
+        ceil(col("o_totalprice")).as("ce"),
+        sqrt(col("o_totalprice")).as("sq"),
+        pmod(col("o_orderkey"), lit(97)).as("md"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array functions over the embedding vectors (element extraction and
+    * extrema — no arithmetic, so float values pass through exactly). */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dims"),
+        array_max(col("embedding")).cast("double").as("mx"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        element_at(col("embedding"), 1).cast("double").as("first"),
+        element_at(col("embedding"), -1).cast("double").as("last"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_string_funcs" -> (stringFuncs _),
+    "q_math_funcs" -> (mathFuncs _),
+    "q_array_funcs" -> (arrayFuncs _),
     "q_distributed_id" -> (distributedId _),
     "q_set_ops_all" -> (setOpsAll _),
     "q_dq_profile" -> (dqProfile _),
@@ -181,6 +225,32 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+           upper(p_name) AS up,
+           substr(p_name, 1, 5) AS sub,
+           regexp_replace(p_name, 'a', '@', 'g') AS rep,
+           lpad(p_brand, 12, '_') AS pad,
+           reverse(p_type) AS rev,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+           CAST(strpos(p_name, 'e') AS INT) AS pos
+         FROM part ORDER BY p_partkey""",
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+           CAST(abs(CAST(o_totalprice AS DECIMAL(12,2)) * -1) AS DOUBLE) AS abs_v,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           sqrt(o_totalprice) AS sq,
+           o_orderkey % 97 AS md
+         FROM orders ORDER BY o_orderkey""",
+    "q_array_funcs" ->
+      """SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dims,
+           CAST(list_max(embedding) AS DOUBLE) AS mx,
+           CAST(list_min(embedding) AS DOUBLE) AS mn,
+           CAST(embedding[1] AS DOUBLE) AS "first",
+           CAST(embedding[-1] AS DOUBLE) AS "last"
+         FROM embeddings ORDER BY vec_id""",
     "q_distributed_id" ->
       """SELECT count(1) AS n_rows, count(1) AS n_distinct_ids FROM events""",
     "q_set_ops_all" ->
