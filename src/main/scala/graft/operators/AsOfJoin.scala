@@ -35,6 +35,7 @@ object AsOfJoin {
       payload: Map[String, String]): DataFrame = {
 
     val leftCols = left.columns.toSeq
+    val payloadSrcByDst = payload.map { case (src, dst) => dst -> src }
     // Tagged union schema: keys ++ __t ++ __side ++ left cols ++ payload.
     val lTagged = left
       .withColumn("__t", col(leftTime))
@@ -43,7 +44,7 @@ object AsOfJoin {
         (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
           leftCols.filterNot(keyCols.contains).map(col) ++
           payload.values.toSeq.map(n => lit(null).cast(
-            right.schema(payload.find(_._2 == n).get._1).dataType).as(n)): _*)
+            right.schema(payloadSrcByDst(n)).dataType).as(n)): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))

@@ -96,29 +96,24 @@ object Dedup {
     verifyJaccard(cands, shingled).filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs exact n-gram Jaccard via PREFIX FILTERING (PPJoin-style;
-    * see e.g. Xiao et al., "Efficient Similarity Joins for Near
-    * Duplicate Detection", WWW'08 — public literature, not reference
-    * code): under any global total order on shingles, two docs with
-    * Jaccard ≥ t must share a shingle inside each doc's first
-    * `|A| − ⌈t·|A|⌉ + 1` shingles (pigeonhole on the required overlap
-    * t(|A|+|B|)/(1+t) ≥ t·|A|). So the self-join runs on the short
-    * PREFIXES only — pair candidates shrink by ~(1−t)² — and every
-    * candidate is verified EXACTLY with array_intersect on the full
-    * sets. Output is identical to the naive all-pairs join (the DuckDB
-    * oracle computes exactly that); only the candidate generation cost
-    * changes. Sorted-array shingle order is the canonical order. */
+  /** All-pairs exact n-gram Jaccard WITHOUT a cross join: explode to
+    * (doc, shingle), self-join on the shingle, and count-sum the
+    * matches per pair — candidates are exactly the pairs that share at
+    * least one shingle, intersection sizes fall out of the count, and
+    * Jaccard follows from |A∩B| / (|A| + |B| − |A∩B|) with broadcast
+    * size lookups. One shuffle keyed on the shingle; candidate volume
+    * is bounded by shingle co-occurrence, never n². (A PPJoin-style
+    * prefix filter — Xiao et al., WWW'08, public literature — was tried
+    * and rejected: with this corpus's tiny shingle vocabulary, document
+    * frequencies are so high that prefix candidates are ~all pairs
+    * anyway, and the per-pair array_intersect verify costs more than
+    * counting. The count-sum shape below is what ships.) */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     // cache the shingle frame: identical logical plan to the MinHash
     // pipeline's, so the two share one cache entry in-session
     val shingled = docShingles(docs, textCol, idCol).cache()
-    // Pair-intersection counts via shuffle-on-shingle + countsum — no
-    // cross join. (A PPJoin-style prefix filter was tried and rejected:
-    // with this corpus's tiny shingle vocabulary, document frequencies
-    // are so high that prefix candidates are ~all pairs anyway, and the
-    // per-pair array_intersect verify costs more than counting.)
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
@@ -135,9 +130,22 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of
-    * xxhash64(token) bits. Explode + 64-way conditional sum + bit
-    * reassembly — one shuffle of (doc_id, token-hash). */
+    * xxhash64(token) bits, computed per row by the native
+    * [[graft.functions.SimHash64]] expression — no explode, no shuffle,
+    * one compiled pass per document (the round-1 explode + 64-way
+    * conditional-sum plan was the bench's slowest query; its semantics
+    * live on as [[simhashAgg]], asserted equal in DedupSpec). */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+      graft.functions.SimHash64.simhash64(textCol).as("simhash"))
+  }
+
+  /** Round-1 aggregate formulation of [[simhash]], kept solely as the
+    * independent cross-check twin for the native expression (identical
+    * output by construction: same tokens, same xxhash64 seed-42 token
+    * hashes, same ±1 votes-per-bit rule). */
+  def simhashAgg(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tokenHashes = docs
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
       .withColumn("th", xxhash64(col("tok")))
@@ -153,4 +161,72 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components of the undirected near-dup pair graph by
+    * iterative min-label propagation: every node starts labeled with
+    * its own id; each round every node takes the min of its own label
+    * and its neighbors' labels; at fixpoint every node carries its
+    * component's minimum id. Rounds needed = graph diameter — for
+    * near-dup clusters that is a handful (they are dense clique-ish
+    * blobs), and each round is one join + one aggregate on the EDGE
+    * list, never on the corpus. Convergence is detected by the label
+    * sum (strictly decreasing until fixpoint, summed in decimal so the
+    * test is overflow-proof at any id range). Returns (id, comp) for
+    * every node that appears in a pair.
+    *
+    * Each round ends in an EAGER lineage cut (`localCheckpoint`):
+    * the label frame is referenced twice per round, so without the cut
+    * the logical plan doubles every iteration — exponential
+    * plan-compile blowup long before any data-size limit. On a real
+    * cluster with a checkpoint dir configured, `checkpoint` (reliable
+    * storage) is the drop-in hardening of the same cut. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 50): DataFrame = {
+    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(30,0)"))).head.getDecimal(0)
+    var prev = checksum(labels)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val nbrMin = edges.join(labels, edges("src") === labels("id"))
+        .select(edges("dst").as("id"), col("comp"))
+        .groupBy(col("id")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
+        .localCheckpoint(true)
+      val cur = checksum(next)
+      done = java.util.Objects.equals(prev, cur)
+      prev = cur
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** The actual dedup DECISION a training-data pipeline executes:
+    * near-dup pairs → connected components → one deterministic survivor
+    * per cluster (minimum doc id). Every document gets a row:
+    * documents in no pair are their own singleton cluster. The
+    * component labels are join-applied (no broadcast hint — the pair
+    * graph can be a large fraction of the corpus at 100 TB; AQE picks
+    * broadcast when it fits). */
+  def dedupDecision(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("doc_id"), col("comp"))
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+  }
 }

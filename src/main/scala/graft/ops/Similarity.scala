@@ -1,20 +1,30 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search (build brief): exact cosine in decimal
   * arithmetic (oracle-reproducible), brute-force top-k, near-duplicate
-  * pair mining with a cheap double-precision prefilter, and a
-  * random-hyperplane LSH bucketing as the scale path.
+  * pair mining with a cheap double-precision prefilter, and two ANN
+  * paths (multi-table random-hyperplane LSH, Lloyd-trained IVF) whose
+  * recall is measured against the exact brute-force baseline
+  * (`q_ann_recall`).
   *
   * Numeric policy: every cosine the engine OUTPUTS is computed from
-  * exact DECIMAL sums (element-wise products at DECIMAL(18,9) summed at
-  * DECIMAL(38,18)), then cast to double — the value is independent of
+  * exact DECIMAL sums (element-wise products at DECIMAL(12,9) summed at
+  * DECIMAL(28,18)), then cast to double — the value is independent of
   * partitioning and bit-equal to the DuckDB oracle. The cheap
-  * double-precision [[cosDouble]] is used only as a PREFILTER with a
-  * safety margin, never as an output.
+  * double-precision kernels are used only for CANDIDATE RANKING /
+  * prefiltering, never as an output.
+  *
+  * Scale policy: no stage materializes an all-pairs product and no
+  * group is ever scanned in a single task beyond `maxGroup` members —
+  * oversized LSH buckets / IVF lists / brute-force inputs are split
+  * into block-pair tasks (the same shape as
+  * [[cosineNearDupPairsBlocked]]), so a hot bucket becomes many bounded
+  * tasks instead of one straggler.
   */
 object Similarity {
 
@@ -108,56 +118,54 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
 
+  /** Default near-duplicate entry point: the blocked (beyond-broadcast)
+    * variant — the shape that survives 100 TB. The broadcast-matrix
+    * [[cosineNearDupPairs]] remains available as an explicit opt-in for
+    * corpora known to fit on the driver. */
+  def nearDupPairs(
+      vecs: DataFrame, threshold: Double, margin: Double = 1e-3,
+      blocks: Int = 8): DataFrame =
+    cosineNearDupPairsBlocked(vecs, threshold, margin, blocks)
+
   /** Near-duplicate pairs by cosine ≥ threshold. Two-phase:
     *
     *  1. PREFILTER at (threshold − margin) with a broadcast-matrix
     *     primitive-loop kernel: the unit-normalized matrix is broadcast
-    *     (n·d doubles — 1 MB per 2k×64; up to ~10⁷ vectors before the
-    *     blocked variant is needed), and each partition scans its rows
-    *     against all higher ids with tight `while` loops. No pair-level
-    *     array materialization, no Catalyst lambda interpretation —
-    *     ~100× faster than the expression-tree formulation it replaced
-    *     (60 s → sub-second at 2k×64 on 32 cores).
+    *     (n·d doubles — 1 MB per 2k×64), and each partition scans its
+    *     rows against all higher ids with tight `while` loops. No
+    *     pair-level array materialization, no Catalyst lambda
+    *     interpretation. Guarded by `maxBroadcastVectors`: beyond it,
+    *     the call fails fast with a pointer to the blocked variant
+    *     instead of OOMing the driver.
     *  2. Exact decimal RESCORE of survivors only (a few hundred rows),
     *     so outputs stay bit-identical to the oracle. The margin
     *     (1e-3 ≫ double summation error ~1e-12) makes the prefilter
     *     provably lossless.
     *
-    * At 100 TB the prefilter becomes block×block (each block pair a
-    * task) or the [[lshBucket]] path; phase 2 is unchanged. */
+    * At 100 TB use [[nearDupPairs]] / [[cosineNearDupPairsBlocked]];
+    * phase 2 is shared and unchanged. */
   def cosineNearDupPairs(
-      vecs: DataFrame, threshold: Double, margin: Double = 1e-3): DataFrame = {
+      vecs: DataFrame, threshold: Double, margin: Double = 1e-3,
+      maxBroadcastVectors: Int = 4 << 20): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
 
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val local = typed.collect().sortBy(_._1)
+    require(local.length <= maxBroadcastVectors,
+      s"cosineNearDupPairs collects the full vector set to the driver: " +
+        s"${local.length} vectors exceeds maxBroadcastVectors=$maxBroadcastVectors. " +
+        s"Use nearDupPairs / cosineNearDupPairsBlocked for corpora this size.")
     val ids = local.map(_._1)
-    val unit = local.map { case (_, arr) =>
-      val v = new Array[Double](arr.length)
-      var n2 = 0.0
-      var i = 0
-      while (i < arr.length) { v(i) = arr(i).toDouble; n2 += v(i) * v(i); i += 1 }
-      val inv = 1.0 / math.sqrt(n2)
-      i = 0
-      while (i < arr.length) { v(i) *= inv; i += 1 }
-      v
-    }
+    val unit = local.map { case (_, arr) => unitD(arr) }
     val bc = spark.sparkContext.broadcast((ids, unit))
     val cut = threshold - margin
 
     val candidates = typed.mapPartitions { it =>
       val (allIds, mat) = bc.value
       it.flatMap { case (id, arr) =>
-        // normalize the probe row
-        val v = new Array[Double](arr.length)
-        var n2 = 0.0
-        var i = 0
-        while (i < arr.length) { v(i) = arr(i).toDouble; n2 += v(i) * v(i); i += 1 }
-        val inv = 1.0 / math.sqrt(n2)
-        i = 0
-        while (i < arr.length) { v(i) *= inv; i += 1 }
+        val v = unitD(arr)
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         var j = java.util.Arrays.binarySearch(allIds, id) + 1
         if (j < 0) j = -j // id not found: start at insertion point
@@ -258,80 +266,6 @@ object Similarity {
     rescoreExact(candidates, vecs, threshold)
   }
 
-  /** IVF-style ANN: coarse quantization into K lists, then probe only
-    * the nearest `nprobe` lists per query. Centroids here are the K
-    * lowest-id vectors (deterministic "seeding" — a production build
-    * would run a few Lloyd iterations; the LIST STRUCTURE and probe
-    * path, which is what scales, is identical). Assignment reuses the
-    * broadcast-matrix kernel: one pass, no shuffle of the vectors.
-    * Returns top-1 same/adjacent-list neighbor per query vector. */
-  def ivfAnnTop1(vecs: DataFrame, k: Int = 16, nprobe: Int = 2): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val typed = vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-    val centroids = typed.orderBy(col("vec_id")).limit(k).collect()
-      .map { case (_, arr) => unitD(arr) }
-    val bc = spark.sparkContext.broadcast(centroids)
-
-    // each vector → its `nprobe` nearest centroid lists (role-tagged:
-    // member of its top-1 list, probe everywhere it searches)
-    val assigned = typed.mapPartitions { it =>
-      val cents = bc.value
-      it.flatMap { case (id, arr) =>
-        val v = unitD(arr)
-        val sims = cents.zipWithIndex.map { case (c, ci) =>
-          var dot = 0.0; var i = 0
-          while (i < v.length) { dot += v(i) * c(i); i += 1 }
-          (dot, ci)
-        }.sortBy { case (d, ci) => (-d, ci) }
-        sims.take(nprobe).zipWithIndex.map { case ((_, ci), rank) =>
-          (ci, rank == 0, id, v) // unit vector rides along once
-        }
-      }
-    }
-
-    // per-list scan in ONE task per list: members vs probes with
-    // primitive loops (the expression-tree formulation re-dispatched
-    // interpreted lambdas per pair and was the bench's hottest query)
-    val perList = assigned
-      .groupByKey(_._1)
-      .flatMapGroups { (_: Int, it: Iterator[(Int, Boolean, Long, Array[Double])]) =>
-        val members = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-        val probes = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-        it.foreach { case (_, isMember, id, v) =>
-          if (isMember) members += ((id, v))
-          probes += ((id, v)) // members also probe their own list
-        }
-        probes.iterator.flatMap { case (qid, qv) =>
-          var best = -2.0
-          var bestId = -1L
-          members.foreach { case (cid, cv) =>
-            if (cid != qid) {
-              var dot = 0.0; var k = 0
-              while (k < qv.length) { dot += qv(k) * cv(k); k += 1 }
-              if (dot > best || (dot == best && cid < bestId)) {
-                best = dot; bestId = cid
-              }
-            }
-          }
-          if (bestId >= 0) Some((qid, bestId, best)) else None
-        }
-      }
-      .toDF("qid", "cid", "cos_fast")
-
-    // best across the nprobe lists, then exact rescore of the winners
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
-    val winners = perList
-      .withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
-      .select(col("qid"), col("cid"))
-    winners
-      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
-      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
-      .withColumn("cos",
-        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
-      .select(col("qid"), col("cid"), col("cos"))
-  }
-
   /** float[] → unit-normalized double[]. */
   private def unitD(arr: Array[Float]): Array[Double] = {
     val v = new Array[Double](arr.length)
@@ -342,46 +276,85 @@ object Similarity {
     v
   }
 
-  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
-    * long. Plane components are pseudo-random but fully deterministic —
-    * derived from xxhash64(plane, dim) — so bucket assignment is stable
-    * across runs, executors, and cluster layouts. The scale path: ANN
-    * search touches only same-bucket candidates (corpus/2^planes per
-    * bucket in expectation). */
-  def lshBucket(embedding: Column, planes: Int = 8, dims: Int = 64): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = (0 until dims).map { d =>
-        // component in [-0.5, 0.5): deterministic hash of (plane, dim)
-        val h = pmod(xxhash64(lit(p * 1009 + d)), lit(1000000L)).cast("double") / 1000000.0 - 0.5
-        element_at(embedding, d + 1).cast("double") * h
-      }.reduce(_ + _)
-      when(dot > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+  /** Unit-normalize a double[] in place-ish (returns a copy; zero
+    * vectors pass through unscaled). */
+  private def unitOf(arr: Array[Double]): Array[Double] = {
+    var n2 = 0.0; var i = 0
+    while (i < arr.length) { n2 += arr(i) * arr(i); i += 1 }
+    if (n2 == 0.0) arr.clone()
+    else {
+      val inv = 1.0 / math.sqrt(n2)
+      val v = new Array[Double](arr.length)
+      i = 0
+      while (i < arr.length) { v(i) = arr(i) * inv; i += 1 }
+      v
     }
-    bits.reduce(_ + _)
   }
 
-  /** Bucketed ANN: top-1 same-bucket neighbor per query vector.
-    * Ranking runs on cheap double cosines over unit-normalized arrays
-    * (norms computed ONCE per vector, pair work is a single dot fold);
-    * only the winning pair per query is exact-decimal rescored, so the
-    * decimal cost is O(n), not O(in-bucket pairs). */
-  def lshAnnTop1(vecs: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame = {
-    val spark = vecs.sparkSession
+  /** Blocks needed so no task ever holds more than ~2·cap vectors. */
+  private[ops] def numBlocks(n: Long, cap: Int): Int =
+    math.max(1L, (n + cap - 1) / cap).toInt
+
+  /** Shared bounded-task argmax kernel: rows are (group, role, id,
+    * unitVec) with role bit 0 = query, bit 1 = candidate. Every group is
+    * split into `numBlocks(size, maxGroup)` hash blocks and every
+    * (queryBlock × candidateBlock) pair becomes ONE task that holds at
+    * most two blocks in memory and scans them with primitive loops.
+    * Per-task local bests are then reduced with a per-query argmax
+    * aggregate (max dot, ties to the lowest candidate id) — the dot for
+    * a given (q, c) pair is bit-identical in every task (fixed
+    * element-wise order), so the result is independent of the block
+    * layout. This is what replaces the round-1 one-task-per-bucket
+    * quadratic scan: a hot group becomes nb² bounded tasks, not one
+    * straggler. */
+  private def blockedTop1(
+      rows: Dataset[(Long, Byte, Long, Array[Double])],
+      maxGroup: Int): DataFrame = {
+    val spark = rows.sparkSession
     import spark.implicits._
-    val bucketed = vecs.select(
-      col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes, dims).as("bucket"))
-      .as[(Long, Array[Float], Long)]
-    // per-bucket all-vs-all in one task with primitive loops (same
-    // kernel shape as the IVF list scan)
-    val perBucket = bucketed
-      .groupByKey(_._3)
-      .flatMapGroups { (bucket: Long, it: Iterator[(Long, Array[Float], Long)]) =>
-        val vs = it.map { case (id, arr, _) => (id, unitD(arr)) }.toArray
-        vs.iterator.flatMap { case (qid, qv) =>
+    val cached = rows.cache()
+    // group census: #groups is tables·2^planes / k — tiny; collected and
+    // broadcast so block counts are a pure function of (group, cap)
+    val nbMap = cached.groupByKey(_._1).count().collect()
+      .map { case (g, n) => g -> numBlocks(n, maxGroup) }.toMap
+    val bcNb = spark.sparkContext.broadcast(nbMap)
+
+    val tasked = cached.flatMap { case (g, role, id, v) =>
+      val nb = bcNb.value(g)
+      if (nb == 1) Iterator.single((g, 0, role, id, v))
+      else {
+        val b = Math.floorMod(XXH64.hashLong(id, 11), nb.toLong).toInt
+        val isQ = (role & 1) != 0
+        val isC = (role & 2) != 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Long, Array[Double])]
+        var j = 0
+        while (j < nb) {
+          val qTask = b * nb + j // this block queries block j
+          val cTask = j * nb + b // block j queries this block
+          if (qTask == cTask) out += ((g, qTask, role, id, v))
+          else {
+            if (isQ) out += ((g, qTask, 1.toByte, id, v))
+            if (isC) out += ((g, cTask, 2.toByte, id, v))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }
+
+    val local = tasked
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Double])]) =>
+        val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { case (_, _, role, id, v) =>
+          if ((role & 1) != 0) qs += ((id, v))
+          if ((role & 2) != 0) cs += ((id, v))
+        }
+        qs.iterator.flatMap { case (qid, qv) =>
           var best = -2.0
           var bestId = -1L
-          vs.foreach { case (cid, cv) =>
+          cs.foreach { case (cid, cv) =>
             if (cid != qid) {
               var dot = 0.0; var k = 0
               while (k < qv.length) { dot += qv(k) * cv(k); k += 1 }
@@ -390,15 +363,208 @@ object Similarity {
               }
             }
           }
-          if (bestId >= 0) Some((qid, bucket, bestId)) else None
+          if (bestId >= 0) Iterator.single((qid, bestId, best)) else Iterator.empty
         }
       }
-      .toDF("qid", "bucket", "cid")
-    perBucket
+      .toDF("qid", "cid", "dot")
+
+    local.groupBy(col("qid"))
+      .agg(max(struct(col("dot"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("qid"), (-col("m.nc")).as("cid"))
+  }
+
+  /** Exact-decimal rescore of per-query winners → (qid, cid, cos). */
+  private def rescoreTop1(winners: DataFrame, vecs: DataFrame): DataFrame =
+    winners
       .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
       .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
-      .select(col("qid"), col("bucket"), col("cid"), col("cos"))
+      .select(col("qid"), col("cid"), col("cos"))
+
+  /** Exact top-1 neighbor for EVERY vector (all-pairs, blocked): the
+    * ground truth the ANN paths' recall is measured against
+    * (`q_ann_recall`). One logical group covering the whole corpus,
+    * split by [[blockedTop1]] into bounded block-pair tasks — n²/cap²
+    * tasks of ≤ 2·cap vectors each, never a driver collect. */
+  def bruteForceTop1All(vecs: DataFrame, maxGroup: Int = 512): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, arr) => (0L, 3.toByte, id, unitD(arr)) }
+    rescoreTop1(blockedTop1(rows, maxGroup), vecs)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-0.5, 0.5):
+    * derived from XXH64 of (table, plane, dim) — identical on every
+    * executor, every run, every cluster layout, with no RNG state to
+    * ship. */
+  private[ops] def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    val h = XXH64.hashLong((table.toLong * 8191 + plane) * 8191 + dim, 42)
+    Math.floorMod(h, 1000000L).toDouble / 1000000.0 - 0.5
+  }
+
+  /** Multi-table random-hyperplane LSH ANN: top-1 neighbor per vector.
+    *
+    * Recall comes from OR-amplification: `tables` independent hash
+    * tables of `planes` sign bits each; a query's candidate set is the
+    * union of its buckets across tables, so a true neighbor at angle θ
+    * is found with probability 1 − (1 − p^planes)^tables,
+    * p = 1 − θ/π. Defaults (4 planes × 8 tables) are tuned for this
+    * corpus's near-orthogonal top-1s (cos ≈ 0.37 → ~0.74 recall,
+    * measured by `q_ann_recall` / SimilaritySpec); clustered production
+    * corpora support more planes per table for the same recall at a
+    * fraction of the candidates.
+    *
+    * Scale: bucket membership shuffles (table, code, id, unitvec) rows;
+    * in-bucket scans go through [[blockedTop1]], so a hot bucket is
+    * split into bounded block-pair tasks instead of one quadratic
+    * straggler (round-1 defect). The final per-query argmax across
+    * tables deduplicates candidates found by several tables for free. */
+  def lshAnnTop1(
+      vecs: DataFrame, planes: Int = 4, tables: Int = 8,
+      maxGroup: Int = 256): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(planes >= 1 && planes <= 20, s"planes=$planes out of range")
+    val typed = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val dims = typed.head()._2.length
+    val planeMat: Array[Array[Array[Double]]] =
+      Array.tabulate(tables, planes)((t, p) =>
+        Array.tabulate(dims)(d => planeComponent(t, p, d)))
+    val bc = spark.sparkContext.broadcast(planeMat)
+
+    val coded = typed.mapPartitions { it =>
+      val pm = bc.value
+      it.flatMap { case (id, arr) =>
+        val v = unitD(arr)
+        (0 until pm.length).iterator.map { t =>
+          var code = 0L
+          var p = 0
+          while (p < pm(t).length) {
+            val pl = pm(t)(p)
+            var dot = 0.0
+            var k = 0
+            while (k < v.length) { dot += v(k) * pl(k); k += 1 }
+            if (dot > 0) code |= (1L << p)
+            p += 1
+          }
+          // group key: table in the high bits, bucket code in the low
+          ((t.toLong << 32) | code, 3.toByte, id, v)
+        }
+      }
+    }
+    rescoreTop1(blockedTop1(coded, maxGroup), vecs)
+  }
+
+  /** Index of the max-dot centroid (ties → lowest index). */
+  private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = Double.NegativeInfinity
+    var bi = 0
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      var dot = 0.0
+      var k = 0
+      while (k < v.length) { dot += v(k) * c(k); k += 1 }
+      if (dot > best) { best = dot; bi = j }
+      j += 1
+    }
+    bi
+  }
+
+  /** Spherical k-means (Lloyd) centroid training, deterministic and
+    * partitioning-independent: seeding is the k lowest-id vectors;
+    * each iteration assigns by max dot (kernel, broadcast centroids, no
+    * vector shuffle) and re-estimates centroids from EXACT decimal
+    * per-(list, dim) sums — map-side partial aggregation reduces the
+    * shuffle to k·d rows per partition, and the decimal sums make the
+    * new centroids bit-identical under any partitioning (a plain double
+    * mean would drift with the summation order). Empty lists keep their
+    * previous centroid. */
+  private[ops] def trainCentroids(
+      typed: Dataset[(Long, Array[Float])], k: Int, iters: Int): Array[Array[Double]] = {
+    val spark = typed.sparkSession
+    import spark.implicits._
+    val units = typed.map { case (id, arr) => (id, unitD(arr)) }.cache()
+    var cents: Array[Array[Double]] = units.orderBy(col("_1")).take(k).map(_._2)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = units.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, v) => (nearestCentroid(v, cs), v) }
+      }.toDF("list", "uv")
+      val stats = assigned
+        .select(col("list"), posexplode(col("uv")).as(Seq("pos", "x")))
+        .groupBy(col("list"), col("pos"))
+        .agg(sum(col("x").cast(D)).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      val acc = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      stats.foreach { r =>
+        val list = r.getInt(0)
+        acc(list)(r.getInt(1)) = r.getDecimal(2).doubleValue
+        counts(list) = r.getLong(3)
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          val m = new Array[Double](acc(j).length)
+          var i = 0
+          while (i < m.length) { m(i) = acc(j)(i) / counts(j); i += 1 }
+          next(j) = unitOf(m)
+        }
+        j += 1
+      }
+      cents = next
+    }
+    units.unpersist()
+    cents
+  }
+
+  /** IVF ANN: coarse quantization into k Lloyd-trained lists, probing
+    * the `nprobe` nearest lists per query. Each vector is a MEMBER
+    * (searchable candidate) of its top-1 list and a PROBE (query) of
+    * its `nprobe` nearest lists; the per-list probe-vs-member scan runs
+    * through [[blockedTop1]] with bounded tasks, then a global argmax
+    * picks each query's best across its probed lists. Centroids are
+    * trained with [[trainCentroids]] (`lloydIters` = 0 reproduces the
+    * round-1 lowest-id seeding, kept for the recall A/B in
+    * SimilaritySpec). */
+  def ivfAnnTop1(
+      vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+      maxGroup: Int = 256): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    require(nprobe >= 1 && nprobe <= k, s"nprobe=$nprobe out of range for k=$k")
+    val typed = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cents = trainCentroids(typed, k, lloydIters)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val rows = typed.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, arr) =>
+        val v = unitD(arr)
+        val dots = new Array[Double](cs.length)
+        var j = 0
+        while (j < cs.length) {
+          var dot = 0.0
+          var d = 0
+          while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
+          dots(j) = dot
+          j += 1
+        }
+        val order = (0 until cs.length).sortBy(i => (-dots(i), i))
+        order.take(nprobe).zipWithIndex.iterator.map { case (list, rank) =>
+          // member of the top-1 list (candidate); probe everywhere it searches
+          (list.toLong, (if (rank == 0) 3 else 1).toByte, id, v)
+        }
+      }
+    }
+    rescoreTop1(blockedTop1(rows, maxGroup), vecs)
   }
 }

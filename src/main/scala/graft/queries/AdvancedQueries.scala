@@ -87,13 +87,22 @@ object AdvancedQueries {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
-  /** HLL approximate distinct (rows-only: sketch internals are
-    * implementation-specific; exactness is covered by q_agg_distinct). */
+  /** HLL approximate distinct as an INVARIANT oracle (round-1 verdict
+    * item 6): the sketch estimate itself is implementation-specific, so
+    * the hashed output carries the exact counts plus a boolean asserting
+    * the estimate landed within 5·rsd of the exact answer — DuckDB
+    * reproduces the exact side and the constant `true`. HLL++ at
+    * rsd=0.01 is empirically within ~1% here; the 5σ band makes the
+    * boolean robust without being vacuous. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("exact_users"), col("n"),
+        (abs(col("approx_users") - col("exact_users")).cast("double")
+          / col("exact_users").cast("double") <= 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
@@ -338,6 +347,10 @@ object AdvancedQueries {
              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS trailing_30d
          FROM orders ORDER BY o_orderkey""",
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+           count(1) AS n, true AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) AS bucket,
            count(1) FILTER (WHERE event_type = 'click') AS click,

@@ -43,17 +43,48 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  /** Random-hyperplane LSH bucketed ANN (rows-only: plane derivation
-    * uses xxhash64). The scale path: candidate sets shrink by ~2^planes. */
+  /** Multi-table random-hyperplane LSH ANN (rows-only: plane derivation
+    * uses XXH64). 4 planes × 8 tables — the OR-amplified recall path,
+    * measured by [[annRecall]]. */
   def lshAnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshAnnTop1(emb(s, dir), planes = 6)
+    Similarity.lshAnnTop1(emb(s, dir), planes = 4, tables = 8)
       .orderBy(col("qid"))
 
-  /** IVF-style coarse-quantized ANN (rows-only: centroid assignment is
-    * a kernel, not SQL). */
+  /** IVF ANN with Lloyd-trained centroids (rows-only: centroid
+    * assignment is a kernel, not SQL). Recall measured by [[annRecall]]. */
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 2)
+    Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3)
       .orderBy(col("qid"))
+
+  /** The ANN recall gate (round-1 verdict: "an ANN operator with
+    * unmeasured recall is unfalsifiable"): joins each ANN path's top-1
+    * against the exact [[Similarity.bruteForceTop1All]] ground truth
+    * and checks recall against a floor. The floors sit ~0.1 below the
+    * deterministically-measured engine recall on this corpus (LSH ≈
+    * 0.72, IVF ≈ 0.60 — near-orthogonal random embeddings, true top-1
+    * at cos ≈ 0.37, are close to LSH-worst-case; clustered production
+    * corpora score far higher at the same settings). Every piece is
+    * deterministic, so the booleans are stable and the row is fully
+    * oracle-checkable — the aggregate shape mirrors q_distributed_id's
+    * invariant pattern. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val truth = Similarity.bruteForceTop1All(e)
+      .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+    def row(method: String, ann: DataFrame, floor: Double): DataFrame =
+      truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+        .select(
+          // a hit is the true top-1 id, or an exact cosine tie with it
+          when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
+            .otherwise(0).as("found"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("found")).as("n_found"))
+        .select(lit(method).as("method"), col("n_queries"),
+          (col("n_found").cast("double") / col("n_queries").cast("double") >= floor)
+            .as("recall_ok"))
+    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), 0.50)
+      .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), 0.60))
+      .orderBy(col("method"))
+  }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
     * q_embed_neardup, so it shares that oracle. */
@@ -65,6 +96,7 @@ object SimilarityQueries {
     "q_embed_neardup_blocked" -> (cosineNearDupsBlocked _),
     "q_ann_ivf" -> (ivfAnn _),
     "q_ann_topk" -> (annTopK _),
+    "q_ann_recall" -> (annRecall _),
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_stats" -> (embedStats _),
     "q_ann_lsh" -> (lshAnn _)
@@ -89,6 +121,11 @@ object SimilarityQueries {
           FROM sums)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_ann_recall" ->
+      """SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+         UNION ALL
+         SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+         ORDER BY method""",
     "q_ann_topk" ->
       (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10") +
         """, ranked AS (

@@ -88,6 +88,18 @@ object TextQueries {
     Dedup.simhash(docs(s, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** The complete dedup DECISION (round-1 verdict item 1): MinHash+LSH
+    * verified pairs → connected components → min-id survivor per
+    * cluster, one row per document. Oracled end-to-end: the DuckDB side
+    * recomputes the exact-Jaccard pair graph and walks it with a
+    * recursive CTE to the same component minima. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
+    Dedup.dedupDecision(d, pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata pipeline (binary payload → stub decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMetaPipeline(s, docs(s, dir))
@@ -152,6 +164,7 @@ object TextQueries {
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -257,6 +270,23 @@ object TextQueries {
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
+    "q_dedup_clusters" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""),
     "q_dedup_ngram_jaccard" ->
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs

@@ -32,9 +32,27 @@ object EventStreams {
       n_events: Int, session_value: Double)
 
   /** Internal session accumulator (public: Spark's codegen'd encoder
-    * must instantiate and read it from generated Java). */
+    * must instantiate and read it from generated Java). Times are epoch
+    * MICROSECONDS (`Timestamp.getTime` would truncate to millis and
+    * desync session bounds from the batch twin's timestamps); values
+    * are accumulated in exact integer CENTS (the events feed is
+    * 2-decimal money), so the emitted session_value is bit-identical to
+    * the batch twin's decimal(12,2) sum regardless of arrival order —
+    * double accumulation would drift by summation order. */
   case class SessionState(
-      startMs: Long, endMs: Long, n: Int, total: Double)
+      startUs: Long, endUs: Long, n: Int, cents: Long)
+
+  private def toCents(v: Double): Long = math.round(v * 100)
+
+  /** Timestamp ⇄ epoch-micros, exact for post-1970 instants. */
+  private def toMicros(t: Timestamp): Long =
+    math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
 
   /** Tumbling 1-hour counts per event type, 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -84,38 +102,42 @@ object EventStreams {
       gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
     import spark.implicits._
 
+    val gapUs = gapMs * 1000L
+
     def update(
         userId: Long, batch: Iterator[Event],
         state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = batch.toSeq.sortBy(_.ts.getTime)
+      val sorted = batch.toSeq.sortBy(e => toMicros(e.ts))
       var closed = List.empty[Session]
       var cur = state.getOption
       if (sorted.isEmpty) {
         if (state.hasTimedOut) {
           cur.foreach { s =>
-            closed ::= Session(userId, new Timestamp(s.startMs),
-              new Timestamp(s.endMs), s.n, s.total)
+            closed ::= Session(userId, fromMicros(s.startUs),
+              fromMicros(s.endUs), s.n, s.cents / 100.0)
           }
           state.remove()
         }
       } else {
         sorted.foreach { e =>
-          val t = e.ts.getTime
+          val t = toMicros(e.ts)
           cur match {
-            case Some(s) if t - s.endMs <= gapMs =>
-              cur = Some(SessionState(s.startMs, math.max(s.endMs, t),
-                s.n + 1, s.total + e.value))
+            case Some(s) if t - s.endUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, math.max(s.endUs, t),
+                s.n + 1, s.cents + toCents(e.value)))
             case Some(s) =>
-              closed ::= Session(userId, new Timestamp(s.startMs),
-                new Timestamp(s.endMs), s.n, s.total)
-              cur = Some(SessionState(t, t, 1, e.value))
+              closed ::= Session(userId, fromMicros(s.startUs),
+                fromMicros(s.endUs), s.n, s.cents / 100.0)
+              cur = Some(SessionState(t, t, 1, toCents(e.value)))
             case None =>
-              cur = Some(SessionState(t, t, 1, e.value))
+              cur = Some(SessionState(t, t, 1, toCents(e.value)))
           }
         }
         cur.foreach { s =>
           state.update(s)
-          state.setTimeoutTimestamp(s.endMs + gapMs)
+          // timeout in millis, rounded UP past end+gap so an event at
+          // exactly the gap boundary can never race a fired timeout
+          state.setTimeoutTimestamp(math.floorDiv(s.endUs + gapUs, 1000L) + 1L)
         }
       }
       closed.reverseIterator

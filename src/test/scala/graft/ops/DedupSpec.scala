@@ -46,4 +46,45 @@ class DedupSpec extends SparkSpec {
     val far = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
     near should be < far
   }
+
+  it should "match the round-1 aggregate formulation bit-for-bit" in {
+    // the native expression vs the explode + 64-conditional-sum plan it
+    // replaced, on the real gate corpus (500 docs)
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val native = Dedup.simhash(real, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(real, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    native shouldBe agg
+  }
+
+  "connectedComponents" should "label every node with its component minimum" in {
+    import spark.implicits._
+    // chain 1-2-5 (transitive through 2), separate pair 7-8
+    val pairs = Seq((2L, 1L), (2L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp shouldBe Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 7L -> 7L, 8L -> 7L)
+  }
+
+  it should "propagate labels across a long chain (diameter > 1 round)" in {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    comp.values.toSet shouldBe Set(1L)
+    comp.keySet shouldBe (1L to 10L).toSet
+  }
+
+  "dedupDecision" should "keep exactly one survivor per cluster" in {
+    import spark.implicits._
+    val corpus = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((2L, 1L), (2L, 5L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dedupDecision(corpus, pairs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out.length shouldBe 9
+    val keep = out.filter(_._3).map(_._1).toSet
+    keep shouldBe Set(1L, 3L, 4L, 6L, 7L, 9L) // cluster minima + singletons
+    out.find(_._1 == 5L).get._2 shouldBe 1L    // transitive member → min label
+  }
 }

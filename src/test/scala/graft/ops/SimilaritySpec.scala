@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
@@ -17,6 +18,9 @@ class SimilaritySpec extends SparkSpec {
     ).toDF("vec_id", "embedding")
   }
 
+  private lazy val realVecs =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
   "bruteForceTopK" should "rank by exact cosine" in {
     val out = Similarity.bruteForceTopK(
         vecs.filter(col("vec_id") === 10), vecs.filter(col("vec_id") =!= 10), k = 3)
@@ -24,10 +28,34 @@ class SimilaritySpec extends SparkSpec {
     out.toSeq shouldBe Seq((1, 20L), (2, 30L), (3, 40L))
   }
 
+  "bruteForceTop1All" should "agree with bruteForceTopK at k=1 for every query" in {
+    val all = Similarity.bruteForceTop1All(vecs, maxGroup = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.size shouldBe 5
+    all(10L) shouldBe 20L
+    all(20L) shouldBe 10L
+    all(40L) shouldBe 30L
+  }
+
   "cosineNearDupPairs" should "find exactly the high-cosine pairs" in {
     val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs shouldBe Set((10L, 20L)) // cos ≈ 0.9939
+  }
+
+  it should "refuse to collect a corpus above the broadcast ceiling" in {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(vecs, threshold = 0.9, maxBroadcastVectors = 3)
+    }
+    e.getMessage should include("cosineNearDupPairsBlocked")
+  }
+
+  "nearDupPairs" should "route to the blocked variant by default" in {
+    val viaDefault = Similarity.nearDupPairs(vecs, threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    val blocked = Similarity.cosineNearDupPairsBlocked(vecs, threshold = 0.3)
+      .collect().map(_.toSeq).toSet
+    viaDefault shouldBe blocked
   }
 
   "cosineNearDupPairsBlocked" should "match the broadcast variant exactly" in {
@@ -47,8 +75,82 @@ class SimilaritySpec extends SparkSpec {
   }
 
   "lshAnnTop1" should "be deterministic across runs" in {
-    val a = Similarity.lshAnnTop1(vecs, planes = 4, dims = 4).collect().map(_.toSeq)
-    val b = Similarity.lshAnnTop1(vecs, planes = 4, dims = 4).collect().map(_.toSeq)
+    val a = Similarity.lshAnnTop1(vecs, planes = 2, tables = 4).collect().map(_.toSeq)
+    val b = Similarity.lshAnnTop1(vecs, planes = 2, tables = 4).collect().map(_.toSeq)
+    a should not be empty
     a should contain theSameElementsAs b
+  }
+
+  // Round-1 verdict item 3: a hot bucket must split into bounded
+  // block-pair tasks, with output invariant to the block layout.
+  "blocked group splitting" should "leave ANN output unchanged when buckets are force-split" in {
+    val oneTask = Similarity.lshAnnTop1(realVecs, planes = 4, tables = 4,
+      maxGroup = Int.MaxValue).collect().map(_.toSeq).toSet
+    // 500 vectors / 16 buckets ≈ 31 per bucket; cap 8 forces every
+    // bucket into ≥ 4 blocks → ≥ 16 tasks per bucket
+    val manyTasks = Similarity.lshAnnTop1(realVecs, planes = 4, tables = 4,
+      maxGroup = 8).collect().map(_.toSeq).toSet
+    Similarity.numBlocks(31, 8) should be > 1
+    manyTasks shouldBe oneTask
+  }
+
+  it should "leave IVF output unchanged when lists are force-split" in {
+    val oneTask = Similarity.ivfAnnTop1(realVecs, k = 8, nprobe = 2,
+      lloydIters = 1, maxGroup = Int.MaxValue).collect().map(_.toSeq).toSet
+    val manyTasks = Similarity.ivfAnnTop1(realVecs, k = 8, nprobe = 2,
+      lloydIters = 1, maxGroup = 16).collect().map(_.toSeq).toSet
+    manyTasks shouldBe oneTask
+  }
+
+  // Round-1 verdict item 2: ANN recall measured against the exact
+  // brute-force ground truth; floors must hold deterministically.
+  private def recallOf(ann: DataFrame): Double = {
+    val truth = Similarity.bruteForceTop1All(realVecs)
+      .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+    val joined = truth.join(
+      ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+    val n = joined.count()
+    val found = joined.filter(
+      col("cid") === col("tcid") || col("cos") === col("tcos")).count()
+    found.toDouble / n
+  }
+
+  "ANN recall" should "clear the q_ann_recall floors on the gate corpus" in {
+    val lsh = recallOf(Similarity.lshAnnTop1(realVecs, planes = 4, tables = 8))
+    val ivf = recallOf(Similarity.ivfAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    info(f"sf0.01 recall: lsh=$lsh%.3f ivf=$ivf%.3f")
+    lsh should be >= 0.60
+    ivf should be >= 0.50
+  }
+
+  // Round-1 verdict item 4: Lloyd training must beat the lowest-id
+  // centroid seeding it replaced.
+  it should "improve IVF recall via Lloyd iterations" in {
+    val seeded = recallOf(Similarity.ivfAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 0))
+    val trained = recallOf(Similarity.ivfAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    info(f"sf0.01 IVF recall: seeded=$seeded%.3f trained=$trained%.3f")
+    trained should be > seeded
+  }
+
+  "trainCentroids" should "produce roughly balanced unit-norm lists" in {
+    import spark.implicits._
+    val typed = realVecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cents = Similarity.trainCentroids(typed, k = 16, iters = 3)
+    cents.length shouldBe 16
+    all(cents.map(c => math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0))) should be < 1e-9
+    // assignment balance: no list dominates (round-1 seeding gave
+    // arbitrary list sizes; Lloyd pulls them toward n/k)
+    val sizes = typed.collect()
+      .map { case (_, arr) =>
+        val v = arr.map(_.toDouble)
+        val n = math.sqrt(v.map(x => x * x).sum)
+        val u = v.map(_ / n)
+        cents.zipWithIndex.maxBy { case (c, i) =>
+          (c.zip(u).map { case (a, b) => a * b }.sum, -i)
+        }._2
+      }
+      .groupBy(identity).map(_._2.length)
+    sizes.max should be < (500 / 16) * 3
   }
 }

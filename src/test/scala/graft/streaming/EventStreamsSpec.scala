@@ -110,6 +110,93 @@ class EventStreamsSpec extends SparkSpec {
     out.count() shouldBe 2 // the two hour-0 windows, flushed by batch2's watermark
   }
 
+  // Round-1 verdict item 5: the "one definition, two modes" claim,
+  // asserted — the SAME events fed as a stream must produce the SAME
+  // frame as the batch twin, exactly (decimal/cents arithmetic on both
+  // sides makes the doubles bit-equal, not just close).
+  private def realEvents =
+    graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+
+  "batch≡stream" should "produce identical tumbling windows" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = realEvents.as[EventStreams.Event].collect().toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("bs_tumbling")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_tumbling").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = graft.queries.EventQueries.tumbling(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      streamed shouldBe batch
+      streamed should not be empty
+    } finally q.stop()
+  }
+
+  it should "produce identical sliding windows" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = realEvents.as[EventStreams.Event].collect().toSeq
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.slidingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("bs_sliding")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      val streamed = spark.table("bs_sliding").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      val batch = graft.queries.EventQueries.sliding(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .toSet
+      streamed shouldBe batch
+    } finally q.stop()
+  }
+
+  it should "produce identical sessions from the stateful sessionizer" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evs = realEvents.as[EventStreams.Event].collect().toSeq
+    val maxTs = evs.map(_.ts.getTime).max
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.statefulSessions(spark, mem.toDS())
+      .writeStream.format("memory").queryName("bs_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(evs)
+      q.processAllAvailable()
+      // two sentinel batches: the first advances the watermark past
+      // every session end + gap, the second triggers the event-time
+      // timeouts that flush the still-open sessions
+      mem.addData(EventStreams.Event(-1L, new Timestamp(maxTs + 10 * 3600000L), -1L, "x", 0.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Event(-2L, new Timestamp(maxTs + 20 * 3600000L), -2L, "x", 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("bs_sessions")
+        .filter($"user_id" >= 0)
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+          r.getInt(3).toLong, r.getDouble(4)))
+        .toSet
+      val batch = graft.queries.EventQueries.sessionize(spark, "/root/testdata/sf0.001")
+        .collect()
+        .map(r => (r.getLong(0), r.getTimestamp(3), r.getTimestamp(4),
+          r.getLong(2), r.getDouble(5)))
+        .toSet
+      streamed shouldBe batch
+      streamed.size should be > 10
+    } finally q.stop()
+  }
+
   "sessionWindows" should "use the built-in session_window" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
