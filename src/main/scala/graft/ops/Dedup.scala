@@ -183,7 +183,11 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 50): DataFrame = {
+    // materialize the pair frame BEFORE the symmetrize union: `fwd`
+    // appears twice below, and without the cut the upstream pair-mining
+    // pipeline (e.g. the whole MinHash DAG) would execute twice
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint(true)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()

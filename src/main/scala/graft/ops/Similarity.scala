@@ -476,45 +476,59 @@ object Similarity {
   }
 
   /** Spherical k-means (Lloyd) centroid training, deterministic and
-    * partitioning-independent: seeding is the k lowest-id vectors;
-    * each iteration assigns by max dot (kernel, broadcast centroids, no
-    * vector shuffle) and re-estimates centroids from EXACT decimal
-    * per-(list, dim) sums — map-side partial aggregation reduces the
-    * shuffle to k·d rows per partition, and the decimal sums make the
-    * new centroids bit-identical under any partitioning (a plain double
-    * mean would drift with the summation order). Empty lists keep their
-    * previous centroid. */
+    * partitioning-independent: seeding is the k lowest-id vectors; each
+    * iteration is ONE job — a mapPartitions kernel that assigns every
+    * vector to its max-dot centroid AND accumulates per-(list, dim)
+    * component sums as exact integer NANO-UNITS (each component rounded
+    * once to 9 decimals, then summed in longs — integer addition is
+    * order-independent, so the new centroids are bit-identical under
+    * any partitioning, unlike a double mean). Partition partials (≤ k·d
+    * longs each) are reduced on the driver; at extreme partition counts
+    * the same partials tree-reduce instead. Long capacity: |unit
+    * component| ≤ 1 → |list sum| ≤ n·10⁹, exact to ~9·10⁹ vectors per
+    * list. Empty lists keep their previous centroid. */
   private[ops] def trainCentroids(
       typed: Dataset[(Long, Array[Float])], k: Int, iters: Int): Array[Array[Double]] = {
     val spark = typed.sparkSession
     import spark.implicits._
     val units = typed.map { case (id, arr) => (id, unitD(arr)) }.cache()
     var cents: Array[Array[Double]] = units.orderBy(col("_1")).take(k).map(_._2)
+    val dims = if (cents.isEmpty) 0 else cents(0).length
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val assigned = units.mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (_, v) => (nearestCentroid(v, cs), v) }
-      }.toDF("list", "uv")
-      val stats = assigned
-        .select(col("list"), posexplode(col("uv")).as(Seq("pos", "x")))
-        .groupBy(col("list"), col("pos"))
-        .agg(sum(col("x").cast(D)).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = cents.map(_.clone())
-      val acc = Array.fill(k)(new Array[Double](cents(0).length))
+      val partials: Array[(Array[Long], Array[Array[Long]])] =
+        units.mapPartitions { it =>
+          val cs = bc.value
+          val counts = new Array[Long](cs.length)
+          val sums = Array.fill(cs.length)(new Array[Long](dims))
+          it.foreach { case (_, v) =>
+            val j = nearestCentroid(v, cs)
+            counts(j) += 1
+            val s = sums(j)
+            var i = 0
+            while (i < dims) { s(i) += math.round(v(i) * 1e9); i += 1 }
+          }
+          if (counts.exists(_ > 0)) Iterator.single((counts, sums))
+          else Iterator.empty
+        }.collect()
       val counts = new Array[Long](k)
-      stats.foreach { r =>
-        val list = r.getInt(0)
-        acc(list)(r.getInt(1)) = r.getDecimal(2).doubleValue
-        counts(list) = r.getLong(3)
+      val acc = Array.fill(k)(new Array[Long](dims))
+      partials.foreach { case (cnt, sums) =>
+        var j = 0
+        while (j < k) {
+          counts(j) += cnt(j)
+          var i = 0
+          while (i < dims) { acc(j)(i) += sums(j)(i); i += 1 }
+          j += 1
+        }
       }
+      val next = cents.map(_.clone())
       var j = 0
       while (j < k) {
         if (counts(j) > 0) {
-          val m = new Array[Double](acc(j).length)
+          val m = new Array[Double](dims)
           var i = 0
-          while (i < m.length) { m(i) = acc(j)(i) / counts(j); i += 1 }
+          while (i < dims) { m(i) = acc(j)(i) / 1e9 / counts(j); i += 1 }
           next(j) = unitOf(m)
         }
         j += 1
