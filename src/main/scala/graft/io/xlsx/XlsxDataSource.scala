@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{StructType, StructField, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.io.Xlsx
@@ -20,7 +20,14 @@ import graft.io.Xlsx
   * scan is ONE input partition whose reader parses the zip on an
   * executor; schema inference reads just the header row on the driver.
   * Column pruning is honored by projecting the requested ordinals.
-  */
+  *
+  * With `.option("inferSchema", true)` columns whose data cells all
+  * parse as integers surface as LongType (doubles → DoubleType,
+  * anything else → StringType), matching `pd.read_excel`'s dtype
+  * inference — the reference loads its config workbook through pandas
+  * (dags/dag_etl_minio_to_postgres.py:42-43). A user-supplied
+  * `.schema(...)` wins over inference either way; unparseable cells
+  * under a numeric type read as null (pandas' coerce behavior). */
 class XlsxDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "xlsx"
@@ -39,8 +46,16 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val rows = Xlsx.readRows(pathOf(options), sheetOf(options))
     require(rows.nonEmpty, s"${pathOf(options)}: empty sheet")
-    StructType(rows.head.map(h =>
-      StructField(Option(h).getOrElse(""), StringType, nullable = true)))
+    val header = rows.head
+    val types: Int => DataType =
+      if (options.getBoolean("inferSchema", false)) {
+        val width = header.length
+        val data = rows.tail.map(_.padTo(width, null))
+        i => XlsxTypes.inferColumn(data.iterator.map(_(i)))
+      } else _ => StringType
+    StructType(header.zipWithIndex.map { case (h, i) =>
+      StructField(Option(h).getOrElse(""), types(i), nullable = true)
+    })
   }
 
   override def getTable(
@@ -49,6 +64,40 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new XlsxTable(pathOf(opts), sheetOf(opts), schema)
   }
+}
+
+private[xlsx] object XlsxTypes {
+  private val longRe = "[+-]?\\d{1,18}".r
+  private val doubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
+
+  /** Narrowest of LongType < DoubleType < StringType that fits every
+    * non-null cell (all-null columns stay StringType). */
+  def inferColumn(cells: Iterator[String]): DataType = {
+    var seen = false
+    var isLong = true
+    var isDouble = true
+    cells.foreach { c =>
+      if (c != null) {
+        seen = true
+        if (isLong && !longRe.matches(c)) isLong = false
+        if (!isLong && isDouble && !doubleRe.matches(c)) isDouble = false
+      }
+    }
+    if (!seen) StringType
+    else if (isLong) LongType
+    else if (isDouble) DoubleType
+    else StringType
+  }
+
+  /** String cell → catalyst value under the target type (null on
+    * parse failure, pandas-coerce style). */
+  def convert(s: String, dt: DataType): Any =
+    if (s == null) null
+    else dt match {
+      case LongType => try java.lang.Long.valueOf(s.trim) catch { case _: NumberFormatException => null }
+      case DoubleType => try java.lang.Double.valueOf(s.trim) catch { case _: NumberFormatException => null }
+      case _ => UTF8String.fromString(s)
+    }
 }
 
 private class XlsxTable(path: String, sheet: Int, tableSchema: StructType)
@@ -78,13 +127,13 @@ private class XlsxScan(
     Array(XlsxPartition(path, sheet))
   override def createReaderFactory(): PartitionReaderFactory = {
     val ordinals = required.fieldNames.map(full.fieldIndex)
-    new XlsxReaderFactory(ordinals)
+    new XlsxReaderFactory(ordinals, required.fields.map(_.dataType))
   }
 }
 
 private case class XlsxPartition(path: String, sheet: Int) extends InputPartition
 
-private class XlsxReaderFactory(ordinals: Array[Int])
+private class XlsxReaderFactory(ordinals: Array[Int], types: Array[DataType])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[XlsxPartition]
@@ -96,8 +145,8 @@ private class XlsxReaderFactory(ordinals: Array[Int])
       override def next(): Boolean = { val h = it.hasNext; if (h) current = it.next(); h }
       override def get(): InternalRow = {
         val padded = current.padTo(width, null)
-        InternalRow.fromSeq(ordinals.toIndexedSeq.map { i =>
-          Option(padded(i)).map(UTF8String.fromString).orNull
+        InternalRow.fromSeq(ordinals.toIndexedSeq.zip(types).map {
+          case (i, dt) => XlsxTypes.convert(padded(i), dt)
         })
       }
       override def close(): Unit = ()

@@ -67,6 +67,41 @@ class XlsxSpec extends SparkSpec {
       .map(_.toSeq) shouldBe Xlsx.read(spark, path).collect().map(_.toSeq)
   }
 
+  private def writeTypedXlsx(path: String): Unit = {
+    val zos = new ZipOutputStream(new FileOutputStream(path))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    entry("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+    entry("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst><si><t>name</t></si><si><t>count</t></si>
+        |<si><t>ratio</t></si><si><t>a</t></si><si><t>b</t></si></sst>""".stripMargin)
+    entry("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>7</v></c><c r="C2"><v>1.5</v></c></row>
+        |<row r="3"><c r="A3" t="s"><v>4</v></c><c r="B3"><v>42</v></c><c r="C3"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+  }
+
+  it should "infer Long/Double column types with inferSchema" in {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val path = tmpDir("xlsx") + "/typed.xlsx"
+    writeTypedXlsx(path)
+    // default stays all-string (round-1 behavior preserved)
+    val plain = spark.read.format("xlsx").load(path)
+    plain.schema.fields.map(_.dataType).toSet shouldBe Set[org.apache.spark.sql.types.DataType](StringType)
+    val typed = spark.read.format("xlsx").option("inferSchema", "true").load(path)
+    typed.schema.fields.map(f => f.name -> f.dataType).toSeq shouldBe Seq(
+      "name" -> StringType, "count" -> LongType, "ratio" -> DoubleType)
+    val rows = typed.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    rows.toSet shouldBe Set(("a", 7L, 1.5), ("b", 42L, 2.0))
+  }
+
   "Sources.read" should "reject unsupported formats" in {
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/x.json")
