@@ -162,6 +162,43 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`,
+    * by BANDED candidate generation (the classic Charikar-style trick):
+    * the 64-bit signature splits into `maxHamming + 1` bands, and by
+    * pigeonhole two signatures within the distance bound must agree
+    * EXACTLY on at least one band — so candidates are docs sharing any
+    * (band, band-bits) bucket, found with one shuffle keyed on band
+    * values (same scale shape as the MinHash LSH join: candidate volume
+    * is bounded by per-band collisions, never corpus²). Every candidate
+    * is then verified with the exact bit_count distance. Recall is 1.0
+    * within the bound by construction — unlike MinHash banding there is
+    * no probabilistic miss. Default 4 bands ⇒ exhaustive for hamming ≤ 3. */
+  def simhashNearDups(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
+    require(64 % bands == 0, s"maxHamming+1=$bands must divide 64")
+    val width = 64 / bands
+    val sigs = simhash(docs, textCol, idCol)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+    }
+    val buckets = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val a = buckets.as("a")
+    val b = buckets.as("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components of the undirected near-dup pair graph by
     * iterative min-label propagation: every node starts labeled with
     * its own id; each round every node takes the min of its own label

@@ -307,14 +307,19 @@ object Similarity {
     * layout. This is what replaces the round-1 one-task-per-bucket
     * quadratic scan: a hot group becomes nb² bounded tasks, not one
     * straggler. */
-  private def blockedTop1(
+  /** Per-task local top-k bests feeding [[blockedTop1]]/[[blockedTopK]]:
+    * (qid, cid, dot) rows, at most k per query PER TASK. The same
+    * (qid, cid) pair may surface from several tasks — always with the
+    * bit-identical dot (fixed element order) — so downstream reducers
+    * dedup for free (argmax) or with a distinct (window rank). */
+  private def blockedLocalBests(
       rows: Dataset[(Long, Byte, Long, Array[Double])],
-      maxGroup: Int): DataFrame = {
+      k: Int, maxGroup: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val cached = rows.cache()
-    // group census: #groups is tables·2^planes / k — tiny; collected and
-    // broadcast so block counts are a pure function of (group, cap)
+    // group census: #groups is tables·2^planes / lists — tiny; collected
+    // and broadcast so block counts are a pure function of (group, cap)
     val nbMap = cached.groupByKey(_._1).count().collect()
       .map { case (g, n) => g -> numBlocks(n, maxGroup) }.toMap
     val bcNb = spark.sparkContext.broadcast(nbMap)
@@ -342,7 +347,7 @@ object Similarity {
       }
     }
 
-    val local = tasked
+    tasked
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Double])]) =>
         val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
@@ -352,25 +357,52 @@ object Similarity {
           if ((role & 2) != 0) cs += ((id, v))
         }
         qs.iterator.flatMap { case (qid, qv) =>
-          var best = -2.0
-          var bestId = -1L
+          // k-best insertion lists, ordered by (dot desc, cid asc)
+          val bDot = new Array[Double](k)
+          val bCid = new Array[Long](k)
+          var n = 0
           cs.foreach { case (cid, cv) =>
             if (cid != qid) {
-              var dot = 0.0; var k = 0
-              while (k < qv.length) { dot += qv(k) * cv(k); k += 1 }
-              if (dot > best || (dot == best && cid < bestId)) {
-                best = dot; bestId = cid
+              var dot = 0.0; var d = 0
+              while (d < qv.length) { dot += qv(d) * cv(d); d += 1 }
+              if (n < k || dot > bDot(n - 1) ||
+                  (dot == bDot(n - 1) && cid < bCid(n - 1))) {
+                var i = math.min(n, k - 1)
+                while (i > 0 && (bDot(i - 1) < dot ||
+                    (bDot(i - 1) == dot && bCid(i - 1) > cid))) {
+                  bDot(i) = bDot(i - 1); bCid(i) = bCid(i - 1); i -= 1
+                }
+                bDot(i) = dot; bCid(i) = cid
+                if (n < k) n += 1
               }
             }
           }
-          if (bestId >= 0) Iterator.single((qid, bestId, best)) else Iterator.empty
+          (0 until n).iterator.map(i => (qid, bCid(i), bDot(i)))
         }
       }
       .toDF("qid", "cid", "dot")
+  }
 
-    local.groupBy(col("qid"))
+  private def blockedTop1(
+      rows: Dataset[(Long, Byte, Long, Array[Double])],
+      maxGroup: Int): DataFrame =
+    blockedLocalBests(rows, 1, maxGroup)
+      .groupBy(col("qid"))
       .agg(max(struct(col("dot"), (-col("cid")).as("nc"))).as("m"))
       .select(col("qid"), (-col("m.nc")).as("cid"))
+
+  /** Global top-k across tasks: distinct the (deterministically
+    * duplicated) local bests, rank per query. Returns (qid, cid) with
+    * fast-rank ≤ k; the exact-rescore stage re-ranks. */
+  private def blockedTopK(
+      rows: Dataset[(Long, Byte, Long, Array[Double])],
+      k: Int, maxGroup: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    blockedLocalBests(rows, k, maxGroup)
+      .dropDuplicates("qid", "cid")
+      .withColumn("rf", row_number().over(w))
+      .filter(col("rf") <= k)
+      .select(col("qid"), col("cid"))
   }
 
   /** Exact-decimal rescore of per-query winners → (qid, cid, cos). */
@@ -381,6 +413,21 @@ object Similarity {
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .select(col("qid"), col("cid"), col("cos"))
+
+  /** Exact-decimal rescore + re-rank of a per-query shortlist →
+    * (qid, rnk, cos, cid). Ranks come from the EXACT cosine (ties →
+    * lowest cid), like [[bruteForceTopK]]'s output contract. */
+  private def rescoreTopK(shortlist: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
+      .withColumn("cos",
+        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
 
   /** Exact top-1 neighbor for EVERY vector (all-pairs, blocked): the
     * ground truth the ANN paths' recall is measured against
@@ -422,9 +469,9 @@ object Similarity {
     * split into bounded block-pair tasks instead of one quadratic
     * straggler (round-1 defect). The final per-query argmax across
     * tables deduplicates candidates found by several tables for free. */
-  def lshAnnTop1(
-      vecs: DataFrame, planes: Int = 4, tables: Int = 8,
-      maxGroup: Int = 256): DataFrame = {
+  /** (table, code)-grouped rows for the LSH variants. */
+  private def lshCodedRows(
+      vecs: DataFrame, planes: Int, tables: Int): Dataset[(Long, Byte, Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(planes >= 1 && planes <= 20, s"planes=$planes out of range")
@@ -436,7 +483,7 @@ object Similarity {
         Array.tabulate(dims)(d => planeComponent(t, p, d)))
     val bc = spark.sparkContext.broadcast(planeMat)
 
-    val coded = typed.mapPartitions { it =>
+    typed.mapPartitions { it =>
       val pm = bc.value
       it.flatMap { case (id, arr) =>
         val v = unitD(arr)
@@ -456,8 +503,20 @@ object Similarity {
         }
       }
     }
-    rescoreTop1(blockedTop1(coded, maxGroup), vecs)
   }
+
+  def lshAnnTop1(
+      vecs: DataFrame, planes: Int = 4, tables: Int = 8,
+      maxGroup: Int = 256): DataFrame =
+    rescoreTop1(blockedTop1(lshCodedRows(vecs, planes, tables), maxGroup), vecs)
+
+  /** Top-k LSH ANN: same candidate structure as [[lshAnnTop1]], k best
+    * same-bucket neighbors per query across all tables, exact-decimal
+    * re-ranked → (qid, rnk, cid, cos). */
+  def lshAnnTopK(
+      vecs: DataFrame, k: Int, planes: Int = 4, tables: Int = 8,
+      maxGroup: Int = 256): DataFrame =
+    rescoreTopK(blockedTopK(lshCodedRows(vecs, planes, tables), k, maxGroup), vecs, k)
 
   /** Index of the max-dot centroid (ties → lowest index). */
   private def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
@@ -548,9 +607,12 @@ object Similarity {
     * trained with [[trainCentroids]] (`lloydIters` = 0 reproduces the
     * round-1 lowest-id seeding, kept for the recall A/B in
     * SimilaritySpec). */
-  def ivfAnnTop1(
-      vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
-      maxGroup: Int = 256): DataFrame = {
+  /** List-assigned rows for the IVF variants: each vector is a member
+    * (candidate) of its top-1 list and a probe (query) of its `nprobe`
+    * nearest lists. */
+  private def ivfAssignedRows(
+      vecs: DataFrame, k: Int, nprobe: Int,
+      lloydIters: Int): Dataset[(Long, Byte, Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(nprobe >= 1 && nprobe <= k, s"nprobe=$nprobe out of range for k=$k")
@@ -559,7 +621,7 @@ object Similarity {
     val cents = trainCentroids(typed, k, lloydIters)
     val bc = spark.sparkContext.broadcast(cents)
 
-    val rows = typed.mapPartitions { it =>
+    typed.mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (id, arr) =>
         val v = unitD(arr)
@@ -579,6 +641,19 @@ object Similarity {
         }
       }
     }
-    rescoreTop1(blockedTop1(rows, maxGroup), vecs)
   }
+
+  def ivfAnnTop1(
+      vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+      maxGroup: Int = 256): DataFrame =
+    rescoreTop1(blockedTop1(ivfAssignedRows(vecs, k, nprobe, lloydIters), maxGroup), vecs)
+
+  /** Top-`topK` IVF ANN across the probed lists, exact-decimal
+    * re-ranked → (qid, rnk, cid, cos). With nprobe = k every list is
+    * probed and the result is exhaustively exact (the SimilaritySpec
+    * invariant). */
+  def ivfAnnTopK(
+      vecs: DataFrame, topK: Int, k: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 3, maxGroup: Int = 256): DataFrame =
+    rescoreTopK(blockedTopK(ivfAssignedRows(vecs, k, nprobe, lloydIters), topK, maxGroup), vecs, topK)
 }

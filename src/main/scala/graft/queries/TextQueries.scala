@@ -88,6 +88,14 @@ object TextQueries {
     Dedup.simhash(docs(s, dir), "text", "doc_id")
       .orderBy(col("doc_id"))
 
+  /** SimHash near-dup pairs at Hamming ≤ 3 via banded candidate
+    * generation (rows-only: xxhash64 signatures; exhaustiveness within
+    * the bound is by pigeonhole, asserted against brute force in
+    * DedupSpec). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(docs(s, dir), "text", "doc_id", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** The complete dedup DECISION (round-1 verdict item 1): MinHash+LSH
     * verified pairs → connected components → min-id survivor per
     * cluster, one row per document. Oracled end-to-end: the DuckDB side
@@ -167,6 +175,7 @@ object TextQueries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
+    "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_frames" -> (multimodalFrames _)
   )

@@ -58,6 +58,31 @@ class DedupSpec extends SparkSpec {
     native shouldBe agg
   }
 
+  "simhashNearDups" should "find exactly the brute-force hamming ball (banded recall = 1)" in {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val banded = Dedup.simhashNearDups(real, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = Dedup.simhash(real, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield {
+      val (x, y) = (sigs(i)._1, sigs(j)._1)
+      (math.min(x, y), math.max(x, y), h)
+    }).toSet
+    banded shouldBe brute
+    banded should not be empty
+  }
+
+  it should "include the exact duplicate at hamming 0" in {
+    val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    pairs((1L, 4L)) shouldBe 0
+  }
+
   "connectedComponents" should "label every node with its component minimum" in {
     import spark.implicits._
     // chain 1-2-5 (transitive through 2), separate pair 7-8
