@@ -65,10 +65,11 @@ object SimilarityQueries {
   /** The ANN recall gate (round-1 verdict: "an ANN operator with
     * unmeasured recall is unfalsifiable"): joins each ANN path's top-1
     * against the exact [[Similarity.bruteForceTop1All]] ground truth
-    * and checks recall against a floor. The floors sit ~0.1 below the
-    * deterministically-measured engine recall on this corpus (LSH ≈
-    * 0.72, IVF ≈ 0.60 — near-orthogonal random embeddings, true top-1
-    * at cos ≈ 0.37, are close to LSH-worst-case; clustered production
+    * and checks recall against a floor. The floors sit ≥ 0.07 below the
+    * deterministically-measured engine recall on this corpus (LSH
+    * 0.708–0.753, trained IVF 0.571–0.654 across sf0.001/0.01/0.1;
+    * seeded IVF 0.52 — near-orthogonal random embeddings, true top-1 at
+    * cos ≈ 0.37, are close to LSH-worst-case; clustered production
     * corpora score far higher at the same settings). Every piece is
     * deterministic, so the booleans are stable and the row is fully
     * oracle-checkable — the aggregate shape mirrors q_distributed_id's

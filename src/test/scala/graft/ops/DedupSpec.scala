@@ -101,6 +101,32 @@ class DedupSpec extends SparkSpec {
     comp.keySet shouldBe (1L to 10L).toSet
   }
 
+  it should "agree with a driver union-find on a random graph" in {
+    import spark.implicits._
+    // deterministic pseudo-random sparse graph: 400 nodes, 300 edges →
+    // a mix of singleton-free components, chains, and merged blobs
+    val rng = new scala.util.Random(42)
+    val edges = Seq.fill(300)((rng.nextInt(400).toLong, rng.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: classic union-find
+    val parent = Array.tabulate(400)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val want = nodes.map { n =>
+      // component minimum = min over members of the union-find root class
+      val root = find(n.toInt)
+      n -> nodes.filter(m => find(m.toInt) == root).min
+    }.toMap
+    got shouldBe want
+  }
+
   "dedupDecision" should "keep exactly one survivor per cluster" in {
     import spark.implicits._
     val corpus = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
