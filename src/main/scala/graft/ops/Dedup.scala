@@ -172,7 +172,15 @@ object Dedup {
     * is bounded by per-band collisions, never corpus²). Every candidate
     * is then verified with the exact bit_count distance. Recall is 1.0
     * within the bound by construction — unlike MinHash banding there is
-    * no probabilistic miss. Default 4 bands ⇒ exhaustive for hamming ≤ 3. */
+    * no probabilistic miss. Default 4 bands ⇒ exhaustive for hamming ≤ 3.
+    *
+    * Scale note: 16-bit bands give 65k buckets per band — ample at
+    * millions of docs, collision-heavy at billions. The knobs, in
+    * order: tighten maxHamming (7 bands × 9 bits is NOT valid — bands
+    * must divide 64 — but 2 bands × 32 bits covers hamming ≤ 1), widen
+    * the signature (SimHash128 doubles band width at the same bound),
+    * or salt-split hot band values into block-pair tasks exactly as
+    * `Similarity.blockedTop1` does for LSH buckets. */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
