@@ -150,6 +150,33 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** The composite training-corpus PREP pipeline — what a user of this
+    * engine actually runs end-to-end: quality-filter the corpus (same
+    * rule as [[quality]]), mine near-dup pairs on the survivors
+    * (MinHash+LSH, exact-verified), resolve them to clusters, keep one
+    * doc per cluster, and report per-language corpus stats. Every stage
+    * is oracle-expressible, so the WHOLE composition hash-checks
+    * against DuckDB (quality CTE → shingle/jaccard CTEs → recursive
+    * components → aggregate). */
+  def corpusPrep(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val nWords = Text.tokenCount(col("text"))
+    val nStop = Text.stopwordCount(col("text"), Text.langMarkers("en"))
+    val ok = d
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", nStop.cast("double") / col("n_words").cast("double"))
+      .filter(col("n_words") >= 5 && col("n_words") <= 10000 && col("stop_ratio") >= 0.01)
+    val pairs = Dedup.minhashNearDups(ok, "text", "doc_id", 0.8)
+    val keepIds = Dedup.dedupDecision(ok, pairs, "doc_id")
+      .filter(col("keep")).select(col("doc_id"))
+    ok.join(keepIds, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(length(col("text"))).as("n_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** Deterministic content-hash sampling — the reproducible train/test
     * split of data pipelines: a row's split follows md5 of its id, so
     * membership is stable across runs, partitionings, engines, and
@@ -173,6 +200,7 @@ object TextQueries {
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_corpus_prep" -> (corpusPrep _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
@@ -279,6 +307,50 @@ object TextQueries {
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
+    "q_corpus_prep" ->
+      """WITH RECURSIVE m AS (
+           SELECT doc_id, lang, text,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|data|table)\b')) AS INT) AS n_stop
+           FROM documents),
+         ok AS (
+           SELECT doc_id, lang, text, n_words FROM m
+           WHERE n_words >= 5 AND n_words <= 10000
+             AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.01),
+         sp AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w FROM ok),
+         sh AS (
+           SELECT doc_id,
+             unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                   for i in range(1, len(w) - 1)])) AS shingle
+           FROM sp),
+         sizes AS (SELECT doc_id, count(1) AS n FROM sh GROUP BY 1),
+         inter AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(1) AS c
+           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jacs AS (
+           SELECT doc_a, doc_b,
+             CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = doc_a
+           JOIN sizes sb ON sb.doc_id = doc_b),
+         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w2.id, e.dst FROM walk w2 JOIN edges e ON e.src = w2.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+         kept AS (
+           SELECT o.* FROM ok o LEFT JOIN comp c ON c.id = o.doc_id
+           WHERE coalesce(c.cluster_id, o.doc_id) = o.doc_id)
+         SELECT lang, count(1) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+         FROM kept GROUP BY lang ORDER BY lang""",
     "q_dedup_clusters" ->
       (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
          pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
