@@ -162,10 +162,14 @@ object TextQueries {
     val d = docs(s, dir)
     val nWords = Text.tokenCount(col("text"))
     val nStop = Text.stopwordCount(col("text"), Text.langMarkers("en"))
+    // cached: the regexp-heavy filter feeds pair mining, the decision
+    // join, AND the final aggregate — uncached it re-evaluates per job
     val ok = d
       .withColumn("n_words", nWords)
       .withColumn("stop_ratio", nStop.cast("double") / col("n_words").cast("double"))
       .filter(col("n_words") >= 5 && col("n_words") <= 10000 && col("stop_ratio") >= 0.01)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
+      .cache()
     val pairs = Dedup.minhashNearDups(ok, "text", "doc_id", 0.8)
     val keepIds = Dedup.dedupDecision(ok, pairs, "doc_id")
       .filter(col("keep")).select(col("doc_id"))
