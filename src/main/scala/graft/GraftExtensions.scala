@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash64, WordShingles}
+import graft.functions.{PolyHash64, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * expressions into any session at build time —
@@ -19,8 +19,8 @@ import graft.functions.{PolyHash64, WordShingles}
   * cloning); the per-session `register(spark)` helpers on each function
   * object remain for ad-hoc use. No custom Rule/Strategy is injected:
   * per SURVEY.md §4 the reference needs none — Catalyst's built-in
-  * optimizations cover every plan this engine produces, and the two
-  * places where expression-level codegen wins are exactly these
+  * optimizations cover every plan this engine produces, and the three
+  * places where expression-level evaluation wins are exactly these
   * functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -35,5 +35,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) => WordShingles(
         exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

@@ -32,6 +32,11 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       val sh = s.sql("SELECT word_shingles('a b c d', 3) AS s")
         .collect()(0).getSeq[String](0)
       sh shouldBe Seq("a b c", "b c d")
+      // simhash64 ≡ the aggregate twin's signature for a one-token doc:
+      // one token votes every bit of xxhash64(token), so the signature
+      // IS the token hash
+      s.sql("SELECT simhash64('abc') AS h").collect()(0).getLong(0) shouldBe
+        s.sql("SELECT xxhash64('abc') AS h").collect()(0).getLong(0)
     } finally {
       // restore the suite-shared session instead of stopping the
       // underlying (shared) SparkContext
