@@ -6,7 +6,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 import graft.io.Xlsx
@@ -71,13 +71,17 @@ private[xlsx] object XlsxTypes {
   private val doubleRe = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r
 
   /** Narrowest of LongType < DoubleType < StringType that fits every
-    * non-null cell (all-null columns stay StringType). */
+    * non-null cell (all-null columns stay StringType). Cells are
+    * TRIMMED before matching — [[convert]] trims before parsing, and
+    * the two layers must agree or a space-padded numeric column would
+    * infer String while still being parseable. */
   def inferColumn(cells: Iterator[String]): DataType = {
     var seen = false
     var isLong = true
     var isDouble = true
-    cells.foreach { c =>
-      if (c != null) {
+    cells.foreach { raw =>
+      if (raw != null) {
+        val c = raw.trim
         seen = true
         if (isLong && !longRe.matches(c)) isLong = false
         if (!isLong && isDouble && !doubleRe.matches(c)) isDouble = false
@@ -90,13 +94,24 @@ private[xlsx] object XlsxTypes {
   }
 
   /** String cell → catalyst value under the target type (null on
-    * parse failure, pandas-coerce style). */
+    * parse failure, pandas-coerce style). Unsupported target types
+    * fail loudly rather than smuggling a UTF8String into a typed
+    * column (which would corrupt rows or crash downstream codegen). */
   def convert(s: String, dt: DataType): Any =
     if (s == null) null
     else dt match {
       case LongType => try java.lang.Long.valueOf(s.trim) catch { case _: NumberFormatException => null }
+      case IntegerType => try java.lang.Integer.valueOf(s.trim) catch { case _: NumberFormatException => null }
       case DoubleType => try java.lang.Double.valueOf(s.trim) catch { case _: NumberFormatException => null }
-      case _ => UTF8String.fromString(s)
+      case FloatType => try java.lang.Float.valueOf(s.trim) catch { case _: NumberFormatException => null }
+      case BooleanType => s.trim.toLowerCase match {
+        case "true" | "1" => java.lang.Boolean.TRUE
+        case "false" | "0" => java.lang.Boolean.FALSE
+        case _ => null
+      }
+      case StringType => UTF8String.fromString(s)
+      case other => throw new UnsupportedOperationException(
+        s"xlsx reader supports string/long/int/double/float/boolean columns; got $other")
     }
 }
 

@@ -144,7 +144,9 @@ object Dedup {
   /** Round-1 aggregate formulation of [[simhash]], kept solely as the
     * independent cross-check twin for the native expression (identical
     * output by construction: same tokens, same xxhash64 seed-42 token
-    * hashes, same ±1 votes-per-bit rule). */
+    * hashes, same ±1 votes-per-bit rule — EXCEPT null text, where the
+    * explode drops the row entirely while the expression keeps it with
+    * a null signature; the engine's definition is the expression's). */
   def simhashAgg(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val tokenHashes = docs
       .select(col(idCol).as("doc_id"), explode(Text.tokens(col(textCol))).as("tok"))
@@ -187,11 +189,17 @@ object Dedup {
     val bands = maxHamming + 1
     require(64 % bands == 0, s"maxHamming+1=$bands must divide 64")
     val width = 64 / bands
-    val sigs = simhash(docs, textCol, idCol)
+    // width == 64 (maxHamming = 0, exact-signature dedup): 1L << 64
+    // wraps to 1 and the mask would be 0 → every doc in ONE bucket →
+    // accidental all-pairs join. The full-width mask is -1.
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // null text ⇒ null signature: excluded from pair mining (null band
+    // bits would otherwise co-bucket all null docs)
+    val sigs = simhash(docs, textCol, idCol).filter(col("simhash").isNotNull)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("bits"))
+          .bitwiseAND(lit(mask)).as("bits"))
     }
     val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
@@ -257,6 +265,14 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // a silent exit at maxIters would return labels that are still
+    // mid-propagation — wrong components with no signal. Fail loudly;
+    // diameter > maxIters means the caller should raise the cap (or
+    // switch to a large-star/small-star variant that halves the rounds).
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"(graph diameter exceeds maxIters); raise maxIters")
     labels
   }
 

@@ -152,11 +152,14 @@ object Similarity {
 
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val local = typed.collect().sortBy(_._1)
-    require(local.length <= maxBroadcastVectors,
+    // guard BEFORE the collect — a post-collect check could not prevent
+    // the driver OOM it exists to prevent
+    val n = typed.count()
+    require(n <= maxBroadcastVectors,
       s"cosineNearDupPairs collects the full vector set to the driver: " +
-        s"${local.length} vectors exceeds maxBroadcastVectors=$maxBroadcastVectors. " +
+        s"$n vectors exceeds maxBroadcastVectors=$maxBroadcastVectors. " +
         s"Use nearDupPairs / cosineNearDupPairsBlocked for corpora this size.")
+    val local = typed.collect().sortBy(_._1)
     val ids = local.map(_._1)
     val unit = local.map { case (_, arr) => unitD(arr) }
     val bc = spark.sparkContext.broadcast((ids, unit))
@@ -185,13 +188,14 @@ object Similarity {
   }
 
   /** Phase 2 shared by the near-dup variants: exact decimal rescore of
-    * (id_a, id_b) candidate pairs. */
+    * (id_a, id_b) candidate pairs. Join strategy left to AQE (see
+    * [[rescoreTop1]] — a forced broadcast caps the corpus size). */
   private def rescoreExact(
       candidates: DataFrame, vecs: DataFrame, threshold: Double): DataFrame = {
     val ea = vecs.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = vecs.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     candidates
-      .join(broadcast(ea), "id_a").join(broadcast(eb), "id_b")
+      .join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos",
         cosExact(col("ea"), col("eb"), norm2Decimal(col("ea")), norm2Decimal(col("eb"))))
       .filter(col("cos") >= threshold)
@@ -347,7 +351,7 @@ object Similarity {
       }
     }
 
-    tasked
+    val bests = tasked
       .groupByKey(t => (t._1, t._2))
       .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Double])]) =>
         val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
@@ -381,6 +385,13 @@ object Similarity {
         }
       }
       .toDF("qid", "cid", "dot")
+      // materialize the (small, ≤ k·tasks-per-query) bests eagerly so
+      // the big cached row set can be released immediately — without
+      // this, every ANN call leaked a corpus-sized cache entry for the
+      // session lifetime
+      .localCheckpoint(true)
+    cached.unpersist()
+    bests
   }
 
   private def blockedTop1(
@@ -405,23 +416,29 @@ object Similarity {
       .select(col("qid"), col("cid"))
   }
 
-  /** Exact-decimal rescore of per-query winners → (qid, cid, cos). */
+  /** Exact-decimal rescore of per-query winners → (qid, cid, cos).
+    * No broadcast hint: at harness scale AQE broadcasts the sub-MB
+    * embedding side on its own; at 100 TB neither side fits a
+    * broadcast and the correct plan is a shuffle join on the ids —
+    * forcing broadcast here would re-introduce a driver-memory ceiling
+    * the blocked kernels exist to avoid. */
   private def rescoreTop1(winners: DataFrame, vecs: DataFrame): DataFrame =
     winners
-      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
-      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .select(col("qid"), col("cid"), col("cos"))
 
   /** Exact-decimal rescore + re-rank of a per-query shortlist →
     * (qid, rnk, cos, cid). Ranks come from the EXACT cosine (ties →
-    * lowest cid), like [[bruteForceTopK]]'s output contract. */
+    * lowest cid), like [[bruteForceTopK]]'s output contract. Join
+    * strategy left to AQE for the same reason as [[rescoreTop1]]. */
   private def rescoreTopK(shortlist: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     shortlist
-      .join(broadcast(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
-      .join(broadcast(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce"))), "cid")
+      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .withColumn("rnk", row_number().over(w))
@@ -570,11 +587,14 @@ object Similarity {
           if (counts.exists(_ > 0)) Iterator.single((counts, sums))
           else Iterator.empty
         }.collect()
-      val counts = new Array[Long](k)
-      val acc = Array.fill(k)(new Array[Long](dims))
+      // kk = actual centroid count — min(n, k); indexing with k would
+      // overrun the partial arrays when the corpus has fewer than k rows
+      val kk = cents.length
+      val counts = new Array[Long](kk)
+      val acc = Array.fill(kk)(new Array[Long](dims))
       partials.foreach { case (cnt, sums) =>
         var j = 0
-        while (j < k) {
+        while (j < kk) {
           counts(j) += cnt(j)
           var i = 0
           while (i < dims) { acc(j)(i) += sums(j)(i); i += 1 }
@@ -583,7 +603,7 @@ object Similarity {
       }
       val next = cents.map(_.clone())
       var j = 0
-      while (j < k) {
+      while (j < kk) {
         if (counts(j) > 0) {
           val m = new Array[Double](dims)
           var i = 0

@@ -76,8 +76,11 @@ object SimilarityQueries {
     * invariant pattern. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // cached: the ground truth (the costliest pipeline here) feeds BOTH
+    // method rows of the union — uncached it would run twice
     val truth = Similarity.bruteForceTop1All(e)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+      .cache()
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(

@@ -101,6 +101,15 @@ class DedupSpec extends SparkSpec {
     comp.keySet shouldBe (1L to 10L).toSet
   }
 
+  it should "fail loudly instead of returning unconverged labels" in {
+    import spark.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 2).collect()
+    }
+    e.getMessage should include("did not converge")
+  }
+
   it should "agree with a driver union-find on a random graph" in {
     import spark.implicits._
     // deterministic pseudo-random sparse graph: 400 nodes, 300 edges →

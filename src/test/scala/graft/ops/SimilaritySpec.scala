@@ -74,6 +74,13 @@ class SimilaritySpec extends SparkSpec {
     top10.getLong(1) shouldBe 20L
   }
 
+  it should "handle a corpus smaller than k (fewer vectors than centroids)" in {
+    // regression: the Lloyd partial merge indexed arrays of length
+    // min(n, k) with k and crashed on any corpus below the default k=16
+    val out = Similarity.ivfAnnTop1(vecs).collect() // defaults: k=16 > 5 vectors
+    out.length shouldBe 5
+  }
+
   "lshAnnTop1" should "be deterministic across runs" in {
     val a = Similarity.lshAnnTop1(vecs, planes = 2, tables = 4).collect().map(_.toSeq)
     val b = Similarity.lshAnnTop1(vecs, planes = 2, tables = 4).collect().map(_.toSeq)
