@@ -150,6 +150,19 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Incremental near-dup ingest: pairs introduced by a new batch
+    * (doc_id ≥ 400) against the already-ingested corpus (doc_id < 400)
+    * plus within the batch — the corpus is only consulted through its
+    * band index + candidate shingles, never re-mined against itself.
+    * Oracled as the full pair set restricted to ≥ 1 batch-side doc. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.minhashNearDupsIncremental(
+        d.filter(col("doc_id") < 400), d.filter(col("doc_id") >= 400),
+        "text", "doc_id", 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The composite training-corpus PREP pipeline — what a user of this
     * engine actually runs end-to-end: quality-filter the corpus (same
     * rule as [[quality]]), mine near-dup pairs on the survivors
@@ -205,6 +218,7 @@ object TextQueries {
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_corpus_prep" -> (corpusPrep _),
+    "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
@@ -376,6 +390,11 @@ object TextQueries {
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.5 ORDER BY doc_a, doc_b"""),
+    "q_dedup_incremental" ->
+      (shingleCte + """
+         SELECT doc_a, doc_b, jaccard FROM jacs
+         WHERE jaccard >= 0.8 AND (doc_a >= 400 OR doc_b >= 400)
+         ORDER BY doc_a, doc_b"""),
     "q_multimodal_frames" ->
       """SELECT doc_id,
            ((CAST(ceil(length(text) / 16.0) AS BIGINT) - 1) // 3) + 1 AS n_frames

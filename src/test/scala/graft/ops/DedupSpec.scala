@@ -58,6 +58,34 @@ class DedupSpec extends SparkSpec {
     native shouldBe agg
   }
 
+  "minhashNearDupsIncremental" should "equal the full pair set restricted to batch-side pairs" in {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = 250L
+    val full = Dedup.minhashNearDups(real, "text", "doc_id", 0.8)
+      .filter(col("doc_a") >= split || col("doc_b") >= split)
+      .collect().map(_.toSeq).toSet
+    val inc = Dedup.minhashNearDupsIncremental(
+        real.filter(col("doc_id") < split), real.filter(col("doc_id") >= split),
+        "text", "doc_id", 0.8)
+      .collect().map(_.toSeq).toSet
+    inc shouldBe full
+    inc should not be empty
+  }
+
+  "exactGroupsIncremental" should "classify batch docs against the corpus hash set" in {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
+    val corpusHashes = corpus.select(sha2(lower(trim(col("text"))), 256).as("text_hash"))
+    val batch = Seq(
+      (10L, "alpha beta"),   // dup of corpus doc 1
+      (11L, "epsilon zeta"), // new
+      (12L, "epsilon zeta")  // dup within batch (11 wins)
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactGroupsIncremental(corpusHashes, batch, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    out shouldBe Map(10L -> "dup_of_corpus", 11L -> "new", 12L -> "dup_in_batch")
+  }
+
   "simhashNearDups" should "find exactly the brute-force hamming ball (banded recall = 1)" in {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val banded = Dedup.simhashNearDups(real, "text", "doc_id", maxHamming = 3)
