@@ -56,6 +56,29 @@ object SimilarityQueries {
     Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3)
       .orderBy(col("qid"))
 
+  /** Per-DIMENSION corpus statistics — the normalization/whitening prep
+    * step of an embedding pipeline: exact decimal Σx and Σx² per
+    * dimension (posexplode + one shuffle of k·d partials), mean and
+    * population variance derived from the string-hopped exact sums so
+    * the doubles are partitioning-independent (same moment pattern as
+    * q_agg_variance). */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity.decToDouble
+    val e = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("pos") + 1 as "dim",
+        col("x").cast("double").cast("decimal(12,9)").as("xd"))
+    e.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        decToDouble(sum(col("xd"))).as("sum_x"),
+        decToDouble(sum(col("xd") * col("xd"))).as("sum_x2"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .withColumn("var_pop",
+        (col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"))
+      .select(col("dim"), col("n"), col("mean"), col("var_pop"))
+      .orderBy(col("dim"))
+  }
+
   /** Top-3 LSH ANN (rows-only): the similarity-search surface a user
     * actually calls — k best neighbors, exact-decimal re-ranked. */
   def lshAnnK(s: SparkSession, dir: String): DataFrame =
@@ -110,6 +133,7 @@ object SimilarityQueries {
     "q_ann_recall" -> (annRecall _),
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_stats" -> (embedStats _),
+    "q_embed_dimstats" -> (embedDimStats _),
     "q_ann_lsh" -> (lshAnn _)
   )
 
@@ -154,6 +178,20 @@ object SimilarityQueries {
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
 
+    "q_embed_dimstats" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         vals AS (
+           SELECT i AS dim,
+             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)) AS xd
+           FROM embeddings CROSS JOIN idx),
+         m AS (
+           SELECT dim, count(1) AS n,
+             CAST(CAST(sum(xd) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(sum(xd * xd) AS VARCHAR) AS DOUBLE) AS sum_x2
+           FROM vals GROUP BY dim)
+         SELECT CAST(dim AS INT) AS dim, n, sum_x / n AS mean,
+           (sum_x2 - sum_x * sum_x / n) / n AS var_pop
+         FROM m ORDER BY dim""",
     "q_embed_stats" ->
       """WITH n AS (
            SELECT label, vec_id,
