@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,6 +8,9 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // release GC'd checkpoint/broadcast blocks promptly between
+      // queries instead of at the 30-min default
+      .config("spark.cleaner.periodicGC.interval", "15s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,15 +22,24 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop caches so no query's timing depends on
-      // (or pays GC pressure from) another query's cached state
+      // isolate queries: drop caches AND nudge the context cleaner (it
+      // frees checkpoint/broadcast blocks via GC'd weak references) so
+      // no query's timing depends on — or pays GC pressure from —
+      // another query's retained state
       spark.catalog.clearCache()
+      System.gc()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout can be tail-truncated by the harness (BENCH_r02 lost its
+    // first 8 entries) — persist the full per-query record to a file too
+    try Files.writeString(Paths.get("BENCH_DETAILS.json"), line + "\n")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

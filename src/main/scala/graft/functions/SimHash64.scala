@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -22,36 +22,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * SimHash is a PER-DOCUMENT value — distributing its per-token votes
   * through a (doc_id, token_hash) shuffle and a 64-wide aggregate (the
   * round-1 shape, the bench's slowest query at 6.4 s) buys nothing.
-  * This runs embarrassingly parallel on the scan, and the whole
-  * signature costs one regex split + one XXH64 per token. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+  * This runs embarrassingly parallel on the scan.
+  *
+  * Implements `doGenCode` (like [[PolyHash64]], unlike the round-2
+  * CodegenFallback version): the expression participates in whole-stage
+  * codegen — no interpreted-eval dispatch per row — and the kernel
+  * itself tokenizes by scanning UTF-8 bytes for ASCII whitespace runs,
+  * hashing each token in place from the backing bytes: zero per-token
+  * allocation, no per-row regex, no String materialization. */
+case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].trim().toLowerCase()
-      .split(SimHash64.wsPattern, -1)
-    val votes = new Array[Int](64)
-    var i = 0
-    while (i < toks.length) {
-      val t = toks(i)
-      val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
-      }
-      i += 1
-    }
-    var sig = 0L
-    var b = 0
-    while (b < 64) {
-      if (votes(b) > 0) sig |= (1L << b)
-      b += 1
-    }
-    sig
-  }
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64$$.MODULE$$.compute($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
@@ -60,7 +47,50 @@ case class SimHash64(child: Expression)
 }
 
 object SimHash64 {
-  private val wsPattern = UTF8String.fromString("\\s+")
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes.
+    * Token semantics replicate `split('\s+', -1)` exactly: Java's `\s`
+    * is the six ASCII whitespace bytes — which in UTF-8 never occur
+    * inside a multi-byte character — and the -1 limit keeps the empty
+    * boundary tokens (leading/trailing whitespace that survives the
+    * space-only trim, or a fully-empty document), which vote like any
+    * other token. Public because generated code calls it. */
+  def compute(input: UTF8String): Long = {
+    val s = input.trim().toLowerCase()
+    val n = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    val votes = new Array[Int](64)
+    @inline def vote(start: Int, end: Int): Unit = {
+      val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var i = 0
+    var start = 0
+    while (i < n) {
+      if (isWs(s.getByte(i))) {
+        vote(start, i)
+        i += 1
+        while (i < n && isWs(s.getByte(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    vote(start, n)
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
 
   def register(s: SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl

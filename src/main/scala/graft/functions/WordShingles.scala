@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,40 +20,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluates higher-order-function lambdas interpreted, one closure
   * dispatch per element per subexpression, which made shingling the
   * single hottest stage of the dedup pipeline. This expression runs one
-  * compiled loop per row (~3× on the shingle stage at sf0.1).
-  * First-occurrence order is preserved, exactly like array_distinct.
+  * compiled loop per row, participates in whole-stage codegen via
+  * `doGenCode` (the round-2 version was CodegenFallback), and
+  * tokenizes by scanning UTF-8 bytes for ASCII whitespace runs — no
+  * per-row regex, no String materialization; each shingle is assembled
+  * once directly into its UTF-8 byte array. First-occurrence order is
+  * preserved, exactly like array_distinct.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
-    val words = text.split("\\s+")
-    if (words.length < n || text.isEmpty) new GenericArrayData(Array.empty[Any])
-    else {
-      val seen = new java.util.LinkedHashSet[String]()
-      var i = 0
-      val sb = new java.lang.StringBuilder(64)
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var k = 0
-        while (k < n) {
-          if (k > 0) sb.append(' ')
-          sb.append(words(i + k))
-          k += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-      val out = new Array[Any](seen.size())
-      val it = seen.iterator()
-      var j = 0
-      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
-      new GenericArrayData(out)
-    }
-  }
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles$$.MODULE$$.compute($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -62,6 +45,73 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  @inline private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+
+  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes. Token
+    * semantics replicate `split('\s+')` (limit 0) exactly: Java's `\s`
+    * is the six ASCII whitespace bytes, which in UTF-8 never occur
+    * inside a multi-byte character; the limit-0 split keeps a leading
+    * empty boundary token and drops the trailing one. Public because
+    * generated code calls it. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val s = input.trim().toLowerCase()
+    val nb = s.numBytes
+    if (nb == 0) return Empty
+    // token boundaries
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var m = 0
+    @inline def push(a: Int, b: Int): Unit = {
+      if (m == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, m * 2)
+        ends = java.util.Arrays.copyOf(ends, m * 2)
+      }
+      starts(m) = a; ends(m) = b; m += 1
+    }
+    var i = 0
+    var start = 0
+    while (i < nb) {
+      if (isWs(s.getByte(i))) {
+        push(start, i)
+        i += 1
+        while (i < nb && isWs(s.getByte(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    // final token; when the text ends in whitespace this would be the
+    // trailing empty token, which a limit-0 split drops
+    if (start < nb) push(start, nb)
+    if (m < n) return Empty
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var j = 0
+    while (j <= m - n) {
+      var len = n - 1
+      var k = 0
+      while (k < n) { len += ends(j + k) - starts(j + k); k += 1 }
+      val bytes = new Array[Byte](len)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        if (k > 0) { bytes(pos) = ' '.toByte; pos += 1 }
+        var t = starts(j + k)
+        val e = ends(j + k)
+        while (t < e) { bytes(pos) = s.getByte(t); pos += 1; t += 1 }
+        k += 1
+      }
+      seen.add(UTF8String.fromBytes(bytes))
+      j += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var q = 0
+    while (it.hasNext) { out(q) = it.next(); q += 1 }
+    new GenericArrayData(out)
+  }
+
   def register(s: SparkSession): Unit = {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(

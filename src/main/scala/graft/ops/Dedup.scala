@@ -101,7 +101,15 @@ object Dedup {
     val shingled = docShingles(docs, textCol, idCol).cache()
     val sigs = minhashSignatures(shingled)
     val cands = lshCandidatePairs(sigs)
-    verifyJaccard(cands, shingled).filter(col("jaccard") >= threshold)
+    // materialize the (small) verified pair set eagerly so the
+    // corpus-sized shingle cache can be released before returning —
+    // a session-lifetime `.cache()` here regressed every query that
+    // ran after this one in the round-2 bench
+    val out = verifyJaccard(cands, shingled)
+      .filter(col("jaccard") >= threshold)
+      .localCheckpoint(true)
+    shingled.unpersist()
+    out
   }
 
   /** All-pairs exact n-gram Jaccard WITHOUT a cross join: explode to
@@ -119,22 +127,29 @@ object Dedup {
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    // cache the shingle frame: identical logical plan to the MinHash
-    // pipeline's, so the two share one cache entry in-session
     val shingled = docShingles(docs, textCol, idCol).cache()
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // one row per document — broadcastable at harness scale but
+    // corpus-sized at 100 TB, so the join strategy is left to AQE
+    // (which broadcasts when it fits and shuffles when it doesn't)
+    // instead of a forced broadcast hint that embeds a scale ceiling
     val sizes = shingled.select(col("doc_id"), size(col("shingles")).as("n"))
     val inter = ex.as("a").join(ex.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+    val out = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      // small result, materialized eagerly so the shingle cache is
+      // released at return instead of leaking for the session lifetime
+      .localCheckpoint(true)
+    shingled.unpersist()
+    out
   }
 
   /** INCREMENTAL MinHash near-dup: the pairs a NEW batch introduces —
@@ -152,12 +167,29 @@ object Dedup {
       corpusDocs: DataFrame, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val corpusShingled = docShingles(corpusDocs, textCol, idCol).cache()
-    // production: this index is READ from storage, not recomputed —
-    // building it here keeps the operator self-contained for the gate
+    // production: this index is READ from storage ([[writeDedupIndex]] +
+    // [[minhashNearDupsIndexed]]) — building it inline keeps THIS
+    // operator self-contained for spec-level equivalence checks
     val corpusIndex = minhashBandTable(minhashSignatures(corpusShingled))
     val newShingled = docShingles(newDocs, textCol, idCol).cache()
     val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
+    val out = incrementalPairs(corpusIndex, newIndex,
+        corpusShingled.union(newShingled), threshold)
+      .localCheckpoint(true)
+    corpusShingled.unpersist()
+    newShingled.unpersist()
+    newIndex.unpersist()
+    out
+  }
 
+  /** Candidate generation + exact verify shared by the inline and
+    * persisted-index incremental paths: batch-vs-corpus band collisions
+    * plus batch-vs-batch collisions, exact-Jaccard verified against the
+    * given shingle source (only candidate rows of which survive the
+    * verify joins). */
+  private[ops] def incrementalPairs(
+      corpusIndex: DataFrame, newIndex: DataFrame,
+      shingleSource: DataFrame, threshold: Double): DataFrame = {
     val straddle = newIndex.as("n").join(corpusIndex.as("c"),
         col("n.band") === col("c.band") && col("n.bh") === col("c.bh"))
       .select(least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
@@ -167,8 +199,57 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val cands = straddle.union(within).distinct()
-    verifyJaccard(cands, corpusShingled.union(newShingled))
+    verifyJaccard(cands, shingleSource)
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persist the dedup-index artifacts an incremental ingest pipeline
+    * keeps between batches: the corpus LSH band table (candidate
+    * generation), the corpus shingle sets (exact verification of the
+    * few candidate docs), and the corpus content-hash set (exact-dup
+    * classification). Written once per corpus epoch; every subsequent
+    * batch ingest reads these instead of re-shingling/re-hashing the
+    * corpus — the whole point of the incremental path at 100 TB. On a
+    * real deployment these land on the object store (same parquet
+    * writes); band/hash tables are natural bucketing candidates
+    * ([[graft.io.Layout.writeBucketed]]) so repeated ingest joins
+    * co-locate without a shuffle. */
+  def writeDedupIndex(
+      corpusDocs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val shingled = docShingles(corpusDocs, textCol, idCol).cache()
+    shingled.write.mode("overwrite").parquet(s"$path/shingles")
+    minhashBandTable(minhashSignatures(shingled))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    corpusDocs
+      .select(sha2(lower(trim(col(textCol))), 256).as("text_hash")).distinct()
+      .write.mode("overwrite").parquet(s"$path/hashes")
+    shingled.unpersist()
+  }
+
+  /** Batch-vs-corpus MinHash near-dup pairs against a PERSISTED index
+    * (see [[writeDedupIndex]]): the corpus contributes only its stored
+    * band table (one parquet scan of (doc_id, band, bh)) and its stored
+    * shingle sets (scanned once per verify side, with only candidate
+    * rows surviving the join) — the corpus text is never re-read and
+    * never re-shingled, so ingest cost is ∝ batch size + band
+    * collisions. Output is identical to [[minhashNearDupsIncremental]]
+    * (asserted in DedupSpec, plus a plan-shape check that no shingle
+    * expression touches the corpus side). */
+  def minhashNearDupsIndexed(
+      indexPath: String, newDocs: DataFrame, textCol: String, idCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = newDocs.sparkSession
+    val corpusIndex = spark.read.parquet(s"$indexPath/bands")
+    val corpusShingles = spark.read.parquet(s"$indexPath/shingles")
+    val newShingled = docShingles(newDocs, textCol, idCol).cache()
+    val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
+    val out = incrementalPairs(corpusIndex, newIndex,
+        corpusShingles.union(newShingled), threshold)
+      .localCheckpoint(true)
+    newShingled.unpersist()
+    newIndex.unpersist()
+    out
   }
 
   /** INCREMENTAL exact dedup: classify a new batch against the corpus'
@@ -245,12 +326,18 @@ object Dedup {
     * millions of docs, collision-heavy at billions. The knobs, in
     * order: tighten maxHamming (7 bands × 9 bits is NOT valid — bands
     * must divide 64 — but 2 bands × 32 bits covers hamming ≤ 1), widen
-    * the signature (SimHash128 doubles band width at the same bound),
-    * or salt-split hot band values into block-pair tasks exactly as
-    * `Similarity.blockedTop1` does for LSH buckets. */
+    * the signature (SimHash128 doubles band width at the same bound) —
+    * and, built in below, hot band values split into bounded
+    * block-pair tasks exactly as `Similarity.blockedTop1` does for LSH
+    * buckets: any (band, bits) bucket beyond `maxGroup` members becomes
+    * nb² tasks of ≤ 2·maxGroup signatures instead of one quadratic
+    * straggler. The bucket census is JOINED back, never collected —
+    * bucket count grows with the corpus, unlike the ANN group census. */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val bands = maxHamming + 1
     require(64 % bands == 0, s"maxHamming+1=$bands must divide 64")
     val width = 64 / bands
@@ -269,15 +356,63 @@ object Dedup {
     val buckets = sigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bits") === col("b.bits") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming(col("a.simhash"), col("b.simhash")).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val sized = buckets.join(
+      buckets.groupBy(col("band"), col("bits")).agg(count(lit(1)).as("gn")),
+      Seq("band", "bits"))
+    // block-pair fan-out (same scheme as Similarity.cosineNearDupPairsBlocked):
+    // a member of block b joins every task (i ≤ j) with i == b or j == b;
+    // each cross-block pair meets in exactly one task, each within-block
+    // pair in exactly one diagonal task. nb == 1 ⇒ one task per bucket
+    // (the common case); only buckets beyond maxGroup fan out.
+    val tasked = sized
+      .select(col("band"), col("bits"), col("gn"), col("doc_id"), col("simhash"))
+      .as[(Int, Long, Long, Long, Long)]
+      .flatMap { case (band, bits, gn, id, sig) =>
+        val nb = Similarity.numBlocks(gn, maxGroup)
+        if (nb == 1) Iterator.single((band, bits, 0, 0.toByte, id, sig))
+        else {
+          val b = Math.floorMod(
+            org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 11),
+            nb.toLong).toInt
+          val left = (b until nb).iterator.map(j =>
+            (band, bits, b * nb + j, 0.toByte, id, sig))
+          val right = (0 until b).iterator.map(i =>
+            (band, bits, i * nb + b, 1.toByte, id, sig))
+          left ++ right
+        }
+      }
+    val pairs = tasked
+      .groupByKey(t => (t._1, t._2, t._3))
+      .flatMapGroups { (_: (Int, Long, Int), it: Iterator[(Int, Long, Int, Byte, Long, Long)]) =>
+        // diagonal tasks (i == j) receive only role 0 → all-pairs within;
+        // off-diagonal tasks receive both roles → cross-block pairs only
+        // (within-block pairs belong to that block's diagonal task)
+        val ls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        it.foreach { case (_, _, _, role, id, sig) =>
+          if (role == 0) ls += ((id, sig)) else rs += ((id, sig))
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        def emit(a: (Long, Long), b: (Long, Long)): Unit =
+          if (a._1 != b._1) {
+            val h = java.lang.Long.bitCount(a._2 ^ b._2)
+            if (h <= maxHamming)
+              out += ((math.min(a._1, b._1), math.max(a._1, b._1), h))
+          }
+        if (rs.isEmpty) {
+          var i = 0
+          while (i < ls.length) {
+            var j = i + 1
+            while (j < ls.length) { emit(ls(i), ls(j)); j += 1 }
+            i += 1
+          }
+        } else {
+          ls.foreach(a => rs.foreach(b => emit(a, b)))
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "hamming")
+    pairs.distinct()
   }
 
   /** Connected components of the undirected near-dup pair graph by

@@ -394,46 +394,67 @@ object Similarity {
     bests
   }
 
+  /** Safety margin between the double-precision ranking and the
+    * exact-decimal re-rank: double-vs-exact cosine order can disagree
+    * only when two candidates' dots differ by less than the double
+    * summation error (~1e-14 relative at d = 64) — so every fast cut
+    * keeps, beyond the top k by double rank, every candidate within
+    * `tieMargin` of the k-th dot, and the EXACT rank makes the final
+    * cut to k. Without the window, a boundary inversion could drop a
+    * true top-k member before the rescore sees it (and the
+    * `nprobe = k ⇒ exhaustively exact` IVF invariant would not hold);
+    * a blanket k+8 window instead would multiply the expensive exact
+    * rescores 9× for nothing — near-ties are what actually needs
+    * rescoring, and 1e-9 is five orders looser than the error bound. */
+  private val tieMargin = 1e-9
+
+  /** Extra per-task candidates kept in the local-bests lists (cheap —
+    * insertion-list slots, no exact evals) so cross-task near-ties at
+    * the k-th position survive into the global shortlist. */
+  private val rankWindow = 8
+
+  /** Per-query shortlist for top-1: the best-by-double candidate plus
+    * its near-ties; [[rescoreTop1]]'s exact rank picks the winner. */
   private def blockedTop1(
       rows: Dataset[(Long, Byte, Long, Array[Double])],
       maxGroup: Int): DataFrame =
-    blockedLocalBests(rows, 1, maxGroup)
-      .groupBy(col("qid"))
-      .agg(max(struct(col("dot"), (-col("cid")).as("nc"))).as("m"))
-      .select(col("qid"), (-col("m.nc")).as("cid"))
+    blockedTopK(rows, 1, maxGroup)
 
-  /** Global top-k across tasks: distinct the (deterministically
-    * duplicated) local bests, rank per query. Returns (qid, cid) with
-    * fast-rank ≤ k; the exact-rescore stage re-ranks. */
+  /** Global shortlist across tasks: distinct the (deterministically
+    * duplicated) local bests, rank per query by the double dot, keep
+    * rank ≤ k plus anything within [[tieMargin]] of the k-th dot.
+    * Returns (qid, cid); the exact-rescore stage re-ranks and cuts
+    * to k. */
   private def blockedTopK(
       rows: Dataset[(Long, Byte, Long, Array[Double])],
       k: Int, maxGroup: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
-    blockedLocalBests(rows, k, maxGroup)
+    val wq = Window.partitionBy(col("qid"))
+    blockedLocalBests(rows, k + rankWindow, maxGroup)
       .dropDuplicates("qid", "cid")
       .withColumn("rf", row_number().over(w))
-      .filter(col("rf") <= k)
+      // kth is null when a query has fewer than k candidates — then
+      // rf <= k already keeps every row
+      .withColumn("kth", max(when(col("rf") === k, col("dot"))).over(wq))
+      .filter(col("rf") <= k || col("dot") >= col("kth") - lit(tieMargin))
       .select(col("qid"), col("cid"))
   }
 
-  /** Exact-decimal rescore of per-query winners → (qid, cid, cos).
-    * No broadcast hint: at harness scale AQE broadcasts the sub-MB
-    * embedding side on its own; at 100 TB neither side fits a
-    * broadcast and the correct plan is a shuffle join on the ids —
-    * forcing broadcast here would re-introduce a driver-memory ceiling
-    * the blocked kernels exist to avoid. */
-  private def rescoreTop1(winners: DataFrame, vecs: DataFrame): DataFrame =
-    winners
-      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
-      .withColumn("cos",
-        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+  /** Exact-decimal rescore of each query's shortlist, keeping the
+    * exact-rank winner → (qid, cid, cos). Join strategy left to AQE
+    * (see [[rescoreTopK]]). */
+  private def rescoreTop1(shortlist: DataFrame, vecs: DataFrame): DataFrame =
+    rescoreTopK(shortlist, vecs, 1)
       .select(col("qid"), col("cid"), col("cos"))
 
   /** Exact-decimal rescore + re-rank of a per-query shortlist →
     * (qid, rnk, cos, cid). Ranks come from the EXACT cosine (ties →
-    * lowest cid), like [[bruteForceTopK]]'s output contract. Join
-    * strategy left to AQE for the same reason as [[rescoreTop1]]. */
+    * lowest cid), like [[bruteForceTopK]]'s output contract. No
+    * broadcast hint: at harness scale AQE broadcasts the sub-MB
+    * embedding side on its own; at 100 TB neither side fits a
+    * broadcast and the correct plan is a shuffle join on the ids —
+    * forcing broadcast here would re-introduce a driver-memory ceiling
+    * the blocked kernels exist to avoid. */
   private def rescoreTopK(shortlist: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     shortlist
@@ -457,6 +478,28 @@ object Similarity {
     val rows = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
       .map { case (id, arr) => (0L, 3.toByte, id, unitD(arr)) }
+    rescoreTop1(blockedTop1(rows, maxGroup), vecs)
+  }
+
+  /** Exact top-1 for a deterministic SAMPLE of query vectors against
+    * the FULL candidate corpus — the scalable form of
+    * [[bruteForceTop1All]]'s recall ground truth: task count is
+    * sample·corpus/cap² instead of corpus²/cap², which is what a
+    * 100 TB deployment's recall gate runs. The sampling contract:
+    * `isQuery` must be a deterministic pure function of the row (e.g.
+    * the md5-of-id rule of `q_sample_hash`), never `rand()` — the gate
+    * has to reproduce bit-identically across runs, engines, and
+    * partitionings. Non-sampled vectors still participate as
+    * candidates, so each sampled query's neighbor is its true corpus
+    * top-1, not a sample-restricted one. */
+  def bruteForceTop1Sampled(
+      vecs: DataFrame, isQuery: Column, maxGroup: Int = 512): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs
+      .select(col("vec_id"), col("embedding"), isQuery.cast("boolean").as("isq"))
+      .as[(Long, Array[Float], Boolean)]
+      .map { case (id, arr, q) => (0L, (if (q) 3 else 2).toByte, id, unitD(arr)) }
     rescoreTop1(blockedTop1(rows, maxGroup), vecs)
   }
 
@@ -486,7 +529,12 @@ object Similarity {
     * split into bounded block-pair tasks instead of one quadratic
     * straggler (round-1 defect). The final per-query argmax across
     * tables deduplicates candidates found by several tables for free. */
-  /** (table, code)-grouped rows for the LSH variants. */
+  /** (table, code)-grouped rows for the LSH variants. The hyperplane
+    * matrix is a pure function of (table, plane, dim), so each
+    * partition rebuilds it from its first row's dimensionality (2k
+    * doubles at the defaults) — no broadcast, no extra `head()` job to
+    * probe the dimension, and an empty corpus yields an empty result
+    * instead of a NoSuchElementException. */
   private def lshCodedRows(
       vecs: DataFrame, planes: Int, tables: Int): Dataset[(Long, Byte, Long, Array[Double])] = {
     val spark = vecs.sparkSession
@@ -494,15 +542,13 @@ object Similarity {
     require(planes >= 1 && planes <= 20, s"planes=$planes out of range")
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val dims = typed.head()._2.length
-    val planeMat: Array[Array[Array[Double]]] =
-      Array.tabulate(tables, planes)((t, p) =>
-        Array.tabulate(dims)(d => planeComponent(t, p, d)))
-    val bc = spark.sparkContext.broadcast(planeMat)
 
     typed.mapPartitions { it =>
-      val pm = bc.value
+      var pm: Array[Array[Array[Double]]] = null
       it.flatMap { case (id, arr) =>
+        if (pm == null)
+          pm = Array.tabulate(tables, planes)((t, p) =>
+            Array.tabulate(arr.length)(d => planeComponent(t, p, d)))
         val v = unitD(arr)
         (0 until pm.length).iterator.map { t =>
           var code = 0L
@@ -559,20 +605,30 @@ object Similarity {
     * once to 9 decimals, then summed in longs — integer addition is
     * order-independent, so the new centroids are bit-identical under
     * any partitioning, unlike a double mean). Partition partials (≤ k·d
-    * longs each) are reduced on the driver; at extreme partition counts
-    * the same partials tree-reduce instead. Long capacity: |unit
-    * component| ≤ 1 → |list sum| ≤ n·10⁹, exact to ~9·10⁹ vectors per
-    * list. Empty lists keep their previous centroid. */
+    * longs each) are collected and merged on the driver; beyond
+    * `treeReduceMinParts` partitions the same partials are merged with
+    * `treeReduce` (executor-side combining, driver receives O(√parts)
+    * partials instead of one per partition — at 10⁵ partitions × k·d
+    * longs a flat collect would be GBs on the driver). Both paths add
+    * the same integers, so the centroids are bit-identical (asserted in
+    * SimilaritySpec). Long capacity: |unit component| ≤ 1 → |list sum| ≤
+    * n·10⁹, exact to ~9·10⁹ vectors per list. Empty lists keep their
+    * previous centroid. */
   private[ops] def trainCentroids(
-      typed: Dataset[(Long, Array[Float])], k: Int, iters: Int): Array[Array[Double]] = {
+      typed: Dataset[(Long, Array[Float])], k: Int, iters: Int,
+      treeReduceMinParts: Int = 512): Array[Array[Double]] = {
     val spark = typed.sparkSession
     import spark.implicits._
     val units = typed.map { case (id, arr) => (id, unitD(arr)) }.cache()
     var cents: Array[Array[Double]] = units.orderBy(col("_1")).take(k).map(_._2)
     val dims = if (cents.isEmpty) 0 else cents(0).length
+    if (cents.isEmpty) { units.unpersist(); return cents }
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
-      val partials: Array[(Array[Long], Array[Array[Long]])] =
+      // kk = actual centroid count — min(n, k); indexing with k would
+      // overrun the partial arrays when the corpus has fewer than k rows
+      val kk = cents.length
+      val partialsDs =
         units.mapPartitions { it =>
           val cs = bc.value
           val counts = new Array[Long](cs.length)
@@ -586,19 +642,29 @@ object Similarity {
           }
           if (counts.exists(_ > 0)) Iterator.single((counts, sums))
           else Iterator.empty
-        }.collect()
-      // kk = actual centroid count — min(n, k); indexing with k would
-      // overrun the partial arrays when the corpus has fewer than k rows
-      val kk = cents.length
-      val counts = new Array[Long](kk)
-      val acc = Array.fill(kk)(new Array[Long](dims))
-      partials.foreach { case (cnt, sums) =>
+        }
+      // in-place merge: integer addition is associative/commutative, so
+      // any merge tree yields the same sums bit-for-bit
+      def merge(
+          a: (Array[Long], Array[Array[Long]]),
+          b: (Array[Long], Array[Array[Long]])): (Array[Long], Array[Array[Long]]) = {
         var j = 0
         while (j < kk) {
-          counts(j) += cnt(j)
+          a._1(j) += b._1(j)
           var i = 0
-          while (i < dims) { acc(j)(i) += sums(j)(i); i += 1 }
+          while (i < dims) { a._2(j)(i) += b._2(j)(i); i += 1 }
           j += 1
+        }
+        a
+      }
+      val (counts, acc) = {
+        val rdd = partialsDs.rdd
+        if (rdd.getNumPartitions >= treeReduceMinParts)
+          // cents nonEmpty ⇒ ≥ 1 vector ⇒ ≥ 1 partial: treeReduce is safe
+          rdd.treeReduce(merge _, depth = 2)
+        else {
+          val zero = (new Array[Long](kk), Array.fill(kk)(new Array[Long](dims)))
+          partialsDs.collect().foldLeft(zero)(merge)
         }
       }
       val next = cents.map(_.clone())

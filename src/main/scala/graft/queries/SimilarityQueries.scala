@@ -99,11 +99,22 @@ object SimilarityQueries {
     * invariant pattern. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    // cached: the ground truth (the costliest pipeline here) feeds BOTH
-    // method rows of the union — uncached it would run twice
+    // eagerly checkpointed: the ground truth (the costliest pipeline
+    // here) feeds BOTH method rows of the union — unmaterialized it
+    // would run twice, and a `.cache()` would pin it for the session
+    // lifetime (the round-2 bench regression); the checkpoint is small
+    // (one row per vector) and cleaner-released when out of scope
     val truth = Similarity.bruteForceTop1All(e)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-      .cache()
+      .localCheckpoint(true)
+    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60)
+  }
+
+  /** One gate row per ANN method against the given exact ground truth
+    * (which may cover all vectors or a deterministic query sample). */
+  private def recallRows(
+      e: DataFrame, truth: DataFrame,
+      ivfFloor: Double, lshFloor: Double): DataFrame = {
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(
@@ -114,9 +125,28 @@ object SimilarityQueries {
         .select(lit(method).as("method"), col("n_queries"),
           (col("n_found").cast("double") / col("n_queries").cast("double") >= floor)
             .as("recall_ok"))
-    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), 0.50)
-      .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), 0.60))
+    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), ivfFloor)
+      .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
       .orderBy(col("method"))
+  }
+
+  /** The SAMPLED recall gate — the form that survives 100×: exact
+    * ground truth only for a deterministic ~25% md5-of-id query sample
+    * (the `q_sample_hash` rule) against the FULL candidate corpus, so
+    * the all-pairs cost is sample·corpus/cap² instead of corpus²/cap².
+    * Sampling contract: membership is a pure function of vec_id
+    * (substr(md5(id), 1, 1) < '4'), bit-stable across runs, engines,
+    * and partitionings — recall on the sample is therefore
+    * deterministic, and the floors sit below the measured sampled
+    * recall at every SF (LSH 0.679–0.762, IVF 0.570–0.671 across
+    * sf0.001/0.01/0.1 — `graft.tools.RecallProbe`). */
+  def annRecallSampled(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    val truth = Similarity.bruteForceTop1Sampled(e, isQ)
+      .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+      .localCheckpoint(true)
+    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60)
   }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
@@ -131,6 +161,7 @@ object SimilarityQueries {
     "q_ann_lsh_topk" -> (lshAnnK _),
     "q_ann_topk" -> (annTopK _),
     "q_ann_recall" -> (annRecall _),
+    "q_ann_recall_sampled" -> (annRecallSampled _),
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
@@ -160,6 +191,13 @@ object SimilarityQueries {
       """SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
          UNION ALL
          SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+         ORDER BY method""",
+    "q_ann_recall_sampled" ->
+      """SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+         UNION ALL
+         SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
          ORDER BY method""",
     "q_ann_topk" ->
       (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10") +

@@ -72,6 +72,40 @@ class DedupSpec extends SparkSpec {
     inc should not be empty
   }
 
+  "minhashNearDupsIndexed" should "match the inline incremental path without touching corpus text" in {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = 250L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-index").toString
+    Dedup.writeDedupIndex(real.filter(col("doc_id") < split), "text", "doc_id", tmp)
+    // batch as an in-memory frame: the only file source the indexed
+    // plan can possibly reference is the persisted index
+    val batch = real.filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.toDF("doc_id", "text")
+    val indexed = Dedup.minhashNearDupsIndexed(tmp, batch, "text", "doc_id", 0.8)
+      .collect().map(_.toSeq).toSet
+    val inline = Dedup.minhashNearDupsIncremental(
+        real.filter(col("doc_id") < split), real.filter(col("doc_id") >= split),
+        "text", "doc_id", 0.8)
+      .collect().map(_.toSeq).toSet
+    indexed shouldBe inline
+    indexed should not be empty
+
+    // plan shape: the corpus is consulted ONLY through the stored
+    // artifacts — the index path is scanned, the corpus docs parquet
+    // never appears, so the corpus side cannot have been re-shingled
+    val corpusIndex = spark.read.parquet(s"$tmp/bands")
+    val corpusShingles = spark.read.parquet(s"$tmp/shingles")
+    val newShingled = Dedup.docShingles(batch, "text", "doc_id")
+    val newIndex = Dedup.minhashBandTable(Dedup.minhashSignatures(newShingled))
+    val plan = Dedup.incrementalPairs(corpusIndex, newIndex,
+        corpusShingles.union(newShingled), 0.8)
+      .queryExecution.executedPlan.toString
+    plan should include(tmp)
+    plan should not include "documents.parquet"
+  }
+
   "exactGroupsIncremental" should "classify batch docs against the corpus hash set" in {
     import spark.implicits._
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta")).toDF("doc_id", "text")
@@ -109,6 +143,33 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
     pairs((1L, 4L)) shouldBe 0
+  }
+
+  it should "split a hot band into bounded block-pair tasks with identical pairs" in {
+    import spark.implicits._
+    // 40 identical docs → identical signatures → every (band, bits)
+    // bucket holds all 40; maxGroup 8 → 5 blocks → 15 tasks per bucket
+    val hot = (1L to 40L)
+      .map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    Similarity.numBlocks(40, 8) should be > 1
+    val blocked = Dedup.simhashNearDups(hot, "text", "doc_id", maxHamming = 3, maxGroup = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneTask = Dedup.simhashNearDups(hot, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    blocked shouldBe oneTask
+    blocked.size shouldBe 40 * 39 / 2
+    blocked.map(_._3) shouldBe Set(0)
+  }
+
+  it should "keep the real-corpus pair set invariant under forced splitting" in {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val blocked = Dedup.simhashNearDups(real, "text", "doc_id", maxHamming = 3, maxGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val oneTask = Dedup.simhashNearDups(real, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    blocked shouldBe oneTask
+    blocked should not be empty
   }
 
   "connectedComponents" should "label every node with its component minimum" in {

@@ -185,4 +185,30 @@ class SimilaritySpec extends SparkSpec {
       .groupBy(identity).map(_._2.length)
     sizes.max should be < (500 / 16) * 3
   }
+
+  it should "produce bit-identical centroids via the treeReduce merge path" in {
+    import spark.implicits._
+    val typed = realVecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val viaCollect = Similarity.trainCentroids(typed, k = 8, iters = 2)
+    // threshold 1 forces every merge through treeReduce; integer-nano
+    // partials make the result independent of the merge tree
+    val viaTree = Similarity.trainCentroids(typed, k = 8, iters = 2,
+      treeReduceMinParts = 1)
+    viaTree.length shouldBe viaCollect.length
+    viaTree.zip(viaCollect).foreach { case (a, b) => a shouldBe b }
+  }
+
+  "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    val sampleIds = realVecs.filter(isQ)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val full = Similarity.bruteForceTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampled = Similarity.bruteForceTop1Sampled(realVecs, isQ)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    sampled.keySet shouldBe sampleIds
+    sampleIds.size should be < full.size
+    sampled.foreach { case (q, v) => v shouldBe full(q) }
+  }
 }
