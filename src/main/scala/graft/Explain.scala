@@ -7,6 +7,28 @@ import org.apache.spark.sql.SparkSession
   * Prints `explain("formatted")` so PushedFilters / ReadSchema /
   * broadcast choices / WholeStageCodegen spans are visible. */
 object Explain {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+  import graft.ops.Dedup
+
+  /** Pre-checkpoint plans for operators whose public query surface
+    * eagerly materializes (`localCheckpoint(true)` — the cache-hygiene
+    * pattern) and therefore explains as a bare ExistingRDD scan. These
+    * pseudo-queries rebuild the same logical frame WITHOUT the
+    * checkpoint so the join/aggregate shape stays inspectable. */
+  private val innerPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inner_minhash_pairs" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val shingled = Dedup.docShingles(docs, "text", "doc_id")
+      Dedup.verifyJaccard(
+          Dedup.lshCandidatePairs(Dedup.minhashSignatures(shingled)), shingled)
+        .filter(col("jaccard") >= 0.8)
+    }),
+    "inner_ngram_join" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.ngramJaccardFrame(Dedup.docShingles(docs, "text", "doc_id"), 0.6)
+    }))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
@@ -17,7 +39,7 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries
+    (SparkEntry.queries ++ innerPlans)
       .filter { case (name, _) => which.isEmpty || which.contains(name) }
       .toSeq.sortBy(_._1)
       .foreach { case (name, fn) =>

@@ -128,6 +128,19 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       threshold: Double): DataFrame = {
     val shingled = docShingles(docs, textCol, idCol).cache()
+    val out = ngramJaccardFrame(shingled, threshold)
+      // small result, materialized eagerly so the shingle cache is
+      // released at return instead of leaking for the session lifetime
+      .localCheckpoint(true)
+    shingled.unpersist()
+    out
+  }
+
+  /** The un-materialized ngram-Jaccard plan over a shingled frame —
+    * split out so `graft.Explain` can capture the join shape that
+    * `ngramJaccardPairs`'s eager checkpoint truncates to ExistingRDD. */
+  private[graft] def ngramJaccardFrame(
+      shingled: DataFrame, threshold: Double): DataFrame = {
     val ex = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // one row per document — broadcastable at harness scale but
     // corpus-sized at 100 TB, so the join strategy is left to AQE
@@ -138,18 +151,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    val out = inter
+    inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      // small result, materialized eagerly so the shingle cache is
-      // released at return instead of leaking for the session lifetime
-      .localCheckpoint(true)
-    shingled.unpersist()
-    out
   }
 
   /** INCREMENTAL MinHash near-dup: the pairs a NEW batch introduces —
