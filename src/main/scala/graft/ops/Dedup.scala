@@ -235,6 +235,23 @@ object Dedup {
     shingled.unpersist()
   }
 
+  /** Extend a persisted dedup index with newly-ingested documents —
+    * the per-batch write of a streaming/incremental ingest pipeline
+    * ([[graft.streaming.DocStreams.dedupIngest]]). Same artifacts as
+    * [[writeDedupIndex]], append mode: cost ∝ batch size only. */
+  def appendDedupIndex(
+      batchDocs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val shingled = docShingles(batchDocs, textCol, idCol).cache()
+    shingled.write.mode("append").parquet(s"$path/shingles")
+    minhashBandTable(minhashSignatures(shingled))
+      .write.mode("append").parquet(s"$path/bands")
+    batchDocs
+      .select(sha2(lower(trim(col(textCol))), 256).as("text_hash")).distinct()
+      .write.mode("append").parquet(s"$path/hashes")
+    shingled.unpersist()
+  }
+
   /** Batch-vs-corpus MinHash near-dup pairs against a PERSISTED index
     * (see [[writeDedupIndex]]): the corpus contributes only its stored
     * band table (one parquet scan of (doc_id, band, bh)) and its stored
@@ -440,21 +457,32 @@ object Dedup {
     * the logical plan doubles every iteration — exponential
     * plan-compile blowup long before any data-size limit. On a real
     * cluster with a checkpoint dir configured, `checkpoint` (reliable
-    * storage) is the drop-in hardening of the same cut. */
+    * storage) is the drop-in hardening of the same cut.
+    *
+    * Edge lists at or below `maxLocalEdges` (post-mining pair counts
+    * are bounded by near-dup cluster sizes, so this is the common case
+    * even for large corpora) skip the rounds entirely: one bounded
+    * task runs a min-root union-find over the pair list — no
+    * symmetrize shuffle, no per-round jobs, identical output. Task
+    * memory is ~16 B per distinct id (≤ 2·maxLocalEdges entries); the
+    * default 1e6 caps it around 32 MB. Billion-edge graphs take the
+    * iterative path; `maxLocalEdges = -1` forces it (used by the
+    * cross-path equality spec). */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50, maxLocalEdges: Long = 1000000L): DataFrame = {
     // materialize the pair frame BEFORE the symmetrize union: `fwd`
     // appears twice below, and without the cut the upstream pair-mining
     // pipeline (e.g. the whole MinHash DAG) would execute twice
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(true)
+    if (fwd.count() <= maxLocalEdges) return localComponents(fwd)
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint(true)
     def checksum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast("decimal(30,0)"))).head.getDecimal(0)
+      df.agg(sum(col("comp").cast("decimal(30,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
     var iter = 0
     var done = false
@@ -482,6 +510,36 @@ object Dedup {
         s"connectedComponents did not converge in $maxIters rounds " +
           s"(graph diameter exceeds maxIters); raise maxIters")
     labels
+  }
+
+  /** Single-task min-root union-find over a (src, dst) pair list —
+    * the `maxLocalEdges` fast path of [[connectedComponents]]. Always
+    * attaching the larger root under the smaller means every root IS
+    * its component's minimum id, so `find` yields the same (id, comp)
+    * labeling the iterative propagation converges to. Runs as ONE
+    * executor task (not on the driver): the edge list streams through
+    * the partition iterator, only the id→parent map is held. */
+  private def localComponents(fwd: DataFrame): DataFrame = {
+    val spark = fwd.sparkSession
+    import spark.implicits._
+    fwd.as[(Long, Long)].coalesce(1).mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      it.foreach { case (a, b) =>
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra) else if (rb < ra) parent.put(ra, rb)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+      parent.keySet().forEach { id => out += ((id, find(id))) }
+      out.iterator
+    }.toDF("id", "comp")
   }
 
   /** The actual dedup DECISION a training-data pipeline executes:

@@ -194,7 +194,9 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     val chain = (1L until 10L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val e = intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIters = 2).collect()
+      // maxLocalEdges = -1 forces the iterative path (the single-task
+      // union-find would solve a 9-edge chain without iterating)
+      Dedup.connectedComponents(chain, maxIters = 2, maxLocalEdges = -1).collect()
     }
     e.getMessage should include("did not converge")
   }
@@ -223,6 +225,20 @@ class DedupSpec extends SparkSpec {
       n -> nodes.filter(m => find(m.toInt) == root).min
     }.toMap
     got shouldBe want
+  }
+
+  it should "label identically via the local union-find and iterative paths" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val pairs = Seq.fill(250)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs) // 250 edges → local path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterative = Dedup.connectedComponents(pairs, maxLocalEdges = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    local shouldBe iterative
+    local should not be empty
   }
 
   "dedupDecision" should "keep exactly one survivor per cluster" in {

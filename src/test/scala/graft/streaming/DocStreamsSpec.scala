@@ -1,0 +1,91 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.Dedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class DocStreamsSpec extends SparkSpec {
+
+  // long shared run so appended words keep Jaccard ≥ 0.8 on 3-gram shingles
+  private val longText =
+    "the quick brown fox jumps over the lazy dog again and again " * 3
+  private val otherText =
+    "completely different words entirely unrelated content sits here now"
+  private val freshText =
+    "a fresh novel document with its own wording and nothing shared one"
+
+  "dedupIngest" should "dedup each micro-batch against the growing corpus index" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream").toString
+    val index = s"$tmp/index"
+    val sink = s"$tmp/sink"
+    val corpus = Seq(
+      (1L, longText + "alpha beta gamma"),
+      (2L, otherText)).toDF("doc_id", "text")
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", index)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.dedupIngest(
+      mem.toDF().toDF("doc_id", "text"), index, sink)
+    try {
+      mem.addData(
+        (100L, longText + "alpha beta gamma delta"), // near-dup of corpus doc 1
+        (101L, otherText),                           // exact dup of corpus doc 2
+        (102L, freshText),                           // genuinely new → kept
+        (103L, freshText))                           // exact dup within the batch
+      q.processAllAvailable()
+      mem.addData(
+        // near-dup of doc 102, which was only just streamed in — drops
+        // ONLY if batch 1 extended the index (the property under test)
+        (200L, freshText + " two"),
+        (201L, "another genuinely new piece of text streaming in the second batch"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val decisions = spark.read.parquet(s"$sink/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    decisions shouldBe Map(
+      100L -> "near_dup", 101L -> "exact_dup_corpus",
+      102L -> "kept", 103L -> "exact_dup_batch",
+      200L -> "near_dup", 201L -> "kept")
+
+    val kept = spark.read.parquet(s"$sink/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(102L, 201L)
+
+    // the index now carries the survivors' artifacts, nothing else's
+    val indexed = spark.read.parquet(s"$index/bands")
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    indexed shouldBe Set(1L, 2L, 102L, 201L)
+  }
+
+  "batchDecisions" should "match the batch incremental operators on real documents" in {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-docstream-real").toString
+    Dedup.writeDedupIndex(
+      real.filter(col("doc_id") < 250), "text", "doc_id", tmp)
+    val batch = real.filter(col("doc_id") >= 250)
+    val decisions = DocStreams.batchDecisions(batch, tmp, "text", "doc_id", 0.8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    decisions.keySet shouldBe
+      batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // every doc the pair-level operators implicate is dropped, and the
+    // drop reasons agree with the exact classifier
+    val exact = Dedup.exactGroupsIncremental(
+        spark.read.parquet(s"$tmp/hashes"), batch, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    exact.foreach { case (id, st) =>
+      if (st == "dup_of_corpus") decisions(id) shouldBe "exact_dup_corpus"
+      if (st == "dup_in_batch") decisions(id) shouldBe "exact_dup_batch"
+    }
+    val pairs = Dedup.minhashNearDupsIndexed(tmp, batch, "text", "doc_id", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      // the larger id of any verified pair never survives
+      decisions.get(math.max(a, b)).foreach { st => st should not be "kept" }
+    }
+  }
+}
