@@ -440,6 +440,131 @@ object Similarity {
       .select(col("qid"), col("cid"))
   }
 
+  // ---- int8 scalar quantization (SQ8) ----
+
+  /** Quantize a UNIT vector to int8: q(i) = round(127·v(i)) ∈
+    * [-127, 127]. The scale is a constant (1/127) because the inputs
+    * are unit-normalized, so quantized dot products are pure INTEGER
+    * arithmetic — deterministic on any executor, any SIMD width, any
+    * reduction order. At 100 TB this is the representation the scan
+    * reads: 4× fewer bytes per vector than float32 (16× vs the
+    * double-unit form), which is the difference between an IO-bound
+    * and a compute-bound all-pairs pass. */
+  private def quantizeUnit(v: Array[Double]): Array[Byte] = {
+    val q = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = math.round(v(i) * 127.0).toByte; i += 1 }
+    q
+  }
+
+  /** SQ8 top-1 for every vector: the blocked all-pairs scan of
+    * [[bruteForceTop1All]], but each task ranks candidates by the
+    * int8×int8 integer dot over the quantized vectors and only the
+    * per-query shortlist is rescored in exact decimal over the
+    * original floats. Shortlist misses (a true neighbor quantized out
+    * of the top `1 + rankWindow`) are the only recall loss — measured
+    * end-to-end by the `int8` row of `q_ann_recall`. */
+  def int8AnnTop1All(vecs: DataFrame, maxGroup: Int = 512): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, arr) => (0L, 3.toByte, id, quantizeUnit(unitD(arr))) }
+    rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
+  }
+
+  /** [[blockedLocalBests]] over int8-quantized vectors: identical task
+    * structure (hash blocks, ≤ 2 blocks in memory, nb² tasks per hot
+    * group), integer dot accumulation (≤ 127²·d fits an Int at any
+    * practical dimensionality). Kept as a sibling rather than a shared
+    * generic kernel so both hot loops stay primitive and boxing-free. */
+  private def blockedLocalBestsInt8(
+      rows: Dataset[(Long, Byte, Long, Array[Byte])],
+      k: Int, maxGroup: Int): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cached = rows.cache()
+    val nbMap = cached.groupByKey(_._1).count().collect()
+      .map { case (g, n) => g -> numBlocks(n, maxGroup) }.toMap
+    val bcNb = spark.sparkContext.broadcast(nbMap)
+
+    val tasked = cached.flatMap { case (g, role, id, v) =>
+      val nb = bcNb.value(g)
+      if (nb == 1) Iterator.single((g, 0, role, id, v))
+      else {
+        val b = Math.floorMod(XXH64.hashLong(id, 11), nb.toLong).toInt
+        val isQ = (role & 1) != 0
+        val isC = (role & 2) != 0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Long, Array[Byte])]
+        var j = 0
+        while (j < nb) {
+          val qTask = b * nb + j
+          val cTask = j * nb + b
+          if (qTask == cTask) out += ((g, qTask, role, id, v))
+          else {
+            if (isQ) out += ((g, qTask, 1.toByte, id, v))
+            if (isC) out += ((g, cTask, 2.toByte, id, v))
+          }
+          j += 1
+        }
+        out.iterator
+      }
+    }
+
+    val bests = tasked
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Byte])]) =>
+        val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+        it.foreach { case (_, _, role, id, v) =>
+          if ((role & 1) != 0) qs += ((id, v))
+          if ((role & 2) != 0) cs += ((id, v))
+        }
+        qs.iterator.flatMap { case (qid, qv) =>
+          val bDot = new Array[Int](k)
+          val bCid = new Array[Long](k)
+          var n = 0
+          cs.foreach { case (cid, cv) =>
+            if (cid != qid) {
+              var dot = 0; var d = 0
+              while (d < qv.length) { dot += qv(d) * cv(d); d += 1 }
+              if (n < k || dot > bDot(n - 1) ||
+                  (dot == bDot(n - 1) && cid < bCid(n - 1))) {
+                var i = math.min(n, k - 1)
+                while (i > 0 && (bDot(i - 1) < dot ||
+                    (bDot(i - 1) == dot && bCid(i - 1) > cid))) {
+                  bDot(i) = bDot(i - 1); bCid(i) = bCid(i - 1); i -= 1
+                }
+                bDot(i) = dot; bCid(i) = cid
+                if (n < k) n += 1
+              }
+            }
+          }
+          (0 until n).iterator.map(i => (qid, bCid(i), bDot(i)))
+        }
+      }
+      .toDF("qid", "cid", "dot")
+      .localCheckpoint(true)
+    cached.unpersist()
+    bests
+  }
+
+  /** Shortlist by integer dot rank. Integer ties are EXACT (no float
+    * margin needed): keep rank ≤ k plus every exact tie with the k-th
+    * dot; the exact-decimal rescore makes the final cut. */
+  private def blockedTopKInt8(
+      rows: Dataset[(Long, Byte, Long, Array[Byte])],
+      k: Int, maxGroup: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    val wq = Window.partitionBy(col("qid"))
+    blockedLocalBestsInt8(rows, k + rankWindow, maxGroup)
+      .dropDuplicates("qid", "cid")
+      .withColumn("rf", row_number().over(w))
+      .withColumn("kth", max(when(col("rf") === k, col("dot"))).over(wq))
+      .filter(col("rf") <= k || col("dot") >= col("kth"))
+      .select(col("qid"), col("cid"))
+  }
+
   /** Exact-decimal rescore of each query's shortlist, keeping the
     * exact-rank winner → (qid, cid, cos). Join strategy left to AQE
     * (see [[rescoreTopK]]). */

@@ -107,14 +107,17 @@ object SimilarityQueries {
     val truth = Similarity.bruteForceTop1All(e)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
       .localCheckpoint(true)
-    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60)
+    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85)
   }
 
   /** One gate row per ANN method against the given exact ground truth
-    * (which may cover all vectors or a deterministic query sample). */
+    * (which may cover all vectors or a deterministic query sample).
+    * Floors sit under the engine-measured recall at every SF
+    * (`graft.tools.RecallProbe`): LSH 0.679–0.762, IVF 0.570–0.671,
+    * int8/SQ8 0.933–0.950. */
   private def recallRows(
       e: DataFrame, truth: DataFrame,
-      ivfFloor: Double, lshFloor: Double): DataFrame = {
+      ivfFloor: Double, lshFloor: Double, int8Floor: Double): DataFrame = {
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(
@@ -127,6 +130,7 @@ object SimilarityQueries {
             .as("recall_ok"))
     row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), ivfFloor)
       .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
+      .unionAll(row("int8", Similarity.int8AnnTop1All(e), int8Floor))
       .orderBy(col("method"))
   }
 
@@ -146,7 +150,7 @@ object SimilarityQueries {
     val truth = Similarity.bruteForceTop1Sampled(e, isQ)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
       .localCheckpoint(true)
-    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60)
+    recallRows(e, truth, ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85)
   }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
@@ -188,12 +192,17 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_recall" ->
-      """SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+      """SELECT 'int8' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+         UNION ALL
+         SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
          UNION ALL
          SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
          ORDER BY method""",
     "q_ann_recall_sampled" ->
-      """SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok
+      """SELECT 'int8' AS method, count(1) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+         UNION ALL
+         SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok
          FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
          UNION ALL
          SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok

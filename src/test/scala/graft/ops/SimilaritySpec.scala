@@ -199,6 +199,42 @@ class SimilaritySpec extends SparkSpec {
     viaTree.zip(viaCollect).foreach { case (a, b) => a shouldBe b }
   }
 
+  "int8AnnTop1All" should "agree with the exact top-1 within the quantization budget" in {
+    val exact = Similarity.bruteForceTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sq8 = Similarity.int8AnnTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    sq8.keySet shouldBe exact.keySet
+    // same deterministic measurement the q_ann_recall int8 floor (0.85)
+    // sits under: 0.936 on this corpus (integer dots → bit-stable)
+    val hits = exact.count { case (q, (cid, cos)) =>
+      sq8(q)._1 == cid || sq8(q)._2 == cos
+    }
+    hits.toDouble / exact.size should be >= 0.9
+    // every returned cosine is the EXACT decimal cosine of its pair
+    // (quantization only picks the shortlist, never the reported score):
+    // a hit's cosine must equal the exact ground-truth cosine bit-for-bit
+    exact.foreach { case (q, (cid, cos)) =>
+      if (sq8(q)._1 == cid) sq8(q)._2 shouldBe cos
+    }
+  }
+
+  it should "equal exact search when gaps exceed the quantization error" in {
+    import spark.implicits._
+    // orthogonal-ish axis vectors: top-1 gaps are ~1.0, far beyond any
+    // int8 rounding — SQ8 must return exactly the brute-force result
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(0.9f, 0.1f, 0f, 0f),
+      3L -> Array(0f, 1f, 0f, 0f), 4L -> Array(0f, 0.9f, 0.1f, 0f),
+      5L -> Array(0f, 0f, 1f, 0f), 6L -> Array(0f, 0f, 0.9f, 0.1f))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTop1All(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sq8 = Similarity.int8AnnTop1All(vecs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    sq8 shouldBe exact
+  }
+
   "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
     val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
     val sampleIds = realVecs.filter(isQ)
