@@ -83,4 +83,40 @@ object Text {
     }._2
     (scores, guess)
   }
+
+  /** Overlapping token-window chunking — the context-window prep step
+    * of an LLM training pipeline: each document becomes
+    * `max(1, ceil((n − overlap) / step))` chunks of up to `chunkSize`
+    * tokens, consecutive chunks sharing `overlap` tokens
+    * (`step = chunkSize − overlap`). The last chunk is short iff the
+    * document doesn't fill it; documents shorter than one chunk yield
+    * exactly one chunk. Pure built-in expressions (tokenize once,
+    * `sequence` + `explode` + `slice`) — codegen'd, shuffle-free, and
+    * embarrassingly parallel: output ≈ n/step rows per doc regardless
+    * of corpus size, so the operator scales with the scan. Chunk ids
+    * (`doc_id`, `chunk_idx`) are a pure function of the document —
+    * deterministic under any partitioning, and stable across epochs
+    * for incremental re-chunking. */
+  def chunks(
+      docs: org.apache.spark.sql.DataFrame, textCol: String, idCol: String,
+      chunkSize: Int = 64, overlap: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("w"))
+      .withColumn("n", size(col("w")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0),
+          greatest(lit(0),
+            ceil((col("n") - lit(overlap)).cast("double") / lit(step))
+              .cast("int") - 1))).as("chunk_idx"))
+      .withColumn("start", col("chunk_idx") * step)
+      .withColumn("n_tokens", least(col("n") - col("start"), lit(chunkSize)))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, col("n_tokens")))
+          .as("chunk_text"),
+        col("n_tokens"))
+  }
 }

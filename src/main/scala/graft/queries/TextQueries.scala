@@ -196,6 +196,13 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Context-window chunking of the corpus: 64-token windows with a
+    * 16-token overlap ([[Text.chunks]]) — every chunk row hash-checked
+    * against the DuckDB generate_series + list-slice equivalent. */
+  def chunksQ(s: SparkSession, dir: String): DataFrame =
+    Text.chunks(docs(s, dir), "text", "doc_id")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** The composite training-corpus PREP pipeline — what a user of this
     * engine actually runs end-to-end: quality-filter the corpus (same
     * rule as [[quality]]), mine near-dup pairs on the survivors
@@ -248,6 +255,7 @@ object TextQueries {
     "q_sample_hash" -> (hashSample _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
+    "q_text_chunks" -> (chunksQ _),
     "q_text_tokens" -> (tokenStats _),
     "q_text_quality" -> (quality _),
     "q_text_langid" -> (langIdQ _),
@@ -310,6 +318,21 @@ object TextQueries {
       """SELECT sha256(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
            count(1) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_text_chunks" ->
+      """WITH words AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sized AS (
+           SELECT doc_id, w, len(w) AS n,
+             GREATEST(CAST(CEIL((len(w) - 16) / 48.0) AS BIGINT), 1) AS nk
+           FROM words WHERE len(w) > 0),
+         chunked AS (
+           SELECT doc_id, w, n, unnest(generate_series(0, nk - 1)) AS chunk_idx
+           FROM sized)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(w[chunk_idx*48 + 1 : LEAST(chunk_idx*48 + 64, n)], ' ') AS chunk_text,
+           CAST(LEAST(n - chunk_idx*48, 64) AS INT) AS n_tokens
+         FROM chunked ORDER BY doc_id, chunk_idx""",
     "q_text_tokens" ->
       """SELECT doc_id,
            CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_ws,

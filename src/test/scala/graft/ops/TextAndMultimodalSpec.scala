@@ -75,4 +75,26 @@ class TextAndMultimodalSpec extends SparkSpec {
     frames.map(_.frame_idx).sorted.toSeq shouldBe Seq(0, 2, 4, 6)
     frames.find(_.frame_idx == 0).get.bytes.length shouldBe 16
   }
+
+  "Text.chunks" should "produce overlapping windows that cover every token" in {
+    import spark.implicits._
+    val words113 = (1 to 113).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words113), (2L, "just five little words here")).toDF("doc_id", "text")
+    val out = Text.chunks(docs, "text", "doc_id", chunkSize = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    // 113 tokens, step 48 → ceil((113-16)/48) = 3 chunks at starts 0/48/96
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    d1.map(_._2).toSeq shouldBe Seq(0, 1, 2)
+    d1.map(_._4).toSeq shouldBe Seq(64, 64, 17)
+    d1(0)._3.split(" ").head shouldBe "w1"
+    d1(1)._3.split(" ").head shouldBe "w49"  // start 48 → token 49
+    d1(1)._3.split(" ").take(16).toSeq shouldBe
+      d1(0)._3.split(" ").takeRight(16).toSeq // the 16-token overlap
+    d1(2)._3.split(" ").last shouldBe "w113"
+    // short doc → exactly one whole-doc chunk
+    val d2 = out.filter(_._1 == 2L)
+    d2.length shouldBe 1
+    d2(0)._3 shouldBe "just five little words here"
+    d2(0)._4 shouldBe 5
+  }
 }
