@@ -473,6 +473,25 @@ object Similarity {
     rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
   }
 
+  /** [[int8AnnTop1All]] for a deterministic SAMPLE of query vectors
+    * against the full candidate corpus — same contract as
+    * [[bruteForceTop1Sampled]] (pure-function sampling, full-corpus
+    * candidates), int8 scan cost sample·corpus/cap² instead of
+    * corpus²/cap². Sampled queries' rows are identical to the full
+    * variant's (a query's top-1 never depends on other queries). */
+  def int8AnnTop1Sampled(
+      vecs: DataFrame, isQuery: Column, maxGroup: Int = 512): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs
+      .select(col("vec_id"), col("embedding"), isQuery.cast("boolean").as("isq"))
+      .as[(Long, Array[Float], Boolean)]
+      .map { case (id, arr, q) =>
+        (0L, (if (q) 3 else 2).toByte, id, quantizeUnit(unitD(arr)))
+      }
+    rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
+  }
+
   /** [[blockedLocalBests]] over int8-quantized vectors: identical task
     * structure (hash blocks, ≤ 2 blocks in memory, nb² tasks per hot
     * group), integer dot accumulation (≤ 127²·d fits an Int at any
@@ -867,4 +886,23 @@ object Similarity {
       vecs: DataFrame, topK: Int, k: Int = 16, nprobe: Int = 4,
       lloydIters: Int = 3, maxGroup: Int = 256): DataFrame =
     rescoreTopK(blockedTopK(ivfAssignedRows(vecs, k, nprobe, lloydIters), topK, maxGroup), vecs, topK)
+
+  /** IVF with SQ8 in-list scans — the composition a billion-vector
+    * deployment actually runs (FAISS calls the shape IVF-SQ8): Lloyd
+    * centroids prune the lists (double-precision assignment against
+    * the broadcast centroids), while the scanned rows carry int8
+    * vectors, so the dominant cost — the in-list candidate scan —
+    * reads 4× fewer bytes and ranks by exact integer dots. The
+    * per-query shortlist is rescored in exact decimal as everywhere
+    * else. Recall ≈ IVF's (list pruning dominates; quantization costs
+    * a point or two) — measured and floor-gated in `SimilaritySpec`. */
+  def ivfSq8AnnTop1(
+      vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+      maxGroup: Int = 256): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters)
+      .map { case (g, role, id, v) => (g, role, id, quantizeUnit(v)) }
+    rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
+  }
 }

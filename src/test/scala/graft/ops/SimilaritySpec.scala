@@ -155,6 +155,16 @@ class SimilaritySpec extends SparkSpec {
     ivf should be >= 0.50
   }
 
+  it should "hold IVF-level recall with SQ8 in-list scans" in {
+    val ivf = recallOf(Similarity.ivfAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    val sq8 = recallOf(Similarity.ivfSq8AnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    info(f"sf0.01 IVF recall: float=$ivf%.3f sq8=$sq8%.3f")
+    // same list pruning, int8 in-list ranking: quantization may cost a
+    // few points but must stay above the q_ann_recall IVF floor
+    sq8 should be >= 0.50
+    sq8 should be >= ivf - 0.05
+  }
+
   // Round-1 verdict item 4: Lloyd training must beat the lowest-id
   // centroid seeding it replaced.
   it should "improve IVF recall via Lloyd iterations" in {
@@ -233,6 +243,18 @@ class SimilaritySpec extends SparkSpec {
     val sq8 = Similarity.int8AnnTop1All(vecs)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     sq8 shouldBe exact
+  }
+
+  "int8AnnTop1Sampled" should "equal the full int8 result restricted to the sample" in {
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    val full = Similarity.int8AnnTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampled = Similarity.int8AnnTop1Sampled(realVecs, isQ)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampleIds = realVecs.filter(isQ)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    sampled.keySet shouldBe sampleIds
+    sampled.foreach { case (q, v) => v shouldBe full(q) }
   }
 
   "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
