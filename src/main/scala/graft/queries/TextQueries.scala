@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Text}
+import graft.ops.{Dedup, Multimodal, Similarity, Text}
 import graft.functions.PolyHash64
 
 /** Text-analysis, deduplication, and multimodal queries over the
@@ -150,6 +150,51 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Okapi BM25 top-3 terms per document (k1 = 1.2, b = 0.75, Lucene's
+    * +1-inside-the-log idf so weights stay positive) — the retrieval
+    * scoring twin of [[tfidfTop]], adding document-length
+    * normalization. One tokenize pass: doc length is Σtf, so the
+    * explode is scanned once. df-join strategy left to AQE (the term
+    * dictionary is vocabulary-sized — often broadcastable, corpus-sized
+    * in the worst case, so no forced hint); only the one-row corpus
+    * stats frame is explicitly broadcast. Every double step is written
+    * in the same order as the DuckDB oracle, so scores hash-match. */
+  def bm25Top(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = 1.2
+    val b = 0.75
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), explode(Text.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val scored = tf
+      .join(dfreq, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("score_raw",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      // DuckDB's ln() and Java's Math.log disagree by 1 ULP on ~20% of
+      // these inputs (COVERAGE.md libm note) — quantize to 9 decimals
+      // and RANK on the quantized score so ordering and output are
+      // engine-independent; 1e-9 is 10⁷× the ULP gap, so the rounding
+      // itself can't straddle differently
+      .withColumn("score_d", col("score_raw").cast("decimal(18,9)"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_d").desc, col("term"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        Similarity.decToDouble(col("score_d")).as("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** One-time (per corpus epoch) build of the persisted dedup index the
     * incremental queries ingest against: band table + shingle sets +
     * content-hash set for the doc_id < 400 "already-ingested" corpus.
@@ -255,6 +300,7 @@ object TextQueries {
     "q_sample_hash" -> (hashSample _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
+    "q_text_bm25" -> (bm25Top _),
     "q_text_chunks" -> (chunksQ _),
     "q_text_tokens" -> (tokenStats _),
     "q_text_quality" -> (quality _),
@@ -318,6 +364,37 @@ object TextQueries {
       """SELECT sha256(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
            count(1) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "q_text_bm25" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY doc_id, term),
+         dl AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         dfreq AS (
+           SELECT term, count(1) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.tf,
+             CAST(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE) +
+                    1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+                      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               AS DECIMAL(18,9)) AS score_d
+           FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+         ranked AS (
+           SELECT doc_id, term, tf, score_d,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_d DESC, term) AS rnk
+           FROM scored)
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
+         FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_text_chunks" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
