@@ -29,20 +29,41 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, shingles) pairs, shingles distinct. Uses the native
-    * [[graft.functions.WordShingles]] expression — one compiled loop
-    * per row; the declarative lambda form re-dispatched interpreted
-    * closures per element and was the hottest stage of the dedup
-    * pipeline (semantics identical, see WordShingles scaladoc). */
+  /** (doc_id, shingles) pairs, shingles distinct 64-bit HASHES via the
+    * native [[graft.functions.WordShingleHashes]] expression — one
+    * compiled, allocation-free loop per row. Every consumer (minhash,
+    * banding, the shingle self-join, exact-Jaccard verify) treats
+    * shingles as opaque set elements, so hashing at the source shrinks
+    * the cache, the explode shuffle, the persisted index, and every
+    * array_intersect ~3-4× with identical set semantics (each hash ==
+    * `xxhash64(shingle_string)`, collision odds ~1e-13/doc — see the
+    * expression scaladoc). The string form ([[graft.functions
+    * .WordShingles]], SQL `word_shingles`) remains for display/audit. */
   def docShingles(docs: DataFrame, textCol: String, idCol: String, n: Int = 3): DataFrame = {
-    graft.functions.WordShingles.register(docs.sparkSession)
+    graft.functions.WordShingleHashes.register(docs.sparkSession)
     docs.select(col(idCol).as("doc_id"),
-      graft.functions.WordShingles.wordShingles(textCol, n).as("shingles"))
+      graft.functions.WordShingleHashes.wordShingleHashes(textCol, n).as("shingles"))
   }
 
-  /** 64-minhash signature per document: explode shingles, take the
-    * per-salt min of xxhash64(salt, shingle). One shuffle. */
+  /** 64-minhash signature per document, computed by the native
+    * [[graft.functions.MinHashSigs]] expression: one compiled pass per
+    * document, ZERO shuffle (the round-2 form exploded to
+    * (doc, shingle) and shuffled 64 min-buffers per doc — that
+    * declarative twin survives as [[minhashSignaturesAgg]], asserted
+    * bit-equal in DedupSpec). The signature projection now fuses into
+    * the scan; the first exchange of the minhash pipeline is the band
+    * join. */
   def minhashSignatures(shingled: DataFrame, numHashes: Int = 64): DataFrame = {
+    graft.functions.MinHashSigs.register(shingled.sparkSession)
+    shingled.filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MinHashSigs.minhashSigs("shingles", numHashes).as("sig"))
+  }
+
+  /** Round-2 aggregate formulation of [[minhashSignatures]], kept
+    * solely as the independent cross-check twin of the native
+    * expression (same hash composition: xxhash64(salt, shingleHash)). */
+  private[graft] def minhashSignaturesAgg(shingled: DataFrame, numHashes: Int = 64): DataFrame = {
     val exploded = shingled.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val mins = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))

@@ -207,7 +207,10 @@ object TextQueries {
     import java.nio.file.{Files, Paths}
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props("java.io.tmpdir") + "/graft-dedup-index")
-    val key = java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString
+    // ":v2" = hashed-shingle index schema (array<long>); a key bump
+    // orphans any pre-upgrade string-shingle index rather than
+    // union-ing incompatible schemas
+    val key = java.util.UUID.nameUUIDFromBytes((dir + ":v2").getBytes("UTF-8")).toString
     val path = s"$root/$key"
     val complete = Seq("bands", "shingles", "hashes")
       .forall(a => Files.exists(Paths.get(path, a, "_SUCCESS")))

@@ -72,6 +72,18 @@ class DedupSpec extends SparkSpec {
     inc should not be empty
   }
 
+  "minhashSignatures" should "be bit-equal to the declarative aggregate twin" in {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val shingled = Dedup.docShingles(real, "text", "doc_id")
+    val native = Dedup.minhashSignatures(shingled)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    val agg = Dedup.minhashSignaturesAgg(shingled)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    native.keySet shouldBe agg.keySet
+    native should not be empty
+    native.foreach { case (id, sig) => sig shouldBe agg(id) }
+  }
+
   "minhashNearDupsIndexed" should "match the inline incremental path without touching corpus text" in {
     import spark.implicits._
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -47,6 +47,24 @@ class TextAndMultimodalSpec extends SparkSpec {
     native.toSeq shouldBe declarative.toSeq
   }
 
+  "WordShingleHashes" should "equal xxhash64 of the string shingles, in order" in {
+    import spark.implicits._
+    graft.functions.WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
+    val df = Seq(
+      "a b c d e", "one two", " Mixed  CASE   words here ",
+      "dup dup dup dup dup", "").toDF("text")
+    // hashed form must be reproducible from the string form in plain
+    // SQL: xxhash64(shingle) element-wise (the audit/migration path)
+    val viaStrings = df.selectExpr(
+        "transform(word_shingles(text, 3), s -> xxhash64(s)) AS h")
+      .collect().map(_.getSeq[Long](0).toList)
+    val native = df.selectExpr("word_shingle_hashes(text, 3) AS h")
+      .collect().map(_.getSeq[Long](0).toList)
+    native.toSeq shouldBe viaStrings.toSeq
+    native.head.size shouldBe 3 // "a b c d e" → 3 distinct 3-shingles
+  }
+
   "Multimodal stub pipeline" should "decode deterministic metadata" in {
     import spark.implicits._
     val docs = Seq((7L, "en", "hello world")).toDF("doc_id", "lang", "text")
