@@ -18,6 +18,22 @@ object Bench {
     // charged for session initialization
     spark.range(1000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // ... and the typed-kernel paths (Encoders, mapPartitions/
+    // groupByKey codegen, the blocked ANN kernels): the first ANN
+    // query otherwise pays ~2 s of one-time JIT that has nothing to do
+    // with the query being measured. 64 tiny synthetic vectors — the
+    // warm-up work itself is negligible.
+    locally {
+      import spark.implicits._
+      val tiny = (0L until 64L)
+        .map(i => (i, Array.tabulate(8)(d => ((i * 31 + d) % 17).toFloat)))
+        .toDF("vec_id", "embedding")
+      graft.ops.Similarity.ivfAnnTop1(tiny, k = 4, nprobe = 2, lloydIters = 1).count()
+      graft.ops.Similarity.lshAnnTop1(tiny, planes = 2, tables = 2).count()
+      graft.ops.Similarity.int8AnnTop1All(tiny).count()
+      spark.catalog.clearCache()
+      System.gc()
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
