@@ -55,8 +55,8 @@ object WordShingleHashes {
   @inline private def isWs(b: Byte): Boolean =
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
-  /** Same tokenize pass as [[WordShingles.compute]] (split('\s+')
-    * limit-0 semantics); each window is assembled into ONE reused
+  /** Same tokenize pass as [[WordShingles.compute]] (Spark
+    * split('\s+') limit -1 semantics); each window is assembled into ONE reused
     * scratch buffer and hashed in place — no per-shingle allocation at
     * all. First-occurrence order, like array_distinct. Public because
     * generated code calls it. */
@@ -84,7 +84,7 @@ object WordShingleHashes {
         start = i
       } else i += 1
     }
-    if (start < nb) push(start, nb)
+    push(start, nb) // unconditional: mirror split()'s limit -1 (see WordShingles)
     if (m < n) return Empty
     // scratch buffer sized to the longest window
     var maxLen = 0

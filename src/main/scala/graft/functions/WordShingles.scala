@@ -52,11 +52,12 @@ object WordShingles {
     b == 0x20 || (b >= 0x09 && b <= 0x0d)
 
   /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes. Token
-    * semantics replicate `split('\s+')` (limit 0) exactly: Java's `\s`
-    * is the six ASCII whitespace bytes, which in UTF-8 never occur
-    * inside a multi-byte character; the limit-0 split keeps a leading
-    * empty boundary token and drops the trailing one. Public because
-    * generated code calls it. */
+    * semantics replicate Spark's `split(col, '\s+')` (limit -1)
+    * exactly: Java's `\s` is the six ASCII whitespace bytes, which in
+    * UTF-8 never occur inside a multi-byte character; limit -1 keeps
+    * BOTH boundary empty tokens (leading and trailing) when
+    * non-space whitespace survives the space-only trim(). Public
+    * because generated code calls it. */
   def compute(input: UTF8String, n: Int): ArrayData = {
     val s = input.trim().toLowerCase()
     val nb = s.numBytes
@@ -82,9 +83,13 @@ object WordShingles {
         start = i
       } else i += 1
     }
-    // final token; when the text ends in whitespace this would be the
-    // trailing empty token, which a limit-0 split drops
-    if (start < nb) push(start, nb)
+    // final token — unconditional: when the text ends in (non-space)
+    // whitespace that survives Spark's space-only trim(), this is the
+    // empty boundary token that split's limit -1 keeps. Matching it
+    // exactly keeps the native and declarative forms bit-equal on
+    // every input (fuzzed in RandomizedPropertySpec), not just on
+    // corpus-shaped text.
+    push(start, nb)
     if (m < n) return Empty
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var j = 0

@@ -185,9 +185,9 @@ object SimilarityQueries {
         idx AS (SELECT unnest(range(1, 65)) AS i),
         sums AS (
           SELECT qid, cid,
-            sum(CAST(CAST(qe[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(ce[i] AS DOUBLE) AS DECIMAL(12,9))) AS dot,
-            sum(CAST(CAST(qe[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(qe[i] AS DOUBLE) AS DECIMAL(12,9))) AS qn2,
-            sum(CAST(CAST(ce[i] AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(ce[i] AS DOUBLE) AS DECIMAL(12,9))) AS cn2
+            sum(CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+            sum(CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS qn2,
+            sum(CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS cn2
           FROM q CROSS JOIN c CROSS JOIN idx
           GROUP BY qid, cid),
         scored AS (
@@ -234,7 +234,7 @@ object SimilarityQueries {
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (
            SELECT i AS dim,
-             CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(12,9)) AS xd
+             CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) AS xd
            FROM embeddings CROSS JOIN idx),
          m AS (
            SELECT dim, count(1) AS n,
@@ -247,7 +247,7 @@ object SimilarityQueries {
     "q_embed_stats" ->
       """WITH n AS (
            SELECT label, vec_id,
-             sum(CAST(CAST(e AS DOUBLE) AS DECIMAL(12,9)) * CAST(CAST(e AS DOUBLE) AS DECIMAL(12,9))) AS n2
+             sum(CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(e AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS n2
            FROM (SELECT label, vec_id, unnest(embedding) AS e FROM embeddings)
            GROUP BY label, vec_id)
          SELECT label, count(1) AS n,

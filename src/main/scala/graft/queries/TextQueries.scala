@@ -141,12 +141,18 @@ object TextQueries {
     val scored = tf
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(total))
-      .withColumn("score",
-        col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+      // quantized to 9 decimals in BOTH engines (rank included): at
+      // sf0.1 the raw ln() drifts 1 ULP from DuckDB's on ~300/15000
+      // rows — the same libm gap q_text_bm25 hit (COVERAGE.md libm
+      // note); sf0.01 merely got lucky
+      .withColumn("score_d",
+        (col("tf") * (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0))
+          .cast("decimal(18,9)"))
     val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
+      .orderBy(col("score_d").desc, col("term"))
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("score"))
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"),
+        Similarity.decToDouble(col("score_d")).as("score"))
       .orderBy(col("doc_id"), col("rnk"))
   }
 
@@ -355,13 +361,15 @@ object TextQueries {
          total AS (SELECT count(1) AS n_docs FROM documents),
          scored AS (
            SELECT tf.doc_id, tf.term, tf.tf,
-             tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS score
+             CAST(CAST(tf.tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) AS VARCHAR)
+               AS DECIMAL(18,9)) AS score_d
            FROM tf JOIN dfreq USING (term) CROSS JOIN total),
          ranked AS (
-           SELECT doc_id, term, tf, score,
-             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+           SELECT doc_id, term, tf, score_d,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score_d DESC, term) AS rnk
            FROM scored)
-         SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf, score
+         SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_text_exact_dedup" ->
       """SELECT sha256(lower(trim(text))) AS text_hash, min(doc_id) AS keep_id,
@@ -382,14 +390,14 @@ object TextQueries {
            SELECT CAST(count(1) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
          scored AS (
            SELECT tf.doc_id, tf.term, tf.tf,
-             CAST(
+             CAST(CAST(
                ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
                     (CAST(df AS DOUBLE) + 0.5) + 1.0)
                  * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
                  / (CAST(tf.tf AS DOUBLE) +
                     1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
                       (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-               AS DECIMAL(18,9)) AS score_d
+               AS VARCHAR) AS DECIMAL(18,9)) AS score_d
            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
          ranked AS (
            SELECT doc_id, term, tf, score_d,

@@ -1,0 +1,103 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Deterministic randomized property tests (fixed seeds, plain Random —
+  * the scalacheck runner bridge isn't available offline, and these are
+  * exhaustive enough batched through one Spark job per property). */
+class RandomizedPropertySpec extends SparkSpec {
+
+  private val words =
+    Array("alpha", "beta", "Gamma", "DELTA", "e", "zeta42", "eta,x", "th_eta")
+  private val ws = Array(" ", "  ", "\t", "\n", " \t ", "\r\n")
+
+  private def randomText(rng: scala.util.Random): String = {
+    val n = rng.nextInt(120)
+    val sb = new StringBuilder
+    if (rng.nextBoolean()) sb.append(ws(rng.nextInt(ws.length)))
+    var i = 0
+    while (i < n) {
+      sb.append(words(rng.nextInt(words.length)))
+      sb.append(ws(rng.nextInt(ws.length)))
+      i += 1
+    }
+    if (rng.nextBoolean()) sb.setLength(math.max(0, sb.length - 1))
+    sb.toString
+  }
+
+  "Text.chunks" should "satisfy the window invariants on random texts (vs reference impl)" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(1234)
+    val texts = (0L until 200L).map(i => (i, randomText(rng)))
+    val (size, overlap) = (7, 3)
+    val step = size - overlap
+
+    val got = Text.chunks(texts.toDF("doc_id", "text"), "text", "doc_id", size, overlap)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+
+    texts.foreach { case (id, text) =>
+      // reference: plain Scala mirroring the ENGINE tokenization
+      // contract exactly — Spark's trim() strips only ' ' (not \t\n),
+      // and split(col, pat) is limit -1, which KEEPS empty boundary
+      // tokens produced by leading/trailing non-space whitespace. A
+      // blank text tokenizes to [""], one empty token → one empty
+      // chunk (same in DuckDB).
+      val sparkTrimmed = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val toks = java.util.regex.Pattern.compile("\\s+")
+        .split(sparkTrimmed.toLowerCase, -1).toIndexedSeq
+      val n = toks.length
+      val chunks = got.getOrElse(id, Array.empty)
+      val expectedK = math.max(1, math.ceil((n - overlap).toDouble / step).toInt)
+      chunks.map(_._2).toSeq shouldBe (0 until expectedK)
+      chunks.foreach { case (_, idx, textOut, nTokens) =>
+        val start = idx * step
+        val expect = toks.slice(start, math.min(start + size, n))
+        textOut shouldBe expect.mkString(" ")
+        nTokens shouldBe expect.length
+      }
+      // coverage: union of chunk windows is exactly [0, n)
+      val last = chunks.last
+      last._2 * step + last._4 shouldBe n
+    }
+  }
+
+  "WordShingleHashes" should "equal xxhash64 over string shingles on whitespace-fuzzed texts" in {
+    import spark.implicits._
+    graft.functions.WordShingles.register(spark)
+    graft.functions.WordShingleHashes.register(spark)
+    val rng = new scala.util.Random(4321)
+    val texts = (0L until 300L).map(i => (i, randomText(rng)))
+    val df = texts.toDF("doc_id", "text")
+    val mismatches = df.selectExpr(
+        "doc_id",
+        "word_shingle_hashes(text, 3) AS native",
+        "transform(word_shingles(text, 3), s -> xxhash64(s)) AS via_strings")
+      .filter(!(col("native") <=> col("via_strings")))
+      .count()
+    mismatches shouldBe 0L
+  }
+
+  "connectedComponents" should "agree across local and iterative paths on random graphs" in {
+    import spark.implicits._
+    for (seed <- Seq(7, 77, 777)) {
+      val rng = new scala.util.Random(seed)
+      val nNodes = 50 + rng.nextInt(200)
+      val nEdges = rng.nextInt(2 * nNodes)
+      val pairs = Seq.fill(nEdges)(
+          (rng.nextInt(nNodes).toLong, rng.nextInt(nNodes).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("doc_a", "doc_b")
+        val local = Dedup.connectedComponents(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val iter = Dedup.connectedComponents(df, maxLocalEdges = -1)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        local shouldBe iter
+        local should not be empty
+      }
+    }
+  }
+}
