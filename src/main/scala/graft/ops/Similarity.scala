@@ -599,11 +599,18 @@ object Similarity {
     * broadcast and the correct plan is a shuffle join on the ids —
     * forcing broadcast here would re-introduce a driver-memory ceiling
     * the blocked kernels exist to avoid. */
-  private def rescoreTopK(shortlist: DataFrame, vecs: DataFrame, k: Int): DataFrame = {
+  private def rescoreTopK(shortlist: DataFrame, vecs: DataFrame, k: Int): DataFrame =
+    rescoreTopK2(shortlist, vecs, vecs, k)
+
+  /** Two-frame rescore: query embeddings and candidate embeddings may
+    * come from different sources (e.g. a fresh query batch vs the
+    * stored vectors of a persisted index). */
+  private def rescoreTopK2(
+      shortlist: DataFrame, qVecs: DataFrame, cVecs: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
     shortlist
-      .join(vecs.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
-      .join(vecs.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
+      .join(qVecs.select(col("vec_id").as("qid"), col("embedding").as("qe")), "qid")
+      .join(cVecs.select(col("vec_id").as("cid"), col("embedding").as("ce")), "cid")
       .withColumn("cos",
         cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
       .withColumn("rnk", row_number().over(w))
@@ -904,5 +911,98 @@ object Similarity {
     val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters)
       .map { case (g, role, id, v) => (g, role, id, quantizeUnit(v)) }
     rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
+  }
+
+  // ---- persisted IVF-SQ8 index (build once per corpus epoch,
+  //      search every query batch against it) ----
+
+  /** Build and persist the IVF-SQ8 index — the similarity twin of
+    * [[graft.ops.Dedup.writeDedupIndex]]: Lloyd-trained centroids
+    * (k·d doubles — metadata-sized) plus one row per corpus vector
+    * holding its list assignment, its int8 code, AND its original
+    * float embedding, hive-partitioned by list. Parquet column
+    * pruning makes the search's candidate scan read ONLY
+    * (vec_id, list, q) — the int8 bytes — while the float originals
+    * are touched just for the per-query shortlist rescore; partition
+    * pruning skips unprobed lists entirely for small query batches.
+    * Index cost is one training pass + one write; every subsequent
+    * batch searches it without re-reading the corpus. */
+  def writeAnnIndex(
+      vecs: DataFrame, path: String, k: Int = 16, lloydIters: Int = 3): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val typed = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cents = trainCentroids(typed, k, lloydIters)
+    val bc = spark.sparkContext.broadcast(cents)
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    typed.map { case (id, arr) =>
+        val v = unitD(arr)
+        val cs = bc.value
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < cs.length) {
+          var dot = 0.0; var d = 0
+          while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = j }
+          j += 1
+        }
+        (id, best, quantizeUnit(v), arr)
+      }
+      .toDF("vec_id", "list", "q", "embedding")
+      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** Top-`topK` neighbors for a NEW query batch against a persisted
+    * index ([[writeAnnIndex]]): centroids are read and broadcast
+    * (metadata-sized), each query routes to its `nprobe` nearest
+    * lists, candidates stream through the bounded int8 block-pair
+    * kernel, and only the shortlist is exact-decimal rescored against
+    * the stored float embeddings. Per-batch cost ∝ batch·corpus/k·
+    * nprobe/cap² tasks — the corpus is never rescanned in full
+    * precision. Query and corpus `vec_id`s must be disjoint (the
+    * kernel treats an id match as a self-pair and skips it). */
+  def annIndexTopK(
+      indexPath: String, queries: DataFrame, topK: Int,
+      nprobe: Int = 4, maxGroup: Int = 256): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"empty ANN index at $indexPath")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe=$nprobe out of range for ${cents.length} lists")
+    val bc = spark.sparkContext.broadcast(cents)
+    val qRows = queries.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, arr) =>
+          val v = unitD(arr)
+          val dots = new Array[Double](cs.length)
+          var j = 0
+          while (j < cs.length) {
+            var dot = 0.0; var d = 0
+            while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
+            dots(j) = dot
+            j += 1
+          }
+          val qv = quantizeUnit(v)
+          (0 until cs.length).sortBy(i => (-dots(i), i)).take(nprobe)
+            .iterator.map(list => (list.toLong, 1.toByte, id, qv))
+        }
+      }
+    val lists = spark.read.parquet(s"$indexPath/lists")
+    val cRows = lists
+      .select(col("list").cast("long"), col("vec_id"), col("q"))
+      .as[(Long, Long, Array[Byte])]
+      .map { case (l, id, q) => (l, 2.toByte, id, q) }
+    val shortlist = blockedTopKInt8(qRows.union(cRows), topK, maxGroup)
+    rescoreTopK2(shortlist, queries,
+      lists.select(col("vec_id"), col("embedding")), topK)
   }
 }

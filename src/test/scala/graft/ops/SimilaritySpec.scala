@@ -257,6 +257,41 @@ class SimilaritySpec extends SparkSpec {
     sampled.foreach { case (q, v) => v shouldBe full(q) }
   }
 
+  "annIndexTopK" should "search a persisted index like direct search" in {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    // toy axis vectors: gaps dwarf quantization, results must be exact
+    val corpus = Seq(
+      10L -> Array(1f, 0f, 0f, 0f), 11L -> Array(0.9f, 0.1f, 0f, 0f),
+      12L -> Array(0f, 1f, 0f, 0f), 13L -> Array(0f, 0.9f, 0.1f, 0f),
+      14L -> Array(0f, 0f, 1f, 0f), 15L -> Array(0f, 0f, 0.9f, 0.1f))
+      .toDF("vec_id", "embedding")
+    val queries = Seq(
+      1L -> Array(0.95f, 0.05f, 0f, 0f), 2L -> Array(0f, 0f, 0.95f, 0.05f))
+      .toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(corpus, tmp, k = 3, lloydIters = 2)
+    // nprobe = k probes every list → same candidates as brute force
+    val viaIndex = Similarity.annIndexTopK(tmp, queries, topK = 2, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val direct = Similarity.bruteForceTopK(queries, corpus, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    viaIndex shouldBe direct
+
+    // real embeddings: persisted-index search must agree with direct
+    // search on the top-1 for ≥ 90% of queries (quantized shortlist)
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft-ann-index2").toString
+    val corpus2 = realVecs.filter(col("vec_id") >= 10)
+    val queries2 = realVecs.filter(col("vec_id") < 10)
+    Similarity.writeAnnIndex(corpus2, tmp2, k = 8, lloydIters = 2)
+    val idx1 = Similarity.annIndexTopK(tmp2, queries2, topK = 1, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bf1 = Similarity.bruteForceTopK(queries2, corpus2, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    idx1.keySet shouldBe bf1.keySet
+    val agree = idx1.count { case (q, c) => bf1(q) == c }
+    agree.toDouble / idx1.size should be >= 0.9
+  }
+
   "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
     val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
     val sampleIds = realVecs.filter(isQ)
