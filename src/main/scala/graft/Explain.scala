@@ -26,7 +26,8 @@ object Explain {
     }),
     "inner_ngram_join" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      Dedup.ngramJaccardFrame(Dedup.docShingles(docs, "text", "doc_id"), 0.6)
+      // 0.5 = the threshold q_dedup_ngram_jaccard actually runs
+      Dedup.ngramJaccardFrame(Dedup.docShingles(docs, "text", "doc_id"), 0.5)
     }))
 
   def main(args: Array[String]): Unit = {

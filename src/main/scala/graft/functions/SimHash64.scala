@@ -48,23 +48,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
 object SimHash64 {
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0d)
-
-  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes.
-    * Token semantics replicate `split('\s+', -1)` exactly: Java's `\s`
-    * is the six ASCII whitespace bytes — which in UTF-8 never occur
-    * inside a multi-byte character — and the -1 limit keeps the empty
-    * boundary tokens (leading/trailing whitespace that survives the
-    * space-only trim, or a fully-empty document), which vote like any
-    * other token. Public because generated code calls it. */
+  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes via
+    * the shared [[Tokenize]] scanner (split('\s+', -1) semantics —
+    * boundary empty tokens vote like any other token). Public because
+    * generated code calls it. */
   def compute(input: UTF8String): Long = {
     val s = input.trim().toLowerCase()
-    val n = s.numBytes
     val base = s.getBaseObject
     val off = s.getBaseOffset
     val votes = new Array[Int](64)
-    @inline def vote(start: Int, end: Int): Unit = {
+    Tokenize.foreachToken(s) { (start, end) =>
       val h = XXH64.hashUnsafeBytes(base, off + start, end - start, 42L)
       var b = 0
       while (b < 64) {
@@ -72,17 +65,6 @@ object SimHash64 {
         b += 1
       }
     }
-    var i = 0
-    var start = 0
-    while (i < n) {
-      if (isWs(s.getByte(i))) {
-        vote(start, i)
-        i += 1
-        while (i < n && isWs(s.getByte(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    vote(start, n)
     var sig = 0L
     var b = 0
     while (b < 64) {

@@ -52,39 +52,23 @@ object WordShingleHashes {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0d)
-
-  /** Same tokenize pass as [[WordShingles.compute]] (Spark
-    * split('\s+') limit -1 semantics); each window is assembled into ONE reused
-    * scratch buffer and hashed in place — no per-shingle allocation at
-    * all. First-occurrence order, like array_distinct. Public because
-    * generated code calls it. */
+  /** Same tokenize pass as [[WordShingles.compute]] (the shared
+    * [[Tokenize]] scanner — split('\s+', -1) semantics); each window
+    * is assembled into ONE reused scratch buffer and hashed in place —
+    * no per-shingle allocation at all. First-occurrence order, like
+    * array_distinct. Public because generated code calls it. */
   def compute(input: UTF8String, n: Int): ArrayData = {
     val s = input.trim().toLowerCase()
-    val nb = s.numBytes
-    if (nb == 0) return Empty
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var m = 0
-    @inline def push(a: Int, b: Int): Unit = {
+    Tokenize.foreachToken(s) { (a, b) =>
       if (m == starts.length) {
         starts = java.util.Arrays.copyOf(starts, m * 2)
         ends = java.util.Arrays.copyOf(ends, m * 2)
       }
       starts(m) = a; ends(m) = b; m += 1
     }
-    var i = 0
-    var start = 0
-    while (i < nb) {
-      if (isWs(s.getByte(i))) {
-        push(start, i)
-        i += 1
-        while (i < nb && isWs(s.getByte(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    push(start, nb) // unconditional: mirror split()'s limit -1 (see WordShingles)
     if (m < n) return Empty
     // scratch buffer sized to the longest window
     var maxLen = 0

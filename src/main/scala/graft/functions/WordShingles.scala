@@ -48,48 +48,23 @@ object WordShingles {
 
   private val Empty = new GenericArrayData(Array.empty[Any])
 
-  @inline private def isWs(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0d)
-
-  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes. Token
-    * semantics replicate Spark's `split(col, '\s+')` (limit -1)
-    * exactly: Java's `\s` is the six ASCII whitespace bytes, which in
-    * UTF-8 never occur inside a multi-byte character; limit -1 keeps
-    * BOTH boundary empty tokens (leading and trailing) when
-    * non-space whitespace survives the space-only trim(). Public
+  /** One pass over the (space-trimmed, lower-cased) UTF-8 bytes via
+    * the shared [[Tokenize]] scanner (split('\s+', -1) semantics,
+    * boundary empty tokens included — bit-equal to the declarative
+    * form on EVERY input, fuzzed in RandomizedPropertySpec). Public
     * because generated code calls it. */
   def compute(input: UTF8String, n: Int): ArrayData = {
     val s = input.trim().toLowerCase()
-    val nb = s.numBytes
-    if (nb == 0) return Empty
-    // token boundaries
     var starts = new Array[Int](16)
     var ends = new Array[Int](16)
     var m = 0
-    @inline def push(a: Int, b: Int): Unit = {
+    Tokenize.foreachToken(s) { (a, b) =>
       if (m == starts.length) {
         starts = java.util.Arrays.copyOf(starts, m * 2)
         ends = java.util.Arrays.copyOf(ends, m * 2)
       }
       starts(m) = a; ends(m) = b; m += 1
     }
-    var i = 0
-    var start = 0
-    while (i < nb) {
-      if (isWs(s.getByte(i))) {
-        push(start, i)
-        i += 1
-        while (i < nb && isWs(s.getByte(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    // final token — unconditional: when the text ends in (non-space)
-    // whitespace that survives Spark's space-only trim(), this is the
-    // empty boundary token that split's limit -1 keeps. Matching it
-    // exactly keeps the native and declarative forms bit-equal on
-    // every input (fuzzed in RandomizedPropertySpec), not just on
-    // corpus-shaped text.
-    push(start, nb)
     if (m < n) return Empty
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var j = 0

@@ -485,8 +485,11 @@ object Dedup {
     * even for large corpora) skip the rounds entirely: one bounded
     * task runs a min-root union-find over the pair list — no
     * symmetrize shuffle, no per-round jobs, identical output. Task
-    * memory is ~16 B per distinct id (≤ 2·maxLocalEdges entries); the
-    * default 1e6 caps it around 32 MB. Billion-edge graphs take the
+    * memory is a boxed HashMap entry per distinct id (~70 B with the
+    * two boxed Longs; ≤ 2·maxLocalEdges ids), so the default 1e6
+    * admits ~150 MB worst case — fine on a standard multi-GiB
+    * executor, but size `maxLocalEdges` to YOUR executor, not to the
+    * 16 B/entry of a primitive map. Billion-edge graphs take the
     * iterative path; `maxLocalEdges = -1` forces it (used by the
     * cross-path equality spec). */
   def connectedComponents(

@@ -213,10 +213,19 @@ object TextQueries {
     import java.nio.file.{Files, Paths}
     val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
       sys.props("java.io.tmpdir") + "/graft-dedup-index")
-    // ":v2" = hashed-shingle index schema (array<long>); a key bump
+    // key = corpus identity, not just its path: size+mtime of the
+    // documents parquet means a REGENERATED corpus at the same path
+    // gets a fresh index instead of silently reusing a stale one (the
+    // epoch-versioning a production pipeline would carry explicitly).
+    // ":v2" = hashed-shingle index schema (array<long>); a bump
     // orphans any pre-upgrade string-shingle index rather than
-    // union-ing incompatible schemas
-    val key = java.util.UUID.nameUUIDFromBytes((dir + ":v2").getBytes("UTF-8")).toString
+    // union-ing incompatible schemas.
+    val src = Paths.get(dir, "documents.parquet")
+    val fingerprint =
+      try s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      catch { case _: java.io.IOException => "unknown" }
+    val key = java.util.UUID.nameUUIDFromBytes(
+      (dir + ":v2:" + fingerprint).getBytes("UTF-8")).toString
     val path = s"$root/$key"
     val complete = Seq("bands", "shingles", "hashes")
       .forall(a => Files.exists(Paths.get(path, a, "_SUCCESS")))

@@ -50,10 +50,6 @@ import graft.ops.Dedup
   */
 object DocStreams {
 
-  /** Per-doc ingest decision, also written to `sinkPath/decisions`:
-    * `kept`, `exact_dup_corpus`, `exact_dup_batch`, or `near_dup`. */
-  val DecisionCols: Seq[String] = Seq("doc_id", "status")
-
   /** The pure per-batch decision: which docs of `batch` survive ingest
     * against the persisted index at `indexPath`, and why. Returns
     * (doc_id, status) for EVERY batch doc. Factored out of the sink so
