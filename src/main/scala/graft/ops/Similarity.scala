@@ -996,13 +996,32 @@ object Similarity {
             .iterator.map(list => (list.toLong, 1.toByte, id, qv))
         }
       }
-    val lists = spark.read.parquet(s"$indexPath/lists")
-    val cRows = lists
-      .select(col("list").cast("long"), col("vec_id"), col("q"))
+      // the probed-list set feeds a partition-pruning filter below and
+      // the coded rows feed the kernel — materialize once
+      .localCheckpoint(true)
+    // ≤ k distinct values by construction (metadata-sized, NOT
+    // data-sized): collecting them turns the candidate read into a
+    // partition-pruned scan — lists no query probes are never touched
+    // (asserted via PartitionFilters in SimilaritySpec)
+    val probed = qRows.map(_._1).distinct().collect()
+    val cRows = annIndexCandidateFrame(spark, indexPath, probed)
       .as[(Long, Long, Array[Byte])]
       .map { case (l, id, q) => (l, 2.toByte, id, q) }
     val shortlist = blockedTopKInt8(qRows.union(cRows), topK, maxGroup)
     rescoreTopK2(shortlist, queries,
-      lists.select(col("vec_id"), col("embedding")), topK)
+      spark.read.parquet(s"$indexPath/lists")
+        .select(col("vec_id"), col("embedding")), topK)
   }
+
+  /** The candidate scan of [[annIndexTopK]], split out so its plan
+    * shape is assertable: partition-pruned to the probed lists,
+    * column-pruned to the int8 codes (the float embeddings are read
+    * only by the rescore join). The kernel's eager materialization
+    * hides this scan from the final query plan. */
+  private[ops] def annIndexCandidateFrame(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      probed: Array[Long]): DataFrame =
+    spark.read.parquet(s"$indexPath/lists")
+      .filter(col("list").isin(probed.toSeq: _*))
+      .select(col("list").cast("long").as("list"), col("vec_id"), col("q"))
 }

@@ -290,6 +290,18 @@ class SimilaritySpec extends SparkSpec {
     idx1.keySet shouldBe bf1.keySet
     val agree = idx1.count { case (q, c) => bf1(q) == c }
     agree.toDouble / idx1.size should be >= 0.9
+
+    // scale shape: with nprobe < k the candidate read is PRUNED to the
+    // probed partitions, and the candidate scan reads only the int8
+    // codes (the float embeddings appear only in the rescore scan)
+    // scale shape of the candidate scan (hidden from the final plan by
+    // the kernel's eager materialization): partition-pruned to the
+    // probed lists — a NON-empty PartitionFilters on list, not just
+    // the header — and column-pruned to the int8 codes
+    val plan = Similarity.annIndexCandidateFrame(spark, tmp2, Array(0L, 1L))
+      .queryExecution.executedPlan.toString
+    plan should include regex """PartitionFilters: \[[^\]]*list#\d+ IN"""
+    plan should include("ReadSchema: struct<vec_id:bigint,q:binary>")
   }
 
   "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
