@@ -1013,6 +1013,44 @@ object Similarity {
         .select(col("vec_id"), col("embedding")), topK)
   }
 
+  /** Append a batch of NEW vectors to a persisted index
+    * ([[writeAnnIndex]]) — the per-batch write of a streaming/
+    * incremental embedding ingest: each vector is assigned to its
+    * nearest EXISTING centroid and appended to that list's partition.
+    * Cost ∝ batch size; the corpus is never re-read. Centroids are
+    * deliberately NOT retrained here: assignments stay consistent with
+    * the stored lists, and a production pipeline retrains + rebuilds
+    * on its own epoch schedule (exactly like [[graft.ops.Dedup
+    * .writeDedupIndex]]'s corpus-epoch contract). Drift bound: recall
+    * degrades only as the data DISTRIBUTION drifts from the training
+    * epoch's, not with appended volume per se. */
+  def appendAnnIndex(vecs: DataFrame, path: String): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"empty ANN index at $path")
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, arr) =>
+        val v = unitD(arr)
+        val cs = bc.value
+        var best = 0
+        var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < cs.length) {
+          var dot = 0.0; var d = 0
+          while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
+          if (dot > bestDot) { bestDot = dot; best = j }
+          j += 1
+        }
+        (id, best, quantizeUnit(v), arr)
+      }
+      .toDF("vec_id", "list", "q", "embedding")
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
   /** The candidate scan of [[annIndexTopK]], split out so its plan
     * shape is assertable: partition-pruned to the probed lists,
     * column-pruned to the int8 codes (the float embeddings are read

@@ -89,6 +89,24 @@ object DocStreams {
         when(col("nd"), lit("near_dup")).otherwise(col("status")).as("status"))
   }
 
+  /** Streaming EMBEDDING ingest: append each micro-batch of new
+    * vectors to a persisted ANN index
+    * ([[graft.ops.Similarity.writeAnnIndex]]) — assignment against the
+    * stored centroids, appended to the hive-partitioned lists, cost ∝
+    * batch. Freshly streamed vectors are immediately searchable by
+    * [[graft.ops.Similarity.annIndexTopK]] (asserted live in
+    * `DocStreamsSpec`); centroid retraining stays an epoch-level
+    * rebuild, exactly like the dedup index contract. */
+  def annIngest(
+      vecs: DataFrame, indexPath: String): StreamingQuery =
+    vecs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) graft.ops.Similarity.appendAnnIndex(batch, indexPath)
+        ()
+      }
+      .start()
+
   /** Start the streaming ingest: `docs` must be a streaming DataFrame
     * with at least (`idCol`, `textCol`). Survivor rows (all input
     * columns) land in `sinkPath/docs`, decisions in

@@ -61,6 +61,34 @@ class DocStreamsSpec extends SparkSpec {
     indexed shouldBe Set(1L, 2L, 102L, 201L)
   }
 
+  "annIngest" should "make streamed vectors searchable in the persisted index" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-stream").toString
+    val corpus = Seq(
+      10L -> Array(1f, 0f, 0f, 0f), 12L -> Array(0f, 1f, 0f, 0f),
+      14L -> Array(0f, 0f, 1f, 0f)).toDF("vec_id", "embedding")
+    Similarity.writeAnnIndex(corpus, tmp, k = 2, lloydIters = 1)
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = DocStreams.annIngest(
+      mem.toDF().toDF("vec_id", "embedding"), tmp)
+    try {
+      mem.addData(20L -> Array(0f, 0f, 0f, 1f))
+      q.processAllAvailable()
+      mem.addData(30L -> Array(0.94f, 0.34f, 0f, 0f))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // the batch-2 vector is the true nearest neighbor of this query
+    // and must be found through the extended index (nprobe = all lists)
+    val query = Seq(1L -> Array(0.95f, 0.3f, 0f, 0f)).toDF("vec_id", "embedding")
+    val top = Similarity.annIndexTopK(tmp, query, topK = 1, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    top.toSeq shouldBe Seq((1L, 30L))
+  }
+
   "batchDecisions" should "match the batch incremental operators on real documents" in {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft-docstream-real").toString
