@@ -934,27 +934,74 @@ object Similarity {
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     val cents = trainCentroids(typed, k, lloydIters)
-    val bc = spark.sparkContext.broadcast(cents)
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    typed.map { case (id, arr) =>
+    // the corpus epoch is batch=-1; streamed batches land beside it
+    // ([[appendAnnIndexBatch]]), all discovered as one partitioned read
+    writeAssigned(vecs, s"$path/lists/batch=-1", cents)
+  }
+
+  /** Load + sort the persisted centroid matrix (k·d doubles —
+    * metadata-sized; one read per call, so hoist it out of per-batch
+    * loops as [[graft.streaming.DocStreams.annIngest]] does). */
+  private[graft] def readCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, s"empty ANN index at $path")
+    cents
+  }
+
+  /** Assign every vector to its nearest centroid and write
+    * (vec_id, q, embedding) hive-partitioned by list under `dir`.
+    * One file per list (the per-call `repartition` on list): a
+    * streaming ingest of many small batches grows the index by
+    * ≤ k files per batch, not tasks·k. */
+  private def writeAssigned(
+      vecs: DataFrame, dir: String, cents: Array[Array[Double]]): Unit = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val dims = cents(0).length
+    val bc = spark.sparkContext.broadcast(cents)
+    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .map { case (id, arr) =>
+        // fail fast on foreign dimensionality — a silently truncated
+        // dot would mis-assign AND permanently corrupt the index
+        require(arr.length == dims,
+          s"embedding dim ${arr.length} != index dim $dims (vec_id=$id)")
         val v = unitD(arr)
-        val cs = bc.value
-        var best = 0
-        var bestDot = Double.NegativeInfinity
-        var j = 0
-        while (j < cs.length) {
-          var dot = 0.0; var d = 0
-          while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
-          if (dot > bestDot) { bestDot = dot; best = j }
-          j += 1
-        }
-        (id, best, quantizeUnit(v), arr)
+        (id, nearestCentroid(v, bc.value), quantizeUnit(v), arr)
       }
       .toDF("vec_id", "list", "q", "embedding")
-      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(dir)
   }
+
+  /** Append one ingest batch to a persisted index, IDEMPOTENTLY: the
+    * batch lands at `lists/batch=<epoch>` with overwrite semantics, so
+    * an at-least-once replay of the same batch (foreachBatch's
+    * contract after a crash) overwrites its own partition instead of
+    * duplicating vectors — the same self-healing property the dedup
+    * ingest gets from its exact-dup classifier. Assignment uses the
+    * stored centroids passed in by the caller (load them ONCE per
+    * stream, not per batch). Centroids are deliberately not retrained:
+    * recall drifts with the data distribution, not appended volume;
+    * retraining is the epoch rebuild ([[writeAnnIndex]]), which also
+    * compacts the accumulated per-batch files. */
+  private[graft] def appendAnnIndexBatch(
+      vecs: DataFrame, path: String, cents: Array[Array[Double]],
+      epoch: Long): Unit =
+    writeAssigned(vecs, s"$path/lists/batch=$epoch", cents)
+
+  /** One-shot batch append (loads the centroids itself); `epoch` keys
+    * the batch's partition — replays with the same epoch are
+    * idempotent. */
+  def appendAnnIndex(vecs: DataFrame, path: String, epoch: Long): Unit =
+    appendAnnIndexBatch(vecs, path,
+      readCentroids(vecs.sparkSession, path), epoch)
 
   /** Top-`topK` neighbors for a NEW query batch against a persisted
     * index ([[writeAnnIndex]]): centroids are read and broadcast
@@ -970,10 +1017,7 @@ object Similarity {
       nprobe: Int = 4, maxGroup: Int = 256): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
-      .collect().sortBy(_._1).map(_._2)
-    require(cents.nonEmpty, s"empty ANN index at $indexPath")
+    val cents = readCentroids(spark, indexPath)
     require(nprobe >= 1 && nprobe <= cents.length,
       s"nprobe=$nprobe out of range for ${cents.length} lists")
     val bc = spark.sparkContext.broadcast(cents)
@@ -1008,47 +1052,13 @@ object Similarity {
       .as[(Long, Long, Array[Byte])]
       .map { case (l, id, q) => (l, 2.toByte, id, q) }
     val shortlist = blockedTopKInt8(qRows.union(cRows), topK, maxGroup)
+    // every shortlist candidate comes from a probed list, so the
+    // SECOND (float32, heavier) read of the index prunes identically —
+    // the corpus' unprobed float bytes are never touched either
     rescoreTopK2(shortlist, queries,
       spark.read.parquet(s"$indexPath/lists")
+        .filter(col("list").isin(probed.toSeq: _*))
         .select(col("vec_id"), col("embedding")), topK)
-  }
-
-  /** Append a batch of NEW vectors to a persisted index
-    * ([[writeAnnIndex]]) — the per-batch write of a streaming/
-    * incremental embedding ingest: each vector is assigned to its
-    * nearest EXISTING centroid and appended to that list's partition.
-    * Cost ∝ batch size; the corpus is never re-read. Centroids are
-    * deliberately NOT retrained here: assignments stay consistent with
-    * the stored lists, and a production pipeline retrains + rebuilds
-    * on its own epoch schedule (exactly like [[graft.ops.Dedup
-    * .writeDedupIndex]]'s corpus-epoch contract). Drift bound: recall
-    * degrades only as the data DISTRIBUTION drifts from the training
-    * epoch's, not with appended volume per se. */
-  def appendAnnIndex(vecs: DataFrame, path: String): Unit = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select(col("list"), col("centroid")).as[(Int, Array[Double])]
-      .collect().sortBy(_._1).map(_._2)
-    require(cents.nonEmpty, s"empty ANN index at $path")
-    val bc = spark.sparkContext.broadcast(cents)
-    vecs.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
-      .map { case (id, arr) =>
-        val v = unitD(arr)
-        val cs = bc.value
-        var best = 0
-        var bestDot = Double.NegativeInfinity
-        var j = 0
-        while (j < cs.length) {
-          var dot = 0.0; var d = 0
-          while (d < v.length) { dot += v(d) * cs(j)(d); d += 1 }
-          if (dot > bestDot) { bestDot = dot; best = j }
-          j += 1
-        }
-        (id, best, quantizeUnit(v), arr)
-      }
-      .toDF("vec_id", "list", "q", "embedding")
-      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
   /** The candidate scan of [[annIndexTopK]], split out so its plan

@@ -98,14 +98,22 @@ object DocStreams {
     * `DocStreamsSpec`); centroid retraining stays an epoch-level
     * rebuild, exactly like the dedup index contract. */
   def annIngest(
-      vecs: DataFrame, indexPath: String): StreamingQuery =
+      vecs: DataFrame, indexPath: String): StreamingQuery = {
+    // centroids are epoch-immutable: load them ONCE per stream, not
+    // per micro-batch (a high-frequency stream of small batches would
+    // otherwise pay a parquet read + collect per batch)
+    val cents = graft.ops.Similarity.readCentroids(vecs.sparkSession, indexPath)
     vecs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.ops.Similarity.appendAnnIndex(batch, indexPath)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId keys the batch's partition → an at-least-once replay
+        // overwrites its own partition instead of duplicating vectors
+        if (!batch.isEmpty)
+          graft.ops.Similarity.appendAnnIndexBatch(batch, indexPath, cents, batchId)
         ()
       }
       .start()
+  }
 
   /** Start the streaming ingest: `docs` must be a streaming DataFrame
     * with at least (`idCol`, `textCol`). Survivor rows (all input

@@ -291,9 +291,6 @@ class SimilaritySpec extends SparkSpec {
     val agree = idx1.count { case (q, c) => bf1(q) == c }
     agree.toDouble / idx1.size should be >= 0.9
 
-    // scale shape: with nprobe < k the candidate read is PRUNED to the
-    // probed partitions, and the candidate scan reads only the int8
-    // codes (the float embeddings appear only in the rescore scan)
     // scale shape of the candidate scan (hidden from the final plan by
     // the kernel's eager materialization): partition-pruned to the
     // probed lists — a NON-empty PartitionFilters on list, not just

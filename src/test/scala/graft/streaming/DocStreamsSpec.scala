@@ -87,6 +87,15 @@ class DocStreamsSpec extends SparkSpec {
     val top = Similarity.annIndexTopK(tmp, query, topK = 1, nprobe = 2)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
     top.toSeq shouldBe Seq((1L, 30L))
+
+    // replaying the same ingest batch (same epoch key — foreachBatch's
+    // at-least-once contract after a crash) overwrites its own
+    // partition instead of duplicating vectors
+    val replay = Seq(40L -> Array(0f, 1f, 0f, 0.1f)).toDF("vec_id", "embedding")
+    Similarity.appendAnnIndex(replay, tmp, epoch = 99L)
+    Similarity.appendAnnIndex(replay, tmp, epoch = 99L)
+    spark.read.parquet(s"$tmp/lists")
+      .filter(col("vec_id") === 40L).count() shouldBe 1L
   }
 
   "batchDecisions" should "match the batch incremental operators on real documents" in {
