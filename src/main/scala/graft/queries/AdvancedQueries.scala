@@ -45,6 +45,33 @@ object AdvancedQueries {
         expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Z-score outlier detection — the data-quality gate a training
+    * pipeline runs over numeric columns: per-group mean/std from the
+    * same exact decimal moments as [[variance]] (string-hopped, so
+    * partitioning-independent), then every row scored in one pass and
+    * filtered at |z| ≥ 2.5. The 5-row stats side joins via AQE
+    * broadcast; the fact table is scanned once — no window, no second
+    * shuffle. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val sx = sum(dec("o_totalprice"))
+    val sx2 = sum(dec("o_totalprice") * dec("o_totalprice"))
+    val stats = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), decToDouble(sx).as("sum_x"),
+        decToDouble(sx2).as("sum_x2"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .withColumn("std",
+        sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")))
+      .select(col("o_orderpriority"), col("mean"), col("std"))
+    t(s, dir, "orders")
+      .join(stats, "o_orderpriority")
+      .withColumn("z", (col("o_totalprice").cast("double") - col("mean")) / col("std"))
+      .filter(abs(col("z")) >= 2.5)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice").cast("double").as("price"), col("z"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Population variance from exact decimal moments (n, Σx, Σx²): the
     * double formula runs on string-hopped exact sums, so it is
     * partitioning-independent — unlike var_pop over doubles. */
@@ -228,6 +255,7 @@ object AdvancedQueries {
     "q_join_salted" -> (joinSalted _),
     "q_percentiles" -> (percentiles _),
     "q_agg_variance" -> (variance _),
+    "q_dq_outliers" -> (outliers _),
     "q_window_range" -> (windowRange _),
     "q_pivot" -> (pivot _),
     "q_approx_distinct" -> (approxDistinct _)
@@ -331,6 +359,22 @@ object AdvancedQueries {
            quantile_cont(l_quantity, 0.9) AS p90_qty,
            quantile_cont(l_extendedprice, 0.5) AS p50_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_dq_outliers" ->
+      """WITH m AS (
+           SELECT o_orderpriority, count(1) AS n,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_x2
+           FROM orders GROUP BY o_orderpriority),
+         st AS (
+           SELECT o_orderpriority, sum_x / n AS mean,
+             sqrt((sum_x2 - sum_x * sum_x / n) / n) AS std
+           FROM m)
+         SELECT o_orderkey, o_orderpriority,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           (CAST(o_totalprice AS DOUBLE) - mean) / std AS z
+         FROM orders JOIN st USING (o_orderpriority)
+         WHERE abs((CAST(o_totalprice AS DOUBLE) - mean) / std) >= 2.5
+         ORDER BY o_orderkey""",
     "q_agg_variance" ->
       """WITH m AS (
            SELECT o_orderpriority, count(1) AS n,
