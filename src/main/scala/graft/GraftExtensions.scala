@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{PolyHash64, SimHash64, WordShingleHashes, WordShingles}
+import graft.functions.{MinHashSigs, PolyHash64, SimHash64, WordShingleHashes, WordShingles}
 
 /** SparkSessionExtensions entry point: installs the engine's native
   * expressions into any session at build time —
@@ -39,6 +39,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_shingle_hashes"),
       new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
       (exprs: Seq[Expression]) => WordShingleHashes(
+        exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(
         exprs.head, exprs(1).eval(null).asInstanceOf[Int])))
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),

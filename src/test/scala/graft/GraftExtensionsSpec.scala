@@ -37,6 +37,18 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
       // IS the token hash
       s.sql("SELECT simhash64('abc') AS h").collect()(0).getLong(0) shouldBe
         s.sql("SELECT xxhash64('abc') AS h").collect()(0).getLong(0)
+      // hashed shingles ≡ xxhash64 of the string shingles, in SQL
+      val hs = s.sql("SELECT word_shingle_hashes('a b c d', 3) AS h")
+        .collect()(0).getSeq[Long](0)
+      hs shouldBe s.sql(
+          "SELECT transform(word_shingles('a b c d', 3), x -> xxhash64(x)) AS h")
+        .collect()(0).getSeq[Long](0)
+      // a one-shingle doc's minhash: sig(i) = xxhash64(i, the shingle hash)
+      val sig = s.sql("SELECT minhash_sigs(word_shingle_hashes('a b c', 3), 4) AS s")
+        .collect()(0).getSeq[Long](0)
+      sig shouldBe (0 until 4).map { i =>
+        s.sql(s"SELECT xxhash64($i, xxhash64('a b c')) AS h").collect()(0).getLong(0)
+      }
     } finally {
       // restore the suite-shared session instead of stopping the
       // underlying (shared) SparkContext
