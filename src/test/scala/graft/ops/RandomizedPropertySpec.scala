@@ -80,6 +80,23 @@ class RandomizedPropertySpec extends SparkSpec {
     mismatches shouldBe 0L
   }
 
+  "SimHash64" should "equal the aggregate twin on whitespace-fuzzed texts" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(9999)
+    // blanks included: both forms vote on the empty boundary token of
+    // a blank document (explode of [""] on the aggregate side), so
+    // every doc must agree wherever the aggregate emits a row
+    val texts = (0L until 200L).map(i => (i, randomText(rng)))
+    val df = texts.toDF("doc_id", "text")
+    val native = Dedup.simhash(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    agg.keySet shouldBe native.keySet.intersect(agg.keySet)
+    agg.foreach { case (id, sig) => native(id) shouldBe sig }
+    native.size shouldBe 200
+  }
+
   "connectedComponents" should "agree across local and iterative paths on random graphs" in {
     import spark.implicits._
     for (seed <- Seq(7, 77, 777)) {
