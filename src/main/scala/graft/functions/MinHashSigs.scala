@@ -30,6 +30,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashSigs(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
+  // validate HERE, not in the registration lambdas: every construction
+  // path (temp-function, extension-injected, direct) shares the check
+  require(numHashes >= 1 && numHashes <= MinHashSigs.MaxHashes,
+    s"numHashes=$numHashes out of range [1, ${MinHashSigs.MaxHashes}]")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
@@ -49,7 +54,7 @@ object MinHashSigs {
 
   // xxhash64(lit(i), h) == hashLong(h, hashInt(i, 42)); the per-salt
   // inner seeds are constants
-  private val MaxHashes = 256
+  private[functions] val MaxHashes = 256
   private val seeds: Array[Long] =
     Array.tabulate(MaxHashes)(i => XXH64.hashInt(i, 42L))
 
@@ -80,11 +85,9 @@ object MinHashSigs {
     import org.apache.spark.sql.classic.ClassicConversions.castToImpl
     castToImpl(s).sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sigs",
-      (exprs: Seq[Expression]) => {
-        val k = exprs(1).eval(null).asInstanceOf[Int]
-        require(k >= 1 && k <= MaxHashes, s"numHashes=$k out of range")
-        MinHashSigs(exprs.head, k)
-      }, "built-in")
+      (exprs: Seq[Expression]) =>
+        MinHashSigs(exprs.head, exprs(1).eval(null).asInstanceOf[Int]),
+      "built-in")
   }
 
   /** Column entry point (requires [[register]] on the session). */

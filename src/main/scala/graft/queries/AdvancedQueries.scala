@@ -45,28 +45,40 @@ object AdvancedQueries {
         expr("percentile(l_extendedprice, 0.5)").as("p50_price"))
       .orderBy(col("l_returnflag"))
 
-  /** Z-score outlier detection — the data-quality gate a training
-    * pipeline runs over numeric columns: per-group mean/std from the
-    * same exact decimal moments as [[variance]] (string-hopped, so
-    * partitioning-independent), then every row scored in one pass and
-    * filtered at |z| ≥ 2.5. The 5-row stats side joins via AQE
-    * broadcast; the fact table is scanned once — no window, no second
-    * shuffle. */
-  def outliers(s: SparkSession, dir: String): DataFrame = {
-    val sx = sum(dec("o_totalprice"))
-    val sx2 = sum(dec("o_totalprice") * dec("o_totalprice"))
-    val stats = t(s, dir, "orders")
+  /** Per-priority exact decimal moments of o_totalprice — the ONE
+    * source of the numeric policy [[variance]] and [[outliers]] share:
+    * decimal(12,2) ingest, exact Σx/Σx², string-hopped doubles out
+    * (partitioning-independent per COVERAGE.md's rules). */
+  private def orderMoments(s: SparkSession, dir: String): DataFrame = {
+    val sx = sum(dec("o_totalprice")) // Σx exact
+    val sx2 = sum(dec("o_totalprice") * dec("o_totalprice")) // Σx² exact
+    t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), decToDouble(sx).as("sum_x"),
         decToDouble(sx2).as("sum_x2"))
       .withColumn("mean", col("sum_x") / col("n"))
+  }
+
+  /** Z-score outlier detection — the data-quality gate a training
+    * pipeline runs over numeric columns: per-group mean/std from
+    * [[orderMoments]] (exact sums, so the doubles are
+    * partitioning-independent), then every row scored and filtered at
+    * |z| ≥ 1.6. (Threshold calibrated to the corpus: the synthetic
+    * columns are near-uniform, so |z| is bounded by √3 ≈ 1.73 and a
+    * textbook 3σ gate would vacuously pass on zero rows — a
+    * heavy-tailed production column uses 3.0 with the same plan.) Two
+    * narrow scans of orders (one aggregated to 5 stats rows that join
+    * back via AQE broadcast, one scoring pass) — no window, and the
+    * fact rows themselves never shuffle. */
+  def outliers(s: SparkSession, dir: String): DataFrame = {
+    val stats = orderMoments(s, dir)
       .withColumn("std",
         sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")))
       .select(col("o_orderpriority"), col("mean"), col("std"))
     t(s, dir, "orders")
       .join(stats, "o_orderpriority")
       .withColumn("z", (col("o_totalprice").cast("double") - col("mean")) / col("std"))
-      .filter(abs(col("z")) >= 2.5)
+      .filter(abs(col("z")) >= 1.6)
       .select(col("o_orderkey"), col("o_orderpriority"),
         col("o_totalprice").cast("double").as("price"), col("z"))
       .orderBy(col("o_orderkey"))
@@ -75,19 +87,12 @@ object AdvancedQueries {
   /** Population variance from exact decimal moments (n, Σx, Σx²): the
     * double formula runs on string-hopped exact sums, so it is
     * partitioning-independent — unlike var_pop over doubles. */
-  def variance(s: SparkSession, dir: String): DataFrame = {
-    val sx = sum(dec("o_totalprice")) // Σx exact
-    val sx2 = sum(dec("o_totalprice") * dec("o_totalprice")) // Σx² exact
-    t(s, dir, "orders")
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), decToDouble(sx).as("sum_x"),
-        decToDouble(sx2).as("sum_x2"))
-      .withColumn("mean", col("sum_x") / col("n"))
+  def variance(s: SparkSession, dir: String): DataFrame =
+    orderMoments(s, dir)
       .withColumn("var_pop",
         (col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n"))
       .select(col("o_orderpriority"), col("n"), col("mean"), col("var_pop"))
       .orderBy(col("o_orderpriority"))
-  }
 
   /** RANGE window frame: trailing-30-day spend per customer, evaluated
     * per order. Frame bounds in epoch seconds == the oracle's INTERVAL
@@ -373,7 +378,7 @@ object AdvancedQueries {
            CAST(o_totalprice AS DOUBLE) AS price,
            (CAST(o_totalprice AS DOUBLE) - mean) / std AS z
          FROM orders JOIN st USING (o_orderpriority)
-         WHERE abs((CAST(o_totalprice AS DOUBLE) - mean) / std) >= 2.5
+         WHERE abs((CAST(o_totalprice AS DOUBLE) - mean) / std) >= 1.6
          ORDER BY o_orderkey""",
     "q_agg_variance" ->
       """WITH m AS (

@@ -92,9 +92,11 @@ class RandomizedPropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val agg = Dedup.simhashAgg(df, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    agg.keySet shouldBe native.keySet.intersect(agg.keySet)
-    agg.foreach { case (id, sig) => native(id) shouldBe sig }
+    // strict: BOTH forms must cover every doc (a regression that drops
+    // rows from either side must fail, not vacuously pass)
     native.size shouldBe 200
+    agg.size shouldBe 200
+    agg.foreach { case (id, sig) => native(id) shouldBe sig }
   }
 
   "connectedComponents" should "agree across local and iterative paths on random graphs" in {
