@@ -46,11 +46,16 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: the harness tail-captures only the last
+    // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77
+    // queries) was head-truncated past the opening brace — the driver
+    // recorded parsed:null. At 3dp the line is ~2.1 KB and survives.
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout can be tail-truncated by the harness (BENCH_r02 lost its
     // first 8 entries) — persist the full per-query record to a file too
     try Files.writeString(Paths.get("BENCH_DETAILS.json"), line + "\n")
