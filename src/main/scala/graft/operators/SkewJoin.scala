@@ -33,6 +33,62 @@ object SkewJoin {
     salted.join(exploded, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
+  /** ADAPTIVE salted join: detect the hot keys first, salt only those.
+    *
+    * [[saltedJoin]] explodes the ENTIRE small side ×`saltBuckets` —
+    * correct, but it multiplies the small side's shuffle/build size by
+    * the bucket count even though skew lives in a handful of keys. This
+    * variant spends one partial-aggregated pass over the big side
+    * (map-side combine: the shuffle carries (key, count) partials, not
+    * rows) to find keys with ≥ `hotThreshold` rows, then:
+    *
+    *   - big rows on a hot key get a deterministic row-hash salt,
+    *     cold rows salt 0;
+    *   - small rows are exploded ×`saltBuckets` ONLY for hot keys,
+    *     cold rows pass through once with salt 0.
+    *
+    * The hot-key frame is broadcast-tagged onto both sides. The hint is
+    * not a scale ceiling: by construction |hot| ≤ |big| / hotThreshold
+    * (a key needs that many rows to qualify), so the frame is bounded
+    * small for any sane threshold — the exact opposite of broadcasting
+    * a data-sized frame. Join output ≡ the plain join's (its oracle IS
+    * the plain join); only the physical distribution changes — the same
+    * contract as [[saltedJoin]], at a small-side cost of
+    * |small| + |hot|·saltBuckets instead of |small|·saltBuckets. */
+  def adaptiveSaltedJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int, hotThreshold: Long,
+      joinType: String = "inner"): DataFrame = {
+    require(saltBuckets >= 2, s"saltBuckets=$saltBuckets must be >= 2")
+    require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be >= 1")
+    val hotKeys = broadcast(
+      big.groupBy(col(key)).agg(count(lit(1)).as("__hn"))
+        .filter(col("__hn") >= hotThreshold)
+        .select(col(key), lit(true).as("__hot")))
+    val bigCols = big.columns.map(col).toSeq
+    val bigTagged = big.join(hotKeys, Seq(key), "left")
+      .withColumn("__salt",
+        when(col("__hot"),
+          pmod(xxhash64(bigCols: _*), lit(saltBuckets)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val smallTagged = small.join(hotKeys, Seq(key), "left")
+      .withColumn("__salts",
+        when(col("__hot"), sequence(lit(0), lit(saltBuckets - 1)))
+          .otherwise(array(lit(0))))
+      .withColumn("__salt", explode(col("__salts")))
+      .drop("__salts", "__hot")
+    bigTagged.join(smallTagged, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Hot-key census for the adaptive join, exposed for tests and for
+    * pipelines that want to LOG what was salted (a silent skew fix is
+    * an undiagnosable one): (key, n) for keys at or above the
+    * threshold. */
+  def hotKeyCensus(df: DataFrame, key: String, hotThreshold: Long): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= hotThreshold)
+
   /** Two-phase (partial → final) aggregation for skewed group-by keys:
     * pre-aggregate on (key, salt), then merge per key. Spark's hash
     * aggregate already does map-side partials; this adds a REDUCE-side

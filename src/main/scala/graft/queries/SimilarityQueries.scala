@@ -107,18 +107,19 @@ object SimilarityQueries {
     val truth = Similarity.bruteForceTop1All(e)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
       .localCheckpoint(true)
-    recallRows(e, truth, Similarity.int8AnnTop1All(e),
-      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85)
+    recallRows(e, truth, Similarity.int8AnnTop1All(e), Similarity.pqAnnTop1All(e),
+      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90)
   }
 
   /** One gate row per ANN method against the given exact ground truth
     * (which may cover all vectors or a deterministic query sample).
     * Floors sit under the engine-measured recall at every SF
     * (`graft.tools.RecallProbe`): LSH 0.679–0.762, IVF 0.570–0.671,
-    * int8/SQ8 0.933–0.950. */
+    * int8/SQ8 0.933–0.950, PQ 0.996–1.000. */
   private def recallRows(
-      e: DataFrame, truth: DataFrame, int8Ann: DataFrame,
-      ivfFloor: Double, lshFloor: Double, int8Floor: Double): DataFrame = {
+      e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
+      ivfFloor: Double, lshFloor: Double, int8Floor: Double,
+      pqFloor: Double): DataFrame = {
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(
@@ -132,6 +133,7 @@ object SimilarityQueries {
     row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), ivfFloor)
       .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
       .unionAll(row("int8", int8Ann, int8Floor))
+      .unionAll(row("pq", pqAnn, pqFloor))
       .orderBy(col("method"))
   }
 
@@ -155,7 +157,8 @@ object SimilarityQueries {
     // sample·corpus cost (LSH/IVF candidates are structural and cheap,
     // so those methods still report all vectors)
     recallRows(e, truth, Similarity.int8AnnTop1Sampled(e, isQ),
-      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85)
+      Similarity.pqAnnTop1Sampled(e, isQ),
+      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90)
   }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
@@ -202,6 +205,8 @@ object SimilarityQueries {
          SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
          UNION ALL
          SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
+         UNION ALL
+         SELECT 'pq' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
          ORDER BY method""",
     "q_ann_recall_sampled" ->
       """SELECT 'int8' AS method, count(1) AS n_queries, true AS recall_ok
@@ -211,6 +216,9 @@ object SimilarityQueries {
          FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
          UNION ALL
          SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok
+         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
+         UNION ALL
+         SELECT 'pq' AS method, count(1) AS n_queries, true AS recall_ok
          FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
          ORDER BY method""",
     "q_ann_topk" ->

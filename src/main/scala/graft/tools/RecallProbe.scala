@@ -29,7 +29,8 @@ object RecallProbe {
       val (nl, lsh) = recall(Similarity.lshAnnTop1(e, planes = 4, tables = 8))
       val (_, ivf) = recall(Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3))
       val (_, sq8) = recall(Similarity.int8AnnTop1All(e))
-      println(f"$sf: n_sampled=$nl lsh=$lsh%.4f ivf=$ivf%.4f int8=$sq8%.4f")
+      val (_, pq) = recall(Similarity.pqAnnTop1Sampled(e, isQ))
+      println(f"$sf: n_sampled=$nl lsh=$lsh%.4f ivf=$ivf%.4f int8=$sq8%.4f pq=$pq%.4f")
     }
     spark.stop()
   }

@@ -301,6 +301,58 @@ class SimilaritySpec extends SparkSpec {
     plan should include("ReadSchema: struct<vec_id:bigint,q:binary>")
   }
 
+  "pqAnnTop1All" should "equal brute force when the shortlist covers the corpus" in {
+    // shortlist ≥ corpus ⇒ every candidate reaches the exact rescore,
+    // so PQ's approximate ranking cannot change the answer
+    val exact = Similarity.bruteForceTop1All(vecs, maxGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pq = Similarity.pqAnnTop1All(
+        vecs, m = 2, ksub = 4, iters = 2, shortlist = 10, maxGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pq shouldBe exact
+  }
+
+  it should "be bit-identical under repartitioning" in {
+    val a = Similarity.pqAnnTop1All(realVecs)
+      .collect().map(_.toSeq).toSet
+    val b = Similarity.pqAnnTop1All(realVecs.repartition(7))
+      .collect().map(_.toSeq).toSet
+    a shouldBe b
+    a should not be empty
+  }
+
+  it should "clear the q_ann_recall pq floor on the gate corpus" in {
+    val pq = recallOf(Similarity.pqAnnTop1All(realVecs))
+    info(f"sf0.01 PQ recall: $pq%.3f")
+    pq should be >= 0.90
+  }
+
+  "pqAnnTop1Sampled" should "equal the full pq result restricted to the sample" in {
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    val sampleIds = realVecs.filter(isQ)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val full = Similarity.pqAnnTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampled = Similarity.pqAnnTop1Sampled(realVecs, isQ)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    sampled.keySet shouldBe sampleIds
+    sampled.foreach { case (q, v) => v shouldBe full(q) }
+  }
+
+  "pqAnnTopK" should "rank consistently with top-1 and by exact cosine" in {
+    val topk = Similarity.pqAnnTopK(
+      vecs, topK = 2, m = 2, ksub = 4, iters = 2, shortlist = 10, maxGroup = 2)
+    val rows = topk.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val top1 = Similarity.pqAnnTop1All(
+        vecs, m = 2, ksub = 4, iters = 2, shortlist = 10, maxGroup = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.filter(_._2 == 1).foreach { case (q, _, c, _) => c shouldBe top1(q) }
+    rows.groupBy(_._1).values.foreach { rs =>
+      rs.sortBy(_._2).map(_._4).toSeq shouldBe rs.map(_._4).sorted.reverse.toSeq
+    }
+  }
+
   "bruteForceTop1Sampled" should "equal the full ground truth restricted to the sample" in {
     val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
     val sampleIds = realVecs.filter(isQ)
