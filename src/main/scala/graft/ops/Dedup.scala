@@ -381,8 +381,23 @@ object Dedup {
     * bucket count grows with the corpus, unlike the ANN group census. */
   def simhashNearDups(
       docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame =
+    hammingNearDups(simhash(docs, textCol, idCol), "doc_id", "simhash",
+      maxHamming, maxGroup)
+
+  /** The banded hamming-ball pair miner behind [[simhashNearDups]],
+    * generalized to ANY 64-bit signature column — SimHash, perceptual
+    * blockhash ([[Multimodal]]), or any future fingerprint: signatures
+    * within `maxHamming` agree exactly on one of `maxHamming + 1`
+    * bands (pigeonhole ⇒ recall 1.0 within the bound), candidates are
+    * mined with one shuffle on band values, hot buckets split into
+    * bounded block-pair tasks, and every candidate is verified with
+    * the exact bit_count distance. Output: (doc_a, doc_b, hamming),
+    * doc_a < doc_b. See [[simhashNearDups]] for the full scale notes. */
+  def hammingNearDups(
+      sigFrame: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame = {
-    val spark = docs.sparkSession
+    val spark = sigFrame.sparkSession
     import spark.implicits._
     val bands = maxHamming + 1
     require(64 % bands == 0, s"maxHamming+1=$bands must divide 64")
@@ -391,9 +406,11 @@ object Dedup {
     // wraps to 1 and the mask would be 0 → every doc in ONE bucket →
     // accidental all-pairs join. The full-width mask is -1.
     val mask = if (width == 64) -1L else (1L << width) - 1
-    // null text ⇒ null signature: excluded from pair mining (null band
-    // bits would otherwise co-bucket all null docs)
-    val sigs = simhash(docs, textCol, idCol).filter(col("simhash").isNotNull)
+    // null signature (e.g. null text): excluded from pair mining (null
+    // band bits would otherwise co-bucket all null docs)
+    val sigs = sigFrame
+      .select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
+      .filter(col("simhash").isNotNull)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width)

@@ -95,6 +95,56 @@ object Multimodal {
     blobs.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
   }
 
+  /** A document's 64-bit perceptual signature ([[blockhash64]]). */
+  case class PHash(doc_id: Long, phash: Long)
+
+  /** 64-bit perceptual BLOCKHASH over the payload byte stream — the
+    * image-dedup primitive (blockhash / aHash family): partition the
+    * "pixel" stream into 64 contiguous cells (byte i → cell i·64/n)
+    * and set bit j iff cell j's mean exceeds the global mean. Near-
+    * identical media differ in a few cells → small hamming distance;
+    * pairs are mined at scale by [[graft.ops.Dedup.hammingNearDups]]
+    * (banded, recall 1.0 within the bound — no shuffle of payloads,
+    * only 8-byte signatures).
+    *
+    * On real media this runs on DECODED grayscale pixels; here it runs
+    * on the stub codec's byte stream (the testdata ships no binaries),
+    * which preserves the property that matters — near-dup payloads →
+    * near-equal signatures. Every comparison is integer-exact
+    * (cell_sum·n > total·cell_count cross-multiplication, no
+    * floating-point means), so the signature is deterministic and
+    * SQL-mirrorable; Long-safe for payloads ≤ ~190 MB (255·n² < 2⁶³).
+    * Empty payloads hash to 0. */
+  def blockhash64(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[PHash] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val p = b.payload
+      val n = p.length
+      if (n == 0) PHash(b.doc_id, 0L)
+      else {
+        val cellSum = new Array[Long](64)
+        val cellCnt = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < n) {
+          val v = p(i) & 0xff
+          val cell = (i.toLong * 64 / n).toInt
+          cellSum(cell) += v
+          cellCnt(cell) += 1
+          total += v
+          i += 1
+        }
+        var h = 0L
+        var j = 0
+        while (j < 64) {
+          if (cellSum(j) * n > total * cellCnt(j)) h |= (1L << j)
+          j += 1
+        }
+        PHash(b.doc_id, h)
+      }
+    })
+  }
+
   /** documents → payload → decode → per-language media stats. */
   def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -34,6 +34,26 @@ object AdvancedQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** ADAPTIVE salted join: hot partkeys (≥ 35 lineitem rows — the
+    * per-key distribution has median 30 / p90 37 at every SF, so both
+    * the hot and the cold path are genuinely exercised) are detected by
+    * a partial-agg census and salted; cold keys join unsalted, so the
+    * small side is exploded only |hot|·buckets deep. Same oracle as
+    * q_join_salted: the plain join — adaptivity must not change one
+    * row. */
+  def joinSaltedAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("partkey"), col("l_quantity"))
+    val small = t(s, dir, "part")
+      .select(col("p_partkey").as("partkey"), col("p_brand"))
+    SkewJoin.adaptiveSaltedJoin(big, small, "partkey",
+        saltBuckets = 8, hotThreshold = 35)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec("l_quantity")).cast("double").as("qty"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     * `quantile_cont`). */
   def percentiles(s: SparkSession, dir: String): DataFrame =
@@ -258,6 +278,7 @@ object AdvancedQueries {
     "q_subquery_scalar" -> (subqueryScalar _),
     "q_subquery_correlated" -> (subqueryCorrelated _),
     "q_join_salted" -> (joinSalted _),
+    "q_join_salted_adaptive" -> (joinSaltedAdaptive _),
     "q_percentiles" -> (percentiles _),
     "q_agg_variance" -> (variance _),
     "q_dq_outliers" -> (outliers _),
@@ -354,6 +375,11 @@ object AdvancedQueries {
            FROM orders i WHERE i.o_custkey = o.o_custkey)
          ORDER BY o.o_orderkey""",
     "q_join_salted" ->
+      """SELECT p_brand, count(1) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_join_salted_adaptive" ->
       """SELECT p_brand, count(1) AS n,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
          FROM lineitem JOIN part ON l_partkey = p_partkey

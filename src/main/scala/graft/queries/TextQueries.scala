@@ -127,6 +127,43 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual blockhash per document ([[Multimodal.blockhash64]] on
+    * the stub payload), output as the 64-char bit string so the DuckDB
+    * oracle can rebuild it with pure integer SQL (cell sums +
+    * cross-multiplied mean comparison — no floats anywhere). */
+  def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[Multimodal.MediaBlob]
+    Multimodal.blockhash64(s, blobs).toDF()
+      .select(col("doc_id"), lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Perceptual near-dup pairs: banded hamming mining over the
+    * blockhash signatures ([[Dedup.hammingNearDups]] — the same
+    * kernel as SimHash pairs, recall 1.0 within the bound). The bound
+    * is 15 bits: the gate corpus' stub "media" near-dups are edited
+    * copies whose payload blockhashes differ by 9–15 bits (measured
+    * min hamming 9/10/0 at sf0.001/0.01/0.1), and 16 bands × 4 bits
+    * is the divisor-legal band layout covering it. 4-bit bands are
+    * collision-heavy by design at this bound — production corpora
+    * at billions of images would widen the signature (blockhash-256)
+    * rather than loosen further; the hot-band splitting keeps tasks
+    * bounded either way. */
+  def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[Multimodal.MediaBlob]
+    Dedup.hammingNearDups(
+        Multimodal.blockhash64(s, blobs).toDF(), "doc_id", "phash",
+        maxHamming = 15)
+      .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** TF-IDF top-3 terms per document. tf = in-doc term count, df from
     * the (doc, term) pairs, idf = ln((N+1)/(df+1)) + 1 (smoothed).
     * Fully declarative: two aggregations + a broadcast of the doc
@@ -333,7 +370,9 @@ object TextQueries {
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_multimodal_meta" -> (multimodalMeta _),
-    "q_multimodal_frames" -> (multimodalFrames _)
+    "q_multimodal_frames" -> (multimodalFrames _),
+    "q_multimodal_phash" -> (multimodalPhash _),
+    "q_multimodal_phash_pairs" -> (multimodalPhashPairs _)
   )
 
   private val shingleCte =
@@ -355,6 +394,38 @@ object TextQueries {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b)"""
+
+  /** Blockhash bits rebuilt in pure integer SQL — the exact mirror of
+    * [[Multimodal.blockhash64]]: byte i (ASCII text, so ascii(substr)
+    * IS the payload byte) → cell i·64/n; bit = cell mean > global mean
+    * by cross-multiplication; absent cells (n < 64 docs) pad to 0 via
+    * the explicit 0..63 grid, exactly like the engine's zeroed
+    * accumulators. */
+  private val phashCte =
+    """WITH px AS (
+         SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS i,
+                text, length(text) AS n
+         FROM documents),
+       v AS (
+         SELECT doc_id, n, (i * 64) // n AS cell,
+                ascii(substr(text, i + 1, 1)) AS p
+         FROM px),
+       sums AS (
+         SELECT doc_id, any_value(n) AS n, cell, sum(p) AS cs, count(1) AS cc
+         FROM v GROUP BY doc_id, cell),
+       tot AS (
+         SELECT doc_id, sum(cs) AS ts, any_value(n) AS n FROM sums GROUP BY 1),
+       grid AS (
+         SELECT doc_id, unnest(generate_series(0, 63)) AS cell FROM documents),
+       pbits AS (
+         SELECT g.doc_id, g.cell,
+           CASE WHEN coalesce(s.cs, 0) * t.n > t.ts * coalesce(s.cc, 0)
+                THEN '1' ELSE '0' END AS bit
+         FROM grid g JOIN tot t USING (doc_id)
+         LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.cell = g.cell),
+       ph AS (
+         SELECT doc_id, string_agg(bit, '' ORDER BY cell DESC) AS phash_bits
+         FROM pbits GROUP BY doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
     "q_sample_hash" ->
@@ -572,6 +643,17 @@ object TextQueries {
       """SELECT doc_id,
            ((CAST(ceil(length(text) / 16.0) AS BIGINT) - 1) // 3) + 1 AS n_frames
          FROM documents ORDER BY doc_id""",
+    "q_multimodal_phash" ->
+      (phashCte + """
+         SELECT doc_id, phash_bits FROM ph ORDER BY doc_id"""),
+    "q_multimodal_phash_pairs" ->
+      (phashCte + """,
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             hamming(a.phash_bits, b.phash_bits) AS h
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM pairs
+         WHERE h <= 15 ORDER BY id_a, id_b"""),
     "q_multimodal_meta" ->
       """SELECT doc_id, lang,
            CAST(length(text) AS INT) AS n_bytes,

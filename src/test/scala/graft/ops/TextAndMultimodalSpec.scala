@@ -94,6 +94,57 @@ class TextAndMultimodalSpec extends SparkSpec {
     frames.find(_.frame_idx == 0).get.bytes.length shouldBe 16
   }
 
+  "Multimodal.blockhash64" should "set exactly the above-mean cells" in {
+    import spark.implicits._
+    // 128 bytes: first half 'a' (97), second half 'z' (122) → 2 bytes
+    // per cell, global mean 109.5 → exactly cells 32..63 above mean
+    val payload = Array.fill(64)('a'.toByte) ++ Array.fill(64)('z'.toByte)
+    val blobs = Seq(Multimodal.MediaBlob(1L, "en", payload)).toDS()
+    val h = Multimodal.blockhash64(spark, blobs).collect().head.phash
+    h shouldBe 0xFFFFFFFF00000000L
+  }
+
+  it should "hash empty and shorter-than-64-byte payloads deterministically" in {
+    import spark.implicits._
+    val blobs = Seq(
+      Multimodal.MediaBlob(1L, "en", Array.empty[Byte]),
+      // "ab": byte 0 ('a'=97) → cell 0, byte 1 ('b'=98) → cell 32;
+      // global mean 97.5 → only cell 32 above; 62 empty cells stay 0
+      Multimodal.MediaBlob(2L, "en", "ab".getBytes("UTF-8"))).toDS()
+    val m = Multimodal.blockhash64(spark, blobs)
+      .collect().map(p => p.doc_id -> p.phash).toMap
+    m(1L) shouldBe 0L
+    m(2L) shouldBe (1L << 32)
+  }
+
+  it should "mine perceptual near-dup pairs via the banded hamming kernel" in {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 8
+    val edited = base.replace("quick", "quack")
+    val other = "completely different content about spark engines " * 8
+    val docs = Seq((1L, base), (2L, edited), (3L, other), (4L, base))
+      .toDF("doc_id", "text")
+    val blobs = docs
+      .select(col("doc_id"), lit("en").as("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .as[Multimodal.MediaBlob]
+    val sigs = Multimodal.blockhash64(spark, blobs).toDF()
+    val sigMap = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigMap(a) ^ sigMap(b))
+    // exact copy → identical hash; light edit → closer than unrelated
+    ham(1L, 4L) shouldBe 0
+    ham(1L, 2L) should be < ham(1L, 3L)
+    // the banded miner returns EXACTLY the brute-force hamming ball
+    val pairs = Dedup.hammingNearDups(sigs, "doc_id", "phash", maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- sigMap.keys; b <- sigMap.keys
+      if a < b && java.lang.Long.bitCount(sigMap(a) ^ sigMap(b)) <= 15
+    } yield (a, b)).toSet
+    pairs shouldBe brute
+    pairs should contain((1L, 4L))
+  }
+
   "Text.chunks" should "produce overlapping windows that cover every token" in {
     import spark.implicits._
     val words113 = (1 to 113).map(i => s"w$i").mkString(" ")
