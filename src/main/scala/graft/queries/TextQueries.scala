@@ -164,6 +164,24 @@ object TextQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The media-dedup DECISION pipeline — [[multimodalPhashPairs]]
+    * composed end-to-end like [[dedupClusters]] is for text: perceptual
+    * pair graph → connected components → min-id survivor per cluster,
+    * one (doc_id, cluster_id, keep) row per document. Oracle walks the
+    * same pair graph with a recursive CTE. */
+  def multimodalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = docs(s, dir)
+    val blobs = Multimodal.withPayload(d, "text")
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[Multimodal.MediaBlob]
+    val pairs = Dedup.hammingNearDups(
+      Multimodal.blockhash64(s, blobs).toDF(), "doc_id", "phash",
+      maxHamming = 15)
+    Dedup.dedupDecision(d, pairs, "doc_id")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF top-3 terms per document. tf = in-doc term count, df from
     * the (doc, term) pairs, idf = ln((N+1)/(df+1)) + 1 (smoothed).
     * Fully declarative: two aggregations + a broadcast of the doc
@@ -372,7 +390,8 @@ object TextQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_phash" -> (multimodalPhash _),
-    "q_multimodal_phash_pairs" -> (multimodalPhashPairs _)
+    "q_multimodal_phash_pairs" -> (multimodalPhashPairs _),
+    "q_multimodal_dedup" -> (multimodalDedup _)
   )
 
   private val shingleCte =
@@ -654,6 +673,26 @@ object TextQueries {
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM pairs
          WHERE h <= 15 ORDER BY id_a, id_b"""),
+    "q_multimodal_dedup" ->
+      (phashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+         pairs AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+           WHERE hamming(a.phash_bits, b.phash_bits) <= 15),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""),
     "q_multimodal_meta" ->
       """SELECT doc_id, lang,
            CAST(length(text) AS INT) AS n_bytes,
