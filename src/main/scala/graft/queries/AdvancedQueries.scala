@@ -157,6 +157,26 @@ object AdvancedQueries {
           / col("exact_users").cast("double") <= 0.05).as("approx_ok"))
       .orderBy(col("event_type"))
 
+  /** Sketch-based percentiles vs the exact sort — the 100 TB posture
+    * for q_percentiles: exact `percentile` holds a per-group sorted
+    * buffer (all values of the group through one aggregation path),
+    * while `approx_percentile` (t-digest-style sketch, accuracy 1e4)
+    * is a bounded-memory mergeable partial like any other partial
+    * aggregate. Invariant oracle (q_approx_distinct's pattern): the
+    * sketch estimate must sit within 5% of the exact interpolated
+    * percentile — deterministic, because Spark's sketch is
+    * deterministic for a given dataset and accuracy. */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("ap50"),
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("approx_ok"))
+      .orderBy(col("l_returnflag"))
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -280,6 +300,7 @@ object AdvancedQueries {
     "q_join_salted" -> (joinSalted _),
     "q_join_salted_adaptive" -> (joinSaltedAdaptive _),
     "q_percentiles" -> (percentiles _),
+    "q_percentiles_approx" -> (percentilesApprox _),
     "q_agg_variance" -> (variance _),
     "q_dq_outliers" -> (outliers _),
     "q_window_range" -> (windowRange _),
@@ -426,6 +447,9 @@ object AdvancedQueries {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
            count(1) AS n, true AS approx_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_percentiles_approx" ->
+      """SELECT l_returnflag, count(1) AS n, true AS approx_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) AS bucket,
            count(1) FILTER (WHERE event_type = 'click') AS click,

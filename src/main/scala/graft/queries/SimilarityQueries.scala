@@ -79,6 +79,35 @@ object SimilarityQueries {
       .orderBy(col("dim"))
   }
 
+  /** Per-dimension STANDARDIZATION of the embeddings — the whitening
+    * prep [[embedDimStats]] computes moments for, applied: z = (x −
+    * mean_dim)/std_dim. The corpus stats frame is d rows (metadata-
+    * sized — AQE broadcasts it); every arithmetic step after the exact
+    * decimal moments is a single correctly-rounded double op in the
+    * same order as the oracle, so values hash-match without
+    * quantization. Output restricted to the 100 lowest ids (the
+    * operator is a full-corpus map; the gate just bounds the dump). */
+  def embedNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity.decToDouble
+    val vals = emb(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos") + 1 as "dim",
+        col("x").cast("double").cast("decimal(12,9)").as("xd"))
+    val stats = vals.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        decToDouble(sum(col("xd"))).as("sum_x"),
+        decToDouble(sum(col("xd") * col("xd"))).as("sum_x2"))
+      .withColumn("mean", col("sum_x") / col("n"))
+      .withColumn("std",
+        sqrt((col("sum_x2") - col("sum_x") * col("sum_x") / col("n")) / col("n")))
+      .select(col("dim"), col("mean"), col("std"))
+    vals.filter(col("vec_id") < 100)
+      .join(stats, "dim")
+      .select(col("vec_id"), col("dim"),
+        ((decToDouble(col("xd")) - col("mean")) / col("std")).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
+  }
+
   /** Top-3 LSH ANN (rows-only): the similarity-search surface a user
     * actually calls — k best neighbors, exact-decimal re-ranked. */
   def lshAnnK(s: SparkSession, dir: String): DataFrame =
@@ -177,6 +206,7 @@ object SimilarityQueries {
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
+    "q_embed_normalize" -> (embedNormalize _),
     "q_ann_lsh" -> (lshAnn _)
   )
 
@@ -238,6 +268,26 @@ object SimilarityQueries {
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
 
+    "q_embed_normalize" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         vals AS (
+           SELECT vec_id, i AS dim,
+             CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) AS xd
+           FROM embeddings CROSS JOIN idx),
+         m AS (
+           SELECT dim, count(1) AS n,
+             CAST(CAST(sum(xd) AS VARCHAR) AS DOUBLE) AS sum_x,
+             CAST(CAST(sum(xd * xd) AS VARCHAR) AS DOUBLE) AS sum_x2
+           FROM vals GROUP BY dim),
+         st AS (
+           SELECT dim, sum_x / n AS mean,
+             sqrt((sum_x2 - sum_x * sum_x / n) / n) AS std
+           FROM m)
+         SELECT v.vec_id, CAST(v.dim AS INT) AS dim,
+           (CAST(CAST(v.xd AS VARCHAR) AS DOUBLE) - st.mean) / st.std AS z
+         FROM vals v JOIN st USING (dim)
+         WHERE v.vec_id < 100
+         ORDER BY v.vec_id, v.dim""",
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (

@@ -369,7 +369,27 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic STRATIFIED train/val/test split — the manifest step
+    * of a training pipeline: each doc's split follows the first md5
+    * byte of its id (hex-string thresholds 0xCD/0xE6 ≈ 80/10/10), so
+    * membership is reproducible across runs, engines, partitionings,
+    * and incremental re-runs, and the per-language report shows the
+    * stratification holds per stratum. Pure map + one partial-agg
+    * shuffle of (lang, split) rows — nothing about it changes at
+    * 100 TB. */
+  def stratifiedSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+      .withColumn("split",
+        when(col("h") < "cd", "train")
+          .when(col("h") < "e6", "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"), col("split"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (stratifiedSplit _),
     "q_sample_hash" -> (hashSample _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
@@ -447,6 +467,16 @@ object TextQueries {
          FROM pbits GROUP BY doc_id)"""
 
   val oracleSql: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      """WITH s AS (
+           SELECT lang, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents)
+         SELECT lang, split, count(1) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+         FROM s GROUP BY lang, split ORDER BY lang, split""",
     "q_sample_hash" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
