@@ -396,8 +396,34 @@ object Dedup {
     * doc_a < doc_b. See [[simhashNearDups]] for the full scale notes. */
   def hammingNearDups(
       sigFrame: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame = {
-    val spark = sigFrame.sparkSession
+      maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame =
+    hammingNearDupsImpl(
+      sigFrame.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"),
+        lit(true).as("is_new")),
+      maxHamming, maxGroup)
+
+  /** INCREMENTAL banded hamming mining: pairs introduced by a new
+    * batch against a persisted corpus signature set (plus pairs within
+    * the batch) — the perceptual twin of [[minhashNearDupsIndexed]].
+    * Corpus-only buckets are pruned BEFORE task fan-out (the census
+    * counts batch members per bucket), so shuffle and pair-scan work
+    * is ∝ buckets the batch actually touches; the corpus contributes
+    * one pass over its 8-byte signatures — never payloads, never
+    * re-hashing. Corpus–corpus pairs are NOT emitted (they were mined
+    * when those docs were ingested). */
+  def hammingNearDupsIncremental(
+      corpusSigs: DataFrame, newSigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 3, maxGroup: Int = 4096): DataFrame =
+    hammingNearDupsImpl(
+      corpusSigs.select(col(idCol).as("doc_id"), col(sigCol).as("simhash"),
+          lit(false).as("is_new"))
+        .unionByName(newSigs.select(col(idCol).as("doc_id"),
+          col(sigCol).as("simhash"), lit(true).as("is_new"))),
+      maxHamming, maxGroup)
+
+  private def hammingNearDupsImpl(
+      sigs0: DataFrame, maxHamming: Int, maxGroup: Int): DataFrame = {
+    val spark = sigs0.sparkSession
     import spark.implicits._
     val bands = maxHamming + 1
     require(64 % bands == 0, s"maxHamming+1=$bands must divide 64")
@@ -408,56 +434,63 @@ object Dedup {
     val mask = if (width == 64) -1L else (1L << width) - 1
     // null signature (e.g. null text): excluded from pair mining (null
     // band bits would otherwise co-bucket all null docs)
-    val sigs = sigFrame
-      .select(col(idCol).as("doc_id"), col(sigCol).as("simhash"))
-      .filter(col("simhash").isNotNull)
+    val sigs = sigs0.filter(col("simhash").isNotNull)
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftright(col("simhash"), b * width)
           .bitwiseAND(lit(mask)).as("bits"))
     }
     val buckets = sigs
-      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("doc_id"), col("simhash"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val sized = buckets.join(
-      buckets.groupBy(col("band"), col("bits")).agg(count(lit(1)).as("gn")),
-      Seq("band", "bits"))
+      .select(col("doc_id"), col("simhash"), col("is_new"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("simhash"), col("is_new"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    // census: total members (drives hot-band splitting) AND new members
+    // (ng = 0 ⇒ the bucket can't produce a pair involving a new doc —
+    // pruned before any fan-out)
+    val census = buckets.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("gn"),
+        sum(when(col("is_new"), 1).otherwise(0)).as("ng"))
+    val sized = buckets.join(census, Seq("band", "bits"))
+      .filter(col("ng") > 0)
     // block-pair fan-out (same scheme as Similarity.cosineNearDupPairsBlocked):
     // a member of block b joins every task (i ≤ j) with i == b or j == b;
     // each cross-block pair meets in exactly one task, each within-block
     // pair in exactly one diagonal task. nb == 1 ⇒ one task per bucket
     // (the common case); only buckets beyond maxGroup fan out.
     val tasked = sized
-      .select(col("band"), col("bits"), col("gn"), col("doc_id"), col("simhash"))
-      .as[(Int, Long, Long, Long, Long)]
-      .flatMap { case (band, bits, gn, id, sig) =>
+      .select(col("band"), col("bits"), col("gn"), col("doc_id"),
+        col("simhash"), col("is_new"))
+      .as[(Int, Long, Long, Long, Long, Boolean)]
+      .flatMap { case (band, bits, gn, id, sig, isNew) =>
         val nb = Similarity.numBlocks(gn, maxGroup)
-        if (nb == 1) Iterator.single((band, bits, 0, 0.toByte, id, sig))
+        if (nb == 1) Iterator.single((band, bits, 0, 0.toByte, id, sig, isNew))
         else {
           val b = Math.floorMod(
             org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 11),
             nb.toLong).toInt
           val left = (b until nb).iterator.map(j =>
-            (band, bits, b * nb + j, 0.toByte, id, sig))
+            (band, bits, b * nb + j, 0.toByte, id, sig, isNew))
           val right = (0 until b).iterator.map(i =>
-            (band, bits, i * nb + b, 1.toByte, id, sig))
+            (band, bits, i * nb + b, 1.toByte, id, sig, isNew))
           left ++ right
         }
       }
     val pairs = tasked
       .groupByKey(t => (t._1, t._2, t._3))
-      .flatMapGroups { (_: (Int, Long, Int), it: Iterator[(Int, Long, Int, Byte, Long, Long)]) =>
+      .flatMapGroups { (_: (Int, Long, Int), it: Iterator[(Int, Long, Int, Byte, Long, Long, Boolean)]) =>
         // diagonal tasks (i == j) receive only role 0 → all-pairs within;
         // off-diagonal tasks receive both roles → cross-block pairs only
         // (within-block pairs belong to that block's diagonal task)
-        val ls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        it.foreach { case (_, _, _, role, id, sig) =>
-          if (role == 0) ls += ((id, sig)) else rs += ((id, sig))
+        val ls = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+        val rs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Boolean)]
+        it.foreach { case (_, _, _, role, id, sig, isNew) =>
+          if (role == 0) ls += ((id, sig, isNew)) else rs += ((id, sig, isNew))
         }
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
-        def emit(a: (Long, Long), b: (Long, Long)): Unit =
-          if (a._1 != b._1) {
+        def emit(a: (Long, Long, Boolean), b: (Long, Long, Boolean)): Unit =
+          // at least one side must be NEW (full mining: every side is)
+          if (a._1 != b._1 && (a._3 || b._3)) {
             val h = java.lang.Long.bitCount(a._2 ^ b._2)
             if (h <= maxHamming)
               out += ((math.min(a._1, b._1), math.max(a._1, b._1), h))

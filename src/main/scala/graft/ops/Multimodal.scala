@@ -145,6 +145,15 @@ object Multimodal {
     })
   }
 
+  /** Build (or rebuild, per corpus epoch) the persisted perceptual-hash
+    * index the streaming media ingest dedups against
+    * ([[graft.streaming.DocStreams.mediaDedupIngest]]): one
+    * (doc_id, phash) row per corpus blob at `path/phashes` — 16 bytes
+    * per document, the only state the incremental path ever rescans. */
+  def writePhashIndex(spark: SparkSession, blobs: Dataset[MediaBlob], path: String): Unit =
+    blockhash64(spark, blobs).toDF()
+      .write.mode("overwrite").parquet(s"$path/phashes")
+
   /** documents → payload → decode → per-language media stats. */
   def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

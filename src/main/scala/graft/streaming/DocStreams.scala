@@ -65,20 +65,10 @@ object DocStreams {
       exact.filter(col("status") === "new").select(col("doc_id").as(idCol)), idCol)
 
     val pairs = Dedup.minhashNearDupsIndexed(indexPath, exactNew, textCol, idCol, threshold)
-    val comp = Dedup.connectedComponents(pairs) // (id, comp) — local-path sized
     val batchIds = exact.filter(col("status") === "new")
       .select(col("doc_id"), lit(true).as("in_batch"))
-    val labeled = comp.join(batchIds, comp("id") === batchIds("doc_id"), "left")
-    // a component survives inside the batch iff it contains no corpus
-    // doc; its surviving member is the minimum batch id
-    val verdict = labeled.groupBy(col("comp"))
-      .agg(
-        max(when(col("in_batch").isNull, lit(1)).otherwise(lit(0))).as("touches_corpus"),
-        min(when(col("in_batch"), col("id"))).as("min_batch_id"))
-    val nearDropped = labeled.filter(col("in_batch"))
-      .join(verdict, "comp")
-      .filter(col("touches_corpus") === 1 || col("id") =!= col("min_batch_id"))
-      .select(col("id").as("doc_id"), lit("near_dup").as("status"))
+    val nearDropped = nearDupDropped(pairs, batchIds)
+      .select(col("doc_id"), lit("near_dup").as("status"))
 
     exact.select(col("doc_id"),
         when(col("status") === "dup_of_corpus", lit("exact_dup_corpus"))
@@ -87,6 +77,92 @@ object DocStreams {
       .join(nearDropped.select(col("doc_id"), lit(true).as("nd")), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("nd"), lit("near_dup")).otherwise(col("status")).as("status"))
+  }
+
+  /** Shared keep/drop verdict over a batch-touching near-dup pair
+    * graph: a batch doc is dropped if its component touches the corpus
+    * (the earlier-ingested copy wins) or it is not the minimum batch id
+    * of a batch-only component. `batchIds` = (doc_id, in_batch=true)
+    * for the batch side; pair ids absent from it are corpus docs.
+    * Returns the dropped (doc_id) rows. */
+  private def nearDupDropped(pairs: DataFrame, batchIds: DataFrame): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs) // (id, comp) — local-path sized
+    val labeled = comp.join(batchIds, comp("id") === batchIds("doc_id"), "left")
+    // a component survives inside the batch iff it contains no corpus
+    // doc; its surviving member is the minimum batch id
+    val verdict = labeled.groupBy(col("comp"))
+      .agg(
+        max(when(col("in_batch").isNull, lit(1)).otherwise(lit(0))).as("touches_corpus"),
+        min(when(col("in_batch"), col("id"))).as("min_batch_id"))
+    labeled.filter(col("in_batch"))
+      .join(verdict, "comp")
+      .filter(col("touches_corpus") === 1 || col("id") =!= col("min_batch_id"))
+      .select(col("id").as("doc_id"))
+  }
+
+  /** The pure per-batch MEDIA decision: which payloads of a signature
+    * batch survive ingest against the persisted perceptual-hash set at
+    * `indexPath/phashes`. Pairs are mined incrementally
+    * ([[Dedup.hammingNearDupsIncremental]] — corpus-only band buckets
+    * pruned before fan-out, the corpus contributes one scan of 8-byte
+    * signatures), then the shared component verdict applies. Returns
+    * (doc_id, status ∈ kept | near_dup) for every batch doc. */
+  def mediaBatchDecisions(
+      batchSigs: DataFrame, indexPath: String, maxHamming: Int): DataFrame = {
+    val spark = batchSigs.sparkSession
+    val corpus = spark.read.parquet(s"$indexPath/phashes")
+    val sigs = batchSigs.select(col("doc_id"), col("phash"))
+    val pairs = Dedup.hammingNearDupsIncremental(
+      corpus, sigs, "doc_id", "phash", maxHamming)
+    val batchIds = sigs.select(col("doc_id"), lit(true).as("in_batch"))
+    val dropped = nearDupDropped(pairs, batchIds)
+    sigs.select(col("doc_id"))
+      .join(dropped.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("nd"), lit("near_dup")).otherwise(lit("kept")).as("status"))
+  }
+
+  /** Streaming MEDIA ingest with per-batch perceptual dedup — the
+    * multimodal twin of [[dedupIngest]]: each micro-batch of
+    * (doc_id, lang, payload) blobs is blockhashed partition-locally
+    * ([[graft.ops.Multimodal.blockhash64]] — payloads never shuffle),
+    * deduped against the persisted signature set, survivors appended
+    * to `sinkPath/docs` (+ decisions to `sinkPath/decisions`) and
+    * their signatures to `indexPath/phashes` — so batch N+1 dedups
+    * against everything batch N kept (asserted live in
+    * `DocStreamsSpec`). Bootstrap the index with
+    * [[graft.ops.Multimodal.writePhashIndex]] at corpus-build time.
+    * Per-batch cost ∝ batch + touched band buckets + one corpus
+    * signature scan (8 bytes/doc); the index grows with kept docs
+    * only. */
+  def mediaDedupIngest(
+      blobs: DataFrame, indexPath: String, sinkPath: String,
+      maxHamming: Int = 15): StreamingQuery = {
+    blobs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val typed = batch
+            .select(col("doc_id"), col("lang"), col("payload"))
+            .as[graft.ops.Multimodal.MediaBlob]
+          val sigs = graft.ops.Multimodal.blockhash64(spark, typed).toDF()
+            .localCheckpoint(true) // 16 B per batch doc; read 3× below
+          val decisions = mediaBatchDecisions(sigs, indexPath, maxHamming)
+            .localCheckpoint(true)
+          val keptIds = decisions.filter(col("status") === "kept")
+            .select(col("doc_id"))
+          batch.join(keptIds, "doc_id")
+            .write.mode("append").parquet(s"$sinkPath/docs")
+          decisions.write.mode("append").parquet(s"$sinkPath/decisions")
+          sigs.join(keptIds, "doc_id")
+            .write.mode("append").parquet(s"$indexPath/phashes")
+        }
+        ()
+      }
+      .start()
   }
 
   /** Streaming EMBEDDING ingest: append each micro-batch of new

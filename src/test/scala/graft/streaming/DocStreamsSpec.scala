@@ -98,6 +98,74 @@ class DocStreamsSpec extends SparkSpec {
       .filter(col("vec_id") === 40L).count() shouldBe 1L
   }
 
+  "mediaDedupIngest" should "dedup each media batch against the growing phash index" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Multimodal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mediastream").toString
+    val index = s"$tmp/index"
+    val sink = s"$tmp/sink"
+    def blob(id: Long, text: String) =
+      Multimodal.MediaBlob(id, "en", text.getBytes("UTF-8"))
+    Multimodal.writePhashIndex(spark,
+      Seq(blob(1L, longText), blob(2L, otherText)).toDS(), index)
+
+    val mem = MemoryStream[(Long, String, String)]
+    val blobs = mem.toDF().toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val q = DocStreams.mediaDedupIngest(blobs, index, sink)
+    try {
+      mem.addData(
+        (100L, "en", longText),   // same payload as corpus blob 1 → hamming 0
+        (101L, "en", freshText),  // genuinely new → kept
+        (102L, "en", freshText))  // identical payload within the batch → dropped
+      q.processAllAvailable()
+      mem.addData(
+        // identical to doc 101, which was only just streamed in — drops
+        // ONLY if batch 1 extended the index (the property under test)
+        (200L, "en", freshText),
+        (201L, "en", "a second wave of entirely new media bytes arriving now"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val decisions = spark.read.parquet(s"$sink/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    decisions shouldBe Map(
+      100L -> "near_dup", 101L -> "kept", 102L -> "near_dup",
+      200L -> "near_dup", 201L -> "kept")
+
+    val kept = spark.read.parquet(s"$sink/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(101L, 201L)
+
+    // the index carries corpus + kept signatures, nothing else's
+    val indexed = spark.read.parquet(s"$index/phashes")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    indexed shouldBe Set(1L, 2L, 101L, 201L)
+  }
+
+  "hammingNearDupsIncremental" should "equal full mining restricted to batch-touching pairs" in {
+    import spark.implicits._
+    val sigs = Seq(
+      (1L, 0x0F0FL), (2L, 0x0F0EL), (3L, 0x7777123456789ABCL),
+      (10L, 0x0F0DL), (11L, 0x7777123456789ABDL), (12L, 0x0123456789ABCDEFL))
+      .toDF("doc_id", "phash")
+    val corpus = sigs.filter(col("doc_id") < 10)
+    val batch = sigs.filter(col("doc_id") >= 10)
+    val inc = Dedup.hammingNearDupsIncremental(
+        corpus, batch, "doc_id", "phash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val full = Dedup.hammingNearDups(sigs, "doc_id", "phash", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val expected = full.filter(p => p._1 >= 10 || p._2 >= 10)
+    inc shouldBe expected
+    inc should not be empty
+    // and corpus-corpus pairs (1,2) are mined by full but not incremental
+    full.exists(p => p._1 == 1L && p._2 == 2L) shouldBe true
+    inc.exists(p => p._1 == 1L && p._2 == 2L) shouldBe false
+  }
+
   "batchDecisions" should "match the batch incremental operators on real documents" in {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val tmp = java.nio.file.Files.createTempDirectory("graft-docstream-real").toString
