@@ -1244,6 +1244,36 @@ object Similarity {
     rescoreTopK(blockedShortlistPq(rows, tab, kk, shortlist, maxGroup), vecs, topK)
   }
 
+  /** IVF-PQ: Lloyd list pruning + PQ-code in-list scans — the FAISS
+    * family completed (float / SQ8 / PQ × flat / IVF). The coarse
+    * quantizer prunes lists exactly as [[ivfAnnTop1]]; the scanned
+    * rows carry m-byte PQ codes, so the in-list candidate scan reads
+    * 16× fewer bytes than float32 and each pair costs m dot-table
+    * lookups; the per-query shortlist is rescored in exact decimal as
+    * everywhere else. Recall ≈ min(IVF's list-pruning recall, PQ's
+    * shortlist recall) — on the gate corpus PQ's is ~1.0, so this
+    * measures ≈ IVF's (asserted within 0.05 in SimilaritySpec). */
+  def ivfPqAnnTop1(
+      vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
+      m: Int = 16, ksub: Int = 256, pqIters: Int = 3,
+      shortlist: Int = 64, maxGroup: Int = 256): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val typed = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cbs = trainPqCodebooks(typed, m, ksub, pqIters)
+    val kk = if (cbs.isEmpty) 0 else cbs(0).length
+    val dsub = if (kk == 0) 0 else cbs(0)(0).length
+    val bcCb = spark.sparkContext.broadcast(cbs)
+    val bcTab = spark.sparkContext.broadcast(pqDotTable(cbs))
+    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters)
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { case (g, role, id, v) => (g, role, id, pqEncode(v, cb, dsub)) }
+      }
+    rescoreTop1(blockedShortlistPq(rows, bcTab, kk, shortlist, maxGroup), vecs)
+  }
+
   // ---- persisted IVF-SQ8 index (build once per corpus epoch,
   //      search every query batch against it) ----
 

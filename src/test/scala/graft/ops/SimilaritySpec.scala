@@ -327,6 +327,14 @@ class SimilaritySpec extends SparkSpec {
     pq should be >= 0.90
   }
 
+  "ivfPqAnnTop1" should "hold IVF-level recall with PQ in-list scans" in {
+    val ivf = recallOf(Similarity.ivfAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    val ivfpq = recallOf(Similarity.ivfPqAnnTop1(realVecs, k = 16, nprobe = 4, lloydIters = 3))
+    info(f"sf0.01 IVF recall: float=$ivf%.3f ivf-pq=$ivfpq%.3f")
+    ivfpq should be >= 0.50
+    ivfpq should be >= ivf - 0.05
+  }
+
   "pqAnnTop1Sampled" should "equal the full pq result restricted to the sample" in {
     val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
     val sampleIds = realVecs.filter(isQ)
