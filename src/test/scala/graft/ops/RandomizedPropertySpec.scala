@@ -99,6 +99,37 @@ class RandomizedPropertySpec extends SparkSpec {
     agg.foreach { case (id, sig) => native(id) shouldBe sig }
   }
 
+  "hammingNearDupsIncremental" should "equal full mining restricted to batch pairs on random signatures" in {
+    import spark.implicits._
+    for (seed <- Seq(5, 55); maxHamming <- Seq(0, 3, 15)) {
+      val rng = new scala.util.Random(seed)
+      // cluster signatures around a few random centers (bit-flip noise)
+      // so the hamming ball is non-trivially populated at every bound
+      val centers = Array.fill(6)(rng.nextLong())
+      val sigs = (0L until 120L).map { i =>
+        var s = centers(rng.nextInt(centers.length))
+        val flips = rng.nextInt(6)
+        for (_ <- 0 until flips) s ^= (1L << rng.nextInt(64))
+        (i, s)
+      }
+      val df = sigs.toDF("doc_id", "phash")
+      val corpus = df.filter(col("doc_id") < 60)
+      val batch = df.filter(col("doc_id") >= 60)
+      val inc = Dedup.hammingNearDupsIncremental(
+          corpus, batch, "doc_id", "phash", maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val full = Dedup.hammingNearDups(df, "doc_id", "phash", maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      inc shouldBe full.filter(p => p._1 >= 60 || p._2 >= 60)
+      // brute-force ground truth for the full miner itself
+      val brute = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs
+        if a < b && java.lang.Long.bitCount(sa ^ sb) <= maxHamming
+      } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+      full shouldBe brute
+    }
+  }
+
   "connectedComponents" should "agree across local and iterative paths on random graphs" in {
     import spark.implicits._
     for (seed <- Seq(7, 77, 777)) {
