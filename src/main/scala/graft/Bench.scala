@@ -50,7 +50,10 @@ object Bench {
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77
     // queries) was head-truncated past the opening brace — the driver
     // recorded parsed:null. At 3dp the line is ~2.1 KB and survives.
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and
+    // a comma-decimal locale would render 53,236 → invalid JSON
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -20,10 +20,23 @@ import org.apache.spark.sql.functions._
   * the skew is in an aggregation upstream of AQE's reach. */
 object SkewJoin {
 
+  /** Join types for which salting is result-equivalent to the plain
+    * join: the BIG side keeps every row exactly once per salt, so
+    * inner/left/semi/anti hold; right/full outer would null-extend
+    * exploded small rows whose salt bucket drew no big rows. */
+  private def requireSaltableJoinType(joinType: String): Unit = {
+    val t = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "left", "leftouter", "leftsemi", "leftanti").contains(t),
+      s"joinType=$joinType is not salt-equivalent to the plain join " +
+        "(right/full outer would null-extend empty salt buckets); " +
+        "use inner/left/left_semi/left_anti")
+  }
+
   /** Equi-join `big ⋈ small` on `key`, salted `saltBuckets` ways. */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int, joinType: String = "inner"): DataFrame = {
+    requireSaltableJoinType(joinType)
     // deterministic per-row salt on the big side: hash of the whole row
     val bigCols = big.columns.map(col).toSeq
     val salted = big.withColumn(
@@ -61,9 +74,12 @@ object SkewJoin {
       joinType: String = "inner"): DataFrame = {
     require(saltBuckets >= 2, s"saltBuckets=$saltBuckets must be >= 2")
     require(hotThreshold >= 1, s"hotThreshold=$hotThreshold must be >= 1")
+    // right/full outer are NOT salt-equivalent: a hot key whose big
+    // rows happen to miss one salt bucket would null-extend that
+    // bucket's exploded small row — a row the plain join never emits
+    requireSaltableJoinType(joinType)
     val hotKeys = broadcast(
-      big.groupBy(col(key)).agg(count(lit(1)).as("__hn"))
-        .filter(col("__hn") >= hotThreshold)
+      hotKeyCensus(big, key, hotThreshold)
         .select(col(key), lit(true).as("__hot")))
     val bigCols = big.columns.map(col).toSeq
     val bigTagged = big.join(hotKeys, Seq(key), "left")

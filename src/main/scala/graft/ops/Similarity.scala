@@ -944,7 +944,13 @@ object Similarity {
     val seeds = units.orderBy(col("_1")).take(ksub).map(_._2)
     if (seeds.isEmpty) { units.unpersist(); return Array.empty }
     val dims = seeds(0).length
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    // release the cache BEFORE throwing — a bad `m` must not leave a
+    // corpus-sized cache entry behind (the BENCH_r02 leak class)
+    if (dims % m != 0) {
+      units.unpersist()
+      throw new IllegalArgumentException(
+        s"dims=$dims not divisible by m=$m subspaces")
+    }
     val dsub = dims / m
     val kk = seeds.length
     var cbs: Array[Array[Array[Double]]] = Array.tabulate(m, kk) { (s, c) =>

@@ -450,17 +450,22 @@ object TextQueries {
                 ascii(substr(text, i + 1, 1)) AS p
          FROM px),
        sums AS (
-         SELECT doc_id, any_value(n) AS n, cell, sum(p) AS cs, count(1) AS cc
+         SELECT doc_id, cell, sum(p) AS cs, count(1) AS cc
          FROM v GROUP BY doc_id, cell),
        tot AS (
-         SELECT doc_id, sum(cs) AS ts, any_value(n) AS n FROM sums GROUP BY 1),
+         SELECT doc_id, sum(cs) AS ts FROM sums GROUP BY 1),
+       dl AS (SELECT doc_id, length(text) AS n FROM documents),
        grid AS (
          SELECT doc_id, unnest(generate_series(0, 63)) AS cell FROM documents),
        pbits AS (
          SELECT g.doc_id, g.cell,
-           CASE WHEN coalesce(s.cs, 0) * t.n > t.ts * coalesce(s.cc, 0)
+           -- LEFT joins + coalesce: an EMPTY text has no px/sums/tot
+           -- rows at all, and must still produce 64 zero bits exactly
+           -- like the engine's n == 0 branch (phash = 0)
+           CASE WHEN coalesce(s.cs, 0) * d.n > coalesce(t.ts, 0) * coalesce(s.cc, 0)
                 THEN '1' ELSE '0' END AS bit
-         FROM grid g JOIN tot t USING (doc_id)
+         FROM grid g JOIN dl d USING (doc_id)
+         LEFT JOIN tot t USING (doc_id)
          LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.cell = g.cell),
        ph AS (
          SELECT doc_id, string_agg(bit, '' ORDER BY cell DESC) AS phash_bits

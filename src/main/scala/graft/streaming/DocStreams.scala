@@ -68,7 +68,6 @@ object DocStreams {
     val batchIds = exact.filter(col("status") === "new")
       .select(col("doc_id"), lit(true).as("in_batch"))
     val nearDropped = nearDupDropped(pairs, batchIds)
-      .select(col("doc_id"), lit("near_dup").as("status"))
 
     exact.select(col("doc_id"),
         when(col("status") === "dup_of_corpus", lit("exact_dup_corpus"))

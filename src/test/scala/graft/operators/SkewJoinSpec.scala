@@ -69,6 +69,17 @@ class SkewJoinSpec extends SparkSpec {
     adaptive.collect().map(_.toSeq).toSet shouldBe expected.collect().map(_.toSeq).toSet
   }
 
+  it should "reject join types that are not salt-equivalent" in {
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.adaptiveSaltedJoin(
+        big, small, "k", saltBuckets = 8, hotThreshold = 100, joinType = "full")
+    }
+    e.getMessage should include("not salt-equivalent")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", saltBuckets = 8, joinType = "right")
+    }
+  }
+
   "saltedJoin" should "still equal the plain join (regression)" in {
     val salted = SkewJoin.saltedJoin(big, small, "k", saltBuckets = 8)
     salted.collect().map(_.toSeq).toSet shouldBe plain.collect().map(_.toSeq).toSet
