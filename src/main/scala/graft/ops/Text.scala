@@ -39,6 +39,21 @@ object Text {
   def shingles(text: Column, n: Int = 3): Column =
     shinglesFromWords(tokens(text), n)
 
+  /** ALL n-word shingles with duplicates KEPT — the repetition metrics
+    * (duplicate-n-gram fraction à la the Gopher/C4 pretraining filters)
+    * need total vs distinct counts, so this is [[shinglesFromWords]]
+    * without the `array_distinct`. Same materialized-token-array
+    * contract. */
+  def ngramsAll(ws: Column, n: Int): Column = {
+    val idxs = when(size(ws) >= n, sequence(lit(0), size(ws) - n))
+      .otherwise(array().cast("array<int>"))
+    transform(idxs, i => {
+      (1 until n).foldLeft(element_at(ws, i + 1)) { (acc, k) =>
+        concat(acc, lit(" "), element_at(ws, i + k + 1))
+      }
+    })
+  }
+
   /** Number of whitespace-separated tokens. */
   def tokenCount(text: Column): Column = size(tokens(text))
 

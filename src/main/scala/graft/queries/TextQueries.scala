@@ -54,6 +54,41 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** REPETITION metrics — the Gopher/C4-style pretraining filters the
+    * quality gate doesn't cover: duplicate-2/3-gram fraction
+    * (1 − distinct/total, array-local — no shuffle for these) and
+    * top-word fraction (most frequent token's share — one explode +
+    * two partial aggs), with a composite `repetitive` flag. Every
+    * ratio is a fixed-order chain of correctly-rounded double ops, so
+    * values hash-match the oracle unquantized. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).withColumn("ws", Text.tokens(col("text")))
+    def dupFrac(g: org.apache.spark.sql.Column) =
+      when(size(g) > 0,
+        lit(1.0) - size(array_distinct(g)).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    val base = d.select(
+      col("doc_id"), size(col("ws")).as("n_words"),
+      dupFrac(Text.ngramsAll(col("ws"), 2)).as("dup_2gram_frac"),
+      dupFrac(Text.ngramsAll(col("ws"), 3)).as("dup_3gram_frac"))
+    val topWord = d
+      .select(col("doc_id"), explode(col("ws")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_word_frac"))
+    // thresholds chosen to be NON-VACUOUS on the gate corpus (the
+    // q_dq_outliers lesson): dup_2gram > 0.05 / top_word > 0.15 flag
+    // 145/140/1463 of 500/500/5000 docs across sf0.001/0.01/0.1 —
+    // both branches of the flag are genuinely exercised at every SF
+    base.join(topWord, "doc_id")
+      .withColumn("repetitive",
+        col("dup_2gram_frac") > 0.05 || col("top_word_frac") > 0.15)
+      .select(col("doc_id"), col("n_words"), col("dup_2gram_frac"),
+        col("dup_3gram_frac"), col("top_word_frac"), col("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heuristic language ID: marker-word scores + deterministic argmax. */
   def langIdQ(s: SparkSession, dir: String): DataFrame = {
     val (scores, guess) = Text.langId(col("text"))
@@ -397,6 +432,7 @@ object TextQueries {
     "q_text_chunks" -> (chunksQ _),
     "q_text_tokens" -> (tokenStats _),
     "q_text_quality" -> (quality _),
+    "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
@@ -708,6 +744,38 @@ object TextQueries {
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          SELECT id_a, id_b, CAST(h AS INT) AS hamming FROM pairs
          WHERE h <= 15 ORDER BY id_a, id_b"""),
+    "q_text_repetition" ->
+      """WITH sp AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         g AS (
+           SELECT doc_id, len(w) AS n_words,
+             [w[i] || ' ' || w[i+1] for i in range(1, len(w))] AS g2,
+             [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+              for i in range(1, len(w) - 1)] AS g3,
+             w
+           FROM sp),
+         fr AS (
+           SELECT doc_id, CAST(n_words AS INT) AS n_words,
+             CASE WHEN len(g2) > 0
+               THEN 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+               ELSE 0.0 END AS dup_2gram_frac,
+             CASE WHEN len(g3) > 0
+               THEN 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+               ELSE 0.0 END AS dup_3gram_frac
+           FROM g),
+         tok AS (SELECT doc_id, unnest(w) AS t FROM sp),
+         tc AS (SELECT doc_id, t, count(1) AS c FROM tok GROUP BY 1, 2),
+         tw AS (
+           SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)
+               AS top_word_frac
+           FROM tc GROUP BY 1)
+         SELECT f.doc_id, f.n_words, f.dup_2gram_frac, f.dup_3gram_frac,
+           tw.top_word_frac,
+           (f.dup_2gram_frac > 0.05 OR tw.top_word_frac > 0.15) AS repetitive
+         FROM fr f JOIN tw USING (doc_id)
+         ORDER BY f.doc_id""",
     "q_multimodal_dedup" ->
       (phashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
          pairs AS (
