@@ -94,6 +94,19 @@ class TextAndMultimodalSpec extends SparkSpec {
     frames.find(_.frame_idx == 0).get.bytes.length shouldBe 16
   }
 
+  "Text.ngramsAll" should "keep duplicate n-grams (unlike shinglesFromWords)" in {
+    import spark.implicits._
+    val df = Seq("a b a b a", "x", "").toDF("text")
+      .withColumn("ws", Text.tokens(col("text")))
+      .select(Text.ngramsAll(col("ws"), 2).as("g2"),
+        Text.shinglesFromWords(col("ws"), 2).as("s2"))
+    val rows = df.collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    rows(0)._1 shouldBe Seq("a b", "b a", "a b", "b a") // duplicates kept
+    rows(0)._2 shouldBe Seq("a b", "b a")               // distinct twin
+    rows(1)._1 shouldBe Seq.empty                       // 1 token → no 2-grams
+    rows(2)._1 shouldBe Seq.empty                       // "" → [""] → no 2-grams
+  }
+
   "Multimodal.blockhash64" should "set exactly the above-mean cells" in {
     import spark.implicits._
     // 128 bytes: first half 'a' (97), second half 'z' (122) → 2 bytes
