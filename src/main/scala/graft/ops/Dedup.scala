@@ -464,21 +464,24 @@ object Dedup {
       .as[(Int, Long, Long, Long, Long, Boolean)]
       .flatMap { case (band, bits, gn, id, sig, isNew) =>
         val nb = Similarity.numBlocks(gn, maxGroup)
-        if (nb == 1) Iterator.single((band, bits, 0, 0.toByte, id, sig, isNew))
+        if (nb == 1) Iterator.single((band, bits, 0L, 0.toByte, id, sig, isNew))
         else {
           val b = Math.floorMod(
             org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 11),
             nb.toLong).toInt
+          // Long task ids: nb² overflows Int once a single band bucket
+          // passes ~46k blocks (the same ceiling fixed in
+          // Similarity.blockedLocalBests)
           val left = (b until nb).iterator.map(j =>
-            (band, bits, b * nb + j, 0.toByte, id, sig, isNew))
+            (band, bits, b.toLong * nb + j, 0.toByte, id, sig, isNew))
           val right = (0 until b).iterator.map(i =>
-            (band, bits, i * nb + b, 1.toByte, id, sig, isNew))
+            (band, bits, i.toLong * nb + b, 1.toByte, id, sig, isNew))
           left ++ right
         }
       }
     val pairs = tasked
       .groupByKey(t => (t._1, t._2, t._3))
-      .flatMapGroups { (_: (Int, Long, Int), it: Iterator[(Int, Long, Int, Byte, Long, Long, Boolean)]) =>
+      .flatMapGroups { (_: (Int, Long, Long), it: Iterator[(Int, Long, Long, Byte, Long, Long, Boolean)]) =>
         // diagonal tasks (i == j) receive only role 0 → all-pairs within;
         // off-diagonal tasks receive both roles → cross-block pairs only
         // (within-block pairs belong to that block's diagonal task)

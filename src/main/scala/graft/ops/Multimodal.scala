@@ -151,8 +151,13 @@ object Multimodal {
     * (doc_id, phash) row per corpus blob at `path/phashes` — 16 bytes
     * per document, the only state the incremental path ever rescans. */
   def writePhashIndex(spark: SparkSession, blobs: Dataset[MediaBlob], path: String): Unit =
+    // the corpus epoch is batch=-1; streamed batches land beside it
+    // keyed by their micro-batch id ([[graft.streaming.DocStreams
+    // .mediaDedupIngest]]), all discovered as one partitioned read —
+    // the same replay-idempotent layout as the ANN index
+    // ([[Similarity.writeAnnIndex]])
     blockhash64(spark, blobs).toDF()
-      .write.mode("overwrite").parquet(s"$path/phashes")
+      .write.mode("overwrite").parquet(s"$path/phashes/batch=-1")
 
   /** documents → payload → decode → per-language media stats. */
   def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

@@ -330,16 +330,19 @@ object Similarity {
 
     val tasked = cached.flatMap { case (g, role, id, v) =>
       val nb = bcNb.value(g)
-      if (nb == 1) Iterator.single((g, 0, role, id, v))
+      if (nb == 1) Iterator.single((g, 0L, role, id, v))
       else {
         val b = Math.floorMod(XXH64.hashLong(id, 11), nb.toLong).toInt
         val isQ = (role & 1) != 0
         val isC = (role & 2) != 0
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Long, Array[Double])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Byte, Long, Array[Double])]
         var j = 0
         while (j < nb) {
-          val qTask = b * nb + j // this block queries block j
-          val cTask = j * nb + b // block j queries this block
+          // Long ids: nb² exceeds Int past ~23.7M rows per group at
+          // cap=512 — the flat (single-group) scans would silently
+          // collide task ids right at the scale PQ exists for
+          val qTask = b.toLong * nb + j // this block queries block j
+          val cTask = j.toLong * nb + b // block j queries this block
           if (qTask == cTask) out += ((g, qTask, role, id, v))
           else {
             if (isQ) out += ((g, qTask, 1.toByte, id, v))
@@ -353,7 +356,7 @@ object Similarity {
 
     val bests = tasked
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Double])]) =>
+      .flatMapGroups { (_: (Long, Long), it: Iterator[(Long, Long, Byte, Long, Array[Double])]) =>
         val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
         val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
         it.foreach { case (_, _, role, id, v) =>
@@ -509,16 +512,18 @@ object Similarity {
 
     val tasked = cached.flatMap { case (g, role, id, v) =>
       val nb = bcNb.value(g)
-      if (nb == 1) Iterator.single((g, 0, role, id, v))
+      if (nb == 1) Iterator.single((g, 0L, role, id, v))
       else {
         val b = Math.floorMod(XXH64.hashLong(id, 11), nb.toLong).toInt
         val isQ = (role & 1) != 0
         val isC = (role & 2) != 0
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Long, Array[Byte])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Byte, Long, Array[Byte])]
         var j = 0
         while (j < nb) {
-          val qTask = b * nb + j
-          val cTask = j * nb + b
+          // Long ids — see blockedLocalBests: Int task ids collide past
+          // ~23.7M single-group rows at cap=512
+          val qTask = b.toLong * nb + j
+          val cTask = j.toLong * nb + b
           if (qTask == cTask) out += ((g, qTask, role, id, v))
           else {
             if (isQ) out += ((g, qTask, 1.toByte, id, v))
@@ -532,7 +537,7 @@ object Similarity {
 
     val bests = tasked
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Byte])]) =>
+      .flatMapGroups { (_: (Long, Long), it: Iterator[(Long, Long, Byte, Long, Array[Byte])]) =>
         val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         it.foreach { case (_, _, role, id, v) =>
@@ -1106,16 +1111,18 @@ object Similarity {
 
     val tasked = cached.flatMap { case (g, role, id, v) =>
       val nb = bcNb.value(g)
-      if (nb == 1) Iterator.single((g, 0, role, id, v))
+      if (nb == 1) Iterator.single((g, 0L, role, id, v))
       else {
         val b = Math.floorMod(XXH64.hashLong(id, 11), nb.toLong).toInt
         val isQ = (role & 1) != 0
         val isC = (role & 2) != 0
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Byte, Long, Array[Byte])]
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Byte, Long, Array[Byte])]
         var j = 0
         while (j < nb) {
-          val qTask = b * nb + j
-          val cTask = j * nb + b
+          // Long ids — see blockedLocalBests: Int task ids collide past
+          // ~23.7M single-group rows at cap=512
+          val qTask = b.toLong * nb + j
+          val cTask = j.toLong * nb + b
           if (qTask == cTask) out += ((g, qTask, role, id, v))
           else {
             if (isQ) out += ((g, qTask, 1.toByte, id, v))
@@ -1129,7 +1136,7 @@ object Similarity {
 
     val bests = tasked
       .groupByKey(t => (t._1, t._2))
-      .flatMapGroups { (_: (Long, Int), it: Iterator[(Long, Int, Byte, Long, Array[Byte])]) =>
+      .flatMapGroups { (_: (Long, Long), it: Iterator[(Long, Long, Byte, Long, Array[Byte])]) =>
         val tab = table.value
         val qs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
         val cs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]

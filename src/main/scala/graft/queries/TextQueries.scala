@@ -21,6 +21,21 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.t(s, dir, "documents")
 
+  /** The multimodal oracles rebuild payload BYTES from DuckDB CHARACTER
+    * positions (`ascii(substr(text, …))`, `length(text)`) — sound only
+    * while the corpus text is pure ASCII, where UTF-8 bytes and
+    * characters coincide. Assert that invariant inside the plan itself
+    * (octet_length == length iff every char encodes to one byte): a
+    * non-ASCII doc fails the query loudly with its id instead of
+    * silently hash-mismatching the oracle. */
+  private def asciiAsserted(d: DataFrame): DataFrame =
+    d.filter(
+      when(col("text").isNull ||
+        octet_length(col("text")) === length(col("text")), lit(true))
+        .otherwise(raise_error(concat(
+          lit("non-ASCII text breaks the byte-position oracle: doc_id = "),
+          col("doc_id").cast("string")))))
+
   /** Exact dedup by content hash. */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.exactGroups(docs(s, dir), "text", "doc_id")
@@ -145,7 +160,7 @@ object TextQueries {
 
   /** Multimodal metadata pipeline (binary payload → stub decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
-    Multimodal.mediaMetaPipeline(s, docs(s, dir))
+    Multimodal.mediaMetaPipeline(s, asciiAsserted(docs(s, dir)))
       .orderBy(col("doc_id"))
 
   /** Multimodal frame sampling (one-to-many mapPartitions): frames per
@@ -153,7 +168,7 @@ object TextQueries {
     * count formula: ((ceil(n_bytes/16) − 1) // 3) + 1. */
   def multimodalFrames(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+    val blobs = Multimodal.withPayload(asciiAsserted(docs(s, dir)), "text")
       .select(col("doc_id"), col("lang"), col("payload"))
       .as[Multimodal.MediaBlob]
     Multimodal.sampleFrames(s, blobs, stride = 3)
@@ -168,7 +183,7 @@ object TextQueries {
     * cross-multiplied mean comparison — no floats anywhere). */
   def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+    val blobs = Multimodal.withPayload(asciiAsserted(docs(s, dir)), "text")
       .select(col("doc_id"), col("lang"), col("payload"))
       .as[Multimodal.MediaBlob]
     Multimodal.blockhash64(s, blobs).toDF()
@@ -189,7 +204,7 @@ object TextQueries {
     * bounded either way. */
   def multimodalPhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val blobs = Multimodal.withPayload(docs(s, dir), "text")
+    val blobs = Multimodal.withPayload(asciiAsserted(docs(s, dir)), "text")
       .select(col("doc_id"), col("lang"), col("payload"))
       .as[Multimodal.MediaBlob]
     Dedup.hammingNearDups(

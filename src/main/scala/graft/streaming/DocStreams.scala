@@ -125,12 +125,22 @@ object DocStreams {
     * multimodal twin of [[dedupIngest]]: each micro-batch of
     * (doc_id, lang, payload) blobs is blockhashed partition-locally
     * ([[graft.ops.Multimodal.blockhash64]] — payloads never shuffle),
-    * deduped against the persisted signature set, survivors appended
+    * deduped against the persisted signature set, survivors written
     * to `sinkPath/docs` (+ decisions to `sinkPath/decisions`) and
     * their signatures to `indexPath/phashes` — so batch N+1 dedups
     * against everything batch N kept (asserted live in
     * `DocStreamsSpec`). Bootstrap the index with
     * [[graft.ops.Multimodal.writePhashIndex]] at corpus-build time.
+    *
+    * Every sink write is keyed by the micro-batch id
+    * (`.../batch=<id>`, overwrite mode — the [[annIngest]] /
+    * [[graft.ops.Similarity.appendAnnIndexBatch]] layout), so an
+    * at-least-once REPLAY of a batch after a crash overwrites its own
+    * partition instead of duplicating sink docs and index signatures;
+    * readers see all batches through one partitioned-parquet read.
+    * Idempotence is asserted by replaying a batch twice in
+    * `DocStreamsSpec`.
+    *
     * Per-batch cost ∝ batch + touched band buckets + one corpus
     * signature scan (8 bytes/doc); the index grows with kept docs
     * only. */
@@ -140,28 +150,38 @@ object DocStreams {
     blobs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          import spark.implicits._
-          val typed = batch
-            .select(col("doc_id"), col("lang"), col("payload"))
-            .as[graft.ops.Multimodal.MediaBlob]
-          val sigs = graft.ops.Multimodal.blockhash64(spark, typed).toDF()
-            .localCheckpoint(true) // 16 B per batch doc; read 3× below
-          val decisions = mediaBatchDecisions(sigs, indexPath, maxHamming)
-            .localCheckpoint(true)
-          val keptIds = decisions.filter(col("status") === "kept")
-            .select(col("doc_id"))
-          batch.join(keptIds, "doc_id")
-            .write.mode("append").parquet(s"$sinkPath/docs")
-          decisions.write.mode("append").parquet(s"$sinkPath/decisions")
-          sigs.join(keptIds, "doc_id")
-            .write.mode("append").parquet(s"$indexPath/phashes")
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          mediaIngestBatch(batch, indexPath, sinkPath, maxHamming, batchId)
         ()
       }
       .start()
+  }
+
+  /** The per-micro-batch body of [[mediaDedupIngest]], factored out so
+    * the replay-idempotence contract is testable without a streaming
+    * harness: running it twice with the same `batchId` leaves exactly
+    * one copy of the batch's docs, decisions, and signatures. */
+  private[graft] def mediaIngestBatch(
+      batch: DataFrame, indexPath: String, sinkPath: String,
+      maxHamming: Int, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val typed = batch
+      .select(col("doc_id"), col("lang"), col("payload"))
+      .as[graft.ops.Multimodal.MediaBlob]
+    val sigs = graft.ops.Multimodal.blockhash64(spark, typed).toDF()
+      .localCheckpoint(true) // 16 B per batch doc; read 3× below
+    val decisions = mediaBatchDecisions(sigs, indexPath, maxHamming)
+      .localCheckpoint(true)
+    val keptIds = decisions.filter(col("status") === "kept")
+      .select(col("doc_id"))
+    batch.join(keptIds, "doc_id")
+      .write.mode("overwrite").parquet(s"$sinkPath/docs/batch=$batchId")
+    decisions.write.mode("overwrite")
+      .parquet(s"$sinkPath/decisions/batch=$batchId")
+    sigs.join(keptIds, "doc_id")
+      .write.mode("overwrite").parquet(s"$indexPath/phashes/batch=$batchId")
   }
 
   /** Streaming EMBEDDING ingest: append each micro-batch of new

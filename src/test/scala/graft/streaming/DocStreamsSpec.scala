@@ -145,6 +145,39 @@ class DocStreamsSpec extends SparkSpec {
     indexed shouldBe Set(1L, 2L, 101L, 201L)
   }
 
+  "mediaIngestBatch" should "overwrite its own partitions on at-least-once replay" in {
+    import spark.implicits._
+    import graft.ops.Multimodal
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media-replay").toString
+    val index = s"$tmp/index"
+    val sink = s"$tmp/sink"
+    def blob(id: Long, text: String) =
+      Multimodal.MediaBlob(id, "en", text.getBytes("UTF-8"))
+    Multimodal.writePhashIndex(spark, Seq(blob(1L, longText)).toDS(), index)
+
+    val batch = Seq(
+      (100L, "en", longText),   // dup of corpus blob 1
+      (101L, "en", freshText),  // genuinely new → kept
+      (102L, "en", freshText))  // in-batch dup of 101
+      .toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"),
+        encode(col("text"), "UTF-8").as("payload"))
+    // the crash-replay scenario: the same micro-batch id runs twice
+    DocStreams.mediaIngestBatch(batch, index, sink, maxHamming = 15, batchId = 0L)
+    DocStreams.mediaIngestBatch(batch, index, sink, maxHamming = 15, batchId = 0L)
+
+    // exactly ONE copy of everything — no duplicated sink docs,
+    // decisions, or index signatures
+    spark.read.parquet(s"$sink/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq shouldBe Seq(101L)
+    val dec = spark.read.parquet(s"$sink/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    dec shouldBe Map(100L -> "near_dup", 101L -> "kept", 102L -> "near_dup")
+    spark.read.parquet(s"$sink/decisions").count() shouldBe 3L
+    spark.read.parquet(s"$index/phashes")
+      .filter(col("doc_id") === 101L).count() shouldBe 1L
+  }
+
   "hammingNearDupsIncremental" should "equal full mining restricted to batch-touching pairs" in {
     import spark.implicits._
     val sigs = Seq(
