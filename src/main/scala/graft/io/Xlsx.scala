@@ -74,6 +74,50 @@ object Xlsx {
     } finally zip.close()
   }
 
+  /** Minimal single-sheet XLSX WRITER — the inverse wire format of
+    * [[readRows]]: one `xl/worksheets/sheet1.xml` with every cell as an
+    * inline string (`t="inlineStr"`, XML-escaped), no shared-string
+    * pool. Exists for config/export-sized frames (the same size class
+    * as [[Sinks.csvSingleFile]]) and as the fixture source of the
+    * `ref_io_xlsx_scan` oracle row; null cells are skipped, so they
+    * read back as null. Driver-side single-writer by design. */
+  def writeRows(rows: Seq[Seq[String]], path: String): String = {
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colRef(i: Int): String = {
+      var n = i + 1
+      val sb = new StringBuilder
+      while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val sheet = new StringBuilder(
+      """<?xml version="1.0"?><worksheet><sheetData>""")
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      sheet.append(s"""<row r="${ri + 1}">""")
+      r.zipWithIndex.foreach { case (v, ci) =>
+        if (v != null)
+          sheet.append(s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+      }
+      sheet.append("</row>")
+    }
+    sheet.append("</sheetData></worksheet>")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val zos = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      def entry(name: String, content: String): Unit = {
+        zos.putNextEntry(new java.util.zip.ZipEntry(name))
+        zos.write(content.getBytes("UTF-8"))
+        zos.closeEntry()
+      }
+      entry("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+      entry("xl/worksheets/sheet1.xml", sheet.toString)
+    } finally zos.close()
+    path
+  }
+
   /** First row = header (snake-cased by callers as needed); remaining
     * rows = data; every column StringType. */
   def read(spark: SparkSession, path: String, sheetIdx: Int = 1): DataFrame = {

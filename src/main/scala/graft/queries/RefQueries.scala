@@ -131,7 +131,47 @@ object RefQueries {
       .orderBy(col("profile_id"))
   }
 
+  /** CSV single-object ROUND-TRIP gate (§2 #4, oracled end-to-end —
+    * round-4/5 verdict item 7; previously spec-only): write `nation`
+    * through [[graft.io.Sinks.csvSingleFile]] (coalesce(1) + part-file
+    * rename + "Nation Export" → nation_export.csv name normalization),
+    * read the produced single object back with the source schema, and
+    * emit it. The oracle is the source table itself, so a mangled
+    * header, quoting bug, or dropped/duplicated row anywhere in the
+    * sink/reader pair flips the hash. Scratch object lives under
+    * target/, overwritten per run. */
+  def ioCsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/tmp-io-oracle-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val nation = t(s, dir, "nation")
+    val path = graft.io.Sinks.csvSingleFile(nation, out, "Nation Export")
+    s.read.option("header", "true").schema(nation.schema).csv(path)
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** XLSX DataSource-V2 SCAN gate (§2 #2, oracled end-to-end):
+    * materialize `nation` as a real OOXML workbook
+    * ([[graft.io.Xlsx.writeRows]] — zip + inline-string cells, the
+    * same wire format the reader decodes), scan it back through the
+    * registered `xlsx` DSv2 with a 2-column projection (pruning is
+    * plan-asserted in XlsxSpec; here the decoded VALUES are verified
+    * against the parquet source), and emit. Workbooks are config-sized
+    * by contract (SURVEY.md §1.1), so the driver-side collect IS the
+    * size class of the format. */
+  def ioXlsxScan(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/tmp-io-oracle-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val nation = t(s, dir, "nation").orderBy(col("n_nationkey"))
+    val cols = nation.columns.toSeq
+    val rows = cols +: nation.collect().toSeq.map(r =>
+      (0 until r.length).map(i => if (r.isNullAt(i)) null else r.get(i).toString))
+    val path = graft.io.Xlsx.writeRows(rows, s"$out/nation.xlsx")
+    s.read.format("xlsx").load(path)
+      .select(col("n_name"), col("n_regionkey").cast("int").as("n_regionkey"))
+      .orderBy(col("n_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
+    "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
     "ref_clean_trim_fill" -> (cleanTrimFill _),
     "ref_standardize_values" -> (standardizeValues _),
@@ -148,6 +188,10 @@ object RefQueries {
     * flag); Spark's are Java (`$1`, global by default) — formulations
     * differ syntactically, semantics verified identical. */
   val oracleSql: Map[String, String] = Map(
+    "ref_io_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "ref_io_xlsx_scan" ->
+      "SELECT n_name, n_regionkey FROM nation ORDER BY n_name",
     "ref_gold_star" ->
       """WITH k AS (
            SELECT c_name, c_nationkey,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
@@ -43,18 +44,83 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
-  /** Multi-table random-hyperplane LSH ANN (rows-only: plane derivation
-    * uses XXH64). 4 planes × 8 tables — the OR-amplified recall path,
-    * measured by [[annRecall]]. */
-  def lshAnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshAnnTop1(emb(s, dir), planes = 4, tables = 8)
-      .orderBy(col("qid"))
+  /** The deterministic ~25% md5-of-id query sample shared by every
+    * sampled recall gate (the `q_sample_hash` membership rule):
+    * bit-stable across runs, engines, and partitionings. */
+  private val isQuerySample =
+    substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
 
-  /** IVF ANN with Lloyd-trained centroids (rows-only: centroid
-    * assignment is a kernel, not SQL). Recall measured by [[annRecall]]. */
+  /** Memoized sampled exact ground truth per (application, sfDir):
+    * [[Similarity.bruteForceTop1Sampled]] is the costliest pipeline in
+    * the ANN gate family and is consumed by FOUR driver queries
+    * (q_ann_recall_sampled, q_ann_ivf, q_ann_lsh, q_ann_lsh_topk) —
+    * computing it once per harness run instead of once per query is
+    * exactly the "reuse an artifact across stages" contract a
+    * persisted index gives a real deployment. The memo holds a small
+    * eagerly-checkpointed frame (one row per SAMPLED vector), keyed by
+    * applicationId so a restarted session can never resurrect a dead
+    * context's checkpoint. Determinism makes the sharing invisible to
+    * results. */
+  private val truthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def sampledTruth(s: SparkSession, dir: String): DataFrame =
+    truthCache.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ =>
+      Similarity.bruteForceTop1Sampled(emb(s, dir), isQuerySample)
+        .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+        .localCheckpoint(true))
+
+  /** One invariant gate row for a top-1 ANN method — the oracle-checkable
+    * reshaping of the old rows-only signature dumps (round-4/5 verdict
+    * item 1): every column is either DuckDB-derivable (method,
+    * n_queries = the deterministic sample size) or a deterministic
+    * boolean invariant computed full-corpus in Spark —
+    * `recall_ok` (sampled recall ≥ a floor sitting under the
+    * engine-measured value at every SF — `graft.tools.RecallProbe`),
+    * `covered_all` (every corpus vector got a top-1 — measured exact at
+    * sf0.001/0.01/0.1), and `cos_valid` (no self-matches, every cosine
+    * in [-1, 1]). A regression in the banding/probing/rescoring kernels
+    * flips a boolean and hash-mismatches the oracle. */
+  private def top1GateRow(
+      s: SparkSession, dir: String, method: String, ann0: DataFrame,
+      floor: Double): DataFrame = {
+    val e = emb(s, dir)
+    // one row per corpus vector, read twice (structure + recall join)
+    val ann = ann0.localCheckpoint(true)
+    val stats = ann.agg(
+      count(lit(1)).as("n_res"),
+      min(when(col("cid") =!= col("qid") &&
+        col("cos") >= -1.0000001 && col("cos") <= 1.0000001, 1)
+        .otherwise(0)).as("row_ok"))
+    val nv = e.agg(count(lit(1)).as("n_vec"))
+    sampledTruth(s, dir)
+      .join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+      .select(
+        when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
+          .otherwise(0).as("found"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("found")).as("n_found"))
+      .crossJoin(stats).crossJoin(nv)
+      .select(lit(method).as("method"), col("n_queries"),
+        (col("n_found").cast("double") / col("n_queries").cast("double") >= floor)
+          .as("recall_ok"),
+        (col("n_res") === col("n_vec")).as("covered_all"),
+        (col("row_ok") === 1).as("cos_valid"))
+  }
+
+  /** Multi-table random-hyperplane LSH ANN gate (4 planes × 8 tables,
+    * the OR-amplified recall path). Floor 0.60 vs measured 0.679–0.762
+    * across sf0.001/0.01/0.1. */
+  def lshAnn(s: SparkSession, dir: String): DataFrame =
+    top1GateRow(s, dir, "lsh",
+      Similarity.lshAnnTop1(emb(s, dir), planes = 4, tables = 8), floor = 0.60)
+
+  /** IVF ANN gate with Lloyd-trained centroids. Floor 0.50 vs measured
+    * 0.570–0.671 across SFs (near-orthogonal random embeddings are
+    * close to IVF-worst-case; clustered production corpora score far
+    * higher at the same settings). */
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3)
-      .orderBy(col("qid"))
+    top1GateRow(s, dir, "ivf",
+      Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3),
+      floor = 0.50)
 
   /** Per-DIMENSION corpus statistics — the normalization/whitening prep
     * step of an embedding pipeline: exact decimal Σx and Σx² per
@@ -108,11 +174,47 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("dim"))
   }
 
-  /** Top-3 LSH ANN (rows-only): the similarity-search surface a user
-    * actually calls — k best neighbors, exact-decimal re-ranked. */
-  def lshAnnK(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshAnnTopK(emb(s, dir), k = 3, planes = 4, tables = 8)
-      .orderBy(col("qid"), col("rnk"))
+  /** Top-3 LSH ANN gate — the invariant reshaping of the old rows-only
+    * top-k dump ([[top1GateRow]]'s pattern, plus the top-k-specific
+    * shape invariants): `recall_ok` = the true top-1 appears anywhere
+    * in the sampled queries' top-3 at ≥ 0.60 (measured 0.679–0.762
+    * across SFs), `k_ok` = every corpus vector has exactly k=3 ranked
+    * rows with distinct candidates (measured exact at every SF), and
+    * `cos_valid` = no self-matches, cosines in [-1, 1] and
+    * non-increasing in rank. */
+  def lshAnnK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    // one row per (vector, rank), read three times below
+    val topk = Similarity.lshAnnTopK(e, k = 3, planes = 4, tables = 8)
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
+    val ordered = topk.withColumn("prev", lag(col("cos"), 1).over(w))
+      .select(
+        when(col("cid") =!= col("qid") &&
+          col("cos") >= -1.0000001 && col("cos") <= 1.0000001 &&
+          (col("prev").isNull || col("prev") >= col("cos")), 1)
+          .otherwise(0).as("ok"))
+      .agg(min(col("ok")).as("ord_min"))
+    val shape = topk.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"),
+        countDistinct(col("cid")).as("nd"))
+      .agg(count(lit(1)).as("n_cov"),
+        min(when(col("n") === 3 && col("maxr") === 3 && col("nd") === 3, 1)
+          .otherwise(0)).as("shape_min"))
+    val nv = e.agg(count(lit(1)).as("n_vec"))
+    sampledTruth(s, dir)
+      .join(topk.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+      .groupBy(col("qid"))
+      .agg(max(when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
+        .otherwise(0)).as("found"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("found")).as("n_found"))
+      .crossJoin(shape).crossJoin(ordered).crossJoin(nv)
+      .select(lit("lsh_topk").as("method"), col("n_queries"),
+        (col("n_found").cast("double") / col("n_queries").cast("double") >= 0.60)
+          .as("recall_ok"),
+        (col("n_cov") === col("n_vec") && col("shape_min") === 1).as("k_ok"),
+        (col("ord_min") === 1).as("cos_valid"))
+  }
 
   /** The ANN recall gate (round-1 verdict: "an ANN operator with
     * unmeasured recall is unfalsifiable"): joins each ANN path's top-1
@@ -144,7 +246,9 @@ object SimilarityQueries {
     * (which may cover all vectors or a deterministic query sample).
     * Floors sit under the engine-measured recall at every SF
     * (`graft.tools.RecallProbe`): LSH 0.679–0.762, IVF 0.570–0.671,
-    * int8/SQ8 0.933–0.950, PQ 0.996–1.000. */
+    * int8/SQ8 0.933–0.950, PQ 0.996–1.000, IVF-SQ8 0.554–0.650,
+    * IVF-PQ 0.570–0.671 (the composed variants track plain IVF's
+    * list-pruning recall — quantization costs a point or two). */
   private def recallRows(
       e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
       ivfFloor: Double, lshFloor: Double, int8Floor: Double,
@@ -163,6 +267,11 @@ object SimilarityQueries {
       .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
       .unionAll(row("int8", int8Ann, int8Floor))
       .unionAll(row("pq", pqAnn, pqFloor))
+      // the composed production variants (round-4/5 verdict item 2):
+      // IVF list pruning over quantized in-list scans, gated at 0.50
+      // under the measured 0.554/0.570 worst cases
+      .unionAll(row("ivf_sq8", Similarity.ivfSq8AnnTop1(e), floor = 0.50))
+      .unionAll(row("ivf_pq", Similarity.ivfPqAnnTop1(e), floor = 0.50))
       .orderBy(col("method"))
   }
 
@@ -178,15 +287,13 @@ object SimilarityQueries {
     * sf0.001/0.01/0.1 — `graft.tools.RecallProbe`). */
   def annRecallSampled(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
-    val truth = Similarity.bruteForceTop1Sampled(e, isQ)
-      .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-      .localCheckpoint(true)
     // the int8 scan samples its queries too — the whole gate stays at
     // sample·corpus cost (LSH/IVF candidates are structural and cheap,
-    // so those methods still report all vectors)
-    recallRows(e, truth, Similarity.int8AnnTop1Sampled(e, isQ),
-      Similarity.pqAnnTop1Sampled(e, isQ),
+    // so those methods still report all vectors); the truth frame is
+    // the memoized one shared with the per-method gate queries
+    recallRows(e, sampledTruth(s, dir),
+      Similarity.int8AnnTop1Sampled(e, isQuerySample),
+      Similarity.pqAnnTop1Sampled(e, isQuerySample),
       ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90)
   }
 
@@ -228,29 +335,32 @@ object SimilarityQueries {
             CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qn2 AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cn2 AS VARCHAR) AS DOUBLE))) AS cos
           FROM sums)"""
 
+  /** One invariant oracle arm per ANN method name (UNION ALL over the
+    * method list, counted over the given source/filter). */
+  private def methodArms(methods: Seq[String], from: String,
+      extraBools: Seq[String] = Seq.empty): String =
+    methods.sorted.map { m =>
+      val bools = ("true AS recall_ok" +: extraBools).mkString(", ")
+      s"SELECT '$m' AS method, count(1) AS n_queries, $bools FROM $from"
+    }.mkString("\n UNION ALL\n ") + "\n ORDER BY method"
+
+  private val sampledEmb =
+    "embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'"
+
   val oracleSql: Map[String, String] = Map(
     "q_ann_recall" ->
-      """SELECT 'int8' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
-         UNION ALL
-         SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
-         UNION ALL
-         SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
-         UNION ALL
-         SELECT 'pq' AS method, count(1) AS n_queries, true AS recall_ok FROM embeddings
-         ORDER BY method""",
+      methodArms(Seq("int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), "embeddings"),
     "q_ann_recall_sampled" ->
-      """SELECT 'int8' AS method, count(1) AS n_queries, true AS recall_ok
-         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
-         UNION ALL
-         SELECT 'ivf' AS method, count(1) AS n_queries, true AS recall_ok
-         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
-         UNION ALL
-         SELECT 'lsh' AS method, count(1) AS n_queries, true AS recall_ok
-         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
-         UNION ALL
-         SELECT 'pq' AS method, count(1) AS n_queries, true AS recall_ok
-         FROM embeddings WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'
-         ORDER BY method""",
+      methodArms(Seq("int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), sampledEmb),
+    "q_ann_ivf" ->
+      methodArms(Seq("ivf"), sampledEmb,
+        Seq("true AS covered_all", "true AS cos_valid")),
+    "q_ann_lsh" ->
+      methodArms(Seq("lsh"), sampledEmb,
+        Seq("true AS covered_all", "true AS cos_valid")),
+    "q_ann_lsh_topk" ->
+      methodArms(Seq("lsh_topk"), sampledEmb,
+        Seq("true AS k_ok", "true AS cos_valid")),
     "q_ann_topk" ->
       (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10") +
         """, ranked AS (

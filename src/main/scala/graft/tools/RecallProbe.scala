@@ -1,11 +1,14 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
 
 /** Scratch: measured sampled-vs-full ANN recall per SF (floors for
-  * q_ann_recall_sampled are set from these deterministic values). */
+  * q_ann_recall / q_ann_recall_sampled and the per-method gate rows of
+  * q_ann_ivf / q_ann_lsh / q_ann_lsh_topk are set from these
+  * deterministic values), plus the structural facts those gates assert
+  * (top-1 coverage, top-k row shape). */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -16,21 +19,49 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val nVec = e.count()
       val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
       val truth = Similarity.bruteForceTop1Sampled(e, isQ)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
         .localCheckpoint(true)
-      def recall(ann: org.apache.spark.sql.DataFrame): (Long, Double) = {
-        val j = truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+      val truthAll = Similarity.bruteForceTop1All(e)
+        .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+        .localCheckpoint(true)
+      def recall(t: DataFrame, ann: DataFrame): (Long, Double) = {
+        val j = t.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         val n = j.count()
         val f = j.filter(col("cid") === col("tcid") || col("cos") === col("tcos")).count()
         (n, f.toDouble / n)
       }
-      val (nl, lsh) = recall(Similarity.lshAnnTop1(e, planes = 4, tables = 8))
-      val (_, ivf) = recall(Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3))
-      val (_, sq8) = recall(Similarity.int8AnnTop1All(e))
-      val (_, pq) = recall(Similarity.pqAnnTop1Sampled(e, isQ))
-      println(f"$sf: n_sampled=$nl lsh=$lsh%.4f ivf=$ivf%.4f int8=$sq8%.4f pq=$pq%.4f")
+      val lshTop1 = Similarity.lshAnnTop1(e, planes = 4, tables = 8).localCheckpoint(true)
+      val ivfTop1 = Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3).localCheckpoint(true)
+      val ivfSq8 = Similarity.ivfSq8AnnTop1(e).localCheckpoint(true)
+      val ivfPq = Similarity.ivfPqAnnTop1(e).localCheckpoint(true)
+      val (nl, lsh) = recall(truth, lshTop1)
+      val (_, ivf) = recall(truth, ivfTop1)
+      val (_, sq8) = recall(truth, Similarity.int8AnnTop1Sampled(e, isQ))
+      val (_, pq) = recall(truth, Similarity.pqAnnTop1Sampled(e, isQ))
+      val (_, isq8) = recall(truth, ivfSq8)
+      val (_, ipq) = recall(truth, ivfPq)
+      val (_, isq8F) = recall(truthAll, ivfSq8)
+      val (_, ipqF) = recall(truthAll, ivfPq)
+      println(f"$sf: n_vec=$nVec n_sampled=$nl lsh=$lsh%.4f ivf=$ivf%.4f " +
+        f"int8=$sq8%.4f pq=$pq%.4f ivf_sq8=$isq8%.4f ivf_pq=$ipq%.4f " +
+        f"ivf_sq8_full=$isq8F%.4f ivf_pq_full=$ipqF%.4f")
+
+      // structural facts the per-method gate rows assert
+      val topk = Similarity.lshAnnTopK(e, k = 3, planes = 4, tables = 8).localCheckpoint(true)
+      val perQ = topk.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"),
+          countDistinct(col("cid")).as("nd"))
+      val badShape = perQ.filter(col("n") =!= 3 || col("maxr") =!= 3 || col("nd") =!= 3).count()
+      // recall@3: the true top-1 appears anywhere in the top-3
+      val hit3 = truth.join(topk, Seq("qid"), "left")
+        .filter(col("cid") === col("tcid") || col("cos") === col("tcos"))
+        .select(col("qid")).distinct().count()
+      println(f"$sf: lsh_cov=${lshTop1.count()} ivf_cov=${ivfTop1.count()} " +
+        f"topk_rows=${topk.count()} topk_badshape=$badShape " +
+        f"recall_at3=${hit3.toDouble / nl}%.4f")
     }
     spark.stop()
   }
