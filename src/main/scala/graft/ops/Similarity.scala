@@ -770,7 +770,7 @@ object Similarity {
     * SimilaritySpec). Long capacity: |unit component| ≤ 1 → |list sum| ≤
     * n·10⁹, exact to ~9·10⁹ vectors per list. Empty lists keep their
     * previous centroid. */
-  private[ops] def trainCentroids(
+  private[graft] def trainCentroids(
       typed: Dataset[(Long, Array[Float])], k: Int, iters: Int,
       treeReduceMinParts: Int = 512): Array[Array[Double]] = {
     val spark = typed.sparkSession
@@ -853,14 +853,16 @@ object Similarity {
     * (candidate) of its top-1 list and a probe (query) of its `nprobe`
     * nearest lists. */
   private def ivfAssignedRows(
-      vecs: DataFrame, k: Int, nprobe: Int,
-      lloydIters: Int): Dataset[(Long, Byte, Long, Array[Double])] = {
+      vecs: DataFrame, k: Int, nprobe: Int, lloydIters: Int,
+      preTrained: Option[Array[Array[Double]]] = None): Dataset[(Long, Byte, Long, Array[Double])] = {
     val spark = vecs.sparkSession
     import spark.implicits._
     require(nprobe >= 1 && nprobe <= k, s"nprobe=$nprobe out of range for k=$k")
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cents = trainCentroids(typed, k, lloydIters)
+    val cents = preTrained.getOrElse(trainCentroids(typed, k, lloydIters))
+    preTrained.foreach(c => require(c.length == k,
+      s"preTrained centroids: ${c.length} lists, expected k=$k"))
     val bc = spark.sparkContext.broadcast(cents)
 
     typed.mapPartitions { it =>
@@ -887,8 +889,10 @@ object Similarity {
 
   def ivfAnnTop1(
       vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
-      maxGroup: Int = 256): DataFrame =
-    rescoreTop1(blockedTop1(ivfAssignedRows(vecs, k, nprobe, lloydIters), maxGroup), vecs)
+      maxGroup: Int = 256,
+      preTrained: Option[Array[Array[Double]]] = None): DataFrame =
+    rescoreTop1(blockedTop1(
+      ivfAssignedRows(vecs, k, nprobe, lloydIters, preTrained), maxGroup), vecs)
 
   /** Top-`topK` IVF ANN across the probed lists, exact-decimal
     * re-ranked → (qid, rnk, cid, cos). With nprobe = k every list is
@@ -896,8 +900,10 @@ object Similarity {
     * invariant). */
   def ivfAnnTopK(
       vecs: DataFrame, topK: Int, k: Int = 16, nprobe: Int = 4,
-      lloydIters: Int = 3, maxGroup: Int = 256): DataFrame =
-    rescoreTopK(blockedTopK(ivfAssignedRows(vecs, k, nprobe, lloydIters), topK, maxGroup), vecs, topK)
+      lloydIters: Int = 3, maxGroup: Int = 256,
+      preTrained: Option[Array[Array[Double]]] = None): DataFrame =
+    rescoreTopK(blockedTopK(
+      ivfAssignedRows(vecs, k, nprobe, lloydIters, preTrained), topK, maxGroup), vecs, topK)
 
   /** IVF with SQ8 in-list scans — the composition a billion-vector
     * deployment actually runs (FAISS calls the shape IVF-SQ8): Lloyd
@@ -910,10 +916,11 @@ object Similarity {
     * a point or two) — measured and floor-gated in `SimilaritySpec`. */
   def ivfSq8AnnTop1(
       vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
-      maxGroup: Int = 256): DataFrame = {
+      maxGroup: Int = 256,
+      preTrained: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters)
+    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters, preTrained)
       .map { case (g, role, id, v) => (g, role, id, quantizeUnit(v)) }
     rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
   }
@@ -1269,7 +1276,8 @@ object Similarity {
   def ivfPqAnnTop1(
       vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
       m: Int = 16, ksub: Int = 256, pqIters: Int = 3,
-      shortlist: Int = 64, maxGroup: Int = 256): DataFrame = {
+      shortlist: Int = 64, maxGroup: Int = 256,
+      preTrained: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val typed = vecs.select(col("vec_id"), col("embedding"))
@@ -1279,7 +1287,7 @@ object Similarity {
     val dsub = if (kk == 0) 0 else cbs(0)(0).length
     val bcCb = spark.sparkContext.broadcast(cbs)
     val bcTab = spark.sparkContext.broadcast(pqDotTable(cbs))
-    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters)
+    val rows = ivfAssignedRows(vecs, k, nprobe, lloydIters, preTrained)
       .mapPartitions { it =>
         val cb = bcCb.value
         it.map { case (g, role, id, v) => (g, role, id, pqEncode(v, cb, dsub)) }

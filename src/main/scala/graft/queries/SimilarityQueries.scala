@@ -69,6 +69,27 @@ object SimilarityQueries {
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
         .localCheckpoint(true))
 
+  /** Memoized Lloyd centroids per (application, sfDir): the IVF family
+    * (ivf, ivf_sq8, ivf_pq) appears across three gate queries and both
+    * recall gates with IDENTICAL deterministic training (k = 16,
+    * 3 iterations, same corpus) — training once per harness run is the
+    * query-layer twin of the persisted index's epoch contract
+    * ([[Similarity.writeAnnIndex]] trains once per corpus epoch).
+    * Correctness-invisible: training is bit-deterministic under any
+    * partitioning (integer partials). k·d doubles per entry. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private def trainedCents(
+      s: SparkSession, dir: String): Option[Array[Array[Double]]] = {
+    import s.implicits._
+    Some(centroidCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir, _ =>
+        Similarity.trainCentroids(
+          emb(s, dir).select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])],
+          k = 16, iters = 3)))
+  }
+
   /** One invariant gate row for a top-1 ANN method — the oracle-checkable
     * reshaping of the old rows-only signature dumps (round-4/5 verdict
     * item 1): every column is either DuckDB-derivable (method,
@@ -119,7 +140,8 @@ object SimilarityQueries {
     * higher at the same settings). */
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
     top1GateRow(s, dir, "ivf",
-      Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3),
+      Similarity.ivfAnnTop1(emb(s, dir), k = 16, nprobe = 4, lloydIters = 3,
+        preTrained = trainedCents(s, dir)),
       floor = 0.50)
 
   /** Per-DIMENSION corpus statistics — the normalization/whitening prep
@@ -239,7 +261,8 @@ object SimilarityQueries {
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
       .localCheckpoint(true)
     recallRows(e, truth, Similarity.int8AnnTop1All(e), Similarity.pqAnnTop1All(e),
-      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90)
+      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
+      cents = trainedCents(s, dir))
   }
 
   /** One gate row per ANN method against the given exact ground truth
@@ -252,7 +275,7 @@ object SimilarityQueries {
   private def recallRows(
       e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
       ivfFloor: Double, lshFloor: Double, int8Floor: Double,
-      pqFloor: Double): DataFrame = {
+      pqFloor: Double, cents: Option[Array[Array[Double]]]): DataFrame = {
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(
@@ -263,15 +286,18 @@ object SimilarityQueries {
         .select(lit(method).as("method"), col("n_queries"),
           (col("n_found").cast("double") / col("n_queries").cast("double") >= floor)
             .as("recall_ok"))
-    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3), ivfFloor)
+    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3,
+        preTrained = cents), ivfFloor)
       .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
       .unionAll(row("int8", int8Ann, int8Floor))
       .unionAll(row("pq", pqAnn, pqFloor))
       // the composed production variants (round-4/5 verdict item 2):
       // IVF list pruning over quantized in-list scans, gated at 0.50
       // under the measured 0.554/0.570 worst cases
-      .unionAll(row("ivf_sq8", Similarity.ivfSq8AnnTop1(e), floor = 0.50))
-      .unionAll(row("ivf_pq", Similarity.ivfPqAnnTop1(e), floor = 0.50))
+      .unionAll(row("ivf_sq8",
+        Similarity.ivfSq8AnnTop1(e, preTrained = cents), floor = 0.50))
+      .unionAll(row("ivf_pq",
+        Similarity.ivfPqAnnTop1(e, preTrained = cents), floor = 0.50))
       .orderBy(col("method"))
   }
 
@@ -294,7 +320,8 @@ object SimilarityQueries {
     recallRows(e, sampledTruth(s, dir),
       Similarity.int8AnnTop1Sampled(e, isQuerySample),
       Similarity.pqAnnTop1Sampled(e, isQuerySample),
-      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90)
+      ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
+      cents = trainedCents(s, dir))
   }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
