@@ -945,7 +945,7 @@ object Similarity {
     *
     * Returns codebooks[s][c] = centroid c of subspace s (m × kk × d/m,
     * kk = min(ksub, n)); empty corpus → empty array. */
-  private[ops] def trainPqCodebooks(
+  private[graft] def trainPqCodebooks(
       typed: Dataset[(Long, Array[Float])], m: Int, ksub: Int, iters: Int,
       treeReduceMinParts: Int = 512): Array[Array[Array[Double]]] = {
     val spark = typed.sparkSession
@@ -1209,14 +1209,17 @@ object Similarity {
     * plus (kk, dot-table broadcast) — empty corpus → empty rows and a
     * 0-entry table, flowing through to an empty result. */
   private def pqCodedRows(
-      vecs: DataFrame, isQuery: Column, m: Int, ksub: Int, iters: Int):
+      vecs: DataFrame, isQuery: Column, m: Int, ksub: Int, iters: Int,
+      preTrained: Option[Array[Array[Array[Double]]]] = None):
       (Dataset[(Long, Byte, Long, Array[Byte])],
         org.apache.spark.broadcast.Broadcast[Array[Double]], Int) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cbs = trainPqCodebooks(typed, m, ksub, iters)
+    val cbs = preTrained.getOrElse(trainPqCodebooks(typed, m, ksub, iters))
+    preTrained.foreach(c => require(c.isEmpty || c.length == m,
+      s"preTrained codebooks: ${c.length} subspaces, expected m=$m"))
     val kk = if (cbs.isEmpty) 0 else cbs(0).length
     val dsub = if (kk == 0) 0 else cbs(0)(0).length
     val bcCb = spark.sparkContext.broadcast(cbs)
@@ -1241,8 +1244,10 @@ object Similarity {
     * defaults on the near-orthogonal probe corpus — floor 0.90). */
   def pqAnnTop1All(
       vecs: DataFrame, m: Int = 16, ksub: Int = 256, iters: Int = 3,
-      shortlist: Int = 64, maxGroup: Int = 512): DataFrame = {
-    val (rows, tab, kk) = pqCodedRows(vecs, lit(true), m, ksub, iters)
+      shortlist: Int = 64, maxGroup: Int = 512,
+      preTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val (rows, tab, kk) =
+      pqCodedRows(vecs, lit(true), m, ksub, iters, preTrainedCodebooks)
     rescoreTop1(blockedShortlistPq(rows, tab, kk, shortlist, maxGroup), vecs)
   }
 
@@ -1250,8 +1255,10 @@ object Similarity {
     * candidate corpus — same contract as [[int8AnnTop1Sampled]]. */
   def pqAnnTop1Sampled(
       vecs: DataFrame, isQuery: Column, m: Int = 16, ksub: Int = 256,
-      iters: Int = 3, shortlist: Int = 64, maxGroup: Int = 512): DataFrame = {
-    val (rows, tab, kk) = pqCodedRows(vecs, isQuery, m, ksub, iters)
+      iters: Int = 3, shortlist: Int = 64, maxGroup: Int = 512,
+      preTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val (rows, tab, kk) =
+      pqCodedRows(vecs, isQuery, m, ksub, iters, preTrainedCodebooks)
     rescoreTop1(blockedShortlistPq(rows, tab, kk, shortlist, maxGroup), vecs)
   }
 
@@ -1277,12 +1284,13 @@ object Similarity {
       vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
       m: Int = 16, ksub: Int = 256, pqIters: Int = 3,
       shortlist: Int = 64, maxGroup: Int = 256,
-      preTrained: Option[Array[Array[Double]]] = None): DataFrame = {
+      preTrained: Option[Array[Array[Double]]] = None,
+      preTrainedCodebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cbs = trainPqCodebooks(typed, m, ksub, pqIters)
+    val cbs = preTrainedCodebooks.getOrElse(trainPqCodebooks(typed, m, ksub, pqIters))
     val kk = if (cbs.isEmpty) 0 else cbs(0).length
     val dsub = if (kk == 0) 0 else cbs(0)(0).length
     val bcCb = spark.sparkContext.broadcast(cbs)

@@ -90,6 +90,23 @@ object SimilarityQueries {
           k = 16, iters = 3)))
   }
 
+  /** Memoized PQ codebooks per (application, sfDir) — same contract as
+    * [[trainedCents]]: the `pq` and `ivf_pq` rows of both recall gates
+    * train identical deterministic codebooks (m = 16, ksub = 256,
+    * 3 iterations). m·ksub·(d/m) doubles per entry. */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Array[Double]]]]()
+  private def trainedCodebooks(
+      s: SparkSession, dir: String): Option[Array[Array[Array[Double]]]] = {
+    import s.implicits._
+    Some(codebookCache.computeIfAbsent(
+      s.sparkContext.applicationId + ":" + dir, _ =>
+        Similarity.trainPqCodebooks(
+          emb(s, dir).select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])],
+          m = 16, ksub = 256, iters = 3)))
+  }
+
   /** One invariant gate row for a top-1 ANN method — the oracle-checkable
     * reshaping of the old rows-only signature dumps (round-4/5 verdict
     * item 1): every column is either DuckDB-derivable (method,
@@ -260,9 +277,10 @@ object SimilarityQueries {
     val truth = Similarity.bruteForceTop1All(e)
       .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
       .localCheckpoint(true)
-    recallRows(e, truth, Similarity.int8AnnTop1All(e), Similarity.pqAnnTop1All(e),
+    recallRows(e, truth, Similarity.int8AnnTop1All(e),
+      Similarity.pqAnnTop1All(e, preTrainedCodebooks = trainedCodebooks(s, dir)),
       ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
-      cents = trainedCents(s, dir))
+      cents = trainedCents(s, dir), cbs = trainedCodebooks(s, dir))
   }
 
   /** One gate row per ANN method against the given exact ground truth
@@ -275,7 +293,8 @@ object SimilarityQueries {
   private def recallRows(
       e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
       ivfFloor: Double, lshFloor: Double, int8Floor: Double,
-      pqFloor: Double, cents: Option[Array[Array[Double]]]): DataFrame = {
+      pqFloor: Double, cents: Option[Array[Array[Double]]],
+      cbs: Option[Array[Array[Array[Double]]]]): DataFrame = {
     def row(method: String, ann: DataFrame, floor: Double): DataFrame =
       truth.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
         .select(
@@ -297,7 +316,8 @@ object SimilarityQueries {
       .unionAll(row("ivf_sq8",
         Similarity.ivfSq8AnnTop1(e, preTrained = cents), floor = 0.50))
       .unionAll(row("ivf_pq",
-        Similarity.ivfPqAnnTop1(e, preTrained = cents), floor = 0.50))
+        Similarity.ivfPqAnnTop1(e, preTrained = cents,
+          preTrainedCodebooks = cbs), floor = 0.50))
       .orderBy(col("method"))
   }
 
@@ -319,9 +339,10 @@ object SimilarityQueries {
     // the memoized one shared with the per-method gate queries
     recallRows(e, sampledTruth(s, dir),
       Similarity.int8AnnTop1Sampled(e, isQuerySample),
-      Similarity.pqAnnTop1Sampled(e, isQuerySample),
+      Similarity.pqAnnTop1Sampled(e, isQuerySample,
+        preTrainedCodebooks = trainedCodebooks(s, dir)),
       ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
-      cents = trainedCents(s, dir))
+      cents = trainedCents(s, dir), cbs = trainedCodebooks(s, dir))
   }
 
   /** Blocked (beyond-broadcast) near-dup variant — identical output to
