@@ -493,6 +493,39 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  /** Count-min point-query gate over the same exact heavy-hitter rows
+    * as [[heavyHitters]] — the frequency-ESTIMATE sketch
+    * ([[graft.functions.CountMinAggregator]], 512×4 counters, 16 KiB
+    * regardless of vocabulary) cross-checked against exact counts:
+    * `cm_ok` = est ≥ exact (the unconditional count-min guarantee) AND
+    * est ≤ exact + e·n/width (the ε-bound; probabilistic in general
+    * but DETERMINISTIC for a fixed corpus because count-min merges are
+    * abelian — the sketch is bit-identical under any partitioning,
+    * asserted in CountMinSpec). The exact-HH row set is ≤ k−1 rows by
+    * definition (frequency > n/k), so the driver-side estimate loop is
+    * metadata-sized at any corpus scale. */
+  def countMinQ(s: SparkSession, dir: String): DataFrame = {
+    val width = 512; val depth = 4; val k = 40
+    val toks = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("term"))
+    val sk = toks
+      .agg(graft.functions.CountMin.sketch(width, depth)(col("term")).as("sk"))
+      .collect()(0).getSeq[Long](0).toArray
+    val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val n = tc.agg(sum(col("cnt")).as("n"))
+    // ≤ k−1 exact heavy hitters by definition — a bounded collect
+    val hh = tc.crossJoin(n)
+      .filter(col("cnt").cast("double") > col("n").cast("double") / k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import s.implicits._
+    hh.toSeq.map { case (term, cnt, total) =>
+      val est = graft.functions.CountMin.estimate(sk, term, width, depth)
+      (term, cnt,
+        est >= cnt && (est - cnt).toDouble <= math.E * total / width)
+    }.toDF("term", "cnt", "cm_ok")
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** Deterministic content-hash sampling — the reproducible train/test
     * split of data pipelines: a row's split follows md5 of its id, so
     * membership is stable across runs, partitionings, engines, and
@@ -529,6 +562,7 @@ object TextQueries {
     "q_sample_stratified" -> (stratifiedSplit _),
     "q_sample_hash" -> (hashSample _),
     "q_text_heavy_hitters" -> (heavyHitters _),
+    "q_text_countmin" -> (countMinQ _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
@@ -625,6 +659,16 @@ object TextQueries {
          tc AS (SELECT term, count(1) AS cnt FROM toks GROUP BY 1),
          n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
          SELECT term, cnt, true AS in_sketch, true AS est_ok
+         FROM tc CROSS JOIN n
+         WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 40
+         ORDER BY cnt DESC, term""",
+    "q_text_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+           FROM documents),
+         tc AS (SELECT term, count(1) AS cnt FROM toks GROUP BY 1),
+         n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM tc)
+         SELECT term, cnt, true AS cm_ok
          FROM tc CROSS JOIN n
          WHERE CAST(cnt AS DOUBLE) > CAST(n AS DOUBLE) / 40
          ORDER BY cnt DESC, term""",
