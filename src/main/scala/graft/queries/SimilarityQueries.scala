@@ -161,6 +161,63 @@ object SimilarityQueries {
         preTrained = trainedCents(s, dir)),
       floor = 0.50)
 
+  /** PERSISTED-INDEX gate — the 100 TB search surface (build the index
+    * once per corpus epoch, search every query batch against it) run
+    * end-to-end as a driver row: [[Similarity.writeAnnIndex]] trains
+    * and persists centroids + hive-partitioned int8 lists + stored
+    * floats under target/ (wiped per run — the epoch contract), the
+    * SAMPLED query set probes it through [[Similarity.annIndexTopK]]
+    * with every list probed (nprobe = k, so pruning is exercised as a
+    * no-op and quality isolates the int8-shortlist + rescore path),
+    * and the gate asserts: the exact top-1 (memoized sampled truth)
+    * appears in the top-3 at ≥ 0.85 (measured 1.000 at every SF by
+    * `graft.tools.RecallProbe` — int8 quantization never pushes the
+    * true top-1 out of a 4-deep shortlist on this corpus),
+    * every query returns 3 distinct non-self candidates, and cosines
+    * are valid. Query ids are shifted by 10⁹ (index search requires
+    * ids disjoint from the corpus); the query's own corpus twin
+    * (cos = 1) is dropped after unshifting. */
+  def annIndexGate(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-ann-index-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val e = emb(s, dir)
+    Similarity.writeAnnIndex(e, base, k = 16, lloydIters = 3)
+    val shift = 1000000000L
+    val qs = e.filter(isQuerySample)
+      .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+    // top-4 so the self-twin's slot still leaves 3 real candidates
+    val topk = Similarity.annIndexTopK(base, qs, topK = 4, nprobe = 16)
+      .select((col("qid") - shift).as("qid"), col("cid"), col("cos"))
+      .filter(col("cid") =!= col("qid"))
+      .localCheckpoint(true) // ≤ 3 rows per sampled query, read 3×
+    val shape = topk.groupBy(col("qid"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("nd"))
+      .agg(count(lit(1)).as("n_cov"),
+        min(when(col("n") === 3 && col("nd") === 3, 1).otherwise(0)).as("shape_min"))
+    val ordered = topk.select(
+        when(col("cos") >= -1.0000001 && col("cos") <= 1.0000001, 1)
+          .otherwise(0).as("ok"))
+      .agg(min(col("ok")).as("ord_min"))
+    val truth = sampledTruth(s, dir)
+    truth
+      .join(topk, Seq("qid"), "left")
+      .groupBy(col("qid"))
+      .agg(max(when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
+        .otherwise(0)).as("found"))
+      .agg(count(lit(1)).as("n_queries"), sum(col("found")).as("n_found"))
+      .crossJoin(shape).crossJoin(ordered)
+      .select(lit("ivf_index").as("method"), col("n_queries"),
+        (col("n_found").cast("double") / col("n_queries").cast("double") >= 0.85)
+          .as("recall_ok"),
+        (col("n_cov") === col("n_queries") && col("shape_min") === 1).as("k_ok"),
+        (col("ord_min") === 1).as("cos_valid"))
+  }
+
   /** Per-DIMENSION corpus statistics — the normalization/whitening prep
     * step of an embedding pipeline: exact decimal Σx and Σx² per
     * dimension (posexplode + one shuffle of k·d partials), mean and
@@ -362,7 +419,8 @@ object SimilarityQueries {
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_normalize" -> (embedNormalize _),
-    "q_ann_lsh" -> (lshAnn _)
+    "q_ann_lsh" -> (lshAnn _),
+    "q_ann_index" -> (annIndexGate _)
   )
 
   /** Shared oracle scaffolding: exact decimal dot/norm via an unnested
@@ -408,6 +466,9 @@ object SimilarityQueries {
         Seq("true AS covered_all", "true AS cos_valid")),
     "q_ann_lsh_topk" ->
       methodArms(Seq("lsh_topk"), sampledEmb,
+        Seq("true AS k_ok", "true AS cos_valid")),
+    "q_ann_index" ->
+      methodArms(Seq("ivf_index"), sampledEmb,
         Seq("true AS k_ok", "true AS cos_valid")),
     "q_ann_topk" ->
       (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10") +

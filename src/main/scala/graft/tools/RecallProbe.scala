@@ -62,6 +62,31 @@ object RecallProbe {
       println(f"$sf: lsh_cov=${lshTop1.count()} ivf_cov=${ivfTop1.count()} " +
         f"topk_rows=${topk.count()} topk_badshape=$badShape " +
         f"recall_at3=${hit3.toDouble / nl}%.4f")
+
+      // persisted-index gate facts: all-lists-probed top-4, self-twin
+      // excluded (q_ann_index's exact shape)
+      val idxBase = s"target/tmp-recall-probe-$sf"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+        p.delete(); ()
+      }
+      rmrf(new java.io.File(idxBase))
+      Similarity.writeAnnIndex(e, idxBase, k = 16, lloydIters = 3)
+      val shift = 1000000000L
+      val qs = e.filter(isQ)
+        .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
+      val idxTopk = Similarity.annIndexTopK(idxBase, qs, topK = 4, nprobe = 16)
+        .select((col("qid") - shift).as("qid"), col("cid"), col("cos"))
+        .filter(col("cid") =!= col("qid"))
+        .localCheckpoint(true)
+      val idxHit = truth.join(idxTopk, Seq("qid"), "left")
+        .filter(col("cid") === col("tcid") || col("cos") === col("tcos"))
+        .select(col("qid")).distinct().count()
+      val perQIdx = idxTopk.groupBy(col("qid"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("nd"))
+      val badIdx = perQIdx.filter(col("n") < 3 || col("nd") < 3).count()
+      println(f"$sf: idx_recall_at3=${idxHit.toDouble / nl}%.4f " +
+        f"idx_cov=${perQIdx.count()} idx_badshape=$badIdx")
     }
     spark.stop()
   }

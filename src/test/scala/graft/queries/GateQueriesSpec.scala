@@ -56,6 +56,11 @@ class GateQueriesSpec extends SparkSpec {
     topk(0).getBoolean(2) shouldBe true // recall_ok @3
     topk(0).getBoolean(3) shouldBe true // k_ok
     topk(0).getBoolean(4) shouldBe true // cos_valid (rank-monotone)
+    val idx = run("q_ann_index").collect()
+    idx.length shouldBe 1
+    idx(0).getBoolean(2) shouldBe true // recall_ok @3 through the index
+    idx(0).getBoolean(3) shouldBe true // k_ok (3 distinct non-self)
+    idx(0).getBoolean(4) shouldBe true // cos_valid
   }
 
   "q_events_stream_parity" should "match the batch tumbling frame window-for-window" in {
