@@ -210,6 +210,33 @@ object DocStreams {
       .start()
   }
 
+  /** Streaming ANN SEARCH — the serving twin of [[annIngest]]: each
+    * micro-batch of query vectors is searched against the persisted
+    * index ([[graft.ops.Similarity.annIndexTopK]] — centroids loaded
+    * once per stream, candidate scan partition-pruned to the probed
+    * lists, int8 shortlist + exact-decimal rescore) and the top-k
+    * rows land in `sinkPath` keyed by micro-batch id (overwrite —
+    * replay-idempotent like every sink in this file). Per-batch cost
+    * ∝ batch · corpus/k · nprobe/cap² tasks; the corpus is never
+    * rescanned in full precision. Batch ≡ stream equality is asserted
+    * live in `DocStreamsSpec`. Query `vec_id`s must be disjoint from
+    * the corpus ids (the [[graft.ops.Similarity.annIndexTopK]]
+    * contract). */
+  def annSearch(
+      queries: DataFrame, indexPath: String, sinkPath: String,
+      topK: Int, nprobe: Int = 4): StreamingQuery = {
+    queries.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Similarity.annIndexTopK(indexPath, batch, topK, nprobe)
+            .write.mode("overwrite").parquet(s"$sinkPath/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   /** Start the streaming ingest: `docs` must be a streaming DataFrame
     * with at least (`idCol`, `textCol`). Survivor rows (all input
     * columns) land in `sinkPath/docs`, decisions in

@@ -145,6 +145,43 @@ class DocStreamsSpec extends SparkSpec {
     indexed shouldBe Set(1L, 2L, 101L, 201L)
   }
 
+  "annSearch" should "serve streamed queries identically to the batch index search" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ops.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ann-search").toString
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    Similarity.writeAnnIndex(corpus, s"$tmp/index", k = 4, lloydIters = 2)
+
+    // two query batches with ids disjoint from the corpus
+    val qs = corpus.filter(col("vec_id") < 6)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = DocStreams.annSearch(
+      mem.toDF().toDF("vec_id", "embedding"), s"$tmp/index", s"$tmp/out",
+      topK = 2, nprobe = 4)
+    try {
+      mem.addData(qs.take(3))
+      q.processAllAvailable()
+      mem.addData(qs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(s"$tmp/out")
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Similarity.annIndexTopK(
+        s"$tmp/index",
+        corpus.filter(col("vec_id") < 6)
+          .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")),
+        topK = 2, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    streamed shouldBe batch
+    streamed.size shouldBe 12 // 6 queries × top-2
+  }
+
   "mediaIngestBatch" should "overwrite its own partitions on at-least-once replay" in {
     import spark.implicits._
     import graft.ops.Multimodal
