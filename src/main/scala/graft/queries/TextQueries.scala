@@ -460,6 +460,49 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Streaming-DEDUP parity gate (the doc-ingest twin of
+    * q_events_stream_parity — the streaming pipelines were previously
+    * spec-only because Verify is batch-bound): the corpus (md5 < '8',
+    * ~50 % of documents) is indexed ([[Dedup.writeDedupIndex]]), the
+    * remaining docs flow BOTH through the pure batch decision
+    * ([[graft.streaming.DocStreams.batchDecisions]]) and through the
+    * real streaming ingest ([[graft.streaming.DocStreams.dedupIngest]]
+    * over a file-stream source into its own index copy, since ingest
+    * extends its index), and the per-doc keep/drop statuses must agree
+    * exactly. Output = one (doc_id, stream_match) row per streamed
+    * doc; oracle = all true. Scratch dirs under target/, wiped per
+    * run. */
+  def dedupStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-dedup-stream-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val d = docs(s, dir)
+    val isCorpus = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    val corpus = d.filter(isCorpus)
+    val batch = d.filter(!isCorpus)
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", s"$base/index")
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", s"$base/index2")
+    val batchDec = graft.streaming.DocStreams
+      .batchDecisions(batch, s"$base/index", "text", "doc_id", 0.8)
+      .select(col("doc_id"), col("status").as("batch_status"))
+    batch.write.parquet(s"$base/in")
+    val stream = s.readStream.schema(batch.schema).parquet(s"$base/in")
+    val q = graft.streaming.DocStreams
+      .dedupIngest(stream, s"$base/index2", s"$base/sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamDec = s.read.parquet(s"$base/sink/decisions")
+      .select(col("doc_id"), col("status").as("stream_status"))
+    batchDec.join(streamDec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (col("batch_status").isNotNull && col("stream_status").isNotNull &&
+          col("batch_status") === col("stream_status")).as("stream_match"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Heavy-hitters gate over document tokens — the bounded-memory
     * frequent-items primitive ([[graft.functions.MisraGriesAggregator]],
     * k = 40 → ≤ 39 counters per partial sketch no matter the corpus
@@ -563,6 +606,7 @@ object TextQueries {
     "q_sample_hash" -> (hashSample _),
     "q_text_heavy_hitters" -> (heavyHitters _),
     "q_text_countmin" -> (countMinQ _),
+    "q_dedup_stream_parity" -> (dedupStreamParity _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
@@ -652,6 +696,10 @@ object TextQueries {
       "SELECT doc_id, true AS sig_ok FROM documents ORDER BY doc_id",
     "q_dedup_simhash_pairs" ->
       "SELECT doc_id, true AS pairs_ok FROM documents ORDER BY doc_id",
+    "q_dedup_stream_parity" ->
+      """SELECT doc_id, true AS stream_match FROM documents
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) >= '8'
+         ORDER BY doc_id""",
     "q_text_heavy_hitters" ->
       """WITH toks AS (
            SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

@@ -71,6 +71,14 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_dedup_stream_parity" should "match streamed dedup decisions to the batch path" in {
+    val rows = run("q_dedup_stream_parity").collect()
+    rows.length should be > 0
+    rows.foreach(r => withClue(s"doc ${r.getLong(0)}: ") {
+      r.getBoolean(1) shouldBe true
+    })
+  }
+
   "ref_io round-trips" should "reproduce nation through the CSV sink and XLSX DSv2" in {
     val csv = run("ref_io_csv_roundtrip").collect()
     csv.length shouldBe 25
