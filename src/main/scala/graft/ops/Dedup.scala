@@ -245,31 +245,53 @@ object Dedup {
     * co-locate without a shuffle. */
   def writeDedupIndex(
       corpusDocs: DataFrame, textCol: String, idCol: String,
-      path: String): Unit = {
-    val shingled = docShingles(corpusDocs, textCol, idCol).cache()
-    shingled.write.mode("overwrite").parquet(s"$path/shingles")
-    minhashBandTable(minhashSignatures(shingled))
-      .write.mode("overwrite").parquet(s"$path/bands")
-    corpusDocs
-      .select(sha2(lower(trim(col(textCol))), 256).as("text_hash")).distinct()
-      .write.mode("overwrite").parquet(s"$path/hashes")
-    shingled.unpersist()
-  }
+      path: String): Unit =
+    writeDedupIndexBatch(corpusDocs, textCol, idCol, path,
+      batchId = -1L, overwrite = true)
 
   /** Extend a persisted dedup index with newly-ingested documents —
     * the per-batch write of a streaming/incremental ingest pipeline
     * ([[graft.streaming.DocStreams.dedupIngest]]). Same artifacts as
-    * [[writeDedupIndex]], append mode: cost ∝ batch size only. */
+    * [[writeDedupIndex]], keyed by the micro-batch id
+    * (`.../batch=<id>` + overwrite — the replay-idempotent layout the
+    * ANN and phash indexes use): cost ∝ batch size only, and an
+    * at-least-once replay of a batch overwrites its own partitions
+    * instead of duplicating index rows. */
   def appendDedupIndex(
       batchDocs: DataFrame, textCol: String, idCol: String,
-      path: String): Unit = {
-    val shingled = docShingles(batchDocs, textCol, idCol).cache()
-    shingled.write.mode("append").parquet(s"$path/shingles")
+      path: String, batchId: Long): Unit =
+    writeDedupIndexBatch(batchDocs, textCol, idCol, path,
+      batchId, overwrite = false)
+
+  /** One batch partition of the index. The corpus epoch is batch=-1;
+    * ingested batches land beside it, all discovered as one
+    * partitioned read. The hash table carries the minimum doc id per
+    * hash (`hash_doc_id`) so [[exactGroupsIncremental]] can exclude a
+    * REPLAYED document's match against its own stored hash — the
+    * missing piece of text-path replay idempotence. */
+  private def writeDedupIndexBatch(
+      docs: DataFrame, textCol: String, idCol: String, path: String,
+      batchId: Long, overwrite: Boolean): Unit = {
+    // overwrite semantics are identical for the bootstrap (fresh dir)
+    // and a batch replay (rewrites its own partition); `overwrite` only
+    // gates clearing SIBLING epochs on a corpus rebuild
+    if (overwrite) {
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+        p.delete(); ()
+      }
+      rmrf(new java.io.File(path))
+    }
+    val shingled = docShingles(docs, textCol, idCol).cache()
+    shingled.write.mode("overwrite").parquet(s"$path/shingles/batch=$batchId")
     minhashBandTable(minhashSignatures(shingled))
-      .write.mode("append").parquet(s"$path/bands")
-    batchDocs
-      .select(sha2(lower(trim(col(textCol))), 256).as("text_hash")).distinct()
-      .write.mode("append").parquet(s"$path/hashes")
+      .write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+    docs
+      .select(col(idCol).as("doc_id"),
+        sha2(lower(trim(col(textCol))), 256).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("hash_doc_id"))
+      .write.mode("overwrite").parquet(s"$path/hashes/batch=$batchId")
     shingled.unpersist()
   }
 
@@ -286,8 +308,19 @@ object Dedup {
       indexPath: String, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
     val spark = newDocs.sparkSession
+    // the batch's OWN ids are excluded from the corpus view (anti-join
+    // on a batch-sized id set): on an at-least-once REPLAY the index
+    // already holds the batch's survivors, and without the exclusion
+    // their stored bands/shingles would self-pair with the replayed
+    // docs and double-count shingles in the Jaccard verify. With it, a
+    // replay sees exactly the pre-batch index and re-derives
+    // byte-identical pairs. `batch` is the partition column of the
+    // epoch layout ([[writeDedupIndex]]), dropped on read.
+    val newIds = newDocs.select(col(idCol).as("doc_id")).distinct()
     val corpusIndex = spark.read.parquet(s"$indexPath/bands")
+      .drop("batch").join(newIds, Seq("doc_id"), "left_anti")
     val corpusShingles = spark.read.parquet(s"$indexPath/shingles")
+      .drop("batch").join(newIds, Seq("doc_id"), "left_anti")
     val newShingled = docShingles(newDocs, textCol, idCol).cache()
     val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
     val out = incrementalPairs(corpusIndex, newIndex,
@@ -299,25 +332,49 @@ object Dedup {
   }
 
   /** INCREMENTAL exact dedup: classify a new batch against the corpus'
-    * persisted content-hash set — `dup_of_corpus` (hash already
-    * ingested), `dup_in_batch` (first occurrence wins by min id), or
-    * `new`. One broadcast-or-shuffle join on 32-byte hashes plus one
-    * batch-local aggregate; the corpus is never rescanned. */
+    * persisted content-hash set — `dup_in_batch` (a smaller batch id
+    * holds the same text; first occurrence wins by min id),
+    * `dup_of_corpus` (hash already ingested), or `new`. One
+    * broadcast-or-shuffle join on 32-byte hashes plus one batch-local
+    * aggregate; the corpus is never rescanned.
+    *
+    * Replay idempotence: when `corpusHashes` carries the
+    * `hash_doc_id` column ([[writeDedupIndex]]'s schema), a document
+    * matching ONLY its own stored hash (an at-least-once replay after
+    * its first ingest) is NOT a corpus dup — it re-derives its original
+    * status, so a replayed micro-batch rewrites byte-identical
+    * decisions. The batch-local check runs FIRST for the same reason:
+    * a replayed in-batch dup must re-label as `dup_in_batch`, not flip
+    * to `dup_of_corpus` against its survivor's stored hash. An id-less
+    * hash frame (legacy/ad-hoc) keeps the plain membership semantics. */
   def exactGroupsIncremental(
       corpusHashes: DataFrame, newDocs: DataFrame,
       textCol: String, idCol: String): DataFrame = {
     val hashed = newDocs.select(col(idCol).as("doc_id"),
       sha2(lower(trim(col(textCol))), 256).as("text_hash"))
-    val known = corpusHashes.select(col("text_hash")).distinct()
-      .withColumn("in_corpus", lit(true))
+    val known =
+      if (corpusHashes.columns.contains("hash_doc_id"))
+        corpusHashes.groupBy(col("text_hash"))
+          .agg(min(col("hash_doc_id")).as("cmin"),
+            max(col("hash_doc_id")).as("cmax"))
+          .withColumn("in_corpus", lit(true))
+      else corpusHashes.select(col("text_hash")).distinct()
+        .withColumn("cmin", lit(null).cast("long"))
+        .withColumn("cmax", lit(null).cast("long"))
+        .withColumn("in_corpus", lit(true))
     val firstInBatch = hashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("first_id"))
+    // "some corpus holder of this hash is NOT me" — null-safe true for
+    // the id-less legacy frame
+    val corpusOther = coalesce(
+      col("cmin") =!= col("doc_id") || col("cmax") =!= col("doc_id"),
+      lit(true))
     hashed
       .join(known, Seq("text_hash"), "left")
       .join(firstInBatch, "text_hash")
       .select(col("doc_id"), col("text_hash"),
-        when(col("in_corpus"), lit("dup_of_corpus"))
-          .when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
+        when(col("doc_id") =!= col("first_id"), lit("dup_in_batch"))
+          .when(col("in_corpus") && corpusOther, lit("dup_of_corpus"))
           .otherwise(lit("new")).as("status"))
   }
 

@@ -376,18 +376,18 @@ object TextQueries {
     // documents parquet means a REGENERATED corpus at the same path
     // gets a fresh index instead of silently reusing a stale one (the
     // epoch-versioning a production pipeline would carry explicitly).
-    // ":v2" = hashed-shingle index schema (array<long>); a bump
-    // orphans any pre-upgrade string-shingle index rather than
-    // union-ing incompatible schemas.
+    // ":v3" = batch-partitioned layout with id-carrying hash table
+    // (replay-idempotent ingest); a bump orphans any pre-upgrade index
+    // rather than union-ing incompatible schemas/layouts.
     val src = Paths.get(dir, "documents.parquet")
     val fingerprint =
       try s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
       catch { case _: java.io.IOException => "unknown" }
     val key = java.util.UUID.nameUUIDFromBytes(
-      (dir + ":v2:" + fingerprint).getBytes("UTF-8")).toString
+      (dir + ":v3:" + fingerprint).getBytes("UTF-8")).toString
     val path = s"$root/$key"
     val complete = Seq("bands", "shingles", "hashes")
-      .forall(a => Files.exists(Paths.get(path, a, "_SUCCESS")))
+      .forall(a => Files.exists(Paths.get(path, a, "batch=-1", "_SUCCESS")))
     if (!complete)
       Dedup.writeDedupIndex(
         docs(s, dir).filter(col("doc_id") < 400), "text", "doc_id", path)
@@ -935,8 +935,10 @@ object TextQueries {
            FROM documents WHERE doc_id >= 400),
          f AS (SELECT text_hash, min(doc_id) AS first_id FROM b GROUP BY 1)
          SELECT b.doc_id, b.text_hash,
-           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
-                WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+           -- batch-local precedence mirrors the engine (replay
+           -- idempotence: an in-batch dup re-labels identically)
+           CASE WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
                 ELSE 'new' END AS status
          FROM b LEFT JOIN corpus c ON c.h = b.text_hash
          JOIN f USING (text_hash)

@@ -42,11 +42,14 @@ import graft.ops.Dedup
   * 100 TB posture: per-batch cost ∝ batch size + band collisions (the
   * incremental property, measured by `q_dedup_incremental`); the index
   * grows with the UNIQUE corpus only. The decision graph per batch is
-  * bounded by the batch's near-dup degree, not corpus size. The sinks
-  * are plain append-mode parquet writes — on a real deployment they
-  * point at the object store, and exactly-once delivery hardens via
-  * the usual checkpointLocation + idempotent-overwrite-by-batch-id
-  * pattern (orthogonal to the dedup semantics shown here).
+  * bounded by the batch's near-dup degree, not corpus size. Every sink
+  * and index write is keyed by the micro-batch id (`.../batch=<id>`,
+  * overwrite mode) and the decision logic is replay-stable (id-aware
+  * exact dedup, batch ids excluded from the corpus view when mining),
+  * so checkpointLocation + this layout gives effectively-once delivery
+  * on top of foreachBatch's at-least-once contract — asserted by the
+  * replay-twice specs in `DocStreamsSpec`. On a real deployment the
+  * same parquet writes point at the object store.
   */
 object DocStreams {
 
@@ -241,7 +244,14 @@ object DocStreams {
     * with at least (`idCol`, `textCol`). Survivor rows (all input
     * columns) land in `sinkPath/docs`, decisions in
     * `sinkPath/decisions`, and the index at `indexPath` is extended
-    * with each batch's survivors. */
+    * with each batch's survivors. Every write is keyed by the
+    * micro-batch id (`.../batch=<id>`, overwrite) and the decision
+    * logic re-derives byte-identical statuses against an index that
+    * already holds the batch's own artifacts (id-aware exact dedup +
+    * self-pair-free mining), so an at-least-once REPLAY after a crash
+    * rewrites its own partitions instead of duplicating sink docs or
+    * index rows — asserted by replaying a batch twice in
+    * `DocStreamsSpec`. */
   def dedupIngest(
       docs: DataFrame, indexPath: String, sinkPath: String,
       textCol: String = "text", idCol: String = "doc_id",
@@ -249,19 +259,30 @@ object DocStreams {
     docs.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val decisions = batchDecisions(batch, indexPath, textCol, idCol, threshold)
-            .localCheckpoint(true) // one row per batch doc; read 3× below
-          val survivors = batch.join(
-            decisions.filter(col("status") === "kept").select(col("doc_id").as(idCol)), idCol)
-            .localCheckpoint(true)
-          survivors.write.mode("append").parquet(s"$sinkPath/docs")
-          decisions.write.mode("append").parquet(s"$sinkPath/decisions")
-          Dedup.appendDedupIndex(survivors, textCol, idCol, indexPath)
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          docIngestBatch(batch, indexPath, sinkPath, textCol, idCol,
+            threshold, batchId)
         ()
       }
       .start()
+  }
+
+  /** The per-micro-batch body of [[dedupIngest]], factored out (like
+    * [[mediaIngestBatch]]) so the replay-idempotence contract is
+    * testable without a streaming harness. */
+  private[graft] def docIngestBatch(
+      batch: DataFrame, indexPath: String, sinkPath: String,
+      textCol: String, idCol: String, threshold: Double,
+      batchId: Long): Unit = {
+    val decisions = batchDecisions(batch, indexPath, textCol, idCol, threshold)
+      .localCheckpoint(true) // one row per batch doc; read 3× below
+    val survivors = batch.join(
+      decisions.filter(col("status") === "kept").select(col("doc_id").as(idCol)), idCol)
+      .localCheckpoint(true)
+    survivors.write.mode("overwrite").parquet(s"$sinkPath/docs/batch=$batchId")
+    decisions.write.mode("overwrite")
+      .parquet(s"$sinkPath/decisions/batch=$batchId")
+    Dedup.appendDedupIndex(survivors, textCol, idCol, indexPath, batchId)
   }
 }

@@ -107,8 +107,8 @@ class DedupSpec extends SparkSpec {
     // plan shape: the corpus is consulted ONLY through the stored
     // artifacts — the index path is scanned, the corpus docs parquet
     // never appears, so the corpus side cannot have been re-shingled
-    val corpusIndex = spark.read.parquet(s"$tmp/bands")
-    val corpusShingles = spark.read.parquet(s"$tmp/shingles")
+    val corpusIndex = spark.read.parquet(s"$tmp/bands").drop("batch")
+    val corpusShingles = spark.read.parquet(s"$tmp/shingles").drop("batch")
     val newShingled = Dedup.docShingles(batch, "text", "doc_id")
     val newIndex = Dedup.minhashBandTable(Dedup.minhashSignatures(newShingled))
     val plan = Dedup.incrementalPairs(corpusIndex, newIndex,

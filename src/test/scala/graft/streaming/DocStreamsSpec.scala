@@ -145,6 +145,47 @@ class DocStreamsSpec extends SparkSpec {
     indexed shouldBe Set(1L, 2L, 101L, 201L)
   }
 
+  "docIngestBatch" should "rewrite byte-identical partitions on at-least-once replay" in {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-doc-replay").toString
+    val index = s"$tmp/index"
+    val sink = s"$tmp/sink"
+    val corpus = Seq(
+      (1L, longText + "alpha beta gamma"),
+      (2L, otherText)).toDF("doc_id", "text")
+    Dedup.writeDedupIndex(corpus, "text", "doc_id", index)
+
+    val batch = Seq(
+      (100L, longText + "alpha beta gamma delta"), // near-dup of corpus 1
+      (101L, otherText),                           // exact dup of corpus 2
+      (102L, freshText),                           // new → kept
+      (103L, freshText))                           // exact dup within batch
+      .toDF("doc_id", "text")
+    // crash-replay: the same micro-batch id runs twice — the second
+    // run sees an index already holding the batch's own artifacts
+    DocStreams.docIngestBatch(batch, index, sink, "text", "doc_id", 0.8, batchId = 0L)
+    val dec1 = spark.read.parquet(s"$sink/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    DocStreams.docIngestBatch(batch, index, sink, "text", "doc_id", 0.8, batchId = 0L)
+
+    val dec2 = spark.read.parquet(s"$sink/decisions")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    dec2 shouldBe dec1
+    dec2 shouldBe Map(
+      100L -> "near_dup", 101L -> "exact_dup_corpus",
+      102L -> "kept", 103L -> "exact_dup_batch")
+    // exactly one copy of everything
+    spark.read.parquet(s"$sink/docs")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq shouldBe Seq(102L)
+    spark.read.parquet(s"$sink/decisions").count() shouldBe 4L
+    spark.read.parquet(s"$index/hashes")
+      .filter(col("hash_doc_id") === 102L).count() shouldBe 1L
+    spark.read.parquet(s"$index/bands")
+      .filter(col("doc_id") === 102L).select(col("band")).distinct()
+      .count() shouldBe spark.read.parquet(s"$index/bands")
+      .filter(col("doc_id") === 1L).select(col("band")).distinct().count()
+  }
+
   "annSearch" should "serve streamed queries identically to the batch index search" in {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
