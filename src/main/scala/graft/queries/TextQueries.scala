@@ -465,11 +465,11 @@ object TextQueries {
     * spec-only because Verify is batch-bound): the corpus (md5 < '8',
     * ~50 % of documents) is indexed ([[Dedup.writeDedupIndex]]), the
     * remaining docs flow BOTH through the pure batch decision
-    * ([[graft.streaming.DocStreams.batchDecisions]]) and through the
-    * real streaming ingest ([[graft.streaming.DocStreams.dedupIngest]]
-    * over a file-stream source into its own index copy, since ingest
-    * extends its index), and the per-doc keep/drop statuses must agree
-    * exactly. Output = one (doc_id, stream_match) row per streamed
+    * ([[graft.streaming.DocStreams.batchDecisions]], eagerly
+    * snapshotted) and through the real streaming ingest
+    * ([[graft.streaming.DocStreams.dedupIngest]] over a file-stream
+    * source, which then extends the shared index), and the per-doc
+    * keep/drop statuses must agree exactly. Output = one (doc_id, stream_match) row per streamed
     * doc; oracle = all true. Scratch dirs under target/, wiped per
     * run. */
   def dedupStreamParity(s: SparkSession, dir: String): DataFrame = {
@@ -485,14 +485,17 @@ object TextQueries {
     val corpus = d.filter(isCorpus)
     val batch = d.filter(!isCorpus)
     Dedup.writeDedupIndex(corpus, "text", "doc_id", s"$base/index")
-    Dedup.writeDedupIndex(corpus, "text", "doc_id", s"$base/index2")
+    // EAGERLY materialized: the streaming ingest below EXTENDS the same
+    // index, so the batch decisions must be snapshotted before it runs
+    // (sharing one index halves the corpus indexing cost of this gate)
     val batchDec = graft.streaming.DocStreams
       .batchDecisions(batch, s"$base/index", "text", "doc_id", 0.8)
       .select(col("doc_id"), col("status").as("batch_status"))
+      .localCheckpoint(true)
     batch.write.parquet(s"$base/in")
     val stream = s.readStream.schema(batch.schema).parquet(s"$base/in")
     val q = graft.streaming.DocStreams
-      .dedupIngest(stream, s"$base/index2", s"$base/sink")
+      .dedupIngest(stream, s"$base/index", s"$base/sink")
     try q.processAllAvailable() finally q.stop()
     val streamDec = s.read.parquet(s"$base/sink/decisions")
       .select(col("doc_id"), col("status").as("stream_status"))
