@@ -1318,12 +1318,15 @@ object Similarity {
     * Index cost is one training pass + one write; every subsequent
     * batch searches it without re-reading the corpus. */
   def writeAnnIndex(
-      vecs: DataFrame, path: String, k: Int = 16, lloydIters: Int = 3): Unit = {
+      vecs: DataFrame, path: String, k: Int = 16, lloydIters: Int = 3,
+      preTrained: Option[Array[Array[Double]]] = None): Unit = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val typed = vecs.select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    val cents = trainCentroids(typed, k, lloydIters)
+    val cents = preTrained.getOrElse(trainCentroids(typed, k, lloydIters))
+    preTrained.foreach(c => require(c.length == k,
+      s"preTrained centroids: ${c.length} lists, expected k=$k"))
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")

@@ -186,7 +186,8 @@ object SimilarityQueries {
     }
     rmrf(new java.io.File(base))
     val e = emb(s, dir)
-    Similarity.writeAnnIndex(e, base, k = 16, lloydIters = 3)
+    Similarity.writeAnnIndex(e, base, k = 16, lloydIters = 3,
+      preTrained = trainedCents(s, dir))
     val shift = 1000000000L
     val qs = e.filter(isQuerySample)
       .select((col("vec_id") + shift).as("vec_id"), col("embedding"))
