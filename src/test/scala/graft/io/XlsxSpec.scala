@@ -33,6 +33,36 @@ class XlsxSpec extends SparkSpec {
     zos.close()
   }
 
+  "Xlsx.writeRows" should "round-trip through the reader, escaping and nulls included" in {
+    val path = tmpDir("xlsx") + "/written.xlsx"
+    val rows = Seq(
+      Seq("Column Name", "Target & Table", "X<y>z"),
+      Seq("a & b", "<tag>", null),
+      Seq("", "plain", "q > p"))
+    Xlsx.writeRows(rows, path)
+    val back = Xlsx.readRows(path)
+    back.length shouldBe 3
+    back(0) shouldBe Seq("Column Name", "Target & Table", "X<y>z")
+    // null cells are skipped on write and padded back as null on read
+    back(1) shouldBe Seq("a & b", "<tag>")
+    back(2) shouldBe Seq("", "plain", "q > p")
+  }
+
+  it should "address columns beyond Z correctly (AA-style refs)" in {
+    val path = tmpDir("xlsx") + "/wide.xlsx"
+    val width = 30 // columns A..AD
+    val header = (0 until width).map(i => s"c$i")
+    val data = (0 until width).map(i => s"v$i")
+    Xlsx.writeRows(Seq(header, data), path)
+    val back = Xlsx.readRows(path)
+    back(0) shouldBe header
+    back(1) shouldBe data
+    // and through the DataFrame reader, column order preserved
+    val df = Xlsx.read(spark, path)
+    df.columns.toSeq shouldBe header
+    df.collect()(0).toSeq shouldBe data
+  }
+
   "Xlsx.read" should "decode shared strings, inline strings, and numbers" in {
     val path = tmpDir("xlsx") + "/config.xlsx"
     writeXlsx(path)
