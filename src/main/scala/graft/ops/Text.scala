@@ -58,19 +58,22 @@ object Text {
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish pre-tokenizer counts: runs of letters, runs of digits,
-    * single punctuation marks. */
+    * single punctuation marks. `regexp_count` instead of
+    * `size(regexp_extract_all(…))`: the same non-overlapping match
+    * count without materializing a match ARRAY per document — these
+    * counters run over every doc in the quality/corpus-prep hot path,
+    * and the array existed only to be measured. */
   def alphaTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+"), lit(0)))
+    regexp_count(text, lit("[A-Za-z]+"))
   def digitTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[0-9]+"), lit(0)))
+    regexp_count(text, lit("[0-9]+"))
   def punctCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+    regexp_count(text, lit("[.,;:!?]"))
 
   /** Occurrences of any word in `words` (word-boundary matched). */
   def stopwordCount(text: Column, words: Seq[String]): Column =
-    size(regexp_extract_all(
-      lower(text), lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"),
-      lit(0)))
+    regexp_count(lower(text),
+      lit("\\b(" + words.map(java.util.regex.Pattern.quote).mkString("|") + ")\\b"))
 
   /** Marker vocabularies for the heuristic language-ID scorer. Scores
     * are word-boundary hit counts; the guess is the arg-max with an
