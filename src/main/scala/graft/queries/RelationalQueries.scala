@@ -44,6 +44,56 @@ object RelationalQueries {
         count(lit(1)).as("cnt"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q5-shaped composite STAR query — the multi-join optimizer
+    * exercise the pairwise join queries don't cover: six tables, a
+    * selective region filter and an order-date window, revenue per
+    * nation with customer and supplier in the SAME nation. Catalyst
+    * broadcasts the dimension chain (region 5 rows → nation 25 →
+    * supplier) and AQE picks the fact⋈fact strategy; only the
+    * order/line join shuffles at scale. Revenue is exact DECIMAL,
+    * doubled at the edge (COVERAGE.md numeric rules), so the oracle
+    * hash-matches bit-for-bit. */
+  def starRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10-shaped composite: top-20 customers by RETURNED revenue
+    * in a quarter — the returns-analysis star (fact filter + 3 dims +
+    * group-by + deterministic top-N via revenue/custkey tiebreak). */
+  def starReturns(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount", 4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** Selective scan: predicate + column pruning reach the parquet reader
     * (PushedFilters in the physical plan). */
   def filterPushdown(s: SparkSession, dir: String): DataFrame =
@@ -246,6 +296,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> (aggPricing _),
+    "q_star_revenue" -> (starRevenue _),
+    "q_star_returns" -> (starReturns _),
     "q_filter_pushdown" -> (filterPushdown _),
     "q_agg_distinct" -> (aggDistinct _),
     "q_agg_rollup" -> (aggRollup _),
@@ -275,6 +327,35 @@ object RelationalQueries {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
          ORDER BY o_orderkey""",
+    "q_star_revenue" ->
+      """SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(1) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY revenue DESC, n_name""",
+    "q_star_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+           count(1) AS n_items
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         WHERE l_returnflag = 'R'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+         GROUP BY c_custkey, c_name, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
