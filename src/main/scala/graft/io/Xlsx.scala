@@ -75,12 +75,16 @@ object Xlsx {
   }
 
   /** Minimal single-sheet XLSX WRITER — the inverse wire format of
-    * [[readRows]]: one `xl/worksheets/sheet1.xml` with every cell as an
-    * inline string (`t="inlineStr"`, XML-escaped), no shared-string
-    * pool. Exists for config/export-sized frames (the same size class
-    * as [[Sinks.csvSingleFile]]) and as the fixture source of the
-    * `ref_io_xlsx_scan` oracle row; null cells are skipped, so they
-    * read back as null. Driver-side single-writer by design. */
+    * [[readRows]], emitting a spec-complete OOXML package: the package
+    * rels, `xl/workbook.xml` + its rels, content-type declarations, and
+    * one `xl/worksheets/sheet1.xml` with every cell as an inline string
+    * (`t="inlineStr"`, XML-escaped, `xml:space="preserve"` so
+    * leading/trailing whitespace survives conforming readers), no
+    * shared-string pool. Exists for config/export-sized frames (the
+    * same size class as [[Sinks.csvSingleFile]]) and as the fixture
+    * source of the `ref_io_xlsx_scan` oracle row; null cells are
+    * skipped, so they read back as null. Driver-side single-writer by
+    * design. */
   def writeRows(rows: Seq[Seq[String]], path: String): String = {
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
@@ -91,12 +95,13 @@ object Xlsx {
       sb.toString
     }
     val sheet = new StringBuilder(
-      """<?xml version="1.0"?><worksheet><sheetData>""")
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     rows.zipWithIndex.foreach { case (r, ri) =>
       sheet.append(s"""<row r="${ri + 1}">""")
       r.zipWithIndex.foreach { case (v, ci) =>
         if (v != null)
-          sheet.append(s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t>${esc(v)}</t></is></c>""")
+          sheet.append(s"""<c r="${colRef(ci)}${ri + 1}" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
       }
       sheet.append("</row>")
     }
@@ -112,7 +117,28 @@ object Xlsx {
         zos.closeEntry()
       }
       entry("[Content_Types].xml",
-        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""")
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """</Types>""")
+      entry("_rels/.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""")
+      entry("xl/workbook.xml",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+          """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>""" +
+          """</workbook>""")
+      entry("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>""" +
+          """</Relationships>""")
       entry("xl/worksheets/sheet1.xml", sheet.toString)
     } finally zos.close()
     path

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication for training-data pipelines (build brief):
@@ -274,14 +274,10 @@ object Dedup {
       batchId: Long, overwrite: Boolean): Unit = {
     // overwrite semantics are identical for the bootstrap (fresh dir)
     // and a batch replay (rewrites its own partition); `overwrite` only
-    // gates clearing SIBLING epochs on a corpus rebuild
-    if (overwrite) {
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
-        p.delete(); ()
-      }
-      rmrf(new java.io.File(path))
-    }
+    // gates clearing SIBLING epochs on a corpus rebuild — via the
+    // Hadoop FS of the path's own scheme so it also clears on the
+    // object store, not just local disk ([[graft.io.Fs]])
+    if (overwrite) graft.io.Fs.deleteRecursive(docs.sparkSession, path)
     val shingled = docShingles(docs, textCol, idCol).cache()
     shingled.write.mode("overwrite").parquet(s"$path/shingles/batch=$batchId")
     minhashBandTable(minhashSignatures(shingled))
@@ -293,6 +289,40 @@ object Dedup {
       .agg(min(col("doc_id")).as("hash_doc_id"))
       .write.mode("overwrite").parquet(s"$path/hashes/batch=$batchId")
     shingled.unpersist()
+  }
+
+  /** EPOCH COMPACTION for a streamed dedup index: fold every
+    * `batch=<id>` partition of the three artifact families into a
+    * single fresh `batch=-1` epoch, in place. A long-running ingest
+    * accumulates one partition (≥ 3 files) per micro-batch; every
+    * incremental read lists and scans all of them, so file count —
+    * not data size — eventually dominates ingest latency. Compaction
+    * is pure maintenance: shingle and band rows are merged unchanged
+    * (each document's rows live in exactly one batch — the
+    * replay-idempotent overwrite contract), and the content-hash table
+    * re-aggregates min(hash_doc_id) per hash, which is exactly what a
+    * fresh [[writeDedupIndex]] over the union of documents would have
+    * produced (min of per-batch minima = global min). Each family is
+    * written complete to a sibling `.compact` dir and swapped in via
+    * [[graft.io.Fs.replaceDir]] — run it from the maintenance role
+    * that owns the index, not concurrently with readers. */
+  def compactDedupIndex(spark: SparkSession, path: String): Unit = {
+    compactFamily(spark, s"$path/shingles")(identity)
+    compactFamily(spark, s"$path/bands")(identity)
+    compactFamily(spark, s"$path/hashes")(
+      _.groupBy(col("text_hash"))
+        .agg(min(col("hash_doc_id")).as("hash_doc_id")))
+  }
+
+  /** Read every batch of one artifact family, apply `transform` to the
+    * batch-stripped rows, write the result as the sole `batch=-1`
+    * epoch of a `.compact` sibling, and swap it into place. */
+  private[ops] def compactFamily(spark: SparkSession, famPath: String)(
+      transform: DataFrame => DataFrame): Unit = {
+    val tmp = s"$famPath.compact"
+    transform(spark.read.parquet(famPath).drop("batch"))
+      .write.mode("overwrite").parquet(s"$tmp/batch=-1")
+    graft.io.Fs.replaceDir(spark, tmp, famPath)
   }
 
   /** Batch-vs-corpus MinHash near-dup pairs against a PERSISTED index
@@ -604,13 +634,19 @@ object Dedup {
     * cross-path equality spec). */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 50, maxLocalEdges: Long = 1000000L): DataFrame = {
+      maxIters: Int = 50, maxLocalEdges: Long = 1000000L,
+      algorithm: String = "label"): DataFrame = {
     // materialize the pair frame BEFORE the symmetrize union: `fwd`
     // appears twice below, and without the cut the upstream pair-mining
     // pipeline (e.g. the whole MinHash DAG) would execute twice
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint(true)
     if (fwd.count() <= maxLocalEdges) return localComponents(fwd)
+    // high-diameter graphs route to the O(log²) star contraction —
+    // same output, rounds independent of diameter
+    if (algorithm == "stars")
+      return connectedComponentsStars(fwd, "src", "dst", maxIters)
+    require(algorithm == "label", s"unknown components algorithm '$algorithm'")
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
@@ -637,13 +673,108 @@ object Dedup {
     edges.unpersist()
     // a silent exit at maxIters would return labels that are still
     // mid-propagation — wrong components with no signal. Fail loudly;
-    // diameter > maxIters means the caller should raise the cap (or
-    // switch to a large-star/small-star variant that halves the rounds).
+    // diameter > maxIters means the caller should raise the cap or
+    // switch to the diameter-independent path (algorithm = "stars",
+    // [[connectedComponentsStars]]).
     if (!done)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          s"(graph diameter exceeds maxIters); raise maxIters")
+          s"(graph diameter exceeds maxIters); raise maxIters or use " +
+          """algorithm = "stars"""")
     labels
+  }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * rounds — the round-halving variant [[connectedComponents]]'s
+    * scaladoc points high-diameter graphs at. Where min-label
+    * propagation needs one round per unit of graph DIAMETER (a
+    * 10⁶-long chain of near-identical shingled spam pages needs 10⁶
+    * rounds), the star operations contract paths multiplicatively and
+    * converge in O(log² n) rounds on any topology (public algorithm:
+    * Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the shape that survives a 100 TB pathological chain.
+    *
+    * Each round is two grouped aggregations + joins over the EDGE
+    * list only:
+    *  - large-star: every node u computes m = min(u, neighbors) and
+    *    re-points each STRICTLY LARGER neighbor v > u at m — long
+    *    downward paths become shallow fans;
+    *  - small-star: over the now child>parent-oriented edges, every
+    *    node u re-points itself and all its smaller neighbors at its
+    *    minimum neighbor — fans collapse into stars.
+    * Both preserve connectivity and never raise any node's reachable
+    * minimum, so the edge multiset strictly shrinks toward the unique
+    * fixpoint: disjoint stars centered on each component's minimum id.
+    * Convergence is detected by an (edge count, Σsrc, Σdst) decimal
+    * checksum triple — the same overflow-proof eager-lineage-cut
+    * pattern as the propagation path, one `localCheckpoint` per round.
+    * Returns (id, comp) for every node that appears in a pair —
+    * bit-identical to [[connectedComponents]] (asserted cross-path in
+    * DedupSpec, including a chain graph the propagation path needs
+    * >10 rounds for). */
+  def connectedComponentsStars(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    // canonical child>parent orientation, self-loops dropped; eager cut
+    // so the upstream pair-mining DAG runs once (the `fwd` pattern)
+    var edges = pairs.select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val nodes = edges.select(col("a").as("id"))
+      .union(edges.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(col("a").cast("decimal(30,0)")),
+        sum(col("b").cast("decimal(30,0)"))).head()
+      (r.getLong(0), r.getDecimal(1), r.getDecimal(2))
+    }
+    var prev = checksum(edges)
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIters) {
+      // large-star over the symmetric view: m(u) = min(u, min neighbor);
+      // each neighbor v > u re-points at m(u). m ≤ u < v keeps the
+      // output canonically oriented with no self-loops to filter.
+      val sym = edges.select(col("a").as("u"), col("b").as("v"))
+        .union(edges.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .distinct().localCheckpoint(true)
+      // small-star on the oriented edges: every node and its smaller
+      // neighbors re-point at its minimum neighbor (all parents < a,
+      // so outputs stay canonical; b === m rows would be self-loops)
+      val pmins = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val next = large.join(pmins, Seq("a"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .union(pmins.select(col("a"), col("m").as("b")))
+        .distinct().localCheckpoint(true)
+      large.unpersist()
+      val cur = checksum(next)
+      done = prev == cur
+      prev = cur
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponentsStars did not converge in $maxIters rounds; " +
+          "raise maxIters")
+    // fixpoint = disjoint stars: every non-center appears as `a` with
+    // its center as `b`; centers label themselves. The defensive
+    // min-agg collapses the (impossible at fixpoint) multi-parent case
+    // rather than silently duplicating a node row.
+    val labels = edges.select(col("a").as("id"), col("b").as("comp"))
+      .groupBy(col("id")).agg(min(col("comp")).as("comp"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** Single-task min-root union-find over a (src, dst) pair list —

@@ -150,14 +150,32 @@ object Multimodal {
     * ([[graft.streaming.DocStreams.mediaDedupIngest]]): one
     * (doc_id, phash) row per corpus blob at `path/phashes` — 16 bytes
     * per document, the only state the incremental path ever rescans. */
-  def writePhashIndex(spark: SparkSession, blobs: Dataset[MediaBlob], path: String): Unit =
+  def writePhashIndex(spark: SparkSession, blobs: Dataset[MediaBlob], path: String): Unit = {
+    // a corpus-epoch rebuild must also clear signatures streamed by a
+    // PREVIOUS epoch (phashes/batch=<id> from [[graft.streaming
+    // .DocStreams.mediaDedupIngest]]) — the batch=-1 overwrite alone
+    // would leave them alive in the partitioned read and post-rebuild
+    // decisions could match a dead epoch; same contract as
+    // [[graft.ops.Dedup.writeDedupIndex]]'s overwrite branch
+    graft.io.Fs.deleteRecursive(spark, s"$path/phashes")
     // the corpus epoch is batch=-1; streamed batches land beside it
-    // keyed by their micro-batch id ([[graft.streaming.DocStreams
-    // .mediaDedupIngest]]), all discovered as one partitioned read —
-    // the same replay-idempotent layout as the ANN index
+    // keyed by their micro-batch id, all discovered as one partitioned
+    // read — the same replay-idempotent layout as the ANN index
     // ([[Similarity.writeAnnIndex]])
     blockhash64(spark, blobs).toDF()
       .write.mode("overwrite").parquet(s"$path/phashes/batch=-1")
+  }
+
+  /** EPOCH COMPACTION for a streamed phash index: fold every
+    * `phashes/batch=<id>` partition into a single fresh `batch=-1`
+    * epoch, in place — the media twin of
+    * [[graft.ops.Dedup.compactDedupIndex]]. Signature rows are merged
+    * unchanged (each document's phash lives in exactly one batch under
+    * the replay-idempotent overwrite contract), so the compacted index
+    * is row-identical to the batched one with the per-batch file
+    * accumulation gone. */
+  def compactPhashIndex(spark: SparkSession, path: String): Unit =
+    graft.ops.Dedup.compactFamily(spark, s"$path/phashes")(identity)
 
   /** documents → payload → decode → per-language media stats. */
   def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {

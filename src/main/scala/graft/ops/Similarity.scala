@@ -753,8 +753,31 @@ object Similarity {
     bi
   }
 
+  /** Deterministic md5 TRAINING sample for the Lloyd loops — the
+    * q_sample_hash membership rule applied to training: corpora at or
+    * under `minRows` train on every vector (so the small gate corpora
+    * are bit-identical with and without this path), larger corpora
+    * train on the smallest 1/16-granularity md5-of-id slice whose
+    * expected size covers `minRows`. Membership depends only on the id,
+    * so the sample — and therefore the centroids — is stable across
+    * runs, partitionings, and cluster sizes. This is what keeps a
+    * 100 TB epoch rebuild's training cost bounded: iterations scan the
+    * cached sample, and the corpus is read in full exactly once for the
+    * final assignment pass (which every caller does anyway). */
+  private def trainSample(
+      units: Dataset[(Long, Array[Double])], minRows: Long): Dataset[(Long, Array[Double])] = {
+    val n = units.count()
+    val sixteenths = if (n <= minRows) 16 else ((minRows * 16 + n - 1) / n).toInt
+    if (sixteenths >= 16) units
+    else units.filter(
+      substring(md5(col("_1").cast("string")), 1, 1) <
+        lit("0123456789abcdef".charAt(sixteenths).toString))
+  }
+
   /** Spherical k-means (Lloyd) centroid training, deterministic and
-    * partitioning-independent: seeding is the k lowest-id vectors; each
+    * partitioning-independent: seeding is the k lowest-id vectors of
+    * the TRAINING SAMPLE ([[trainSample]] — the full corpus up to
+    * `minTrainRows`, a deterministic md5 id slice beyond it); each
     * iteration is ONE job — a mapPartitions kernel that assigns every
     * vector to its max-dot centroid AND accumulates per-(list, dim)
     * component sums as exact integer NANO-UNITS (each component rounded
@@ -772,20 +795,24 @@ object Similarity {
     * previous centroid. */
   private[graft] def trainCentroids(
       typed: Dataset[(Long, Array[Float])], k: Int, iters: Int,
-      treeReduceMinParts: Int = 512): Array[Array[Double]] = {
+      treeReduceMinParts: Int = 512,
+      minTrainRows: Long = 4096L): Array[Array[Double]] = {
     val spark = typed.sparkSession
     import spark.implicits._
     val units = typed.map { case (id, arr) => (id, unitD(arr)) }.cache()
-    var cents: Array[Array[Double]] = units.orderBy(col("_1")).take(k).map(_._2)
+    val train = trainSample(units, minTrainRows)
+    val sampled = train ne units
+    if (sampled) train.cache()
+    var cents: Array[Array[Double]] = train.orderBy(col("_1")).take(k).map(_._2)
     val dims = if (cents.isEmpty) 0 else cents(0).length
-    if (cents.isEmpty) { units.unpersist(); return cents }
+    if (cents.isEmpty) { if (sampled) train.unpersist(); units.unpersist(); return cents }
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cents)
       // kk = actual centroid count — min(n, k); indexing with k would
       // overrun the partial arrays when the corpus has fewer than k rows
       val kk = cents.length
       val partialsDs =
-        units.mapPartitions { it =>
+        train.mapPartitions { it =>
           val cs = bc.value
           val counts = new Array[Long](cs.length)
           val sums = Array.fill(cs.length)(new Array[Long](dims))
@@ -836,6 +863,7 @@ object Similarity {
       }
       cents = next
     }
+    if (sampled) train.unpersist()
     units.unpersist()
     cents
   }
@@ -933,7 +961,10 @@ object Similarity {
     * float32 at the m=16/d=64 defaults), the representation a 100 TB
     * all-pairs scan wants to shuffle and hold. Training mirrors [[trainCentroids]]'s
     * determinism contract, jointly for ALL subspaces in one job per
-    * iteration: seeding is the `ksub` lowest-id vectors' subvectors;
+    * iteration — including its [[trainSample]] (full corpus up to the
+    * training floor, a deterministic md5 id slice beyond it, the floor
+    * scaled to ≥ 16 vectors per sub-centroid): seeding is the `ksub`
+    * lowest-id sampled vectors' subvectors;
     * each iteration assigns every subvector to its min-L2 centroid
     * (ties → lowest index) and accumulates per-(subspace, centroid,
     * dim) component sums as exact integer nano-units, merged by flat
@@ -947,18 +978,25 @@ object Similarity {
     * kk = min(ksub, n)); empty corpus → empty array. */
   private[graft] def trainPqCodebooks(
       typed: Dataset[(Long, Array[Float])], m: Int, ksub: Int, iters: Int,
-      treeReduceMinParts: Int = 512): Array[Array[Array[Double]]] = {
+      treeReduceMinParts: Int = 512,
+      minTrainRows: Long = 4096L): Array[Array[Array[Double]]] = {
     val spark = typed.sparkSession
     import spark.implicits._
     require(m >= 1, s"m=$m out of range")
     require(ksub >= 2 && ksub <= 256, s"ksub=$ksub out of range (codes are bytes)")
     val units = typed.map { case (id, arr) => (id, unitD(arr)) }.cache()
-    val seeds = units.orderBy(col("_1")).take(ksub).map(_._2)
-    if (seeds.isEmpty) { units.unpersist(); return Array.empty }
+    // the sample must comfortably cover ksub cells per subspace, so the
+    // floor scales with the codebook size (16 vectors/sub-centroid min)
+    val train = trainSample(units, math.max(minTrainRows, ksub.toLong * 16))
+    val sampled = train ne units
+    if (sampled) train.cache()
+    val seeds = train.orderBy(col("_1")).take(ksub).map(_._2)
+    if (seeds.isEmpty) { if (sampled) train.unpersist(); units.unpersist(); return Array.empty }
     val dims = seeds(0).length
     // release the cache BEFORE throwing — a bad `m` must not leave a
     // corpus-sized cache entry behind (the BENCH_r02 leak class)
     if (dims % m != 0) {
+      if (sampled) train.unpersist()
       units.unpersist()
       throw new IllegalArgumentException(
         s"dims=$dims not divisible by m=$m subspaces")
@@ -970,7 +1008,7 @@ object Similarity {
     }
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(cbs)
-      val partialsDs = units.mapPartitions { it =>
+      val partialsDs = train.mapPartitions { it =>
         val cs = bc.value
         val counts = Array.fill(m)(new Array[Long](kk))
         val sums = Array.fill(m, kk)(new Array[Long](dsub))
@@ -1032,6 +1070,7 @@ object Similarity {
       }
       cbs = next
     }
+    if (sampled) train.unpersist()
     units.unpersist()
     cbs
   }
@@ -1330,6 +1369,11 @@ object Similarity {
     cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // an epoch rebuild retrains centroids, so vectors appended under a
+    // PREVIOUS epoch (lists/batch=<id>) carry dead list assignments —
+    // clear the whole lists root before laying down the new batch=-1,
+    // mirroring [[graft.ops.Dedup.writeDedupIndex]]'s overwrite branch
+    graft.io.Fs.deleteRecursive(spark, s"$path/lists")
     // the corpus epoch is batch=-1; streamed batches land beside it
     // ([[appendAnnIndexBatch]]), all discovered as one partitioned read
     writeAssigned(vecs, s"$path/lists/batch=-1", cents)
@@ -1395,6 +1439,32 @@ object Similarity {
   def appendAnnIndex(vecs: DataFrame, path: String, epoch: Long): Unit =
     appendAnnIndexBatch(vecs, path,
       readCentroids(vecs.sparkSession, path), epoch)
+
+  /** EPOCH COMPACTION for a streamed ANN index: fold every
+    * `lists/batch=<id>` partition into a single fresh `batch=-1`
+    * epoch, in place, keeping the centroids untouched. A streaming
+    * ingest grows the index by ≤ k files per micro-batch
+    * ([[appendAnnIndexBatch]]); every search lists and scans all of
+    * them, so after enough batches the candidate scan's cost is file
+    * handles, not vectors. Rows are merged unchanged (assignments are
+    * deterministic against the SAME stored centroids the batches used,
+    * so re-assignment is pointless work); the `repartition(list)` +
+    * `partitionBy(list)` rewrite lands each list in exactly one task →
+    * exactly one file per non-empty list, the same shape
+    * [[writeAssigned]] produces for a fresh epoch. Search results are
+    * byte-identical before and after (asserted in SimilaritySpec) —
+    * this is the "compacted at the epoch rebuild" maintenance step,
+    * available WITHOUT paying a retrain. Swap is delete→rename
+    * ([[graft.io.Fs.replaceDir]]); don't run concurrently with
+    * readers of the same path. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fam = s"$path/lists"
+    val tmp = s"$fam.compact"
+    spark.read.parquet(fam).drop("batch")
+      .repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(s"$tmp/batch=-1")
+    graft.io.Fs.replaceDir(spark, tmp, fam)
+  }
 
   /** Top-`topK` neighbors for a NEW query batch against a persisted
     * index ([[writeAnnIndex]]): centroids are read and broadcast

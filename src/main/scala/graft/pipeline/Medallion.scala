@@ -113,7 +113,14 @@ object Medallion {
       schemaName: String = "gold"): Map[String, String] =
     gold.map { case (t, df) =>
       val isDim = spec.dimKeyCols.contains(t)
-      val unique = if (isDim) Seq(s"${t}_key") else Nil
+      // a referenced column must itself be UNIQUE/PK for the facts'
+      // FOREIGN KEY to be valid DDL, so the main table's surrogate id
+      // is declared unique (surfaced by the live-Derby gold round-trip
+      // in GoldJdbcSpec — Postgres enforces the same rule)
+      val unique =
+        if (isDim) Seq(s"${t}_key")
+        else if (t == spec.mainTable) Seq(spec.surrogateIdCol)
+        else Nil
       val fks: Map[String, String] =
         if (t == spec.mainTable)
           spec.dimKeyCols.keys.map(d =>

@@ -123,11 +123,84 @@ object EventQueries {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** LATE-DATA parity gate, driver-visible (round-6 verdict item 8 —
+    * the watermark path was previously spec-only): the events table is
+    * split into an ON-TIME file (everything from Jan 2 on) and a LATE
+    * file (all of Jan 1), staged into a file-stream source with ordered
+    * modification times and `maxFilesPerTrigger = 1`, so the stream
+    * sees the newest data FIRST. Micro-batch 1 advances the watermark
+    * to max(ts) − 2 h; micro-batch 2 delivers the day-old events, which
+    * the watermark drops — and append mode emits exactly the finalized
+    * windows (window end ≤ final watermark). The batch twin applies the
+    * SAME two rules declaratively: exclude the late file's events,
+    * keep windows ending at or before max(ts) − 2 h. Full-outer join ⇒
+    * a late event leaking into the stream, a window the stream failed
+    * to finalize, or any count/sum drift flips a row (or creates a
+    * null-sided one the oracle hash can't match). Timestamp boundaries
+    * are safe by construction: window ends are hour-aligned while the
+    * watermark carries max(ts)'s microseconds, so strict-vs-inclusive
+    * emission semantics can never disagree on this data. */
+  def lateDataParity(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-late-data-$slug"
+    graft.io.Fs.deleteRecursive(s, base)
+    val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")
+    val all = ev(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val onTime = all.filter(col("ts") >= cutoff)
+    onTime.coalesce(1).write.parquet(s"$base/stage/ontime")
+    all.filter(col("ts") < cutoff)
+      .coalesce(1).write.parquet(s"$base/stage/late")
+    val inDir = java.nio.file.Paths.get(base, "in")
+    java.nio.file.Files.createDirectories(inDir)
+    def stage(src: String, destName: String, mtime: Long): Unit = {
+      val part = new java.io.File(s"$base/stage/$src").listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $src"))
+      val dest = inDir.resolve(destName)
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(mtime); ()
+    }
+    val now = System.currentTimeMillis()
+    stage("ontime", "0-ontime.parquet", now - 120000)
+    stage("late", "1-late.parquet", now - 60000)
+    val stream = s.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+    val q = graft.streaming.EventStreams.tumblingCounts(stream)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(s"$base/out")
+      .select(col("ws"), col("event_type"),
+        col("n").as("n_stream"), col("sum_value").as("sum_stream"))
+    val wm = all.agg((max(col("ts")) - expr("INTERVAL 2 HOURS")).as("wm"))
+    val batch = onTime
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec("value")).cast("double").as("sum_value"))
+      .crossJoin(wm)
+      .filter(col("window.end") <= col("wm"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("n"), col("sum_value"))
+    batch.join(streamed, Seq("ws", "event_type"), "full_outer")
+      .select(col("ws"), col("event_type"), col("n"), col("sum_value"),
+        (col("n").isNotNull && col("n_stream").isNotNull &&
+          col("n") === col("n_stream") &&
+          col("sum_value") === col("sum_stream")).as("stream_match"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_tumbling" -> (tumbling _),
     "q_events_sliding" -> (sliding _),
     "q_events_sessionize" -> (sessionize _),
-    "q_events_stream_parity" -> (streamParity _)
+    "q_events_stream_parity" -> (streamParity _),
+    "q_events_late_data" -> (lateDataParity _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -140,6 +213,16 @@ object EventQueries {
            count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            true AS stream_match
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_late_data" ->
+      """SELECT ws, event_type, n, sum_value, true AS stream_match FROM (
+           SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, event_type,
+             count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+           FROM events
+           WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-02 00:00:00'
+           GROUP BY 1, 2) t
+         WHERE ws + INTERVAL 1 HOUR <=
+           (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 2 HOUR FROM events)
+         ORDER BY 1, 2""",
     "q_events_sliding" ->
       """WITH expanded AS (
            SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS ws, event_type, value FROM events

@@ -63,8 +63,27 @@ object SimilarityQueries {
     * results. */
   private val truthCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Drop every memo entry belonging to an applicationId other than the
+    * live one: a JVM that runs several SparkSessions back to back (the
+    * test suite, repeated harness invocations) would otherwise pin dead
+    * applications' artifacts — including localCheckpoint'd DataFrame
+    * references — forever. Called on every memo access; at most one
+    * application's entries (a handful of dirs) survive at a time. */
+  private def evictDeadApps(
+      caches: Seq[java.util.concurrent.ConcurrentHashMap[String, _]],
+      liveAppId: String): Unit =
+    caches.foreach(_.keySet.removeIf(k => !k.startsWith(liveAppId + ":")))
+
+  private def memoKey(s: SparkSession, dir: String): String = {
+    val appId = s.sparkContext.applicationId
+    evictDeadApps(
+      Seq(truthCache, centroidCache, codebookCache, indexCache), appId)
+    appId + ":" + dir
+  }
+
   private def sampledTruth(s: SparkSession, dir: String): DataFrame =
-    truthCache.computeIfAbsent(s.sparkContext.applicationId + ":" + dir, _ =>
+    truthCache.computeIfAbsent(memoKey(s, dir), _ =>
       Similarity.bruteForceTop1Sampled(emb(s, dir), isQuerySample)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
         .localCheckpoint(true))
@@ -83,7 +102,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): Option[Array[Array[Double]]] = {
     import s.implicits._
     Some(centroidCache.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir, _ =>
+      memoKey(s, dir), _ =>
         Similarity.trainCentroids(
           emb(s, dir).select(col("vec_id"), col("embedding"))
             .as[(Long, Array[Float])],
@@ -100,7 +119,7 @@ object SimilarityQueries {
       s: SparkSession, dir: String): Option[Array[Array[Array[Double]]]] = {
     import s.implicits._
     Some(codebookCache.computeIfAbsent(
-      s.sparkContext.applicationId + ":" + dir, _ =>
+      memoKey(s, dir), _ =>
         Similarity.trainPqCodebooks(
           emb(s, dir).select(col("vec_id"), col("embedding"))
             .as[(Long, Array[Float])],
@@ -177,17 +196,27 @@ object SimilarityQueries {
     * are valid. Query ids are shifted by 10⁹ (index search requires
     * ids disjoint from the corpus); the query's own corpus twin
     * (cos = 1) is dropped after unshifting. */
+  /** Memoized epoch-index build per (application, sfDir) — the same
+    * contract as [[trainedCents]]: the build is deterministic (memoized
+    * centroids + id-deterministic assignment), so rebuilding it on
+    * every gate invocation in the same application (verify + bench +
+    * rehearsal + suite share JVMs) only re-pays the epoch cost the
+    * persisted-index design exists to amortize. The memo holds the
+    * built path; the first build of an application also clears any
+    * stale on-disk epoch from a previous application at that path. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def annIndexGate(s: SparkSession, dir: String): DataFrame = {
-    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = s"target/tmp-ann-index-$slug"
-    def rmrf(p: java.io.File): Unit = {
-      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
-      p.delete(); ()
-    }
-    rmrf(new java.io.File(base))
     val e = emb(s, dir)
-    Similarity.writeAnnIndex(e, base, k = 16, lloydIters = 3,
-      preTrained = trainedCents(s, dir))
+    val base = indexCache.computeIfAbsent(memoKey(s, dir), _ => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = s"target/tmp-ann-index-$slug"
+      graft.io.Fs.deleteRecursive(s, p)
+      Similarity.writeAnnIndex(e, p, k = 16, lloydIters = 3,
+        preTrained = trainedCents(s, dir))
+      p
+    })
     val shift = 1000000000L
     val qs = e.filter(isQuerySample)
       .select((col("vec_id") + shift).as("vec_id"), col("embedding"))

@@ -526,7 +526,11 @@ object TextQueries {
     val sketch = toks
       .agg(graft.functions.MisraGries.heavyHitters(k)(col("term")).as("sk"))
       .select(explode(col("sk")).as(Seq("term", "est")))
+    // vocabulary-sized and consumed twice (the total and the HH filter)
+    // — checkpoint so tokenize+explode runs once for the exact side,
+    // not once per consumer (the Dedup cluster-census pattern)
     val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val n = tc.agg(sum(col("cnt")).as("n"))
     tc.crossJoin(n)
       .filter(col("cnt").cast("double") > col("n").cast("double") / k)
@@ -557,7 +561,10 @@ object TextQueries {
     val sk = toks
       .agg(graft.functions.CountMin.sketch(width, depth)(col("term")).as("sk"))
       .collect()(0).getSeq[Long](0).toArray
+    // vocabulary-sized, consumed by both the total and the HH filter —
+    // checkpoint so tokenize+explode runs once for the exact side
     val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val n = tc.agg(sum(col("cnt")).as("n"))
     // ≤ k−1 exact heavy hitters by definition — a bounded collect
     val hh = tc.crossJoin(n)

@@ -253,6 +253,58 @@ class DedupSpec extends SparkSpec {
     local should not be empty
   }
 
+  "connectedComponentsStars" should "agree with both existing paths on a random graph" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(11)
+    val pairs = Seq.fill(250)((rng.nextInt(300).toLong, rng.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = Dedup.connectedComponents(pairs, maxLocalEdges = -1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stars = Dedup.connectedComponents(
+        pairs, maxLocalEdges = -1, algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stars shouldBe local
+    stars shouldBe label
+    stars should not be empty
+  }
+
+  it should "converge on a high-diameter chain in far fewer rounds than propagation" in {
+    import spark.implicits._
+    // a 41-node chain: min-label propagation needs 40 rounds (one per
+    // unit of diameter) and provably cannot finish in 10; the star
+    // contraction is diameter-independent and converges within 10
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIters = 10, maxLocalEdges = -1).collect()
+    }
+    val stars = Dedup.connectedComponents(
+        chain, maxIters = 10, maxLocalEdges = -1, algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stars.keySet shouldBe (1L to 41L).toSet
+    stars.values.toSet shouldBe Set(1L)
+  }
+
+  it should "handle multi-component graphs with shared minima shapes" in {
+    import spark.implicits._
+    // two stars already centered + a triangle + an isolated pair,
+    // deliberately including duplicate and reversed input edges
+    val pairs = Seq(
+      (2L, 1L), (3L, 1L), (1L, 4L),          // star on 1
+      (10L, 11L), (11L, 12L), (12L, 10L),    // triangle
+      (20L, 21L), (21L, 20L), (20L, 21L)     // pair with dupes/reverses
+    ).toDF("doc_a", "doc_b")
+    val stars = Dedup.connectedComponents(
+        pairs, maxLocalEdges = -1, algorithm = "stars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    stars shouldBe Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+  }
+
   "dedupDecision" should "keep exactly one survivor per cluster" in {
     import spark.implicits._
     val corpus = (1L to 9L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
