@@ -816,8 +816,11 @@ object Dedup {
     * broadcast when it fits). */
   def dedupDecision(
       docs: DataFrame, pairs: DataFrame, idCol: String,
-      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      maxLocalEdges: Long = 1000000L,
+      algorithm: String = "label"): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol,
+        maxLocalEdges = maxLocalEdges, algorithm = algorithm)
       .select(col("id").as("doc_id"), col("comp"))
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")

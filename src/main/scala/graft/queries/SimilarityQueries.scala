@@ -224,27 +224,30 @@ object SimilarityQueries {
     val topk = Similarity.annIndexTopK(base, qs, topK = 4, nprobe = 16)
       .select((col("qid") - shift).as("qid"), col("cid"), col("cos"))
       .filter(col("cid") =!= col("qid"))
-      .localCheckpoint(true) // ≤ 3 rows per sampled query, read 3×
-    val shape = topk.groupBy(col("qid"))
-      .agg(count(lit(1)).as("n"), countDistinct(col("cid")).as("nd"))
-      .agg(count(lit(1)).as("n_cov"),
-        min(when(col("n") === 3 && col("nd") === 3, 1).otherwise(0)).as("shape_min"))
-    val ordered = topk.select(
-        when(col("cos") >= -1.0000001 && col("cos") <= 1.0000001, 1)
-          .otherwise(0).as("ok"))
-      .agg(min(col("ok")).as("ord_min"))
+    // one fused pass: per-query shape/validity/recall stats off a
+    // single truth⋈topk join, then one global fold — the previous
+    // three-consumer formulation cost two extra job chains and an
+    // eager checkpoint for frames this small
     val truth = sampledTruth(s, dir)
     truth
       .join(topk, Seq("qid"), "left")
       .groupBy(col("qid"))
-      .agg(max(when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
-        .otherwise(0)).as("found"))
-      .agg(count(lit(1)).as("n_queries"), sum(col("found")).as("n_found"))
-      .crossJoin(shape).crossJoin(ordered)
+      .agg(
+        count(col("cid")).as("n"),
+        countDistinct(col("cid")).as("nd"),
+        max(when(col("cid") === col("tcid") || col("cos") === col("tcos"), 1)
+          .otherwise(0)).as("found"),
+        min(when(col("cos") >= -1.0000001 && col("cos") <= 1.0000001, 1)
+          .otherwise(0)).as("ok"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(col("found")).as("n_found"),
+        min(when(col("n") === 3 && col("nd") === 3, 1).otherwise(0)).as("shape_min"),
+        min(col("ok")).as("ord_min"))
       .select(lit("ivf_index").as("method"), col("n_queries"),
         (col("n_found").cast("double") / col("n_queries").cast("double") >= 0.85)
           .as("recall_ok"),
-        (col("n_cov") === col("n_queries") && col("shape_min") === 1).as("k_ok"),
+        (col("shape_min") === 1).as("k_ok"),
         (col("ord_min") === 1).as("cos_valid"))
   }
 

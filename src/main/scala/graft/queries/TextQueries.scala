@@ -212,6 +212,72 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** [[dedupClusters]] routed through the DISTRIBUTED large-star/
+    * small-star contraction ([[graft.ops.Dedup.connectedComponentsStars]],
+    * `maxLocalEdges = -1` so the single-task union-find fast path can't
+    * absorb the gate corpus) — the diameter-independent components
+    * variant as its own driver row, against the SAME recursive-CTE
+    * oracle as the label-propagation twin. */
+  def dedupClustersStars(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
+    Dedup.dedupDecision(d, pairs, "doc_id",
+        maxLocalEdges = -1L, algorithm = "stars")
+      .orderBy(col("doc_id"))
+  }
+
+  /** EPOCH-COMPACTION parity gate, driver-visible: build the persisted
+    * dedup index as a corpus epoch plus two streamed batches, take the
+    * incremental decisions for a probe batch (corpus docs replayed
+    * under shifted ids — every probe is an exact dup of its original),
+    * compact the index ([[graft.ops.Dedup.compactDedupIndex]] — three
+    * `batch=*` families folded into fresh `batch=-1` epochs), and take
+    * the SAME decisions again. Output: one row per probe doc with its
+    * exact-dedup status (DuckDB-derivable from the documents table
+    * alone), `compact_match` (status identical before/after), and
+    * `pairs_match` (the minhash pair set against the index is
+    * set-identical before/after). A compaction that loses rows,
+    * duplicates them, or breaks the min-of-mins hash fold flips a
+    * boolean the oracle expects true. */
+  def dedupCompaction(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-compact-$slug/idx"
+    graft.io.Fs.deleteRecursive(s, s"target/tmp-compact-$slug")
+    val d = docs(s, dir)
+    Dedup.writeDedupIndex(d.filter(col("doc_id") < 400), "text", "doc_id", base)
+    Dedup.appendDedupIndex(
+      d.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+      "text", "doc_id", base, batchId = 1L)
+    Dedup.appendDedupIndex(
+      d.filter(col("doc_id") >= 450), "text", "doc_id", base, batchId = 2L)
+    val probe = d.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    def decisions(): (DataFrame, DataFrame) = {
+      // eager cuts: both frames must be MATERIALIZED before compaction
+      // swaps the index dirs out from under their lazy plans
+      val exact = Dedup.exactGroupsIncremental(
+          s.read.parquet(s"$base/hashes"), probe, "text", "doc_id")
+        .select(col("doc_id"), col("status")).localCheckpoint(true)
+      val pairs = Dedup.minhashNearDupsIndexed(base, probe, "text", "doc_id", 0.8)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      (exact, pairs)
+    }
+    val (e1, p1) = decisions()
+    Dedup.compactDedupIndex(s, base)
+    val (e2, p2) = decisions()
+    val pairsMatch = p1.withColumn("l", lit(1))
+      .join(p2.withColumn("r", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(coalesce(min(col("l").isNotNull && col("r").isNotNull), lit(true))
+        .as("pairs_match"))
+    e1.join(e2.withColumnRenamed("status", "status2"), Seq("doc_id"), "full_outer")
+      .crossJoin(pairsMatch)
+      .select(col("doc_id"), col("status"),
+        (col("status").isNotNull && col("status2").isNotNull &&
+          col("status") === col("status2")).as("compact_match"),
+        col("pairs_match"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata pipeline (binary payload → stub decode). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMetaPipeline(s, asciiAsserted(docs(s, dir)))
@@ -628,6 +694,8 @@ object TextQueries {
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_stars" -> (dedupClustersStars _),
+    "q_dedup_compaction" -> (dedupCompaction _),
     "q_corpus_prep" -> (corpusPrep _),
     "q_dedup_incremental" -> (dedupIncremental _),
     "q_dedup_exact_incremental" -> (dedupExactIncremental _),
@@ -660,6 +728,27 @@ object TextQueries {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b)"""
+
+  /** Recursive-CTE components walk over the exact-Jaccard pair graph —
+    * the shared oracle of q_dedup_clusters and its stars-path twin
+    * (both algorithms converge to the same component minima). */
+  private val clustersSql =
+    shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+         SELECT d.doc_id,
+           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
+         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+         ORDER BY d.doc_id"""
 
   /** Blockhash bits rebuilt in pure integer SQL — the exact mirror of
     * [[Multimodal.blockhash64]]: byte i (ASCII text, so ascii(substr)
@@ -910,23 +999,25 @@ object TextQueries {
            CAST(sum(n_words) AS BIGINT) AS n_tokens,
            CAST(sum(length(text)) AS BIGINT) AS n_chars
          FROM kept GROUP BY lang ORDER BY lang""",
-    "q_dedup_clusters" ->
-      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
-         edges AS (
-           SELECT doc_a AS src, doc_b AS dst FROM pairs
-           UNION
-           SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         walk(id, r) AS (
-           SELECT src, src FROM edges
-           UNION
-           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
-         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
-         SELECT d.doc_id,
-           coalesce(c.cluster_id, d.doc_id) AS cluster_id,
-           coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
-         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-         ORDER BY d.doc_id"""),
+    "q_dedup_clusters" -> clustersSql,
+    "q_dedup_clusters_stars" -> clustersSql,
+    "q_dedup_compaction" ->
+      """WITH probe AS (
+           SELECT doc_id + 10000 AS doc_id, lower(trim(text)) AS t
+           FROM documents WHERE doc_id < 50),
+         firsts AS (SELECT t, min(doc_id) AS first_id FROM probe GROUP BY t),
+         corpus AS (
+           SELECT DISTINCT lower(trim(text)) AS t
+           FROM documents WHERE doc_id < 400)
+         SELECT p.doc_id,
+           CASE WHEN p.doc_id <> f.first_id THEN 'dup_in_batch'
+                WHEN c.t IS NOT NULL THEN 'dup_of_corpus'
+                ELSE 'new' END AS status,
+           true AS compact_match, true AS pairs_match
+         FROM probe p
+         JOIN firsts f ON f.t = p.t
+         LEFT JOIN corpus c ON c.t = p.t
+         ORDER BY p.doc_id""",
     "q_dedup_ngram_jaccard" ->
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs

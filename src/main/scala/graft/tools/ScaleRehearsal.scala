@@ -91,6 +91,15 @@ object ScaleRehearsal {
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
         graft.ops.Similarity.ivfAnnTop1(
           s.read.parquet(s"$d/embeddings.parquet")).count()),
+      // the DEPLOYMENT configuration: k grows with the corpus so list
+      // size stays ~constant (n/k ≈ 125) and per-query probe cost is
+      // flat — fixed-k IVF is n²·nprobe/k and can only look sub-linear
+      // while the absolute numbers are small
+      "op_ann_ivf_scaledk" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val k = math.max(16, (e.count() / 125L).toInt)
+        graft.ops.Similarity.ivfAnnTop1(e, k = k, nprobe = 4).count()
+      }),
       "op_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
         graft.ops.Similarity.lshAnnTopK(
           s.read.parquet(s"$d/embeddings.parquet"), k = 3).count()),
@@ -119,12 +128,20 @@ object ScaleRehearsal {
       ((System.nanoTime() - t0) / 1e9, n)
     }
     println(f"${"query"}%-22s ${"sf0.1_s"}%9s ${"sf1_s"}%9s ${"ratio"}%7s ${"rows0.1"}%9s ${"rows1"}%9s")
+    // same isolation hygiene as graft.Bench: without the cache-drop +
+    // GC nudge between measurements, retained checkpoint/broadcast
+    // blocks from earlier paths surface as 3-5× spikes in later ones
+    // (measured: identical ivfAnnTop1 calls swung 6.4 → 29.7 s)
+    def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
     measured.foreach { case (name, run) =>
       // warm each path once at the small scale so JIT/codegen noise
       // doesn't land in the sf0.1 numbers
       run(spark, "/root/testdata/sf0.01")
+      isolate()
       val (t01, n01) = time(run(spark, "/root/testdata/sf0.1"))
+      isolate()
       val (t1, n1) = time(run(spark, sf1Dir))
+      isolate()
       println(f"$name%-22s $t01%9.2f $t1%9.2f ${t1 / t01}%7.2f $n01%9d $n1%9d")
     }
     spark.stop()
