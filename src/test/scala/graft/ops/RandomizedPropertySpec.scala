@@ -130,7 +130,7 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
-  "connectedComponents" should "agree across local and iterative paths on random graphs" in {
+  "connectedComponents" should "agree across local, iterative, and stars paths on random graphs" in {
     import spark.implicits._
     for (seed <- Seq(7, 77, 777)) {
       val rng = new scala.util.Random(seed)
@@ -145,7 +145,11 @@ class RandomizedPropertySpec extends SparkSpec {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         val iter = Dedup.connectedComponents(df, maxLocalEdges = -1)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val stars = Dedup.connectedComponents(
+            df, maxLocalEdges = -1, algorithm = "stars")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         local shouldBe iter
+        stars shouldBe iter
         local should not be empty
       }
     }
