@@ -915,6 +915,31 @@ object Similarity {
     }
   }
 
+  /** DEPLOYMENT SIZING for IVF: the list count that pins expected list
+    * population at ~`targetListSize` as the corpus grows. Fixed-k IVF
+    * is structurally n²·nprobe/k (query count AND list size both grow
+    * with n); holding n/k constant makes per-query probe cost flat and
+    * total work linear — the measured difference is 1.4× vs 5.5×
+    * wall-clock at 10× data (docs/SCALE.md rehearsal). Floor of 16
+    * keeps tiny corpora on the gate configuration. */
+  def ivfListsFor(corpusSize: Long, targetListSize: Long = 125L): Int =
+    math.max(16L, (corpusSize + targetListSize - 1) / targetListSize).toInt
+
+  /** DEPLOYMENT SIZING for LSH: the hyperplane count that bounds the
+    * expected per-table bucket population (n / 2^planes) at
+    * ~`targetBucketSize`. More planes shrink buckets (bounded candidate
+    * work) at some recall cost per table — compensate with `tables`,
+    * which multiplies independent chances without changing bucket
+    * size. Capped at 20 planes (beyond that, buckets of a 10⁸ corpus
+    * are already ≤ targetBucketSize and more planes only erode
+    * recall); floor of 4 keeps tiny corpora on the gate
+    * configuration. */
+  def lshPlanesFor(corpusSize: Long, targetBucketSize: Long = 125L): Int = {
+    var planes = 4
+    while (planes < 20 && (corpusSize >> planes) > targetBucketSize) planes += 1
+    planes
+  }
+
   def ivfAnnTop1(
       vecs: DataFrame, k: Int = 16, nprobe: Int = 4, lloydIters: Int = 3,
       maxGroup: Int = 256,

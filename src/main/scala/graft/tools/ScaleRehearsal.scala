@@ -91,14 +91,20 @@ object ScaleRehearsal {
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
         graft.ops.Similarity.ivfAnnTop1(
           s.read.parquet(s"$d/embeddings.parquet")).count()),
-      // the DEPLOYMENT configuration: k grows with the corpus so list
-      // size stays ~constant (n/k ≈ 125) and per-query probe cost is
-      // flat — fixed-k IVF is n²·nprobe/k and can only look sub-linear
-      // while the absolute numbers are small
+      // the DEPLOYMENT configurations: index parameters grow with the
+      // corpus so per-query candidate work stays ~constant — fixed
+      // parameters are n²-shaped and only look sub-linear while the
+      // absolute numbers are small (Similarity.{ivfListsFor,
+      // lshPlanesFor} scaladoc)
       "op_ann_ivf_scaledk" -> ((s: SparkSession, d: String) => {
         val e = s.read.parquet(s"$d/embeddings.parquet")
-        val k = math.max(16, (e.count() / 125L).toInt)
+        val k = graft.ops.Similarity.ivfListsFor(e.count())
         graft.ops.Similarity.ivfAnnTop1(e, k = k, nprobe = 4).count()
+      }),
+      "op_ann_lsh_scaled" -> ((s: SparkSession, d: String) => {
+        val e = s.read.parquet(s"$d/embeddings.parquet")
+        val planes = graft.ops.Similarity.lshPlanesFor(e.count())
+        graft.ops.Similarity.lshAnnTopK(e, k = 3, planes = planes, tables = 8).count()
       }),
       "op_ann_lsh_topk" -> ((s: SparkSession, d: String) =>
         graft.ops.Similarity.lshAnnTopK(

@@ -373,4 +373,23 @@ class SimilaritySpec extends SparkSpec {
     sampleIds.size should be < full.size
     sampled.foreach { case (q, v) => v shouldBe full(q) }
   }
+
+  "deployment sizing" should "hold per-unit candidate work constant as the corpus grows" in {
+    // gate corpora stay on the gate configuration
+    Similarity.ivfListsFor(500) shouldBe 16
+    Similarity.ivfListsFor(2000) shouldBe 16
+    Similarity.lshPlanesFor(500) shouldBe 4
+    Similarity.lshPlanesFor(2000) shouldBe 4
+    // scaling: expected list/bucket population bounded by the target
+    for (n <- Seq(20000L, 1000000L, 100000000L)) {
+      val k = Similarity.ivfListsFor(n)
+      (n.toDouble / k) should be <= 125.0
+      val planes = Similarity.lshPlanesFor(n)
+      assert((n >> planes) <= 125 || planes == 20,
+        s"n=$n planes=$planes leaves ${n >> planes} per bucket")
+    }
+    // monotone, and capped where recall would erode
+    Similarity.lshPlanesFor(Long.MaxValue) shouldBe 20
+    Similarity.ivfListsFor(20000) shouldBe 160
+  }
 }
