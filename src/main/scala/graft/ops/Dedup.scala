@@ -715,7 +715,6 @@ object Dedup {
   def connectedComponentsStars(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
     // canonical child>parent orientation, self-loops dropped; eager cut
     // so the upstream pair-mining DAG runs once (the `fwd` pattern)
     var edges = pairs.select(
