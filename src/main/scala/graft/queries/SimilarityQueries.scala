@@ -29,6 +29,24 @@ object SimilarityQueries {
     Similarity.cosineNearDupPairs(emb(s, dir), threshold = 0.4)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** SEMANTIC dedup DECISION over embeddings — the cosine near-dup
+    * pair graph pushed through the same components → min-id-survivor
+    * pipeline the text path uses ([[graft.ops.Dedup.dedupDecision]]):
+    * one row per vector. Pairs come from the blocked beyond-broadcast
+    * kernel (the documented 100 TB default); the oracle recomputes the
+    * exact-decimal cosine self-join and walks the same graph with a
+    * recursive CTE. Completes the embedding-cosine near-dup family
+    * from pairs to an executable keep/drop decision. */
+  def embedDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val pairs = Similarity.cosineNearDupPairsBlocked(e, threshold = 0.4)
+    graft.ops.Dedup.dedupDecision(
+        e.select(col("vec_id")), pairs, "vec_id",
+        aCol = "id_a", bCol = "id_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding stats: count plus exact total squared norm and
     * deterministic min/max norms (no order-dependent double sums). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
@@ -449,6 +467,7 @@ object SimilarityQueries {
     "q_ann_recall" -> (annRecall _),
     "q_ann_recall_sampled" -> (annRecallSampled _),
     "q_embed_neardup" -> (cosineNearDups _),
+    "q_embed_dedup" -> (embedDedup _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_normalize" -> (embedNormalize _),
@@ -519,6 +538,25 @@ object SimilarityQueries {
       (cosSql("", "") + """
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
+    "q_embed_dedup" ->
+      (cosSql("", "").replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+          pairs AS (
+            SELECT qid AS pa, cid AS pb FROM scored
+            WHERE qid < cid AND cos >= 0.4),
+          edges AS (
+            SELECT pa AS src, pb AS dst FROM pairs
+            UNION
+            SELECT pb AS src, pa AS dst FROM pairs),
+          walk(id, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+          comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+          SELECT v.vec_id,
+            coalesce(c2.cluster_id, v.vec_id) AS cluster_id,
+            coalesce(c2.cluster_id, v.vec_id) = v.vec_id AS keep
+          FROM embeddings v LEFT JOIN comp c2 ON c2.id = v.vec_id
+          ORDER BY v.vec_id"""),
 
     "q_embed_normalize" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),

@@ -17,22 +17,22 @@ object RecallProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    def recall(t: DataFrame, ann: DataFrame): (Long, Double) = {
+      val j = t.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
+      val n = j.count()
+      val f = j.filter(col("cid") === col("tcid") || col("cos") === col("tcos")).count()
+      (n, f.toDouble / n)
+    }
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
       val nVec = e.count()
-      val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
       val truth = Similarity.bruteForceTop1Sampled(e, isQ)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
         .localCheckpoint(true)
       val truthAll = Similarity.bruteForceTop1All(e)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
         .localCheckpoint(true)
-      def recall(t: DataFrame, ann: DataFrame): (Long, Double) = {
-        val j = t.join(ann.select(col("qid"), col("cid"), col("cos")), Seq("qid"), "left")
-        val n = j.count()
-        val f = j.filter(col("cid") === col("tcid") || col("cos") === col("tcos")).count()
-        (n, f.toDouble / n)
-      }
       val lshTop1 = Similarity.lshAnnTop1(e, planes = 4, tables = 8).localCheckpoint(true)
       val ivfTop1 = Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3).localCheckpoint(true)
       val ivfSq8 = Similarity.ivfSq8AnnTop1(e).localCheckpoint(true)
@@ -87,6 +87,31 @@ object RecallProbe {
       val badIdx = perQIdx.filter(col("n") < 3 || col("nd") < 3).count()
       println(f"$sf: idx_recall_at3=${idxHit.toDouble / nl}%.4f " +
         f"idx_cov=${perQIdx.count()} idx_badshape=$badIdx")
+    }
+
+    // recall of the DEPLOYMENT-SIZED configurations at rehearsal scale
+    // (docs/SCALE.md): scaling k/planes keeps candidate work bounded —
+    // this measures what it costs in recall and how the compensating
+    // knobs (nprobe, tables) buy it back. Requires target/sf1
+    // (graft.tools.ScaleRehearsal generates it).
+    val sf1 = "target/sf1"
+    if (new java.io.File(s"$sf1/embeddings.parquet").exists()) {
+      val e = spark.read.parquet(s"$sf1/embeddings.parquet")
+      val n = e.count()
+      val truth = Similarity.bruteForceTop1Sampled(e, isQ)
+        .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+        .localCheckpoint(true)
+      val k = Similarity.ivfListsFor(n)
+      val planes = Similarity.lshPlanesFor(n)
+      val (nq, ivfFixed) = recall(truth, Similarity.ivfAnnTop1(e, k = 16, nprobe = 4))
+      val (_, ivfS4) = recall(truth, Similarity.ivfAnnTop1(e, k = k, nprobe = 4))
+      val (_, ivfS16) = recall(truth, Similarity.ivfAnnTop1(e, k = k, nprobe = 16))
+      val (_, lshFixed) = recall(truth, Similarity.lshAnnTop1(e, planes = 4, tables = 8))
+      val (_, lshS8) = recall(truth, Similarity.lshAnnTop1(e, planes = planes, tables = 8))
+      val (_, lshS16) = recall(truth, Similarity.lshAnnTop1(e, planes = planes, tables = 16))
+      println(f"sf1: n_vec=$n n_sampled=$nq k=$k planes=$planes " +
+        f"ivf_fixed=$ivfFixed%.4f ivf_scaled_np4=$ivfS4%.4f ivf_scaled_np16=$ivfS16%.4f " +
+        f"lsh_fixed=$lshFixed%.4f lsh_scaled_t8=$lshS8%.4f lsh_scaled_t16=$lshS16%.4f")
     }
     spark.stop()
   }
