@@ -181,6 +181,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Benchmark DECONTAMINATION — the eval-overlap filter every serious
+    * pretraining pipeline runs before training (the n-gram overlap
+    * rule popularized by the GPT-3/PaLM appendices, public
+    * literature): a candidate document is contaminated iff it shares
+    * at least `minOverlap` distinct n-gram shingles with ANY document
+    * of the held-out eval set. Output: one row per candidate —
+    * (doc_id, n_overlap, contaminated) — negatives included, so the
+    * gate proves clean docs clean.
+    *
+    * Shape at 100 TB: both sides reduce to 8-byte hashed shingles
+    * ([[docShingles]] — the repo-wide shingle currency; documents
+    * themselves never shuffle). The eval side is `eval-set ×
+    * shingles/doc` rows — benchmark corpora are tiny relative to
+    * training corpora, so AQE broadcasts it and the candidate side is
+    * ONE scan + hash-join + partial-agg; if an eval set ever outgrew
+    * broadcast the same plan degrades to a shuffle join keyed on the
+    * shingle hash, still linear. Assumes id disjointness between the
+    * two frames (callers split one corpus or pass separate tables). */
+  def decontaminate(
+      cands: DataFrame, evalDocs: DataFrame, textCol: String, idCol: String,
+      n: Int = 4, minOverlap: Int = 1): DataFrame = {
+    val evalShingles = docShingles(evalDocs, textCol, idCol, n)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+    val candShingled = docShingles(cands, textCol, idCol, n)
+    val overlap = candShingled
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(evalShingles, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_overlap")) // shingles are distinct per doc
+    candShingled.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") >= minOverlap)
+  }
+
   /** INCREMENTAL MinHash near-dup: the pairs a NEW batch introduces —
     * batch-vs-corpus and batch-vs-batch — without re-mining the corpus
     * against itself. The corpus side contributes only its (persisted)

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * The content-hash split family (`q_sample_hash`,
+  * `q_sample_stratified` in [[graft.queries.TextQueries]]) covers
+  * fixed-fraction membership; this object covers the DATA-MIXTURE
+  * step: re-weighting strata (language, source domain, quality
+  * bucket) to target proportions before training — the "domain
+  * mixing" knob of every pretraining recipe (public literature:
+  * the Pile / GPT-3 mixture tables).
+  */
+object Sampling {
+
+  /** Hex-string granularity of the keep rule: a doc is kept iff the
+    * first 4 hex chars of md5(id) sort below the stratum threshold —
+    * so keep fractions are quantized to 1/65536, and membership is a
+    * pure function of the id (stable across runs, partitionings,
+    * engines, and incremental re-runs, and expressible in ANSI SQL
+    * for the oracle — md5 and printf('%04x') agree byte-for-byte in
+    * Spark and DuckDB). */
+  val Granularity = 65536L
+
+  /** Downsample each stratum toward `targets`: stratum s with weight
+    * num/den aims at (num/den) · N total rows, i.e. keep fraction
+    * min(1, num·N / (den·count_s)) — computed EXACTLY in integer
+    * arithmetic, then quantized to [[Granularity]]. Over-represented
+    * strata are thinned; under-represented strata cap at keep-all
+    * (this operator never upsamples — repeat-epoch weighting is a
+    * training-loader concern). Strata absent from `targets` are
+    * dropped (weight 0).
+    *
+    * Returns the kept rows of `docs` unchanged. Cost at 100 TB: one
+    * partial-agg shuffle of (stratum, count) rows — stratum
+    * cardinality, not corpus — a broadcast of the threshold map back
+    * onto the scan, and a codegen'd filter; the corpus itself never
+    * shuffles.
+    */
+  def mixtureResample(
+      docs: DataFrame, stratumCol: String, idCol: String,
+      targets: Map[String, (Int, Int)]): DataFrame = {
+    require(targets.values.forall { case (num, den) => num >= 0 && den > 0 },
+      s"need non-negative weights with positive denominators, got $targets")
+    val spark = docs.sparkSession
+    // stratum cardinality rows — tiny at any corpus scale
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val thresholds = counts.collect().flatMap { r =>
+      val stratum = r.getString(0)
+      val cnt = r.getLong(1)
+      targets.get(stratum).map { case (num, den) =>
+        val t = ((BigInt(num) * total * Granularity) /
+          (BigInt(den) * cnt)).min(BigInt(Granularity)).toLong
+        // capped strata keep ALL rows: "g" sorts above every lowercase
+        // hex string ("ffff" < "g"), whereas printf'ing 0x10000 would
+        // yield "10000", which sorts BELOW "a***" prefixes
+        stratum -> (if (t >= Granularity) "g" else f"$t%04x")
+      }
+    }.toMap
+    // internal names prefixed so they can't collide with caller columns
+    val tDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        thresholds.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__mix_stratum",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__mix_keep_below",
+          org.apache.spark.sql.types.StringType))))
+    docs
+      .join(broadcast(tDf), col(stratumCol) === col("__mix_stratum"))
+      .filter(substring(md5(col(idCol).cast("string")), 1, 4) <
+        col("__mix_keep_below"))
+      .drop("__mix_stratum", "__mix_keep_below")
+  }
+}

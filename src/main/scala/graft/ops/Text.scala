@@ -102,6 +102,37 @@ object Text {
     (scores, guess)
   }
 
+  /** PII patterns for the scrubbing step of a training-data pipeline:
+    * (name, regex, replacement token). The regexes stay inside the
+    * portable subset shared by Java regex (Spark codegen'd
+    * `regexp_count`/`regexp_replace`) and RE2 (the DuckDB oracle):
+    * char classes, bounded quantifiers, `\b` — no backreferences, no
+    * lookaround — so detection and redaction are engine-exact. Order
+    * matters for redaction and is part of the contract: email first
+    * (its local part may contain digits/dots that the later numeric
+    * patterns could nibble), then SSN before phone (3-2-4 vs 3-3-4
+    * groupings are disjoint, but fixing the order makes that
+    * non-reliance explicit), IPv4 last. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("phone", "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IPV4>"))
+
+  /** One non-overlapping match count per PII category — pure
+    * `regexp_count` projections: codegen'd, shuffle-free, scan-speed at
+    * any corpus size. */
+  def piiCounts(text: Column): Seq[(String, Column)] =
+    piiPatterns.map { case (name, re, _) =>
+      name -> regexp_count(text, lit(re)) }
+
+  /** Redacted text: every PII match replaced by its category token, in
+    * [[piiPatterns]] order. A fold of codegen'd `regexp_replace` calls
+    * — still one projection, no shuffle. */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (_, re, tok)) =>
+      regexp_replace(acc, lit(re), lit(tok)) }
+
   /** Overlapping token-window chunking — the context-window prep step
     * of an LLM training pipeline: each document becomes
     * `max(1, ceil((n − overlap) / step))` chunks of up to `chunkSize`

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Similarity, Text}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Text}
 import graft.functions.PolyHash64
 
 /** Text-analysis, deduplication, and multimodal queries over the
@@ -677,7 +677,81 @@ object TextQueries {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("lang"), col("split"))
 
+  /** PII scrub gate — detection counts + redaction
+    * ([[graft.ops.Text.piiPatterns]]) over a corpus deterministically
+    * DECORATED with synthetic PII first (the test corpus has none; the
+    * decoration is the same md5-gated expression in both engines, so
+    * the gate exercises real match/replace semantics on real text):
+    * ~1/2 of docs get an email, 1/4 a phone, 1/8 an IPv4, 1/16 an
+    * SSN, all derived from doc_id. `pii_clean` re-counts every
+    * pattern on the REDACTED text — the invariant that redaction
+    * reaches a fixpoint in one pass. Pure projection: scan → decorate
+    * → count/redact → sort; scan-speed at any corpus size. */
+  def piiQ(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val id = col("doc_id").cast("string")
+    def mod(m: Int, w: Int) =
+      lpad((col("doc_id") % m).cast("string"), w, "0")
+    val decorated = docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(h < "8", concat(lit(" reach user"), id, lit("@example.com")))
+          .otherwise(lit("")),
+        when(h < "4", concat(lit(" call 555-"), mod(1000, 3), lit("-"),
+          mod(10000, 4))).otherwise(lit("")),
+        when(h < "2", concat(lit(" host 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0.1")))
+          .otherwise(lit("")),
+        when(h < "1", concat(lit(" ssn "), mod(1000, 3), lit("-"),
+          mod(100, 2), lit("-"), mod(10000, 4))).otherwise(lit("")))
+        .as("text"))
+    decorated.select(
+      (col("doc_id") +:
+        Text.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") }) :+
+        Text.redactPii(col("text")).as("redacted"): _*)
+      .withColumn("pii_clean",
+        Text.piiCounts(col("redacted")).map(_._2).reduce(_ + _) === 0)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Decontamination gate ([[graft.ops.Dedup.decontaminate]]): eval
+    * set = docs whose first md5 hex char is 'f' (~1/16 of the corpus
+    * standing in for a held-out benchmark), candidates = the rest,
+    * 4-gram overlap (n = 4 keeps the gate non-vacuous at every SF:
+    * ~10 % of candidates share a 4-gram with the eval slice; at n ≥ 5
+    * almost none do). One row per candidate, negatives included. */
+  def decontamQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    Dedup.decontaminate(
+        d.filter(h =!= "f"), d.filter(h === "f"), "text", "doc_id", n = 4)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Mixture-resample gate ([[graft.ops.Sampling.mixtureResample]]):
+    * equal-share targets (1/5 per language) over a corpus that is
+    * ~40 % en — en is thinned toward N/5 while the four minority
+    * languages (~15 % each) hit the keep-all cap, exercising both
+    * branches at every SF. `chars_kept` sums n_chars over the kept
+    * docs, so the gate pins exactly WHICH docs survived, not just how
+    * many. */
+  def mixtureQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = Sampling.mixtureResample(d, "lang", "doc_id",
+      Seq("de", "en", "es", "fr", "zh").map(_ -> (1, 5)).toMap)
+    val after = kept.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    d.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      .join(after, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pii" -> (piiQ _),
+    "q_text_decontam" -> (decontamQ _),
+    "q_mix_sample" -> (mixtureQ _),
     "q_sample_stratified" -> (stratifiedSplit _),
     "q_sample_hash" -> (hashSample _),
     "q_text_heavy_hitters" -> (heavyHitters _),
@@ -833,6 +907,93 @@ object TextQueries {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
          ORDER BY doc_id""",
+    "q_text_pii" ->
+      """WITH dec AS (
+           SELECT doc_id, text ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+               THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+               THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'
+               THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+           FROM documents),
+         red AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+             CAST(len(regexp_extract_all(text,
+               '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+             CAST(len(regexp_extract_all(text,
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS INT) AS n_phone,
+             CAST(len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ipv4,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS redacted
+           FROM dec)
+         SELECT doc_id, n_email, n_ssn, n_phone, n_ipv4, redacted,
+           len(regexp_extract_all(redacted,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(redacted, '\b\d{3}-\d{2}-\d{4}\b'))
+           + len(regexp_extract_all(redacted, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+           + len(regexp_extract_all(redacted,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) = 0 AS pii_clean
+         FROM red ORDER BY doc_id""",
+    "q_text_decontam" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, list_aggregate(w[i:i+3], 'string_agg', ' ') AS s
+           FROM tok, unnest(range(1, len(w) - 2)) AS t(i) WHERE len(w) >= 4),
+         ev AS (
+           SELECT DISTINCT s FROM sh
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+         ov AS (
+           SELECT c.doc_id, count(1) AS n_overlap
+           FROM (SELECT * FROM sh
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f') c
+           JOIN ev ON ev.s = c.s GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+           coalesce(n_overlap, 0) >= 1 AS contaminated
+         FROM documents d LEFT JOIN ov USING (doc_id)
+         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
+         ORDER BY d.doc_id""",
+    "q_mix_sample" ->
+      """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY 1),
+         tot AS (SELECT count(1) AS n FROM documents),
+         th AS (
+           SELECT lang, cnt,
+             LEAST(CAST(65536 AS HUGEINT),
+               (CAST(n AS HUGEINT) * 65536) // (5 * cnt)) AS t
+           FROM c, tot),
+         keep AS (
+           SELECT lang, cnt,
+             CASE WHEN t >= 65536 THEN 'g'
+                  ELSE printf('%04x', CAST(t AS INT)) END AS kb
+           FROM th),
+         kept AS (
+           SELECT d.lang, d.n_chars FROM documents d JOIN keep USING (lang)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < kb)
+         SELECT k.lang, k.cnt AS n_before,
+           coalesce(a.n_kept, 0) AS n_kept,
+           coalesce(a.chars_kept, 0) AS chars_kept
+         FROM keep k LEFT JOIN (
+           SELECT lang, count(1) AS n_kept,
+             CAST(sum(n_chars) AS BIGINT) AS chars_kept
+           FROM kept GROUP BY 1) a USING (lang)
+         ORDER BY k.lang""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term

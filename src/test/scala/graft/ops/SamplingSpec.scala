@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+
+  private def corpus = {
+    import spark.implicits._
+    // 400 'a' rows, 100 'b' rows — 'a' is over-represented vs an equal
+    // 50/50 target, 'b' under-represented (cap branch)
+    (0L until 400L).map(i => (i, "a")) ++ (400L until 500L).map(i => (i, "b"))
+  }
+
+  "mixtureResample" should "thin over-represented strata toward the target and cap the rest" in {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "stratum")
+    val kept = Sampling.mixtureResample(df, "stratum", "doc_id",
+      Map("a" -> (1, 2), "b" -> (1, 2)))
+    val byStratum = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 'b': target 250 > available 100 → keep all
+    byStratum("b") shouldBe 100L
+    // 'a': keep fraction 250/400 quantized to 1/65536 — md5 prefixes are
+    // ~uniform, so kept count lands near 250 (binomial, sd ≈ 9.7)
+    byStratum("a") should be >= 200L
+    byStratum("a") should be <= 300L
+  }
+
+  it should "be a pure function of the id (stable under repartitioning)" in {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "stratum")
+    val t = Map("a" -> (1, 3), "b" -> (2, 3))
+    val k1 = Sampling.mixtureResample(df, "stratum", "doc_id", t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val k2 = Sampling.mixtureResample(df.repartition(7, col("doc_id")),
+        "stratum", "doc_id", t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    k1 shouldBe k2
+    k1.nonEmpty shouldBe true
+  }
+
+  it should "drop strata absent from the target map and reject bad weights" in {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "stratum")
+    Sampling.mixtureResample(df, "stratum", "doc_id", Map("a" -> (1, 1)))
+      .select("stratum").distinct().collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureResample(df, "stratum", "doc_id", Map("a" -> (1, 0)))
+  }
+}

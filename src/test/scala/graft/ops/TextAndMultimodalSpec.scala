@@ -33,6 +33,48 @@ class TextAndMultimodalSpec extends SparkSpec {
     out(2) shouldBe "de" // all-zero tie → first language alphabetically
   }
 
+  "PII scrubbing" should "count and redact every pattern category" in {
+    import spark.implicits._
+    val df = Seq(
+      "mail a.user+tag@sub.example.org or b@x.co now",
+      "call 555-010-0042 or 555.010.9999 today",
+      "ssn 123-45-6789 host 10.0.3.1 and 192.168.0.255",
+      "no pii here at all").toDF("text")
+    val out = df.select(
+      (Text.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") } :+
+        Text.redactPii(col("text")).as("red")): _*).collect()
+    // (n_email, n_ssn, n_phone, n_ipv4, redacted)
+    out(0).getInt(0) shouldBe 2
+    out(0).getString(4) shouldBe "mail <EMAIL> or <EMAIL> now"
+    out(1).getInt(2) shouldBe 2
+    out(1).getString(4) shouldBe "call <PHONE> or <PHONE> today"
+    out(2).getInt(1) shouldBe 1
+    out(2).getInt(3) shouldBe 2
+    out(2).getString(4) shouldBe "ssn <SSN> host <IPV4> and <IPV4>"
+    out(3).getString(4) shouldBe "no pii here at all"
+    // redaction is a fixpoint: re-counting on redacted finds nothing
+    val resid = df.select(Text.redactPii(col("text")).as("r"))
+      .select(Text.piiCounts(col("r")).map(_._2).reduce(_ + _).as("n"))
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    resid shouldBe 0L
+  }
+
+  "decontaminate" should "flag exactly the docs sharing an n-gram with the eval set" in {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // shares 'alpha beta gamma delta'
+      (2L, "zeta eta theta iota kappa"),      // clean
+      (3L, "one two three four alpha beta gamma delta")) // shares, 1 overlap
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(cands, ev, "text", "doc_id", n = 4)
+      .orderBy(col("doc_id")).collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq shouldBe Seq(
+      (1L, 1L, true), // shares exactly 'alpha beta gamma delta'
+      (2L, 0L, false),
+      (3L, 1L, true))
+  }
+
   "WordShingles" should "agree with the declarative shingle expression" in {
     import spark.implicits._
     graft.functions.WordShingles.register(spark)
