@@ -45,11 +45,13 @@ object Sampling {
     require(targets.values.forall { case (num, den) => num >= 0 && den > 0 },
       s"need non-negative weights with positive denominators, got $targets")
     val spark = docs.sparkSession
-    // stratum cardinality rows — tiny at any corpus scale
-    val counts = docs.groupBy(col(stratumCol).as("stratum"))
-      .agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt"))).collect()(0).getLong(0)
-    val thresholds = counts.collect().flatMap { r =>
+    // stratum cardinality rows — tiny at any corpus scale; ONE action
+    // (the total is summed driver-side), so the corpus is scanned
+    // exactly twice overall: census + the returned filter
+    val countRows = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val total = countRows.map(_.getLong(1)).sum
+    val thresholds = countRows.flatMap { r =>
       val stratum = r.getString(0)
       val cnt = r.getLong(1)
       targets.get(stratum).map { case (num, den) =>

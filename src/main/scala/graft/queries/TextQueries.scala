@@ -687,12 +687,16 @@ object TextQueries {
     * pattern on the REDACTED text — the invariant that redaction
     * reaches a fixpoint in one pass. Pure projection: scan → decorate
     * → count/redact → sort; scan-speed at any corpus size. */
-  def piiQ(s: SparkSession, dir: String): DataFrame = {
+  /** The synthetic-PII decoration shared by `q_text_pii` and
+    * `q_curation_pipeline`: a deterministic md5-gated suffix per doc
+    * (same expression in the oracle SQL), carrying through every
+    * `keep` column unchanged. */
+  private def decoratePii(d: DataFrame, keep: Seq[String]): DataFrame = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 1)
     val id = col("doc_id").cast("string")
     def mod(m: Int, w: Int) =
       lpad((col("doc_id") % m).cast("string"), w, "0")
-    val decorated = docs(s, dir).select(col("doc_id"),
+    d.select((col("doc_id") +: keep.map(col)) :+
       concat(col("text"),
         when(h < "8", concat(lit(" reach user"), id, lit("@example.com")))
           .otherwise(lit("")),
@@ -703,7 +707,11 @@ object TextQueries {
           .otherwise(lit("")),
         when(h < "1", concat(lit(" ssn "), mod(1000, 3), lit("-"),
           mod(100, 2), lit("-"), mod(10000, 4))).otherwise(lit("")))
-        .as("text"))
+        .as("text"): _*)
+  }
+
+  def piiQ(s: SparkSession, dir: String): DataFrame = {
+    val decorated = decoratePii(docs(s, dir), Seq.empty)
     decorated.select(
       (col("doc_id") +:
         Text.piiCounts(col("text")).map { case (n, c) => c.as(s"n_$n") }) :+
@@ -748,7 +756,50 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** END-TO-END curation pipeline — the full training-data prep chain
+    * as ONE composed, fully-oracled query: synthetic-PII decoration →
+    * redaction ([[graft.ops.Text.redactPii]]) → quality filter (the
+    * `q_corpus_prep` rule, applied to the redacted text) → benchmark
+    * decontamination ([[graft.ops.Dedup.decontaminate]], md5-'f'
+    * slice as the eval stand-in, contaminated docs dropped) →
+    * data-mixture resampling ([[graft.ops.Sampling.mixtureResample]],
+    * equal language shares) → per-language manifest (docs, tokens,
+    * docs-carrying-redactions). Every stage is scan-linear or
+    * broadcast-joined, so the composition inherits the per-operator
+    * 100 TB shape: documents shuffle exactly once (the final 5-row
+    * aggregate's partial-agg exchange). */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val redacted = decoratePii(docs(s, dir), Seq("lang"))
+      .withColumn("text", Text.redactPii(col("text")))
+    val nStop = Text.stopwordCount(col("text"), Text.langMarkers("en"))
+    val ok = redacted
+      .withColumn("n_words", Text.tokenCount(col("text")))
+      .withColumn("stop_ratio",
+        nStop.cast("double") / col("n_words").cast("double"))
+      .filter(col("n_words") >= 5 && col("n_words") <= 10000 &&
+        col("stop_ratio") >= 0.01)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
+      .localCheckpoint(true) // feeds eval shingles, cand shingles, AND stats
+    val decisions = Dedup.decontaminate(
+      ok.filter(h =!= "f"), ok.filter(h === "f"), "text", "doc_id", n = 4)
+    // checkpointed: the mixture census (one action) and the returned
+    // filter would otherwise each re-run the decontamination join
+    val clean = ok.join(
+        decisions.filter(!col("contaminated")).select(col("doc_id")), "doc_id")
+      .localCheckpoint(true)
+    val kept = Sampling.mixtureResample(clean, "lang", "doc_id",
+      Seq("de", "en", "es", "fr", "zh").map(_ -> (1, 5)).toMap)
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        count(when(col("text").rlike("<(EMAIL|SSN|PHONE|IPV4)>"), 1))
+          .as("n_redacted"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_curation_pipeline" -> (curationPipeline _),
     "q_text_pii" -> (piiQ _),
     "q_text_decontam" -> (decontamQ _),
     "q_mix_sample" -> (mixtureQ _),
@@ -970,6 +1021,81 @@ object TextQueries {
          FROM documents d LEFT JOIN ov USING (doc_id)
          WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
          ORDER BY d.doc_id""",
+    "q_curation_pipeline" ->
+      """WITH dec AS (
+           SELECT doc_id, lang, text ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+               THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com'
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '4'
+               THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '2'
+               THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+               ELSE '' END ||
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '1'
+               THEN ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+               ELSE '' END AS text
+           FROM documents),
+         red AS (
+           SELECT doc_id, lang,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IPV4>', 'g') AS text
+           FROM dec),
+         q AS (
+           SELECT doc_id, lang, text,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INT) AS n_words,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|data|table)\b')) AS INT) AS n_stop
+           FROM red),
+         ok AS (
+           SELECT doc_id, lang, text, n_words FROM q
+           WHERE n_words >= 5 AND n_words <= 10000
+             AND CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) >= 0.01),
+         tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM ok),
+         sh AS (
+           SELECT DISTINCT doc_id, list_aggregate(w[i:i+3], 'string_agg', ' ') AS s
+           FROM tok, unnest(range(1, len(w) - 2)) AS t(i) WHERE len(w) >= 4),
+         ev AS (
+           SELECT DISTINCT s FROM sh
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+         contam AS (
+           SELECT DISTINCT c.doc_id
+           FROM (SELECT * FROM sh
+                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f') c
+           JOIN ev ON ev.s = c.s),
+         clean AS (
+           SELECT * FROM ok
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'
+             AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         c AS (SELECT lang, count(1) AS cnt FROM clean GROUP BY 1),
+         tot AS (SELECT count(1) AS n FROM clean),
+         th AS (
+           SELECT lang, cnt,
+             LEAST(CAST(65536 AS HUGEINT),
+               (CAST(n AS HUGEINT) * 65536) // (5 * cnt)) AS t
+           FROM c, tot),
+         keep AS (
+           SELECT lang,
+             CASE WHEN t >= 65536 THEN 'g'
+                  ELSE printf('%04x', CAST(t AS INT)) END AS kb
+           FROM th),
+         kept AS (
+           SELECT cl.* FROM clean cl JOIN keep USING (lang)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < kb)
+         SELECT lang, count(1) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           count(1) FILTER (regexp_matches(text, '<(EMAIL|SSN|PHONE|IPV4)>'))
+             AS n_redacted
+         FROM kept GROUP BY lang ORDER BY lang""",
     "q_mix_sample" ->
       """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY 1),
          tot AS (SELECT count(1) AS n FROM documents),
