@@ -130,6 +130,37 @@ class RandomizedPropertySpec extends SparkSpec {
     }
   }
 
+  "decontaminate" should "equal a set-based reference on random corpora" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(777)
+    // small vocabulary + short docs → plenty of genuine 3-gram overlap
+    val vocab = Array("a", "b", "c", "d", "e")
+    def doc(): String =
+      (0 until (3 + rng.nextInt(8))).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val n = 3
+    val cands = (0L until 60L).map(i => (i, doc()))
+    val evs = (1000L until 1010L).map(i => (i, doc()))
+
+    def grams(t: String): Set[String] =
+      t.split("\\s+").toSeq.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSet
+    val evalGrams = evs.flatMap(e => grams(e._2)).toSet
+    val expected = cands.map { case (id, t) =>
+      val ov = grams(t).count(evalGrams.contains)
+      (id, ov.toLong, ov >= 1)
+    }
+
+    val got = Dedup.decontaminate(
+        cands.toDF("doc_id", "text"), evs.toDF("doc_id", "text"),
+        "text", "doc_id", n = n)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    got shouldBe expected
+    // non-vacuity of the property itself: both outcomes occur
+    expected.count(_._3) should be > 0
+    expected.count(!_._3) should be > 0
+  }
+
   "connectedComponents" should "agree across local, iterative, and stars paths on random graphs" in {
     import spark.implicits._
     for (seed <- Seq(7, 77, 777)) {
