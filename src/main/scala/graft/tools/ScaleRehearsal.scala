@@ -85,7 +85,8 @@ object ScaleRehearsal {
   private val measured: Seq[(String, (SparkSession, String) => Long)] =
     Seq("q_corpus_prep", "q_text_bm25", "q_text_tfidf", "q_dedup_minhash",
       "q_text_heavy_hitters", "q_dedup_simhash", "q_text_exact_dedup",
-      "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample")
+      "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample",
+      "q_curation_pipeline")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
