@@ -201,9 +201,43 @@ object Dedup {
     * two frames (callers split one corpus or pass separate tables). */
   def decontaminate(
       cands: DataFrame, evalDocs: DataFrame, textCol: String, idCol: String,
-      n: Int = 4, minOverlap: Int = 1): DataFrame = {
-    val evalShingles = docShingles(evalDocs, textCol, idCol, n)
+      n: Int = 4, minOverlap: Int = 1): DataFrame =
+    decontaminateAgainst(cands,
+      docShingles(evalDocs, textCol, idCol, n)
+        .select(explode(col("shingles")).as("shingle")).distinct(),
+      textCol, idCol, n, minOverlap)
+
+  /** Persist an eval set's distinct shingle hashes — the decontam
+    * INDEX. Benchmark suites are static relative to a training corpus,
+    * so this is a write-once epoch artifact: every ingest batch
+    * decontaminates against the stored hashes
+    * ([[decontaminateIndexed]]) and the eval docs are never
+    * re-shingled. Stored as plain parquet of 8-byte hashes — eval-set
+    * sized, trivially scannable. */
+  def writeEvalShingleIndex(
+      evalDocs: DataFrame, textCol: String, idCol: String, path: String,
+      n: Int = 4): Unit = {
+    graft.io.Fs.deleteRecursive(evalDocs.sparkSession, path)
+    docShingles(evalDocs, textCol, idCol, n)
       .select(explode(col("shingles")).as("shingle")).distinct()
+      .write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** [[decontaminate]] against a persisted eval index: identical
+    * output for the same eval set (DedupSpec asserts equality and that
+    * the executed plan reads the index path), cost ∝ batch + one
+    * index scan. This is the production ingest shape — per batch,
+    * nothing eval-sized is recomputed. */
+  def decontaminateIndexed(
+      cands: DataFrame, indexPath: String, textCol: String, idCol: String,
+      n: Int = 4, minOverlap: Int = 1): DataFrame =
+    decontaminateAgainst(cands,
+      cands.sparkSession.read.parquet(s"$indexPath/shingles"),
+      textCol, idCol, n, minOverlap)
+
+  private def decontaminateAgainst(
+      cands: DataFrame, evalShingles: DataFrame, textCol: String,
+      idCol: String, n: Int, minOverlap: Int): DataFrame = {
     val candShingled = docShingles(cands, textCol, idCol, n)
     val overlap = candShingled
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))

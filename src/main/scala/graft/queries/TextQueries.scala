@@ -735,6 +735,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** INCREMENTAL decontamination gate: the eval slice's shingle index
+    * is persisted once ([[graft.ops.Dedup.writeEvalShingleIndex]] — a
+    * write-once epoch artifact, benchmark suites being static), then
+    * the candidate corpus arrives as two disjoint md5 halves
+    * decontaminated independently against the stored index
+    * ([[graft.ops.Dedup.decontaminateIndexed]]) — the ingest shape,
+    * where per-batch cost is batch + one index scan and the eval docs
+    * are never re-shingled. The union of the halves must equal the
+    * one-shot [[decontamQ]] output bit-for-bit: same oracle SQL. */
+  def decontamIncrementalQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val idx = s"target/tmp-decontam-index-$slug"
+    Dedup.writeEvalShingleIndex(d.filter(h === "f"), "text", "doc_id", idx)
+    val cands = d.filter(h =!= "f")
+    val half = substring(md5(col("doc_id").cast("string")), 2, 1) < "8"
+    Dedup.decontaminateIndexed(cands.filter(half), idx, "text", "doc_id")
+      .unionAll(
+        Dedup.decontaminateIndexed(cands.filter(!half), idx, "text", "doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Mixture-resample gate ([[graft.ops.Sampling.mixtureResample]]):
     * equal-share targets (1/5 per language) over a corpus that is
     * ~40 % en — en is thinned toward N/5 while the four minority
@@ -802,6 +825,7 @@ object TextQueries {
     "q_curation_pipeline" -> (curationPipeline _),
     "q_text_pii" -> (piiQ _),
     "q_text_decontam" -> (decontamQ _),
+    "q_text_decontam_incremental" -> (decontamIncrementalQ _),
     "q_mix_sample" -> (mixtureQ _),
     "q_sample_stratified" -> (stratifiedSplit _),
     "q_sample_hash" -> (hashSample _),
@@ -912,6 +936,30 @@ object TextQueries {
          SELECT doc_id, string_agg(bit, '' ORDER BY cell DESC) AS phash_bits
          FROM pbits GROUP BY doc_id)"""
 
+  /** Shared by `q_text_decontam` and `q_text_decontam_incremental`:
+    * the incremental gate is defined as bit-equal to the one-shot
+    * decontamination, so both compare against the same SQL. */
+  private val decontamSql =
+    """WITH tok AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, list_aggregate(w[i:i+3], 'string_agg', ' ') AS s
+         FROM tok, unnest(range(1, len(w) - 2)) AS t(i) WHERE len(w) >= 4),
+       ev AS (
+         SELECT DISTINCT s FROM sh
+         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+       ov AS (
+         SELECT c.doc_id, count(1) AS n_overlap
+         FROM (SELECT * FROM sh
+               WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f') c
+         JOIN ev ON ev.s = c.s GROUP BY 1)
+       SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
+         coalesce(n_overlap, 0) >= 1 AS contaminated
+       FROM documents d LEFT JOIN ov USING (doc_id)
+       WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
+       ORDER BY d.doc_id"""
+
   val oracleSql: Map[String, String] = Map(
     // invariant gates: every boolean is a deterministic full-corpus
     // check computed in Spark (see the query scaladocs); the oracle
@@ -1001,26 +1049,10 @@ object TextQueries {
            + len(regexp_extract_all(redacted,
              '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) = 0 AS pii_clean
          FROM red ORDER BY doc_id""",
-    "q_text_decontam" ->
-      """WITH tok AS (
-           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
-           FROM documents),
-         sh AS (
-           SELECT DISTINCT doc_id, list_aggregate(w[i:i+3], 'string_agg', ' ') AS s
-           FROM tok, unnest(range(1, len(w) - 2)) AS t(i) WHERE len(w) >= 4),
-         ev AS (
-           SELECT DISTINCT s FROM sh
-           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
-         ov AS (
-           SELECT c.doc_id, count(1) AS n_overlap
-           FROM (SELECT * FROM sh
-                 WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f') c
-           JOIN ev ON ev.s = c.s GROUP BY 1)
-         SELECT d.doc_id, coalesce(n_overlap, 0) AS n_overlap,
-           coalesce(n_overlap, 0) >= 1 AS contaminated
-         FROM documents d LEFT JOIN ov USING (doc_id)
-         WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
-         ORDER BY d.doc_id""",
+    "q_text_decontam" -> decontamSql,
+    // the incremental gate is DEFINED as bit-equal to the one-shot
+    // decontamination (two indexed halves, unioned) — same oracle
+    "q_text_decontam_incremental" -> decontamSql,
     "q_curation_pipeline" ->
       """WITH dec AS (
            SELECT doc_id, lang, text ||

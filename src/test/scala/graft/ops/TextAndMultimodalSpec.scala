@@ -75,6 +75,26 @@ class TextAndMultimodalSpec extends SparkSpec {
       (3L, 1L, true))
   }
 
+  it should "match the inline path from a persisted eval index, reading only the index" in {
+    import spark.implicits._
+    val cands = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "zeta eta theta iota kappa"),
+      (3L, "one two three four alpha beta gamma delta")).toDF("doc_id", "text")
+    val ev = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val idx = tmpDir("decontam-index")
+    Dedup.writeEvalShingleIndex(ev, "text", "doc_id", idx)
+    val indexed = Dedup.decontaminateIndexed(cands, idx, "text", "doc_id", n = 4)
+    indexed.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq shouldBe
+      Dedup.decontaminate(cands, ev, "text", "doc_id", n = 4)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // the eval side is consulted ONLY through the stored hashes
+    indexed.queryExecution.executedPlan.toString should include("decontam-index")
+    // index rebuild overwrites the prior epoch cleanly
+    Dedup.writeEvalShingleIndex(ev, "text", "doc_id", idx)
+    spark.read.parquet(s"$idx/shingles").count() shouldBe 3L // distinct 4-grams of the eval doc
+  }
+
   "WordShingles" should "agree with the declarative shingle expression" in {
     import spark.implicits._
     graft.functions.WordShingles.register(spark)
