@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RefQueries.queries ++ RelationalQueries.queries ++ EventQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries ++ AdvancedQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      AdvancedQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RefQueries.oracleSql ++ RelationalQueries.oracleSql ++ EventQueries.oracleSql ++
-      TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++ AdvancedQueries.oracleSql
+      TextQueries.oracleSql ++ SimilarityQueries.oracleSql ++
+      AdvancedQueries.oracleSql ++ CurationQueries.oracleSql
 }

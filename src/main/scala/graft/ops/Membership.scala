@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter membership — the approximate "have we seen this key"
+  * primitive of incremental corpus curation (URL / doc-id dedup across
+  * crawl epochs, eval-set guards) when an exact key join is too heavy:
+  * a fixed `m`-bit array answers membership with zero false negatives
+  * and a bounded false-positive rate (Bloom 1970).
+  *
+  * Built entirely from codegen'd builtins — no UDF, no custom
+  * Expression: the `k` bit positions of a key are independent
+  * `xxhash64(key, i)` draws reduced mod `m`, and the filter is the
+  * per-64-bit-word `bit_or` of one-hot masks — an abelian aggregate,
+  * so the bit array is BIT-IDENTICAL under any partitioning, merge
+  * order, or AQE re-plan (same argument as the count-min sketch in
+  * [[graft.functions.CountMinAggregator]]).
+  *
+  * `m` must be a multiple of 64; since the word index is
+  * `pos >> 6` and the bit index is `pos & 63`, the mod-`m` and mod-64
+  * reductions then commute and each position is computed with two
+  * shifts — no 128-bit arithmetic, nothing that can overflow under
+  * ANSI mode.
+  *
+  * Scale shapes at 100 TB:
+  *  - BUILD: one partial-aggregated shuffle of (word, mask) rows —
+  *    ≤ m/64 rows after map-side combine, independent of key count.
+  *  - PROBE (broadcast): for filters that fit an executor (m ≤ a few
+  *    hundred MiB), the bit array rides the plan as an array literal
+  *    and the probe is a pure projection — zero shuffle.
+  *  - PROBE (join): for filters too big to broadcast, keep the filter
+  *    AS a (word, bits) table: each probe explodes to its k words,
+  *    joins on the 8-byte word id, and folds `bool_and` back per key —
+  *    k·probes skinny rows on the wire, never the payloads. Sharding
+  *    the key space into independent filters composes with this by
+  *    prefixing the word with a shard id.
+  */
+object Membership {
+
+  private def keyStr(c: Column): Column = c.cast("string")
+
+  /** Bit positions are drawn per hash family `i` as
+    * `pmod(xxhash64(key, i), m)`; with 64 | m the in-word bit is just
+    * `pmod(h, 64)`. */
+  private def posOf(key: Column, i: Int, mBits: Long): Column =
+    pmod(xxhash64(keyStr(key), lit(i)), lit(mBits))
+
+  private def maskOf(key: Column, i: Int): Column =
+    call_function("shiftleft", lit(1L),
+      pmod(xxhash64(keyStr(key), lit(i)), lit(64L)).cast("int"))
+
+  private def require64(mBits: Long): Unit =
+    require(mBits >= 64 && mBits % 64 == 0, s"mBits=$mBits not a multiple of 64")
+
+  /** Build the filter over `keys(keyCol)` as a (word: long, bits: long)
+    * frame — sparse (absent words are all-zero) and at most m/64 rows. */
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Long, k: Int): DataFrame = {
+    require64(mBits)
+    require(k >= 1 && k <= 16, s"k=$k out of range")
+    keys
+      .select(col(keyCol).as("__bl_key"))
+      .select(col("__bl_key"), explode(sequence(lit(0), lit(k - 1))).as("__bl_i"))
+      .select(
+        shiftright(pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")),
+          lit(mBits)), 6).as("word"),
+        call_function("shiftleft", lit(1L),
+          pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")), lit(64L))
+            .cast("int")).as("mask"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Collect a (word, bits) frame into the dense little-endian word
+    * array — driver-side, m/64 longs (metadata-sized for broadcastable
+    * filters; use [[probeJoin]] beyond that). */
+  def collectBits(bitsDf: DataFrame, mBits: Long): Array[Long] = {
+    require64(mBits)
+    val dense = new Array[Long]((mBits / 64).toInt)
+    bitsDf.select(col("word"), col("bits")).collect().foreach { r =>
+      dense(r.getLong(0).toInt) = r.getLong(1)
+    }
+    dense
+  }
+
+  /** Zero-shuffle probe: the filter rides the plan as a literal and
+    * `bloom_hit` is a codegen'd projection over `probes`. */
+  def probeBroadcast(
+      probes: DataFrame, keyCol: String, bits: Array[Long],
+      mBits: Long, k: Int): DataFrame = {
+    require64(mBits)
+    require(bits.length.toLong == mBits / 64, s"bits.length=${bits.length}")
+    val bitsLit = lit(bits)
+    val hit = (0 until k).map { i =>
+      val word = shiftright(posOf(col(keyCol), i, mBits), 6)
+      (element_at(bitsLit, (word + lit(1L)).cast("int"))
+        .bitwiseAND(maskOf(col(keyCol), i)) =!= lit(0L))
+    }.reduce(_ && _)
+    probes.withColumn("bloom_hit", hit)
+  }
+
+  /** Join probe for filters kept distributed: returns the distinct
+    * (keyCol, bloom_hit) verdict frame; callers join it back. */
+  def probeJoin(
+      probes: DataFrame, keyCol: String, bitsDf: DataFrame,
+      mBits: Long, k: Int): DataFrame = {
+    require64(mBits)
+    val lookups = probes
+      .select(col(keyCol).as("__bl_key")).distinct()
+      .select(col("__bl_key"), explode(sequence(lit(0), lit(k - 1))).as("__bl_i"))
+      .select(col("__bl_key"),
+        shiftright(pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")),
+          lit(mBits)), 6).as("word"),
+        call_function("shiftleft", lit(1L),
+          pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")), lit(64L))
+            .cast("int")).as("mask"))
+    lookups
+      .join(bitsDf, Seq("word"), "left")
+      .select(col("__bl_key"),
+        (col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("mask")) =!= lit(0L)).as("__bl_hit"))
+      .groupBy(col("__bl_key"))
+      .agg(expr("bool_and(__bl_hit)").as("bloom_hit"))
+      .withColumnRenamed("__bl_key", keyCol)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the batch-assembly step of a pretraining data
+  * pipeline: group variable-length documents into fixed token-budget
+  * bins so training batches waste minimal padding (public precedent:
+  * example packing in T5 / GPT-NeoX data tooling).
+  *
+  * Algorithm: deterministic next-fit-decreasing per bucket. Documents
+  * are routed to `buckets` independent packing groups by `id mod
+  * buckets` (a pure function of the id — NOT a physical partition
+  * id), sorted (tokens desc, id asc) within their bucket, and swept
+  * once with O(1) state: if the current bin can't fit the next
+  * document, a new bin starts. Bin ids are `bucket << 32 | seq`, so
+  * the full assignment is reproducible across runs, partitionings,
+  * and cluster layouts.
+  *
+  * Scale shape at 100 TB: ONE hash shuffle of (id, tokens) pairs —
+  * 16 bytes/doc, never the document bodies — into `buckets` groups,
+  * an external sort within partitions, and a single streaming pass
+  * with constant memory per task. `buckets` bounds packing-group
+  * size (set it so a bucket's (id, tokens) pairs sort comfortably in
+  * one task's spill budget) and is the parallelism knob; bins in
+  * different buckets never interact, which costs at most one
+  * under-filled bin per bucket vs. a global sweep.
+  *
+  * Guarantees (checkable invariants, gated by `q_pack_sequences`):
+  * every input id appears in exactly one bin; no bin with ≥ 2 docs
+  * exceeds `budget`; a doc larger than `budget` sits alone in its
+  * bin; and per bucket, next-fit uses at most `max(1,
+  * ceil(2·bucket_tokens/budget))` bins (any two consecutive bins sum
+  * past the budget), so globally `bins ≤ 2·ceil(total/budget) +
+  * 2·buckets`.
+  */
+object Packing {
+
+  /** Pack `(idCol, tokensCol)` rows into bins of at most `budget`
+    * tokens. Returns (idCol, tokensCol, bucket, bin_id); join back on
+    * the id to carry payloads. */
+  def packNextFit(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, buckets: Int): DataFrame = {
+    require(budget >= 1, s"budget=$budget out of range")
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets out of range")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    docs
+      .select(
+        col(idCol).cast("long").as("__pack_id"),
+        col(tokensCol).cast("long").as("__pack_tok"),
+        pmod(col(idCol).cast("long"), lit(buckets.toLong)).cast("int")
+          .as("__pack_bucket"))
+      .repartition(math.min(parts, buckets), col("__pack_bucket"))
+      .sortWithinPartitions(
+        col("__pack_bucket"), col("__pack_tok").desc, col("__pack_id"))
+      .as[(Long, Long, Int)]
+      .mapPartitions { it =>
+        // buckets are contiguous after the sort, so one (bucket, bin,
+        // fill) triple is the entire task state
+        var curBucket = -1
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, tok, bucket) =>
+          if (bucket != curBucket) { curBucket = bucket; bin = 0L; fill = 0L }
+          else if (fill > 0L && fill + tok > budget) { bin += 1L; fill = 0L }
+          fill += tok
+          (id, tok, bucket, (bucket.toLong << 32) | bin)
+        }
+      }
+      .toDF(idCol, tokensCol, "bucket", "bin_id")
+  }
+}

@@ -39,6 +39,36 @@ object Sampling {
     * onto the scan, and a codegen'd filter; the corpus itself never
     * shuffles.
     */
+  /** Per-stratum document cap — the "at most n documents per domain"
+    * rule of web-corpus curation (public precedent: per-domain caps in
+    * the C4/RefinedWeb cleanup recipes). Keeps EXACTLY the top `n`
+    * rows of each stratum under (score desc, id asc) and returns the
+    * kept key set `(stratumCol, idCol, scoreCol)`; callers re-attach
+    * payload columns with a semi-join on the id, so document bodies
+    * never ride the aggregation shuffle.
+    *
+    * Built on [[graft.functions.TopKAggregator]] rather than a
+    * `row_number()` window: the window form shuffles every row of a
+    * stratum to one task (a hot domain = one straggler), while the
+    * aggregate keeps ≤ 4·n pairs per stratum per map task and
+    * combines BEFORE the shuffle — a hot stratum's wire cost is
+    * tasks × n pairs, not its row count. Scores are integral
+    * (cast to long) so ordering is exact — no float tie ambiguity.
+    */
+  def capPerStratum(
+      docs: DataFrame, stratumCol: String, idCol: String,
+      scoreCol: String, n: Int): DataFrame = {
+    val top = graft.functions.TopK.topBy(n)
+    docs
+      .groupBy(col(stratumCol))
+      .agg(top(col(scoreCol).cast("long"), col(idCol).cast("long"))
+        .as("__cap_top"))
+      .select(col(stratumCol), explode(col("__cap_top")).as("__cap_row"))
+      .select(col(stratumCol),
+        col("__cap_row._2").as(idCol),
+        col("__cap_row._1").as(scoreCol))
+  }
+
   def mixtureResample(
       docs: DataFrame, stratumCol: String, idCol: String,
       targets: Map[String, (Int, Int)]): DataFrame = {

@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Membership, Packing, Sampling, Text}
+
+/** Corpus-curation operators beyond the round-6 surface: per-source
+  * caps, sequence packing, and Bloom-filter membership — each with a
+  * driver-visible oracle (exact SQL where expressible, the invariant-
+  * gate pattern where the artifact is partitioning-shaped).
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+
+  /** Per-source cap — keep the top 10 docs per source under
+    * (n_chars desc, doc_id asc) via the bounded-heap aggregate
+    * ([[graft.ops.Sampling.capPerStratum]]). EXACT value oracle: the
+    * kept set is definitionally `row_number() OVER (PARTITION BY
+    * source ORDER BY n_chars DESC, doc_id) <= 10`, so every kept row
+    * hash-matches DuckDB — a full value check of the aggregate's
+    * top-N semantics, not just an invariant. */
+  def sourceCapQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.capPerStratum(docs(s, dir), "source", "doc_id", "n_chars", 10)
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+
+  /** Sequence-packing gate — pack every document's token count into
+    * 256-token bins over 8 deterministic buckets
+    * ([[graft.ops.Packing.packNextFit]]) and emit the checkable
+    * invariants as ONE row: exact totals (hash-checked against
+    * DuckDB's sum — proves token conservation), every doc assigned
+    * exactly once, no multi-doc bin over budget, oversized docs
+    * isolated, and the next-fit bin-count bound. The assignment
+    * itself is bucket-local and engine-specific, so the gate asserts
+    * the contract, not the labels (same pattern as the SimHash /
+    * heavy-hitter gates). */
+  def packQ(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val buckets = 8
+    val dd = docs(s, dir).select(col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("toks"))
+    // consumed by three aggregates below — the doc-level frame is
+    // (id, tok, bucket, bin) at 32 bytes/doc, checkpointed once
+    val packed = Packing.packNextFit(dd, "doc_id", "toks", budget, buckets)
+      .localCheckpoint(true)
+    val input = dd.agg(
+      count(lit(1)).as("c_in"), sum(col("toks")).as("t_in"))
+    val perDoc = packed.agg(
+      count(lit(1)).as("assigned"),
+      countDistinct(col("doc_id")).as("assigned_distinct"),
+      sum(col("toks")).as("t_packed"))
+    val perBin = packed
+      .groupBy(col("bin_id"))
+      .agg(sum(col("toks")).as("bt"), count(lit(1)).as("bn"),
+        max(col("toks")).as("bmax"))
+      .agg(
+        count(lit(1)).as("bins_used"),
+        sum(when(col("bn") > 1 && col("bt") > budget, 1L).otherwise(0L))
+          .as("overfull"),
+        coalesce(expr(s"bool_and(CASE WHEN bmax > $budget THEN bn = 1 END)"),
+          lit(true)).as("oversized_iso"))
+    input.crossJoin(perDoc).crossJoin(perBin)
+      .select(
+        col("c_in").as("docs_total"),
+        col("t_in").as("tokens_total"),
+        (col("assigned") === col("c_in") &&
+          col("assigned_distinct") === col("c_in") &&
+          col("t_packed") === col("t_in")).as("all_assigned_once"),
+        col("overfull").as("overfull_bins"),
+        col("oversized_iso").as("oversized_isolated"),
+        (col("bins_used") <=
+          lit(2L) * expr(s"(t_in + ${budget - 1}) DIV $budget") +
+          lit(2L * buckets)).as("bins_bounded"))
+  }
+
+  /** Bloom-membership gate — build the filter over every doc_id
+    * ([[graft.ops.Membership.bloomBits]], m ≥ 16n bits so expected
+    * FPR ≈ 0.14 % at k = 5), then probe three ways: every present key
+    * through the broadcast kernel and through the distributed join
+    * kernel (both MUST all-hit — the zero-false-negative guarantee,
+    * and a two-kernel agreement check), and a disjoint absent key set
+    * (doc_id + 10^12) through broadcast with the false-positive rate
+    * bounded at 2 % (> 10× the expected rate — margin, not luck; the
+    * rate is DETERMINISTIC for a fixed corpus because the filter is
+    * an abelian bit_or). */
+  def bloomQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    var m = 1L << 17
+    while (m < 16L * n) m <<= 1
+    // m/64 rows — metadata-sized; checkpointed so the two probe paths
+    // and the collect don't re-run the build aggregation
+    val bitsDf = Membership.bloomBits(d, "doc_id", m, k).localCheckpoint(true)
+    val bits = Membership.collectBits(bitsDf, m)
+    val presentBc = Membership.probeBroadcast(d, "doc_id", bits, m, k)
+      .agg(count(lit(1)).as("n_probes"),
+        expr("bool_and(bloom_hit)").as("ok"))
+      .select(lit("present_bc").as("side"), col("n_probes"), col("ok"))
+    val presentJoin = Membership.probeJoin(d, "doc_id", bitsDf, m, k)
+      .agg(count(lit(1)).as("n_probes"),
+        expr("bool_and(bloom_hit)").as("ok"))
+      .select(lit("present_join").as("side"), col("n_probes"), col("ok"))
+    val absentBc = Membership.probeBroadcast(
+        d.select((col("doc_id") + lit(1000000000000L)).as("doc_id")),
+        "doc_id", bits, m, k)
+      .agg(count(lit(1)).as("n_probes"),
+        (sum(when(col("bloom_hit"), 1L).otherwise(0L)).cast("double") <=
+          lit(0.02) * count(lit(1)).cast("double")).as("ok"))
+      .select(lit("absent_bc").as("side"), col("n_probes"), col("ok"))
+    absentBc.unionByName(presentBc).unionByName(presentJoin)
+      .orderBy(col("side"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_cap" -> (sourceCapQ _),
+    "q_pack_sequences" -> (packQ _),
+    "q_bloom_membership" -> (bloomQ _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_source_cap" ->
+      """SELECT source, doc_id, n_chars FROM (
+           SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10
+         ORDER BY source, n_chars DESC, doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents)
+         SELECT count(1) AS docs_total, CAST(sum(tok) AS BIGINT) AS tokens_total,
+           true AS all_assigned_once, CAST(0 AS BIGINT) AS overfull_bins,
+           true AS oversized_isolated, true AS bins_bounded
+         FROM t""",
+    "q_bloom_membership" ->
+      """WITH n AS (SELECT count(1) AS c FROM documents)
+         SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n
+         UNION ALL SELECT 'present_bc', c, true FROM n
+         UNION ALL SELECT 'present_join', c, true FROM n
+         ORDER BY side"""
+  )
+}
