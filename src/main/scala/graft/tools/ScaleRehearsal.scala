@@ -86,7 +86,8 @@ object ScaleRehearsal {
     Seq("q_corpus_prep", "q_text_bm25", "q_text_tfidf", "q_dedup_minhash",
       "q_text_heavy_hitters", "q_dedup_simhash", "q_text_exact_dedup",
       "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample",
-      "q_curation_pipeline")
+      "q_curation_pipeline", "q_source_cap", "q_pack_sequences",
+      "q_bloom_membership")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
@@ -140,7 +141,11 @@ object ScaleRehearsal {
     // blocks from earlier paths surface as 3-5× spikes in later ones
     // (measured: identical ivfAnnTop1 calls swung 6.4 → 29.7 s)
     def isolate(): Unit = { spark.catalog.clearCache(); System.gc() }
-    measured.foreach { case (name, run) =>
+    // local-iteration filter, same contract as graft.Verify's
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    measured.filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, run) =>
       // warm each path once at the small scale so JIT/codegen noise
       // doesn't land in the sf0.1 numbers
       run(spark, "/root/testdata/sf0.01")
