@@ -99,6 +99,56 @@ object Membership {
     probes.withColumn("bloom_hit", hit)
   }
 
+  /** Persist the filter as a write-once epoch artifact (the
+    * cross-epoch seen-key guard shape: build over epoch N's keys once,
+    * probe every epoch-N+1 batch against it): sparse (word, bits)
+    * rows under `path/bits` plus a 1-row `path/meta` frame carrying
+    * (m_bits, k), so probes need no out-of-band parameters. Same
+    * overwrite discipline as the dedup/ANN index writers — the root
+    * is deleted first, so a rebuild can never leave stale epochs. */
+  def writeBloom(
+      bitsDf: DataFrame, mBits: Long, k: Int, path: String): Unit = {
+    require64(mBits)
+    val spark = bitsDf.sparkSession
+    graft.io.Fs.deleteRecursive(spark, path)
+    bitsDf.select(col("word"), col("bits"))
+      .write.mode("overwrite").parquet(s"$path/bits")
+    import spark.implicits._
+    Seq((mBits, k)).toDF("m_bits", "k").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a persisted filter. Filters at or under
+    * `broadcastMaxBits` (default 2^28 bits = 32 MiB dense) collect to
+    * the dense array and take the zero-shuffle broadcast kernel;
+    * larger filters stay distributed and take the join kernel — the
+    * same two shapes as the in-memory API, chosen from the persisted
+    * meta. */
+  def probeBloom(
+      probes: DataFrame, keyCol: String, path: String,
+      broadcastMaxBits: Long = 1L << 28): DataFrame = {
+    val spark = probes.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val mBits = meta.getLong(0)
+    val k = meta.getInt(1)
+    val bitsDf = spark.read.parquet(s"$path/bits")
+    if (mBits <= broadcastMaxBits)
+      probeBroadcast(probes, keyCol, collectBits(bitsDf, mBits), mBits, k)
+    else
+      probes.join(probeJoin(probes, keyCol, bitsDf, mBits, k),
+        Seq(keyCol), "left")
+  }
+
+  /** Union two filters built with the SAME (m, k): per-word `bit_or`
+    * of the sparse frames. Because the filter is an abelian bit_or
+    * aggregate, `merge(bloomBits(A), bloomBits(B))` is BIT-IDENTICAL
+    * to `bloomBits(A ∪ B)` — epochs can be built independently and
+    * folded without touching the keys again. */
+  def mergeBits(bitsA: DataFrame, bitsB: DataFrame): DataFrame =
+    bitsA.unionByName(bitsB)
+      .groupBy(col("word"))
+      .agg(expr("bit_or(bits)").as("bits"))
+
   /** Join probe for filters kept distributed: returns the distinct
     * (keyCol, bloom_hit) verdict frame; callers join it back. */
   def probeJoin(

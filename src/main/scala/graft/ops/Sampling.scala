@@ -69,6 +69,28 @@ object Sampling {
         col("__cap_row._1").as(scoreCol))
   }
 
+  /** Exact-k deterministic uniform sample per stratum — the
+    * distributed, rerun-stable replacement for per-group reservoir
+    * sampling: rank each row by the integer value of the first 15 hex
+    * chars of md5(id) (a 60-bit uniform draw that is a pure function
+    * of the id) and keep each stratum's top `n` via the same
+    * bounded-heap aggregate as [[capPerStratum]]. Unlike a seeded
+    * reservoir, membership is independent of partitioning, task
+    * order, and engine — the identical rule is ANSI-expressible
+    * (md5-prefix DESC ordering), so the kept set is fully
+    * oracle-checkable. Same scale shape as the cap: ≤ 4n pairs per
+    * stratum per map task, one pairs-only exchange, the corpus never
+    * shuffles. */
+  def uniformPerStratum(
+      docs: DataFrame, stratumCol: String, idCol: String, n: Int): DataFrame =
+    capPerStratum(
+      docs.select(col(stratumCol), col(idCol))
+        .withColumn("__res_score",
+          conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+            .cast("long")),
+      stratumCol, idCol, "__res_score", n)
+      .drop("__res_score")
+
   def mixtureResample(
       docs: DataFrame, stratumCol: String, idCol: String,
       targets: Map[String, (Int, Int)]): DataFrame = {

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Membership, Packing, Sampling, Text}
+import graft.ops.{Membership, Packing, Sampling, Sharding, Text}
 
 /** Corpus-curation operators beyond the round-6 surface: per-source
   * caps, sequence packing, and Bloom-filter membership — each with a
@@ -38,8 +38,12 @@ object CurationQueries {
   def packQ(s: SparkSession, dir: String): DataFrame = {
     val budget = 256L
     val buckets = 8
+    // checkpoint the tokenized (id, tok) frame ONCE: it feeds both the
+    // independent input-totals aggregate and the packing sweep, so the
+    // regex tokenize runs a single pass over the corpus
     val dd = docs(s, dir).select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("toks"))
+      .localCheckpoint(true)
     // consumed by three aggregates below — the doc-level frame is
     // (id, tok, bucket, bin) at 32 bytes/doc, checkpointed once
     val packed = Packing.packNextFit(dd, "doc_id", "toks", budget, buckets)
@@ -113,10 +117,30 @@ object CurationQueries {
       .orderBy(col("side"))
   }
 
+  /** Per-stratum deterministic uniform sample — 16 docs per source by
+    * the md5-rank rule ([[graft.ops.Sampling.uniformPerStratum]]).
+    * EXACT value oracle: the kept set is `row_number()` over the
+    * md5-prefix DESC ordering, so every kept (source, doc_id) row
+    * hash-matches DuckDB. */
+  def reservoirQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.uniformPerStratum(docs(s, dir), "source", "doc_id", 16)
+      .orderBy(col("source"), col("doc_id"))
+
+  /** Epoch-shuffle shard manifest — 256 md5-prefix shards
+    * ([[graft.ops.Sharding.manifest]]), per-shard count / size / id
+    * range. EXACT value oracle (plain SQL group-by); the physical
+    * writer twin ([[graft.ops.Sharding.writeShards]]) is spec-gated
+    * (layout, pruning, global-permutation order). */
+  def shardManifestQ(s: SparkSession, dir: String): DataFrame =
+    Sharding.manifest(docs(s, dir), "doc_id", "n_chars", 2)
+      .orderBy(col("shard"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
-    "q_bloom_membership" -> (bloomQ _)
+    "q_bloom_membership" -> (bloomQ _),
+    "q_sample_reservoir" -> (reservoirQ _),
+    "q_shard_manifest" -> (shardManifestQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -141,6 +165,23 @@ object CurationQueries {
          SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n
          UNION ALL SELECT 'present_bc', c, true FROM n
          UNION ALL SELECT 'present_join', c, true FROM n
-         ORDER BY side"""
+         ORDER BY side""",
+    "q_sample_reservoir" ->
+      """SELECT source, doc_id FROM (
+           SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+               ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) DESC,
+                        doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 16
+         ORDER BY source, doc_id""",
+    "q_shard_manifest" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS shard,
+           count(1) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS size_sum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents
+         GROUP BY 1
+         ORDER BY shard"""
   )
 }

@@ -45,4 +45,20 @@ class CapSpec extends SparkSpec {
     got.exceptAll(want).count() shouldBe 0
     want.exceptAll(got).count() shouldBe 0
   }
+
+  "Sampling.uniformPerStratum" should "match the md5-rank window rule and be partitioning-stable" in {
+    val df = synth(1200)
+    val want = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("stratum").orderBy(
+          substring(md5(col("id").cast("string")), 1, 15).desc, col("id"))))
+      .filter(col("rn") <= 5)
+      .select("stratum", "id")
+    val got = Sampling.uniformPerStratum(df.repartition(16), "stratum", "id", 5)
+    got.exceptAll(want).count() shouldBe 0
+    want.exceptAll(got).count() shouldBe 0
+    // pure function of the data: identical under a different layout
+    val again = Sampling.uniformPerStratum(df.repartition(3), "stratum", "id", 5)
+    again.exceptAll(got).count() shouldBe 0
+  }
 }

@@ -42,6 +42,41 @@ class MembershipSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  it should "round-trip through the persisted epoch artifact" in {
+    val corpus = keys(1200)
+    val bitsDf = Membership.bloomBits(corpus, "key", m, k).cache()
+    val path = tmpDir("bloom-roundtrip")
+    Membership.writeBloom(bitsDf, m, k, path)
+    val probes = keys(2400, 600L)
+    val bits = Membership.collectBits(bitsDf, m)
+    val mem = Membership.probeBroadcast(probes, "key", bits, m, k)
+      .select(col("key"), col("bloom_hit").as("hit_mem"))
+    // broadcast-path read-back
+    val bc = Membership.probeBloom(probes, "key", path)
+      .select(col("key"), col("bloom_hit").as("hit_disk"))
+    bc.join(mem, Seq("key"))
+      .filter(col("hit_mem") =!= col("hit_disk")).count() shouldBe 0
+    // forced join-path read-back (broadcastMaxBits below m)
+    val jn = Membership.probeBloom(probes, "key", path, broadcastMaxBits = 64L)
+      .select(col("key"), col("bloom_hit").as("hit_disk"))
+    jn.join(mem, Seq("key"))
+      .filter(col("hit_mem") =!= col("hit_disk")).count() shouldBe 0
+  }
+
+  it should "merge epoch filters bit-identically to a joint build" in {
+    val a = keys(900)
+    val b = keys(900, 450L) // overlapping epochs
+    val merged = Membership.mergeBits(
+      Membership.bloomBits(a, "key", m, k),
+      Membership.bloomBits(b, "key", m, k))
+    val joint = Membership.bloomBits(a.unionByName(b), "key", m, k)
+    merged.withColumnRenamed("bits", "bits_m")
+      .join(joint, Seq("word"), "full")
+      .filter(col("bits").isNull || col("bits_m").isNull ||
+        col("bits") =!= col("bits_m"))
+      .count() shouldBe 0
+  }
+
   it should "agree between broadcast and join probes on mixed keys" in {
     val corpus = keys(1000)
     val bitsDf = Membership.bloomBits(corpus, "key", m, k).cache()
