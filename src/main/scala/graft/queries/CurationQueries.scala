@@ -135,12 +135,30 @@ object CurationQueries {
     Sharding.manifest(docs(s, dir), "doc_id", "n_chars", 2)
       .orderBy(col("shard"))
 
+  /** Epoch-preparation composition — the layout half of the training
+    * pipeline, end-to-end and fully value-oracled: token-count quality
+    * gate (5 ≤ n_words ≤ 10000) → per-source cap (top 50 by n_words,
+    * [[graft.ops.Sampling.capPerStratum]]) → 16-shard epoch manifest
+    * ([[graft.ops.Sharding.manifest]]). Composition cost = the cap's
+    * single pairs exchange + the manifest's shard-count aggregate; the
+    * quality gate and shard key are scan-fused projections, so
+    * documents never shuffle — the same per-stage shapes the operators
+    * gate individually, proven to survive composition. */
+  def epochPrepQ(s: SparkSession, dir: String): DataFrame = {
+    val t = docs(s, dir).select(col("source"), col("doc_id"),
+      size(Text.tokens(col("text"))).cast("long").as("n_words"))
+    val q = t.filter(col("n_words").between(5, 10000))
+    val c = Sampling.capPerStratum(q, "source", "doc_id", "n_words", 50)
+    Sharding.manifest(c, "doc_id", "n_words", 1).orderBy(col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
     "q_bloom_membership" -> (bloomQ _),
     "q_sample_reservoir" -> (reservoirQ _),
-    "q_shard_manifest" -> (shardManifestQ _)
+    "q_shard_manifest" -> (shardManifestQ _),
+    "q_epoch_prep" -> (epochPrepQ _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -181,6 +199,26 @@ object CurationQueries {
            CAST(sum(n_chars) AS BIGINT) AS size_sum,
            min(doc_id) AS min_id, max(doc_id) AS max_id
          FROM documents
+         GROUP BY 1
+         ORDER BY shard""",
+    "q_epoch_prep" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_words
+           FROM documents),
+         q AS (SELECT * FROM t WHERE n_words BETWEEN 5 AND 10000),
+         c AS (
+           SELECT source, doc_id, n_words FROM (
+             SELECT source, doc_id, n_words,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_words DESC, doc_id) AS rn
+             FROM q)
+           WHERE rn <= 50)
+         SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           count(1) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS size_sum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM c
          GROUP BY 1
          ORDER BY shard"""
   )
