@@ -77,4 +77,35 @@ object Sharding {
       .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
       .write.partitionBy("shard").mode("overwrite").parquet(path)
   }
+
+  /** Append one micro-batch to a STREAMED shard layout:
+    * `path/batch=<id>/shard=<h>/…`, batch-id-keyed overwrite — the
+    * replay-idempotence contract of every streamed artifact here
+    * (re-running a batch leaves exactly one copy). Because shard and
+    * order are pure functions of the id, the compacted layout is
+    * INDEPENDENT of how the stream happened to batch the corpus. */
+  def writeShardBatch(
+      batch: DataFrame, idCol: String, hexChars: Int, path: String,
+      batchId: Long): Unit =
+    assignShards(batch, idCol, hexChars)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite")
+      .parquet(s"$path/batch=$batchId")
+
+  /** Fold accumulated `batch=<id>` partitions into one `batch=-1`
+    * epoch (same contract as the dedup/ANN index compactions): one
+    * shuffle of the streamed rows, per-shard file count back to ~1,
+    * within-shard epoch order restored globally. Write-then-rename via
+    * [[graft.io.Fs.replaceDir]]. */
+  def compactShards(
+      spark: org.apache.spark.sql.SparkSession, idCol: String,
+      path: String): Unit = {
+    val tmp = s"$path.compact"
+    spark.read.parquet(path).drop("batch")
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
+    graft.io.Fs.replaceDir(spark, tmp, path)
+  }
 }

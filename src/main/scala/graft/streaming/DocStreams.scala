@@ -285,4 +285,27 @@ object DocStreams {
       .parquet(s"$sinkPath/decisions/batch=$batchId")
     Dedup.appendDedupIndex(survivors, textCol, idCol, indexPath, batchId)
   }
+
+  /** Streaming EPOCH-LAYOUT ingest: deal each micro-batch of curated
+    * docs into the sharded training layout
+    * ([[graft.ops.Sharding.writeShardBatch]] — batch-id-keyed, so
+    * at-least-once replays rewrite their own partitions). Shard and
+    * within-shard order are pure md5 functions of the id, so after
+    * [[graft.ops.Sharding.compactShards]] the layout is BYTE-ORDER
+    * IDENTICAL to a one-shot [[graft.ops.Sharding.writeShards]] of the
+    * same corpus — how the stream happened to batch the data leaves no
+    * trace (asserted in `DocStreamsSpec`). */
+  def shardIngest(
+      docs: DataFrame, idCol: String, hexChars: Int,
+      sinkPath: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Sharding.writeShardBatch(
+            batch, idCol, hexChars, sinkPath, batchId)
+        ()
+      }
+      .start()
 }

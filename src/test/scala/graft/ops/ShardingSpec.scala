@@ -65,7 +65,42 @@ class ShardingSpec extends SparkSpec {
       .filter(col("shard") === "a").count()
   }
 
-  it should "produce the global md5 permutation across shards" in {
+  "Sharding.writeShardBatch" should "be replay-idempotent and compact to the one-shot layout" in {
+    val df = synth(400)
+    import spark.implicits._
+    val streamed = tmpDir("shards-streamed")
+    val oneShot = tmpDir("shards-oneshot")
+    // batch-keyed appends never clear the root (by design — that's the
+    // compaction's job), so a re-run must start from an empty layout
+    graft.io.Fs.deleteRecursive(spark, streamed)
+    val batches = Seq(
+      df.filter(col("doc_id") % 3 === 0),
+      df.filter(col("doc_id") % 3 === 1),
+      df.filter(col("doc_id") % 3 === 2))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Sharding.writeShardBatch(b, "doc_id", 1, streamed, i.toLong)
+    }
+    // at-least-once replay of batch 1 rewrites its own partitions
+    Sharding.writeShardBatch(batches(1), "doc_id", 1, streamed, 1L)
+    spark.read.parquet(streamed).count() shouldBe 400
+
+    Sharding.compactShards(spark, "doc_id", streamed)
+    Sharding.writeShards(df, "doc_id", 1, oneShot)
+    // single epoch partition, ≤ one file per shard
+    new java.io.File(streamed).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).toSeq shouldBe Seq("batch=-1")
+    // layout equality with the one-shot writer: same rows, same order
+    val a = spark.read.parquet(streamed)
+      .orderBy(col("shard"), col("shard_order"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val b = spark.read.parquet(oneShot)
+      .orderBy(col("shard"), col("shard_order"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    a shouldBe b
+    a.length shouldBe 400
+  }
+
+  "Sharding.writeShards" should "produce the global md5 permutation across shards" in {
     val df = synth(300)
     val path = tmpDir("shards-order")
     Sharding.writeShards(df, "doc_id", 1, path)

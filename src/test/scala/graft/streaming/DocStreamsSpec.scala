@@ -304,4 +304,35 @@ class DocStreamsSpec extends SparkSpec {
       decisions.get(math.max(a, b)).foreach { st => st should not be "kept" }
     }
   }
+
+  "shardIngest" should "compact to a layout independent of stream batching" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sink = tmpDir("shard-ingest-sink")
+    val oneShot = tmpDir("shard-ingest-oneshot")
+    graft.io.Fs.deleteRecursive(spark, sink)
+    val all = (0L until 120L).map(i => (i, s"doc $i", 10L + i % 40))
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = DocStreams.shardIngest(
+      mem.toDF().toDF("doc_id", "text", "n_chars"), "doc_id", 1, sink)
+    try {
+      mem.addData(all.take(50): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(50): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.read.parquet(sink).count() shouldBe 120
+
+    graft.ops.Sharding.compactShards(spark, "doc_id", sink)
+    graft.ops.Sharding.writeShards(
+      all.toDF("doc_id", "text", "n_chars"), "doc_id", 1, oneShot)
+    val a = spark.read.parquet(sink)
+      .orderBy(col("shard"), col("shard_order"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    val b = spark.read.parquet(oneShot)
+      .orderBy(col("shard"), col("shard_order"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSeq
+    a shouldBe b
+    a.length shouldBe 120
+  }
 }
