@@ -46,6 +46,16 @@ class CapSpec extends SparkSpec {
     want.exceptAll(got).count() shouldBe 0
   }
 
+  it should "plan as a partial aggregate, never a window" in {
+    val df = synth(500)
+    val plan = Sampling.capPerStratum(df, "stratum", "id", "score", 7)
+      .queryExecution.executedPlan.toString
+    // the point of the operator: map-side bounded-heap partials (no
+    // whole-group shuffle to a single window task)
+    plan should include("ObjectHashAggregate")
+    plan should not include "Window"
+  }
+
   "Sampling.uniformPerStratum" should "match the md5-rank window rule and be partitioning-stable" in {
     val df = synth(1200)
     val want = df
