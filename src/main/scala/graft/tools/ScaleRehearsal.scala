@@ -115,7 +115,15 @@ object ScaleRehearsal {
       "op_simhash_pairs" -> ((s: SparkSession, d: String) =>
         graft.ops.Dedup.simhashNearDups(
           s.read.parquet(s"$d/documents.parquet"), "text", "doc_id",
-          maxHamming = 3).count()))
+          maxHamming = 3).count()),
+      // the epoch shuffle itself: full-corpus deal-out into the sharded
+      // training layout (one hash exchange + in-task sort + hive write)
+      "op_shard_write" -> ((s: SparkSession, d: String) => {
+        val out = "target/rehearse_shards"
+        graft.ops.Sharding.writeShards(
+          s.read.parquet(s"$d/documents.parquet"), "doc_id", 2, out)
+        s.read.parquet(out).count()
+      }))
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
