@@ -56,4 +56,40 @@ class PackingSpec extends SparkSpec {
     a.join(b.select(col("doc_id"), col("bin_id").as("bin_b")), Seq("doc_id"))
       .filter(col("bin_id") =!= col("bin_b")).count() shouldBe 0
   }
+
+  it should "equal a sequential next-fit-decreasing reference bit-for-bit" in {
+    // the assignment is DEFINED deterministically, so a plain Scala
+    // replay of the contract (per id-mod bucket: sort (toks desc, id),
+    // sweep, bin = bucket<<32 | seq) must reproduce the labels exactly
+    // — random workloads incl. all-oversized and budget-boundary docs
+    val rng = new scala.util.Random(4242)
+    val docs = (0 until 700).map { i =>
+      val tok = rng.nextInt(4) match {
+        case 0 => 1L + rng.nextInt(10)            // tiny
+        case 1 => budget - 2 + rng.nextInt(5)     // boundary straddlers
+        case 2 => budget * (2 + rng.nextInt(3))   // oversized
+        case _ => 1L + rng.nextInt(budget.toInt)  // general
+      }
+      (i.toLong, tok)
+    }
+    val expected = docs
+      .groupBy { case (id, _) => (id % buckets).toInt }
+      .flatMap { case (bucket, ds) =>
+        var bin = 0L
+        var fill = 0L
+        var first = true
+        ds.sortBy { case (id, tok) => (-tok, id) }.map { case (id, tok) =>
+          if (!first && fill > 0L && fill + tok > budget) { bin += 1L; fill = 0L }
+          first = false
+          fill += tok
+          id -> ((bucket.toLong << 32) | bin)
+        }
+      }
+    import spark.implicits._
+    val got = Packing.packNextFit(
+        docs.toDF("doc_id", "toks").repartition(11), "doc_id", "toks",
+        budget, buckets)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    got shouldBe expected
+  }
 }
