@@ -69,6 +69,64 @@ object Sampling {
         col("__cap_row._1").as(scoreCol))
   }
 
+  /** Repeat-factor plan — the UPSAMPLING half of mixture weighting
+    * ([[mixtureResample]] deliberately never upsamples; real recipes
+    * repeat high-quality sources across an epoch — public precedent:
+    * the GPT-3 / Pile mixture tables' epoch counts). Stratum s with
+    * target weight num/den over corpus total N aims at
+    * target_s = num·N/den rows per epoch: every doc in s gets
+    * `n_copies = base_s` (integer division, exact BigInt arithmetic)
+    * plus one extra iff its md5 4-hex prefix sorts below the
+    * fractional-tail threshold (remainder quantized to
+    * [[Granularity]]) — so Σ n_copies tracks target_s within
+    * cnt_s/65536 + 1, and WHICH docs carry the extra copy is a pure
+    * function of the id (stable across runs, partitionings, engines).
+    * Strata absent from `targets` drop (weight 0); docs can carry
+    * n_copies = 0 (pure-downsample strata) — loaders filter.
+    *
+    * Scale shape: identical to [[mixtureResample]] — one
+    * stratum-count census, a broadcast of (base, tail) per stratum,
+    * and a codegen'd projection; the corpus never shuffles. */
+  def epochRepeats(
+      docs: DataFrame, stratumCol: String, idCol: String,
+      targets: Map[String, (Int, Int)]): DataFrame = {
+    require(targets.values.forall { case (num, den) => num >= 0 && den > 0 },
+      s"need non-negative weights with positive denominators, got $targets")
+    val spark = docs.sparkSession
+    val countRows = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val total = countRows.map(_.getLong(1)).sum
+    val plan = countRows.flatMap { r =>
+      val stratum = r.getString(0)
+      val cnt = r.getLong(1)
+      targets.get(stratum).map { case (num, den) =>
+        val tgt = BigInt(num) * total
+        val denom = BigInt(den) * cnt
+        val base = tgt / denom
+        val tail = ((tgt - base * denom) * Granularity) / denom
+        (stratum, base.toLong,
+          if (tail >= Granularity) "g" else f"${tail.toLong}%04x")
+      }
+    }
+    val tDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        plan.toSeq.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__rep_stratum",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__rep_base",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__rep_tail_below",
+          org.apache.spark.sql.types.StringType))))
+    docs
+      .join(broadcast(tDf), col(stratumCol) === col("__rep_stratum"))
+      .withColumn("n_copies",
+        col("__rep_base") +
+          when(substring(md5(col(idCol).cast("string")), 1, 4) <
+            col("__rep_tail_below"), 1L).otherwise(0L))
+      .drop("__rep_stratum", "__rep_base", "__rep_tail_below")
+  }
+
   /** Exact-k deterministic uniform sample per stratum — the
     * distributed, rerun-stable replacement for per-group reservoir
     * sampling: rank each row by the integer value of the first 15 hex

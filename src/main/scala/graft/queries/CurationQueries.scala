@@ -152,7 +152,26 @@ object CurationQueries {
     Sharding.manifest(c, "doc_id", "n_words", 1).orderBy(col("shard"))
   }
 
+  /** Epoch repeat-factor plan — per-language upsampling
+    * ([[graft.ops.Sampling.epochRepeats]]): de at 2/5 (base-2 repeats),
+    * en at 1/10 (pure fractional tail), zh at 3/5 (base 3), es/fr
+    * dropped. EXACT value oracle: base/tail arithmetic and the md5
+    * tail membership are both reproduced in DuckDB integer SQL, so
+    * per-stratum copy totals hash-match — every branch (multi-epoch,
+    * fractional-only, dropped) exercised on real data. */
+  def repeatsQ(s: SparkSession, dir: String): DataFrame = {
+    val planned = Sampling.epochRepeats(docs(s, dir), "lang", "doc_id",
+      Map("de" -> (2, 5), "en" -> (1, 10), "zh" -> (3, 5)))
+    planned.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_copies_total"),
+        sum(when(col("n_copies") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mix_repeats" -> (repeatsQ _),
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
     "q_bloom_membership" -> (bloomQ _),
@@ -162,6 +181,38 @@ object CurationQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_mix_repeats" ->
+      """WITH w(lang, num, den) AS (
+           VALUES ('de', 2, 5), ('en', 1, 10), ('zh', 3, 5)),
+         c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY 1),
+         tot AS (SELECT count(1) AS n FROM documents),
+         plan AS (
+           SELECT c.lang, c.cnt, w.num, w.den,
+             (CAST(w.num AS HUGEINT) * n) // (CAST(w.den AS HUGEINT) * cnt)
+               AS base,
+             ((CAST(w.num AS HUGEINT) * n -
+               ((CAST(w.num AS HUGEINT) * n) //
+                (CAST(w.den AS HUGEINT) * cnt)) *
+               (CAST(w.den AS HUGEINT) * cnt)) * 65536) //
+             (CAST(w.den AS HUGEINT) * cnt) AS tail
+           FROM c JOIN w USING (lang), tot),
+         kb AS (
+           SELECT lang, cnt, base,
+             CASE WHEN tail >= 65536 THEN 'g'
+                  ELSE printf('%04x', CAST(tail AS INT)) END AS tail_below
+           FROM plan),
+         per_doc AS (
+           SELECT d.lang,
+             k.base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                                < k.tail_below THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN kb k USING (lang))
+         SELECT lang, count(1) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+           CAST(sum(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+         FROM per_doc
+         GROUP BY 1
+         ORDER BY lang""",
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars FROM (
            SELECT source, doc_id, n_chars,

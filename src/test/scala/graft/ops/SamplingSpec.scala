@@ -48,4 +48,42 @@ class SamplingSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Sampling.mixtureResample(df, "stratum", "doc_id", Map("a" -> (1, 0)))
   }
+
+  "epochRepeats" should "match the exact base/tail arithmetic and track targets" in {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "stratum")
+    // a: 400/500 rows at target 3/4 of 500 = 375 → base 0, tail 15/16;
+    // b: 100 rows at target 3/1 of 500 = 1500 → base 15 (multi-epoch)
+    val t = Map("a" -> (3, 4), "b" -> (3, 1))
+    val planned = Sampling.epochRepeats(df, "stratum", "doc_id", t).cache()
+    // exact reference: replicate the BigInt plan per stratum
+    val counts = Map("a" -> 400L, "b" -> 100L)
+    val total = 500L
+    counts.foreach { case (s, cnt) =>
+      val (num, den) = t(s)
+      val tgt = BigInt(num) * total
+      val denom = BigInt(den) * cnt
+      val base = (tgt / denom).toLong
+      val tailHex = f"${(((tgt - base * denom) * 65536) / denom).toLong}%04x"
+      val rows = planned.filter(col("stratum") === s)
+        .select("doc_id", "n_copies").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rows.size shouldBe cnt
+      rows.foreach { case (id, c) =>
+        val md5p = java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 4)
+        c shouldBe (base + (if (md5p < tailHex) 1L else 0L))
+      }
+      // Σ copies tracks the target within the quantization bound
+      val sum = rows.values.sum
+      math.abs(sum - (tgt / BigInt(den)).toLong) should be <= (cnt / 65536 + 2)
+    }
+    // absent strata drop; stability under repartitioning
+    val again = Sampling.epochRepeats(df.repartition(13), "stratum", "doc_id", t)
+    again.exceptAll(planned).count() shouldBe 0
+    Sampling.epochRepeats(df, "stratum", "doc_id", Map("b" -> (1, 1)))
+      .select("stratum").distinct().collect()
+      .map(_.getString(0)).toSeq shouldBe Seq("b")
+  }
 }
