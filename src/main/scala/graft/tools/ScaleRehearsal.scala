@@ -88,7 +88,7 @@ object ScaleRehearsal {
       "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample",
       "q_curation_pipeline", "q_source_cap", "q_pack_sequences",
       "q_bloom_membership", "q_sample_reservoir", "q_shard_manifest",
-      "q_epoch_prep")
+      "q_epoch_prep", "q_mix_repeats")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
