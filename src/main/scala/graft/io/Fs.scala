@@ -27,9 +27,13 @@ object Fs {
   }
 
   /** Replace `dest` with the fully-written directory at `tmp` — the
-    * commit step of an epoch compaction: delete the old tree, rename
-    * the new one into place. Rename is atomic on HDFS/local and
-    * copy-free; the delete→rename window is the same non-atomic gap
+    * commit step of an epoch compaction. The swap renames the live
+    * tree ASIDE (`dest.old`) before renaming `tmp` into place, so a
+    * failed second rename (cross-filesystem tmp, an object store with
+    * no native rename) leaves a recoverable tree: the live index is
+    * restored from `dest.old` and the compacted data stays intact in
+    * `tmp`. Rename is atomic on HDFS/local and copy-free; the
+    * aside→rename window is the same non-atomic reader-visibility gap
     * every hive-layout overwrite has, so compaction should run from
     * the maintenance role that owns the index, not concurrently with
     * readers of the same path. */
@@ -37,10 +41,20 @@ object Fs {
     val conf = spark.sparkContext.hadoopConfiguration
     val tmpP = new Path(tmp)
     val destP = new Path(dest)
+    val oldP = new Path(dest + ".old")
     val fs = destP.getFileSystem(conf)
     require(fs.exists(tmpP), s"compacted dir missing: $tmp")
-    fs.delete(destP, true)
-    if (!fs.rename(tmpP, destP))
-      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    fs.delete(oldP, true) // leftover aside from a crashed earlier swap
+    val hadDest = fs.exists(destP)
+    if (hadDest && !fs.rename(destP, oldP))
+      throw new java.io.IOException(s"rename $dest -> $oldP failed")
+    if (!fs.rename(tmpP, destP)) {
+      // roll back: put the live tree back before surfacing the failure
+      if (hadDest) fs.rename(oldP, destP)
+      throw new java.io.IOException(
+        s"rename $tmp -> $dest failed; live index restored, compacted " +
+          s"data left in $tmp")
+    }
+    if (hadDest) fs.delete(oldP, true)
   }
 }

@@ -213,27 +213,42 @@ object Dedup {
     * decontaminates against the stored hashes
     * ([[decontaminateIndexed]]) and the eval docs are never
     * re-shingled. Stored as plain parquet of 8-byte hashes — eval-set
-    * sized, trivially scannable. */
+    * sized, trivially scannable — plus a one-row `meta` frame pinning
+    * the shingle width `n`, so a probe with a drifted width fails
+    * loudly instead of silently producing wrong overlap counts. */
   def writeEvalShingleIndex(
       evalDocs: DataFrame, textCol: String, idCol: String, path: String,
       n: Int = 4): Unit = {
-    graft.io.Fs.deleteRecursive(evalDocs.sparkSession, path)
+    val spark = evalDocs.sparkSession
+    graft.io.Fs.deleteRecursive(spark, path)
     docShingles(evalDocs, textCol, idCol, n)
       .select(explode(col("shingles")).as("shingle")).distinct()
       .write.mode("overwrite").parquet(s"$path/shingles")
+    spark.range(1).select(lit(n).as("n"))
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /** [[decontaminate]] against a persisted eval index: identical
     * output for the same eval set (DedupSpec asserts equality and that
     * the executed plan reads the index path), cost ∝ batch + one
     * index scan. This is the production ingest shape — per batch,
-    * nothing eval-sized is recomputed. */
+    * nothing eval-sized is recomputed. The shingle width is DERIVED
+    * from the index's stored meta — the index hashes are only
+    * comparable to candidate shingles of the same width, so trusting a
+    * caller-passed width risks silently-wrong verdicts on drift; pass
+    * `n` only to cross-check (mismatch throws). */
   def decontaminateIndexed(
       cands: DataFrame, indexPath: String, textCol: String, idCol: String,
-      n: Int = 4, minOverlap: Int = 1): DataFrame =
+      n: Int = -1, minOverlap: Int = 1): DataFrame = {
+    val storedN = cands.sparkSession.read.parquet(s"$indexPath/meta")
+      .head().getAs[Int]("n")
+    require(n == -1 || n == storedN,
+      s"eval shingle index at $indexPath was built with n=$storedN " +
+        s"but caller requested n=$n")
     decontaminateAgainst(cands,
       cands.sparkSession.read.parquet(s"$indexPath/shingles"),
-      textCol, idCol, n, minOverlap)
+      textCol, idCol, storedN, minOverlap)
+  }
 
   private def decontaminateAgainst(
       cands: DataFrame, evalShingles: DataFrame, textCol: String,
@@ -370,10 +385,16 @@ object Dedup {
     * is pure maintenance: shingle and band rows are merged unchanged
     * (each document's rows live in exactly one batch — the
     * replay-idempotent overwrite contract), and the content-hash table
-    * re-aggregates min(hash_doc_id) per hash, which is exactly what a
-    * fresh [[writeDedupIndex]] over the union of documents would have
-    * produced (min of per-batch minima = global min). Each family is
-    * written complete to a sibling `.compact` dir and swapped in via
+    * folds to the (min, max) holder rows per hash — up to two rows
+    * where the per-batch layout had one per batch. Keeping BOTH
+    * extremes (not just the global min) preserves
+    * [[exactGroupsIncremental]]'s replay detection byte-for-byte: its
+    * cmin/cmax re-aggregation over the stored rows yields identical
+    * values before and after compaction, so a replayed document that
+    * happens to be the min holder of a hash shared with another batch
+    * still sees "some corpus holder ≠ me" and keeps its
+    * `dup_of_corpus` status. Each family is written complete to a
+    * sibling `.compact` dir and swapped in via
     * [[graft.io.Fs.replaceDir]] — run it from the maintenance role
     * that owns the index, not concurrently with readers. */
   def compactDedupIndex(spark: SparkSession, path: String): Unit = {
@@ -381,7 +402,11 @@ object Dedup {
     compactFamily(spark, s"$path/bands")(identity)
     compactFamily(spark, s"$path/hashes")(
       _.groupBy(col("text_hash"))
-        .agg(min(col("hash_doc_id")).as("hash_doc_id")))
+        .agg(min(col("hash_doc_id")).as("mn"),
+          max(col("hash_doc_id")).as("mx"))
+        .select(col("text_hash"),
+          explode(array_distinct(array(col("mn"), col("mx"))))
+            .as("hash_doc_id")))
   }
 
   /** Read every batch of one artifact family, apply `transform` to the
@@ -826,7 +851,12 @@ object Dedup {
         .distinct().localCheckpoint(true)
       large.unpersist()
       val cur = checksum(next)
-      done = prev == cur
+      // checksum equality is necessary but NOT sufficient for a
+      // fixpoint (a collision would exit mid-contraction with wrong
+      // labels): confirm exactly with one set-difference job, paid on
+      // the final round only. Both sides are distinct sets, so equal
+      // counts + empty difference ⇒ set equality.
+      done = prev == cur && next.except(edges).isEmpty
       prev = cur
       edges.unpersist()
       edges = next

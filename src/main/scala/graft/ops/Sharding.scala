@@ -97,15 +97,27 @@ object Sharding {
     * epoch (same contract as the dedup/ANN index compactions): one
     * shuffle of the streamed rows, per-shard file count back to ~1,
     * within-shard epoch order restored globally. Write-then-rename via
-    * [[graft.io.Fs.replaceDir]]. */
+    * [[graft.io.Fs.replaceDir]].
+    *
+    * The read pins partition-column type inference OFF: `shard` values
+    * are hex strings, and a small streamed epoch whose observed shards
+    * all happen to be numeric (plausible at hexChars ≤ 2) would
+    * otherwise be re-inferred as int, making the partitionBy rewrite
+    * rename directories (shard=07 → shard=7) and break byte-identity
+    * with [[writeShards]]. */
   def compactShards(
       spark: org.apache.spark.sql.SparkSession, idCol: String,
       path: String): Unit = {
     val tmp = s"$path.compact"
-    spark.read.parquet(path).drop("batch")
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
-      .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.get(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      spark.read.parquet(path).drop("batch")
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("shard"), col("shard_order"), col(idCol))
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
+    } finally spark.conf.set(inferKey, prev)
     graft.io.Fs.replaceDir(spark, tmp, path)
   }
 }

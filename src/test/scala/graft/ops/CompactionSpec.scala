@@ -90,6 +90,31 @@ class CompactionSpec extends SparkSpec {
     exact() shouldBe exactBefore
   }
 
+  it should "preserve the replayed-min-holder corner across compaction" in {
+    import spark.implicits._
+    val base = tmpDir("compact-dedup-replay") + "/idx"
+    graft.io.Fs.deleteRecursive(spark, base)
+    val shared = "identical shared text held by two different batches"
+    Dedup.writeDedupIndex(
+      Seq((5L, shared), (6L, "unrelated corpus filler text")).toDF("doc_id", "text"),
+      "text", "doc_id", base)
+    Dedup.appendDedupIndex(
+      Seq((9L, shared)).toDF("doc_id", "text"),
+      "text", "doc_id", base, batchId = 1L)
+    // replay of doc 5: it is the MIN holder of `shared`, but batch 1's
+    // doc 9 also holds it, so the replay must re-derive dup_of_corpus —
+    // a min-only hash fold would collapse cmin=cmax=5 and flip it to
+    // "new". The (min, max) fold keeps cmax=9 visible.
+    def status(): Map[Long, String] =
+      Dedup.exactGroupsIncremental(
+        spark.read.parquet(s"$base/hashes"),
+        Seq((5L, shared)).toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    status() shouldBe Map(5L -> "dup_of_corpus")
+    Dedup.compactDedupIndex(spark, base)
+    status() shouldBe Map(5L -> "dup_of_corpus")
+  }
+
   "compactPhashIndex" should "merge signature batches row-identically" in {
     import spark.implicits._
     val base = tmpDir("compact-phash") + "/idx"

@@ -95,6 +95,22 @@ class TextAndMultimodalSpec extends SparkSpec {
     spark.read.parquet(s"$idx/shingles").count() shouldBe 3L // distinct 4-grams of the eval doc
   }
 
+  it should "derive the shingle width from the index meta and reject drift" in {
+    import spark.implicits._
+    val cands = Seq((1L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val ev = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val idx = tmpDir("decontam-index-meta")
+    Dedup.writeEvalShingleIndex(ev, "text", "doc_id", idx, n = 3)
+    // width comes from the stored meta, not the callee default of 4
+    val derived = Dedup.decontaminateIndexed(cands, idx, "text", "doc_id")
+    derived.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq shouldBe
+      Dedup.decontaminate(cands, ev, "text", "doc_id", n = 3)
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    // an explicitly-drifted caller width fails loudly
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.decontaminateIndexed(cands, idx, "text", "doc_id", n = 4)
+  }
+
   "WordShingles" should "agree with the declarative shingle expression" in {
     import spark.implicits._
     graft.functions.WordShingles.register(spark)
