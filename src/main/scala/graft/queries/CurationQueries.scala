@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Membership, Packing, Sampling, Sharding, Text}
 
@@ -117,6 +117,79 @@ object CurationQueries {
       .orderBy(col("side"))
   }
 
+  /** Persisted-Bloom epoch gate — the disk path of
+    * [[graft.ops.Membership]] end-to-end, driver-visible (it was
+    * spec-only through round 7). Two epoch halves are built
+    * independently (even/odd doc_id), merged
+    * ([[graft.ops.Membership.mergeBits]]), and persisted
+    * ([[graft.ops.Membership.writeBloom]]); probes then run through
+    * BOTH [[graft.ops.Membership.probeBloom]] kernels — broadcast
+    * (filter fits the default threshold) and distributed join (forced
+    * with `broadcastMaxBits = 0`) — for a present and an absent key
+    * set. One row per check:
+    *  - `merge_eq_joint`: the merged sparse frame is word-for-word
+    *    identical to a joint single-pass build — the abelian-bit_or
+    *    epoch-fold claim, checked on the exact frames that hit disk;
+    *  - `present_bc` / `present_join`: every present key hits through
+    *    the persisted filter in both kernels (zero false negatives
+    *    survive the parquet round-trip) AND each persisted verdict
+    *    equals the in-memory kernel's verdict per key;
+    *  - `absent_bc` / `absent_join`: both kernels agree with the
+    *    in-memory verdicts per key (same bits ⇒ same deterministic
+    *    false-positive pattern) and the FP rate stays ≤ 2 %.
+    * The filter is metadata-sized (m/64 words); probes are the same
+    * zero-shuffle / skinny-join shapes the in-memory gate audits, plus
+    * one parquet scan of the bits. */
+  def bloomPersistedQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"target/tmp-bloom-$slug"
+    graft.io.Fs.deleteRecursive(s, root)
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    var m = 1L << 17
+    while (m < 16L * n) m <<= 1
+    val merged = Membership.mergeBits(
+        Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", m, k),
+        Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 1),
+          "doc_id", m, k))
+      .localCheckpoint(true)
+    val joint = Membership.bloomBits(d, "doc_id", m, k).localCheckpoint(true)
+    val mergeEq = merged.withColumnRenamed("bits", "mb")
+      .join(joint.withColumnRenamed("bits", "jb"), Seq("word"), "full_outer")
+      .agg(coalesce(
+        expr("bool_and(mb IS NOT NULL AND jb IS NOT NULL AND mb = jb)"),
+        lit(true)).as("ok"))
+      .select(lit("merge_eq_joint").as("side"), lit(n).as("n_probes"),
+        col("ok"))
+    Membership.writeBloom(merged, m, k, s"$root/idx")
+    val bits = Membership.collectBits(joint, m)
+    val absent = d.select((col("doc_id") + lit(1000000000000L)).as("doc_id"))
+    // persisted verdicts through one kernel vs the in-memory broadcast
+    // twin, folded to (all-agree, hit-count) per probe set
+    def sideRow(name: String, probes: DataFrame, bcMax: Long,
+        okOf: (Column, Column) => Column): DataFrame =
+      Membership.probeBloom(probes, "doc_id", s"$root/idx",
+          broadcastMaxBits = bcMax)
+        .withColumnRenamed("bloom_hit", "p_hit")
+        .join(Membership.probeBroadcast(probes, "doc_id", bits, m, k)
+          .withColumnRenamed("bloom_hit", "m_hit"), Seq("doc_id"))
+        .agg(count(lit(1)).as("n_probes"),
+          expr("bool_and(p_hit = m_hit)").as("agree"),
+          sum(when(col("p_hit"), 1L).otherwise(0L)).as("hits"))
+        .select(lit(name).as("side"), col("n_probes"),
+          (col("agree") && okOf(col("hits"), col("n_probes"))).as("ok"))
+    val rows = Seq(
+      sideRow("present_bc", d, 1L << 28, (h, np) => h === np),
+      sideRow("present_join", d, 0L, (h, np) => h === np),
+      sideRow("absent_bc", absent, 1L << 28,
+        (h, np) => h.cast("double") <= lit(0.02) * np.cast("double")),
+      sideRow("absent_join", absent, 0L,
+        (h, np) => h.cast("double") <= lit(0.02) * np.cast("double")))
+    rows.reduce(_.unionByName(_)).unionByName(mergeEq).orderBy(col("side"))
+  }
+
   /** Per-stratum deterministic uniform sample — 16 docs per source by
     * the md5-rank rule ([[graft.ops.Sampling.uniformPerStratum]]).
     * EXACT value oracle: the kept set is `row_number()` over the
@@ -175,6 +248,7 @@ object CurationQueries {
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
     "q_bloom_membership" -> (bloomQ _),
+    "q_bloom_persisted" -> (bloomPersistedQ _),
     "q_sample_reservoir" -> (reservoirQ _),
     "q_shard_manifest" -> (shardManifestQ _),
     "q_epoch_prep" -> (epochPrepQ _)
@@ -232,6 +306,14 @@ object CurationQueries {
     "q_bloom_membership" ->
       """WITH n AS (SELECT count(1) AS c FROM documents)
          SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n
+         UNION ALL SELECT 'present_bc', c, true FROM n
+         UNION ALL SELECT 'present_join', c, true FROM n
+         ORDER BY side""",
+    "q_bloom_persisted" ->
+      """WITH n AS (SELECT count(1) AS c FROM documents)
+         SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n
+         UNION ALL SELECT 'absent_join', c, true FROM n
+         UNION ALL SELECT 'merge_eq_joint', c, true FROM n
          UNION ALL SELECT 'present_bc', c, true FROM n
          UNION ALL SELECT 'present_join', c, true FROM n
          ORDER BY side""",

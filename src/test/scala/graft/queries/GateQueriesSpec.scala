@@ -79,6 +79,15 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_bloom_persisted" should "hold every persisted-filter invariant on the real corpus" in {
+    val rows = run("q_bloom_persisted").collect()
+    rows.length shouldBe 5
+    rows.foreach(r => withClue(s"side ${r.getString(0)}: ") {
+      r.getLong(1) should be > 0L
+      r.getBoolean(2) shouldBe true
+    })
+  }
+
   "ref_io round-trips" should "reproduce nation through the CSV sink and XLSX DSv2" in {
     val csv = run("ref_io_csv_roundtrip").collect()
     csv.length shouldBe 25
