@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing — the batch-assembly step of a pretraining data
   * pipeline: group variable-length documents into fixed token-budget
@@ -71,5 +72,71 @@ object Packing {
         }
       }
       .toDF(idCol, tokensCol, "bucket", "bin_id")
+  }
+
+  /** [[packNextFit]] with the document BODIES carried through the
+    * sweep — the batch-assembly shape: because the packing bucket is a
+    * pure function of the id (`id mod buckets`), the bucket exchange
+    * that the sweep needs is the ONLY time the payloads cross the
+    * wire; there is no separate skinny-assignment pass to join back
+    * (which would cost a second full-body shuffle on the id). Each
+    * task sorts its buckets (tokens desc, id asc — external,
+    * spillable, the same in-task sort [[Sharding.writeShards]] pays)
+    * and streams the next-fit state machine over full rows. Returns
+    * `docs`' columns + (bucket, bin_id); bin labels are identical to
+    * [[packNextFit]] on the (id, tokens) pairs (asserted bit-for-bit
+    * in PackingSpec — same routing, same order, same recurrence).
+    * `tokensCol` must already be a long (callers cast once in the
+    * projection that computes it). */
+  def packDocs(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, buckets: Int): DataFrame = {
+    require(budget >= 1, s"budget=$budget out of range")
+    require(buckets >= 1 && buckets <= (1 << 20), s"buckets=$buckets out of range")
+    require(docs.schema(tokensCol).dataType == LongType,
+      s"$tokensCol must be LongType (cast it where it is computed)")
+    val spark = docs.sparkSession
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val withBucket = docs.withColumn("bucket",
+      pmod(col(idCol).cast("long"), lit(buckets.toLong)).cast("int"))
+    val outSchema = withBucket.schema.add("bin_id", LongType, nullable = false)
+    val tokIdx = withBucket.schema.fieldIndex(tokensCol)
+    val bucketIdx = withBucket.schema.fieldIndex("bucket")
+    withBucket
+      .repartition(math.min(parts, buckets), col("bucket"))
+      .sortWithinPartitions(
+        col("bucket"), col(tokensCol).desc, col(idCol))
+      .mapPartitions { it =>
+        var curBucket = -1
+        var bin = 0L
+        var fill = 0L
+        it.map { r =>
+          val bucket = r.getInt(bucketIdx)
+          val tok = r.getLong(tokIdx)
+          if (bucket != curBucket) { curBucket = bucket; bin = 0L; fill = 0L }
+          else if (fill > 0L && fill + tok > budget) { bin += 1L; fill = 0L }
+          fill += tok
+          Row.fromSeq(r.toSeq :+ ((bucket.toLong << 32) | bin))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Write the packed-bin layout: [[packDocs]] → hive-partitioned by
+    * `bucket`, rows inside each bucket's file in (bin, sweep) order —
+    * a training reader streams one bucket file and sees every bin's
+    * documents contiguously. The explicit re-sort after the sweep is a
+    * cheap near-sorted in-task pass that also hands the writer its
+    * required partition-column ordering, so the write adds NO exchange:
+    * the bucket repartition inside [[packDocs]] is the single time the
+    * corpus moves, and file count = one per bucket per task that owns
+    * it (≤ buckets files total when tasks ≥ buckets). */
+  def writePackedBins(
+      docs: DataFrame, idCol: String, tokensCol: String,
+      budget: Long, buckets: Int, path: String): Unit = {
+    graft.io.Fs.deleteRecursive(docs.sparkSession, path)
+    packDocs(docs, idCol, tokensCol, budget, buckets)
+      .sortWithinPartitions(col("bucket"), col("bin_id"),
+        col(tokensCol).desc, col(idCol))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
   }
 }

@@ -26,18 +26,22 @@ object CurationQueries {
       .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
 
   /** Sequence-packing gate — pack every document's token count into
-    * 256-token bins over 8 deterministic buckets
+    * 256-token bins over 32 deterministic buckets
     * ([[graft.ops.Packing.packNextFit]]) and emit the checkable
     * invariants as ONE row: exact totals (hash-checked against
     * DuckDB's sum — proves token conservation), every doc assigned
     * exactly once, no multi-doc bin over budget, oversized docs
-    * isolated, and the next-fit bin-count bound. The assignment
-    * itself is bucket-local and engine-specific, so the gate asserts
-    * the contract, not the labels (same pattern as the SimHash /
-    * heavy-hitter gates). */
+    * isolated, and the next-fit bin-count bound. The oracle REPLAYS
+    * the next-fit recurrence with a recursive CTE and derives every
+    * boolean from its own reconstruction — independent verification,
+    * not echoed literals (and the per-bin manifest of the same sweep
+    * is value-matched label-for-label by q_pack_shards). `buckets` is
+    * the parallelism knob — 32 here and in the layout gate, scaled ∝
+    * corpus/task budget at 100 TB; it also bounds the oracle's
+    * recursion depth (= largest bucket). */
   def packQ(s: SparkSession, dir: String): DataFrame = {
     val budget = 256L
-    val buckets = 8
+    val buckets = 32
     // checkpoint the tokenized (id, tok) frame ONCE: it feeds both the
     // independent input-totals aggregate and the packing sweep, so the
     // regex tokenize runs a single pass over the corpus
@@ -115,6 +119,40 @@ object CurationQueries {
       .select(lit("absent_bc").as("side"), col("n_probes"), col("ok"))
     absentBc.unionByName(presentBc).unionByName(presentJoin)
       .orderBy(col("side"))
+  }
+
+  /** Packed-bin layout gate — the FULL batch-assembly path with an
+    * EXACT value oracle: document bodies flow through
+    * [[graft.ops.Packing.writePackedBins]] (the bodies-carried next-fit
+    * sweep — ONE bucket exchange moves the corpus, no skinny-assignment
+    * join-back) into a hive layout partitioned by pack bucket, and the
+    * per-bin manifest is read back FROM THE WRITTEN FILES and
+    * hash-checked against a DuckDB recursive-CTE replay of the
+    * next-fit recurrence itself — (bucket, bin, n_docs, tok_sum,
+    * min_id, max_id), every value independently reconstructed. This
+    * upgrades packing from the invariant gate (q_pack_sequences) to
+    * independent reconstruction, and proves the assignment survives
+    * the parquet round-trip. 32 buckets keeps the oracle's recursion
+    * depth (= largest bucket) shallow and is the parallelism knob the
+    * packing scaladoc documents — at 100 TB, buckets scales with the
+    * corpus so each bucket's pairs sort within one task's budget. */
+  def packShardsQ(s: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val buckets = 32
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"target/tmp-packbins-$slug"
+    val d = docs(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .withColumn("tok", size(Text.tokens(col("text"))).cast("long"))
+    Packing.writePackedBins(d, "doc_id", "tok", budget, buckets, root)
+    s.read.parquet(root)
+      .groupBy(col("bucket").cast("int").as("bucket"),
+        col("bin_id").bitwiseAND(lit(0xffffffffL)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("bucket"), col("bin"))
   }
 
   /** Persisted-Bloom epoch gate — the disk path of
@@ -247,6 +285,7 @@ object CurationQueries {
     "q_mix_repeats" -> (repeatsQ _),
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
+    "q_pack_shards" -> (packShardsQ _),
     "q_bloom_membership" -> (bloomQ _),
     "q_bloom_persisted" -> (bloomPersistedQ _),
     "q_sample_reservoir" -> (reservoirQ _),
@@ -296,13 +335,86 @@ object CurationQueries {
          WHERE rn <= 10
          ORDER BY source, n_chars DESC, doc_id""",
     "q_pack_sequences" ->
-      """WITH t AS (
-           SELECT len(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
-           FROM documents)
-         SELECT count(1) AS docs_total, CAST(sum(tok) AS BIGINT) AS tokens_total,
-           true AS all_assigned_once, CAST(0 AS BIGINT) AS overfull_bins,
-           true AS oversized_isolated, true AS bins_bounded
-         FROM t""",
+      """WITH toks AS (
+           SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS BIGINT) AS tok
+           FROM documents),
+         t AS (
+           SELECT bucket, doc_id, tok,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY tok DESC, doc_id) AS rn
+           FROM toks),
+         s AS NOT MATERIALIZED (
+           WITH RECURSIVE rec AS (
+             SELECT bucket, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin, tok AS fill
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.bucket, t.rn, t.doc_id, t.tok,
+               CASE WHEN rec.fill > 0 AND rec.fill + t.tok > 256
+                    THEN rec.bin + 1 ELSE rec.bin END,
+               CASE WHEN rec.fill > 0 AND rec.fill + t.tok > 256
+                    THEN t.tok ELSE rec.fill + t.tok END
+             FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+           SELECT * FROM rec),
+         bins AS (
+           SELECT bucket, bin, sum(tok) AS bt, count(1) AS bn,
+             max(tok) AS bmax
+           FROM s GROUP BY 1, 2),
+         inp AS (
+           SELECT count(1) AS c_in, CAST(sum(tok) AS BIGINT) AS t_in
+           FROM toks),
+         asg AS (
+           SELECT count(1) AS assigned,
+             count(DISTINCT doc_id) AS assigned_distinct,
+             CAST(sum(tok) AS BIGINT) AS t_packed
+           FROM s),
+         pb AS (
+           SELECT count(1) AS bins_used,
+             CAST(coalesce(sum(CASE WHEN bn > 1 AND bt > 256
+                                    THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS overfull,
+             coalesce(bool_and(CASE WHEN bmax > 256 THEN bn = 1 END), true)
+               AS oversized_iso
+           FROM bins)
+         SELECT c_in AS docs_total, t_in AS tokens_total,
+           (assigned = c_in AND assigned_distinct = c_in AND
+            t_packed = t_in) AS all_assigned_once,
+           overfull AS overfull_bins,
+           oversized_iso AS oversized_isolated,
+           (bins_used <= 2 * ((t_in + 255) // 256) + 64) AS bins_bounded
+         FROM inp, asg, pb""",
+    "q_pack_shards" ->
+      """WITH toks AS (
+           SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS BIGINT) AS tok
+           FROM documents),
+         t AS (
+           SELECT bucket, doc_id, tok,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY tok DESC, doc_id) AS rn
+           FROM toks),
+         s AS NOT MATERIALIZED (
+           WITH RECURSIVE rec AS (
+             SELECT bucket, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin, tok AS fill
+             FROM t WHERE rn = 1
+             UNION ALL
+             SELECT t.bucket, t.rn, t.doc_id, t.tok,
+               CASE WHEN rec.fill > 0 AND rec.fill + t.tok > 256
+                    THEN rec.bin + 1 ELSE rec.bin END,
+               CASE WHEN rec.fill > 0 AND rec.fill + t.tok > 256
+                    THEN t.tok ELSE rec.fill + t.tok END
+             FROM rec JOIN t ON t.bucket = rec.bucket AND t.rn = rec.rn + 1)
+           SELECT * FROM rec)
+         SELECT bucket, bin, count(1) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tok_sum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM s
+         GROUP BY 1, 2
+         ORDER BY bucket, bin""",
     "q_bloom_membership" ->
       """WITH n AS (SELECT count(1) AS c FROM documents)
          SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n

@@ -92,4 +92,55 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     got shouldBe expected
   }
+
+  "Packing.packDocs" should "label bodies identically to the pairs kernel" in {
+    import spark.implicits._
+    val in = synth(500)
+      .withColumn("body", concat(lit("payload-"), col("doc_id")))
+    val carried = Packing.packDocs(in, "doc_id", "toks", budget, buckets)
+    // full body columns survive, plus (bucket, bin_id)
+    carried.columns.toSeq shouldBe Seq("doc_id", "toks", "body", "bucket", "bin_id")
+    val pairs = Packing.packNextFit(
+      in.select("doc_id", "toks"), "doc_id", "toks", budget, buckets)
+    carried.select(col("doc_id"), col("bin_id"))
+      .join(pairs.select(col("doc_id"), col("bin_id").as("bin_p")), Seq("doc_id"))
+      .filter(col("bin_id") =!= col("bin_p")).count() shouldBe 0
+    carried.filter(col("body") =!= concat(lit("payload-"), col("doc_id")))
+      .count() shouldBe 0
+    // the bodies cross the wire exactly once: the bucket repartition is
+    // the plan's ONLY exchange (no skinny-assignment join-back)
+    val plan = carried.queryExecution.executedPlan.toString
+    "(?i)exchange".r.findAllIn(plan).length shouldBe 1
+  }
+
+  "Packing.writePackedBins" should "write one bin-contiguous file per bucket" in {
+    import spark.implicits._
+    val dir = tmpDir("packed-bins")
+    val in = synth(500)
+      .withColumn("body", concat(lit("payload-"), col("doc_id")))
+    Packing.writePackedBins(in, "doc_id", "toks", budget, buckets, dir)
+    // hive layout: one directory per bucket, ONE parquet file each
+    // (each bucket lives whole in exactly one write task)
+    val bucketDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    bucketDirs.map(_.getName).toSet shouldBe
+      (0 until buckets).map(b => s"bucket=$b").toSet
+    bucketDirs.foreach { bd =>
+      bd.listFiles().count(_.getName.endsWith(".parquet")) shouldBe 1
+    }
+    // read-back assignments equal the pairs kernel's, and within each
+    // bucket file the rows are bin-contiguous in file order (a reader
+    // streaming the file sees every bin whole)
+    val pairs = Packing.packNextFit(
+      in.select("doc_id", "toks"), "doc_id", "toks", budget, buckets)
+    val back = spark.read.parquet(dir)
+    back.select(col("doc_id"), col("bin_id"))
+      .join(pairs.select(col("doc_id"), col("bin_id").as("bin_p")), Seq("doc_id"))
+      .filter(col("bin_id") =!= col("bin_p")).count() shouldBe 0
+    bucketDirs.foreach { bd =>
+      val bins = spark.read.parquet(bd.getAbsolutePath)
+        .select("bin_id").collect().map(_.getLong(0))
+      bins shouldBe bins.sorted
+    }
+  }
 }
