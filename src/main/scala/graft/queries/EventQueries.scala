@@ -16,6 +16,19 @@ object EventQueries {
 
   private def dec(c: String) = col(c).cast("decimal(12,2)")
 
+  /** Memoized late-data fixture staging per (application, sfDir) —
+    * the same contract as the ANN index memo
+    * ([[SimilarityQueries]]): dead applications' keys are evicted so
+    * only the live app's entries survive. */
+  private val stageCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def stageKey(s: SparkSession, dir: String): String = {
+    val appId = s.sparkContext.applicationId
+    stageCache.keySet.removeIf(k => !k.startsWith(appId + ":"))
+    appId + ":" + dir
+  }
+
   /** Tumbling 1-hour windows per event type, via Spark's `window()`
     * (epoch-aligned, same alignment as DuckDB's time_bucket). Pure
     * hash aggregate — one shuffle on (window, type). */
@@ -147,22 +160,36 @@ object EventQueries {
   def lateDataParity(s: SparkSession, dir: String): DataFrame = {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-late-data-$slug"
-    graft.io.Fs.deleteRecursive(s, base)
     val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")
     val all = ev(s, dir)
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
     val onTime = all.filter(col("ts") >= cutoff)
-    onTime.coalesce(1).write.parquet(s"$base/stage/ontime")
-    all.filter(col("ts") < cutoff)
-      .coalesce(1).write.parquet(s"$base/stage/late")
+    // the split fixture files are a pure function of (events table) —
+    // memoized per (application, sfDir) like the ANN epoch artifacts,
+    // so verify + bench + suite in one JVM write them once; the stream
+    // run below stays fresh per invocation (it IS the gate). ONE
+    // parallel pass writes both sides (scan → hash-split → one file
+    // per side), replacing the two coalesce(1) stages that each ran
+    // the whole scan-and-write in a single task.
+    stageCache.computeIfAbsent(stageKey(s, dir), _ => {
+      graft.io.Fs.deleteRecursive(s, s"$base/stage")
+      all.withColumn("side",
+          when(col("ts") >= cutoff, lit("ontime")).otherwise(lit("late")))
+        .repartition(col("side"))
+        .write.partitionBy("side").parquet(s"$base/stage")
+      s"$base/stage"
+    })
+    Seq("in", "ckpt", "out").foreach(d =>
+      graft.io.Fs.deleteRecursive(s, s"$base/$d"))
     val inDir = java.nio.file.Paths.get(base, "in")
     java.nio.file.Files.createDirectories(inDir)
     def stage(src: String, destName: String): Unit = {
-      val part = new java.io.File(s"$base/stage/$src").listFiles()
+      val part = new java.io.File(s"$base/stage/side=$src").listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file in $src"))
-      java.nio.file.Files.move(part.toPath, inDir.resolve(destName)); ()
+      // copy, not move: the staged file is the memoized artifact
+      java.nio.file.Files.copy(part.toPath, inDir.resolve(destName)); ()
     }
     val stream = s.readStream.schema(all.schema).parquet(inDir.toString)
     val q = graft.streaming.EventStreams.tumblingCounts(stream)
