@@ -809,7 +809,16 @@ object Dedup {
     * >10 rounds for). */
   def connectedComponentsStars(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50): DataFrame =
+    connectedComponentsStarsWithRounds(pairs, aCol, bCol, maxIters)._1
+
+  /** [[connectedComponentsStars]] plus the round count it converged in
+    * — exposed so the scale rehearsal can MEASURE the O(log² n)
+    * round-growth claim on a scaled high-diameter graph instead of
+    * citing it. */
+  private[graft] def connectedComponentsStarsWithRounds(
+      pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxIters: Int = 50): (DataFrame, Int) = {
     // canonical child>parent orientation, self-loops dropped; eager cut
     // so the upstream pair-mining DAG runs once (the `fwd` pattern)
     var edges = pairs.select(
@@ -872,8 +881,9 @@ object Dedup {
     // rather than silently duplicating a node row.
     val labels = edges.select(col("a").as("id"), col("b").as("comp"))
       .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-    nodes.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+    (nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp")),
+      iter)
   }
 
   /** Single-task min-root union-find over a (src, dst) pair list —

@@ -123,6 +123,48 @@ object ScaleRehearsal {
         graft.ops.Sharding.writeShards(
           s.read.parquet(s"$d/documents.parquet"), "doc_id", 2, out)
         s.read.parquet(out).count()
+      }),
+      // skew-join rehearsal: a deliberately Zipf-hot key (half the
+      // corpus on key 0, the rest spread over 10⁴ cold keys — 10× the
+      // hot rows at 10× data). The census threshold scales ∝ corpus,
+      // so the broadcast hot set stays EXACTLY {key 0} at both scales
+      // (asserted) and only detected keys pay the ×saltBuckets small-
+      // side explosion — the classic 100× failure mode, measured
+      "op_skew_join" -> ((s: SparkSession, d: String) => {
+        val big = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(2)) === 0, lit(0L))
+              .otherwise(pmod(col("doc_id"), lit(10000L))).as("k"))
+        val n = big.count()
+        val small = big.select(col("k")).distinct()
+          .withColumn("payload", md5(col("k").cast("string")))
+        val thr = math.max(100L, n / 100)
+        val hot = graft.operators.SkewJoin.hotKeyCensus(big, "k", thr)
+          .collect().map(_.getLong(0)).toSet
+        require(hot == Set(0L),
+          s"hot census should detect exactly key 0, got $hot")
+        graft.operators.SkewJoin
+          .adaptiveSaltedJoin(big, small, "k", saltBuckets = 32,
+            hotThreshold = thr)
+          .count()
+      }),
+      // diameter-independent components rehearsal: ONE chain over every
+      // doc id (diameter = corpus size — the topology the propagation
+      // path provably cannot converge on) at 10× the length; prints
+      // the measured star rounds so the O(log²) growth claim is a
+      // number, not a citation
+      "op_components_stars" -> ((s: SparkSession, d: String) => {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+        val chain = s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"))
+          .withColumn("nxt", lead(col("doc_id"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+        val (labels, rounds) = graft.ops.Dedup
+          .connectedComponentsStarsWithRounds(chain, "doc_id", "nxt", 50)
+        val nComp = labels.select(col("comp")).distinct().count()
+        require(nComp == 1L, s"chain must collapse to one component, got $nComp")
+        println(s"[scale] stars rounds on full-corpus chain: $rounds")
+        labels.count()
       }))
 
   def main(args: Array[String]): Unit = {
