@@ -263,6 +263,53 @@ object CurationQueries {
     Sharding.manifest(c, "doc_id", "n_words", 1).orderBy(col("shard"))
   }
 
+  /** Streamed-shard epoch gate, driver-visible (the streamed layout
+    * was spec-only through round 7): the corpus flows through the REAL
+    * streaming ingest ([[graft.streaming.DocStreams.shardIngest]] over
+    * a file-stream source with maxFilesPerTrigger=1, so multiple
+    * micro-batches land as `batch=<id>` partitions), the accumulated
+    * epochs are compacted ([[graft.ops.Sharding.compactShards]] —
+    * including the type-inference pin that keeps hex shard names
+    * stable), and the gate emits the per-shard manifest FROM THE
+    * COMPACTED FILES with an EXACT DuckDB oracle (shard key and ranges
+    * are pure md5 SQL), plus `stream_match`: per shard, the compacted
+    * streamed layout holds exactly the (doc_id, shard_order) rows of a
+    * one-shot [[graft.ops.Sharding.writeShards]] of the same corpus —
+    * how the stream batched the data leaves no trace. Byte-ORDER
+    * identity of the files is additionally pinned in
+    * ShardingSpec/DocStreamsSpec. */
+  def shardStreamQ(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-shard-stream-$slug"
+    graft.io.Fs.deleteRecursive(s, base)
+    val hexChars = 1
+    val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+    d.write.parquet(s"$base/in")
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.DocStreams
+      .shardIngest(stream, "doc_id", hexChars, s"$base/layout")
+    try q.processAllAvailable() finally q.stop()
+    Sharding.compactShards(s, "doc_id", s"$base/layout")
+    Sharding.writeShards(d, "doc_id", hexChars, s"$base/oneshot")
+    val streamed = s.read.parquet(s"$base/layout").drop("batch")
+      .select(col("shard").cast("string").as("shard"), col("doc_id"),
+        col("n_chars"), col("shard_order"))
+    val oneshot = s.read.parquet(s"$base/oneshot")
+      .select(col("shard").cast("string").as("shard"), col("doc_id"),
+        col("shard_order").as("order_one"))
+    streamed
+      .join(oneshot, Seq("shard", "doc_id"), "full_outer")
+      .groupBy(col("shard"))
+      .agg(count(col("n_chars")).as("n_docs"),
+        sum(col("n_chars")).as("size_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        expr("bool_and(n_chars IS NOT NULL AND order_one IS NOT NULL " +
+          "AND shard_order = order_one)").as("stream_match"))
+      .orderBy(col("shard"))
+  }
+
   /** Epoch repeat-factor plan — per-language upsampling
     * ([[graft.ops.Sampling.epochRepeats]]): de at 2/5 (base-2 repeats),
     * en at 1/10 (pure fractional tail), zh at 3/5 (base 3), es/fr
@@ -290,6 +337,7 @@ object CurationQueries {
     "q_bloom_persisted" -> (bloomPersistedQ _),
     "q_sample_reservoir" -> (reservoirQ _),
     "q_shard_manifest" -> (shardManifestQ _),
+    "q_shard_stream" -> (shardStreamQ _),
     "q_epoch_prep" -> (epochPrepQ _)
   )
 
@@ -443,6 +491,15 @@ object CurationQueries {
            count(1) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS size_sum,
            min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM documents
+         GROUP BY 1
+         ORDER BY shard""",
+    "q_shard_stream" ->
+      """SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+           count(1) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS size_sum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id,
+           true AS stream_match
          FROM documents
          GROUP BY 1
          ORDER BY shard""",

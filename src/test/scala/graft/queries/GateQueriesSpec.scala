@@ -88,6 +88,15 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_shard_stream" should "match the one-shot layout shard-for-shard after compaction" in {
+    val rows = run("q_shard_stream").collect()
+    rows.length shouldBe 16
+    rows.foreach(r => withClue(s"shard ${r.getString(0)}: ") {
+      r.getLong(1) should be > 0L
+      r.getBoolean(5) shouldBe true
+    })
+  }
+
   "ref_io round-trips" should "reproduce nation through the CSV sink and XLSX DSv2" in {
     val csv = run("ref_io_csv_roundtrip").collect()
     csv.length shouldBe 25
