@@ -28,6 +28,16 @@ object Explain {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       // 0.5 = the threshold q_dedup_ngram_jaccard actually runs
       Dedup.ngramJaccardFrame(Dedup.docShingles(docs, "text", "doc_id"), 0.5)
+    }),
+    "inner_pack_docs" -> ((s, dir) => {
+      // the bodies-carried packing frame q_pack_shards writes: the
+      // bucket repartition must be the plan's ONLY exchange
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .withColumn("tok",
+          org.apache.spark.sql.functions.size(
+            graft.ops.Text.tokens(col("text"))).cast("long"))
+      graft.ops.Packing.packDocs(docs, "doc_id", "tok", 256L, 32)
     }))
 
   def main(args: Array[String]): Unit = {
