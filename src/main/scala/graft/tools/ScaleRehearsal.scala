@@ -87,7 +87,8 @@ object ScaleRehearsal {
       "q_text_heavy_hitters", "q_dedup_simhash", "q_text_exact_dedup",
       "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample",
       "q_curation_pipeline", "q_source_cap", "q_pack_sequences",
-      "q_bloom_membership", "q_sample_reservoir", "q_shard_manifest",
+      "q_pack_shards", "q_bloom_membership", "q_bloom_persisted",
+      "q_sample_reservoir", "q_shard_manifest",
       "q_epoch_prep", "q_mix_repeats")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
