@@ -45,6 +45,58 @@ object Dedup {
       graft.functions.WordShingleHashes.wordShingleHashes(textCol, n).as("shingles"))
   }
 
+  /** LONGEST SHARED TOKEN SPAN per candidate pair — the substring-dedup
+    * measurement of Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better" (ACL 2022), restricted to an already-mined
+    * candidate pair set (near-dups from [[minhashNearDups]], exact dups
+    * — any pair source): for each (doc_a, doc_b), the maximum number of
+    * CONSECUTIVE tokens the two documents share. Curation pipelines use
+    * the span (not just the Jaccard) to decide between dropping a
+    * document and excising the duplicated region.
+    *
+    * Entirely declarative: positional n-gram hashes (posexplode of the
+    * ordered gram array — NOT the distinct set the minhash path uses),
+    * a per-pair hash-equality join, and the classic gaps-and-islands
+    * reduction — matches at the same positional offset (pa − pb) whose
+    * positions are consecutive form one island; island length + n − 1
+    * is the span in tokens.
+    *
+    * Scale shape: everything after the scan is (pair, pos) tuples —
+    * payloads never move. Cost is ∝ Σ_pairs (gram matches), bounded in
+    * practice because the pair list comes from banded candidate
+    * mining (cluster-sized, not corpus-sized); a degenerate pair of
+    * repeated-token spam docs can go quadratic in ITS OWN length —
+    * the same bound as the exact-verify step that admitted the pair. */
+  def sharedSpans(
+      docs: DataFrame, pairs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3): DataFrame = {
+    require(n >= 1, s"n=$n out of range")
+    val idxs = when(size(col("__w")) >= n, sequence(lit(0), size(col("__w")) - n))
+      .otherwise(array().cast("array<int>"))
+    val gram = (i: Column) =>
+      (1 until n).foldLeft(element_at(col("__w"), i + 1)) { (acc, k) =>
+        concat(acc, lit(" "), element_at(col("__w"), i + k + 1))
+      }
+    val sh = docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__w"))
+      .select(col("doc_id"), posexplode(transform(idxs, gram)))
+      .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("gh"))
+    val matched = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("pos").as("pa"),
+        col("gh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("pos").as("pb"),
+        col("gh")), Seq("doc_b", "gh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("delta")).orderBy(col("pa"))
+    matched
+      .withColumn("delta", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(w))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("grp"))
+      .agg((count(lit(1)) + lit(n - 1)).cast("long").as("span"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("span")).as("span_tokens"))
+  }
+
   /** 64-minhash signature per document, computed by the native
     * [[graft.functions.MinHashSigs]] expression: one compiled pass per
     * document, ZERO shuffle (the round-2 form exploded to

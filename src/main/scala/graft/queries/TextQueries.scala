@@ -129,6 +129,20 @@ object TextQueries {
     Dedup.minhashNearDups(docs(s, dir), "text", "doc_id", 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Longest shared token span per near-dup pair
+    * ([[graft.ops.Dedup.sharedSpans]] over the exact-verified minhash
+    * pair set) — the substring-dedup measurement curation uses to
+    * choose between dropping a document and excising the duplicated
+    * region. EXACT value oracle: DuckDB replays the positional 3-gram
+    * match and the gaps-and-islands reduction, so every
+    * (pair, span_tokens) row hash-matches. */
+  def dedupSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Dedup.sharedSpans(d, Dedup.minhashNearDups(d, "text", "doc_id", 0.8),
+        "text", "doc_id", 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** All-pairs exact 3-gram Jaccard at 0.5 (brute-force baseline). */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", 0.5)
@@ -842,6 +856,7 @@ object TextQueries {
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
+    "q_dedup_spans" -> (dedupSpans _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_dedup_compaction" -> (dedupCompaction _),
@@ -1274,6 +1289,29 @@ object TextQueries {
       (shingleCte + """
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
+    "q_dedup_spans" ->
+      (shingleCte + """,
+         prs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         posh AS (
+           SELECT doc_id, t.i AS pos,
+             w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2] AS g
+           FROM sp CROSS JOIN LATERAL
+             (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) t),
+         m AS (
+           SELECT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb
+           FROM prs p
+           JOIN posh a ON a.doc_id = p.doc_a
+           JOIN posh b ON b.doc_id = p.doc_b AND b.g = a.g),
+         runs AS (
+           SELECT doc_a, doc_b, pa - pb AS delta, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS grp
+           FROM m),
+         spans AS (
+           SELECT doc_a, doc_b, count(1) + 2 AS span
+           FROM runs GROUP BY doc_a, doc_b, delta, grp)
+         SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS span_tokens
+         FROM spans GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
     "q_corpus_prep" ->
       """WITH RECURSIVE m AS (
            SELECT doc_id, lang, text,

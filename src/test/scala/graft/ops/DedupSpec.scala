@@ -316,4 +316,35 @@ class DedupSpec extends SparkSpec {
     keep shouldBe Set(1L, 3L, 4L, 6L, 7L, 9L) // cluster minima + singletons
     out.find(_._1 == 5L).get._2 shouldBe 1L    // transitive member → min label
   }
+
+  "sharedSpans" should "measure the longest shared token run per pair" in {
+    import spark.implicits._
+    // docs 1 & 2 share a 7-token run (plus an unrelated 3-token echo);
+    // docs 1 & 3 share exactly one 3-gram; doc 4 matches nothing
+    val run7 = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"intro words $run7 tail one"),
+      (2L, s"different opening $run7 and alpha beta gamma closing"),
+      (3L, "totally other text alpha beta gamma elsewhere now"),
+      (4L, "nothing in common with the rest at all")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val spans = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spans shouldBe Map((1L, 2L) -> 7L, (1L, 3L) -> 3L) // no row for (1,4)
+  }
+
+  it should "survive repeated-token documents and offset islands" in {
+    import spark.implicits._
+    // all-same-token docs: every position matches every position, and
+    // the best island is the full shorter document
+    val docs = Seq(
+      (1L, "x x x x x x"),          // 6 tokens
+      (2L, "x x x x")               // 4 tokens
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L)).toDF("doc_a", "doc_b")
+    val spans = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    spans shouldBe Map((1L, 2L) -> 4L)
+  }
 }
