@@ -88,13 +88,63 @@ object Dedup {
         col("gh")), Seq("doc_b", "gh"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_a"), col("doc_b"), col("delta")).orderBy(col("pa"))
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("span").desc, col("start_a"), col("start_b"))
     matched
       .withColumn("delta", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(w))
       .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("grp"))
-      .agg((count(lit(1)) + lit(n - 1)).cast("long").as("span"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("span")).as("span_tokens"))
+      .agg((count(lit(1)) + lit(n - 1)).cast("long").as("span"),
+        min(col("pa")).cast("long").as("start_a"))
+      .withColumn("start_b", col("start_a") - col("delta"))
+      .withColumn("__rn", row_number().over(best))
+      .filter(col("__rn") === 1)
+      .select(col("doc_a"), col("doc_b"), col("span").as("span_tokens"),
+        col("start_a"), col("start_b"))
+  }
+
+  /** SPAN EXCISION — the "cut the duplicated region, keep the rest"
+    * alternative to whole-document dropping: for every document that
+    * appears as the LOWER-PRIORITY side (`doc_b`) of a
+    * [[sharedSpans]] row, remove its single best shared span
+    * (longest; ties broken by smallest start, then smallest partner
+    * id — fully deterministic) and re-emit the token-normalized text.
+    * Output: one (doc_id, n_removed, excised_text) row per excised
+    * document; callers union the untouched corpus back.
+    *
+    * The rebuilt text is over the engine's normalized tokens
+    * (lower/trim/whitespace-split — the same convention every text
+    * operator here uses), not the original byte string: excision is a
+    * TRAINING-corpus transform, downstream of normalization.
+    *
+    * Scale shape: the spans frame is pair-bounded (candidate-mined),
+    * the per-doc best-span reduction is a pairs-only window, and the
+    * token-slice rebuild is a codegen'd projection on the one
+    * documents scan — bodies never shuffle. */
+  def exciseSpans(
+      docs: DataFrame, spans: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val bestPerDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("span_tokens").desc, col("start_b"), col("doc_a"))
+    val cuts = spans
+      .select(col("doc_b").as("doc_id"), col("doc_a"),
+        col("span_tokens"), col("start_b"))
+      .withColumn("__rn", row_number().over(bestPerDoc))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("span_tokens"), col("start_b"))
+    val ws = col("__w")
+    docs
+      .select(col(idCol).as("doc_id"), Text.tokens(col(textCol)).as("__w"))
+      .join(cuts, Seq("doc_id"))
+      .select(col("doc_id"),
+        col("span_tokens").as("n_removed"),
+        concat_ws(" ", concat(
+          slice(ws, lit(1), col("start_b").cast("int")),
+          slice(ws, (col("start_b") + col("span_tokens") + 1).cast("int"),
+            greatest(size(ws) - (col("start_b") + col("span_tokens"))
+              .cast("int"), lit(0))))).as("excised_text"))
   }
 
   /** 64-minhash signature per document, computed by the native

@@ -134,13 +134,26 @@ object TextQueries {
     * pair set) — the substring-dedup measurement curation uses to
     * choose between dropping a document and excising the duplicated
     * region. EXACT value oracle: DuckDB replays the positional 3-gram
-    * match and the gaps-and-islands reduction, so every
-    * (pair, span_tokens) row hash-matches. */
+    * match, the gaps-and-islands reduction, AND the deterministic
+    * best-island tie-break, so every (pair, span, start_a, start_b)
+    * row hash-matches. */
   def dedupSpans(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     Dedup.sharedSpans(d, Dedup.minhashNearDups(d, "text", "doc_id", 0.8),
         "text", "doc_id", 3)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Span excision ([[graft.ops.Dedup.exciseSpans]] over the same
+    * span frame): every lower-priority near-dup doc re-emitted with
+    * its best shared span cut out. EXACT value oracle — DuckDB
+    * rebuilds the excised token text with list slicing, so the whole
+    * string hash-matches per document. */
+  def dedupExcise(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val spans = Dedup.sharedSpans(d,
+      Dedup.minhashNearDups(d, "text", "doc_id", 0.8), "text", "doc_id", 3)
+    Dedup.exciseSpans(d, spans, "text", "doc_id").orderBy(col("doc_id"))
   }
 
   /** All-pairs exact 3-gram Jaccard at 0.5 (brute-force baseline). */
@@ -857,6 +870,7 @@ object TextQueries {
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_spans" -> (dedupSpans _),
+    "q_dedup_excise" -> (dedupExcise _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_clusters_stars" -> (dedupClustersStars _),
     "q_dedup_compaction" -> (dedupCompaction _),
@@ -892,6 +906,41 @@ object TextQueries {
          FROM inter
          JOIN sizes sa ON sa.doc_id = doc_a
          JOIN sizes sb ON sb.doc_id = doc_b)"""
+
+  /** [[shingleCte]] extended through the positional span machinery:
+    * exact-Jaccard pair set at 0.8 → positional 3-grams → per-pair
+    * matches → gaps-and-islands runs → best island per pair with the
+    * engine's deterministic tie-break (span desc, start_a, start_b).
+    * Positions are emitted 0-based (min(pa) − 1) to match Spark's
+    * posexplode. */
+  private val spanCte = shingleCte + """,
+       prs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+       posh AS (
+         SELECT doc_id, t.i AS pos,
+           w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2] AS g
+         FROM sp CROSS JOIN LATERAL
+           (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) t),
+       m AS (
+         SELECT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb
+         FROM prs p
+         JOIN posh a ON a.doc_id = p.doc_a
+         JOIN posh b ON b.doc_id = p.doc_b AND b.g = a.g),
+       runs AS (
+         SELECT doc_a, doc_b, pa - pb AS delta, pa,
+           pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                   ORDER BY pa) AS grp
+         FROM m),
+       islands AS (
+         SELECT doc_a, doc_b, delta, grp,
+           count(1) + 2 AS span, CAST(min(pa) - 1 AS BIGINT) AS start_a
+         FROM runs GROUP BY doc_a, doc_b, delta, grp),
+       best AS (
+         SELECT doc_a, doc_b, CAST(span AS BIGINT) AS span_tokens, start_a,
+           start_a - delta AS start_b,
+           row_number() OVER (PARTITION BY doc_a, doc_b
+                              ORDER BY span DESC, start_a, start_a - delta)
+             AS rn
+         FROM islands)"""
 
   /** Recursive-CTE components walk over the exact-Jaccard pair graph —
     * the shared oracle of q_dedup_clusters and its stars-path twin
@@ -1290,28 +1339,24 @@ object TextQueries {
          SELECT doc_a, doc_b, jaccard FROM jacs
          WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b"""),
     "q_dedup_spans" ->
-      (shingleCte + """,
-         prs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
-         posh AS (
-           SELECT doc_id, t.i AS pos,
-             w[t.i] || ' ' || w[t.i+1] || ' ' || w[t.i+2] AS g
-           FROM sp CROSS JOIN LATERAL
-             (SELECT unnest(range(1, greatest(len(w) - 1, 1))) AS i) t),
-         m AS (
-           SELECT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb
-           FROM prs p
-           JOIN posh a ON a.doc_id = p.doc_a
-           JOIN posh b ON b.doc_id = p.doc_b AND b.g = a.g),
-         runs AS (
-           SELECT doc_a, doc_b, pa - pb AS delta, pa,
-             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-                                     ORDER BY pa) AS grp
-           FROM m),
-         spans AS (
-           SELECT doc_a, doc_b, count(1) + 2 AS span
-           FROM runs GROUP BY doc_a, doc_b, delta, grp)
-         SELECT doc_a, doc_b, CAST(max(span) AS BIGINT) AS span_tokens
-         FROM spans GROUP BY 1, 2 ORDER BY doc_a, doc_b"""),
+      (spanCte + """
+         SELECT doc_a, doc_b, span_tokens, start_a,
+           CAST(start_b AS BIGINT) AS start_b
+         FROM best WHERE rn = 1 ORDER BY doc_a, doc_b"""),
+    "q_dedup_excise" ->
+      (spanCte + """,
+         cuts AS (
+           SELECT doc_b AS doc_id, span_tokens, start_b, doc_a,
+             row_number() OVER (PARTITION BY doc_b
+               ORDER BY span_tokens DESC, start_b, doc_a) AS crn
+           FROM best WHERE rn = 1)
+         SELECT c.doc_id, c.span_tokens AS n_removed,
+           coalesce(array_to_string(list_concat(
+             coalesce(w[1:CAST(c.start_b AS INT)], []),
+             coalesce(w[CAST(c.start_b + c.span_tokens + 1 AS INT):len(w)],
+               [])), ' '), '') AS excised_text
+         FROM cuts c JOIN sp ON sp.doc_id = c.doc_id
+         WHERE c.crn = 1 ORDER BY c.doc_id"""),
     "q_corpus_prep" ->
       """WITH RECURSIVE m AS (
            SELECT doc_id, lang, text,

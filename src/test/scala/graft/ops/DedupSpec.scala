@@ -329,9 +329,16 @@ class DedupSpec extends SparkSpec {
       (4L, "nothing in common with the rest at all")
     ).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
-    val spans = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
-      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    spans shouldBe Map((1L, 2L) -> 7L, (1L, 3L) -> 3L) // no row for (1,4)
+    val rows = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // (span, start_a, start_b): run7 starts after "intro words" (pos 2)
+    // in doc 1 and after "different opening" (pos 2) in doc 2; the
+    // 3-token echo island loses the tie-break to the 7-token run
+    rows shouldBe Map(
+      (1L, 2L) -> ((7L, 2L, 2L)),
+      (1L, 3L) -> ((3L, 2L, 3L))) // no row for (1,4)
   }
 
   it should "survive repeated-token documents and offset islands" in {
@@ -346,5 +353,23 @@ class DedupSpec extends SparkSpec {
     val spans = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     spans shouldBe Map((1L, 2L) -> 4L)
+  }
+
+  "exciseSpans" should "cut each doc's best span and empty out full covers" in {
+    import spark.implicits._
+    val run7 = "alpha beta gamma delta epsilon zeta eta"
+    val docs = Seq(
+      (1L, s"intro words $run7 tail one"),
+      (2L, s"different opening $run7 and alpha beta gamma closing"),
+      (5L, "a b c d"),
+      (6L, "a b c d")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val spans = Dedup.sharedSpans(docs, pairs, "text", "doc_id", n = 3)
+    val out = Dedup.exciseSpans(docs, spans, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    out shouldBe Map(
+      2L -> ((7L, "different opening and alpha beta gamma closing")),
+      6L -> ((4L, ""))) // exact dup: the whole doc is the span
   }
 }
