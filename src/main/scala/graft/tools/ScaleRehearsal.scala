@@ -84,6 +84,7 @@ object ScaleRehearsal {
     * mask the production scan being rehearsed). */
   private val measured: Seq[(String, (SparkSession, String) => Long)] =
     Seq("q_corpus_prep", "q_text_bm25", "q_text_tfidf", "q_dedup_minhash",
+      "q_dedup_spans", "q_dedup_excise",
       "q_text_heavy_hitters", "q_dedup_simhash", "q_text_exact_dedup",
       "q_embed_dimstats", "q_text_pii", "q_text_decontam", "q_mix_sample",
       "q_curation_pipeline", "q_source_cap", "q_pack_sequences",
