@@ -42,8 +42,16 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // a throwing query must read as FAILED (-1), never as a fast
+      // elapsed time — the r9 events breakage masqueraded as 3-50×
+      // speedups because time-to-analysis-error was recorded as a win
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       // isolate queries: drop caches AND nudge the context cleaner (it
       // frees checkpoint/broadcast blocks via GC'd weak references) so
       // no query's timing depends on — or pays GC pressure from —
@@ -52,6 +60,7 @@ object Bench {
       System.gc()
       name -> dt
     }
+    val failed = results.collect { case (n, d) if d < 0 => n }
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77
     // queries) was head-truncated past the opening brace — the driver
@@ -62,14 +71,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val total = results.collect { case (_, d) if d >= 0 => d }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     // stdout can be tail-truncated by the harness (BENCH_r02 lost its
-    // first 8 entries) — persist the full per-query record to a file too
-    try Files.writeString(Paths.get("BENCH_DETAILS.json"), line + "\n")
+    // first 8 entries; BENCH_r08/r09 parsed:null from a head-clipped
+    // 2.6 KB line) — persist the full per-query record to a file and
+    // keep the LAST stdout line compact enough to survive tail capture
+    try Files.writeString(Paths.get("BENCH_DETAILS.json"), full + "\n")
     catch { case _: Throwable => () }
-    println(line)
+    println(full)
+    val compact =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","queries_detail":"BENCH_DETAILS.json"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -108,8 +108,10 @@ object EventQueries {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(path), inDir.resolve("events.parquet"))
     val raw = s.read.parquet(path).schema
+    // the raw file schema drifts with the snapshot (nanos-as-long vs
+    // TIMESTAMP_NTZ) — normalize with the same branch Tables.events uses
     val stream = s.readStream.schema(raw).parquet(inDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", Tables.eventsTsExpr(raw("ts").dataType))
     val q = graft.streaming.EventStreams.tumblingCounts(stream)
       .writeStream
       .outputMode("complete")
