@@ -40,33 +40,54 @@ object Membership {
 
   private def keyStr(c: Column): Column = c.cast("string")
 
-  /** Bit positions are drawn per hash family `i` as
-    * `pmod(xxhash64(key, i), m)`; with 64 | m the in-word bit is just
-    * `pmod(h, 64)`. */
-  private def posOf(key: Column, i: Int, mBits: Long): Column =
-    pmod(xxhash64(keyStr(key), lit(i)), lit(mBits))
+  /** Position source: one 64-bit-ish draw per (key, family). Pluggable
+    * so an oracle can choose a hash BOTH engines implement; every
+    * kernel below is hash-agnostic — word/mask packing, bit_or merge,
+    * and probe semantics are identical under any draw. */
+  type Hasher = (Column, Column) => Column
 
-  private def maskOf(key: Column, i: Int): Column =
+  /** Production draw: independent `xxhash64(key, i)` — codegen'd,
+    * 8 bytes/row of hash work. NOT reproducible outside Spark without
+    * reimplementing XXH64's wrapping 64-bit arithmetic (DuckDB's
+    * integer ops error on overflow rather than wrap), which is why the
+    * xxhash64-backed gates are invariant-checked, not value-replayed. */
+  val xxHash: Hasher = (key, i) => xxhash64(keyStr(key), i)
+
+  /** Oracle draw: 5 hex chars of md5(key) per family (k ≤ 6) — ~20-bit
+    * positions, slower than xxhash64, but md5 hex is bit-identical in
+    * Spark and DuckDB, so a SQL oracle can replay the filter exactly
+    * (q_bloom_exact). Not the production default. */
+  val md5Hash: Hasher = (key, i) =>
+    conv(md5(keyStr(key)).substr(i * lit(5) + lit(1), lit(5)), 16, 10)
+      .cast("long")
+
+  /** Bit positions are drawn per hash family `i` as
+    * `pmod(hash(key, i), m)`; with 64 | m the in-word bit is just
+    * `pmod(h, 64)`. */
+  private def posOf(key: Column, i: Int, mBits: Long, hasher: Hasher): Column =
+    pmod(hasher(key, lit(i)), lit(mBits))
+
+  private def maskOf(key: Column, i: Int, hasher: Hasher): Column =
     call_function("shiftleft", lit(1L),
-      pmod(xxhash64(keyStr(key), lit(i)), lit(64L)).cast("int"))
+      pmod(hasher(key, lit(i)), lit(64L)).cast("int"))
 
   private def require64(mBits: Long): Unit =
     require(mBits >= 64 && mBits % 64 == 0, s"mBits=$mBits not a multiple of 64")
 
   /** Build the filter over `keys(keyCol)` as a (word: long, bits: long)
     * frame — sparse (absent words are all-zero) and at most m/64 rows. */
-  def bloomBits(keys: DataFrame, keyCol: String, mBits: Long, k: Int): DataFrame = {
+  def bloomBits(keys: DataFrame, keyCol: String, mBits: Long, k: Int,
+      hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
     require(k >= 1 && k <= 16, s"k=$k out of range")
+    val h = hasher(col("__bl_key"), col("__bl_i"))
     keys
       .select(col(keyCol).as("__bl_key"))
       .select(col("__bl_key"), explode(sequence(lit(0), lit(k - 1))).as("__bl_i"))
       .select(
-        shiftright(pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")),
-          lit(mBits)), 6).as("word"),
+        shiftright(pmod(h, lit(mBits)), 6).as("word"),
         call_function("shiftleft", lit(1L),
-          pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")), lit(64L))
-            .cast("int")).as("mask"))
+          pmod(h, lit(64L)).cast("int")).as("mask"))
       .groupBy(col("word"))
       .agg(expr("bit_or(mask)").as("bits"))
   }
@@ -87,14 +108,14 @@ object Membership {
     * `bloom_hit` is a codegen'd projection over `probes`. */
   def probeBroadcast(
       probes: DataFrame, keyCol: String, bits: Array[Long],
-      mBits: Long, k: Int): DataFrame = {
+      mBits: Long, k: Int, hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
     require(bits.length.toLong == mBits / 64, s"bits.length=${bits.length}")
     val bitsLit = lit(bits)
     val hit = (0 until k).map { i =>
-      val word = shiftright(posOf(col(keyCol), i, mBits), 6)
+      val word = shiftright(posOf(col(keyCol), i, mBits, hasher), 6)
       (element_at(bitsLit, (word + lit(1L)).cast("int"))
-        .bitwiseAND(maskOf(col(keyCol), i)) =!= lit(0L))
+        .bitwiseAND(maskOf(col(keyCol), i, hasher)) =!= lit(0L))
     }.reduce(_ && _)
     probes.withColumn("bloom_hit", hit)
   }
@@ -153,17 +174,16 @@ object Membership {
     * (keyCol, bloom_hit) verdict frame; callers join it back. */
   def probeJoin(
       probes: DataFrame, keyCol: String, bitsDf: DataFrame,
-      mBits: Long, k: Int): DataFrame = {
+      mBits: Long, k: Int, hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
+    val h = hasher(col("__bl_key"), col("__bl_i"))
     val lookups = probes
       .select(col(keyCol).as("__bl_key")).distinct()
       .select(col("__bl_key"), explode(sequence(lit(0), lit(k - 1))).as("__bl_i"))
       .select(col("__bl_key"),
-        shiftright(pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")),
-          lit(mBits)), 6).as("word"),
+        shiftright(pmod(h, lit(mBits)), 6).as("word"),
         call_function("shiftleft", lit(1L),
-          pmod(xxhash64(keyStr(col("__bl_key")), col("__bl_i")), lit(64L))
-            .cast("int")).as("mask"))
+          pmod(h, lit(64L)).cast("int")).as("mask"))
     lookups
       .join(bitsDf, Seq("word"), "left")
       .select(col("__bl_key"),

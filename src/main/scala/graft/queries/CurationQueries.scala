@@ -121,6 +121,49 @@ object CurationQueries {
       .orderBy(col("side"))
   }
 
+  /** EXACT-VALUE Bloom gate (round-10: upgrades the membership oracle
+    * from invariant booleans to independent reconstruction). The
+    * production draw (xxhash64) cannot be replayed in DuckDB — XXH64
+    * needs wrapping 64-bit multiplies that SQL integer ops refuse — so
+    * this gate runs the SAME production kernels ([[Membership
+    * .bloomBits]]/[[Membership.probeBroadcast]]/[[Membership
+    * .probeJoin]], hash-agnostic by construction) under the md5 draw
+    * both engines compute bit-identically. The oracle replays the
+    * whole mechanism in SQL: md5 hex → 5-char windows → positions mod
+    * m → the built position set → per-key ∀-hit — so the EXACT
+    * deterministic false-positive count of the absent side (not a
+    * bound) and the zero-false-negative present side are both
+    * value-checked, through both probe kernels, and any corruption in
+    * the word/mask bit packing shows up as a count drift. The
+    * xxhash64-backed gates (q_bloom_membership / q_bloom_persisted)
+    * stay as invariant checks — that hash is the 100 TB path; this
+    * gate proves the machinery around it. */
+  def bloomExactQ(s: SparkSession, dir: String): DataFrame = {
+    val k = 5 // 5 windows × 5 hex chars = 25 ≤ 32 md5 hex chars
+    val d = docs(s, dir).select(col("doc_id"))
+    val n = d.count()
+    var m = 1L << 17
+    while (m < 16L * n) m <<= 1
+    val bitsDf = Membership
+      .bloomBits(d, "doc_id", m, k, Membership.md5Hash).localCheckpoint(true)
+    val bits = Membership.collectBits(bitsDf, m)
+    val absent = d.select((col("doc_id") + lit(1000000000000L)).as("doc_id"))
+    def agg(side: String, kernel: String, probed: DataFrame): DataFrame =
+      probed.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_hits"))
+        .select(lit(side).as("side"), lit(kernel).as("kernel"),
+          col("n_probes"), col("n_hits"))
+    agg("absent", "bc",
+        Membership.probeBroadcast(absent, "doc_id", bits, m, k, Membership.md5Hash))
+      .unionByName(agg("absent", "join",
+        Membership.probeJoin(absent, "doc_id", bitsDf, m, k, Membership.md5Hash)))
+      .unionByName(agg("present", "bc",
+        Membership.probeBroadcast(d, "doc_id", bits, m, k, Membership.md5Hash)))
+      .unionByName(agg("present", "join",
+        Membership.probeJoin(d, "doc_id", bitsDf, m, k, Membership.md5Hash)))
+      .orderBy(col("side"), col("kernel"))
+  }
+
   /** Packed-bin layout gate — the FULL batch-assembly path with an
     * EXACT value oracle: document bodies flow through
     * [[graft.ops.Packing.writePackedBins]] (the bodies-carried next-fit
@@ -334,6 +377,7 @@ object CurationQueries {
     "q_pack_sequences" -> (packQ _),
     "q_pack_shards" -> (packShardsQ _),
     "q_bloom_membership" -> (bloomQ _),
+    "q_bloom_exact" -> (bloomExactQ _),
     "q_bloom_persisted" -> (bloomPersistedQ _),
     "q_sample_reservoir" -> (reservoirQ _),
     "q_shard_manifest" -> (shardManifestQ _),
@@ -463,12 +507,68 @@ object CurationQueries {
          FROM s
          GROUP BY 1, 2
          ORDER BY bucket, bin""",
+    // q_bloom_membership / q_bloom_persisted keep invariant-gate
+    // oracles (documented no, round-10): their xxhash64 positions are
+    // not reproducible in DuckDB — XXH64 needs wrapping 64-bit
+    // multiplies, and DuckDB integer arithmetic errors on overflow —
+    // so the compensating exact-value check is q_bloom_exact below,
+    // which replays the identical kernels under an md5 draw.
     "q_bloom_membership" ->
       """WITH n AS (SELECT count(1) AS c FROM documents)
          SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n
          UNION ALL SELECT 'present_bc', c, true FROM n
          UNION ALL SELECT 'present_join', c, true FROM n
          ORDER BY side""",
+    "q_bloom_exact" ->
+      """WITH nn AS (SELECT count(1) AS c FROM documents),
+         mrec AS (
+           WITH RECURSIVE mm(m) AS (
+             SELECT CAST(131072 AS BIGINT)
+             UNION ALL SELECT m * 2 FROM mm, nn WHERE m < 16 * c)
+           SELECT max(m) AS m FROM mm),
+         pk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+         ak AS (SELECT doc_id + 1000000000000 AS doc_id,
+                  md5(CAST(doc_id + 1000000000000 AS VARCHAR)) AS h
+                FROM documents),
+         pw AS (SELECT doc_id, substr(h, 1 + 5 * i, 5) AS s
+                FROM pk, range(0, 5) t(i)),
+         aw AS (SELECT doc_id, substr(h, 1 + 5 * i, 5) AS s
+                FROM ak, range(0, 5) t(i)),
+         ppos AS (
+           SELECT doc_id,
+             ((instr('0123456789abcdef', substr(s, 1, 1)) - 1) * 65536
+            + (instr('0123456789abcdef', substr(s, 2, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(s, 3, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(s, 4, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(s, 5, 1)) - 1)) % m AS pos
+           FROM pw, mrec),
+         apos AS (
+           SELECT doc_id,
+             ((instr('0123456789abcdef', substr(s, 1, 1)) - 1) * 65536
+            + (instr('0123456789abcdef', substr(s, 2, 1)) - 1) * 4096
+            + (instr('0123456789abcdef', substr(s, 3, 1)) - 1) * 256
+            + (instr('0123456789abcdef', substr(s, 4, 1)) - 1) * 16
+            + (instr('0123456789abcdef', substr(s, 5, 1)) - 1)) % m AS pos
+           FROM aw, mrec),
+         built AS (SELECT DISTINCT pos FROM ppos),
+         phit AS (
+           SELECT p.doc_id, bool_and(b.pos IS NOT NULL) AS hit
+           FROM ppos p LEFT JOIN built b USING (pos) GROUP BY 1),
+         ahit AS (
+           SELECT a.doc_id, bool_and(b.pos IS NOT NULL) AS hit
+           FROM apos a LEFT JOIN built b USING (pos) GROUP BY 1),
+         pagg AS (SELECT count(1) AS n_probes,
+                    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_hits FROM phit),
+         aagg AS (SELECT count(1) AS n_probes,
+                    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_hits FROM ahit)
+         SELECT 'absent' AS side, 'bc' AS kernel, n_probes, n_hits FROM aagg
+         UNION ALL SELECT 'absent', 'join', n_probes, n_hits FROM aagg
+         UNION ALL SELECT 'present', 'bc', n_probes, n_hits FROM pagg
+         UNION ALL SELECT 'present', 'join', n_probes, n_hits FROM pagg
+         ORDER BY side, kernel""",
     "q_bloom_persisted" ->
       """WITH n AS (SELECT count(1) AS c FROM documents)
          SELECT 'absent_bc' AS side, c AS n_probes, true AS ok FROM n

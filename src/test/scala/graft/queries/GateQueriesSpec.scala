@@ -88,6 +88,24 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_bloom_exact" should "probe identically through both kernels with zero false negatives" in {
+    val rows = run("q_bloom_exact").collect()
+    rows.length shouldBe 4 // (absent, present) × (bc, join)
+    val bySide = rows.groupBy(_.getString(0))
+    bySide("present").foreach { r =>
+      withClue(s"present/${r.getString(1)}: ") {
+        r.getLong(3) shouldBe r.getLong(2) // zero false negatives
+      }
+    }
+    bySide("absent").foreach { r =>
+      withClue(s"absent/${r.getString(1)}: ") {
+        r.getLong(3).toDouble should be <= 0.02 * r.getLong(2)
+      }
+    }
+    // deterministic bits ⇒ the two kernels agree exactly per side
+    bySide.values.foreach(rs => rs.map(_.getLong(3)).distinct.length shouldBe 1)
+  }
+
   "q_shard_stream" should "match the one-shot layout shard-for-shard after compaction" in {
     val rows = run("q_shard_stream").collect()
     rows.length shouldBe 16
