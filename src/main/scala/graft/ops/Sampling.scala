@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling operators for training-data curation.
@@ -148,6 +149,97 @@ object Sampling {
             .cast("long")),
       stratumCol, idCol, "__res_score", n)
       .drop("__res_score")
+
+  /** TEMPERATURE-flattened mixture (α = 1/2) — the multilingual
+    * up/down-sampling rule of the public pretraining literature
+    * (XLM's p_s ∝ cnt_s^α rebalancing; mT5/XLM-R use the same family
+    * with other α): stratum s gets target share w_s / Σ w_t of the
+    * SAME total budget N, with w_s = ⌊√cnt_s⌋ — rare strata are
+    * repeated, dominant strata thinned, and the allocation then runs
+    * through [[epochRepeats]]' exact integer plan unchanged.
+    *
+    * α is fixed at 1/2 deliberately: ⌊√n⌋ is the one power both this
+    * engine and a SQL oracle compute BIT-IDENTICALLY — IEEE-754 sqrt
+    * is correctly rounded, and for integer n < 2^52 the only value
+    * where rounding could cross an integer is n = k² (where the
+    * result is exact) — so the weights, and therefore every
+    * per-document copy count, are engine-independent. A fractional-α
+    * variant would put libm `pow` (not correctly rounded) inside the
+    * threshold arithmetic and turn 1-ULP drift into ±1 copy-count
+    * flips. Scale shape: two stratum-cardinality censuses and the
+    * [[epochRepeats]] broadcast projection — the corpus never
+    * shuffles. */
+  def temperatureRepeats(
+      docs: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("cnt")).collect()
+    val weights = counts.map(r =>
+      r.getString(0) -> math.floor(math.sqrt(r.getLong(1).toDouble)).toLong)
+    val den = weights.map(_._2).sum
+    require(den > 0 && den <= Int.MaxValue, s"weight sum $den out of range")
+    val targets = weights.map { case (st, w) => st -> (w.toInt, den.toInt) }.toMap
+    epochRepeats(docs, stratumCol, idCol, targets)
+  }
+
+  /** TOKEN-BUDGET selection — "keep the best documents that fit a
+    * token budget": rank by (`scoreCol` desc, `idCol` asc) and keep
+    * the maximal prefix whose running token sum stays ≤ `budget` (the
+    * greedy quality-threshold selection of public data-curation
+    * recipes — score-ranked subset selection under a fixed token
+    * count). Returns the kept skinny rows plus `cum_tokens`, the
+    * GLOBAL running sum including the row itself; callers re-attach
+    * payloads by id.
+    *
+    * The running sum is a DISTRIBUTED two-pass prefix sum, not a
+    * single-partition window: an `ORDER BY`-only window would drag
+    * the whole corpus through one task. Instead the skinny
+    * (id, score, tok) frame is range-partitioned on the sort key,
+    * per-partition token totals (one row per partition) are prefix-
+    * summed driver-side, and the global cumsum is each partition's
+    * broadcast base offset plus a PER-PARTITION running-sum window —
+    * every stage parallel, wire cost = skinny columns only. The kept
+    * set is partition-invariant because the sort key is a total order
+    * (ties broken by id), so range boundaries only decide WHERE the
+    * prefix sum is split, never its values. */
+  def selectByBudget(
+      docs: DataFrame, idCol: String, scoreCol: String, tokCol: String,
+      budget: Long): DataFrame = {
+    // localCheckpoint pins the range partitioning across the two
+    // passes (census + selection) and stops the second pass from
+    // re-sorting; skinny columns only, so the checkpoint is id+score+
+    // tok sized, never the corpus
+    val skinny = docs
+      .select(col(idCol), col(scoreCol), col(tokCol))
+      .repartitionByRange(col(scoreCol).desc, col(idCol))
+      .sortWithinPartitions(col(scoreCol).desc, col(idCol))
+      .withColumn("__sel_pid", spark_partition_id())
+      .localCheckpoint(true)
+    val totals = skinny.groupBy(col("__sel_pid"))
+      .agg(sum(col(tokCol).cast("long")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = (0 to maxPid)
+      .scanLeft(0L)((acc, pid) => acc + totals.getOrElse(pid, 0L))
+    val spark = docs.sparkSession
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        (0 to maxPid).map(p =>
+          org.apache.spark.sql.Row(p, offsets(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__off_pid",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("__off_base",
+          org.apache.spark.sql.types.LongType))))
+    val perPart = Window.partitionBy(col("__sel_pid"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    skinny
+      .join(broadcast(offDf), col("__sel_pid") === col("__off_pid"))
+      .withColumn("cum_tokens",
+        col("__off_base") + sum(col(tokCol).cast("long")).over(perPart))
+      .filter(col("cum_tokens") <= lit(budget))
+      .drop("__sel_pid", "__off_pid", "__off_base")
+  }
 
   def mixtureResample(
       docs: DataFrame, stratumCol: String, idCol: String,

@@ -82,6 +82,47 @@ object CurationQueries {
           lit(2L * buckets)).as("bins_bounded"))
   }
 
+  /** Temperature-flattened mixture gate (α = 1/2, [[graft.ops
+    * .Sampling.temperatureRepeats]]): per-language repeat plan where
+    * stratum weights are ⌊√cnt⌋ instead of hand-written targets —
+    * rare languages repeat, the dominant one thins, total budget
+    * preserved within quantization. EXACT value oracle: DuckDB
+    * recomputes the weights (IEEE sqrt is correctly rounded, so
+    * ⌊√n⌋ agrees bit-for-bit), replays the integer base/tail plan in
+    * HUGEINT, and re-derives every doc's md5-threshold extra copy —
+    * the same independent-reconstruction contract as q_mix_repeats. */
+  def temperatureQ(s: SparkSession, dir: String): DataFrame =
+    Sampling.temperatureRepeats(docs(s, dir), "lang", "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_copies")).as("n_copies_total"),
+        sum(when(col("n_copies") === 0L, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("lang"))
+
+  /** Token-budget selection gate ([[graft.ops.Sampling
+    * .selectByBudget]]): score every document by integer stopword
+    * density (10000·n_stop DIV n_tokens — a crude-but-deterministic
+    * quality proxy), then keep the best-scored prefix whose running
+    * token sum fits a budget of ¼ of the corpus' tokens. The kept set
+    * and every `cum_tokens` value are EXACT-value checked: DuckDB
+    * re-scores, re-ranks, and replays the running sum with a plain
+    * ORDER BY-only window — which is precisely the single-task shape
+    * the Spark side's distributed two-pass prefix sum exists to
+    * avoid, so the oracle doubles as a semantics proof of the
+    * distributed decomposition. */
+  def selectBudgetQ(s: SparkSession, dir: String): DataFrame = {
+    val scored = docs(s, dir).select(
+        col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("tok"),
+        Text.stopwordCount(col("text"), Text.langMarkers("en")).cast("long")
+          .as("n_stop"))
+      .withColumn("score", expr("(10000 * n_stop) DIV tok"))
+      .select(col("doc_id"), col("score"), col("tok"))
+    val budget = scored.agg(sum(col("tok")).as("t")).head().getLong(0) / 4
+    Sampling.selectByBudget(scored, "doc_id", "score", "tok", budget)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Bloom-membership gate — build the filter over every doc_id
     * ([[graft.ops.Membership.bloomBits]], m ≥ 16n bits so expected
     * FPR ≈ 0.14 % at k = 5), then probe three ways: every present key
@@ -373,6 +414,8 @@ object CurationQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mix_repeats" -> (repeatsQ _),
+    "q_mix_temperature" -> (temperatureQ _),
+    "q_select_budget" -> (selectBudgetQ _),
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
     "q_pack_shards" -> (packShardsQ _),
@@ -418,6 +461,57 @@ object CurationQueries {
          FROM per_doc
          GROUP BY 1
          ORDER BY lang""",
+    "q_mix_temperature" ->
+      """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY 1),
+         w AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt
+               FROM c),
+         sw AS (SELECT sum(wt) AS den FROM w),
+         tot AS (SELECT count(1) AS n FROM documents),
+         plan AS (
+           SELECT w.lang, w.cnt, w.wt,
+             (CAST(w.wt AS HUGEINT) * n) // (CAST(den AS HUGEINT) * cnt)
+               AS base,
+             ((CAST(w.wt AS HUGEINT) * n -
+               ((CAST(w.wt AS HUGEINT) * n) //
+                (CAST(den AS HUGEINT) * cnt)) *
+               (CAST(den AS HUGEINT) * cnt)) * 65536) //
+             (CAST(den AS HUGEINT) * cnt) AS tail
+           FROM w, sw, tot),
+         kb AS (
+           SELECT lang, base,
+             CASE WHEN tail >= 65536 THEN 'g'
+                  ELSE printf('%04x', CAST(tail AS INT)) END AS tail_below
+           FROM plan),
+         per_doc AS (
+           SELECT d.lang,
+             k.base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+                                < k.tail_below THEN 1 ELSE 0 END AS n_copies
+           FROM documents d JOIN kb k USING (lang))
+         SELECT lang, count(1) AS n_docs,
+           CAST(sum(n_copies) AS BIGINT) AS n_copies_total,
+           CAST(sum(CASE WHEN n_copies = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+         FROM per_doc
+         GROUP BY 1
+         ORDER BY lang""",
+    "q_select_budget" ->
+      """WITH m AS (
+           SELECT doc_id,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS BIGINT) AS tok,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|data|table)\b')) AS BIGINT) AS n_stop
+           FROM documents),
+         sc AS (SELECT doc_id, (10000 * n_stop) // tok AS score, tok FROM m),
+         b AS (SELECT sum(tok) // 4 AS budget FROM m),
+         o AS (
+           SELECT doc_id, score, tok,
+             sum(tok) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM sc)
+         SELECT doc_id, score, tok, cum_tokens FROM o, b
+         WHERE cum_tokens <= budget
+         ORDER BY score DESC, doc_id""",
     "q_source_cap" ->
       """SELECT source, doc_id, n_chars FROM (
            SELECT source, doc_id, n_chars,

@@ -86,4 +86,50 @@ class SamplingSpec extends SparkSpec {
       .select("stratum").distinct().collect()
       .map(_.getString(0)).toSeq shouldBe Seq("b")
   }
+
+  "temperatureRepeats" should "allocate shares proportional to isqrt(count) over the same total" in {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "stratum")
+    // weights: ⌊√400⌋ = 20, ⌊√100⌋ = 10 → a gets 2/3·500, b 1/3·500 —
+    // equivalent to epochRepeats with those exact rational targets
+    val t = Sampling.temperatureRepeats(df, "stratum", "doc_id")
+    val e = Sampling.epochRepeats(df, "stratum", "doc_id",
+      Map("a" -> (20, 30), "b" -> (10, 30)))
+    t.exceptAll(e).count() shouldBe 0
+    e.exceptAll(t).count() shouldBe 0
+    val sums = t.groupBy("stratum").agg(sum("n_copies").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // targets 333⅓ / 166⅔, quantization bound cnt/65536 + 1
+    math.abs(sums("a") - 333L) should be <= 2L
+    math.abs(sums("b") - 167L) should be <= 2L
+    // the dominant stratum thins below its own count contribution is
+    // NOT required here (400 > 333 → some zero-copy docs exist)
+    t.filter(col("stratum") === "a" && col("n_copies") === 0L)
+      .count() should be > 0L
+  }
+
+  "selectByBudget" should "keep exactly the best-scored prefix that fits the budget" in {
+    import spark.implicits._
+    // score = doc_id % 7 (ties galore), tok = 10 + doc_id % 13
+    val df = (0L until 500L)
+      .map(i => (i, i % 7, 10L + i % 13)).toDF("doc_id", "score", "tok")
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, s, _) => (-s, id) }
+    val budget = rows.map(_._3).sum / 3
+    // single-threaded reference: maximal prefix with cumsum ≤ budget
+    var cum = 0L
+    val expect = rows.takeWhile { case (_, _, tok) => cum += tok; cum <= budget }
+      .map { case (id, _, _) => id }.toSet
+    val got = Sampling.selectByBudget(df, "doc_id", "score", "tok", budget)
+    val gotIds = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    gotIds shouldBe expect
+    // cum_tokens is the GLOBAL running sum: max equals the reference's
+    got.agg(max("cum_tokens")).head().getLong(0) shouldBe
+      rows.take(expect.size).map(_._3).sum
+    // partition-invariant: same kept set from a different layout
+    val again = Sampling.selectByBudget(
+      df.repartition(11, col("tok")), "doc_id", "score", "tok", budget)
+    again.select("doc_id").collect().map(_.getLong(0)).toSet shouldBe expect
+  }
 }
