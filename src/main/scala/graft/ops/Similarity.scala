@@ -127,6 +127,150 @@ object Similarity {
       blocks: Int = 8): DataFrame =
     cosineNearDupPairsBlocked(vecs, threshold, margin, blocks)
 
+  /** SemDeDup-style CLUSTER-SCOPED semantic dedup (public literature:
+    * Abbas et al. 2023, "SemDeDup" — k-means the embedding space,
+    * prune near-duplicates WITHIN each cluster only): vectors are
+    * assigned to their nearest of `seeds` deterministic seed vectors
+    * by exact-decimal cosine, near-dup pairs (cos ≥ `tau`) are mined
+    * inside each cluster, and the pair graph collapses to min-id
+    * survivors via the same components → decision pipeline the text
+    * path uses ([[graft.ops.Dedup.dedupDecision]]).
+    *
+    * Seeds are the `seeds` lowest md5-ranked ids — a deterministic
+    * uniform draw (the [[Sampling.uniformPerStratum]] rule), NOT Lloyd
+    * iterations: k-means' float update step is not reproducible across
+    * engines, while seed assignment by exact-decimal cosine is — so
+    * the ENTIRE operator (assignment, pair set, components, keep
+    * bits) hash-matches an independent SQL replay. One Lloyd sweep
+    * refines centroids but changes none of the operator's shapes; the
+    * production knob is `seeds` (scale ∝ corpus / target cluster
+    * size, exactly [[ivfListsFor]]'s rule), which bounds per-cluster
+    * pair work to cluster² ≈ constant per cluster as the corpus
+    * grows. Pair mining is two-phase like [[cosineNearDupPairs]]:
+    * cheap double prefilter at `tau − margin`, exact-decimal rescore
+    * of survivors, so outputs stay bit-identical to the oracle.
+    *
+    * Scale shapes: the seed set broadcasts (seeds · d doubles), the
+    * assignment is one codegen'd projection + per-vector bounded
+    * window over the broadcast join — the corpus never shuffles for
+    * assignment; pair candidates shuffle once on centroid_id (skewed
+    * clusters split with the [[cosineNearDupPairsBlocked]] kernel if a
+    * census flags them — same escape hatch as the global miner). */
+  def semDedup(
+      vecs: DataFrame, seeds: Int, tau: Double,
+      margin: Double = 1e-3): DataFrame = {
+    require(seeds >= 1, s"seeds=$seeds")
+    val seedIds = vecs.select(col("vec_id"),
+        substring(md5(col("vec_id").cast("string")), 1, 15).as("__sd_rank"))
+      .orderBy(col("__sd_rank"), col("vec_id"))
+      .limit(seeds)
+      .select(col("vec_id").as("__sd_sid"))
+    val seedVecs = vecs.join(seedIds, col("vec_id") === col("__sd_sid"))
+      .select(col("__sd_sid").as("sid"), col("embedding").as("se"))
+    val assign = semDedupAssign(vecs, seedVecs, margin)
+    // per-vector norms are computed ONCE here (n rows) and carried
+    // through the pair join — recomputing them per PAIR would triple
+    // the per-pair lambda work on the corpus-scaled candidate set
+    val withNorms = assign
+      .withColumn("__sd_n2", norm2Decimal(col("embedding")))
+      .withColumn("__sd_nd", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+    val l = withNorms.select(col("centroid_id"),
+      col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("__sd_n2").as("n2a"), col("__sd_nd").as("nda"))
+    val r = withNorms.select(col("centroid_id"),
+      col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("__sd_n2").as("n2b"), col("__sd_nd").as("ndb"))
+    val fastDot = aggregate(
+      zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    // checkpointed: the components loop downstream consumes the edge
+    // list ITERATIVELY — uncached, every label-propagation round would
+    // re-run the join + prefilter + decimal rescore from scratch
+    val pairs = l.join(r, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("__sd_fast", fastDot / (col("nda") * col("ndb")))
+      .filter(col("__sd_fast") >= lit(tau - margin))
+      .withColumn("cos",
+        cosExact(col("ea"), col("eb"), col("n2a"), col("n2b")))
+      .filter(col("cos") >= lit(tau))
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    graft.ops.Dedup.dedupDecision(
+        assign.select(col("vec_id")), pairs, "vec_id",
+        aCol = "id_a", bCol = "id_b")
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
+      .join(assign.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+      .select(col("vec_id"), col("centroid_id"), col("cluster_id"), col("keep"))
+  }
+
+  /** The [[semDedup]] assignment stage, exposed for plan/profile
+    * inspection: returns the eagerly-checkpointed
+    * (vec_id, embedding, centroid_id) frame. */
+  private[graft] def semDedupAssign(
+      vecs: DataFrame, seedVecs: DataFrame, margin: Double): DataFrame = {
+    val aw = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sd_cos").desc, col("sid"))
+    // TWO-PHASE assignment (same lossless-margin argument as the pair
+    // miner): the n·k fast cosines run in a PRIMITIVE-LOOP kernel over
+    // the broadcast unit-seed matrix (k·d doubles — Catalyst lambdas
+    // are interpreted, and with seeds ∝ corpus this n·k stage is where
+    // an expression-based assignment turned superlinear: measured 14×
+    // wall at 10× data for all-decimal, 5.2× for lambda-double; the
+    // kernel leaves only linear stages above it). Each vector emits
+    // just the seeds within `margin` of its fast max (double-vs-exact
+    // drift ~1e-12 ≪ margin, so the true exact-argmax seed always
+    // survives), and the exact-decimal rescore of that handful —
+    // usually one — decides: the OUTPUT argmax is the pure exact one
+    // the oracle replays. The frame feeds three consumers (both
+    // pair-mining sides + the final join) — checkpoint once, skinny +
+    // embedding columns.
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val seedArr = seedVecs.as[(Long, Array[Float])].collect()
+      .map { case (id, a) => (id, unitD(a)) }.sortBy(_._1)
+    val bcSeeds = spark.sparkContext.broadcast(seedArr)
+    val mg = margin
+    val cands = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val seeds = bcSeeds.value
+        it.flatMap { case (id, arr) =>
+          val u = unitD(arr)
+          val dots = new Array[Double](seeds.length)
+          var best = -2.0
+          var i = 0
+          while (i < seeds.length) {
+            val s = seeds(i)._2
+            var d = 0.0
+            var j = 0
+            while (j < u.length) { d += u(j) * s(j); j += 1 }
+            dots(i) = d
+            if (d > best) best = d
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Array[Float], Long)]
+          var m = 0
+          while (m < seeds.length) {
+            if (dots(m) >= best - mg) out += ((id, arr, seeds(m)._1))
+            m += 1
+          }
+          out
+        }
+      }.toDF("vec_id", "embedding", "__sd_sid_c")
+    cands
+      .join(broadcast(seedVecs), col("__sd_sid_c") === col("sid"))
+      .withColumn("__sd_cos",
+        cosExact(col("embedding"), col("se"),
+          norm2Decimal(col("embedding")), norm2Decimal(col("se"))))
+      .withColumn("__sd_rn", row_number().over(aw))
+      .filter(col("__sd_rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("sid").as("centroid_id"))
+      .localCheckpoint(true)
+  }
+
   /** Near-duplicate pairs by cosine ≥ threshold. Two-phase:
     *
     *  1. PREFILTER at (threshold − margin) with a broadcast-matrix

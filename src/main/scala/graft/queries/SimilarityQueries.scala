@@ -47,6 +47,25 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** SemDeDup gate ([[graft.ops.Similarity.semDedup]]): cluster-scoped
+    * semantic dedup — 16 deterministic seed clusters, within-cluster
+    * near-dup pruning at cos ≥ 0.4 (the q_embed_dedup threshold, so
+    * the two gates bracket the technique: global components vs the
+    * cluster-scoped SemDeDup restriction of the same graph). Seeds
+    * follow the DEPLOYMENT rule `ivfListsFor(n)` — fixed seeds make
+    * per-cluster pair work quadratic (measured: 14× wall at 10× data);
+    * scaled seeds hold cluster size ≈ constant. EXACT value oracle:
+    * DuckDB re-derives the seed count (same greatest/ceil formula),
+    * the seed set (md5 rank), every assignment cosine (decimal
+    * replay), the within-cluster pair set, and the component walk —
+    * all decision layers value-matched per vector. */
+  def semDedupQ(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity
+      .semDedup(e, seeds = Similarity.ivfListsFor(e.count()), tau = 0.4)
+      .orderBy(col("vec_id"))
+  }
+
   /** Per-label embedding stats: count plus exact total squared norm and
     * deterministic min/max norms (no order-dependent double sums). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
@@ -468,6 +487,7 @@ object SimilarityQueries {
     "q_ann_recall_sampled" -> (annRecallSampled _),
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_dedup" -> (embedDedup _),
+    "q_semdedup" -> (semDedupQ _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_normalize" -> (embedNormalize _),
@@ -557,6 +577,65 @@ object SimilarityQueries {
             coalesce(c2.cluster_id, v.vec_id) = v.vec_id AS keep
           FROM embeddings v LEFT JOIN comp c2 ON c2.id = v.vec_id
           ORDER BY v.vec_id"""),
+
+    "q_semdedup" ->
+      """WITH RECURSIVE
+         idx AS (SELECT unnest(range(1, 65)) AS i),
+         sd AS (SELECT vec_id AS sid, embedding AS se FROM embeddings
+                ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15), vec_id
+                LIMIT (SELECT greatest(16, (count(1) + 124) // 125)
+                       FROM embeddings)),
+         asums AS (
+           SELECT v.vec_id, s.sid,
+             sum(CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+             sum(CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS vn2,
+             sum(CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS sn2
+           FROM embeddings v CROSS JOIN sd s CROSS JOIN idx
+           GROUP BY 1, 2),
+         ascore AS (
+           SELECT vec_id, sid,
+             CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+               (sqrt(CAST(CAST(vn2 AS VARCHAR) AS DOUBLE)) *
+                sqrt(CAST(CAST(sn2 AS VARCHAR) AS DOUBLE))) AS cos
+           FROM asums),
+         assign AS (
+           SELECT vec_id, sid AS centroid_id FROM (
+             SELECT vec_id, sid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, sid) AS rn
+             FROM ascore) t WHERE rn = 1),
+         pv AS (SELECT a.centroid_id, a.vec_id, e.embedding
+                FROM assign a JOIN embeddings e USING (vec_id)),
+         psums AS (
+           SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS an2,
+             sum(CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS bn2
+           FROM pv x JOIN pv y
+             ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+           CROSS JOIN idx
+           GROUP BY 1, 2),
+         pairs AS (
+           SELECT id_a, id_b FROM psums
+           WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+             (sqrt(CAST(CAST(an2 AS VARCHAR) AS DOUBLE)) *
+              sqrt(CAST(CAST(bn2 AS VARCHAR) AS DOUBLE))) >= 0.4),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION
+           SELECT id_b AS src, id_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id)
+         SELECT v.vec_id, a.centroid_id,
+           coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+           coalesce(c.cluster_id, v.vec_id) = v.vec_id AS keep
+         FROM embeddings v
+         JOIN assign a ON a.vec_id = v.vec_id
+         LEFT JOIN comp c ON c.id = v.vec_id
+         ORDER BY v.vec_id""",
 
     "q_embed_normalize" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),

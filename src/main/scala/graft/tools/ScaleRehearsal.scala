@@ -91,8 +91,9 @@ object ScaleRehearsal {
       "q_pack_shards", "q_bloom_membership", "q_bloom_persisted",
       "q_sample_reservoir", "q_shard_manifest",
       "q_epoch_prep", "q_mix_repeats",
-      // round-10 additions (documents-only, linear paths)
-      "q_mix_temperature", "q_select_budget", "q_bloom_exact")
+      // round-10 additions (documents/embeddings, linear paths)
+      "q_mix_temperature", "q_select_budget", "q_bloom_exact",
+      "q_semdedup")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>

@@ -392,4 +392,29 @@ class SimilaritySpec extends SparkSpec {
     Similarity.lshPlanesFor(Long.MaxValue) shouldBe 20
     Similarity.ivfListsFor(20000) shouldBe 160
   }
+
+  "semDedup" should "prune a subset of the global near-dup decision and stay deterministic" in {
+    val sem = Similarity.semDedup(realVecs, seeds = 16, tau = 0.4)
+    val semRows = sem.collect()
+    semRows.length shouldBe realVecs.count()
+    // every vector lands in exactly one of ≤ 16 seed clusters
+    semRows.map(_.getLong(1)).distinct.length should be <= 16
+    // cluster-scoped edges ⊆ global edges ⇒ pruned(sem) ⊆ pruned(global)
+    val semPruned = semRows.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    semPruned should not be empty // non-vacuous on the gate corpus
+    val globalPruned = graft.ops.Dedup.dedupDecision(
+        realVecs.select(col("vec_id")),
+        Similarity.cosineNearDupPairsBlocked(realVecs, threshold = 0.4),
+        "vec_id", aCol = "id_a", bCol = "id_b")
+      .filter(!col("keep")).collect().map(_.getLong(0)).toSet
+    semPruned.subsetOf(globalPruned) shouldBe true
+    // pure function of the corpus: same decisions from another layout
+    val again = Similarity
+      .semDedup(realVecs.repartition(7, col("vec_id")), seeds = 16, tau = 0.4)
+      .collect()
+    again.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1).toSeq shouldBe
+      semRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .sortBy(_._1).toSeq
+  }
 }
