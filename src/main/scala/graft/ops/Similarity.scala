@@ -205,6 +205,96 @@ object Similarity {
       .select(col("vec_id"), col("centroid_id"), col("cluster_id"), col("keep"))
   }
 
+  /** Persist the SEMANTIC-DEDUP epoch index [[semDedupIncremental]]
+    * probes: the deterministic seed vectors (`seeds` lowest md5-ranked
+    * corpus ids) and the corpus assignment, hive-partitioned by
+    * centroid_id so a batch probe reads ONLY the clusters it lands in
+    * (partition pruning — the incremental path's whole point: per-batch
+    * cost ∝ batch + touched clusters, the corpus never rescanned).
+    * Same overwrite discipline as the dedup/ANN/bloom index writers. */
+  def writeSemIndex(
+      vecs: DataFrame, seeds: Int, path: String,
+      margin: Double = 1e-3): Unit = {
+    require(seeds >= 1, s"seeds=$seeds")
+    val spark = vecs.sparkSession
+    graft.io.Fs.deleteRecursive(spark, path)
+    val seedIds = vecs.select(col("vec_id"),
+        substring(md5(col("vec_id").cast("string")), 1, 15).as("__sd_rank"))
+      .orderBy(col("__sd_rank"), col("vec_id"))
+      .limit(seeds)
+      .select(col("vec_id").as("__sd_sid"))
+    val seedVecs = vecs.join(seedIds, col("vec_id") === col("__sd_sid"))
+      .select(col("__sd_sid").as("sid"), col("embedding").as("se"))
+    seedVecs.coalesce(1).write.mode("overwrite").parquet(s"$path/seeds")
+    semDedupAssign(vecs, seedVecs, margin)
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .parquet(s"$path/assign")
+  }
+
+  /** Incremental semantic dedup — the embedding twin of the text
+    * path's persisted-index ingest ([[graft.ops.Dedup
+    * .minhashNearDupsIndexed]]): classify a NEW batch of vectors
+    * against an epoch index written by [[writeSemIndex]] without
+    * re-scanning the corpus. The batch is assigned to the PERSISTED
+    * seed clusters (same kernel + exact-rescore as [[semDedup]]), the
+    * corpus side is read pruned to the touched clusters only, and
+    * each batch vector gets a deterministic status with batch-local
+    * precedence (mirroring [[graft.ops.Dedup.exactGroupsIncremental]]
+    * so an at-least-once replay re-labels identically):
+    * `dup_in_batch` if a smaller-id batch neighbor reaches `tau` in
+    * its cluster, else `dup_of_corpus` if any corpus neighbor does,
+    * else `new`. All cosines exact-decimal — the whole decision
+    * surface is SQL-replayable. */
+  def semDedupIncremental(
+      indexPath: String, batch: DataFrame, tau: Double,
+      margin: Double = 1e-3): DataFrame = {
+    val spark = batch.sparkSession
+    val seedVecs = spark.read.parquet(s"$indexPath/seeds")
+    val bAssign = semDedupAssign(batch, seedVecs, margin)
+      .withColumn("__sd_n2", norm2Decimal(col("embedding")))
+      .withColumn("__sd_nd", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+      .localCheckpoint(true)
+    val touched = bAssign.select(col("centroid_id")).distinct()
+    // partition-column join → only the touched cluster partitions of
+    // the persisted assignment are listed/read
+    val corpus = spark.read.parquet(s"$indexPath/assign")
+      .join(broadcast(touched), Seq("centroid_id"))
+      .withColumn("__sd_n2", norm2Decimal(col("embedding")))
+      .withColumn("__sd_nd", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+        lit(0.0), (acc, x) => acc + x)))
+    def side(df: DataFrame, suffix: String): DataFrame =
+      df.select(col("centroid_id"),
+        col("vec_id").as(s"id$suffix"), col("embedding").as(s"e$suffix"),
+        col("__sd_n2").as(s"n2$suffix"), col("__sd_nd").as(s"nd$suffix"))
+    def hits(l: DataFrame, r: DataFrame, extra: Column): DataFrame = {
+      val fastDot = aggregate(
+        zip_with(col("ea"), col("eb"), (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      l.join(r, Seq("centroid_id")).filter(extra)
+        .withColumn("__sd_fast", fastDot / (col("nda") * col("ndb")))
+        .filter(col("__sd_fast") >= lit(tau - margin))
+        .withColumn("cos", cosExact(col("ea"), col("eb"), col("n2a"), col("n2b")))
+        .filter(col("cos") >= lit(tau))
+        .select(col("ida"))
+        .distinct()
+    }
+    val straddle = hits(side(bAssign, "a"), side(corpus, "b"), lit(true))
+      .withColumn("__sd_corpus_dup", lit(true))
+    val within = hits(side(bAssign, "a"), side(bAssign, "b"),
+        col("idb") < col("ida"))
+      .withColumn("__sd_batch_dup", lit(true))
+    bAssign.select(col("vec_id"), col("centroid_id"))
+      .join(within.withColumnRenamed("ida", "vec_id"), Seq("vec_id"), "left")
+      .join(straddle.withColumnRenamed("ida", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"),
+        when(col("__sd_batch_dup"), lit("dup_in_batch"))
+          .when(col("__sd_corpus_dup"), lit("dup_of_corpus"))
+          .otherwise(lit("new")).as("status"))
+  }
+
   /** The [[semDedup]] assignment stage, exposed for plan/profile
     * inspection: returns the eagerly-checkpointed
     * (vec_id, embedding, centroid_id) frame. */

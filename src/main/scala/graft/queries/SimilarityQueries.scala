@@ -66,6 +66,48 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** The deterministic ~12.5 % md5 batch membership rule shared by the
+    * incremental semantic-dedup gate and its oracle. */
+  private val isBatchVec =
+    substring(md5(col("vec_id").cast("string")), 1, 1) < lit("2")
+
+  /** Write-once semantic-dedup epoch index over the CORPUS side
+    * (non-batch vectors), keyed by the embeddings file's identity —
+    * the same build-once/probe-every-batch contract as the text dedup
+    * index ([[TextQueries]]' dedupIndexPath). */
+  private def semIndexPath(s: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val root = sys.env.getOrElse("GRAFT_INDEX_DIR",
+      sys.props("java.io.tmpdir") + "/graft-sem-index")
+    val src = Paths.get(dir, "embeddings.parquet")
+    val fingerprint =
+      try s"${Files.size(src)}:${Files.getLastModifiedTime(src).toMillis}"
+      catch { case _: java.io.IOException => "unknown" }
+    val key = java.util.UUID.nameUUIDFromBytes(
+      (dir + ":sem:v1:" + fingerprint).getBytes("UTF-8")).toString
+    val path = s"$root/$key"
+    if (!Files.exists(Paths.get(path, "assign", "_SUCCESS"))) {
+      val corpus = emb(s, dir).filter(!isBatchVec)
+      Similarity.writeSemIndex(
+        corpus, Similarity.ivfListsFor(corpus.count()), path)
+    }
+    path
+  }
+
+  /** INCREMENTAL semantic dedup gate ([[graft.ops.Similarity
+    * .semDedupIncremental]]): the ~12.5 % md5-sampled batch classified
+    * against the persisted corpus epoch index — dup_in_batch /
+    * dup_of_corpus / new with batch-local precedence, the corpus
+    * consulted only through its cluster-partitioned persisted
+    * assignment (probe reads touched clusters only). EXACT value
+    * oracle: DuckDB re-derives the corpus seed set, every assignment,
+    * both pair sets (batch×corpus and batch-internal, cluster-scoped,
+    * exact-decimal cosines), and the precedence casing. */
+  def semDedupIncrementalQ(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedupIncremental(
+        semIndexPath(s, dir), emb(s, dir).filter(isBatchVec), tau = 0.4)
+      .orderBy(col("vec_id"))
+
   /** Per-label embedding stats: count plus exact total squared norm and
     * deterministic min/max norms (no order-dependent double sums). */
   def embedStats(s: SparkSession, dir: String): DataFrame = {
@@ -488,6 +530,7 @@ object SimilarityQueries {
     "q_embed_neardup" -> (cosineNearDups _),
     "q_embed_dedup" -> (embedDedup _),
     "q_semdedup" -> (semDedupQ _),
+    "q_semdedup_incremental" -> (semDedupIncrementalQ _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_normalize" -> (embedNormalize _),
@@ -636,6 +679,76 @@ object SimilarityQueries {
          JOIN assign a ON a.vec_id = v.vec_id
          LEFT JOIN comp c ON c.id = v.vec_id
          ORDER BY v.vec_id""",
+
+    "q_semdedup_incremental" ->
+      """WITH
+         corpusv AS (SELECT vec_id, embedding FROM embeddings
+                     WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) >= '2'),
+         batchv AS (SELECT vec_id, embedding FROM embeddings
+                    WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '2'),
+         idx AS (SELECT unnest(range(1, 65)) AS i),
+         sd AS (SELECT vec_id AS sid, embedding AS se FROM corpusv
+                ORDER BY substr(md5(CAST(vec_id AS VARCHAR)), 1, 15), vec_id
+                LIMIT (SELECT greatest(16, (count(1) + 124) // 125)
+                       FROM corpusv)),
+         asums AS (
+           SELECT v.vec_id, s.sid,
+             sum(CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+             sum(CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(v.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS vn2,
+             sum(CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(s.se[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS sn2
+           FROM embeddings v CROSS JOIN sd s CROSS JOIN idx
+           GROUP BY 1, 2),
+         ascore AS (
+           SELECT vec_id, sid,
+             CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+               (sqrt(CAST(CAST(vn2 AS VARCHAR) AS DOUBLE)) *
+                sqrt(CAST(CAST(sn2 AS VARCHAR) AS DOUBLE))) AS cos
+           FROM asums),
+         assign AS (
+           SELECT vec_id, sid AS centroid_id FROM (
+             SELECT vec_id, sid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, sid) AS rn
+             FROM ascore) t WHERE rn = 1),
+         bpv AS (SELECT a.vec_id, a.centroid_id, e.embedding
+                 FROM assign a JOIN batchv e USING (vec_id)),
+         cpv AS (SELECT a.vec_id, a.centroid_id, e.embedding
+                 FROM assign a JOIN corpusv e USING (vec_id)),
+         ssums AS (
+           SELECT x.vec_id AS bid, y.vec_id AS cid2,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS an2,
+             sum(CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS bn2
+           FROM bpv x JOIN cpv y ON x.centroid_id = y.centroid_id
+           CROSS JOIN idx
+           GROUP BY 1, 2),
+         scorpus AS (
+           SELECT DISTINCT bid FROM ssums
+           WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+             (sqrt(CAST(CAST(an2 AS VARCHAR) AS DOUBLE)) *
+              sqrt(CAST(CAST(bn2 AS VARCHAR) AS DOUBLE))) >= 0.4),
+         wsums AS (
+           SELECT x.vec_id AS bid, y.vec_id AS oid,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
+             sum(CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(x.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS an2,
+             sum(CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(y.embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS bn2
+           FROM bpv x JOIN bpv y
+             ON x.centroid_id = y.centroid_id AND y.vec_id < x.vec_id
+           CROSS JOIN idx
+           GROUP BY 1, 2),
+         wbatch AS (
+           SELECT DISTINCT bid FROM wsums
+           WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
+             (sqrt(CAST(CAST(an2 AS VARCHAR) AS DOUBLE)) *
+              sqrt(CAST(CAST(bn2 AS VARCHAR) AS DOUBLE))) >= 0.4)
+         SELECT b.vec_id, b.centroid_id,
+           CASE WHEN w.bid IS NOT NULL THEN 'dup_in_batch'
+                WHEN s.bid IS NOT NULL THEN 'dup_of_corpus'
+                ELSE 'new' END AS status
+         FROM bpv b
+         LEFT JOIN wbatch w ON w.bid = b.vec_id
+         LEFT JOIN scorpus s ON s.bid = b.vec_id
+         ORDER BY b.vec_id""",
 
     "q_embed_normalize" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),

@@ -417,4 +417,27 @@ class SimilaritySpec extends SparkSpec {
       semRows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
         .sortBy(_._1).toSeq
   }
+
+  "semDedupIncremental" should "classify a batch against the persisted epoch index deterministically" in {
+    val idx = tmpDir("sem-index")
+    val isBatch =
+      substring(md5(col("vec_id").cast("string")), 1, 1) < lit("2")
+    val corpus = realVecs.filter(!isBatch)
+    val batch = realVecs.filter(isBatch)
+    Similarity.writeSemIndex(
+      corpus, Similarity.ivfListsFor(corpus.count()), idx)
+    def probe(b: org.apache.spark.sql.DataFrame) =
+      Similarity.semDedupIncremental(idx, b, tau = 0.4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1)
+    val out = probe(batch)
+    out.length shouldBe batch.count()
+    out.map(_._3).toSet.subsetOf(
+      Set("new", "dup_in_batch", "dup_of_corpus")) shouldBe true
+    // the gate corpus exercises at least the corpus-dup and new arms
+    out.count(_._3 == "dup_of_corpus") should be > 0
+    out.count(_._3 == "new") should be > 0
+    // replay-idempotent: an at-least-once redelivery relabels identically
+    probe(batch.repartition(5, col("vec_id"))).toSeq shouldBe out.toSeq
+  }
 }
