@@ -82,6 +82,35 @@ object CurationQueries {
           lit(2L * buckets)).as("bins_bounded"))
   }
 
+  /** Cross-epoch SCHEMA-EVOLUTION gate ([[graft.io.Evolve]]): epoch 0
+    * (even doc ids) is written WITHOUT a token-count column; epoch 1
+    * (odd ids) adds it — the layout a long-lived pipeline accretes.
+    * The merged read must union the schemas, surface epoch-0's missing
+    * column as null, and backfill it with the reference's -1 sentinel;
+    * the per-(epoch, lang) aggregate of the result is EXACT-value
+    * checked against DuckDB reconstructing the same evolution directly
+    * from `documents` — a wrong merge, a dropped epoch, or a backfill
+    * that misses rows all shift a count or a sum. The staged layout is
+    * re-written per run (two codegen'd projections of the gate corpus;
+    * hive `epoch=N` dirs so epoch-pruned reads skip old files). */
+  def epochEvolutionQ(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"target/tmp-evolve-$slug"
+    graft.io.Fs.deleteRecursive(s, root)
+    val d = docs(s, dir)
+    d.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"))
+      .write.parquet(s"$root/epoch=0")
+    d.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"),
+        size(Text.tokens(col("text"))).cast("long").as("tok"))
+      .write.parquet(s"$root/epoch=1")
+    graft.io.Evolve.readMerged(s, root, Map("tok" -> -1L))
+      .groupBy(col("epoch").cast("int").as("epoch"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("tok")).as("tok_sum"))
+      .orderBy(col("epoch"), col("lang"))
+  }
+
   /** Temperature-flattened mixture gate (α = 1/2, [[graft.ops
     * .Sampling.temperatureRepeats]]): per-language repeat plan where
     * stratum weights are ⌊√cnt⌋ instead of hand-written targets —
@@ -416,6 +445,7 @@ object CurationQueries {
     "q_mix_repeats" -> (repeatsQ _),
     "q_mix_temperature" -> (temperatureQ _),
     "q_select_budget" -> (selectBudgetQ _),
+    "q_epoch_evolution" -> (epochEvolutionQ _),
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
     "q_pack_shards" -> (packShardsQ _),
@@ -461,6 +491,19 @@ object CurationQueries {
          FROM per_doc
          GROUP BY 1
          ORDER BY lang""",
+    "q_epoch_evolution" ->
+      """WITH e0 AS (
+           SELECT 0 AS epoch, lang, CAST(NULL AS BIGINT) AS tok
+           FROM documents WHERE doc_id % 2 = 0),
+         e1 AS (
+           SELECT 1 AS epoch, lang,
+             CAST(len(regexp_split_to_array(lower(trim(text)), '\s+'))
+               AS BIGINT) AS tok
+           FROM documents WHERE doc_id % 2 = 1),
+         u AS (SELECT * FROM e0 UNION ALL SELECT * FROM e1)
+         SELECT epoch, lang, count(1) AS n,
+           CAST(sum(coalesce(tok, -1)) AS BIGINT) AS tok_sum
+         FROM u GROUP BY 1, 2 ORDER BY epoch, lang""",
     "q_mix_temperature" ->
       """WITH c AS (SELECT lang, count(1) AS cnt FROM documents GROUP BY 1),
          w AS (SELECT lang, cnt, CAST(floor(sqrt(cnt)) AS BIGINT) AS wt
