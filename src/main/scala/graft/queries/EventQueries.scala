@@ -138,6 +138,70 @@ object EventQueries {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** STREAM-STREAM JOIN parity gate (round-10): the clickstream
+    * attribution join ([[graft.streaming.EventStreams
+    * .attributionPairs]] — every (click, view) pair of the same user
+    * within ±30 minutes) run in BOTH execution modes from one
+    * definition. The stream side reads clicks and views as TWO
+    * independent file-stream sources, both watermarked 2 h, joined by
+    * Spark's stream-stream engine (state-store buffered, watermark +
+    * symmetric bound ⇒ evictable state) under `Trigger.AvailableNow`
+    * into an append parquet sink; the batch side is the same function
+    * on batch frames. Full-outer join on (click_id, view_id) ⇒ a pair
+    * the stream missed, duplicated, or mis-joined flips (or
+    * null-sides) a row against the DuckDB oracle's plain interval
+    * join. */
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-ssjoin-$slug"
+    Seq("inA", "inB", "ckpt", "out").foreach(d =>
+      graft.io.Fs.deleteRecursive(s, s"$base/$d"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    Seq("inA", "inB").foreach { d =>
+      val in = java.nio.file.Paths.get(base, d)
+      java.nio.file.Files.createDirectories(in)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(path), in.resolve("events.parquet"))
+    }
+    val raw = s.read.parquet(path).schema
+    def src(d: String) = s.readStream.schema(raw).parquet(s"$base/$d")
+      .withColumn("ts", Tables.eventsTsExpr(raw("ts").dataType))
+    val clicksS = src("inA").filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val viewsS = src("inB").filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val q = graft.streaming.EventStreams.attributionPairs(clicksS, viewsS)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$base/ckpt")
+      .option("path", s"$base/out")
+      .format("parquet")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.read.parquet(s"$base/out")
+      .select(col("click_id"), col("view_id"), lit(true).as("s_seen"))
+    val all = ev(s, dir)
+    val clicksB = all.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val viewsB = all.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"),
+        col("user_id").as("view_user"), col("ts").as("view_ts"))
+    graft.streaming.EventStreams.attributionPairs(clicksB, viewsB)
+      .withColumn("b_seen", lit(true))
+      .join(streamed, Seq("click_id", "view_id"), "full_outer")
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"),
+        (col("b_seen").isNotNull && col("s_seen").isNotNull).as("stream_match"))
+      .orderBy(col("click_id"), col("view_id"))
+  }
+
   /** LATE-DATA parity gate, driver-visible (round-6 verdict item 8 —
     * the watermark path was previously spec-only): the events table is
     * split into an ON-TIME file (everything from Jan 2 on) and a LATE
@@ -231,6 +295,7 @@ object EventQueries {
     "q_events_sliding" -> (sliding _),
     "q_events_sessionize" -> (sessionize _),
     "q_events_stream_parity" -> (streamParity _),
+    "q_events_stream_join" -> (streamJoinParity _),
     "q_events_late_data" -> (lateDataParity _)
   )
 
@@ -244,6 +309,17 @@ object EventQueries {
            count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            true AS stream_match
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_stream_join" ->
+      """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
+           CAST(a.ts AS TIMESTAMP) AS click_ts,
+           CAST(b.ts AS TIMESTAMP) AS view_ts,
+           true AS stream_match
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND CAST(b.ts AS TIMESTAMP)
+             BETWEEN CAST(a.ts AS TIMESTAMP) - INTERVAL 30 MINUTE
+                 AND CAST(a.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+           AND a.event_type = 'click' AND b.event_type = 'view'
+         ORDER BY click_id, view_id""",
     "q_events_late_data" ->
       """SELECT ws, event_type, n, sum_value, true AS stream_match FROM (
            SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS ws, event_type,

@@ -82,6 +82,26 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** STREAM-STREAM interval join — clickstream attribution: every
+    * (click, view) pair of the same user within ±30 minutes. ONE
+    * declarative definition that runs in both execution modes: on
+    * batch frames it is a plain interval join; on streaming frames
+    * Spark's stream-stream join engine buffers each side in the state
+    * store and the watermark + symmetric time bound make that state
+    * EVICTABLE — a click older than watermark − 30 min can never
+    * match a future view, so state is bounded by the time bound, not
+    * the stream length (the scale story at 100 TB/day event volume).
+    * Inputs must carry (click_id, user_id, click_ts) and
+    * (view_id, view_user, view_ts); callers add watermarks on the
+    * streaming path. */
+  def attributionPairs(clicks: DataFrame, views: DataFrame): DataFrame =
+    clicks.join(views,
+      expr("""user_id = view_user AND
+              view_ts BETWEEN click_ts - INTERVAL 30 MINUTES
+                          AND click_ts + INTERVAL 30 MINUTES"""))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        col("click_ts"), col("view_ts"))
+
   /** Streaming deduplication by event id: exactly-once event delivery
     * on top of an at-least-once transport, with state bounded by the
     * watermark window (`dropDuplicatesWithinWatermark` evicts seen-keys

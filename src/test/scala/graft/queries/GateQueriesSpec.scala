@@ -71,6 +71,15 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_events_stream_join" should "match the stream-stream attribution join pair-for-pair" in {
+    val rows = run("q_events_stream_join").collect()
+    rows.length should be > 0
+    rows.foreach(r =>
+      withClue(s"pair ${r.getLong(1)}/${r.getLong(2)}: ") {
+        r.getBoolean(5) shouldBe true
+      })
+  }
+
   "q_dedup_stream_parity" should "match streamed dedup decisions to the batch path" in {
     val rows = run("q_dedup_stream_parity").collect()
     rows.length should be > 0
