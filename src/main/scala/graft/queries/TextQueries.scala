@@ -42,6 +42,27 @@ object TextQueries {
     Dedup.exactGroups(docs(s, dir), "text", "doc_id")
       .orderBy(col("text_hash"))
 
+  /** VOCABULARY construction (round-10) — the term-census step every
+    * tokenizer build starts with: distinct whitespace tokens ranked by
+    * (count desc, token asc) with contiguous frequency-rank ids
+    * 0..V−1. The census is one partial-agg exchange of (token, count)
+    * partials; the top-V cut compiles to `TakeOrderedAndProject`
+    * (per-partition top-V → driver merge — never a full sort), and the
+    * id window runs on the V-row result, not the corpus. EXACT oracle:
+    * DuckDB replays census, ranking, and id assignment. */
+  def vocabQ(s: SparkSession, dir: String): DataFrame = {
+    val ranked = docs(s, dir)
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+      .limit(256)
+    ranked.withColumn("token_id",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("tok"))) - 1)
+      .orderBy(col("token_id"))
+  }
+
   /** Token statistics: whitespace + BPE-ish pre-tokenizer counts. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(
@@ -864,6 +885,7 @@ object TextQueries {
     "q_text_bm25" -> (bm25Top _),
     "q_text_chunks" -> (chunksQ _),
     "q_text_tokens" -> (tokenStats _),
+    "q_text_vocab" -> (vocabQ _),
     "q_text_quality" -> (quality _),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
@@ -1292,6 +1314,18 @@ object TextQueries {
            CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_digit,
            CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS INT) AS n_punct
          FROM documents ORDER BY doc_id""",
+    "q_text_vocab" ->
+      """WITH t AS (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+           FROM documents),
+         c AS (SELECT tok, count(1) AS cnt FROM t WHERE tok <> '' GROUP BY 1),
+         r AS (
+           SELECT tok, cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, tok) - 1 AS INT)
+               AS token_id
+           FROM c)
+         SELECT tok, cnt, token_id FROM r
+         WHERE token_id < 256 ORDER BY token_id""",
     "q_text_quality" ->
       """WITH m AS (
            SELECT doc_id,

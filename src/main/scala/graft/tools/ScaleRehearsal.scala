@@ -93,7 +93,7 @@ object ScaleRehearsal {
       "q_epoch_prep", "q_mix_repeats",
       // round-10 additions (documents/embeddings, linear paths)
       "q_mix_temperature", "q_select_budget", "q_bloom_exact",
-      "q_semdedup", "q_semdedup_incremental")
+      "q_semdedup", "q_semdedup_incremental", "q_text_vocab")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
