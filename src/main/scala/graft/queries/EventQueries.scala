@@ -139,6 +139,48 @@ object EventQueries {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** FUNNEL analysis (round-10) — WINDOWED stage progression per user
+    * (signup → view → click → purchase, each stage strictly after the
+    * previous and within 24 h of it): the classic event-analytics
+    * operator, expressed as ONE
+    * hash aggregation (shuffle on user_id) collecting each user's
+    * sorted (ts, type) events and a deterministic `aggregate` fold
+    * walking them with (stage, last_ts) state — the first qualifying
+    * event in time order advances the stage, which is provably the
+    * stepwise-min semantics the oracle replays (events sorted
+    * ascending ⇒ first qualifying ≡ min ts > prev). Per-user state is
+    * the user's own history — the sessionize posture: scales with the
+    * largest single user, not the table. Output: users per reached
+    * stage. */
+  def funnelQ(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+    val perUser = e.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("us"), col("event_type").as("t"))))
+        .as("evs"))
+    val stage = expr("""
+      aggregate(evs,
+        named_struct('stage', 0, 'last', CAST(-9223372036854775808 AS BIGINT)),
+        (acc, x) -> CASE
+          WHEN acc.stage = 0 AND x.t = 'signup'
+            THEN named_struct('stage', 1, 'last', x.us)
+          WHEN acc.stage = 1 AND x.t = 'view'
+               AND x.us > acc.last AND x.us <= acc.last + 86400000000
+            THEN named_struct('stage', 2, 'last', x.us)
+          WHEN acc.stage = 2 AND x.t = 'click'
+               AND x.us > acc.last AND x.us <= acc.last + 86400000000
+            THEN named_struct('stage', 3, 'last', x.us)
+          WHEN acc.stage = 3 AND x.t = 'purchase'
+               AND x.us > acc.last AND x.us <= acc.last + 86400000000
+            THEN named_struct('stage', 4, 'last', x.us)
+          ELSE acc END,
+        acc -> acc.stage)""")
+    perUser.select(stage.as("stage"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
   /** STREAM-STREAM JOIN parity gate (round-10): the clickstream
     * attribution join ([[graft.streaming.EventStreams
     * .attributionPairs]] — every (click, view) pair of the same user
@@ -323,6 +365,7 @@ object EventQueries {
     "q_events_tumbling" -> (tumbling _),
     "q_events_sliding" -> (sliding _),
     "q_events_sessionize" -> (sessionize _),
+    "q_events_funnel" -> (funnelQ _),
     "q_events_stream_parity" -> (streamParity _),
     "q_events_stream_join" -> (streamJoinParity _),
     "q_events_late_data" -> (lateDataParity _)
@@ -338,6 +381,42 @@ object EventQueries {
            count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            true AS stream_match
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_funnel" ->
+      """WITH t1 AS (
+           SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+         t2 AS (
+           SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts FROM events e
+           JOIN t1 ON e.user_id = t1.user_id AND CAST(e.ts AS TIMESTAMP) > t1.ts
+             AND CAST(e.ts AS TIMESTAMP) <= t1.ts + INTERVAL 24 HOUR
+           WHERE e.event_type = 'view' GROUP BY 1),
+         t3 AS (
+           SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts FROM events e
+           JOIN t2 ON e.user_id = t2.user_id AND CAST(e.ts AS TIMESTAMP) > t2.ts
+             AND CAST(e.ts AS TIMESTAMP) <= t2.ts + INTERVAL 24 HOUR
+           WHERE e.event_type = 'click' GROUP BY 1),
+         t4 AS (
+           SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS ts FROM events e
+           JOIN t3 ON e.user_id = t3.user_id AND CAST(e.ts AS TIMESTAMP) > t3.ts
+             AND CAST(e.ts AS TIMESTAMP) <= t3.ts + INTERVAL 24 HOUR
+           WHERE e.event_type = 'purchase' GROUP BY 1),
+         u AS (
+           SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('signup', 'view', 'click', 'purchase')),
+         stages AS (
+           SELECT u.user_id,
+             CASE WHEN t4.user_id IS NOT NULL THEN 4
+                  WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+           FROM u
+           LEFT JOIN t1 ON t1.user_id = u.user_id
+           LEFT JOIN t2 ON t2.user_id = u.user_id
+           LEFT JOIN t3 ON t3.user_id = u.user_id
+           LEFT JOIN t4 ON t4.user_id = u.user_id)
+         SELECT stage, count(1) AS n_users FROM stages
+         GROUP BY 1 ORDER BY stage""",
     "q_events_stream_join" ->
       """SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id,
            CAST(a.ts AS TIMESTAMP) AS click_ts,
