@@ -181,6 +181,31 @@ object EventQueries {
       .orderBy(col("stage"))
   }
 
+  /** COHORT RETENTION (round-10) — the funnel's sibling: users grouped
+    * by the week of their FIRST event (the cohort), counted once per
+    * (cohort, weeks-since-first) they were active in. Two aggregations:
+    * a per-user min(ts) census (one shuffle on user_id) broadcast back
+    * onto the scan, then a distinct (cohort, offset, user) partial-agg
+    * — per-week activity collapses map-side, so the wire carries at
+    * most users × active-weeks rows, never events. Week arithmetic is
+    * integer floor-division on epoch days (epoch day 0 is a Thursday;
+    * the oracle applies the identical rule), so both engines bucket
+    * identically with no timezone/locale week definitions involved. */
+  def retentionQ(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val first = e.groupBy(col("user_id"))
+      .agg(min(col("day")).as("first_day"))
+    e.join(broadcast(first), Seq("user_id"))
+      .select(col("user_id"),
+        expr("first_day DIV 7").cast("int").as("cohort_week"),
+        expr("(day - first_day) DIV 7").cast("int").as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   /** STREAM-STREAM JOIN parity gate (round-10): the clickstream
     * attribution join ([[graft.streaming.EventStreams
     * .attributionPairs]] — every (click, view) pair of the same user
@@ -366,6 +391,7 @@ object EventQueries {
     "q_events_sliding" -> (sliding _),
     "q_events_sessionize" -> (sessionize _),
     "q_events_funnel" -> (funnelQ _),
+    "q_events_retention" -> (retentionQ _),
     "q_events_stream_parity" -> (streamParity _),
     "q_events_stream_join" -> (streamJoinParity _),
     "q_events_late_data" -> (lateDataParity _)
@@ -381,6 +407,19 @@ object EventQueries {
            count(1) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
            true AS stream_match
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_events_retention" ->
+      """WITH d AS (
+           SELECT user_id,
+             CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 AS day
+           FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
+         a AS (
+           SELECT DISTINCT d.user_id,
+             CAST(f.first_day // 7 AS INT) AS cohort_week,
+             CAST((d.day - f.first_day) // 7 AS INT) AS week_offset
+           FROM d JOIN f USING (user_id))
+         SELECT cohort_week, week_offset, count(1) AS n_users
+         FROM a GROUP BY 1, 2 ORDER BY cohort_week, week_offset""",
     "q_events_funnel" ->
       """WITH t1 AS (
            SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS ts FROM events
