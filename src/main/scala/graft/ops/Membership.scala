@@ -56,10 +56,28 @@ object Membership {
   /** Oracle draw: 5 hex chars of md5(key) per family (k ≤ 6) — ~20-bit
     * positions, slower than xxhash64, but md5 hex is bit-identical in
     * Spark and DuckDB, so a SQL oracle can replay the filter exactly
-    * (q_bloom_exact). Not the production default. */
+    * (q_bloom_exact). Not the production default.
+    *
+    * Hard limits enforced by every kernel ([[md5Limits]]): positions
+    * are drawn from 5 hex chars ⇒ max 2²⁰−1, so any mBits > 2²⁰ would
+    * silently leave the upper filter bits unreachable (effective m
+    * saturates, absent-side FP rate grows with n); and k > 6 would
+    * substr past the 32 md5 hex chars into nulls. Callers that need a
+    * bigger replayable filter must shard the key space into ≤ 2²⁰-bit
+    * filters (word-prefix sharding, see scale notes above). */
   val md5Hash: Hasher = (key, i) =>
     conv(md5(keyStr(key)).substr(i * lit(5) + lit(1), lit(5)), 16, 10)
       .cast("long")
+
+  /** md5Hash draws only 20-bit positions from 6 disjoint hex windows;
+    * reject configurations those draws cannot reach. */
+  private def md5Limits(hasher: Hasher, mBits: Long, k: Int): Unit =
+    if (hasher eq md5Hash) {
+      require(mBits <= (1L << 20),
+        s"md5Hash positions are 20-bit: mBits=$mBits > 2^20 would leave " +
+          "upper filter bits permanently unreachable (shard the filter instead)")
+      require(k <= 6, s"md5Hash supports k<=6 5-hex-char windows, got k=$k")
+    }
 
   /** Bit positions are drawn per hash family `i` as
     * `pmod(hash(key, i), m)`; with 64 | m the in-word bit is just
@@ -80,6 +98,7 @@ object Membership {
       hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
     require(k >= 1 && k <= 16, s"k=$k out of range")
+    md5Limits(hasher, mBits, k)
     val h = hasher(col("__bl_key"), col("__bl_i"))
     keys
       .select(col(keyCol).as("__bl_key"))
@@ -111,6 +130,7 @@ object Membership {
       mBits: Long, k: Int, hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
     require(bits.length.toLong == mBits / 64, s"bits.length=${bits.length}")
+    md5Limits(hasher, mBits, k)
     val bitsLit = lit(bits)
     val hit = (0 until k).map { i =>
       val word = shiftright(posOf(col(keyCol), i, mBits, hasher), 6)
@@ -176,6 +196,7 @@ object Membership {
       probes: DataFrame, keyCol: String, bitsDf: DataFrame,
       mBits: Long, k: Int, hasher: Hasher = xxHash): DataFrame = {
     require64(mBits)
+    md5Limits(hasher, mBits, k)
     val h = hasher(col("__bl_key"), col("__bl_i"))
     val lookups = probes
       .select(col(keyCol).as("__bl_key")).distinct()

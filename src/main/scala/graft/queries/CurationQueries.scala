@@ -212,8 +212,14 @@ object CurationQueries {
     val k = 5 // 5 windows × 5 hex chars = 25 ≤ 32 md5 hex chars
     val d = docs(s, dir).select(col("doc_id"))
     val n = d.count()
+    // m grows with n but is CAPPED at 2^20: md5Hash positions are
+    // 20-bit draws, so a larger m would leave the upper bits
+    // unreachable (Membership.md5Limits would reject it). Past
+    // n = 65,536 the replayed FP rate grows with n — acceptable for
+    // this oracle-parity gate; the production path (xxhash64) has no
+    // such cap. The oracle SQL mirrors the same capped recursion.
     var m = 1L << 17
-    while (m < 16L * n) m <<= 1
+    while (m < 16L * n && m < (1L << 20)) m <<= 1
     val bitsDf = Membership
       .bloomBits(d, "doc_id", m, k, Membership.md5Hash).localCheckpoint(true)
     val bits = Membership.collectBits(bitsDf, m)
@@ -549,8 +555,9 @@ object CurationQueries {
          b AS (SELECT sum(tok) // 4 AS budget FROM m),
          o AS (
            SELECT doc_id, score, tok,
-             sum(tok) OVER (ORDER BY score DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(sum(tok) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
            FROM sc)
          SELECT doc_id, score, tok, cum_tokens FROM o, b
          WHERE cum_tokens <= budget
@@ -661,7 +668,8 @@ object CurationQueries {
          mrec AS (
            WITH RECURSIVE mm(m) AS (
              SELECT CAST(131072 AS BIGINT)
-             UNION ALL SELECT m * 2 FROM mm, nn WHERE m < 16 * c)
+             UNION ALL SELECT m * 2 FROM mm, nn
+             WHERE m < 16 * c AND m < 1048576)
            SELECT max(m) AS m FROM mm),
          pk AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
                 FROM documents),

@@ -243,10 +243,17 @@ object EventQueries {
     def stagePart(side: String, destDir: String): Unit = {
       val in = java.nio.file.Paths.get(base, destDir)
       java.nio.file.Files.createDirectories(in)
-      val part = new java.io.File(s"$stageRoot/side=$side").listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file for $side"))
-      java.nio.file.Files.copy(part.toPath, in.resolve(s"$side.parquet")); ()
+      // copy EVERY part file: the staged write usually emits one per
+      // side (repartition by side), but if a layout change or
+      // maxRecordsPerFile ever splits it, dropping files here would
+      // surface as a baffling parity diff instead of a staging error
+      val parts = new java.io.File(s"$stageRoot/side=$side").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      if (parts.isEmpty)
+        throw new IllegalStateException(s"no part file for $side")
+      parts.zipWithIndex.foreach { case (part, i) =>
+        java.nio.file.Files.copy(part.toPath, in.resolve(f"$side-$i%05d.parquet"))
+      }
     }
     stagePart("click", "inA")
     stagePart("view", "inB")
@@ -410,7 +417,7 @@ object EventQueries {
     "q_events_retention" ->
       """WITH d AS (
            SELECT user_id,
-             CAST(epoch(CAST(ts AS TIMESTAMP)) AS BIGINT) // 86400 AS day
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
            FROM events),
          f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY 1),
          a AS (
