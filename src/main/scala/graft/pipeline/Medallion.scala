@@ -20,6 +20,54 @@ import graft.io.{Sinks, Sources}
   */
 object Medallion {
 
+  /** How the main table's surrogate id is assigned (§2 #20 scale
+    * switch). Dimensions always take the ordered dense id — they are
+    * small by construction (dedup output). The MAIN table is input-
+    * sized, so its id strategy must scale with it:
+    *
+    *  - [[IdStrategy.Ordered]]: `row_number` over a global sort —
+    *    dense 1..N ids ordered by key, reference parity, but funnels
+    *    every row through ONE task. Right answer ≤ a few 100 MB.
+    *  - [[IdStrategy.Distributed]]: partition-local ids interleaved by
+    *    partition ([[Dims.withDistributedId]]) — unique 64-bit ids, no
+    *    global sort, any scale; not order-correlated.
+    *  - [[IdStrategy.Auto]] (default): pick by Catalyst's plan-size
+    *    estimate for the main frame — the SAME signal Spark's
+    *    broadcast-join threshold uses, and the single-task global sort
+    *    is exactly a broadcast-class operation. Estimates at or under
+    *    `maxBytes` stay Ordered with NO extra job (the decision reads
+    *    `optimizedPlan.stats`, so the pipeline stays lazy). An
+    *    over-threshold estimate is CONFIRMED by a bounded row probe
+    *    (`limit(probeRows+1).count()`) before flipping: RDD-backed
+    *    inputs (`spark.createDataFrame(rdd, schema)`) have no real
+    *    stats — Catalyst reports `defaultSizeInBytes` ≈ Long.MaxValue,
+    *    and column pruning scales that to arbitrary huge numbers — so
+    *    the estimate alone would misread any driver-constructed frame
+    *    as fact-sized. The probe is scale-safe: LocalLimit
+    *    short-circuits, so its cost is bounded by `probeRows`
+    *    regardless of input size, and it only runs when the estimate
+    *    already exceeded the threshold. File-backed inputs (the
+    *    production path) carry real file-size stats, so at
+    *    test/reference scales Auto resolves to Ordered without any
+    *    job, keeping the ref_* oracles (which replay the ordered dense
+    *    ids in SQL) byte-stable.
+    */
+  sealed trait IdStrategy
+  object IdStrategy {
+    case object Ordered extends IdStrategy
+    case object Distributed extends IdStrategy
+    /** `maxBytes` mirrors the spirit of
+      * `spark.sql.autoBroadcastJoinThreshold`: up to this estimated
+      * plan size the one-task sort is cheap; beyond it the global
+      * window would be the pipeline's bottleneck at 100 TB.
+      * `probeRows` bounds the confirming count when the estimate is
+      * over threshold (or unknown): up to this many rows the one-task
+      * `row_number` sort is still comfortably cheap. */
+    final case class Auto(
+        maxBytes: Long = 256L << 20,
+        probeRows: Long = 1L << 20) extends IdStrategy
+  }
+
   /** Gold-stage shape parameters (the reference hard-codes these for
     * its real-estate dataset; the engine takes them as config). */
   case class GoldSpec(
@@ -27,7 +75,8 @@ object Medallion {
       naturalKeyCols: Seq[String],
       mainHashKeyCols: Seq[String],
       dimKeyCols: Map[String, Seq[String]],
-      surrogateIdCol: String = "id")
+      surrogateIdCol: String = "id",
+      mainIdStrategy: IdStrategy = IdStrategy.Auto())
 
   /** bronze: any supported format → CSV objects (SURVEY.md §3.2). */
   def bronze(spark: SparkSession, rawPaths: Seq[String], bronzeDir: String): Seq[String] =
@@ -87,10 +136,27 @@ object Medallion {
         Dims.dedup(frames(d)), spec.surrogateIdCol, Seq(col(s"${d}_key")))
     }.toMap
 
-    // 4. main table: surrogate id ordered by its hash key (:478)
-    val main = Dims.withSurrogateId(
-      frames(spec.mainTable), spec.surrogateIdCol,
-      Seq(col(mainKey), col("natural_key")))
+    // 4. main table: surrogate id ordered by its hash key (:478) up to
+    //    the Auto size threshold; beyond it, distributed ids — the
+    //    main table is the only input-sized gold output, so it alone
+    //    carries the scale switch (dims stay Ordered: small by
+    //    construction)
+    val mainFrame = frames(spec.mainTable)
+    val useOrdered = spec.mainIdStrategy match {
+      case IdStrategy.Ordered => true
+      case IdStrategy.Distributed => false
+      case IdStrategy.Auto(maxBytes, probeRows) =>
+        mainFrame.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes ||
+          // estimate over threshold (or unknown — RDD-backed frames
+          // report ~Long.MaxValue): confirm with a bounded probe
+          mainFrame.limit(
+            (probeRows + 1).min(Int.MaxValue.toLong).toInt).count() <= probeRows
+    }
+    val main =
+      if (useOrdered)
+        Dims.withSurrogateId(mainFrame, spec.surrogateIdCol,
+          Seq(col(mainKey), col("natural_key")))
+      else Dims.withDistributedId(mainFrame, spec.surrogateIdCol)
 
     // 5. facts: property_key → property_id broadcast join + id-first
     //    reorder (:490-496)
