@@ -27,6 +27,20 @@ class GateQueriesSpec extends SparkSpec {
     })
   }
 
+  "q_hll_exact" should "hold regime-appropriate estimator accuracy per group" in {
+    val rows = run("q_hll_exact").collect()
+    rows.length shouldBe 5 // one per event_type
+    rows.foreach { r =>
+      withClue(s"event_type ${r.getString(0)}: ") {
+        r.getLong(1) should be > 0L                  // exact_users
+        r.getLong(2) + r.getLong(3) shouldBe 256L    // n_buckets + zero_buckets
+        r.getLong(5) should be > 0L                  // harmonic_den
+        r.getDouble(6) should be > 0.0               // est_raw
+        r.getBoolean(7) shouldBe true                // approx_ok
+      }
+    }
+  }
+
   "q_text_heavy_hitters" should "find every exact heavy hitter in the sketch" in {
     val rows = run("q_text_heavy_hitters").collect()
     rows.length should be > 0
