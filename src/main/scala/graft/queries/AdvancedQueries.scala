@@ -306,6 +306,24 @@ object AdvancedQueries {
         (abs(col("ap50") - col("p50")) / col("p50") <= 0.05).as("approx_ok"))
       .orderBy(col("l_returnflag"))
 
+  /** Histogram quantiles, EXACT-VALUE gated (round-11, the carry-over
+    * "upgrade an invariant gate" item): [[graft.ops.Quantiles]]'s
+    * two-pass integer histogram over l_extendedprice in cents, per
+    * return flag. Unlike `approx_percentile` (float-merged t-digest,
+    * invariant-gated only in q_percentiles_approx), every step here is
+    * integer floor-division both engines compute bit-identically, so
+    * DuckDB replays the envelope pass, the bucket counts, the
+    * cumulative rank selection, and the edge estimates value-for-value
+    * — and the estimate carries a proven ≤ range/B + 1 error bound
+    * (asserted against the true sorted quantile in `QuantilesSpec`). */
+  def quantileHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.histogramQuantiles(
+      t(s, dir, "lineitem"),
+      (dec("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"))
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -435,7 +453,8 @@ object AdvancedQueries {
     "q_window_range" -> (windowRange _),
     "q_pivot" -> (pivot _),
     "q_approx_distinct" -> (approxDistinct _),
-    "q_hll_exact" -> (hllExact _)
+    "q_hll_exact" -> (hllExact _),
+    "q_quantile_histogram" -> (quantileHistogram _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -581,6 +600,43 @@ object AdvancedQueries {
     "q_percentiles_approx" ->
       """SELECT l_returnflag, count(1) AS n, true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // full integer replay of ops.Quantiles.histogramQuantiles: same
+    // envelope, same floor-division bucketing ( // ≡ Spark's div on
+    // non-negative BIGINT), same ceil-rank targets, same clamped
+    // upper-edge estimates — every output column value-matched
+    "q_quantile_histogram" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         st AS (
+           SELECT g, min(v) AS vmin, max(v) AS vmax,
+             CAST(count(1) AS BIGINT) AS n
+           FROM vals GROUP BY g),
+         b AS (
+           SELECT g, n, vmin, vmax, vmax - vmin + 1 AS rng,
+             ((v - vmin) * 256) // (vmax - vmin + 1) AS bucket,
+             CAST(count(1) AS BIGINT) AS cnt
+           FROM vals JOIN st USING (g)
+           GROUP BY g, n, vmin, vmax, rng, bucket),
+         c AS (
+           SELECT g, n, vmin, vmax, rng, bucket,
+             CAST(sum(cnt) OVER (
+               PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum
+           FROM b),
+         p AS (
+           SELECT g, n, vmin, vmax, rng,
+             min(CASE WHEN cum >= (n * 1 + 1) // 2 THEN bucket END) AS p50_bucket,
+             min(CASE WHEN cum >= (n * 9 + 9) // 10 THEN bucket END) AS p90_bucket,
+             min(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bucket END) AS p99_bucket
+           FROM c GROUP BY g, n, vmin, vmax, rng)
+         SELECT g AS l_returnflag, n, vmin, vmax,
+           p50_bucket, p90_bucket, p99_bucket,
+           least(vmax, vmin + ((p50_bucket + 1) * rng + 255) // 256 - 1) AS p50_est,
+           least(vmax, vmin + ((p90_bucket + 1) * rng + 255) // 256 - 1) AS p90_est,
+           least(vmax, vmin + ((p99_bucket + 1) * rng + 255) // 256 - 1) AS p99_est,
+           rng // 256 + 1 AS err_bound
+         FROM p ORDER BY l_returnflag""",
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) AS bucket,
            count(1) FILTER (WHERE event_type = 'click') AS click,

