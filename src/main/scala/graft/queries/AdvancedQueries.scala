@@ -324,6 +324,85 @@ object AdvancedQueries {
       .withColumnRenamed("g", "l_returnflag")
       .orderBy(col("l_returnflag"))
 
+  /** SCD2 dimension history (round-11, [[graft.etl.Scd]]): each
+    * customer's order-priority timeline collapsed to validity
+    * intervals — the incremental-warehouse shape the reference's
+    * recreate-everything gold stage cannot express. One hash exchange
+    * on the key + per-key sort; ties broken by o_orderkey so the
+    * emitted history is partitioning-independent. */
+  def scd2History(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Scd.scd2FromEvents(
+      t(s, dir, "orders"),
+      col("o_custkey"), col("o_orderdate"),
+      tracked = Seq(col("o_orderpriority")),
+      tieCols = Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+
+  /** INCREMENTAL SCD2 (round-11, [[graft.etl.Scd.scd2Apply]]): the
+    * pre-1998 history is built once, then the 1998+ orders fold in as
+    * a change batch — cost ∝ batch + touched current rows, never the
+    * history's depth. The oracle is the FULL from-scratch rebuild (the
+    * q_scd2_history SQL verbatim), so the gate proves incremental ≡
+    * rebuild row-for-row. */
+  def scd2ApplyQ(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val cut = lit("1998-01-01").cast("timestamp")
+    val hist = graft.etl.Scd.scd2FromEvents(
+      o.filter(col("o_orderdate") < cut),
+      col("o_custkey"), col("o_orderdate"),
+      tracked = Seq(col("o_orderpriority")),
+      tieCols = Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("version"), col("effective_from"),
+        col("effective_to"), col("is_current"), col("o_orderpriority"))
+    graft.etl.Scd.scd2Apply(hist, o.filter(col("o_orderdate") >= cut),
+      "o_custkey", "o_orderdate", Seq("o_orderpriority"), Seq("o_orderkey"))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
+  /** Keyed MERGE/upsert: evens updated in place, a %7 slice arrives as
+    * brand-new keys, everything else survives — the anti-join + union
+    * plan that replaces a full-table rewrite. */
+  def dimUpsert(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val updates = c.filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+        lit("UPDATED").as("c_mktsegment"))
+      .unionByName(c.filter(col("c_custkey") % 7 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_name"), lit("NEW").as("c_mktsegment")))
+    graft.etl.Scd.upsertByKey(c, updates, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Change-data extract between two synthetic epochs of customer
+    * (deletes %11, re-segments %7, inserts a %13 slice of new keys):
+    * per key, insert/delete/update with the attribute before/after —
+    * the delta a downstream consumer replays instead of re-reading the
+    * table. One co-partitioned full-outer join. */
+  def snapshotDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val after = c.filter(col("c_custkey") % 11 =!= 0)
+      .withColumn("c_mktsegment",
+        when(col("c_custkey") % 7 === 0, lit("MOVED"))
+          .otherwise(col("c_mktsegment")))
+      .unionByName(c.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"),
+          col("c_name"), lit("FRESH").as("c_mktsegment")))
+    graft.etl.Scd.snapshotDiff(c, after, Seq("c_custkey"))
+      .select(col("c_custkey"), col("change"),
+        col("before.c_mktsegment").as("seg_before"),
+        col("after.c_mktsegment").as("seg_after"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -454,8 +533,38 @@ object AdvancedQueries {
     "q_pivot" -> (pivot _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_hll_exact" -> (hllExact _),
-    "q_quantile_histogram" -> (quantileHistogram _)
+    "q_quantile_histogram" -> (quantileHistogram _),
+    "q_scd2_history" -> (scd2History _),
+    "q_scd2_apply" -> (scd2ApplyQ _),
+    "q_dim_upsert" -> (dimUpsert _),
+    "q_snapshot_diff" -> (snapshotDiffQ _)
   )
+
+  /** Shared by q_scd2_history AND q_scd2_apply: the incremental fold
+    * must reproduce the from-scratch rebuild row-for-row. */
+  private val scd2HistorySql: String =
+    """WITH s AS (
+         SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+           CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
+                THEN 0 ELSE 1 END AS chg
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+       v AS (
+         SELECT o_custkey, o_orderdate, o_orderpriority,
+           CAST(sum(chg) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS BIGINT) AS version
+         FROM s),
+       r AS (
+         SELECT o_custkey, version, o_orderpriority AS priority,
+           min(o_orderdate) AS effective_from
+         FROM v GROUP BY o_custkey, version, o_orderpriority)
+       SELECT o_custkey, version, priority, effective_from,
+         lead(effective_from) OVER (
+           PARTITION BY o_custkey ORDER BY version) AS effective_to,
+         lead(effective_from) OVER (
+           PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+       FROM r ORDER BY o_custkey, version"""
 
   val oracleSql: Map[String, String] = Map(
     "q_string_funcs" ->
@@ -637,6 +746,53 @@ object AdvancedQueries {
            least(vmax, vmin + ((p99_bucket + 1) * rng + 255) // 256 - 1) AS p99_est,
            rng // 256 + 1 AS err_bound
          FROM p ORDER BY l_returnflag""",
+    // gaps-and-islands replay: same null-safe change test, same
+    // running-sum version ids, same per-island min / lead windows.
+    // q_scd2_apply shares the SAME oracle text: the incremental fold
+    // must equal the from-scratch rebuild row-for-row.
+    "q_scd2_history" -> scd2HistorySql,
+    "q_scd2_apply" -> scd2HistorySql,
+    "q_dim_upsert" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         u AS (
+           SELECT c_custkey, upper(c_name) AS c_name,
+             'UPDATED' AS c_mktsegment
+           FROM c WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, c_name, 'NEW'
+           FROM c WHERE c_custkey % 7 = 0)
+         SELECT * FROM (
+           SELECT e.c_custkey, e.c_name, e.c_mktsegment FROM c e
+           WHERE NOT EXISTS (
+             SELECT 1 FROM u WHERE u.c_custkey = e.c_custkey)
+           UNION ALL SELECT c_custkey, c_name, c_mktsegment FROM u)
+         ORDER BY c_custkey""",
+    "q_snapshot_diff" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         a AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+           FROM c WHERE c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 10000000, c_name, 'FRESH'
+           FROM c WHERE c_custkey % 13 = 0)
+         SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN a.c_custkey IS NULL THEN 'delete'
+                WHEN b.c_name IS DISTINCT FROM a.c_name
+                  OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+                  THEN 'update' END AS change,
+           b.c_mktsegment AS seg_before, a.c_mktsegment AS seg_after
+         FROM c b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
+         WHERE CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN a.c_custkey IS NULL THEN 'delete'
+                WHEN b.c_name IS DISTINCT FROM a.c_name
+                  OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+                  THEN 'update' END IS NOT NULL
+         ORDER BY c_custkey""",
     "q_pivot" ->
       """SELECT CAST(user_id % 10 AS INT) AS bucket,
            count(1) FILTER (WHERE event_type = 'click') AS click,
