@@ -429,6 +429,14 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Statistical-LM quality scoring ([[graft.ops.LangModel]], round-11):
+    * per-doc average bigram negative log-probability under the corpus's
+    * own add-½ bigram model — the CCNet/Gopher perplexity-filter axis.
+    * Rule-5b quantized costs; ordering total on doc_id. */
+  def lmScoreQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
+      .orderBy(col("doc_id"))
+
   /** Okapi BM25 top-3 terms per document (k1 = 1.2, b = 0.75, Lucene's
     * +1-inside-the-log idf so weights stay positive) — the retrieval
     * scoring twin of [[tfidfTop]], adding document-length
@@ -881,6 +889,7 @@ object TextQueries {
     "q_text_countmin" -> (countMinQ _),
     "q_dedup_stream_parity" -> (dedupStreamParity _),
     "q_text_tfidf" -> (tfidfTop _),
+    "q_text_lm_score" -> (lmScoreQ _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     "q_text_chunks" -> (chunksQ _),
@@ -1292,6 +1301,36 @@ object TextQueries {
          SELECT doc_id, CAST(rnk AS INT) AS rnk, term, tf,
            CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
          FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // full bigram-LM replay: same census, same context totals, same
+    // add-1/2 smoothing, rule-5b VARCHAR-hopped DECIMAL(18,9) costs,
+    // exact decimal sums; only the final mean returns to double
+    "q_text_lm_score" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         bi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
+         biw AS (
+           SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1 FROM bi),
+         uni AS (
+           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM biw GROUP BY 1),
+         vocab AS (
+           SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks)),
+         model AS (
+           SELECT bigram,
+             CAST(CAST(-ln((c12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
+               AS DECIMAL(18,9)) AS cost_d
+           FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
+         SELECT doc_id, count(1) AS n_bigrams,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
+         FROM pairs JOIN model USING (bigram)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_text_chunks" ->
       """WITH words AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w

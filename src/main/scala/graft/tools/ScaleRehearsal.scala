@@ -75,6 +75,19 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
     embCopies.repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    // orders (r11, for the SCD2 rehearsals): keys offset per copy, so
+    // data AND key count grow 10× while per-key history depth stays
+    // sf0.1's — the linear regime a warehouse grows in
+    val ord = spark.read.parquet(s"$srcDir/orders.parquet")
+    (0 until Copies).map { c =>
+      ord.select(
+        (col("o_orderkey") + lit(c * Offset)).as("o_orderkey"),
+        (col("o_custkey") + lit(c * Offset)).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
   }
 
   /** Measured paths: driver-query names for the text/dedup pipelines;
@@ -93,7 +106,10 @@ object ScaleRehearsal {
       "q_epoch_prep", "q_mix_repeats",
       // round-10 additions (documents/embeddings, linear paths)
       "q_mix_temperature", "q_select_budget", "q_bloom_exact",
-      "q_semdedup", "q_semdedup_incremental", "q_text_vocab")
+      "q_semdedup", "q_semdedup_incremental", "q_text_vocab",
+      // round-11 additions (orders): per-key SCD2 windows + the
+      // incremental fold — both one hash exchange, linear candidates
+      "q_scd2_history", "q_scd2_apply")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
@@ -182,7 +198,8 @@ object ScaleRehearsal {
     spark.sparkContext.setLogLevel("ERROR")
 
     val sf1Dir = "target/sf1"
-    if (!new java.io.File(s"$sf1Dir/embeddings.parquet").exists()) {
+    if (!new java.io.File(s"$sf1Dir/embeddings.parquet").exists() ||
+        !new java.io.File(s"$sf1Dir/orders.parquet").exists()) {
       println("[scale] generating sf1 slice under target/sf1 ...")
       genSf1(spark, "/root/testdata/sf0.1", sf1Dir)
     }

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Behavioral contract of the bigram-LM scorer: predictable word
+  * sequences cost less than corpus-atypical ones, bigram accounting is
+  * exact, sub-bigram docs are absent, and scores are
+  * partitioning-stable. */
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    // 8 fluent docs: the bigrams "the cat", "cat sat", "sat down"
+    // dominate the census
+    (1L, "the cat sat down"), (2L, "the cat sat down"),
+    (3L, "the cat sat down"), (4L, "the cat sat down"),
+    (5L, "the cat sat down"), (6L, "the cat sat down"),
+    (7L, "the cat sat down"), (8L, "the cat sat down"),
+    (9L, "down sat cat the"), // reversed: every bigram is rare
+    (10L, "single")           // one token: no bigrams
+  ).toDF("doc_id", "text")
+
+  behavior of "LangModel.lmScores"
+
+  it should "score corpus-typical sequences below atypical ones" in {
+    val out = LangModel.lmScores(corpus, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    out.keySet shouldBe (1L to 9L).toSet // doc 10 has no bigrams
+    out(1L)._1 shouldBe 3L               // "the cat","cat sat","sat down"
+    out(9L)._1 shouldBe 3L
+    // fluent doc must cost strictly less than the reversed doc
+    out(1L)._2 should be < out(9L)._2
+    // all fluent copies score identically
+    (2L to 8L).foreach(d => out(d) shouldBe out(1L))
+  }
+
+  it should "be bit-stable under repartitioning" in {
+    val a = LangModel.lmScores(corpus, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = LangModel.lmScores(corpus.repartition(5, col("text")),
+      col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+}
