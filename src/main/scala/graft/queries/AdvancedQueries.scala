@@ -407,6 +407,26 @@ object AdvancedQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Blocked fuzzy entity pairs (round-11, [[graft.ops.Entities]]):
+    * the part-name catalog (distinct names — vocabulary-sized, never
+    * row-stream-sized), blocked on the last word, verified by exact
+    * Levenshtein ≤ 3. Both engines run the same DP, so every pair and
+    * distance value-matches. */
+  def entityPairs(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Entities.fuzzyPairs(
+      graft.ops.Entities.catalog(
+        t(s, dir, "part"), col("p_partkey"), col("p_name")),
+      maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Full entity resolution: fuzzy-match components over the catalog,
+    * min-id canonical per cluster (the dedup survivor rule re-used at
+    * the entity level). */
+  def entityResolution(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Entities.resolve(
+      t(s, dir, "part"), col("p_partkey"), col("p_name"), maxDist = 3)
+      .orderBy(col("entity_id"))
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -540,6 +560,8 @@ object AdvancedQueries {
     "q_quantile_histogram" -> (quantileHistogram _),
     "q_scd2_history" -> (scd2History _),
     "q_scd2_apply" -> (scd2ApplyQ _),
+    "q_entity_pairs" -> (entityPairs _),
+    "q_entity_resolution" -> (entityResolution _),
     "q_dim_upsert" -> (dimUpsert _),
     "q_snapshot_diff" -> (snapshotDiffQ _)
   )
@@ -756,6 +778,51 @@ object AdvancedQueries {
     // must equal the from-scratch rebuild row-for-row.
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
+    // both engines implement classic Levenshtein; the blocking, the
+    // pair set, and every distance value-match
+    "q_entity_pairs" ->
+      """WITH cat AS (
+           SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS entity_id
+           FROM part GROUP BY 1),
+         blocked AS (
+           SELECT name, entity_id,
+             regexp_extract(name, '[a-z]+$') AS block
+           FROM cat)
+         SELECT a.name AS name_a, b.name AS name_b,
+           a.entity_id AS id_a, b.entity_id AS id_b,
+           CAST(levenshtein(a.name, b.name) AS INT) AS dist
+         FROM blocked a JOIN blocked b
+           ON a.block = b.block AND a.entity_id < b.entity_id
+         WHERE levenshtein(a.name, b.name) <= 3
+         ORDER BY id_a, id_b""",
+    "q_entity_resolution" ->
+      """WITH RECURSIVE cat AS (
+           SELECT p_name AS name, CAST(min(p_partkey) AS BIGINT) AS entity_id,
+             count(1) AS members
+           FROM part GROUP BY 1),
+         blocked AS (
+           SELECT name, entity_id, members,
+             regexp_extract(name, '[a-z]+$') AS block
+           FROM cat),
+         pairs AS (
+           SELECT a.entity_id AS id_a, b.entity_id AS id_b
+           FROM blocked a JOIN blocked b
+             ON a.block = b.block AND a.entity_id < b.entity_id
+           WHERE levenshtein(a.name, b.name) <= 3),
+         edges AS (
+           SELECT id_a AS src, id_b AS dst FROM pairs
+           UNION SELECT id_b AS src, id_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS canonical FROM walk GROUP BY id)
+         SELECT c.name, c.entity_id,
+           coalesce(m.canonical, c.entity_id) AS canonical_id,
+           coalesce(m.canonical, c.entity_id) = c.entity_id AS is_canonical,
+           c.members
+         FROM cat c LEFT JOIN comp m ON m.id = c.entity_id
+         ORDER BY c.entity_id""",
     "q_dim_upsert" ->
       """WITH c AS (
            SELECT c_custkey, c_name, c_mktsegment FROM customer),
