@@ -427,6 +427,21 @@ object AdvancedQueries {
       t(s, dir, "part"), col("p_partkey"), col("p_name"), maxDist = 3)
       .orderBy(col("entity_id"))
 
+  /** Calendar gap-fill + moving window (round-11,
+    * [[graft.ops.TimeSeries]]): monthly order totals per priority over
+    * a gap-FREE spine (months with no orders contribute real zeros),
+    * then a trailing 3-month moving sum whose frame arithmetic is
+    * exact row counts because the grid is regular. Decimals exact
+    * until the output hop. */
+  def timeseriesGapfill(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TimeSeries.gapFillMonthly(
+      t(s, dir, "orders"),
+      col("o_orderpriority"), col("o_orderdate"), col("o_totalprice"))
+      .select(col("k").as("priority"), col("month"), col("n"),
+        decToDouble(col("total_d")).as("total"),
+        decToDouble(col("trailing_d")).as("trailing_3m"))
+      .orderBy(col("priority"), col("month"))
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -562,6 +577,7 @@ object AdvancedQueries {
     "q_scd2_apply" -> (scd2ApplyQ _),
     "q_entity_pairs" -> (entityPairs _),
     "q_entity_resolution" -> (entityResolution _),
+    "q_timeseries_gapfill" -> (timeseriesGapfill _),
     "q_dim_upsert" -> (dimUpsert _),
     "q_snapshot_diff" -> (snapshotDiffQ _)
   )
@@ -778,6 +794,36 @@ object AdvancedQueries {
     // must equal the from-scratch rebuild row-for-row.
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
+    // gap-free spine replay: same monthly partial agg, same envelope,
+    // same generate_series grid, zero-fills, and exact-decimal moving
+    // sum — values identical down to the row-count window frame
+    "q_timeseries_gapfill" ->
+      """WITH monthly AS (
+           SELECT o_orderpriority AS k,
+             date_trunc('month', o_orderdate) AS month,
+             count(1) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_d
+           FROM orders GROUP BY 1, 2),
+         env AS (
+           SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                  date_trunc('month', max(o_orderdate)) AS hi
+           FROM orders),
+         spine AS (
+           SELECT k, unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS month
+           FROM (SELECT DISTINCT k FROM monthly) CROSS JOIN env),
+         filled AS (
+           SELECT s.k, s.month,
+             CAST(coalesce(m.n, 0) AS BIGINT) AS n,
+             coalesce(m.total_d, CAST(0 AS DECIMAL(18,2))) AS total_d
+           FROM spine s LEFT JOIN monthly m
+             ON m.k = s.k AND m.month = s.month)
+         SELECT k AS priority, month, n,
+           CAST(CAST(total_d AS VARCHAR) AS DOUBLE) AS total,
+           CAST(CAST(CAST(sum(total_d) OVER (
+               PARTITION BY k ORDER BY month
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             AS DECIMAL(20,2)) AS VARCHAR) AS DOUBLE) AS trailing_3m
+         FROM filled ORDER BY priority, month""",
     // both engines implement classic Levenshtein; the blocking, the
     // pair set, and every distance value-match
     "q_entity_pairs" ->
