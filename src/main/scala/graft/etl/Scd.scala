@@ -92,14 +92,21 @@ object Scd {
     * observations at or before a key's current `effective_from` are
     * REJECTED (`require`) rather than silently reordered — an
     * out-of-order feed needs the batch re-cut, not a quiet history
-    * rewrite. */
+    * rewrite. `onLateDrop = true` switches to WATERMARK semantics
+    * instead: late observations are dropped (they form a per-key
+    * PREFIX of the batch islands, since island starts increase, so
+    * the surviving suffix still alternates). That mode makes
+    * re-applying an already-applied batch a no-op — the property the
+    * streaming ingest's crash-replay path needs
+    * ([[graft.streaming.ScdStreams]]). */
   def scd2Apply(
       history: DataFrame,
       batch: DataFrame,
       keyCol: String,
       orderCol: String,
       tracked: Seq[String],
-      tieCols: Seq[String] = Nil): DataFrame = {
+      tieCols: Seq[String] = Nil,
+      onLateDrop: Boolean = false): DataFrame = {
     // the batch history and the touched-key set are each consumed by
     // three downstream branches — cut their lineage once (both are
     // batch-bounded, never history-sized) so the window pipeline and
@@ -122,19 +129,31 @@ object Scd {
       .join(touched, Seq(keyCol), "left_semi")
 
     // guard: the batch must be strictly after each touched key's
-    // current version (late data would need a history rewrite)
-    val late = batchHist.join(
-      current.select(col(keyCol), col("effective_from").as("__cur_from")),
-      Seq(keyCol))
-      .filter(col("effective_from") <= col("__cur_from"))
-    require(late.isEmpty,
-      "scd2Apply received observations at or before a current " +
-        "effective_from — rebuild with scd2FromEvents instead")
+    // current version. Default: fail (late data needs a history
+    // rewrite). onLateDrop: drop the late islands instead — they form
+    // a per-key PREFIX (island starts increase with __bv), so the
+    // surviving suffix still alternates and the stitch below is sound.
+    val curFrom = current
+      .select(col(keyCol), col("effective_from").as("__cur_from"))
+    val batchLive =
+      if (onLateDrop)
+        batchHist.join(curFrom, Seq(keyCol), "left")
+          .filter(col("__cur_from").isNull ||
+            col("effective_from") > col("__cur_from"))
+          .drop("__cur_from")
+      else {
+        val late = batchHist.join(curFrom, Seq(keyCol))
+          .filter(col("effective_from") <= col("__cur_from"))
+        require(late.isEmpty,
+          "scd2Apply received observations at or before a current " +
+            "effective_from — rebuild with scd2FromEvents instead")
+        batchHist
+      }
 
     val curTagged = current
       .select((keyCol +: "version" +: "effective_from" +: tracked).map(col): _*)
       .withColumn("__bv", lit(0L))
-    val batchTagged = batchHist
+    val batchTagged = batchLive
       .select((keyCol +: "__bv" +: "effective_from" +: tracked).map(col): _*)
       .withColumn("version", lit(null).cast("long"))
     // Only the batch's FIRST island can repeat the current value (batch

@@ -369,6 +369,55 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** STREAMING SCD2 parity gate (round-11,
+    * [[graft.streaming.ScdStreams]]): the pre-1998 history is
+    * persisted hive-bucketed, the 1998+ observations arrive through a
+    * REAL file-stream in time-ordered micro-batches
+    * (`maxFilesPerTrigger=1`), each folding into the history via the
+    * partition-pruned bucket rewrite — and the final on-disk history
+    * must equal the one-shot rebuild, so the oracle is the
+    * q_scd2_history SQL for the THIRD time: batch build, incremental
+    * fold, and streamed fold all land on identical rows. */
+  def scd2StreamParity(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-scd-stream-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val o = t(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+      col("o_orderkey"), col("o_orderpriority"))
+    val cut = lit("1998-01-01").cast("timestamp")
+    val mid = lit("1999-07-01").cast("timestamp")
+    val hist = graft.etl.Scd.scd2FromEvents(
+      o.filter(col("o_orderdate") < cut),
+      col("o_custkey"), col("o_orderdate"),
+      Seq(col("o_orderpriority")), Seq(col("o_orderkey")))
+      .select(col("o_custkey"), col("version"), col("effective_from"),
+        col("effective_to"), col("is_current"), col("o_orderpriority"))
+    graft.streaming.ScdStreams.writeScdHistory(
+      hist, s"$base/hist", "o_custkey", buckets = 8)
+    // two time-ordered files → two micro-batches (file-stream order is
+    // modification time; a same-mtime collapse into ONE batch is also
+    // parity-correct, just less interesting)
+    o.filter(col("o_orderdate") >= cut && col("o_orderdate") < mid)
+      .coalesce(1).write.parquet(s"$base/in")
+    o.filter(col("o_orderdate") >= mid)
+      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val stream = s.readStream.schema(o.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.ScdStreams.scdIngest(
+      stream, s"$base/hist", s"$base/ckpt", "o_custkey", "o_orderdate",
+      Seq("o_orderpriority"), Seq("o_orderkey"), buckets = 8)
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.ScdStreams.readScdHistory(s, s"$base/hist")
+      .select(col("o_custkey"), col("version"),
+        col("o_orderpriority").as("priority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("o_custkey"), col("version"))
+  }
+
   /** Keyed MERGE/upsert: evens updated in place, a %7 slice arrives as
     * brand-new keys, everything else survives — the anti-join + union
     * plan that replaces a full-table rewrite. */
@@ -575,6 +624,7 @@ object AdvancedQueries {
     "q_quantile_histogram" -> (quantileHistogram _),
     "q_scd2_history" -> (scd2History _),
     "q_scd2_apply" -> (scd2ApplyQ _),
+    "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_entity_pairs" -> (entityPairs _),
     "q_entity_resolution" -> (entityResolution _),
     "q_timeseries_gapfill" -> (timeseriesGapfill _),
@@ -794,6 +844,7 @@ object AdvancedQueries {
     // must equal the from-scratch rebuild row-for-row.
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
+    "q_scd2_stream_parity" -> scd2HistorySql,
     // gap-free spine replay: same monthly partial agg, same envelope,
     // same generate_series grid, zero-fills, and exact-decimal moving
     // sum — values identical down to the row-count window frame
