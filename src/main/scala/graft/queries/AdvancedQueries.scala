@@ -418,6 +418,36 @@ object AdvancedQueries {
       .orderBy(col("o_custkey"), col("version"))
   }
 
+  /** Incremental materialized view (round-11, [[graft.ops.MatView]]):
+    * orders arrive as three key-mod epochs (an ORDER-FREE split — the
+    * fold must not care), one partial is deliberately re-written
+    * (replay idempotence exercised inside the gate), the partials
+    * compact, and the derived view must equal DuckDB's one-shot
+    * aggregate over all of orders. */
+  def matviewIncremental(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-matview-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val o = t(s, dir, "orders")
+    (0 until 3).foreach { i =>
+      graft.ops.MatView.writePartial(
+        o.filter(pmod(col("o_orderkey"), lit(3)) === i), base,
+        col("o_orderpriority"), col("o_totalprice"), i.toLong)
+    }
+    // at-least-once replay of epoch 1: must rewrite the identical partial
+    graft.ops.MatView.writePartial(
+      o.filter(pmod(col("o_orderkey"), lit(3)) === 1), base,
+      col("o_orderpriority"), col("o_totalprice"), 1L)
+    graft.ops.MatView.compact(s, base)
+    graft.ops.MatView.withDerived(
+      graft.ops.MatView.readMatView(s, base))
+      .orderBy(col("k"))
+  }
+
   /** Keyed MERGE/upsert: evens updated in place, a %7 slice arrives as
     * brand-new keys, everything else survives — the anti-join + union
     * plan that replaces a full-table rewrite. */
@@ -625,6 +655,7 @@ object AdvancedQueries {
     "q_scd2_history" -> (scd2History _),
     "q_scd2_apply" -> (scd2ApplyQ _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
+    "q_matview_incremental" -> (matviewIncremental _),
     "q_entity_pairs" -> (entityPairs _),
     "q_entity_resolution" -> (entityResolution _),
     "q_timeseries_gapfill" -> (timeseriesGapfill _),
@@ -845,6 +876,15 @@ object AdvancedQueries {
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
     "q_scd2_stream_parity" -> scd2HistorySql,
+    // the epoch-folded algebraic state must equal the one-shot
+    // aggregate: exact decimal sums make the fold order-free
+    "q_matview_incremental" ->
+      """SELECT o_orderpriority AS k, count(1) AS n,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total,
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / count(1) AS mean,
+           CAST(CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS mn,
+           CAST(CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS mx
+         FROM orders GROUP BY 1 ORDER BY k""",
     // gap-free spine replay: same monthly partial agg, same envelope,
     // same generate_series grid, zero-fills, and exact-decimal moving
     // sum — values identical down to the row-count window frame
