@@ -15,6 +15,19 @@ trait SparkSpec extends AnyFlatSpec with Matchers with BeforeAndAfterAll {
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
+
+  /** tmpDir CLEARED first — for specs whose operators are stateful on
+    * disk (markers, batch partials, dated-run commits): leftovers from
+    * a previous test run would make replay/skip paths fire on stale
+    * state and fail the assertions. */
+  def freshDir(name: String): String = {
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"target/test-tmp/$name"))
+    tmpDir(name)
+  }
 }
 
 object SparkSpec {

@@ -19,8 +19,9 @@ class MatViewSpec extends SparkSpec {
       .orderBy("k").collect().map(_.toSeq).toSeq
 
   it should "be invariant to how the stream is split into epochs" in {
-    val p2 = tmpDir("mv_split") + "/two"
-    val p5 = tmpDir("mv_split") + "/five"
+    val base0 = freshDir("mv_split")
+    val p2 = base0 + "/two"
+    val p5 = base0 + "/five"
     (0 until 2).foreach(i => MatView.writePartial(
       rows.filter(pmod(col("v") * 4, lit(2)) === i), p2, col("g"), col("v"), i.toLong))
     (0 until 5).foreach(i => MatView.writePartial(
@@ -34,7 +35,7 @@ class MatViewSpec extends SparkSpec {
   }
 
   it should "treat replays and compaction as value no-ops" in {
-    val p = tmpDir("mv_replay") + "/view"
+    val p = freshDir("mv_replay") + "/view"
     (0 until 3).foreach(i => MatView.writePartial(
       rows.filter(pmod(col("v") * 4, lit(3)) === i), p, col("g"), col("v"), i.toLong))
     val before = view(p)
@@ -50,10 +51,11 @@ class MatViewSpec extends SparkSpec {
 
   it should "maintain the view from a live stream" in {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val p = tmpDir("mv_stream") + "/view"
+    val base1 = freshDir("mv_stream")
+    val p = base1 + "/view"
     val mem = MemoryStream[(String, Double)]
     val q = MatView.matViewIngest(
-      mem.toDF().toDF("g", "v"), p, tmpDir("mv_stream") + "/ckpt",
+      mem.toDF().toDF("g", "v"), p, base1 + "/ckpt",
       col("g"), col("v"))
     try {
       mem.addData("a" -> 1.0, "a" -> 2.0, "b" -> 5.0)

@@ -78,7 +78,7 @@ class OrchestratorSpec extends SparkSpec {
   behavior of "Orchestrator dated runs"
 
   it should "commit a dated run, skip replays, and resume after a crash" in {
-    val dir = tmpDir("orchestrator")
+    val dir = freshDir("orchestrator")
     val (csv, xlsx) = writeFixture(dir)
     val work = s"$dir/work"
     val d1 = LocalDate.parse("2025-09-29") // the reference's start_date
@@ -114,7 +114,7 @@ class OrchestratorSpec extends SparkSpec {
   }
 
   it should "catch up exactly the uncommitted dates, oldest first" in {
-    val dir = tmpDir("orchestrator_catchup")
+    val dir = freshDir("orchestrator_catchup")
     val (csv, xlsx) = writeFixture(dir)
     val work = s"$dir/work"
     val start = LocalDate.parse("2025-09-29")

@@ -32,14 +32,15 @@ class ScdStreamsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
 
   "scdIngest" should "fold a live stream to the one-shot rebuild" in {
-    val path = tmpDir("scd_stream") + "/hist"
+    val base = freshDir("scd_stream")
+    val path = base + "/hist"
     ScdStreams.writeScdHistory(histOf(preCut), path, "k", buckets = 4)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Long, Long, String)]
     val q = ScdStreams.scdIngest(
       mem.toDF().toDF("k", "t", "tie", "attr"), path,
-      tmpDir("scd_stream") + "/ckpt", "k", "t", Seq("attr"), Seq("tie"),
+      base + "/ckpt", "k", "t", Seq("attr"), Seq("tie"),
       buckets = 4)
     try {
       mem.addData(batch1: _*); q.processAllAvailable()
@@ -52,7 +53,7 @@ class ScdStreamsSpec extends SparkSpec {
   }
 
   it should "be a no-op on replays through both idempotence layers" in {
-    val path = tmpDir("scd_replay") + "/hist"
+    val path = freshDir("scd_replay") + "/hist"
     ScdStreams.writeScdHistory(histOf(preCut), path, "k", buckets = 4)
     val b1 = batch1.toDF("k", "t", "tie", "attr")
 
@@ -74,7 +75,7 @@ class ScdStreamsSpec extends SparkSpec {
   }
 
   it should "prune the history read to touched buckets" in {
-    val path = tmpDir("scd_prune") + "/hist"
+    val path = freshDir("scd_prune") + "/hist"
     ScdStreams.writeScdHistory(histOf(preCut), path, "k", buckets = 4)
     val touched = Seq(1L).toDF("k")
       .select(ScdStreams.bucketOf(col("k"), 4).as("b"))
