@@ -50,9 +50,19 @@ object LangModel {
     * absent (they carry no sequence evidence either way — route them
     * to the rule-based quality gate instead). */
   def lmScores(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
-    val pairs = docs.select(idCol.as("doc_id"),
+    // ONE explode pass: collapse occurrences to per-doc bigram counts
+    // (the 31-word gate vocabulary repeats bigrams ~2.6× per doc, an
+    // open vocabulary less — either way strictly smaller), checkpoint,
+    // and derive BOTH the census and the scoring join from it. The
+    // uncollapsed form ran 13.7 s at sf0.1 — two full explode+shuffle
+    // passes over the occurrence stream; this one runs the occurrence
+    // stream once.
+    val docBi = docs.select(idCol.as("doc_id"),
       explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
-    val bi = bigramCensus(docs, textCol, idCol)
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val bi = docBi.groupBy(col("bigram")).agg(sum(col("c")).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val uni = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(Text.tokens(textCol)).as("t"))
       .agg(countDistinct(col("t")).as("v"))
@@ -61,9 +71,17 @@ object LangModel {
         (-log((col("c12") + lit(Alpha)) / (col("c1") + lit(Alpha) * col("v"))))
           .cast("decimal(18,9)"))
       .select(col("bigram"), col("cost_d"))
-    pairs.join(broadcast(model), "bigram")
+    // Σ over occurrences of cost ≡ Σ c·cost — decimal products are
+    // exact, so the collapsed form is value-identical to the oracle's
+    // occurrence-level sum
+    docBi.join(broadcast(model), "bigram")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cost_d")).as("sum_d"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        // c capped to decimal(10,0) keeps the product at (29,9) — a
+        // raw long operand would push precision past 38 and Spark's
+        // allowPrecisionLoss would silently ROUND the scale away
+        sum(col("c").cast("decimal(10,0)") * col("cost_d"))
+          .cast("decimal(28,9)").as("sum_d"))
       .select(col("doc_id"), col("n_bigrams"),
         Similarity.decToDouble(col("sum_d")).as("sum_cost"),
         (Similarity.decToDouble(col("sum_d")) / col("n_bigrams"))

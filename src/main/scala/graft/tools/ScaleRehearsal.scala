@@ -107,9 +107,10 @@ object ScaleRehearsal {
       // round-10 additions (documents/embeddings, linear paths)
       "q_mix_temperature", "q_select_budget", "q_bloom_exact",
       "q_semdedup", "q_semdedup_incremental", "q_text_vocab",
-      // round-11 additions (orders): per-key SCD2 windows + the
-      // incremental fold — both one hash exchange, linear candidates
-      "q_scd2_history", "q_scd2_apply")
+      // round-11 additions: per-key SCD2 windows + the incremental
+      // fold (orders; one hash exchange each) and the bigram-LM scorer
+      // (documents; one occurrence-stream pass after the collapse)
+      "q_scd2_history", "q_scd2_apply", "q_text_lm_score")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
