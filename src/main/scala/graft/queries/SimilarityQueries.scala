@@ -336,6 +336,30 @@ object SimilarityQueries {
     * population variance derived from the string-hopped exact sums so
     * the doubles are partitioning-independent (same moment pattern as
     * q_agg_variance). */
+  /** Principal component over the embedding corpus (round-11,
+    * [[graft.ops.Pca]]): exact-decimal covariance census (one scan,
+    * d²-bounded partial agg — the Lloyd posture) + a fixed-count power
+    * iteration whose every step is engine-reproducible (exact-decimal
+    * matvec, order-free max normalizer, shortest-string grid
+    * re-entry). The oracle is GENERATED by the same loop that runs the
+    * iteration — K unrolled CTEs replaying covariance and iteration
+    * value-for-value. */
+  def embedPca(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Pca.principalComponent(s, emb(s, dir), "embedding")
+      .orderBy(col("dim"))
+
+  /** The corpus-sized half of PCA: every vector projected onto the
+    * converged component — a scan-fused exact-decimal dot (the v
+    * literal rides the plan; no shuffle before the output sort). */
+  def embedPcaProject(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val (sij, si, n) = graft.ops.Pca.momentCensus(e, "embedding")
+    val (v, _) = graft.ops.Pca.powerIteration(
+      graft.ops.Pca.covariance(sij, si, n))
+    graft.ops.Pca.project(e, "embedding", "vec_id", v)
+      .orderBy(col("vec_id"))
+  }
+
   def embedDimStats(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity.decToDouble
     val e = emb(s, dir)
@@ -533,6 +557,8 @@ object SimilarityQueries {
     "q_semdedup_incremental" -> (semDedupIncrementalQ _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
+    "q_embed_pca" -> (embedPca _),
+    "q_embed_pca_project" -> (embedPcaProject _),
     "q_embed_normalize" -> (embedNormalize _),
     "q_ann_lsh" -> (lshAnn _),
     "q_ann_index" -> (annIndexGate _)
@@ -770,6 +796,9 @@ object SimilarityQueries {
          FROM vals v JOIN st USING (dim)
          WHERE v.vec_id < 100
          ORDER BY v.vec_id, v.dim""",
+    "q_embed_pca" -> graft.ops.Pca.oracleSql("embeddings", "embedding"),
+    "q_embed_pca_project" ->
+      graft.ops.Pca.projectOracleSql("embeddings", "embedding", "vec_id"),
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (
