@@ -72,7 +72,10 @@ object Bench {
       "q_events_late_data", "q_dedup_compaction", "q_dedup_incremental",
       "q_dedup_exact_incremental", "q_ann_index", "q_ann_recall",
       "q_ann_recall_sampled", "q_bloom_persisted", "q_semdedup_incremental",
-      "q_text_decontam_incremental", "q_epoch_prep", "q_epoch_evolution")
+      "q_text_decontam_incremental", "q_epoch_prep", "q_epoch_evolution",
+      // round-11 artifact gates: partial writes + compaction / bucketed
+      // table builds dominate their wall, not the plan under test
+      "q_matview_incremental", "q_join_bucketed")
     def isGate(n: String): Boolean = n.contains("stream") || gateSet(n)
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77
