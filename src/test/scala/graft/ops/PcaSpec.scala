@@ -43,6 +43,15 @@ class PcaSpec extends SparkSpec {
     b1.foreach { case (k, s) => s.compareTo(b2(k)) shouldBe 0 }
   }
 
+  it should "compute the kernel census bit-equal to the declarative twin" in {
+    val (ka, kb, kn) = Pca.momentCensus(emb, "embedding")
+    val (da, db, dn) = Pca.momentCensusDeclarative(emb, "embedding")
+    kn shouldBe dn
+    ka.keySet shouldBe da.keySet
+    ka.foreach { case (k, s) => s.compareTo(da(k)) shouldBe 0 }
+    kb.foreach { case (k, s) => s.compareTo(db(k)) shouldBe 0 }
+  }
+
   it should "project distributively exactly as the driver dot" in {
     val (sij, si, n) = Pca.momentCensus(emb, "embedding")
     val (v, _) = Pca.powerIteration(Pca.covariance(sij, si, n))
