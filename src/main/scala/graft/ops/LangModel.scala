@@ -49,14 +49,105 @@ object LangModel {
     * Documents with fewer than two tokens have no bigrams and are
     * absent (they carry no sequence evidence either way — route them
     * to the rule-based quality gate instead). */
+  /** Default path: a two-pass KERNEL (the Lloyd/PCA exact-partials
+    * posture — measured 8.6 → ~1.5 s at sf0.1 vs the declarative
+    * explode, which remains as [[lmScoresDeclarative]], asserted
+    * value-equal in `LangModelSpec`):
+    *   pass 1 folds each partition's bigrams into a vocab²-BOUNDED
+    *   count map (plus the token set and doc count) — the wire carries
+    *   partitions × census partials, never occurrence rows;
+    *   pass 2 broadcasts the (bigram → quantized cost) model and sums
+    *   each document's exact-decimal cost in place — zero shuffle
+    *   before the output sort.
+    * The model costs quantize through the shortest-double-string grid
+    * (scala `BigDecimal(double)` ≡ DuckDB's VARCHAR hop), and JVM
+    * `Math.log` is the same libm Spark's codegen'd `log` calls, so the
+    * kernel is value-identical to both the declarative twin and the
+    * oracle. */
   def lmScores(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
-    // ONE explode pass: collapse occurrences to per-doc bigram counts
-    // (the 31-word gate vocabulary repeats bigrams ~2.6× per doc, an
-    // open vocabulary less — either way strictly smaller), checkpoint,
-    // and derive BOTH the census and the scoring join from it. The
-    // uncollapsed form ran 13.7 s at sf0.1 — two full explode+shuffle
-    // passes over the occurrence stream; this one runs the occurrence
-    // stream once.
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val spark = docs.sparkSession
+    val toks = docs.select(idCol.cast("long").as("doc_id"),
+      Text.tokens(textCol).as("ts"))
+
+    // pass 1: census partials — (bigram → count), token set, row count
+    val partials = toks.select(col("ts")).rdd.mapPartitions { it =>
+      val bi = new java.util.HashMap[String, Long]()
+      val vocab = new java.util.HashSet[String]()
+      it.foreach { row =>
+        val ts = row.getSeq[String](0)
+        if (ts != null) {
+          var i = 0
+          while (i < ts.length) {
+            vocab.add(ts(i))
+            if (i + 1 < ts.length) {
+              val b = ts(i) + " " + ts(i + 1)
+              bi.merge(b, 1L, (a, x) => a + x)
+            }
+            i += 1
+          }
+        }
+      }
+      Iterator.single((bi, vocab))
+    }.collect()
+    val biCounts = new java.util.HashMap[String, Long]()
+    val vocabSet = new java.util.HashSet[String]()
+    partials.foreach { case (bi, vo) =>
+      bi.forEach((k, v) => biCounts.merge(k, v, (a, x) => a + x))
+      vocabSet.addAll(vo)
+    }
+    val v = vocabSet.size.toLong
+    val c1 = new java.util.HashMap[String, Long]()
+    biCounts.forEach { (b, c) =>
+      c1.merge(b.substring(0, b.indexOf(' ')), c, (a, x) => a + x)
+    }
+    // the model: the same double expression Spark's codegen evaluates,
+    // quantized on the shared shortest-string grid
+    val model = new java.util.HashMap[String, JBD]()
+    biCounts.forEach { (b, c12) =>
+      val cost = -math.log((c12 + Alpha) / (c1.get(b.substring(0, b.indexOf(' '))) + Alpha * v))
+      model.put(b, new JBD(java.lang.Double.toString(cost))
+        .setScale(9, RoundingMode.HALF_UP))
+    }
+    val bcModel = spark.sparkContext.broadcast(model)
+
+    // pass 2: per-doc exact-decimal occurrence sums, no shuffle
+    val scored = toks.rdd.mapPartitions { it =>
+      val m = bcModel.value
+      it.flatMap { row =>
+        val id = row.getLong(0)
+        val ts = row.getSeq[String](1)
+        if (ts == null || ts.length < 2) Iterator.empty
+        else {
+          var sum = JBD.ZERO
+          var n = 0L
+          var i = 0
+          while (i + 1 < ts.length) {
+            sum = sum.add(m.get(ts(i) + " " + ts(i + 1)))
+            n += 1; i += 1
+          }
+          Iterator.single(org.apache.spark.sql.Row(id, n,
+            sum.setScale(9, RoundingMode.UNNECESSARY)))
+        }
+      }
+    }
+    spark.createDataFrame(scored,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("n_bigrams",
+          org.apache.spark.sql.types.LongType, false),
+        org.apache.spark.sql.types.StructField("sum_d",
+          org.apache.spark.sql.types.DecimalType(28, 9), false))))
+      .select(col("doc_id"), col("n_bigrams"),
+        Similarity.decToDouble(col("sum_d")).as("sum_cost"),
+        (Similarity.decToDouble(col("sum_d")) / col("n_bigrams"))
+          .as("avg_cost"))
+  }
+
+  /** The declarative one-explode-pass form — the kernel's value-equal
+    * twin (and the shape the oracle replays). */
+  def lmScoresDeclarative(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
     val docBi = docs.select(idCol.as("doc_id"),
       explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))

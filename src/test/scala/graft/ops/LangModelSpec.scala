@@ -36,6 +36,15 @@ class LangModelSpec extends SparkSpec {
     (2L to 8L).foreach(d => out(d) shouldBe out(1L))
   }
 
+  it should "compute the kernel path value-equal to the declarative twin" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = LangModel.lmScores(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val b = LangModel.lmScoresDeclarative(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
+
   it should "be bit-stable under repartitioning" in {
     val a = LangModel.lmScores(corpus, col("text"), col("doc_id"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
