@@ -109,4 +109,77 @@ object Quantiles {
       .withColumn("err_bound", expr(s"range div ${buckets.toLong}L") + lit(1L))
       .drop("range")
   }
+
+  /** EXACT per-group quantile WITHOUT a sort (round-11): iterative
+    * histogram refinement. Each round re-buckets only the values
+    * inside the surviving bucket's range and rebases the rank target,
+    * shrinking the candidate range ×B per round; after
+    * `refinePasses`, a final per-VALUE count pass (the range is now
+    * ≤ B, or close) reads the exact rank-`ceil(n·num/den)` value off
+    * the cumulative counts.
+    *
+    * This is the 100 TB exact-quantile shape: `log_B(range) + 2`
+    * linear scans, each ending in a ≤ B-rows-per-group partial
+    * aggregate — no global sort, no per-group value buffer (contrast
+    * `percentile`), no approximation (contrast `approx_percentile` /
+    * [[histogramQuantiles]]). Integer-only throughout, so DuckDB
+    * replays every round's bounds, targets, and the final value
+    * bit-identically (`q_quantile_exact`). The final pass aggregates
+    * per distinct VALUE in the surviving range — pick `refinePasses`
+    * so range/B^passes is comfortably small (2 passes take a 10⁷-cent
+    * domain to ≤ 153 distinct candidate values). */
+  def exactQuantileByRefinement(
+      df: DataFrame,
+      valueCol: Column,
+      groupCol: Column,
+      num: Int,
+      den: Int,
+      buckets: Int = 256,
+      refinePasses: Int = 2): DataFrame = {
+    require(num > 0 && num <= den && buckets > 1)
+    val B = buckets.toLong
+    // skinny (g, v) pairs, scanned refinePasses+2 times — cut lineage
+    // once so each pass re-reads 16 bytes/row, not the source scan
+    val vals = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .localCheckpoint(true)
+
+    var state = vals.groupBy(col("g")).agg(
+      min(col("v")).as("lo"), max(col("v")).as("hi"),
+      expr(s"(count(1) * ${num}L + ${den - 1}L) div ${den}L").as("target"))
+
+    for (_ <- 1 to refinePasses) {
+      val cnts = vals.join(broadcast(state), "g")
+        .filter(col("v").between(col("lo"), col("hi")))
+        .withColumn("range", col("hi") - col("lo") + lit(1L))
+        .withColumn("bucket", expr(s"((v - lo) * ${B}L) div range"))
+        .groupBy(col("g"), col("lo"), col("hi"), col("range"), col("target"),
+          col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      val byBucket = Window.partitionBy(col("g")).orderBy(col("bucket"))
+      val cum = cnts.withColumn("cum", sum(col("cnt")).over(byBucket))
+      state = cum.filter(col("cum") >= col("target"))
+        .withColumn("__rn", row_number().over(byBucket))
+        .filter(col("__rn") === 1)
+        .select(col("g"),
+          (col("lo") + expr(s"(bucket * range + ${B - 1}L) div ${B}L")).as("lo"),
+          least(col("hi"), col("lo") +
+            expr(s"((bucket + 1) * range + ${B - 1}L) div ${B}L") - lit(1L))
+            .as("hi"),
+          (col("target") - (col("cum") - col("cnt"))).as("target"))
+    }
+
+    // final pass: per-VALUE counts inside the surviving range — the
+    // rank-target value is exact
+    val byV = Window.partitionBy(col("g")).orderBy(col("v"))
+    vals.join(broadcast(state), "g")
+      .filter(col("v").between(col("lo"), col("hi")))
+      .groupBy(col("g"), col("target"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(byV))
+      .filter(col("cum") >= col("target"))
+      .withColumn("__rn", row_number().over(byV))
+      .filter(col("__rn") === 1)
+      .select(col("g"), col("v").as("quantile"))
+  }
 }

@@ -521,6 +521,22 @@ object AdvancedQueries {
         decToDouble(col("trailing_d")).as("trailing_3m"))
       .orderBy(col("priority"), col("month"))
 
+  /** EXACT median without a sort (round-11,
+    * [[graft.ops.Quantiles.exactQuantileByRefinement]]): two histogram
+    * refinement rounds shrink each group's candidate range ×256², then
+    * a per-value count pass reads the exact rank-⌈n/2⌉ value — four
+    * linear scans, every exchange ≤ B rows per group, integer-only so
+    * DuckDB replays all bounds, rebased targets, and the final value
+    * bit-identically. `QuantilesSpec` additionally asserts equality
+    * with the sorted median. */
+  def quantileExact(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Quantiles.exactQuantileByRefinement(
+      t(s, dir, "lineitem"),
+      (dec("l_extendedprice") * 100).cast("long"),
+      col("l_returnflag"), num = 1, den = 2)
+      .withColumnRenamed("g", "l_returnflag")
+      .orderBy(col("l_returnflag"))
+
   /** Same variance via the typed [[graft.functions.MomentsAggregator]]
     * UDAF — covers the custom-Aggregator extension surface; oracle is
     * the moment formula. */
@@ -652,6 +668,7 @@ object AdvancedQueries {
     "q_approx_distinct" -> (approxDistinct _),
     "q_hll_exact" -> (hllExact _),
     "q_quantile_histogram" -> (quantileHistogram _),
+    "q_quantile_exact" -> (quantileExact _),
     "q_scd2_history" -> (scd2History _),
     "q_scd2_apply" -> (scd2ApplyQ _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
@@ -832,6 +849,70 @@ object AdvancedQueries {
     "q_percentiles_approx" ->
       """SELECT l_returnflag, count(1) AS n, true AS approx_ok
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // full integer replay of the refinement: envelope + rank target,
+    // two bucket rounds with rebased bounds/targets, final per-value
+    // cumulative pick — the exact median, no sort in either engine
+    "q_quantile_exact" ->
+      """WITH vals AS (
+           SELECT l_returnflag AS g,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+         s0 AS (
+           SELECT g, min(v) AS lo, max(v) AS hi,
+             CAST((count(1) * 1 + 1) // 2 AS BIGINT) AS target
+           FROM vals GROUP BY g),
+         c1 AS (
+           SELECT v.g, s.lo, s.hi, s.hi - s.lo + 1 AS rng, s.target,
+             ((v.v - s.lo) * 256) // (s.hi - s.lo + 1) AS bucket,
+             CAST(count(1) AS BIGINT) AS cnt
+           FROM vals v JOIN s0 s USING (g)
+           WHERE v.v BETWEEN s.lo AND s.hi
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         u1 AS (
+           SELECT *, CAST(sum(cnt) OVER (
+             PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum FROM c1),
+         s1 AS (
+           SELECT g,
+             lo + (bucket * rng + 255) // 256 AS lo,
+             LEAST(hi, lo + ((bucket + 1) * rng + 255) // 256 - 1) AS hi,
+             target - (cum - cnt) AS target
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY g ORDER BY bucket) AS rn
+                 FROM u1 WHERE cum >= target)
+           WHERE rn = 1),
+         c2 AS (
+           SELECT v.g, s.lo, s.hi, s.hi - s.lo + 1 AS rng, s.target,
+             ((v.v - s.lo) * 256) // (s.hi - s.lo + 1) AS bucket,
+             CAST(count(1) AS BIGINT) AS cnt
+           FROM vals v JOIN s1 s USING (g)
+           WHERE v.v BETWEEN s.lo AND s.hi
+           GROUP BY 1, 2, 3, 4, 5, 6),
+         u2 AS (
+           SELECT *, CAST(sum(cnt) OVER (
+             PARTITION BY g ORDER BY bucket) AS BIGINT) AS cum FROM c2),
+         s2 AS (
+           SELECT g,
+             lo + (bucket * rng + 255) // 256 AS lo,
+             LEAST(hi, lo + ((bucket + 1) * rng + 255) // 256 - 1) AS hi,
+             target - (cum - cnt) AS target
+           FROM (SELECT *, row_number() OVER (
+                   PARTITION BY g ORDER BY bucket) AS rn
+                 FROM u2 WHERE cum >= target)
+           WHERE rn = 1),
+         fin AS (
+           SELECT v.g, s.target, v.v, CAST(count(1) AS BIGINT) AS cnt
+           FROM vals v JOIN s2 s USING (g)
+           WHERE v.v BETWEEN s.lo AND s.hi
+           GROUP BY 1, 2, 3),
+         fc AS (
+           SELECT *, CAST(sum(cnt) OVER (
+             PARTITION BY g ORDER BY v) AS BIGINT) AS cum FROM fin)
+         SELECT g AS l_returnflag, v AS quantile
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY g ORDER BY v) AS rn
+               FROM fc WHERE cum >= target)
+         WHERE rn = 1
+         ORDER BY l_returnflag""",
     // full integer replay of ops.Quantiles.histogramQuantiles: same
     // envelope, same floor-division bucketing ( // ≡ Spark's div on
     // non-negative BIGINT), same ceil-rank targets, same clamped

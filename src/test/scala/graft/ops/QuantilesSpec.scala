@@ -61,6 +61,32 @@ class QuantilesSpec extends SparkSpec {
       two.getAs[Long]("err_bound")
   }
 
+  it should "find the EXACT median by refinement, no sort" in {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_returnflag").as("g"),
+        (col("l_extendedprice").cast("decimal(12,2)") * 100)
+          .cast("long").as("v"))
+    val res = Quantiles.exactQuantileByRefinement(
+      li, col("v"), col("g"), num = 1, den = 2)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Long]("quantile"))
+      .toMap
+    val truth = li.as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, vs) =>
+        val sorted = vs.map(_._2).sorted
+        g -> exactQ(sorted.toVector, 1, 2)
+      }
+    truth.foreach { case (g, m) =>
+      withClue(s"group $g: ") { res(g) shouldBe m }
+    }
+    // degenerate shapes: constant group, tiny group, two-point group
+    val tiny = Seq(("c", 5L), ("c", 5L), ("t", 9L),
+      ("two", 1L), ("two", 100L)).toDF("g", "v")
+    val r2 = Quantiles.exactQuantileByRefinement(
+      tiny, col("v"), col("g"), 1, 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    r2 shouldBe Map("c" -> 5L, "t" -> 9L, "two" -> 1L)
+  }
+
   it should "be bit-stable under repartitioning and ignore nulls" in {
     val base = (1L to 5000L).map(i => ("g", i * i % 9973)) ++
       Seq.fill(10)(("g", -1L))
