@@ -29,9 +29,14 @@ import org.apache.spark.sql.functions._
   */
 object Entities {
 
-  /** Default block key: the name's last word. */
+  /** Default block key: the name's last word, case-folded. Names whose
+    * lowercased form doesn't END in a letter (trailing digit or
+    * punctuation) extract to the empty string; [[fuzzyPairs]] drops
+    * that block rather than pairwise-comparing every such entity
+    * against every other (the empty block would otherwise be one giant
+    * Σblock² hotspot of unrelated names). */
   def lastWordBlock(name: Column): Column =
-    regexp_extract(name, "[a-z]+$", 0)
+    regexp_extract(lower(name), "[a-z]+$", 0)
 
   /** Distinct-entity catalog: name, entity_id = min(row id), members. */
   def catalog(df: DataFrame, idCol: Column, nameCol: Column): DataFrame =
@@ -48,7 +53,8 @@ object Entities {
       col("entity_id").as("id_a"), blockFn(col("name")).as("block"))
     val b = cat.select(col("name").as("name_b"),
       col("entity_id").as("id_b"), blockFn(col("name")).as("block"))
-    a.join(b, Seq("block"))
+    a.filter(col("block") =!= "")
+      .join(b.filter(col("block") =!= ""), Seq("block"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)

@@ -20,11 +20,11 @@ import org.apache.spark.sql.functions._
   *   3. the model (bigram → cost) joins back via broadcast and each
   *      document's score is one (doc, bigram)-pair aggregation — the
   *      same single exchange shape as tf-idf.
-  * At an open-vocabulary 100 TB corpus the exact census is pruned to
-  * top-K bigrams + an UNK fallback before broadcasting (the count-min/
-  * heavy-hitter sketches in `functions` are the tooling); the harness
-  * corpus has a closed vocabulary so the exact model is the honest
-  * gate.
+  * At an open-vocabulary 100 TB corpus the census is pruned to top-K
+  * bigrams + an UNK fallback before broadcasting — implemented as
+  * [[lmScoresTopK]] (round-12) and gated by `q_text_lm_score_topk`
+  * with the pruned census + UNK costs replayed exactly in the oracle;
+  * the full-census [[lmScores]] remains the closed-vocabulary gate.
   *
   * Numeric rule 5b: per-bigram costs −ln((c12+α)/(c1+α·V)) are
   * quantized to DECIMAL(18,9) in both engines (libm ln drifts 1 ULP
@@ -64,7 +64,27 @@ object LangModel {
     * `Math.log` is the same libm Spark's codegen'd `log` calls, so the
     * kernel is value-identical to both the declarative twin and the
     * oracle. */
-  def lmScores(docs: DataFrame, textCol: Column, idCol: Column): DataFrame = {
+  def lmScores(docs: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    scoreWithModel(docs, textCol, idCol, topK = None)
+
+  /** OPEN-VOCABULARY variant — the 100 TB posture the full-census form
+    * cannot take (a web-scale corpus's bigram census is unbounded; a
+    * broadcastable model is not): keep only the top-`k` bigrams by
+    * count (ties broken by bigram string — deterministic, so the
+    * oracle replays the exact same cut), score every other bigram by
+    * the UNK fallback — its cost with c12 treated as 0,
+    * −ln(α/(c1+α·V)). Context totals c1 and the vocabulary size stay
+    * EXACT: they are vocab-sized (affordable at any corpus scale),
+    * only the vocab²-sized bigram table is pruned. A bigram whose
+    * context w1 was never seen at all costs −ln(α/(α·V)) = ln(V)
+    * (unreachable when scoring the training corpus itself, defined for
+    * transfer scoring). */
+  def lmScoresTopK(docs: DataFrame, textCol: Column, idCol: Column,
+      k: Int): DataFrame =
+    scoreWithModel(docs, textCol, idCol, topK = Some(k))
+
+  private def scoreWithModel(docs: DataFrame, textCol: Column,
+      idCol: Column, topK: Option[Int]): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = docs.sparkSession
     val toks = docs.select(idCol.cast("long").as("doc_id"),
@@ -101,19 +121,43 @@ object LangModel {
     biCounts.forEach { (b, c) =>
       c1.merge(b.substring(0, b.indexOf(' ')), c, (a, x) => a + x)
     }
+    def quantize(cost: Double): JBD =
+      new JBD(java.lang.Double.toString(cost))
+        .setScale(9, RoundingMode.HALF_UP)
+    // the pruned-model cut: top-k by (count desc, bigram asc) — the
+    // same deterministic order the oracle's row_number() replays
+    val kept: String => Boolean = topK match {
+      case None => _ => true
+      case Some(k) =>
+        import scala.jdk.CollectionConverters._
+        val top = biCounts.entrySet().asScala.toArray
+          .sortBy(e => (-e.getValue, e.getKey)).take(k)
+          .map(_.getKey).toSet
+        top.contains _
+    }
     // the model: the same double expression Spark's codegen evaluates,
     // quantized on the shared shortest-string grid
     val model = new java.util.HashMap[String, JBD]()
     biCounts.forEach { (b, c12) =>
-      val cost = -math.log((c12 + Alpha) / (c1.get(b.substring(0, b.indexOf(' '))) + Alpha * v))
-      model.put(b, new JBD(java.lang.Double.toString(cost))
-        .setScale(9, RoundingMode.HALF_UP))
+      val eff = if (kept(b)) c12 else 0L
+      val cost = -math.log((eff + Alpha) / (c1.get(b.substring(0, b.indexOf(' '))) + Alpha * v))
+      model.put(b, quantize(cost))
     }
+    // per-context UNK costs (vocab-sized) + the no-context floor: in
+    // the pruned posture a SCORED bigram can be absent from the
+    // broadcast model (different corpus, or just pruned away), so
+    // pass 2 must never trust m.get() to hit
+    val unk = new java.util.HashMap[String, JBD]()
+    c1.forEach { (w1, c) => unk.put(w1, quantize(-math.log(Alpha / (c + Alpha * v)))) }
+    val unkFloor = quantize(math.log(v.toDouble.max(1.0)))
+    val exactModel = topK.isEmpty
     val bcModel = spark.sparkContext.broadcast(model)
+    val bcUnk = spark.sparkContext.broadcast(unk)
 
     // pass 2: per-doc exact-decimal occurrence sums, no shuffle
     val scored = toks.rdd.mapPartitions { it =>
       val m = bcModel.value
+      val u = bcUnk.value
       it.flatMap { row =>
         val id = row.getLong(0)
         val ts = row.getSeq[String](1)
@@ -123,7 +167,20 @@ object LangModel {
           var n = 0L
           var i = 0
           while (i + 1 < ts.length) {
-            sum = sum.add(m.get(ts(i) + " " + ts(i + 1)))
+            val b = ts(i) + " " + ts(i + 1)
+            var cost = m.get(b)
+            if (cost == null) {
+              // under the EXACT model every scored bigram was censused
+              // in pass 1 — a miss means the source re-evaluated
+              // non-deterministically between the two scans; scoring
+              // it as UNK would silently corrupt values, so fail loud
+              if (exactModel) throw new IllegalStateException(
+                s"bigram '$b' absent from the pass-1 census: the input " +
+                  "DataFrame must be deterministic across lmScores's two scans")
+              val uc = u.get(ts(i))
+              cost = if (uc != null) uc else unkFloor
+            }
+            sum = sum.add(cost)
             n += 1; i += 1
           }
           Iterator.single(org.apache.spark.sql.Row(id, n,

@@ -398,13 +398,23 @@ object AdvancedQueries {
         col("effective_to"), col("is_current"), col("o_orderpriority"))
     graft.streaming.ScdStreams.writeScdHistory(
       hist, s"$base/hist", "o_custkey", buckets = 8)
-    // two time-ordered files → two micro-batches (file-stream order is
-    // modification time; a same-mtime collapse into ONE batch is also
-    // parity-correct, just less interesting)
+    // two time-ordered files → two micro-batches. FileStreamSource
+    // orders by modification time, and back-to-back writes can land
+    // with EQUAL mtimes — in which case delivery order is unspecified
+    // and scd2Apply(onLateDrop) would silently drop a
+    // later-date-range-first batch, failing this gate flakily. Pin
+    // distinct mtimes explicitly so batch order is deterministic.
     o.filter(col("o_orderdate") >= cut && col("o_orderdate") < mid)
       .coalesce(1).write.parquet(s"$base/in")
+    def parts(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    val firstFiles = parts(s"$base/in")
     o.filter(col("o_orderdate") >= mid)
       .coalesce(1).write.mode("append").parquet(s"$base/in")
+    val t0 = System.currentTimeMillis() - 60000L
+    firstFiles.foreach(f => assert(f.setLastModified(t0), s"mtime: $f"))
+    (parts(s"$base/in") -- firstFiles)
+      .foreach(f => assert(f.setLastModified(t0 + 30000L), s"mtime: $f"))
     val stream = s.readStream.schema(o.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = graft.streaming.ScdStreams.scdIngest(
@@ -1004,8 +1014,9 @@ object AdvancedQueries {
            FROM part GROUP BY 1),
          blocked AS (
            SELECT name, entity_id,
-             regexp_extract(name, '[a-z]+$') AS block
-           FROM cat)
+             regexp_extract(lower(name), '[a-z]+$') AS block
+           FROM cat
+           WHERE regexp_extract(lower(name), '[a-z]+$') <> '')
          SELECT a.name AS name_a, b.name AS name_b,
            a.entity_id AS id_a, b.entity_id AS id_b,
            CAST(levenshtein(a.name, b.name) AS INT) AS dist
@@ -1020,8 +1031,9 @@ object AdvancedQueries {
            FROM part GROUP BY 1),
          blocked AS (
            SELECT name, entity_id, members,
-             regexp_extract(name, '[a-z]+$') AS block
-           FROM cat),
+             regexp_extract(lower(name), '[a-z]+$') AS block
+           FROM cat
+           WHERE regexp_extract(lower(name), '[a-z]+$') <> ''),
          pairs AS (
            SELECT a.entity_id AS id_a, b.entity_id AS id_b
            FROM blocked a JOIN blocked b

@@ -353,12 +353,22 @@ object EventQueries {
       graft.io.Fs.deleteRecursive(s, s"$base/$d"))
     val inDir = java.nio.file.Paths.get(base, "in")
     java.nio.file.Files.createDirectories(inDir)
-    def stage(src: String, destName: String): Unit = {
-      val part = new java.io.File(s"$base/stage/side=$src").listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file in $src"))
+    def stage(src: String, destPrefix: String): Unit = {
+      // copy EVERY part file (the :243 posture): repartition(side)
+      // usually leaves one per side, but if a writer-config change
+      // ever splits it, silently staging only the first file would
+      // surface as a baffling parity diff. All of a side's files land
+      // before its processAllAvailable pass, so delivering several
+      // in one batch preserves the watermark semantics.
+      val parts = new java.io.File(s"$base/stage/side=$src").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      if (parts.isEmpty)
+        throw new IllegalStateException(s"no part file in $src")
       // copy, not move: the staged file is the memoized artifact
-      java.nio.file.Files.copy(part.toPath, inDir.resolve(destName)); ()
+      parts.zipWithIndex.foreach { case (part, i) =>
+        java.nio.file.Files.copy(part.toPath,
+          inDir.resolve(f"$destPrefix-$i%05d.parquet"))
+      }
     }
     val stream = s.readStream.schema(all.schema).parquet(inDir.toString)
     val q = graft.streaming.EventStreams.tumblingCounts(stream)
@@ -369,9 +379,9 @@ object EventQueries {
       .format("parquet")
       .start()
     try {
-      stage("ontime", "0-ontime.parquet")
+      stage("ontime", "0-ontime")
       q.processAllAvailable() // batch 0: watermark → max(ts) − 2 h
-      stage("late", "1-late.parquet")
+      stage("late", "1-late")
       q.processAllAvailable() // batch 1: late rows dropped, windows flush
     } finally q.stop()
     val streamed = s.read.parquet(s"$base/out")

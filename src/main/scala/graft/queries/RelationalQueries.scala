@@ -190,7 +190,14 @@ object RelationalQueries {
     val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = s.table(ot)
+      // the merge hint rides the RETURNED plan too: the harness plans
+      // and executes this DataFrame after the finally block restores
+      // the broadcast threshold, and without the hint the small
+      // customer table would broadcast there — making the executed
+      // query a broadcast-hash join while the census below (taken
+      // under threshold=-1) still reported the bucketed sort-merge
+      // shape. With the hint, probe plan and executed plan agree.
+      val joined = s.table(ot).hint("merge")
         .join(s.table(ct), col("o_custkey") === col("c_custkey"))
       // string census of the join's plan tree: robust under AQE, where
       // the adaptive wrapper hides children from TreeNode.collect

@@ -375,6 +375,31 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** TOP-r PCA by deflation (round-12, [[graft.ops.Pca.deflate]]):
+    * r = 3 components from the SAME memoized census — after each
+    * converged component the d² driver matrix deflates on the exact
+    * grid (A ← A − (λ/vᵀv)·v·vᵀ, every step VARCHAR-hop quantized) and
+    * the power iteration re-runs. The oracle is generated by the same
+    * loop: 3 unrolled iteration chains with the deflation CTEs
+    * replayed value-for-value. Corpus cost is unchanged — ONE census
+    * scan regardless of r; only driver metadata work grows. */
+  def embedPcaTopR(s: SparkSession, dir: String): DataFrame = {
+    val (sij, si, n) = pcaCensus(s, dir)
+    graft.ops.Pca.principalComponentsTopR(s, sij, si, n, r = 3)
+      .orderBy(col("comp"), col("dim"))
+  }
+
+  /** Subspace projection: every vector's 3 component scores in one
+    * scan-fused pass (3 exact-decimal dots, no shuffle before the
+    * output sort). */
+  def embedPcaTopRProject(s: SparkSession, dir: String): DataFrame = {
+    val (sij, si, n) = pcaCensus(s, dir)
+    val vs = graft.ops.Pca.topComponents(
+      graft.ops.Pca.covariance(sij, si, n), 3).map(_._1)
+    graft.ops.Pca.projectTopR(emb(s, dir), "embedding", "vec_id", vs)
+      .orderBy(col("vec_id"))
+  }
+
   def embedDimStats(s: SparkSession, dir: String): DataFrame = {
     import graft.ops.Similarity.decToDouble
     val e = emb(s, dir)
@@ -574,6 +599,8 @@ object SimilarityQueries {
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_pca" -> (embedPca _),
     "q_embed_pca_project" -> (embedPcaProject _),
+    "q_embed_pca_topr" -> (embedPcaTopR _),
+    "q_embed_pca_topr_project" -> (embedPcaTopRProject _),
     "q_embed_normalize" -> (embedNormalize _),
     "q_ann_lsh" -> (lshAnn _),
     "q_ann_index" -> (annIndexGate _)
@@ -814,6 +841,10 @@ object SimilarityQueries {
     "q_embed_pca" -> graft.ops.Pca.oracleSql("embeddings", "embedding"),
     "q_embed_pca_project" ->
       graft.ops.Pca.projectOracleSql("embeddings", "embedding", "vec_id"),
+    "q_embed_pca_topr" ->
+      graft.ops.Pca.oracleSqlTopR("embeddings", "embedding", 3),
+    "q_embed_pca_topr_project" ->
+      graft.ops.Pca.projectOracleSqlTopR("embeddings", "embedding", "vec_id", 3),
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (

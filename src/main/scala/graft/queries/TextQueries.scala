@@ -437,6 +437,20 @@ object TextQueries {
     graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** OPEN-VOCABULARY LM scoring (round-12,
+    * [[graft.ops.LangModel.lmScoresTopK]]): the model is pruned to the
+    * top-256 bigrams (the corpus has ~930 — roughly 72 % of model rows
+    * fall to the UNK fallback, so the pruned path is genuinely
+    * exercised, not a no-op). The oracle replays the same deterministic
+    * cut (count desc, bigram asc) and the same per-context UNK cost
+    * −ln(α/(c1+α·V)) on rule-5b decimals. This is the shape that
+    * survives a web-scale corpus: the broadcast model is K-bounded,
+    * context totals stay exact but vocab-sized. */
+  def lmScoreTopKQ(s: SparkSession, dir: String): DataFrame =
+    graft.ops.LangModel.lmScoresTopK(docs(s, dir), col("text"),
+        col("doc_id"), k = 256)
+      .orderBy(col("doc_id"))
+
   /** Okapi BM25 top-3 terms per document (k1 = 1.2, b = 0.75, Lucene's
     * +1-inside-the-log idf so weights stay positive) — the retrieval
     * scoring twin of [[tfidfTop]], adding document-length
@@ -890,6 +904,7 @@ object TextQueries {
     "q_dedup_stream_parity" -> (dedupStreamParity _),
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_lm_score" -> (lmScoreQ _),
+    "q_text_lm_score_topk" -> (lmScoreTopKQ _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     "q_text_chunks" -> (chunksQ _),
@@ -1324,6 +1339,40 @@ object TextQueries {
          model AS (
            SELECT bigram,
              CAST(CAST(-ln((c12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
+               AS DECIMAL(18,9)) AS cost_d
+           FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
+         SELECT doc_id, count(1) AS n_bigrams,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
+         FROM pairs JOIN model USING (bigram)
+         GROUP BY doc_id ORDER BY doc_id""",
+    // top-K-pruned LM replay: same census, but only the top-256
+    // bigrams (count desc, bigram asc — the engine's deterministic
+    // cut) keep their count; the rest score as UNK (c12 treated as 0)
+    // against EXACT context totals — bit-identical to lmScoresTopK
+    "q_text_lm_score_topk" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         bi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
+         biw AS (
+           SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+             row_number() OVER (ORDER BY c12 DESC, bigram) AS rk
+           FROM bi),
+         uni AS (
+           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM biw GROUP BY 1),
+         vocab AS (
+           SELECT count(DISTINCT tok) AS v
+           FROM (SELECT unnest(t) AS tok FROM toks)),
+         model AS (
+           SELECT bigram,
+             CAST(CAST(-ln(((CASE WHEN rk <= 256 THEN c12 ELSE 0 END) + 0.5)
+                 / (c1 + 0.5 * v)) AS VARCHAR)
                AS DECIMAL(18,9)) AS cost_d
            FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
          SELECT doc_id, count(1) AS n_bigrams,

@@ -69,18 +69,28 @@ object ScdStreams {
     val updated = Scd.scd2Apply(hist, batch, keyCol, orderCol, tracked,
       tieCols, onLateDrop = true)
       .withColumn("bucket", bucketOf(col(keyCol), buckets))
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // dynamic overwrite replaces exactly the bucket= dirs present in
-      // `updated` — which are the touched buckets — leaving the rest
-      // of the history untouched on disk
-      updated.repartition(col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // Crash-safe commit: the touched buckets are FULLY REWRITTEN into a
+    // sibling scratch dir first, then swapped in one atomic rename per
+    // bucket (the MatView.compact / Orchestrator posture). A crash
+    // before any rename leaves the prior history untouched; a crash
+    // between renames leaves every bucket either old-complete or
+    // new-complete, and the missing marker makes the replay re-apply
+    // the batch — a no-op on already-swapped buckets thanks to
+    // onLateDrop, a completion on the rest. The earlier
+    // dynamic-partition overwrite wrote the live path in place, so a
+    // crash inside ITS commit window could lose untouched-key history.
+    val scratch = s"$path.staging_batch_$batchId"
+    graft.io.Fs.deleteRecursive(spark, scratch) // crashed earlier try
+    updated.repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(scratch)
+    touched.foreach { b =>
+      val tmpBucket = new Path(s"$scratch/bucket=$b")
+      // absent only when the bucket had no history AND the whole batch
+      // for it was late-dropped — nothing to commit then
+      if (fs.exists(tmpBucket))
+        graft.io.Fs.replaceDir(spark, tmpBucket.toString, s"$path/bucket=$b")
     }
+    graft.io.Fs.deleteRecursive(spark, scratch) // _SUCCESS + empty shell
     fs.mkdirs(markerPath(path, batchId))
   }
 
