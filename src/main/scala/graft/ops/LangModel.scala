@@ -83,6 +83,117 @@ object LangModel {
       k: Int): DataFrame =
     scoreWithModel(docs, textCol, idCol, topK = Some(k))
 
+  /** The broadcastable scoring state: the bigram→cost model (FULL
+    * census under [[lmScores]], ≤ K entries under [[lmScoresTopK]]),
+    * the per-context UNK costs (vocab-sized — affordable at any corpus
+    * scale), and the vocabulary size. `private[graft]` so the spec can
+    * assert the K-bound on the broadcast payload directly. */
+  private[graft] case class Model(
+      model: java.util.HashMap[String, java.math.BigDecimal],
+      unk: java.util.HashMap[String, java.math.BigDecimal],
+      v: Long)
+
+  private[graft] def quantizeCost(cost: Double): java.math.BigDecimal =
+    new java.math.BigDecimal(java.lang.Double.toString(cost))
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+
+  /** Build the broadcast model. Under `topK = Some(k)` everything
+    * driver-sided is bounded: the census stays DISTRIBUTED (the
+    * [[bigramCensus]] groupBy) and only three bounded artifacts are
+    * collected — the K survivors of the (count desc, bigram asc) cut,
+    * the vocab-sized context totals, and the vocabulary count. Pruned
+    * bigrams are NOT materialized anywhere (not on the driver, not in
+    * the broadcast): pass 2's per-context UNK fallback scores them to
+    * the identical value −ln(α/(c1+α·V)), so dropping them is a pure
+    * size win. Tie order at the K boundary is Spark's UTF8String
+    * binary comparison = UTF-8 byte order = Unicode code-point order —
+    * the same collation DuckDB's ORDER BY bigram uses, so the cut is
+    * engine-portable even on supplementary-plane tokens (ADVICE r12).
+    * Under `topK = None` the full census IS the model; that path is
+    * the closed-vocabulary form and keeps the single-scan RDD kernel
+    * (one exchange-free partial-agg pass). */
+  private[graft] def buildModel(docs: DataFrame, textCol: Column,
+      topK: Option[Int]): Model = {
+    import java.math.{BigDecimal => JBD}
+    val toks = docs.select(Text.tokens(textCol).as("ts"))
+    topK match {
+      case Some(k) =>
+        // open-vocabulary path: the census never leaves the cluster
+        val census = toks
+          .select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+          .withColumn("w1", substring_index(col("bigram"), " ", 1))
+          .localCheckpoint(true) // one census scan feeds cut + totals
+        // vocab-sized context totals; collected map ∝ vocab, never vocab²
+        val c1 = new java.util.HashMap[String, Long]()
+        census.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+          .collect().foreach(r => c1.put(r.getString(0), r.getLong(1)))
+        val v = toks.select(explode(col("ts")).as("t"))
+          .agg(countDistinct(col("t"))).head().getLong(0)
+        val model = new java.util.HashMap[String, JBD]()
+        // the cut runs as a distributed TakeOrdered (top-k per
+        // partition, merge of k-sized partials) — K rows reach the
+        // driver, not the census
+        census.orderBy(col("c12").desc, col("bigram").asc).limit(k)
+          .select(col("bigram"), col("c12"), col("w1")).collect()
+          .foreach { r =>
+            val cost = -math.log((r.getLong(1) + Alpha) /
+              (c1.get(r.getString(2)) + Alpha * v))
+            model.put(r.getString(0), quantizeCost(cost))
+          }
+        val unk = new java.util.HashMap[String, JBD]()
+        c1.forEach { (w1, c) =>
+          unk.put(w1, quantizeCost(-math.log(Alpha / (c + Alpha * v))))
+        }
+        Model(model, unk, v)
+      case None =>
+        // closed-vocabulary path: single-scan RDD kernel; census
+        // partials are vocab²-bounded and merge on the driver (the
+        // documented full-census contract of lmScores)
+        val partials = toks.rdd.mapPartitions { it =>
+          val bi = new java.util.HashMap[String, Long]()
+          val vocab = new java.util.HashSet[String]()
+          it.foreach { row =>
+            val ts = row.getSeq[String](0)
+            if (ts != null) {
+              var i = 0
+              while (i < ts.length) {
+                vocab.add(ts(i))
+                if (i + 1 < ts.length) {
+                  val b = ts(i) + " " + ts(i + 1)
+                  bi.merge(b, 1L, (a, x) => a + x)
+                }
+                i += 1
+              }
+            }
+          }
+          Iterator.single((bi, vocab))
+        }.collect()
+        val biCounts = new java.util.HashMap[String, Long]()
+        val vocabSet = new java.util.HashSet[String]()
+        partials.foreach { case (bi, vo) =>
+          bi.forEach((k2, v2) => biCounts.merge(k2, v2, (a, x) => a + x))
+          vocabSet.addAll(vo)
+        }
+        val v = vocabSet.size.toLong
+        val c1 = new java.util.HashMap[String, Long]()
+        biCounts.forEach { (b, c) =>
+          c1.merge(b.substring(0, b.indexOf(' ')), c, (a, x) => a + x)
+        }
+        val model = new java.util.HashMap[String, JBD]()
+        biCounts.forEach { (b, c12) =>
+          val cost = -math.log((c12 + Alpha) /
+            (c1.get(b.substring(0, b.indexOf(' '))) + Alpha * v))
+          model.put(b, quantizeCost(cost))
+        }
+        val unk = new java.util.HashMap[String, JBD]()
+        c1.forEach { (w1, c) =>
+          unk.put(w1, quantizeCost(-math.log(Alpha / (c + Alpha * v))))
+        }
+        Model(model, unk, v)
+    }
+  }
+
   private def scoreWithModel(docs: DataFrame, textCol: Column,
       idCol: Column, topK: Option[Int]): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
@@ -90,69 +201,12 @@ object LangModel {
     val toks = docs.select(idCol.cast("long").as("doc_id"),
       Text.tokens(textCol).as("ts"))
 
-    // pass 1: census partials — (bigram → count), token set, row count
-    val partials = toks.select(col("ts")).rdd.mapPartitions { it =>
-      val bi = new java.util.HashMap[String, Long]()
-      val vocab = new java.util.HashSet[String]()
-      it.foreach { row =>
-        val ts = row.getSeq[String](0)
-        if (ts != null) {
-          var i = 0
-          while (i < ts.length) {
-            vocab.add(ts(i))
-            if (i + 1 < ts.length) {
-              val b = ts(i) + " " + ts(i + 1)
-              bi.merge(b, 1L, (a, x) => a + x)
-            }
-            i += 1
-          }
-        }
-      }
-      Iterator.single((bi, vocab))
-    }.collect()
-    val biCounts = new java.util.HashMap[String, Long]()
-    val vocabSet = new java.util.HashSet[String]()
-    partials.foreach { case (bi, vo) =>
-      bi.forEach((k, v) => biCounts.merge(k, v, (a, x) => a + x))
-      vocabSet.addAll(vo)
-    }
-    val v = vocabSet.size.toLong
-    val c1 = new java.util.HashMap[String, Long]()
-    biCounts.forEach { (b, c) =>
-      c1.merge(b.substring(0, b.indexOf(' ')), c, (a, x) => a + x)
-    }
-    def quantize(cost: Double): JBD =
-      new JBD(java.lang.Double.toString(cost))
-        .setScale(9, RoundingMode.HALF_UP)
-    // the pruned-model cut: top-k by (count desc, bigram asc) — the
-    // same deterministic order the oracle's row_number() replays
-    val kept: String => Boolean = topK match {
-      case None => _ => true
-      case Some(k) =>
-        import scala.jdk.CollectionConverters._
-        val top = biCounts.entrySet().asScala.toArray
-          .sortBy(e => (-e.getValue, e.getKey)).take(k)
-          .map(_.getKey).toSet
-        top.contains _
-    }
-    // the model: the same double expression Spark's codegen evaluates,
-    // quantized on the shared shortest-string grid
-    val model = new java.util.HashMap[String, JBD]()
-    biCounts.forEach { (b, c12) =>
-      val eff = if (kept(b)) c12 else 0L
-      val cost = -math.log((eff + Alpha) / (c1.get(b.substring(0, b.indexOf(' '))) + Alpha * v))
-      model.put(b, quantize(cost))
-    }
-    // per-context UNK costs (vocab-sized) + the no-context floor: in
-    // the pruned posture a SCORED bigram can be absent from the
-    // broadcast model (different corpus, or just pruned away), so
-    // pass 2 must never trust m.get() to hit
-    val unk = new java.util.HashMap[String, JBD]()
-    c1.forEach { (w1, c) => unk.put(w1, quantize(-math.log(Alpha / (c + Alpha * v)))) }
-    val unkFloor = quantize(math.log(v.toDouble.max(1.0)))
+    val built = buildModel(docs, textCol, topK)
+    val v = built.v
+    val unkFloor = quantizeCost(math.log(v.toDouble.max(1.0)))
     val exactModel = topK.isEmpty
-    val bcModel = spark.sparkContext.broadcast(model)
-    val bcUnk = spark.sparkContext.broadcast(unk)
+    val bcModel = spark.sparkContext.broadcast(built.model)
+    val bcUnk = spark.sparkContext.broadcast(built.unk)
 
     // pass 2: per-doc exact-decimal occurrence sums, no shuffle
     val scored = toks.rdd.mapPartitions { it =>

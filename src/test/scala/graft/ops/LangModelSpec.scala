@@ -45,6 +45,42 @@ class LangModelSpec extends SparkSpec {
     a shouldBe b
   }
 
+  behavior of "LangModel.lmScoresTopK"
+
+  it should "equal the full-census scorer when K covers the census" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val census = LangModel.bigramCensus(docs, col("text"), col("doc_id")).count()
+    val full = LangModel.lmScores(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val topk = LangModel.lmScoresTopK(docs, col("text"), col("doc_id"),
+        k = census.toInt + 10)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    topk shouldBe full
+  }
+
+  it should "bound the broadcast model by K (pruned bigrams absent)" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val census = LangModel.bigramCensus(docs, col("text"), col("doc_id")).count()
+    census should be > 64L // the cut below is a real prune
+    val m = LangModel.buildModel(docs, col("text"), topK = Some(64))
+    m.model.size shouldBe 64 // exactly K survivors, nothing else
+    // pruned bigrams score through the UNK fallback, which must carry
+    // every context — vocab-sized, the documented bound
+    m.unk.size should be > 0
+  }
+
+  it should "break count ties at the K boundary in code-point order" in {
+    // U+FF61 (BMP, UTF-16 unit 0xFF61) vs U+10000 (surrogate pair
+    // starting 0xD800): Java String order puts U+FF61 AFTER the
+    // supplementary char, code-point/UTF-8 order puts it BEFORE — the
+    // DuckDB-portable collation must keep "a ｡" at k = 1
+    val ties = Seq((1L, "a ｡"), (2L, "a 𐀀"))
+      .toDF("doc_id", "text")
+    val m = LangModel.buildModel(ties, col("text"), topK = Some(1))
+    m.model.size shouldBe 1
+    m.model.containsKey("a ｡") shouldBe true
+  }
+
   it should "be bit-stable under repartitioning" in {
     val a = LangModel.lmScores(corpus, col("text"), col("doc_id"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
