@@ -7,16 +7,21 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by iterator-based
   * `mapPartitions` pipelines.
   *
-  * The decode step is a clearly-marked STUB (no image/audio codecs ship
-  * in this environment): [[StubCodec.decode]] derives deterministic fake
-  * metadata from the bytes. Everything AROUND the stub is the real
-  * production shape — binary column in the DataFrame, typed
-  * `Dataset[T]` boundary, partition-local batch iteration (one codec
-  * init per partition, not per row), and a schema-stable typed output —
-  * exactly how a JNI/FFMpeg/libjpeg decode stage plugs into Spark at
-  * scale. Partitioning note: decode is CPU-bound and embarrassingly
-  * parallel; no shuffle is introduced, so throughput scales linearly
-  * with executor cores.
+  * Two codec tiers. The GATED pipelines (metadata, decode stats,
+  * per-document phash) run a REAL byte-level codec end-to-end: binary
+  * PPM (P6) is the one self-describing raster format writable without
+  * codec libraries, so [[Ppm]] synthesizes genuine P6 containers from
+  * document bytes, parses their headers back the way any netpbm reader
+  * does, and decodes RGB→integer-luma — all integer-exact, so a SQL
+  * oracle replays every pixel. [[StubCodec]] remains ONLY for the
+  * stages whose real formats need external libraries (frame sampling,
+  * resize): it derives deterministic fake output from the bytes while
+  * everything AROUND it keeps the production shape — binary column,
+  * typed `Dataset[T]` boundary, partition-local batch iteration (one
+  * codec init per partition, not per row) — exactly how a
+  * JNI/FFMpeg/libjpeg stage plugs into Spark at scale. Partitioning
+  * note: decode is CPU-bound and embarrassingly parallel; no shuffle
+  * is introduced, so throughput scales linearly with executor cores.
   */
 object Multimodal {
 
@@ -83,6 +88,10 @@ object Multimodal {
       * 24 payload bytes per row. */
     val Width = 8
 
+    /** Per-dimension parse bound (2²⁰ px): far above any raster this
+      * pipeline synthesizes, far below where w·h·3 maths need care. */
+    val MaxDim = 1 << 20
+
     case class Header(width: Int, height: Int, maxVal: Int, pixelOffset: Int)
 
     /** Write a real P6 PPM whose pixels are `src` cycled to fill the
@@ -124,12 +133,17 @@ object Multimodal {
       def parseInt(): Int = {
         skipSeparators()
         val start = pos
-        var v = 0
+        // Long accumulator + per-digit bound: a hostile header like
+        // "P6 99999999999 2 255" must fail the PARSE cleanly, not wrap
+        // Int and mis-evaluate the raster checks downstream
+        var v = 0L
         while (pos < payload.length && payload(pos) >= '0' && payload(pos) <= '9') {
           v = v * 10 + (payload(pos) - '0'); pos += 1
+          require(v <= MaxDim,
+            s"header integer at byte $start exceeds sane bound $MaxDim")
         }
         require(pos > start, s"expected ASCII integer at byte $start")
-        v
+        v.toInt
       }
       val w = parseInt()
       val h = parseInt()
@@ -142,8 +156,13 @@ object Multimodal {
           payload(pos) == '\r' || payload(pos) == '\t'),
         "missing raster separator")
       pos += 1
-      require(payload.length - pos >= w * h * 3,
-        s"truncated raster: need ${w * h * 3} bytes, have ${payload.length - pos}")
+      // Long math: w and h are each ≤ MaxDim, so w·h·3 can overflow
+      // Int — a wrapped product would let the truncation require pass
+      // on a hostile header and grayPixels blow up instead of failing
+      // the parse (ADVICE r12)
+      val need = 3L * w * h
+      require(need <= payload.length - pos,
+        s"truncated raster: need $need bytes, have ${payload.length - pos}")
       Header(w, h, mv, pos)
     }
 
@@ -242,30 +261,50 @@ object Multimodal {
     import spark.implicits._
     blobs.mapPartitions(_.map { b =>
       val p = b.payload
-      val n = p.length
-      if (n == 0) PHash(b.doc_id, 0L)
-      else {
-        val cellSum = new Array[Long](64)
-        val cellCnt = new Array[Long](64)
-        var total = 0L
-        var i = 0
-        while (i < n) {
-          val v = p(i) & 0xff
-          val cell = (i.toLong * 64 / n).toInt
-          cellSum(cell) += v
-          cellCnt(cell) += 1
-          total += v
-          i += 1
-        }
-        var h = 0L
-        var j = 0
-        while (j < 64) {
-          if (cellSum(j) * n > total * cellCnt(j)) h |= (1L << j)
-          j += 1
-        }
-        PHash(b.doc_id, h)
-      }
+      val vals = new Array[Int](p.length)
+      var i = 0
+      while (i < p.length) { vals(i) = p(i) & 0xff; i += 1 }
+      PHash(b.doc_id, blockhashOf(vals))
     })
+  }
+
+  /** The 64-cell blockhash kernel over any 0–255 value stream (bytes
+    * or decoded luma): value i → cell i·64/n, bit j set iff cell j's
+    * mean exceeds the global mean by exact integer cross-multiply. */
+  private[graft] def blockhashOf(vals: Array[Int]): Long = {
+    val n = vals.length
+    if (n == 0) return 0L
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = vals(i)
+      val cell = (i.toLong * 64 / n).toInt
+      cellSum(cell) += v
+      cellCnt(cell) += 1
+      total += v
+      i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (cellSum(j) * n > total * cellCnt(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
+  /** Blockhash over REAL DECODED PIXELS: each blob's P6 raster decodes
+    * to its integer-luma stream ([[Ppm.grayPixels]]) and the 64-cell
+    * kernel runs on that — the production phash shape (decode, then
+    * hash pixels), bit-exactly replayable by a pure-integer SQL oracle
+    * since both decode and kernel are integer-exact. Partition-local,
+    * payloads never shuffle. */
+  def blockhash64Gray(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[PHash] = {
+    import spark.implicits._
+    blobs.mapPartitions(_.map(b =>
+      PHash(b.doc_id, blockhashOf(Ppm.grayPixels(b.payload)))))
   }
 
   /** Build (or rebuild, per corpus epoch) the persisted perceptual-hash
@@ -300,12 +339,34 @@ object Multimodal {
   def compactPhashIndex(spark: SparkSession, path: String): Unit =
     graft.ops.Dedup.compactFamily(spark, s"$path/phashes")(identity)
 
-  /** documents → payload → decode → per-language media stats. */
-  def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
+  /** documents → REAL P6 container payloads → REAL header decode.
+    * The gated metadata path runs the genuine codec end-to-end:
+    * [[ppmBlobs]] packs each document's bytes into a real P6 PPM and
+    * [[RealCodec.decode]] parses the container header back —
+    * `n_bytes` is the container size, `width`/`height` the parsed
+    * raster dimensions. [[StubCodec]] remains only where the format
+    * genuinely needs an external codec (frames/resize). */
+  def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame =
+    decodeMetaReal(spark, ppmBlobs(spark, docs, "text")).toDF()
+
+  /** Decode PARITY surface: per-document stats over the decoded
+    * integer-luma pixels — every value is a pure-integer function of
+    * the source bytes, so a SQL oracle can replay the whole decode
+    * (container synthesis → header parse → RGB→luma) pixel by pixel.
+    * One projection-shaped pass, no shuffle before the output sort. */
+  def grayStatsPipeline(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val blobs = withPayload(docs, "text")
-      .select(col("doc_id"), col("lang"), col("payload"))
-      .as[MediaBlob]
-    decodeMeta(spark, blobs).toDF()
+    ppmBlobs(spark, docs, "text").mapPartitions(_.map { b =>
+      val g = Ppm.grayPixels(b.payload)
+      var s = 0L
+      var mn = Int.MaxValue
+      var mx = Int.MinValue
+      var i = 0
+      while (i < g.length) {
+        s += g(i); if (g(i) < mn) mn = g(i); if (g(i) > mx) mx = g(i)
+        i += 1
+      }
+      (b.doc_id, g.length.toLong, s, mn, mx)
+    }).toDF("doc_id", "n_pixels", "sum_gray", "min_gray", "max_gray")
   }
 }

@@ -326,9 +326,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Multimodal metadata pipeline (binary payload → stub decode). */
+  /** Multimodal metadata pipeline — REAL codec end-to-end: each
+    * document's bytes pack into a genuine P6 PPM container and the
+    * decoder parses the header back; the oracle replays the container
+    * arithmetic (n_bytes = header + raster, height = ceil(n/24),
+    * width fixed at 8). */
   def multimodalMeta(s: SparkSession, dir: String): DataFrame =
     Multimodal.mediaMetaPipeline(s, asciiAsserted(docs(s, dir)))
+      .orderBy(col("doc_id"))
+
+  /** Decode PARITY gate: per-document stats over the REAL-decoded
+    * integer-luma pixels. The oracle replays the full decode in pure
+    * integer SQL — container synthesis (source bytes cycled into the
+    * 24·h raster), header geometry, and the BT.601 luma of every RGB
+    * triplet — so a single drifted pixel anywhere fails the hash. */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.grayStatsPipeline(s, asciiAsserted(docs(s, dir)))
       .orderBy(col("doc_id"))
 
   /** Multimodal frame sampling (one-to-many mapPartitions): frames per
@@ -345,24 +358,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Perceptual blockhash per document ([[Multimodal.blockhash64]] on
-    * the stub payload), output as the 64-char bit string so the DuckDB
-    * oracle can rebuild it with pure integer SQL (cell sums +
-    * cross-multiplied mean comparison — no floats anywhere). */
+  /** Perceptual blockhash per document over REAL DECODED PIXELS
+    * ([[Multimodal.blockhash64Gray]]: P6 container → header parse →
+    * RGB→luma → 64-cell blockhash), output as the 64-char bit string
+    * so the DuckDB oracle can rebuild the whole decode+hash with pure
+    * integer SQL (luma per triplet, cell sums, cross-multiplied mean
+    * comparison — no floats anywhere). */
   def multimodalPhash(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val blobs = Multimodal.withPayload(asciiAsserted(docs(s, dir)), "text")
-      .select(col("doc_id"), col("lang"), col("payload"))
-      .as[Multimodal.MediaBlob]
-    Multimodal.blockhash64(s, blobs).toDF()
+    val blobs = Multimodal.ppmBlobs(s, asciiAsserted(docs(s, dir)), "text")
+    Multimodal.blockhash64Gray(s, blobs).toDF()
       .select(col("doc_id"), lpad(bin(col("phash")), 64, "0").as("phash_bits"))
       .orderBy(col("doc_id"))
   }
 
   /** Perceptual near-dup pairs: banded hamming mining over the
     * blockhash signatures ([[Dedup.hammingNearDups]] — the same
-    * kernel as SimHash pairs, recall 1.0 within the bound). The bound
-    * is 15 bits: the gate corpus' stub "media" near-dups are edited
+    * kernel as SimHash pairs, recall 1.0 within the bound). The
+    * signatures here hash the CONTENT byte stream, not the decoded
+    * luma the phash gate uses: these fake rasters decode to only
+    * 16–200 pixels, where a 64-cell luma blockhash is statistically
+    * meaningless for pair mining (measured r13: true near-dup pairs
+    * spread to 45 gray bits while unrelated pairs collide at 0 —
+    * no separating threshold exists), so the pair-mining basis stays
+    * the byte stream whose edit distance the corpus actually encodes;
+    * on real media both bases coincide in shape and the decoded-pixel
+    * signature path is gated bit-exactly by q_multimodal_phash.
+    * The bound is 15 bits: the gate corpus' stub "media" near-dups are edited
     * copies whose payload blockhashes differ by 9–15 bits (measured
     * min hamming 9/10/0 at sf0.001/0.01/0.1), and 16 bands × 4 bits
     * is the divisor-legal band layout covering it. 4-bit bands are
@@ -927,6 +948,7 @@ object TextQueries {
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
     "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_phash" -> (multimodalPhash _),
     "q_multimodal_phash_pairs" -> (multimodalPhashPairs _),
@@ -1009,12 +1031,37 @@ object TextQueries {
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""
 
+  /** The REAL-decode replay: every luma pixel of each document's P6
+    * container, in pure integer SQL. Container geometry — width 8,
+    * height h = ceil(n/24), raster = source bytes cycled to 24·h —
+    * comes straight from [[graft.ops.Multimodal.Ppm.encodeFromBytes]];
+    * pixel j's luma is the BT.601 integer form over the cycled triplet
+    * (ASCII corpus, so ascii(substr) IS the source byte). Yields
+    * (doc_id, m = 8·h pixels, j, gray). */
+  private val grayPxCte =
+    """WITH src AS (
+         SELECT doc_id, text, length(text) AS n,
+                greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT)) AS h
+         FROM documents),
+       px0 AS (
+         SELECT doc_id, text, n, 8 * h AS m,
+                unnest(generate_series(0, 8 * h - 1)) AS j
+         FROM src),
+       px AS (
+         SELECT doc_id, m, j,
+           (299 * ascii(substr(text, CAST((3*j)   % n AS INT) + 1, 1))
+          + 587 * ascii(substr(text, CAST((3*j+1) % n AS INT) + 1, 1))
+          + 114 * ascii(substr(text, CAST((3*j+2) % n AS INT) + 1, 1)))
+           // 1000 AS gray
+         FROM px0)"""
+
   /** Blockhash bits rebuilt in pure integer SQL — the exact mirror of
     * [[Multimodal.blockhash64]]: byte i (ASCII text, so ascii(substr)
     * IS the payload byte) → cell i·64/n; bit = cell mean > global mean
     * by cross-multiplication; absent cells (n < 64 docs) pad to 0 via
     * the explicit 0..63 grid, exactly like the engine's zeroed
-    * accumulators. */
+    * accumulators. Feeds the PAIR-MINING oracles (content-byte basis —
+    * see [[multimodalPhashPairs]] for why). */
   private val phashCte =
     """WITH px AS (
          SELECT doc_id, unnest(generate_series(0, length(text) - 1)) AS i,
@@ -1573,8 +1620,32 @@ object TextQueries {
            ((CAST(ceil(length(text) / 16.0) AS BIGINT) - 1) // 3) + 1 AS n_frames
          FROM documents ORDER BY doc_id""",
     "q_multimodal_phash" ->
-      (phashCte + """
+      (grayPxCte + """,
+         v AS (SELECT doc_id, m, (j * 64) // m AS cell, gray AS p FROM px),
+         sums AS (
+           SELECT doc_id, cell, sum(p) AS cs, count(1) AS cc
+           FROM v GROUP BY doc_id, cell),
+         tot AS (SELECT doc_id, sum(cs) AS ts FROM sums GROUP BY 1),
+         dl AS (SELECT DISTINCT doc_id, m FROM px0),
+         grid AS (
+           SELECT doc_id, unnest(generate_series(0, 63)) AS cell
+           FROM documents),
+         pbits AS (
+           SELECT g.doc_id, g.cell,
+             CASE WHEN coalesce(s.cs, 0) * d.m > coalesce(t.ts, 0) * coalesce(s.cc, 0)
+                  THEN '1' ELSE '0' END AS bit
+           FROM grid g JOIN dl d USING (doc_id)
+           LEFT JOIN tot t USING (doc_id)
+           LEFT JOIN sums s ON s.doc_id = g.doc_id AND s.cell = g.cell),
+         ph AS (
+           SELECT doc_id, string_agg(bit, '' ORDER BY cell DESC) AS phash_bits
+           FROM pbits GROUP BY doc_id)
          SELECT doc_id, phash_bits FROM ph ORDER BY doc_id"""),
+    "q_multimodal_decode" ->
+      (grayPxCte + """
+         SELECT doc_id, count(1) AS n_pixels, sum(gray) AS sum_gray,
+           min(gray) AS min_gray, max(gray) AS max_gray
+         FROM px GROUP BY doc_id ORDER BY doc_id"""),
     "q_multimodal_phash_pairs" ->
       (phashCte + """,
          pairs AS (
@@ -1636,12 +1707,17 @@ object TextQueries {
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
     "q_multimodal_meta" ->
-      """SELECT doc_id, lang,
-           CAST(length(text) AS INT) AS n_bytes,
-           CAST(64 + length(text) % 512 AS INT) AS width,
-           CAST(64 + (ascii(substr(text, 1, 1)) * 7) % 512 AS INT) AS height,
-           CASE length(text) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS format
-         FROM documents ORDER BY doc_id"""
+      // the P6 container replayed: header "P6\n8 <h>\n255\n" is
+      // 10 + digits(h) bytes, the raster 8·h·3 = 24·h
+      """WITH g AS (
+           SELECT doc_id, lang,
+             greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT)) AS h
+           FROM documents)
+         SELECT doc_id, lang,
+           CAST(10 + length(CAST(h AS VARCHAR)) + 24 * h AS INT) AS n_bytes,
+           CAST(8 AS INT) AS width,
+           CAST(h AS INT) AS height,
+           'ppm' AS format
+         FROM g ORDER BY doc_id"""
   )
 }

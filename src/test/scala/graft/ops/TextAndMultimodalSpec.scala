@@ -145,12 +145,15 @@ class TextAndMultimodalSpec extends SparkSpec {
 
   "Multimodal stub pipeline" should "decode deterministic metadata" in {
     import spark.implicits._
-    val docs = Seq((7L, "en", "hello world")).toDF("doc_id", "lang", "text")
-    val meta = Multimodal.mediaMetaPipeline(spark, docs).collect()(0)
-    meta.getAs[Int]("n_bytes") shouldBe 11
-    meta.getAs[Int]("width") shouldBe 64 + 11 % 512
-    meta.getAs[Int]("height") shouldBe 64 + ('h'.toInt * 7) % 512
-    meta.getAs[String]("format") shouldBe "video" // 11 % 3 == 2
+    // the stub stage itself (the spec-level twin for formats that DO
+    // need external codecs — the gated pipeline runs the real codec)
+    val blobs = Seq(Multimodal.MediaBlob(7L, "en",
+      "hello world".getBytes("UTF-8"))).toDS()
+    val meta = Multimodal.decodeMeta(spark, blobs).collect()(0)
+    meta.n_bytes shouldBe 11
+    meta.width shouldBe 64 + 11 % 512
+    meta.height shouldBe 64 + ('h'.toInt * 7) % 512
+    meta.format shouldBe "video" // 11 % 3 == 2
   }
 
   it should "resize payloads deterministically" in {
@@ -183,6 +186,94 @@ class TextAndMultimodalSpec extends SparkSpec {
     rows(0)._2 shouldBe Seq("a b", "b a")               // distinct twin
     rows(1)._1 shouldBe Seq.empty                       // 1 token → no 2-grams
     rows(2)._1 shouldBe Seq.empty                       // "" → [""] → no 2-grams
+  }
+
+  "Multimodal.Ppm" should "round-trip encode → header parse" in {
+    for (n <- Seq(1, 23, 24, 25, 240, 577)) {
+      val src = Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
+      val payload = Multimodal.Ppm.encodeFromBytes(src)
+      val hd = Multimodal.Ppm.parseHeader(payload)
+      val h = math.max(1, (n + 23) / 24)
+      hd.width shouldBe 8
+      hd.height shouldBe h
+      hd.maxVal shouldBe 255
+      payload.length shouldBe hd.pixelOffset + 24 * h
+      // raster = src cycled
+      (0 until 24 * h).foreach { k =>
+        payload(hd.pixelOffset + k) shouldBe src(k % n)
+      }
+    }
+    // empty source → one black row
+    val empty = Multimodal.Ppm.encodeFromBytes(Array.empty[Byte])
+    val hd = Multimodal.Ppm.parseHeader(empty)
+    (hd.width, hd.height) shouldBe ((8, 1))
+    Multimodal.Ppm.grayPixels(empty).toSeq shouldBe Seq.fill(8)(0)
+  }
+
+  it should "parse netpbm comments and whitespace runs" in {
+    val raster = Array.tabulate(6)(_.toByte)
+    val header = "P6\n# a comment\n 2 # trailing\n\t1\r\n255\n"
+      .getBytes("US-ASCII")
+    val hd = Multimodal.Ppm.parseHeader(header ++ raster)
+    (hd.width, hd.height, hd.maxVal) shouldBe ((2, 1, 255))
+    hd.pixelOffset shouldBe header.length
+  }
+
+  it should "decode BT.601 integer luma per RGB triplet" in {
+    val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30)
+      .map(_.toByte)
+    val payload = "P6\n4 1\n255\n".getBytes("US-ASCII") ++ px
+    Multimodal.Ppm.grayPixels(payload).toSeq shouldBe
+      Seq(299 * 255 / 1000, 587 * 255 / 1000, 114 * 255 / 1000,
+        (299 * 10 + 587 * 20 + 114 * 30) / 1000)
+  }
+
+  it should "fail loudly on malformed and hostile payloads" in {
+    def p(s: String, raster: Int = 0) =
+      s.getBytes("US-ASCII") ++ new Array[Byte](raster)
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Ppm.parseHeader(p("P5\n1 1\n255\n", 3)) // wrong magic
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Ppm.parseHeader(p("P6\n1 1\n15\n", 3)) // maxval
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Ppm.parseHeader(p("P6\n0 1\n255\n")) // degenerate
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Ppm.parseHeader(p("P6\n2 1\n255\n", 3)) // truncated
+    // header integer past the sane bound fails the PARSE, not the math
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Ppm.parseHeader(p("P6\n99999999999 1\n255\n", 3))
+    // w·h·3 overflows Int (1M × 1M within per-dim bound): must be the
+    // clean truncation error, never NegativeArraySizeException
+    val e = the[IllegalArgumentException] thrownBy
+      Multimodal.Ppm.grayPixels(p("P6\n1000000 1000000\n255\n", 3))
+    e.getMessage should include("truncated raster")
+  }
+
+  "Multimodal real-codec pipelines" should "decode metadata from real P6 containers" in {
+    import spark.implicits._
+    val docs = Seq((1L, "en", "x" * 47), (2L, "de", "y" * 24))
+      .toDF("doc_id", "lang", "text")
+    val meta = Multimodal.mediaMetaPipeline(spark, docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getString(5))).toMap
+    // 47 bytes → h=2, container = "P6\n8 2\n255\n"(11) + 48
+    meta(1L) shouldBe ((59, 8, 2, "ppm"))
+    meta(2L) shouldBe ((35, 8, 1, "ppm"))
+  }
+
+  it should "blockhash the decoded luma stream" in {
+    import spark.implicits._
+    // 48 source bytes → h=2 → 16 gray pixels: first 24 bytes 0x00,
+    // last 24 bytes 0xFF → gray = 8×0 then 8×255 (luma weights sum
+    // to 1000, so 0xFF triplets decode to exactly 255)
+    val src = new Array[Byte](24) ++ Array.fill(24)(0xFF.toByte)
+    val blobs = Seq(Multimodal.MediaBlob(7L, "en",
+      Multimodal.Ppm.encodeFromBytes(src))).toDS()
+    val h = Multimodal.blockhash64Gray(spark, blobs).collect().head.phash
+    // 16 pixels → cells 0..63 get ≤1 px (cell = j*64/16 = 4j); dark
+    // pixels (0) below mean, bright (255) above → bits 4j for j=8..15
+    val expect = (8 until 16).map(j => 1L << (4 * j)).reduce(_ | _)
+    h shouldBe expect
   }
 
   "Multimodal.blockhash64" should "set exactly the above-mean cells" in {
