@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, Text}
+import graft.ops.{Dedup, Dsir, Multimodal, Sampling, Similarity, Text}
 import graft.functions.PolyHash64
 
 /** Text-analysis, deduplication, and multimodal queries over the
@@ -325,6 +325,33 @@ object TextQueries {
         col("pairs_match"))
       .orderBy(col("doc_id"))
   }
+
+  /** DSIR importance weights ([[graft.ops.Dsir]]): log p_target −
+    * log p_raw per document under two add-α bigram LMs, target =
+    * English documents. Exact-decimal arithmetic end-to-end, so the
+    * oracle replays both model builds and the coalesce(model, unk,
+    * floor) fallback ladder bit-for-bit. */
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceWeights(docs(s, dir), col("text"), col("doc_id"),
+        col("lang") === "en")
+      .orderBy(col("doc_id"))
+
+  /** The open-vocabulary twin: BOTH models pruned to their top-256
+    * bigrams (the 100 TB posture — distributed census cut, K-bounded
+    * broadcast), pruned bigrams scoring through the per-context UNK
+    * fallback the oracle replays via the CASE-0 count. */
+  def dsirWeightsTopK(s: SparkSession, dir: String): DataFrame =
+    Dsir.importanceWeights(docs(s, dir), col("text"), col("doc_id"),
+        col("lang") === "en", topK = Some(256))
+      .orderBy(col("doc_id"))
+
+  /** DSIR selection: the 64 most-target-like non-target documents
+    * (weight desc, doc_id asc) — TakeOrderedAndProject, never a full
+    * sort; full value-checked against the oracle's replayed ranking. */
+  def dsirResample(s: SparkSession, dir: String): DataFrame =
+    Dsir.resampleTop(docs(s, dir), col("text"), col("doc_id"),
+        col("lang") === "en", k = 64)
+      .orderBy(col("w_sum").desc, col("doc_id"))
 
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
@@ -947,6 +974,9 @@ object TextQueries {
     "q_dedup_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_simhash" -> (simhashQ _),
     "q_dedup_simhash_pairs" -> (simhashPairs _),
+    "q_dsir_weights" -> (dsirWeights _),
+    "q_dsir_weights_topk" -> (dsirWeightsTopK _),
+    "q_dsir_resample" -> (dsirResample _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -1030,6 +1060,76 @@ object TextQueries {
            coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""
+
+  /** The DSIR replay ([[dsirWeights]]): both bigram models rebuilt in
+    * SQL on the shared DECIMAL(18,9) grid, target-side misses through
+    * the coalesce(model, unk, floor) ladder, per-occurrence weights
+    * summed as exact decimals. `topKCase` swaps in the pruned-count
+    * CASE on both models — c12 treated as 0 past the cut evaluates to
+    * exactly the UNK cost, so the CASE replays the engine's K-bounded
+    * broadcast + fallback path value-for-value. Ends with `wsums`
+    * (doc_id, is_target, n_bigrams, w_sum, w_avg). */
+  private def dsirCte(topKCase: Boolean): String = {
+    val rc12 = if (topKCase) "(CASE WHEN rk <= 256 THEN c12 ELSE 0 END)" else "c12"
+    s"""WITH toks AS (
+         SELECT doc_id, lang = 'en' AS is_target,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         FROM documents),
+       pairs AS (
+         SELECT doc_id, is_target, t[i] || ' ' || t[i + 1] AS bigram
+         FROM (SELECT doc_id, is_target, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+               FROM toks WHERE len(t) >= 2)),
+       rbi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
+       rbiw AS (
+         SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+           row_number() OVER (ORDER BY c12 DESC, bigram) AS rk
+         FROM rbi),
+       runi AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM rbiw GROUP BY 1),
+       rv AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks)),
+       rmodel AS (
+         SELECT bigram,
+           CAST(CAST(-ln(($rc12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
+             AS DECIMAL(18,9)) AS rc
+         FROM rbiw JOIN runi USING (w1) CROSS JOIN rv),
+       tbi AS (SELECT bigram, count(1) AS c12 FROM pairs
+               WHERE is_target GROUP BY 1),
+       tbiw AS (
+         SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1,
+           row_number() OVER (ORDER BY c12 DESC, bigram) AS rk
+         FROM tbi),
+       tuni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM tbiw GROUP BY 1),
+       tv AS (SELECT count(DISTINCT tok) AS v
+              FROM (SELECT unnest(t) AS tok FROM toks WHERE is_target)),
+       tmodel AS (
+         SELECT bigram,
+           CAST(CAST(-ln(($rc12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
+             AS DECIMAL(18,9)) AS tc
+         FROM tbiw JOIN tuni USING (w1) CROSS JOIN tv),
+       tunk AS (
+         SELECT w1,
+           CAST(CAST(-ln(0.5 / (c1 + 0.5 * v)) AS VARCHAR)
+             AS DECIMAL(18,9)) AS uc
+         FROM tuni CROSS JOIN tv),
+       tfloor AS (
+         SELECT CAST(CAST(ln(greatest(v, 1)) AS VARCHAR)
+             AS DECIMAL(18,9)) AS fc
+         FROM tv),
+       scored AS (
+         SELECT p.doc_id, p.is_target,
+           rm.rc - coalesce(tm.tc, tu.uc, tf.fc) AS w
+         FROM pairs p
+         JOIN rmodel rm USING (bigram)
+         LEFT JOIN tmodel tm USING (bigram)
+         LEFT JOIN tunk tu ON tu.w1 = split_part(p.bigram, ' ', 1)
+         CROSS JOIN tfloor tf),
+       wsums AS (
+         SELECT doc_id, is_target, count(1) AS n_bigrams,
+           CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) AS w_sum,
+           CAST(CAST(sum(w) AS VARCHAR) AS DOUBLE) / count(1) AS w_avg
+         FROM scored GROUP BY 1, 2)"""
+  }
 
   /** The REAL-decode replay: every luma pixel of each document's P6
     * container, in pure integer SQL. Container geometry — width 8,
@@ -1706,6 +1806,19 @@ object TextQueries {
            coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""),
+    "q_dsir_weights" ->
+      (dsirCte(topKCase = false) + """
+         SELECT doc_id, is_target, n_bigrams, w_sum, w_avg
+         FROM wsums ORDER BY doc_id"""),
+    "q_dsir_weights_topk" ->
+      (dsirCte(topKCase = true) + """
+         SELECT doc_id, is_target, n_bigrams, w_sum, w_avg
+         FROM wsums ORDER BY doc_id"""),
+    "q_dsir_resample" ->
+      (dsirCte(topKCase = false) + """
+         SELECT doc_id, is_target, n_bigrams, w_sum, w_avg
+         FROM wsums WHERE NOT is_target
+         ORDER BY w_sum DESC, doc_id LIMIT 64"""),
     "q_multimodal_meta" ->
       // the P6 container replayed: header "P6\n8 <h>\n255\n" is
       // 10 + digits(h) bytes, the raster 8·h·3 = 24·h
