@@ -113,6 +113,37 @@ object Dsir {
           .as("w_avg"))
   }
 
+  /** Importance weights against PERSISTED models ([[LangModel
+    * .writeLmModel]]) — the epoch posture: train the raw and target
+    * models once, score any batch (or stream) against the indexes
+    * without retraining. One explode + partial-agg + four broadcast
+    * joins; the corpus never shuffles; value-identical to
+    * [[importanceWeights]] because both sides read the same quantized
+    * DECIMAL(18,9) costs and fall through the same UNK/floor ladder. */
+  def importanceWeightsIndexed(docs: DataFrame, textCol: Column,
+      idCol: Column, isTarget: Column, rawPath: String,
+      tgtPath: String): DataFrame = {
+    val docBi = docs.select(idCol.cast("long").as("doc_id"),
+        isTarget.cast("boolean").as("is_target"),
+        explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("is_target"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val rawScored = LangModel.indexedCosts(docBi, rawPath)
+      .withColumnRenamed("cost_d", "rc")
+    LangModel.indexedCosts(rawScored, tgtPath)
+      .withColumnRenamed("cost_d", "tc")
+      .withColumn("w_d", col("rc") - col("tc"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("decimal(10,0)") * col("w_d"))
+          .cast("decimal(28,9)").as("w_sum_d"))
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        Similarity.decToDouble(col("w_sum_d")).as("w_sum"),
+        (Similarity.decToDouble(col("w_sum_d")) / col("n_bigrams"))
+          .as("w_avg"))
+  }
+
   /** Deterministic selection: the `k` highest-weight NON-target
     * documents (weight desc, doc_id asc — engine-portable tie order).
     * Compiles to TakeOrderedAndProject over the weight scan. */

@@ -289,4 +289,94 @@ object LangModel {
         (Similarity.decToDouble(col("sum_d")) / col("n_bigrams"))
           .as("avg_cost"))
   }
+
+  /** PERSISTED MODEL — the production posture for LM filtering (and
+    * [[Dsir]]) at corpus scale: train ONCE per epoch, persist the
+    * quantized cost tables, score any later batch against the index
+    * without retraining — the same persisted-index contract as the
+    * ANN/dedup/phash indexes. Layout:
+    *   `path/model` — (bigram, cost_d DECIMAL(18,9)): full census, or
+    *     the top-`topK` cut (count desc, bigram asc — the engine-
+    *     portable collation) under the open-vocabulary posture;
+    *   `path/unk`   — (w1, unk_d): per-context UNK costs, vocab-sized;
+    *   `path/meta`  — (v, k): vocabulary size + the cut (−1 = full).
+    * Everything is declarative: census partial-agg, TakeOrdered cut,
+    * cost projection — no driver-side model state at all. */
+  def writeLmModel(docs: DataFrame, textCol: Column, path: String,
+      topK: Option[Int] = None): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs.select(Text.tokens(textCol).as("ts"))
+    val census = toks
+      .select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .localCheckpoint(true) // vocab²-bounded; feeds cut + totals
+    val uni = census.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+      .localCheckpoint(true) // vocab-sized; feeds model + unk
+    val v = toks.select(explode(col("ts")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    val kept = topK match {
+      case Some(k) =>
+        census.orderBy(col("c12").desc, col("bigram").asc).limit(k)
+      case None => census
+    }
+    // the same double expression + double→decimal quantization the
+    // kernel and declarative twins use — value-identical costs
+    kept.join(uni, "w1")
+      .select(col("bigram"),
+        (-log((col("c12") + lit(Alpha)) /
+          (col("c1") + lit(Alpha) * lit(v.toDouble))))
+          .cast("decimal(18,9)").as("cost_d"))
+      .write.mode("overwrite").parquet(s"$path/model")
+    uni.select(col("w1"),
+        (-log(lit(Alpha) / (col("c1") + lit(Alpha) * lit(v.toDouble))))
+          .cast("decimal(18,9)").as("unk_d"))
+      .write.mode("overwrite").parquet(s"$path/unk")
+    Seq((v, topK.getOrElse(-1))).toDF("v", "k")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** The persisted model's scoring JOIN — shared by the LM and
+    * [[Dsir]] indexed paths: left-join model then per-context UNK,
+    * floor ln(V) for contexts the model never saw. Returns docBi
+    * columns + `cost_d`. */
+  private[graft] def indexedCosts(docBi: DataFrame, path: String): DataFrame = {
+    val spark = docBi.sparkSession
+    val model = spark.read.parquet(s"$path/model")
+    val unk = spark.read.parquet(s"$path/unk")
+    val v = spark.read.parquet(s"$path/meta").head().getLong(0)
+    val floorD = lit(quantizeCost(math.log(v.toDouble.max(1.0))))
+      .cast("decimal(18,9)")
+    // broadcast: ≤ K + vocab rows under the topK posture. A full-census
+    // model of an open-vocabulary corpus should be written with topK —
+    // or drop the hints and let AQE pick a shuffle join.
+    docBi
+      .join(broadcast(model), Seq("bigram"), "left")
+      .join(broadcast(unk), Seq("w1"), "left")
+      .withColumn("cost_d",
+        coalesce(col("cost_d"), col("unk_d"), floorD))
+      .drop("unk_d")
+  }
+
+  /** Score documents against a persisted model ([[writeLmModel]]) —
+    * one explode + one partial-agg + two broadcast joins; the corpus
+    * never shuffles and the model is never rebuilt. Cross-corpus
+    * scoring is first-class: unseen bigrams take the UNK ladder. */
+  def lmScoresIndexed(docs: DataFrame, textCol: Column, idCol: Column,
+      path: String): DataFrame = {
+    val docBi = docs.select(idCol.cast("long").as("doc_id"),
+      explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    indexedCosts(docBi, path)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c").cast("decimal(10,0)") * col("cost_d"))
+          .cast("decimal(28,9)").as("sum_d"))
+      .select(col("doc_id"), col("n_bigrams"),
+        Similarity.decToDouble(col("sum_d")).as("sum_cost"),
+        (Similarity.decToDouble(col("sum_d")) / col("n_bigrams"))
+          .as("avg_cost"))
+  }
 }

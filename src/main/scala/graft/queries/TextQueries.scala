@@ -353,6 +353,42 @@ object TextQueries {
         col("lang") === "en", k = 64)
       .orderBy(col("w_sum").desc, col("doc_id"))
 
+  private def rmrfLocal(p: java.io.File): Unit = {
+    if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrfLocal) }
+    p.delete(); ()
+  }
+
+  /** PERSISTED-MODEL LM gate ([[graft.ops.LangModel.writeLmModel]]):
+    * the model is trained and written as a parquet index, then the
+    * corpus scores against the INDEX (broadcast joins, no retraining)
+    * — and must land on exactly the q_text_lm_score oracle rows, so
+    * the write→read→score round-trip preserves every quantized cost. */
+  def lmPersisted(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-lm-index-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    graft.ops.LangModel.writeLmModel(d, col("text"), base)
+    graft.ops.LangModel.lmScoresIndexed(d, col("text"), col("doc_id"), base)
+      .orderBy(col("doc_id"))
+  }
+
+  /** PERSISTED-MODEL DSIR gate: raw and target models written once as
+    * indexes, weights computed purely from the persisted costs — must
+    * equal the q_dsir_weights oracle bit-for-bit. */
+  def dsirPersisted(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-dsir-index-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    graft.ops.LangModel.writeLmModel(d, col("text"), s"$base/raw")
+    graft.ops.LangModel.writeLmModel(
+      d.filter(col("lang") === "en"), col("text"), s"$base/tgt")
+    Dsir.importanceWeightsIndexed(d, col("text"), col("doc_id"),
+        col("lang") === "en", s"$base/raw", s"$base/tgt")
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
     * decoder parses the header back; the oracle replays the container
@@ -977,6 +1013,8 @@ object TextQueries {
     "q_dsir_weights" -> (dsirWeights _),
     "q_dsir_weights_topk" -> (dsirWeightsTopK _),
     "q_dsir_resample" -> (dsirResample _),
+    "q_dsir_persisted" -> (dsirPersisted _),
+    "q_text_lm_persisted" -> (lmPersisted _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -1060,6 +1098,37 @@ object TextQueries {
            coalesce(c.cluster_id, d.doc_id) = d.doc_id AS keep
          FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
          ORDER BY d.doc_id"""
+
+  /** The full-census LM replay — shared by q_text_lm_score and its
+    * persisted-index twin (the index round-trip must not change a
+    * single quantized cost). */
+  private val lmScoreSql =
+    """WITH toks AS (
+         SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+         FROM documents),
+       pairs AS (
+         SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+         FROM (SELECT doc_id, t,
+                 unnest(generate_series(1, len(t) - 1)) AS i
+               FROM toks WHERE len(t) >= 2)),
+       bi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
+       biw AS (
+         SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1 FROM bi),
+       uni AS (
+         SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM biw GROUP BY 1),
+       vocab AS (
+         SELECT count(DISTINCT tok) AS v
+         FROM (SELECT unnest(t) AS tok FROM toks)),
+       model AS (
+         SELECT bigram,
+           CAST(CAST(-ln((c12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
+             AS DECIMAL(18,9)) AS cost_d
+         FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
+       SELECT doc_id, count(1) AS n_bigrams,
+         CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
+         CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
+       FROM pairs JOIN model USING (bigram)
+       GROUP BY doc_id ORDER BY doc_id"""
 
   /** The DSIR replay ([[dsirWeights]]): both bigram models rebuilt in
     * SQL on the shared DECIMAL(18,9) grid, target-side misses through
@@ -1466,33 +1535,14 @@ object TextQueries {
     // full bigram-LM replay: same census, same context totals, same
     // add-1/2 smoothing, rule-5b VARCHAR-hopped DECIMAL(18,9) costs,
     // exact decimal sums; only the final mean returns to double
-    "q_text_lm_score" ->
-      """WITH toks AS (
-           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-           FROM documents),
-         pairs AS (
-           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
-           FROM (SELECT doc_id, t,
-                   unnest(generate_series(1, len(t) - 1)) AS i
-                 FROM toks WHERE len(t) >= 2)),
-         bi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
-         biw AS (
-           SELECT bigram, c12, split_part(bigram, ' ', 1) AS w1 FROM bi),
-         uni AS (
-           SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM biw GROUP BY 1),
-         vocab AS (
-           SELECT count(DISTINCT tok) AS v
-           FROM (SELECT unnest(t) AS tok FROM toks)),
-         model AS (
-           SELECT bigram,
-             CAST(CAST(-ln((c12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
-               AS DECIMAL(18,9)) AS cost_d
-           FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
-         SELECT doc_id, count(1) AS n_bigrams,
-           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
-           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
-         FROM pairs JOIN model USING (bigram)
-         GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_lm_score" -> lmScoreSql,
+    // the persisted-index path must land on the SAME rows: the model
+    // round-trips through parquet, the scores don't change
+    "q_text_lm_persisted" -> lmScoreSql,
+    "q_dsir_persisted" ->
+      (dsirCte(topKCase = false) + """
+         SELECT doc_id, is_target, n_bigrams, w_sum, w_avg
+         FROM wsums ORDER BY doc_id"""),
     // top-K-pruned LM replay: same census, but only the top-256
     // bigrams (count desc, bigram asc — the engine's deterministic
     // cut) keep their count; the rest score as UNK (c12 treated as 0)
@@ -1743,7 +1793,8 @@ object TextQueries {
          SELECT doc_id, phash_bits FROM ph ORDER BY doc_id"""),
     "q_multimodal_decode" ->
       (grayPxCte + """
-         SELECT doc_id, count(1) AS n_pixels, sum(gray) AS sum_gray,
+         SELECT doc_id, count(1) AS n_pixels,
+           CAST(sum(gray) AS BIGINT) AS sum_gray,
            min(gray) AS min_gray, max(gray) AS max_gray
          FROM px GROUP BY doc_id ORDER BY doc_id"""),
     "q_multimodal_phash_pairs" ->

@@ -53,6 +53,23 @@ class DsirSpec extends SparkSpec {
     pruned shouldBe full
   }
 
+  behavior of "Dsir.importanceWeightsIndexed"
+
+  it should "equal the in-memory scorer through the persisted models" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = freshDir("dsir_index")
+    LangModel.writeLmModel(docs, col("text"), s"$base/raw")
+    LangModel.writeLmModel(docs.filter(col("lang") === "en"), col("text"),
+      s"$base/tgt")
+    val indexed = Dsir.importanceWeightsIndexed(docs, col("text"),
+        col("doc_id"), col("lang") === "en", s"$base/raw", s"$base/tgt")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = Dsir.importanceWeights(docs, col("text"), col("doc_id"),
+        col("lang") === "en")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    indexed shouldBe direct
+  }
+
   behavior of "Dsir.resampleGumbel"
 
   it should "be deterministic per seed and differ across seeds" in {

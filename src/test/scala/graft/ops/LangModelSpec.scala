@@ -81,6 +81,42 @@ class LangModelSpec extends SparkSpec {
     m.model.containsKey("a ｡") shouldBe true
   }
 
+  behavior of "LangModel.lmScoresIndexed"
+
+  it should "score through the persisted model exactly like lmScores" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = freshDir("lm_index")
+    LangModel.writeLmModel(docs, col("text"), base)
+    val indexed = LangModel.lmScoresIndexed(docs, col("text"),
+        col("doc_id"), base)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val direct = LangModel.lmScores(docs, col("text"), col("doc_id"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    indexed shouldBe direct
+  }
+
+  it should "score unseen contexts at the ln(V) floor cross-corpus" in {
+    val train = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val base = freshDir("lm_xcorpus")
+    LangModel.writeLmModel(train, col("text"), base)
+    // entirely-unseen vocabulary: every bigram takes the floor ln(V)
+    val other = Seq((9L, "zork blap quux")).toDF("doc_id", "text")
+    val r = LangModel.lmScoresIndexed(other, col("text"), col("doc_id"), base)
+      .collect().head
+    val v = 5.0 // the, cat, sat, on, mat
+    val floor = LangModel.quantizeCost(math.log(v)).doubleValue()
+    r.getLong(1) shouldBe 2L
+    r.getDouble(3) shouldBe (floor +- 1e-12)
+  }
+
+  it should "persist the top-K cut when asked" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = freshDir("lm_index_topk")
+    LangModel.writeLmModel(docs, col("text"), base, topK = Some(64))
+    spark.read.parquet(s"$base/model").count() shouldBe 64
+    spark.read.parquet(s"$base/meta").head().getInt(1) shouldBe 64
+  }
+
   it should "be bit-stable under repartitioning" in {
     val a = LangModel.lmScores(corpus, col("text"), col("doc_id"))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
