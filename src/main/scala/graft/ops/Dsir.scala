@@ -42,14 +42,24 @@ object Dsir {
     * `topK`: prune BOTH models to their top-K bigrams (the
     * open-vocabulary posture); None = exact full census. */
   def importanceWeights(docs: DataFrame, textCol: Column, idCol: Column,
-      isTarget: Column, topK: Option[Int] = None): DataFrame = {
+      isTarget: Column, topK: Option[Int] = None): DataFrame =
+    weightKernel(docs, textCol, idCol, isTarget,
+      LangModel.buildModel(docs, textCol, topK),
+      LangModel.buildModel(docs.filter(isTarget), textCol, topK),
+      exactRaw = topK.isEmpty)
+
+  /** The shared weighting KERNEL (the [[LangModel]] pass-2 posture):
+    * both models broadcast as maps, each document's exact-decimal
+    * weight folds in place — no shuffle before the output sort. The
+    * in-memory and persisted-index paths share it, so they are
+    * value-identical by construction. */
+  private def weightKernel(docs: DataFrame, textCol: Column,
+      idCol: Column, isTarget: Column, raw: LangModel.Model,
+      tgt: LangModel.Model, exactRaw: Boolean): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = docs.sparkSession
-    val raw = LangModel.buildModel(docs, textCol, topK)
-    val tgt = LangModel.buildModel(docs.filter(isTarget), textCol, topK)
     val rawFloor = LangModel.quantizeCost(math.log(raw.v.toDouble.max(1.0)))
     val tgtFloor = LangModel.quantizeCost(math.log(tgt.v.toDouble.max(1.0)))
-    val exactRaw = topK.isEmpty
     val bcRawM = spark.sparkContext.broadcast(raw.model)
     val bcRawU = spark.sparkContext.broadcast(raw.unk)
     val bcTgtM = spark.sparkContext.broadcast(tgt.model)
@@ -115,34 +125,19 @@ object Dsir {
 
   /** Importance weights against PERSISTED models ([[LangModel
     * .writeLmModel]]) — the epoch posture: train the raw and target
-    * models once, score any batch (or stream) against the indexes
-    * without retraining. One explode + partial-agg + four broadcast
-    * joins; the corpus never shuffles; value-identical to
-    * [[importanceWeights]] because both sides read the same quantized
-    * DECIMAL(18,9) costs and fall through the same UNK/floor ladder. */
+    * models once, rehydrate the quantized cost maps, and run the same
+    * scoring kernel; value-identical to [[importanceWeights]] because
+    * both paths read the same DECIMAL(18,9) costs and fall through
+    * the same UNK/floor ladder. Cross-corpus batches are first-class
+    * (exactRaw = false: a raw-model miss takes the ladder instead of
+    * failing the self-corpus determinism check). */
   def importanceWeightsIndexed(docs: DataFrame, textCol: Column,
       idCol: Column, isTarget: Column, rawPath: String,
-      tgtPath: String): DataFrame = {
-    val docBi = docs.select(idCol.cast("long").as("doc_id"),
-        isTarget.cast("boolean").as("is_target"),
-        explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
-      .groupBy(col("doc_id"), col("is_target"), col("bigram"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-    val rawScored = LangModel.indexedCosts(docBi, rawPath)
-      .withColumnRenamed("cost_d", "rc")
-    LangModel.indexedCosts(rawScored, tgtPath)
-      .withColumnRenamed("cost_d", "tc")
-      .withColumn("w_d", col("rc") - col("tc"))
-      .groupBy(col("doc_id"), col("is_target"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c").cast("decimal(10,0)") * col("w_d"))
-          .cast("decimal(28,9)").as("w_sum_d"))
-      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
-        Similarity.decToDouble(col("w_sum_d")).as("w_sum"),
-        (Similarity.decToDouble(col("w_sum_d")) / col("n_bigrams"))
-          .as("w_avg"))
-  }
+      tgtPath: String): DataFrame =
+    weightKernel(docs, textCol, idCol, isTarget,
+      LangModel.loadModel(docs.sparkSession, rawPath),
+      LangModel.loadModel(docs.sparkSession, tgtPath),
+      exactRaw = false)
 
   /** Deterministic selection: the `k` highest-weight NON-target
     * documents (weight desc, doc_id asc — engine-portable tie order).

@@ -195,16 +195,27 @@ object LangModel {
   }
 
   private def scoreWithModel(docs: DataFrame, textCol: Column,
-      idCol: Column, topK: Option[Int]): DataFrame = {
+      idCol: Column, topK: Option[Int]): DataFrame =
+    scoreKernel(docs, textCol, idCol, buildModel(docs, textCol, topK),
+      exactModel = topK.isEmpty)
+
+  /** The shared pass-2 KERNEL: broadcast the (bigram → cost) and
+    * per-context UNK maps and fold each document's exact-decimal sum
+    * in place — no shuffle before the output sort. The declarative
+    * join form of the same scoring ran 8.5 s at sf0.1 (SCALE.md LM
+    * row); this runs it in ~0.7 s, and the persisted-index path
+    * ([[lmScoresIndexed]]) reuses it instead of re-deriving the slow
+    * shape. `exactModel` = fail loud on a model miss (self-corpus
+    * full-census contract); false = cross-corpus, take the UNK ladder. */
+  private def scoreKernel(docs: DataFrame, textCol: Column,
+      idCol: Column, built: Model, exactModel: Boolean): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = docs.sparkSession
     val toks = docs.select(idCol.cast("long").as("doc_id"),
       Text.tokens(textCol).as("ts"))
 
-    val built = buildModel(docs, textCol, topK)
     val v = built.v
     val unkFloor = quantizeCost(math.log(v.toDouble.max(1.0)))
-    val exactModel = topK.isEmpty
     val bcModel = spark.sparkContext.broadcast(built.model)
     val bcUnk = spark.sparkContext.broadcast(built.unk)
 
@@ -322,8 +333,9 @@ object LangModel {
       case None => census
     }
     // the same double expression + double→decimal quantization the
-    // kernel and declarative twins use — value-identical costs
-    kept.join(uni, "w1")
+    // kernel and declarative twins use — value-identical costs;
+    // uni is vocab-sized → broadcast, the census never shuffles again
+    kept.join(broadcast(uni), "w1")
       .select(col("bigram"),
         (-log((col("c12") + lit(Alpha)) /
           (col("c1") + lit(Alpha) * lit(v.toDouble))))
@@ -337,46 +349,30 @@ object LangModel {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The persisted model's scoring JOIN — shared by the LM and
-    * [[Dsir]] indexed paths: left-join model then per-context UNK,
-    * floor ln(V) for contexts the model never saw. Returns docBi
-    * columns + `cost_d`. */
-  private[graft] def indexedCosts(docBi: DataFrame, path: String): DataFrame = {
-    val spark = docBi.sparkSession
-    val model = spark.read.parquet(s"$path/model")
-    val unk = spark.read.parquet(s"$path/unk")
+  /** Rehydrate a persisted model ([[writeLmModel]]) into the broadcast
+    * [[Model]] shape the scoring kernel consumes. The collected maps
+    * are ≤ K + vocab entries under the topK posture — the same bound
+    * the in-memory path broadcasts; a full-census model of an
+    * open-vocabulary corpus should be written with topK. */
+  private[graft] def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Model = {
+    import java.math.{BigDecimal => JBD}
+    val model = new java.util.HashMap[String, JBD]()
+    spark.read.parquet(s"$path/model").collect()
+      .foreach(r => model.put(r.getString(0), r.getDecimal(1)))
+    val unk = new java.util.HashMap[String, JBD]()
+    spark.read.parquet(s"$path/unk").collect()
+      .foreach(r => unk.put(r.getString(0), r.getDecimal(1)))
     val v = spark.read.parquet(s"$path/meta").head().getLong(0)
-    val floorD = lit(quantizeCost(math.log(v.toDouble.max(1.0))))
-      .cast("decimal(18,9)")
-    // broadcast: ≤ K + vocab rows under the topK posture. A full-census
-    // model of an open-vocabulary corpus should be written with topK —
-    // or drop the hints and let AQE pick a shuffle join.
-    docBi
-      .join(broadcast(model), Seq("bigram"), "left")
-      .join(broadcast(unk), Seq("w1"), "left")
-      .withColumn("cost_d",
-        coalesce(col("cost_d"), col("unk_d"), floorD))
-      .drop("unk_d")
+    Model(model, unk, v)
   }
 
   /** Score documents against a persisted model ([[writeLmModel]]) —
-    * one explode + one partial-agg + two broadcast joins; the corpus
+    * the pass-2 kernel over the rehydrated broadcast maps; the corpus
     * never shuffles and the model is never rebuilt. Cross-corpus
     * scoring is first-class: unseen bigrams take the UNK ladder. */
   def lmScoresIndexed(docs: DataFrame, textCol: Column, idCol: Column,
-      path: String): DataFrame = {
-    val docBi = docs.select(idCol.cast("long").as("doc_id"),
-      explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
-      .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-    indexedCosts(docBi, path)
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        sum(col("c").cast("decimal(10,0)") * col("cost_d"))
-          .cast("decimal(28,9)").as("sum_d"))
-      .select(col("doc_id"), col("n_bigrams"),
-        Similarity.decToDouble(col("sum_d")).as("sum_cost"),
-        (Similarity.decToDouble(col("sum_d")) / col("n_bigrams"))
-          .as("avg_cost"))
-  }
+      path: String): DataFrame =
+    scoreKernel(docs, textCol, idCol,
+      loadModel(docs.sparkSession, path), exactModel = false)
 }
