@@ -207,7 +207,7 @@ object LangModel {
     * ([[lmScoresIndexed]]) reuses it instead of re-deriving the slow
     * shape. `exactModel` = fail loud on a model miss (self-corpus
     * full-census contract); false = cross-corpus, take the UNK ladder. */
-  private def scoreKernel(docs: DataFrame, textCol: Column,
+  private[graft] def scoreKernel(docs: DataFrame, textCol: Column,
       idCol: Column, built: Model, exactModel: Boolean): DataFrame = {
     import java.math.{BigDecimal => JBD, RoundingMode}
     val spark = docs.sparkSession

@@ -389,6 +389,31 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING-LM parity gate: the model is trained and persisted
+    * once, then the corpus arrives through a REAL file-stream in two
+    * micro-batches, each scoring against the index through the shared
+    * broadcast kernel ([[graft.streaming.DocStreams.lmScoreIngest]]).
+    * The union of the batch-id-keyed score partitions must land on
+    * exactly the q_text_lm_score oracle rows — batch scoring, indexed
+    * scoring, and streamed scoring are one definition in three modes. */
+  def lmStreamParity(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-lm-stream-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    graft.ops.LangModel.writeLmModel(d, col("text"), s"$base/model")
+    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.DocStreams.lmScoreIngest(
+      stream, s"$base/model", s"$base/sink")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/sink/scores")
+      .select(col("doc_id"), col("n_bigrams"),
+        col("sum_cost"), col("avg_cost"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
     * decoder parses the header back; the oracle replays the container
@@ -1015,6 +1040,7 @@ object TextQueries {
     "q_dsir_resample" -> (dsirResample _),
     "q_dsir_persisted" -> (dsirPersisted _),
     "q_text_lm_persisted" -> (lmPersisted _),
+    "q_text_lm_stream_parity" -> (lmStreamParity _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -1536,9 +1562,11 @@ object TextQueries {
     // add-1/2 smoothing, rule-5b VARCHAR-hopped DECIMAL(18,9) costs,
     // exact decimal sums; only the final mean returns to double
     "q_text_lm_score" -> lmScoreSql,
-    // the persisted-index path must land on the SAME rows: the model
-    // round-trips through parquet, the scores don't change
+    // the persisted-index and streamed paths must land on the SAME
+    // rows: the model round-trips through parquet and the stream's
+    // batching leaves no trace
     "q_text_lm_persisted" -> lmScoreSql,
+    "q_text_lm_stream_parity" -> lmScoreSql,
     "q_dsir_persisted" ->
       (dsirCte(topKCase = false) + """
          SELECT doc_id, is_target, n_bigrams, w_sum, w_avg

@@ -308,4 +308,35 @@ object DocStreams {
         ()
       }
       .start()
+
+  /** Streaming LM scoring against a PERSISTED model
+    * ([[graft.ops.LangModel.writeLmModel]]) — the streaming leg of the
+    * train-once/score-forever posture: the quantized cost maps load
+    * ONCE at stream start (≤ K + vocab entries under the topK-written
+    * model) and every micro-batch scores through the same broadcast
+    * kernel the batch path uses — so streamed scores are
+    * value-identical to a one-shot [[graft.ops.LangModel
+    * .lmScoresIndexed]] of the same rows, however the stream batches
+    * them. Scores land batch-id-keyed (`scores/batch=<id>`, overwrite)
+    * so at-least-once replays rewrite their own partition —
+    * replay-idempotent like every sink here. Unseen bigrams take the
+    * UNK/floor ladder (cross-corpus streams are first-class); the
+    * model refreshes at epoch boundaries by restarting the stream on
+    * a new index path, never inside it. */
+  def lmScoreIngest(
+      docs: DataFrame, modelPath: String, sinkPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
+    val model = graft.ops.LangModel.loadModel(docs.sparkSession, modelPath)
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.LangModel.scoreKernel(batch, col(textCol), col(idCol),
+              model, exactModel = false)
+            .write.mode("overwrite").parquet(s"$sinkPath/scores/batch=$batchId")
+        ()
+      }
+      .start()
+  }
 }

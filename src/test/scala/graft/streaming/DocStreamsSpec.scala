@@ -335,4 +335,29 @@ class DocStreamsSpec extends SparkSpec {
     a shouldBe b
     a.length shouldBe 120
   }
+
+  "lmScoreIngest" should "score a cross-corpus stream exactly like the batch indexed path" in {
+    import spark.implicits._
+    val base = freshDir("lm_stream")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // model trained on HALF the corpus; the OTHER half streams in —
+    // cross-corpus misses must take the UNK/floor ladder identically
+    // in both modes
+    val train = docs.filter(col("doc_id") % 2 === 0)
+    val scoreMe = docs.filter(col("doc_id") % 2 === 1)
+    graft.ops.LangModel.writeLmModel(train, col("text"), s"$base/model")
+    scoreMe.coalesce(3).write.parquet(s"$base/in") // 3 micro-batches
+    val stream = spark.readStream.schema(scoreMe.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = DocStreams.lmScoreIngest(stream, s"$base/model", s"$base/sink")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(s"$base/sink/scores")
+      .select("doc_id", "n_bigrams", "sum_cost", "avg_cost")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = graft.ops.LangModel.lmScoresIndexed(
+        scoreMe, col("text"), col("doc_id"), s"$base/model")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    streamed shouldBe batch
+    streamed.size should be > 100
+  }
 }
