@@ -75,7 +75,11 @@ object Bench {
       "q_text_decontam_incremental", "q_epoch_prep", "q_epoch_evolution",
       // round-11 artifact gates: partial writes + compaction / bucketed
       // table builds dominate their wall, not the plan under test
-      "q_matview_incremental", "q_join_bucketed")
+      "q_matview_incremental", "q_join_bucketed",
+      // round-13 persisted-model gates: two epoch model builds + six
+      // parquet writes dominate; the scoring kernel under test benches
+      // separately as q_text_lm_score / q_dsir_weights
+      "q_text_lm_persisted", "q_dsir_persisted")
     def isGate(n: String): Boolean = n.contains("stream") || gateSet(n)
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77

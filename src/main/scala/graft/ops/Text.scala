@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines
@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   *
   * Everything here is a pure Column expression over `functions._`
   * built-ins — codegen'd, shuffle-free, and replicable in ANSI SQL for
-  * the DuckDB oracle. No UDFs in the hot path.
-  */
+  * the DuckDB oracle. No UDFs in the hot path. The exceptions keep the
+  * same shuffle-free shape: [[chunks]]' generate/explode and
+  * [[spanCorrupt]]'s partition-local seeded-mask kernel. */
 object Text {
 
   /** Lower-cased whitespace tokens. */
@@ -167,5 +168,89 @@ object Text {
         concat_ws(" ", slice(col("w"), col("start") + 1, col("n_tokens")))
           .as("chunk_text"),
         col("n_tokens"))
+  }
+
+  /** T5-STYLE SPAN CORRUPTION (Raffel et al., the denoising-objective
+    * preprocessor): mask contiguous token spans and emit the
+    * (corrupted, target) pair — corrupted replaces each span with one
+    * numbered sentinel `<extra_id_k>`, target lists each sentinel
+    * followed by the tokens it hid. Span selection is a SEEDED PURE
+    * HASH, not rand(): position i starts a span iff the first 4 hex
+    * chars of md5("<doc_id>:<i>:<seed>") fall below `pStartHex`, and a
+    * span covers `spanLen` tokens — so the draw is reproducible under
+    * any partitioning/replay AND replayable in SQL (the md5-draw
+    * oracle pattern q_bloom_exact / q_dedup_stream_parity use).
+    * Overlapping draws merge into one span (position j is masked iff
+    * any of the `spanLen` positions ending at j drew a start; a span
+    * BEGINS where a masked run begins), so sentinel numbering is
+    * dense 0..n_spans−1 in document order.
+    *
+    * Partition-local kernel: one MD5 + one O(tokens) sweep per doc, no
+    * shuffle before the output sort — the mask is a scan-shaped
+    * projection at any corpus size. */
+  def spanCorrupt(docs: DataFrame, textCol: String, idCol: String,
+      seed: Long, pStartHex: String = "2000", spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, s"spanLen=$spanLen")
+    require(pStartHex.length == 4 &&
+      pStartHex.forall(c => (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f')),
+      s"pStartHex must be 4 lowercase hex chars, got '$pStartHex'")
+    val spark = docs.sparkSession
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+      tokens(col(textCol)).as("ts"))
+    val scored = toks.rdd.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def draw(id: Long, i: Int): Boolean = {
+        val h = md.digest(s"$id:$i:$seed"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // first 4 hex chars = first 2 bytes
+        val hex = f"${(h(0) & 0xff)}%02x${(h(1) & 0xff)}%02x"
+        hex < pStartHex
+      }
+      it.map { row =>
+        val id = row.getLong(0)
+        val ts = row.getSeq[String](1)
+        val n = if (ts == null) 0 else ts.length
+        val starts = Array.tabulate(n)(i => draw(id, i))
+        val corrupted = new StringBuilder
+        val target = new StringBuilder
+        var nSpans = 0L
+        var nMasked = 0L
+        var inSpan = false
+        var j = 0
+        while (j < n) {
+          var masked = false
+          var i = math.max(0, j - spanLen + 1)
+          while (i <= j && !masked) { masked = starts(i); i += 1 }
+          if (masked) {
+            nMasked += 1
+            if (!inSpan) {
+              val k = nSpans
+              nSpans += 1
+              if (corrupted.nonEmpty) corrupted.append(' ')
+              corrupted.append(s"<extra_id_$k>")
+              if (target.nonEmpty) target.append(' ')
+              target.append(s"<extra_id_$k>")
+            }
+            target.append(' ').append(ts(j))
+            inSpan = true
+          } else {
+            if (corrupted.nonEmpty) corrupted.append(' ')
+            corrupted.append(ts(j))
+            inSpan = false
+          }
+          j += 1
+        }
+        org.apache.spark.sql.Row(id, n.toLong, nSpans, nMasked,
+          corrupted.toString, target.toString)
+      }
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(scored, StructType(Seq(
+      StructField("doc_id", LongType, false),
+      StructField("n_tokens", LongType, false),
+      StructField("n_spans", LongType, false),
+      StructField("n_masked", LongType, false),
+      StructField("corrupted", StringType, false),
+      StructField("target", StringType, false))))
   }
 }

@@ -389,6 +389,15 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** T5 span corruption ([[graft.ops.Text.spanCorrupt]], seed 7,
+    * start draw < 0x2000 / 3.1 %, span length 3): the denoising-
+    * objective preprocessor, gated on EXACT strings — the oracle
+    * replays the md5 position draw, the run merge, the dense sentinel
+    * numbering, and both output strings character-for-character. */
+  def spanCorruptQ(s: SparkSession, dir: String): DataFrame =
+    Text.spanCorrupt(docs(s, dir), "text", "doc_id", seed = 7L)
+      .orderBy(col("doc_id"))
+
   /** STREAMING-LM parity gate: the model is trained and persisted
     * once, then the corpus arrives through a REAL file-stream in two
     * micro-batches, each scoring against the index through the shared
@@ -1041,6 +1050,7 @@ object TextQueries {
     "q_dsir_persisted" -> (dsirPersisted _),
     "q_text_lm_persisted" -> (lmPersisted _),
     "q_text_lm_stream_parity" -> (lmStreamParity _),
+    "q_text_span_corrupt" -> (spanCorruptQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_frames" -> (multimodalFrames _),
@@ -1567,6 +1577,46 @@ object TextQueries {
     // batching leaves no trace
     "q_text_lm_persisted" -> lmScoreSql,
     "q_text_lm_stream_parity" -> lmScoreSql,
+    "q_text_span_corrupt" ->
+      """WITH sp AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+           FROM documents),
+         pos AS (
+           SELECT doc_id, w, unnest(generate_series(1, len(w))) AS p FROM sp),
+         fl AS (
+           SELECT doc_id, p, w[p] AS tok,
+             substr(md5(doc_id || ':' || (p - 1) || ':' || 7), 1, 4) < '2000' AS st
+           FROM pos),
+         mk AS (
+           SELECT doc_id, p, tok,
+             max(CASE WHEN st THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY p
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS masked
+           FROM fl),
+         runs AS (
+           SELECT doc_id, p, tok, masked,
+             CASE WHEN masked AND NOT coalesce(
+                 lag(masked) OVER (PARTITION BY doc_id ORDER BY p), false)
+               THEN 1 ELSE 0 END AS span_start
+           FROM mk),
+         sent AS (
+           SELECT *, sum(span_start) OVER (PARTITION BY doc_id ORDER BY p) - 1 AS k
+           FROM runs)
+         SELECT doc_id,
+           CAST(count(1) AS BIGINT) AS n_tokens,
+           CAST(sum(span_start) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+           coalesce(string_agg(
+               CASE WHEN NOT masked THEN tok
+                    WHEN span_start = 1 THEN '<extra_id_' || k || '>' END,
+               ' ' ORDER BY p)
+             FILTER (WHERE NOT masked OR span_start = 1), '') AS corrupted,
+           coalesce(string_agg(
+               CASE WHEN span_start = 1
+                    THEN '<extra_id_' || k || '> ' || tok ELSE tok END,
+               ' ' ORDER BY p)
+             FILTER (WHERE masked), '') AS target
+         FROM sent GROUP BY doc_id ORDER BY doc_id""",
     "q_dsir_persisted" ->
       (dsirCte(topKCase = false) + """
          SELECT doc_id, is_target, n_bigrams, w_sum, w_avg

@@ -188,6 +188,53 @@ class TextAndMultimodalSpec extends SparkSpec {
     rows(2)._1 shouldBe Seq.empty                       // "" → [""] → no 2-grams
   }
 
+  "Text.spanCorrupt" should "mask reversibly with dense sentinels" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val originals = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("ts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val rows = Text.spanCorrupt(docs, "text", "doc_id", seed = 7L)
+      .collect()
+    rows.length shouldBe 500
+    val sentinel = "<extra_id_(\\d+)>".r
+    var masked = 0L
+    rows.foreach { r =>
+      val (n, nSpans, nMasked) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val corrupted = r.getString(4)
+      val target = r.getString(5)
+      nMasked should be >= nSpans
+      masked += nMasked
+      // sentinels are dense 0..n_spans−1 and appear in order in BOTH
+      sentinel.findAllMatchIn(corrupted).map(_.group(1).toLong).toSeq shouldBe
+        (0L until nSpans)
+      sentinel.findAllMatchIn(target).map(_.group(1).toLong).toSeq shouldBe
+        (0L until nSpans)
+      // RECONSTRUCTION: splicing each sentinel's target span back into
+      // the corrupted stream rebuilds the original token stream
+      val spans = target.split(" ").filter(_.nonEmpty)
+        .foldLeft(Vector.empty[Vector[String]]) { (acc, t) =>
+          if (sentinel.pattern.matcher(t).matches()) acc :+ Vector()
+          else acc.init :+ (acc.last :+ t)
+        }
+      val rebuilt = corrupted.split(" ").filter(_.nonEmpty).flatMap { t =>
+        sentinel.findFirstMatchIn(t) match {
+          case Some(m) => spans(m.group(1).toInt)
+          case None => Seq(t)
+        }
+      }.toSeq
+      rebuilt shouldBe originals(r.getLong(0))
+      rebuilt.length.toLong shouldBe n
+    }
+    masked should be > 0L // the draw actually fires on the corpus
+    // seed determinism + seed sensitivity
+    val again = Text.spanCorrupt(docs, "text", "doc_id", seed = 7L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Text.spanCorrupt(docs, "text", "doc_id", seed = 7L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe again
+    Text.spanCorrupt(docs, "text", "doc_id", seed = 8L)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq should not be again
+  }
+
   "Multimodal.Ppm" should "round-trip encode → header parse" in {
     for (n <- Seq(1, 23, 24, 25, 240, 577)) {
       val src = Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
