@@ -76,10 +76,10 @@ object Bench {
       // round-11 artifact gates: partial writes + compaction / bucketed
       // table builds dominate their wall, not the plan under test
       "q_matview_incremental", "q_join_bucketed",
-      // round-13 persisted-model gates: two epoch model builds + six
-      // parquet writes dominate; the scoring kernel under test benches
-      // separately as q_text_lm_score / q_dsir_weights
-      "q_text_lm_persisted", "q_dsir_persisted")
+      // round-13 persisted-model gates: epoch model builds + staged
+      // index-tree writes dominate; the scoring kernel under test
+      // benches separately as q_text_lm_score / q_dsir_weights
+      "q_text_lm_persisted", "q_dsir_persisted", "q_text_lm_incremental")
     def isGate(n: String): Boolean = n.contains("stream") || gateSet(n)
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77

@@ -26,6 +26,26 @@ object Fs {
     fs.delete(p, true)
   }
 
+  /** Repair [[replaceDir]]'s crash window for a whole index root: a
+    * crash between the two renames leaves `dest` MISSING with the only
+    * copy parked at `dest.old`. An aside with no live sibling renames
+    * back (it IS the index); one with a live sibling is the stale
+    * pre-swap copy of a completed swap and is dropped. Callers that
+    * read or append a swappable root should invoke this first (the
+    * bucket-level twin lives in `graft.streaming.ScdStreams`). */
+  def recoverAside(spark: SparkSession, dest: String): Unit = {
+    val destP = new Path(dest)
+    val oldP = new Path(dest + ".old")
+    val fs = destP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(oldP)) {
+      if (!fs.exists(destP)) {
+        if (!fs.rename(oldP, destP))
+          throw new java.io.IOException(
+            s"aside recovery failed: $oldP -> $destP")
+      } else fs.delete(oldP, true)
+    }
+  }
+
   /** Replace `dest` with the fully-written directory at `tmp` — the
     * commit step of an epoch compaction. The swap renames the live
     * tree ASIDE (`dest.old`) before renaming `tmp` into place, so a

@@ -315,38 +315,87 @@ object LangModel {
     * cost projection — no driver-side model state at all. */
   def writeLmModel(docs: DataFrame, textCol: Column, path: String,
       topK: Option[Int] = None): Unit = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val toks = docs.select(Text.tokens(textCol).as("ts"))
-    val census = toks
-      .select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
-      .withColumn("w1", substring_index(col("bigram"), " ", 1))
-      .localCheckpoint(true) // vocab²-bounded; feeds cut + totals
+    writeModelTree(docs.sparkSession,
+      toks.select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c12")),
+      toks.select(explode(col("ts")).as("tok")).distinct(),
+      topK, path)
+  }
+
+  /** INCREMENTAL model maintenance -- fold a new document batch into a
+    * persisted model WITHOUT rescanning the prior corpus: the index
+    * stores its census and vocabulary (data-scale parquet, never
+    * collected), so appending is batch census + stored census merged
+    * by one bounded partial-agg, vocab unioned, and every cost
+    * recomputed from the merged counts. The cut policy (`meta.k`)
+    * travels with the index -- the top-K re-cuts over the MERGED
+    * census, so an appended model is bit-identical to a one-shot
+    * build of the combined corpus (asserted in `LangModelSpec` and
+    * gated by q_text_lm_incremental against the one-shot oracle).
+    * Commit is the staged-tree swap; a crashed append leaves the
+    * prior index intact and replays from scratch. */
+  def appendLmModel(batch: DataFrame, textCol: Column, path: String): Unit = {
+    val spark = batch.sparkSession
+    graft.io.Fs.recoverAside(spark, path)
+    val k = spark.read.parquet(s"$path/meta").head().getInt(1)
+    val topK = if (k < 0) None else Some(k)
+    val toks = batch.select(Text.tokens(textCol).as("ts"))
+    val merged = spark.read.parquet(s"$path/census")
+      .select(col("bigram"), col("c12"))
+      .unionByName(
+        toks.select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c12")))
+      .groupBy(col("bigram")).agg(sum(col("c12")).as("c12"))
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .unionByName(toks.select(explode(col("ts")).as("tok")))
+      .distinct()
+    writeModelTree(spark, merged, vocab, topK, path)
+  }
+
+  /** Build the full index tree (census, vocab, model, unk, meta) into
+    * a staging sibling, then swap it in with ONE
+    * [[graft.io.Fs.replaceDir]] -- readers never see a half-written
+    * index and a crashed build leaves the prior tree intact (the
+    * mid-swap aside is repaired by [[graft.io.Fs.recoverAside]] on
+    * the next read/append). The census/vocab inputs may lazily READ
+    * the live tree (the append path): they are materialized into
+    * staging FIRST, and every later projection reads staging, so the
+    * final swap never invalidates an open lineage. */
+  private def writeModelTree(spark: org.apache.spark.sql.SparkSession,
+      census0: DataFrame, vocab0: DataFrame, topK: Option[Int],
+      path: String): Unit = {
+    import spark.implicits._
+    val staging = s"$path.staging"
+    graft.io.Fs.deleteRecursive(spark, staging)
+    census0.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .write.parquet(s"$staging/census")
+    vocab0.write.parquet(s"$staging/vocab")
+    val census = spark.read.parquet(s"$staging/census")
     val uni = census.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
       .localCheckpoint(true) // vocab-sized; feeds model + unk
-    val v = toks.select(explode(col("ts")).as("t"))
-      .agg(countDistinct(col("t"))).head().getLong(0)
+    val v = spark.read.parquet(s"$staging/vocab").count()
     val kept = topK match {
       case Some(k) =>
         census.orderBy(col("c12").desc, col("bigram").asc).limit(k)
       case None => census
     }
-    // the same double expression + double→decimal quantization the
-    // kernel and declarative twins use — value-identical costs;
-    // uni is vocab-sized → broadcast, the census never shuffles again
+    // the same double expression + double->decimal quantization the
+    // kernel and declarative twins use -- value-identical costs;
+    // uni is vocab-sized -> broadcast, the census never shuffles again
     kept.join(broadcast(uni), "w1")
       .select(col("bigram"),
         (-log((col("c12") + lit(Alpha)) /
           (col("c1") + lit(Alpha) * lit(v.toDouble))))
           .cast("decimal(18,9)").as("cost_d"))
-      .write.mode("overwrite").parquet(s"$path/model")
+      .write.parquet(s"$staging/model")
     uni.select(col("w1"),
         (-log(lit(Alpha) / (col("c1") + lit(Alpha) * lit(v.toDouble))))
           .cast("decimal(18,9)").as("unk_d"))
-      .write.mode("overwrite").parquet(s"$path/unk")
+      .write.parquet(s"$staging/unk")
     Seq((v, topK.getOrElse(-1))).toDF("v", "k")
-      .write.mode("overwrite").parquet(s"$path/meta")
+      .write.parquet(s"$staging/meta")
+    graft.io.Fs.replaceDir(spark, staging, path)
   }
 
   /** Rehydrate a persisted model ([[writeLmModel]]) into the broadcast
@@ -357,6 +406,7 @@ object LangModel {
   private[graft] def loadModel(spark: org.apache.spark.sql.SparkSession,
       path: String): Model = {
     import java.math.{BigDecimal => JBD}
+    graft.io.Fs.recoverAside(spark, path) // crashed mid-swap append
     val model = new java.util.HashMap[String, JBD]()
     spark.read.parquet(s"$path/model").collect()
       .foreach(r => model.put(r.getString(0), r.getDecimal(1)))

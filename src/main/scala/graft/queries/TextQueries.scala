@@ -398,6 +398,24 @@ object TextQueries {
     Text.spanCorrupt(docs(s, dir), "text", "doc_id", seed = 7L)
       .orderBy(col("doc_id"))
 
+  /** INCREMENTAL-LM gate: the model is built on half the corpus
+    * (md5 split), the other half FOLDS IN via
+    * [[graft.ops.LangModel.appendLmModel]] — census merge + cost
+    * recompute, the first half never rescanned — and scoring the
+    * corpus against the appended index must land on exactly the
+    * one-shot q_text_lm_score oracle rows. */
+  def lmIncremental(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-lm-incr-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    val isFirst = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+    graft.ops.LangModel.writeLmModel(d.filter(isFirst), col("text"), s"$base/model")
+    graft.ops.LangModel.appendLmModel(d.filter(!isFirst), col("text"), s"$base/model")
+    graft.ops.LangModel.lmScoresIndexed(d, col("text"), col("doc_id"), s"$base/model")
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING-LM parity gate: the model is trained and persisted
     * once, then the corpus arrives through a REAL file-stream in two
     * micro-batches, each scoring against the index through the shared
@@ -1050,6 +1068,7 @@ object TextQueries {
     "q_dsir_persisted" -> (dsirPersisted _),
     "q_text_lm_persisted" -> (lmPersisted _),
     "q_text_lm_stream_parity" -> (lmStreamParity _),
+    "q_text_lm_incremental" -> (lmIncremental _),
     "q_text_span_corrupt" -> (spanCorruptQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
@@ -1577,6 +1596,7 @@ object TextQueries {
     // batching leaves no trace
     "q_text_lm_persisted" -> lmScoreSql,
     "q_text_lm_stream_parity" -> lmScoreSql,
+    "q_text_lm_incremental" -> lmScoreSql,
     "q_text_span_corrupt" ->
       """WITH sp AS (
            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w

@@ -109,6 +109,46 @@ class LangModelSpec extends SparkSpec {
     r.getDouble(3) shouldBe (floor +- 1e-12)
   }
 
+  it should "append a batch to exactly the one-shot model of the union" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+    def modelRows(path: String) = Seq("model", "unk", "meta").map(t =>
+      spark.read.parquet(s"$path/$t").collect()
+        .map(_.toSeq).toSet)
+    // full-census append
+    val incr = freshDir("lm_append")
+    LangModel.writeLmModel(a, col("text"), incr)
+    LangModel.appendLmModel(b, col("text"), incr)
+    val oneShot = freshDir("lm_oneshot")
+    LangModel.writeLmModel(docs, col("text"), oneShot)
+    modelRows(incr) shouldBe modelRows(oneShot)
+    // top-K append: the cut recomputes over the MERGED census
+    val incrK = freshDir("lm_append_k")
+    LangModel.writeLmModel(a, col("text"), incrK, topK = Some(64))
+    LangModel.appendLmModel(b, col("text"), incrK)
+    val oneShotK = freshDir("lm_oneshot_k")
+    LangModel.writeLmModel(docs, col("text"), oneShotK, topK = Some(64))
+    modelRows(incrK) shouldBe modelRows(oneShotK)
+  }
+
+  it should "recover a mid-swap aside before reading or appending" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = freshDir("lm_aside") + "/model"
+    LangModel.writeLmModel(docs, col("text"), path)
+    val expected = LangModel.lmScoresIndexed(docs, col("text"),
+        col("doc_id"), path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // simulate the replaceDir crash window: index parked in .old
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")) shouldBe true
+    LangModel.lmScoresIndexed(docs, col("text"), col("doc_id"), path)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe expected
+    new java.io.File(path + ".old").exists() shouldBe false
+  }
+
   it should "persist the top-K cut when asked" in {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val base = freshDir("lm_index_topk")
