@@ -110,7 +110,13 @@ object ScaleRehearsal {
       // round-11 additions: per-key SCD2 windows + the incremental
       // fold (orders; one hash exchange each) and the bigram-LM scorer
       // (documents; one occurrence-stream pass after the collapse)
-      "q_scd2_history", "q_scd2_apply", "q_text_lm_score")
+      "q_scd2_history", "q_scd2_apply", "q_text_lm_score",
+      // round-13 additions: the K-bounded LM census cut, DSIR's two
+      // model builds + weight kernel, the seeded span-corruption
+      // sweep, and the real-codec decode/phash pipelines (all
+      // documents-table linear paths)
+      "q_text_lm_score_topk", "q_dsir_weights", "q_text_span_corrupt",
+      "q_multimodal_decode", "q_multimodal_phash")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
