@@ -729,6 +729,56 @@ object Similarity {
     rescoreTop1(blockedTopKInt8(rows, 1, maxGroup), vecs)
   }
 
+  /** BINARY quantization (sign-bit) — the 1-bit-per-dimension BQ
+    * representation: a unit vector collapses to its sign pattern.
+    * Stored as ±1 bytes so the int8 kernel's integer dot ranks
+    * candidates — sign·sign dot = d − 2·hamming, so ranking by the
+    * sign dot IS ranking by hamming distance over the bit signatures,
+    * while reusing [[blockedTopKInt8]]'s bounded task structure and
+    * shortlist rescore unchanged. At 100 TB the scan representation
+    * packs to d/8 bytes per vector (32× smaller than float32 — for
+    * d = 64, ONE machine word, xor+popcount per candidate); the ±1
+    * byte form here keeps the kernel shared, the ranking identical. */
+  private def signUnit(v: Array[Double]): Array[Byte] = {
+    val q = new Array[Byte](v.length)
+    var i = 0
+    while (i < v.length) { q(i) = if (v(i) >= 0) 1 else -1; i += 1 }
+    q
+  }
+
+  /** BQ top-1 for every vector: hamming-ranked shortlist over the sign
+    * signatures, exact-decimal rescore of the survivors. One bit per dimension is a
+    * coarse rank (near-orthogonal random corpora are its worst case),
+    * so BQ runs with a DEEP shortlist — rank by hamming, rescore the
+    * top `shortlist + rankWindow` exactly; recall loss = true
+    * neighbors whose sign pattern ranks outside it — measured
+    * end-to-end by the `bin` row of `q_ann_recall`. */
+  def binAnnTop1All(vecs: DataFrame, maxGroup: Int = 512,
+      shortlist: Int = 32): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, arr) => (0L, 3.toByte, id, signUnit(unitD(arr))) }
+    rescoreTop1(blockedTopKInt8(rows, shortlist, maxGroup), vecs)
+  }
+
+  /** [[binAnnTop1All]] for a deterministic query sample against the
+    * full candidate corpus — the [[int8AnnTop1Sampled]] contract. */
+  def binAnnTop1Sampled(
+      vecs: DataFrame, isQuery: Column, maxGroup: Int = 512,
+      shortlist: Int = 32): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val rows = vecs
+      .select(col("vec_id"), col("embedding"), isQuery.cast("boolean").as("isq"))
+      .as[(Long, Array[Float], Boolean)]
+      .map { case (id, arr, q) =>
+        (0L, (if (q) 3 else 2).toByte, id, signUnit(unitD(arr)))
+      }
+    rescoreTop1(blockedTopKInt8(rows, shortlist, maxGroup), vecs)
+  }
+
   /** [[blockedLocalBests]] over int8-quantized vectors: identical task
     * structure (hash blocks, ≤ 2 blocks in memory, nb² tasks per hot
     * group), integer dot accumulation (≤ 127²·d fits an Int at any

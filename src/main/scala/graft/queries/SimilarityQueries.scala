@@ -512,6 +512,7 @@ object SimilarityQueries {
       .localCheckpoint(true)
     recallRows(e, truth, Similarity.int8AnnTop1All(e),
       Similarity.pqAnnTop1All(e, preTrainedCodebooks = trainedCodebooks(s, dir)),
+      Similarity.binAnnTop1All(e),
       ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
       cents = trainedCents(s, dir), cbs = trainedCodebooks(s, dir))
   }
@@ -525,6 +526,7 @@ object SimilarityQueries {
     * list-pruning recall — quantization costs a point or two). */
   private def recallRows(
       e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
+      binAnn: DataFrame,
       ivfFloor: Double, lshFloor: Double, int8Floor: Double,
       pqFloor: Double, cents: Option[Array[Array[Double]]],
       cbs: Option[Array[Array[Array[Double]]]]): DataFrame = {
@@ -551,6 +553,10 @@ object SimilarityQueries {
       .unionAll(row("ivf_pq",
         Similarity.ivfPqAnnTop1(e, preTrained = cents,
           preTrainedCodebooks = cbs), floor = 0.50))
+      // binary quantization (round-13): 1 bit/dim + deep-shortlist
+      // exact rescore, gated at 0.50 under the measured 0.572-0.764
+      // (ProbeBin 2026-08-14, sf0.001/0.01/0.1, full and sampled)
+      .unionAll(row("bin", binAnn, floor = 0.50))
       .orderBy(col("method"))
   }
 
@@ -574,6 +580,7 @@ object SimilarityQueries {
       Similarity.int8AnnTop1Sampled(e, isQuerySample),
       Similarity.pqAnnTop1Sampled(e, isQuerySample,
         preTrainedCodebooks = trainedCodebooks(s, dir)),
+      Similarity.binAnnTop1Sampled(e, isQuerySample),
       ivfFloor = 0.50, lshFloor = 0.60, int8Floor = 0.85, pqFloor = 0.90,
       cents = trainedCents(s, dir), cbs = trainedCodebooks(s, dir))
   }
@@ -638,9 +645,9 @@ object SimilarityQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_ann_recall" ->
-      methodArms(Seq("int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), "embeddings"),
+      methodArms(Seq("bin", "int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), "embeddings"),
     "q_ann_recall_sampled" ->
-      methodArms(Seq("int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), sampledEmb),
+      methodArms(Seq("bin", "int8", "ivf", "ivf_pq", "ivf_sq8", "lsh", "pq"), sampledEmb),
     "q_ann_ivf" ->
       methodArms(Seq("ivf"), sampledEmb,
         Seq("true AS covered_all", "true AS cos_valid")),

@@ -257,6 +257,37 @@ class SimilaritySpec extends SparkSpec {
     sampled.foreach { case (q, v) => v shouldBe full(q) }
   }
 
+  "binAnnTop1All" should "report exact cosines with measured-floor recall" in {
+    val exact = Similarity.bruteForceTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bin = Similarity.binAnnTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    bin.keySet shouldBe exact.keySet // every vector answered
+    // the q_ann_recall `bin` floor (0.50) sits under the measured
+    // 0.572-0.764 (ProbeBin 2026-08-14); this corpus measures ≥ 0.6
+    val hits = exact.count { case (q, (cid, cos)) =>
+      bin(q)._1 == cid || bin(q)._2 == cos
+    }
+    hits.toDouble / exact.size should be >= 0.5
+    // sign bits only pick the shortlist — reported scores are the
+    // exact decimal cosine (hit rows match ground truth bit-for-bit)
+    exact.foreach { case (q, (cid, cos)) =>
+      if (bin(q)._1 == cid) bin(q)._2 shouldBe cos
+    }
+  }
+
+  "binAnnTop1Sampled" should "equal the full bin result restricted to the sample" in {
+    val isQ = substring(md5(col("vec_id").cast("string")), 1, 1) < lit("4")
+    val full = Similarity.binAnnTop1All(realVecs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampled = Similarity.binAnnTop1Sampled(realVecs, isQ)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val sampleIds = realVecs.filter(isQ)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    sampled.keySet shouldBe sampleIds
+    sampled.foreach { case (q, v) => v shouldBe full(q) }
+  }
+
   "annIndexTopK" should "search a persisted index like direct search" in {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
