@@ -76,6 +76,7 @@ object Bench {
       // round-11 artifact gates: partial writes + compaction / bucketed
       // table builds dominate their wall, not the plan under test
       "q_matview_incremental", "q_join_bucketed",
+      "q_scd2_upsert_bucketed", "q_snapshot_diff_bucketed",
       // round-13 persisted-model gates: epoch model builds + staged
       // index-tree writes dominate; the scoring kernel under test
       // benches separately as q_text_lm_score / q_dsir_weights

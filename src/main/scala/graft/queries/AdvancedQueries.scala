@@ -496,6 +496,108 @@ object AdvancedQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bucketed SCD maintenance layout, built once per (session, sf):
+    * the dimension snapshot, the [[dimUpsert]] update batch, and the
+    * [[snapshotDiffQ]] after-epoch, all written as 8-bucket tables on
+    * the merge key so every maintenance join is co-located. Same
+    * memo + stale-location contract as
+    * [[RelationalQueries.joinBucketed]] (an earlier PROCESS may have
+    * left the managed location behind; the in-memory catalog forgets,
+    * the warehouse dir does not). */
+  private def scdBucketedTables(
+      s: SparkSession, dir: String): (String, String, String) = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val ct = s"graft_bk_scd_cur_$slug"
+    val ut = s"graft_bk_scd_upd_$slug"
+    val at = s"graft_bk_scd_after_$slug"
+    if (!s.catalog.tableExists(ct) || !s.catalog.tableExists(ut) ||
+        !s.catalog.tableExists(at)) {
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      Seq(ct, ut, at).foreach { tb =>
+        s.sql(s"DROP TABLE IF EXISTS $tb")
+        graft.io.Fs.deleteRecursive(s, s"$wh/$tb")
+      }
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val updates = c.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), upper(col("c_name")).as("c_name"),
+          lit("UPDATED").as("c_mktsegment"))
+        .unionByName(c.filter(col("c_custkey") % 7 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_name"), lit("NEW").as("c_mktsegment")))
+      val after = c.filter(col("c_custkey") % 11 =!= 0)
+        .withColumn("c_mktsegment",
+          when(col("c_custkey") % 7 === 0, lit("MOVED"))
+            .otherwise(col("c_mktsegment")))
+        .unionByName(c.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 10000000L).as("c_custkey"),
+            col("c_name"), lit("FRESH").as("c_mktsegment")))
+      graft.io.Layout.writeBucketed(c, ct, "c_custkey", 8)
+      graft.io.Layout.writeBucketed(updates, ut, "c_custkey", 8)
+      graft.io.Layout.writeBucketed(after, at, "c_custkey", 8)
+    }
+    (ct, ut, at)
+  }
+
+  /** String census of Exchange operators anywhere in a frame's
+    * executed plan (robust under AQE, where the adaptive wrapper hides
+    * children from TreeNode.collect) — the [[RelationalQueries
+    * .joinBucketed]] probe generalized to whole-plan scope: SCD
+    * maintenance must be exchange-free END TO END, not just below one
+    * join. */
+  private def exchangeCensus(df: DataFrame): Long =
+    "(?m)^.*Exchange".r
+      .findAllIn(df.queryExecution.executedPlan.toString).size.toLong
+
+  /** Exchange-FREE keyed MERGE (round-13; delivers the bucketed
+    * promise in [[graft.etl.Scd.upsertByKey]]'s scaladoc as a
+    * driver-gated oracle row): snapshot and update batch are 8-bucket
+    * tables on the key, broadcast is disabled, and the merge —
+    * anti-join + union — plans with ZERO Exchange anywhere (the plain
+    * shuffle plan has one per join side). `scd_upsert_exchanges`
+    * censuses the executed plan and rides the result hash, so a
+    * planner regression re-introducing the shuffle flips the gate red,
+    * not just slower. This is the nightly-merge lever at 100 TB: the
+    * dimension pays its shuffle once at layout time, then every batch
+    * merge streams bucket-to-bucket. The merge hints pin the sort-merge
+    * choice on the RE-planned frame too (the harness executes this
+    * DataFrame after the finally block restores the broadcast
+    * threshold — same trap as joinBucketed). */
+  def scd2UpsertBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (ct, ut, _) = scdBucketedTables(s, dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val merged = graft.etl.Scd.upsertByKey(
+        s.table(ct).hint("merge"), s.table(ut).hint("merge"),
+        Seq("c_custkey"))
+      merged.withColumn("scd_upsert_exchanges", lit(exchangeCensus(merged)))
+        .orderBy(col("c_custkey"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Exchange-FREE change-data extract (round-13): the two epochs are
+    * co-bucketed, so [[graft.etl.Scd.snapshotDiff]]'s full-outer join
+    * needs no shuffle at all — `scd_diff_exchanges` asserts it
+    * structurally, same contract as [[scd2UpsertBucketed]]. The CDC
+    * sweep a warehouse runs per epoch thus costs one co-located scan
+    * of each epoch, never a re-shuffle of either. */
+  def snapshotDiffBucketed(s: SparkSession, dir: String): DataFrame = {
+    val (ct, _, at) = scdBucketedTables(s, dir)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val d = graft.etl.Scd.snapshotDiff(
+        s.table(ct).hint("merge"), s.table(at).hint("merge"),
+        Seq("c_custkey"))
+      d.select(col("c_custkey"), col("change"),
+        col("before.c_mktsegment").as("seg_before"),
+        col("after.c_mktsegment").as("seg_after"))
+        .withColumn("scd_diff_exchanges", lit(exchangeCensus(d)))
+        .orderBy(col("c_custkey"))
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   /** Blocked fuzzy entity pairs (round-11, [[graft.ops.Entities]]):
     * the part-name catalog (distinct names — vocabulary-sized, never
     * row-stream-sized), blocked on the last word, verified by exact
@@ -687,7 +789,9 @@ object AdvancedQueries {
     "q_entity_resolution" -> (entityResolution _),
     "q_timeseries_gapfill" -> (timeseriesGapfill _),
     "q_dim_upsert" -> (dimUpsert _),
-    "q_snapshot_diff" -> (snapshotDiffQ _)
+    "q_snapshot_diff" -> (snapshotDiffQ _),
+    "q_scd2_upsert_bucketed" -> (scd2UpsertBucketed _),
+    "q_snapshot_diff_bucketed" -> (snapshotDiffBucketed _)
   )
 
   /** Shared by q_scd2_history AND q_scd2_apply: the incremental fold
@@ -1069,6 +1173,24 @@ object AdvancedQueries {
              SELECT 1 FROM u WHERE u.c_custkey = e.c_custkey)
            UNION ALL SELECT c_custkey, c_name, c_mktsegment FROM u)
          ORDER BY c_custkey""",
+    // the bucketed twin adds the plan census to the hash: the values
+    // must equal the plain merge AND the exchange count must be zero
+    "q_scd2_upsert_bucketed" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         u AS (
+           SELECT c_custkey, upper(c_name) AS c_name,
+             'UPDATED' AS c_mktsegment
+           FROM c WHERE c_custkey % 2 = 0
+           UNION ALL
+           SELECT c_custkey + 10000000, c_name, 'NEW'
+           FROM c WHERE c_custkey % 7 = 0)
+         SELECT *, CAST(0 AS BIGINT) AS scd_upsert_exchanges FROM (
+           SELECT e.c_custkey, e.c_name, e.c_mktsegment FROM c e
+           WHERE NOT EXISTS (
+             SELECT 1 FROM u WHERE u.c_custkey = e.c_custkey)
+           UNION ALL SELECT c_custkey, c_name, c_mktsegment FROM u)
+         ORDER BY c_custkey""",
     "q_snapshot_diff" ->
       """WITH c AS (
            SELECT c_custkey, c_name, c_mktsegment FROM customer),
@@ -1087,6 +1209,32 @@ object AdvancedQueries {
                   OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
                   THEN 'update' END AS change,
            b.c_mktsegment AS seg_before, a.c_mktsegment AS seg_after
+         FROM c b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
+         WHERE CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN a.c_custkey IS NULL THEN 'delete'
+                WHEN b.c_name IS DISTINCT FROM a.c_name
+                  OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+                  THEN 'update' END IS NOT NULL
+         ORDER BY c_custkey""",
+    "q_snapshot_diff_bucketed" ->
+      """WITH c AS (
+           SELECT c_custkey, c_name, c_mktsegment FROM customer),
+         a AS (
+           SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+           FROM c WHERE c_custkey % 11 <> 0
+           UNION ALL
+           SELECT c_custkey + 10000000, c_name, 'FRESH'
+           FROM c WHERE c_custkey % 13 = 0)
+         SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'insert'
+                WHEN a.c_custkey IS NULL THEN 'delete'
+                WHEN b.c_name IS DISTINCT FROM a.c_name
+                  OR b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+                  THEN 'update' END AS change,
+           b.c_mktsegment AS seg_before, a.c_mktsegment AS seg_after,
+           CAST(0 AS BIGINT) AS scd_diff_exchanges
          FROM c b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
          WHERE CASE WHEN b.c_custkey IS NULL THEN 'insert'
                 WHEN a.c_custkey IS NULL THEN 'delete'

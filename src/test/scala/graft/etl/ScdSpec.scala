@@ -1,6 +1,7 @@
 package graft.etl
 
 import graft.SparkSpec
+import graft.io.Layout
 import org.apache.spark.sql.functions._
 
 /** Crafted-history contracts for the warehouse-maintenance operators:
@@ -134,5 +135,45 @@ class ScdSpec extends SparkSpec {
       (5L, "update", "tonull", null),   // value → null IS a change
       (6L, "insert", null, "fresh"))
       // key 1 (unchanged) and key 4 (null == null) are absent
+  }
+
+  behavior of "Scd bucketed maintenance"
+
+  // the scaladoc promise: bucket both sides on the key and the
+  // maintenance exchanges disappear ENTIRELY, with the results
+  // byte-identical to the plain (shuffling) path
+  it should "run upsert and diff exchange-free over co-bucketed tables" in {
+    val cur = (1L to 500L).map(i => (i, s"name_$i", s"seg_${i % 5}"))
+      .toDF("k", "name", "seg")
+    val upd = (1L to 500L).filter(_ % 2 == 0)
+      .map(i => (i, s"NAME_$i", "UPDATED")).toDF("k", "name", "seg")
+    val aft = (1L to 500L).filterNot(_ % 11 == 0)
+      .map(i => (i, s"name_$i", if (i % 7 == 0) "MOVED" else s"seg_${i % 5}"))
+      .toDF("k", "name", "seg")
+    Layout.writeBucketed(cur, "bk_scd_cur", "k", 4)
+    Layout.writeBucketed(upd, "bk_scd_upd", "k", 4)
+    Layout.writeBucketed(aft, "bk_scd_aft", "k", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val mergedBk = Scd.upsertByKey(
+        spark.table("bk_scd_cur").hint("merge"),
+        spark.table("bk_scd_upd").hint("merge"), Seq("k"))
+      mergedBk.queryExecution.executedPlan.toString should
+        not include "Exchange"
+      val diffBk = Scd.snapshotDiff(
+        spark.table("bk_scd_cur").hint("merge"),
+        spark.table("bk_scd_aft").hint("merge"), Seq("k"))
+      diffBk.queryExecution.executedPlan.toString should
+        not include "Exchange"
+      // value parity with the plain path (which DOES shuffle)
+      mergedBk.orderBy("k").collect().toSeq shouldBe
+        Scd.upsertByKey(cur, upd, Seq("k")).orderBy("k").collect().toSeq
+      diffBk.orderBy("k").collect().toSeq shouldBe
+        Scd.snapshotDiff(cur, aft, Seq("k")).orderBy("k").collect().toSeq
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      Seq("bk_scd_cur", "bk_scd_upd", "bk_scd_aft")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
   }
 }
