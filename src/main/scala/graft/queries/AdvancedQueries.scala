@@ -378,7 +378,8 @@ object AdvancedQueries {
     * must equal the one-shot rebuild, so the oracle is the
     * q_scd2_history SQL for the THIRD time: batch build, incremental
     * fold, and streamed fold all land on identical rows. */
-  def scd2StreamParity(s: SparkSession, dir: String): DataFrame = {
+  def scd2StreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-scd-stream-$slug"
     def rmrf(p: java.io.File): Unit = {

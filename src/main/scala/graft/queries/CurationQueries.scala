@@ -397,7 +397,8 @@ object CurationQueries {
     * how the stream batched the data leaves no trace. Byte-ORDER
     * identity of the files is additionally pinned in
     * ShardingSpec/DocStreamsSpec. */
-  def shardStreamQ(s: SparkSession, dir: String): DataFrame = {
+  def shardStreamQ(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-shard-stream-$slug"
     graft.io.Fs.deleteRecursive(s, base)

@@ -92,7 +92,8 @@ object EventQueries {
     * window missed, duplicated, or mis-summed by the streaming path
     * flips a row. Scratch dirs live under target/ and are wiped per run (a
     * stale checkpoint would make the source skip seen files). */
-  def streamParity(s: SparkSession, dir: String): DataFrame = {
+  def streamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-stream-parity-$slug"
     def rmrf(p: java.io.File): Unit = {
@@ -219,7 +220,8 @@ object EventQueries {
     * the stream missed, duplicated, or mis-joined flips (or
     * null-sides) a row against the DuckDB oracle's plain interval
     * join. */
-  def streamJoinParity(s: SparkSession, dir: String): DataFrame = {
+  def streamJoinParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-ssjoin-$slug"
     Seq("inA", "inB", "ckpt", "out").foreach(d =>
@@ -326,7 +328,8 @@ object EventQueries {
     * are safe by construction: window ends are hour-aligned while the
     * watermark carries max(ts)'s microseconds, so strict-vs-inclusive
     * emission semantics can never disagree on this data. */
-  def lateDataParity(s: SparkSession, dir: String): DataFrame = {
+  def lateDataParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-late-data-$slug"
     val cutoff = lit("2024-01-02 00:00:00").cast("timestamp")

@@ -37,4 +37,21 @@ object Tables {
     val df = s.read.parquet(s"$dir/events.parquet")
     df.withColumn("ts", eventsTsExpr(df.schema("ts").dataType))
   }
+
+  /** Gate-harness shuffle scope (round-13, VERDICT r12 item 7): the
+    * stream-parity harnesses run MANY tiny micro-batch jobs whose wall
+    * is per-task fixed cost at the session's 32 shuffle partitions —
+    * state/commit/file-count overhead, not data. Inside the gate
+    * harnesses (and ONLY there; engine queries keep the session
+    * setting, which is the scale posture under test) shrink to 8 for
+    * the duration, restoring on exit. Structured Streaming CLONES the
+    * session conf at `start()`, so the scope must open before the
+    * query starts — wrap the whole harness body. Every gated value is
+    * partitioning-stable by repo policy (asserted per operator in the
+    * specs), so this changes cost, never results. */
+  def withGateShuffle[T](s: SparkSession, n: Int = 8)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 }

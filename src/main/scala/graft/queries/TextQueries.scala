@@ -423,7 +423,8 @@ object TextQueries {
     * The union of the batch-id-keyed score partitions must land on
     * exactly the q_text_lm_score oracle rows — batch scoring, indexed
     * scoring, and streamed scoring are one definition in three modes. */
-  def lmStreamParity(s: SparkSession, dir: String): DataFrame = {
+  def lmStreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-lm-stream-$slug"
     rmrfLocal(new java.io.File(base))
@@ -744,7 +745,8 @@ object TextQueries {
     * keep/drop statuses must agree exactly. Output = one (doc_id, stream_match) row per streamed
     * doc; oracle = all true. Scratch dirs under target/, wiped per
     * run. */
-  def dedupStreamParity(s: SparkSession, dir: String): DataFrame = {
+  def dedupStreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val base = s"target/tmp-dedup-stream-$slug"
     def rmrf(p: java.io.File): Unit = {
