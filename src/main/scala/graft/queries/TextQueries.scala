@@ -1049,6 +1049,10 @@ object TextQueries {
     "q_text_tokens" -> (tokenStats _),
     "q_text_vocab" -> (vocabQ _),
     "q_text_quality" -> (quality _),
+    "q_text_quality_model" ->
+      ((s, dir) => graft.ops.QualityModel.modelFrame(s, docs(s, dir))),
+    "q_text_quality_trained" ->
+      ((s, dir) => graft.ops.QualityModel.scoredFrame(docs(s, dir))),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -1711,6 +1715,12 @@ object TextQueries {
            FROM c)
          SELECT tok, cnt, token_id FROM r
          WHERE token_id < 256 ORDER BY token_id""",
+    // generated unrolled-GD oracles (graft.ops.QualityModel) — the
+    // same constants/loop emit SQL and run the driver iteration
+    "q_text_quality_model" ->
+      graft.ops.QualityModel.modelOracleSql("documents"),
+    "q_text_quality_trained" ->
+      graft.ops.QualityModel.scoredOracleSql("documents"),
     "q_text_quality" ->
       """WITH m AS (
            SELECT doc_id,
