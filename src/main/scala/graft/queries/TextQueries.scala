@@ -1053,6 +1053,10 @@ object TextQueries {
       ((s, dir) => graft.ops.QualityModel.modelFrame(s, docs(s, dir))),
     "q_text_quality_trained" ->
       ((s, dir) => graft.ops.QualityModel.scoredFrame(docs(s, dir))),
+    "q_text_bpe_merges" ->
+      ((s, dir) => graft.ops.Bpe.mergesFrame(s, docs(s, dir))),
+    "q_text_bpe_tokens" ->
+      ((s, dir) => graft.ops.Bpe.tokenFrequencies(docs(s, dir))),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -1721,6 +1725,12 @@ object TextQueries {
       graft.ops.QualityModel.modelOracleSql("documents"),
     "q_text_quality_trained" ->
       graft.ops.QualityModel.scoredOracleSql("documents"),
+    // generated unrolled-merge oracles (graft.ops.Bpe) — the same
+    // constants emit K CTE rounds that re-derive the merges
+    "q_text_bpe_merges" ->
+      graft.ops.Bpe.mergesOracleSql("documents"),
+    "q_text_bpe_tokens" ->
+      graft.ops.Bpe.tokensOracleSql("documents"),
     "q_text_quality" ->
       """WITH m AS (
            SELECT doc_id,
