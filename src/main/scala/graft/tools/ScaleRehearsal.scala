@@ -116,7 +116,11 @@ object ScaleRehearsal {
       // sweep, and the real-codec decode/phash pipelines (all
       // documents-table linear paths)
       "q_text_lm_score_topk", "q_dsir_weights", "q_text_span_corrupt",
-      "q_multimodal_decode", "q_multimodal_phash")
+      "q_multimodal_decode", "q_multimodal_phash",
+      // round-13 additions (second batch): the trained quality
+      // scorer (census + driver GD + scan-fused scoring) and BPE
+      // encode (census + capped driver merge loop + broadcast replay)
+      "q_text_quality_trained", "q_text_bpe_tokens")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
