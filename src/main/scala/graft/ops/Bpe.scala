@@ -283,4 +283,23 @@ object Bpe {
        SELECT tok AS token, CAST(sum(freq) AS BIGINT) AS cnt
        FROM s$k GROUP BY tok
        ORDER BY cnt DESC, token ASC LIMIT $top"""
+
+  /** Composable oracle prefix ending in `dl(doc_id, tok)` — per-doc
+    * BPE token counts (word occurrences joined to the final state's
+    * per-word token count). Callers append their own CTEs + SELECT;
+    * the Spark twin is the `wordCensus`+`applyMerges` length join. */
+  def docLensOraclePrefix(table: String, k: Int = Merges,
+                          cap: Int = VocabCap): String =
+    oracleBody(table, k, cap) +
+      s""",
+       wl AS MATERIALIZED (
+         SELECT word, CAST(count(1) AS BIGINT) AS n_tok
+         FROM s$k GROUP BY word),
+       dl AS MATERIALIZED (
+         SELECT d.doc_id, CAST(sum(w.n_tok) AS BIGINT) AS tok
+         FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+               FROM $table) d
+         JOIN wl w ON w.word = d.word
+         GROUP BY d.doc_id)"""
 }

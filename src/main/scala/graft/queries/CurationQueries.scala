@@ -82,6 +82,46 @@ object CurationQueries {
           lit(2L * buckets)).as("bins_bounded"))
   }
 
+  /** Tokenizer-integrated packing — the composition a batch-assembly
+    * pipeline actually runs: train BPE on the corpus
+    * ([[graft.ops.Bpe.train]]), measure every document in TRAINED
+    * tokens (word occurrences joined to the broadcast-replay per-word
+    * lengths — the corpus is scanned, the merge replay runs on
+    * distinct words), then next-fit-pack those lengths
+    * ([[graft.ops.Packing.packNextFit]], 320-token budget, 32
+    * buckets) and emit the per-bin manifest. EXACT end-to-end oracle:
+    * DuckDB re-derives the merges (K unrolled rounds), recomputes
+    * every document's token count, and replays the next-fit
+    * recurrence with a recursive CTE — tokenizer drift, length drift,
+    * and assignment drift each break the hash. Scale shape: the two
+    * corpus-scale stages are the word census and the doc-length join;
+    * packing moves 16-byte (id, tok) pairs only. */
+  def packBpeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val budget = 320L
+    val buckets = 32
+    val d = docs(s, dir)
+    val merges = graft.ops.Bpe.train(d)
+    val bc = s.sparkContext.broadcast(merges)
+    val wl = graft.ops.Bpe.wordCensus(d).as[(String, Long)]
+      .map { case (w, _) =>
+        (w, graft.ops.Bpe.applyMerges(w, bc.value).length.toLong) }
+      .toDF("word", "n_tok")
+    val dl = d
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .join(wl, "word")
+      .groupBy("doc_id").agg(sum("n_tok").as("tok"))
+    Packing.packNextFit(dl, "doc_id", "tok", budget, buckets)
+      .groupBy(col("bucket"),
+        col("bin_id").bitwiseAND(lit(0xFFFFFFFFL)).as("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"))
+      .orderBy(col("bucket"), col("bin"))
+  }
+
   /** Cross-epoch SCHEMA-EVOLUTION gate ([[graft.io.Evolve]]): epoch 0
     * (even doc ids) is written WITHOUT a token-count column; epoch 1
     * (odd ids) adds it — the layout a long-lived pipeline accretes.
@@ -455,6 +495,7 @@ object CurationQueries {
     "q_epoch_evolution" -> (epochEvolutionQ _),
     "q_source_cap" -> (sourceCapQ _),
     "q_pack_sequences" -> (packQ _),
+    "q_pack_bpe" -> (packBpeQ _),
     "q_pack_shards" -> (packShardsQ _),
     "q_bloom_membership" -> (bloomQ _),
     "q_bloom_exact" -> (bloomExactQ _),
@@ -622,6 +663,38 @@ object CurationQueries {
            oversized_iso AS oversized_isolated,
            (bins_used <= 2 * ((t_in + 255) // 256) + 64) AS bins_bounded
          FROM inp, asg, pb""",
+    // full-stack composition oracle: BPE merges re-derived (K
+    // unrolled rounds from graft.ops.Bpe), per-doc token counts
+    // recomputed, next-fit recurrence replayed recursively
+    "q_pack_bpe" ->
+      (graft.ops.Bpe.docLensOraclePrefix("documents") +
+        s""",
+         ptoks AS (
+           SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id, tok FROM dl),
+         pt AS (
+           SELECT bucket, doc_id, tok,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY tok DESC, doc_id) AS rn
+           FROM ptoks),
+         psx AS NOT MATERIALIZED (
+           WITH RECURSIVE rec AS (
+             SELECT bucket, rn, doc_id, tok,
+               CAST(0 AS BIGINT) AS bin, tok AS fill
+             FROM pt WHERE rn = 1
+             UNION ALL
+             SELECT pt.bucket, pt.rn, pt.doc_id, pt.tok,
+               CASE WHEN rec.fill > 0 AND rec.fill + pt.tok > 320
+                    THEN rec.bin + 1 ELSE rec.bin END,
+               CASE WHEN rec.fill > 0 AND rec.fill + pt.tok > 320
+                    THEN pt.tok ELSE rec.fill + pt.tok END
+             FROM rec JOIN pt ON pt.bucket = rec.bucket AND pt.rn = rec.rn + 1)
+           SELECT * FROM rec)
+         SELECT bucket, bin, count(1) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS tok_sum,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM psx
+         GROUP BY 1, 2
+         ORDER BY bucket, bin"""),
     "q_pack_shards" ->
       """WITH toks AS (
            SELECT CAST(doc_id % 32 AS INT) AS bucket, doc_id,
