@@ -194,10 +194,33 @@ object Bpe {
     * replay runs distributed over the DISTINCT-WORD table (merges
     * ride a broadcast; the corpus is scanned once by the census). */
   def tokenFrequencies(docs: DataFrame, k: Int = Merges,
-                       cap: Int = VocabCap, top: Int = TopTokens): DataFrame = {
+                       cap: Int = VocabCap, top: Int = TopTokens): DataFrame =
+    tokenFrequenciesWith(docs, train(docs, k, cap), top)
+
+  /** Persist the merge table as a parquet tokenizer artifact — the
+    * epoch posture: train once, encode every later batch without
+    * re-deriving the merges. */
+  def writeBpeModel(spark: SparkSession, docs: DataFrame, path: String,
+                    k: Int = Merges, cap: Int = VocabCap): Unit =
+    mergesFrame(spark, docs, k, cap).write.mode("overwrite").parquet(path)
+
+  /** Reload a persisted merge table in rank order. */
+  def loadMerges(spark: SparkSession, path: String): Array[Merge] =
+    spark.read.parquet(path).orderBy(col("rank")).collect()
+      .map(r => Merge(r.getInt(r.fieldIndex("rank")),
+        r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs")),
+        r.getString(r.fieldIndex("merged")), r.getLong(r.fieldIndex("cnt"))))
+
+  /** Encode from a persisted tokenizer — identical plan to
+    * [[tokenFrequencies]], zero training work. */
+  def tokenFrequenciesIndexed(docs: DataFrame, modelPath: String,
+                              top: Int = TopTokens): DataFrame =
+    tokenFrequenciesWith(docs, loadMerges(docs.sparkSession, modelPath), top)
+
+  private def tokenFrequenciesWith(docs: DataFrame, merges: Array[Merge],
+                                   top: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val merges = train(docs, k, cap)
     val bc = spark.sparkContext.broadcast(merges)
     wordCensus(docs)
       .as[(String, Long)]

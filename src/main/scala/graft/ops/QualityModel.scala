@@ -153,7 +153,31 @@ object QualityModel {
     * threshold decided in decimal — a pure projection over the scan. */
   def scoredFrame(docs: DataFrame): DataFrame = {
     val (sij, bi, n) = census(features(docs))
-    val w = train(sij, bi, n)
+    scoreWith(docs, train(sij, bi, n))
+  }
+
+  /** Persist the trained weights as a parquet model artifact — the
+    * epoch posture: train once, score any later batch or stream
+    * without re-running the census. The stored doubles round-trip the
+    * 9-decimal grid exactly (shortest-string doubles of ≤15
+    * significant digits re-grid to the same decimal). */
+  def writeModel(spark: SparkSession, docs: DataFrame, path: String): Unit =
+    modelFrame(spark, docs).write.mode("overwrite").parquet(path)
+
+  /** Reload the K-step weights from a persisted model. */
+  def loadWeights(spark: SparkSession, path: String): Array[JBD] = {
+    val rows = spark.read.parquet(path)
+      .orderBy(col("dim")).select("dim", "w").collect()
+    require(rows.length == Dims, s"model at $path has ${rows.length} dims")
+    rows.map(r => q(r.getDouble(1), 9))
+  }
+
+  /** Score from a persisted model — identical plan to [[scoredFrame]]
+    * (weights as decimal literals), zero training work. */
+  def scoredFrameIndexed(docs: DataFrame, modelPath: String): DataFrame =
+    scoreWith(docs, loadWeights(docs.sparkSession, modelPath))
+
+  private def scoreWith(docs: DataFrame, w: Array[JBD]): DataFrame = {
     val f = features(docs)
     val dot = (1 to Dims).map { i =>
       col(xc(i)) * lit(w(i - 1).toPlainString).cast("decimal(12,9)")

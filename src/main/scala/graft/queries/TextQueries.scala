@@ -1057,6 +1057,25 @@ object TextQueries {
       ((s, dir) => graft.ops.Bpe.mergesFrame(s, docs(s, dir))),
     "q_text_bpe_tokens" ->
       ((s, dir) => graft.ops.Bpe.tokenFrequencies(docs(s, dir))),
+    // persisted-artifact twins: train -> parquet model -> score/encode
+    // from the artifact alone; must land on the SAME oracle rows as
+    // the in-memory paths (the epoch posture, like q_text_lm_persisted)
+    "q_text_quality_persisted" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-qm-model-$slug"
+      rmrfLocal(new java.io.File(base))
+      val d = docs(s, dir)
+      graft.ops.QualityModel.writeModel(s, d, base)
+      graft.ops.QualityModel.scoredFrameIndexed(d, base)
+    }),
+    "q_text_bpe_persisted" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-bpe-model-$slug"
+      rmrfLocal(new java.io.File(base))
+      val d = docs(s, dir)
+      graft.ops.Bpe.writeBpeModel(s, d, base)
+      graft.ops.Bpe.tokenFrequenciesIndexed(d, base)
+    }),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -1730,6 +1749,12 @@ object TextQueries {
     "q_text_bpe_merges" ->
       graft.ops.Bpe.mergesOracleSql("documents"),
     "q_text_bpe_tokens" ->
+      graft.ops.Bpe.tokensOracleSql("documents"),
+    // the persisted twins reuse the in-memory oracles VERBATIM — the
+    // artifact round-trip must be value-invisible
+    "q_text_quality_persisted" ->
+      graft.ops.QualityModel.scoredOracleSql("documents"),
+    "q_text_bpe_persisted" ->
       graft.ops.Bpe.tokensOracleSql("documents"),
     "q_text_quality" ->
       """WITH m AS (

@@ -71,6 +71,19 @@ class BpeSpec extends SparkSpec {
     tokMass shouldBe charMass
   }
 
+  it should "encode identically from the persisted tokenizer artifact" in {
+    val base = freshDir("bpe-model-roundtrip")
+    Bpe.writeBpeModel(spark, docs, base, k = 12, cap = 256)
+    val loaded = Bpe.loadMerges(spark, base)
+    val trained = Bpe.train(docs, k = 12, cap = 256)
+    loaded.toSeq shouldBe trained.toSeq
+    val direct = Bpe.tokenFrequencies(docs, k = 12, cap = 256)
+      .collect().map(_.toSeq)
+    val indexed = Bpe.tokenFrequenciesIndexed(docs, base)
+      .collect().map(_.toSeq)
+    indexed.toSeq shouldBe direct.toSeq
+  }
+
   it should "replay merges identically to the training fusion" in {
     val m = Bpe.train(docs, k = 12, cap = 64)
     // re-run the training loop and capture final states, then check

@@ -89,6 +89,21 @@ class QualityModelSpec extends SparkSpec {
     }
   }
 
+  it should "score identically from the persisted model artifact" in {
+    val base = freshDir("qm-model-roundtrip")
+    QualityModel.writeModel(spark, docs, base)
+    val w = QualityModel.loadWeights(spark, base)
+    val f = QualityModel.features(docs)
+    val (sij, bi, n) = QualityModel.census(f)
+    val trained = QualityModel.train(sij, bi, n)
+    // the parquet doubles must re-grid to the exact trained decimals
+    w.zip(trained).foreach { case (a, b) => a.compareTo(b) shouldBe 0 }
+    val direct = QualityModel.scoredFrame(docs).collect().map(_.toSeq)
+    val indexed = QualityModel.scoredFrameIndexed(docs, base)
+      .collect().map(_.toSeq)
+    indexed.toSeq shouldBe direct.toSeq
+  }
+
   it should "beat the keep-all base rate on the weak labels" in {
     val agg = QualityModel.scoredFrame(docs)
       .agg(avg(col("agree").cast("double")).as("acc"),
