@@ -1076,6 +1076,33 @@ object TextQueries {
       graft.ops.Bpe.writeBpeModel(s, d, base)
       graft.ops.Bpe.tokenFrequenciesIndexed(d, base)
     }),
+    // tokenizer fertility by language — the diagnostic every
+    // multilingual tokenizer build reports (BPE tokens per word, per
+    // lang); per-doc lengths via the same distinct-word length join
+    // as q_pack_bpe, then one partial-agg by lang
+    "q_text_bpe_fertility" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{sum => fsum}
+      val d = docs(s, dir)
+      val merges = graft.ops.Bpe.train(d)
+      val bc = s.sparkContext.broadcast(merges)
+      import s.implicits._
+      val wl = graft.ops.Bpe.wordCensus(d).as[(String, Long)]
+        .map { case (w, _) =>
+          (w, graft.ops.Bpe.applyMerges(w, bc.value).length.toLong) }
+        .toDF("word", "n_tok")
+      d.select(col("doc_id"), col("lang"),
+          explode(graft.ops.Text.tokens(col("text"))).as("word"))
+        .where(col("word") =!= "")
+        .join(wl, "word")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          fsum("n_tok").as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_docs"),
+          // integer floor division — exact in both engines
+          expr("(n_tokens * 1000000) div n_words").as("fertility_ppm"))
+        .orderBy(col("lang"))
+    }),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
     "q_text_fingerprint" -> (fingerprint _),
@@ -1756,6 +1783,22 @@ object TextQueries {
       graft.ops.QualityModel.scoredOracleSql("documents"),
     "q_text_bpe_persisted" ->
       graft.ops.Bpe.tokensOracleSql("documents"),
+    "q_text_bpe_fertility" ->
+      (graft.ops.Bpe.docLensOraclePrefix("documents") +
+        s""",
+         fw AS (
+           SELECT d.doc_id, d.lang, w.n_tok
+           FROM (SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+                 FROM documents) d
+           JOIN wl w ON w.word = d.word)
+         SELECT lang,
+           CAST(count(1) AS BIGINT) AS n_words,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) * 1000000 // CAST(count(1) AS BIGINT)
+             AS fertility_ppm
+         FROM fw GROUP BY lang ORDER BY lang"""),
     "q_text_quality" ->
       """WITH m AS (
            SELECT doc_id,
