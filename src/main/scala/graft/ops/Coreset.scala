@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Greedy k-center coreset selection (Gonzalez 1985) over an
+  * embedding column — the diversity-driven data-selection pass a
+  * pretraining pipeline runs to pick maximally-spread exemplars
+  * (facility-location/coreset literature; 2-approximation of the
+  * optimal k-center radius).
+  *
+  * Algorithm: seed with the minimum id; k−1 rounds of "select the
+  * point farthest from the selected set", maintaining a running
+  * per-point min-squared-distance column. Every distance is EXACT
+  * DECIMAL on the (12,9) grid (the [[Similarity]] posture: float →
+  * double → decimal hop, products at (25,18), accumulator re-cast to
+  * (28,18) per add), and ties break on vec_id — so the selection is
+  * bit-reproducible across partitionings AND engines, and the DuckDB
+  * oracle re-derives every center independently from k unrolled CTE
+  * rounds.
+  *
+  * Scale shape: each round is ONE corpus scan (zip_with fold against
+  * the broadcast-as-literals center vector — d decimal ops per row,
+  * no shuffle) plus a TakeOrdered(1) argmax (per-partition max →
+  * k-sized driver merge, never a full sort). The working frame is
+  * (id, vec, mind) — localCheckpoint'ed per round so lineage stays
+  * flat; total cost k scans, the textbook greedy construction. At
+  * 100 TB with large k, amortize by batching (select several spread
+  * centers per scan) — documented, not needed at gate scale.
+  */
+object Coreset {
+
+  private val D = "decimal(12,9)"
+  private val ACC = "decimal(28,18)"
+
+  private def d(x: Column): Column = x.cast("double").cast(D)
+
+  /** Exact-decimal squared distance of a float-array column to a
+    * gridded center vector riding the plan as decimal literals. */
+  private def dist2(vec: Column, center: Seq[String]): Column =
+    aggregate(
+      zip_with(vec, array(center.map(s => lit(s).cast(D)): _*),
+        (x, y) => (d(x) - y) * (d(x) - y)),
+      lit(0).cast(ACC),
+      (acc, x) => (acc + x).cast(ACC))
+
+  /** The gridded (string-form) vector of one id — computed IN the
+    * engine so both sides share the exact double→decimal rounding. */
+  private def griddedVec(emb: DataFrame, idCol: String, vecCol: String,
+                         id: Long): Seq[String] =
+    emb.filter(col(idCol) === id)
+      .select(transform(col(vecCol), x => d(x).cast("string")).as("gv"))
+      .head().getSeq[String](0)
+
+  /** Greedy k-center selection: (sel_rank, vec_id, radius) — radius
+    * is the selected point's distance² to the prior set (the running
+    * coverage bound; 0 for the seed). */
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    val spark = emb.sparkSession
+    val seedId = emb.agg(min(col(idCol))).head().getLong(0)
+    val selected = Seq.newBuilder[(Int, Long, Double)]
+    selected += ((1, seedId, 0.0))
+    var center = griddedVec(emb, idCol, vecCol, seedId)
+    var work = emb
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("mind", dist2(col("v"), center))
+      .localCheckpoint(true)
+    var r = 2
+    while (r <= k) {
+      val top = work
+        .select(col("id"), col("mind"),
+          transform(col("v"), x => d(x).cast("string")).as("gv"))
+        .orderBy(col("mind").desc, col("id").asc)
+        .limit(1).head()
+      val topId = top.getLong(0)
+      val topMind = top.getDecimal(1)
+      // decimal → double via the string hop (both engines parse
+      // decimal digit strings with correct rounding)
+      selected += ((r, topId, java.lang.Double.parseDouble(topMind.toPlainString)))
+      center = top.getSeq[String](2)
+      if (r < k)
+        work = work
+          .withColumn("mind", least(col("mind"), dist2(col("v"), center)))
+          .localCheckpoint(true)
+      r += 1
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        selected.result().map { case (a, b, c) => Row(a, b, c) }, 1),
+      StructType(Seq(
+        StructField("sel_rank", IntegerType, false),
+        StructField("vec_id", LongType, false),
+        StructField("radius", DoubleType, false))))
+      .orderBy(col("sel_rank"))
+  }
+
+  // ---------------------------------------------------------------
+  // Generated DuckDB oracle — k unrolled rounds re-derive every
+  // center: argmax of the running min-distance, exact decimal.
+  // ---------------------------------------------------------------
+
+  /** Oracle: same seed, same grid, same argmax tie order. `dims` must
+    * match the embedding width. */
+  def kCenterOracleSql(table: String, k: Int, dims: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = r - 1
+      s"""c$r AS MATERIALIZED (
+           SELECT vec_id AS cid, mind FROM m$prev
+           ORDER BY mind DESC, vec_id ASC LIMIT 1),
+         cg$r AS MATERIALIZED (
+           SELECT g.i, g.x FROM g JOIN c$r ON g.vec_id = c$r.cid),
+         m$r AS MATERIALIZED (
+           SELECT t.vec_id,
+             CASE WHEN m.mind < t.d2 THEN m.mind ELSE t.d2 END AS mind
+           FROM (SELECT g.vec_id, sum((g.x - cg.x) * (g.x - cg.x)) AS d2
+                 FROM g JOIN cg$r cg ON cg.i = g.i GROUP BY g.vec_id) t
+           JOIN m$prev m ON m.vec_id = t.vec_id)"""
+    }.mkString(",\n         ")
+    val sel = (2 to k).map { r =>
+      s"""SELECT $r AS sel_rank, cid AS vec_id,
+            CAST(CAST(mind AS VARCHAR) AS DOUBLE) AS radius FROM c$r"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM $table),
+         idx AS (SELECT unnest(range(1, ${dims + 1})) AS i),
+         g AS MATERIALIZED (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+               AS DECIMAL(12,9)) AS x
+           FROM e, idx),
+         c1 AS MATERIALIZED (SELECT min(vec_id) AS cid FROM e),
+         cg1 AS MATERIALIZED (
+           SELECT g.i, g.x FROM g JOIN c1 ON g.vec_id = c1.cid),
+         m1 AS MATERIALIZED (
+           SELECT g.vec_id, sum((g.x - cg.x) * (g.x - cg.x)) AS mind
+           FROM g JOIN cg1 cg ON cg.i = g.i GROUP BY g.vec_id),
+         $rounds
+       SELECT 1 AS sel_rank, cid AS vec_id, CAST(0.0 AS DOUBLE) AS radius
+       FROM c1
+       UNION ALL $sel
+       ORDER BY sel_rank"""
+  }
+}

@@ -604,6 +604,8 @@ object SimilarityQueries {
     "q_semdedup_incremental" -> (semDedupIncrementalQ _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
+    "q_embed_kcenter" -> ((s, dir) =>
+      graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_pca" -> (embedPca _),
     "q_embed_pca_project" -> (embedPcaProject _),
     "q_embed_pca_topr" -> (embedPcaTopR _),
@@ -852,6 +854,10 @@ object SimilarityQueries {
       graft.ops.Pca.oracleSqlTopR("embeddings", "embedding", 3),
     "q_embed_pca_topr_project" ->
       graft.ops.Pca.projectOracleSqlTopR("embeddings", "embedding", "vec_id", 3),
+    // generated unrolled-round oracle (graft.ops.Coreset): every
+    // greedy center re-derived independently, exact decimal
+    "q_embed_kcenter" ->
+      graft.ops.Coreset.kCenterOracleSql("embeddings", 8, 64),
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (

@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Greedy k-center contracts beyond the oracle replay: a hand
+  * geometry, the greedy monotone-radius invariant, partitioning
+  * invariance, and selected-set sanity. */
+class CoresetSpec extends SparkSpec {
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  it should "select the hand-derivable centers on a 1-D geometry" in {
+    import spark.implicits._
+    // points 0, 10, 4 on a line (padded to 2 dims): seed = min id
+    // (value 0), then 10 (d²=100), then 4 (min(16, 36) = 16)
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(10f, 0f)), (3L, Array(4f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Coreset.kCenter(df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    got.toSeq shouldBe Seq((1, 1L, 0.0), (2, 2L, 100.0), (3, 3L, 16.0))
+  }
+
+  it should "produce non-increasing radii (the greedy invariant)" in {
+    val radii = Coreset.kCenter(emb, "vec_id", "embedding", 6)
+      .orderBy(col("sel_rank")).collect().map(_.getDouble(2)).drop(1)
+    radii.zip(radii.tail).foreach { case (a, b) => b should be <= a }
+    radii.head should be > 0.0
+  }
+
+  it should "select an identical coreset under repartitioning" in {
+    val a = Coreset.kCenter(emb, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq)
+    val b = Coreset.kCenter(emb.repartition(7), "vec_id", "embedding", 5)
+      .collect().map(_.toSeq)
+    b.toSeq shouldBe a.toSeq
+  }
+
+  it should "select distinct ids seeded by the minimum id" in {
+    val rows = Coreset.kCenter(emb, "vec_id", "embedding", 6).collect()
+    val ids = rows.map(_.getLong(1))
+    ids.distinct.length shouldBe ids.length
+    ids.head shouldBe emb.agg(min(col("vec_id"))).head().getLong(0)
+  }
+}
