@@ -197,19 +197,75 @@ object Bpe {
                        cap: Int = VocabCap, top: Int = TopTokens): DataFrame =
     tokenFrequenciesWith(docs, train(docs, k, cap), top)
 
-  /** Persist the merge table as a parquet tokenizer artifact — the
-    * epoch posture: train once, encode every later batch without
-    * re-deriving the merges. */
+  /** Persist the tokenizer as a parquet artifact tree — the epoch
+    * posture: train once, encode every later batch without
+    * re-deriving the merges. Layout:
+    *   `path/census` — the FULL word-frequency census (word, freq):
+    *     the sufficient statistic that makes [[appendBpeModel]]
+    *     possible without rescanning the prior corpus;
+    *   `path/merges` — the rank-ordered merge table;
+    *   `path/meta`   — (k, cap), so the training policy travels with
+    *     the artifact.
+    * Commit is the staged-tree swap ([[graft.io.Fs.replaceDir]]); a
+    * crashed build leaves the prior tree intact. */
   def writeBpeModel(spark: SparkSession, docs: DataFrame, path: String,
                     k: Int = Merges, cap: Int = VocabCap): Unit =
-    mergesFrame(spark, docs, k, cap).write.mode("overwrite").parquet(path)
+    writeTree(spark, wordCensus(docs), k, cap, path)
+
+  /** INCREMENTAL tokenizer maintenance — fold a new document batch
+    * into a persisted tokenizer WITHOUT rescanning the prior corpus:
+    * word counts are associative, so batch census + stored census is
+    * the combined-corpus census exactly, and retraining over the
+    * re-capped merged census is bit-identical to a one-shot build
+    * (gated by q_text_bpe_incremental against the one-shot oracle). */
+  def appendBpeModel(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    graft.io.Fs.recoverAside(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val merged = spark.read.parquet(s"$path/census")
+      .unionByName(wordCensus(batch))
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+    writeTree(spark, merged, meta.getInt(0), meta.getInt(1), path)
+  }
+
+  private def writeTree(spark: SparkSession, census0: DataFrame,
+                        k: Int, cap: Int, path: String): Unit = {
+    import spark.implicits._
+    val staging = s"$path.staging"
+    graft.io.Fs.deleteRecursive(spark, staging)
+    // materialize the census FIRST: the append path's census lazily
+    // reads the live tree, and the final swap must not invalidate an
+    // open lineage
+    census0.select(col("word"), col("freq").cast("long").as("freq"))
+      .write.parquet(s"$staging/census")
+    val vocab = spark.read.parquet(s"$staging/census")
+      .orderBy(col("freq").desc, col("word").asc).limit(cap)
+      .collect()
+      .map(r => (codePointSplit(r.getString(0)), r.getLong(1)))
+    val merges = trainMerges(vocab, k)
+    val rows = merges.map(m => Row(m.rank, m.lhs, m.rhs, m.merged, m.cnt))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        StructType(Seq(
+          StructField("rank", IntegerType, false),
+          StructField("lhs", StringType, false),
+          StructField("rhs", StringType, false),
+          StructField("merged", StringType, false),
+          StructField("cnt", LongType, false))))
+      .write.parquet(s"$staging/merges")
+    Seq((k, cap)).toDF("k", "cap").coalesce(1)
+      .write.parquet(s"$staging/meta")
+    graft.io.Fs.replaceDir(spark, staging, path)
+  }
 
   /** Reload a persisted merge table in rank order. */
-  def loadMerges(spark: SparkSession, path: String): Array[Merge] =
-    spark.read.parquet(path).orderBy(col("rank")).collect()
+  def loadMerges(spark: SparkSession, path: String): Array[Merge] = {
+    graft.io.Fs.recoverAside(spark, path)
+    spark.read.parquet(s"$path/merges").orderBy(col("rank")).collect()
       .map(r => Merge(r.getInt(r.fieldIndex("rank")),
         r.getString(r.fieldIndex("lhs")), r.getString(r.fieldIndex("rhs")),
         r.getString(r.fieldIndex("merged")), r.getLong(r.fieldIndex("cnt"))))
+  }
 
   /** Encode from a persisted tokenizer — identical plan to
     * [[tokenFrequencies]], zero training work. */

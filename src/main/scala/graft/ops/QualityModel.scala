@@ -156,17 +156,81 @@ object QualityModel {
     scoreWith(docs, train(sij, bi, n))
   }
 
-  /** Persist the trained weights as a parquet model artifact — the
-    * epoch posture: train once, score any later batch or stream
-    * without re-running the census. The stored doubles round-trip the
-    * 9-decimal grid exactly (shortest-string doubles of ≤15
-    * significant digits re-grid to the same decimal). */
+  /** Persist the trained model as a parquet artifact tree — the epoch
+    * posture: train once, score any later batch or stream without
+    * re-running the census. Layout:
+    *   `path/census`  — ONE row of exact-decimal moment sums (10
+    *     upper-triangle XᵀX + 4 Xᵀy, stored as plain strings) + n:
+    *     the SUFFICIENT STATISTIC, which is what makes [[appendModel]]
+    *     possible without rescanning the prior corpus;
+    *   `path/weights` — the K-step weights (dim, w, n).
+    * Commit is the staged-tree swap ([[graft.io.Fs.replaceDir]]); a
+    * crashed build leaves the prior tree intact. The stored weight
+    * doubles round-trip the 9-decimal grid exactly (shortest-string
+    * doubles of ≤15 significant digits re-grid to the same decimal). */
   def writeModel(spark: SparkSession, docs: DataFrame, path: String): Unit =
-    modelFrame(spark, docs).write.mode("overwrite").parquet(path)
+    writeTree(spark, census(features(docs)), path)
+
+  /** INCREMENTAL model maintenance — fold a new document batch into a
+    * persisted model WITHOUT rescanning the prior corpus: exact
+    * decimal sums are associative, so batch census + stored census is
+    * the combined-corpus census EXACTLY, and retraining from the
+    * merged sums is bit-identical to a one-shot build (gated by
+    * q_text_quality_incremental against the one-shot oracle). */
+  def appendModel(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    graft.io.Fs.recoverAside(spark, path)
+    val (s0, b0, n0) = readCensus(spark, path)
+    val (s1, b1, n1) = census(features(batch))
+    writeTree(spark,
+      (s0.map { case (k, v) => k -> v.add(s1(k)) },
+        b0.map { case (k, v) => k -> v.add(b1(k)) },
+        n0 + n1),
+      path)
+  }
+
+  private def writeTree(spark: SparkSession,
+      cen: (Map[(Int, Int), JBD], Map[Int, JBD], Long), path: String): Unit = {
+    val (sij, bi, n) = cen
+    val staging = s"$path.staging"
+    graft.io.Fs.deleteRecursive(spark, staging)
+    val censusCols =
+      (for { i <- 1 to Dims; j <- i to Dims } yield
+        (s"s$i$j", sij((i, j)).toPlainString)) ++
+      (1 to Dims).map(i => (s"b$i", bi(i).toPlainString))
+    val censusRow = Row.fromSeq(censusCols.map(_._2) :+ n)
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(censusRow), 1),
+        StructType(censusCols.map(c =>
+          StructField(c._1, StringType, false)) :+
+          StructField("n", LongType, false)))
+      .write.parquet(s"$staging/census")
+    val w = train(sij, bi, n)
+    val rows = (1 to Dims).map(i => Row(i, w(i - 1).doubleValue, n))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("dim", IntegerType, false),
+          StructField("w", DoubleType, false),
+          StructField("n", LongType, false))))
+      .write.parquet(s"$staging/weights")
+    graft.io.Fs.replaceDir(spark, staging, path)
+  }
+
+  private def readCensus(spark: SparkSession, path: String)
+      : (Map[(Int, Int), JBD], Map[Int, JBD], Long) = {
+    val r = spark.read.parquet(s"$path/census").head()
+    val sij = (for { i <- 1 to Dims; j <- i to Dims } yield
+      (i, j) -> new JBD(r.getString(r.fieldIndex(s"s$i$j")))).toMap
+    val bi = (1 to Dims).map(i =>
+      i -> new JBD(r.getString(r.fieldIndex(s"b$i")))).toMap
+    (sij, bi, r.getLong(r.fieldIndex("n")))
+  }
 
   /** Reload the K-step weights from a persisted model. */
   def loadWeights(spark: SparkSession, path: String): Array[JBD] = {
-    val rows = spark.read.parquet(path)
+    graft.io.Fs.recoverAside(spark, path)
+    val rows = spark.read.parquet(s"$path/weights")
       .orderBy(col("dim")).select("dim", "w").collect()
     require(rows.length == Dims, s"model at $path has ${rows.length} dims")
     rows.map(r => q(r.getDouble(1), 9))

@@ -1076,6 +1076,30 @@ object TextQueries {
       graft.ops.Bpe.writeBpeModel(s, d, base)
       graft.ops.Bpe.tokenFrequenciesIndexed(d, base)
     }),
+    // incremental retrain gates: build on half the corpus, fold the
+    // other half into the persisted census (decimal sums / word
+    // counts are associative), score/encode the FULL corpus from the
+    // artifact — must equal the one-shot oracle rows verbatim
+    "q_text_quality_incremental" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-qm-incr-$slug"
+      rmrfLocal(new java.io.File(base))
+      rmrfLocal(new java.io.File(base + ".staging"))
+      val d = docs(s, dir)
+      graft.ops.QualityModel.writeModel(s, d.filter(col("doc_id") % 2 === 0), base)
+      graft.ops.QualityModel.appendModel(d.filter(col("doc_id") % 2 =!= 0), base)
+      graft.ops.QualityModel.scoredFrameIndexed(d, base)
+    }),
+    "q_text_bpe_incremental" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-bpe-incr-$slug"
+      rmrfLocal(new java.io.File(base))
+      rmrfLocal(new java.io.File(base + ".staging"))
+      val d = docs(s, dir)
+      graft.ops.Bpe.writeBpeModel(s, d.filter(col("doc_id") % 2 === 0), base)
+      graft.ops.Bpe.appendBpeModel(d.filter(col("doc_id") % 2 =!= 0), base)
+      graft.ops.Bpe.tokenFrequenciesIndexed(d, base)
+    }),
     // tokenizer fertility by language — the diagnostic every
     // multilingual tokenizer build reports (BPE tokens per word, per
     // lang); per-doc lengths via the same distinct-word length join
@@ -1782,6 +1806,11 @@ object TextQueries {
     "q_text_quality_persisted" ->
       graft.ops.QualityModel.scoredOracleSql("documents"),
     "q_text_bpe_persisted" ->
+      graft.ops.Bpe.tokensOracleSql("documents"),
+    // the incremental twins must land on the one-shot oracles exactly
+    "q_text_quality_incremental" ->
+      graft.ops.QualityModel.scoredOracleSql("documents"),
+    "q_text_bpe_incremental" ->
       graft.ops.Bpe.tokensOracleSql("documents"),
     "q_text_bpe_fertility" ->
       (graft.ops.Bpe.docLensOraclePrefix("documents") +

@@ -84,6 +84,26 @@ class BpeSpec extends SparkSpec {
     indexed.toSeq shouldBe direct.toSeq
   }
 
+  it should "append a batch bit-identically to a one-shot build" in {
+    val oneShot = freshDir("bpe-model-oneshot")
+    val incr = freshDir("bpe-model-incr")
+    Bpe.writeBpeModel(spark, docs, oneShot, k = 12, cap = 256)
+    Bpe.writeBpeModel(spark, docs.filter(col("doc_id") % 2 === 0),
+      incr, k = 12, cap = 256)
+    Bpe.appendBpeModel(docs.filter(col("doc_id") % 2 =!= 0), incr)
+    Bpe.loadMerges(spark, incr).toSeq shouldBe
+      Bpe.loadMerges(spark, oneShot).toSeq
+  }
+
+  it should "recover a mid-swap aside before reading" in {
+    val base = freshDir("bpe-model-aside")
+    Bpe.writeBpeModel(spark, docs, base, k = 12, cap = 256)
+    val m = Bpe.loadMerges(spark, base)
+    val f = new java.io.File(base)
+    assert(f.renameTo(new java.io.File(base + ".old")))
+    Bpe.loadMerges(spark, base).toSeq shouldBe m.toSeq
+  }
+
   it should "replay merges identically to the training fusion" in {
     val m = Bpe.train(docs, k = 12, cap = 64)
     // re-run the training loop and capture final states, then check

@@ -104,6 +104,30 @@ class QualityModelSpec extends SparkSpec {
     indexed.toSeq shouldBe direct.toSeq
   }
 
+  it should "append a batch bit-identically to a one-shot build" in {
+    val oneShot = freshDir("qm-model-oneshot")
+    val incr = freshDir("qm-model-incr")
+    QualityModel.writeModel(spark, docs, oneShot)
+    QualityModel.writeModel(spark, docs.filter(col("doc_id") % 2 === 0), incr)
+    QualityModel.appendModel(docs.filter(col("doc_id") % 2 =!= 0), incr)
+    val a = QualityModel.loadWeights(spark, oneShot)
+    val b = QualityModel.loadWeights(spark, incr)
+    a.zip(b).foreach { case (x, y) => x.compareTo(y) shouldBe 0 }
+  }
+
+  it should "recover a mid-swap aside before reading" in {
+    val base = freshDir("qm-model-aside")
+    QualityModel.writeModel(spark, docs, base)
+    val w = QualityModel.loadWeights(spark, base)
+    // simulate a crash between replaceDir's two renames: the live
+    // tree is parked at .old and the destination is missing
+    val f = new java.io.File(base)
+    val aside = new java.io.File(base + ".old")
+    assert(f.renameTo(aside))
+    val recovered = QualityModel.loadWeights(spark, base)
+    recovered.zip(w).foreach { case (x, y) => x.compareTo(y) shouldBe 0 }
+  }
+
   it should "beat the keep-all base rate on the weak labels" in {
     val agg = QualityModel.scoredFrame(docs)
       .agg(avg(col("agree").cast("double")).as("acc"),
