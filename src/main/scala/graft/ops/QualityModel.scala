@@ -153,7 +153,7 @@ object QualityModel {
     * threshold decided in decimal — a pure projection over the scan. */
   def scoredFrame(docs: DataFrame): DataFrame = {
     val (sij, bi, n) = census(features(docs))
-    scoreWith(docs, train(sij, bi, n))
+    scoredFrameWith(docs, train(sij, bi, n))
   }
 
   /** Persist the trained model as a parquet artifact tree — the epoch
@@ -239,9 +239,12 @@ object QualityModel {
   /** Score from a persisted model — identical plan to [[scoredFrame]]
     * (weights as decimal literals), zero training work. */
   def scoredFrameIndexed(docs: DataFrame, modelPath: String): DataFrame =
-    scoreWith(docs, loadWeights(docs.sparkSession, modelPath))
+    scoredFrameWith(docs, loadWeights(docs.sparkSession, modelPath))
 
-  private def scoreWith(docs: DataFrame, w: Array[JBD]): DataFrame = {
+  /** Score with already-loaded weights — the streaming leg loads the
+    * artifact once at stream start and scores every micro-batch
+    * through this shared path. */
+  def scoredFrameWith(docs: DataFrame, w: Array[JBD]): DataFrame = {
     val f = features(docs)
     val dot = (1 to Dims).map { i =>
       col(xc(i)) * lit(w(i - 1).toPlainString).cast("decimal(12,9)")

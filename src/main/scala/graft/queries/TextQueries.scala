@@ -442,6 +442,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAM-PARITY gate for the trained quality scorer: the persisted
+    * model scores a 2-micro-batch file stream; the unioned sink must
+    * land on the batch scoring oracle verbatim. */
+  def qualityStreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-qm-stream-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    graft.ops.QualityModel.writeModel(s, d, s"$base/model")
+    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.DocStreams.qualityScoreIngest(
+      stream, s"$base/model", s"$base/sink")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/sink/scores")
+      .select(col("doc_id"), col("score"), col("keep"),
+        col("label"), col("agree"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
     * decoder parses the header back; the oracle replays the container
@@ -1148,6 +1170,7 @@ object TextQueries {
     "q_dsir_persisted" -> (dsirPersisted _),
     "q_text_lm_persisted" -> (lmPersisted _),
     "q_text_lm_stream_parity" -> (lmStreamParity _),
+    "q_text_quality_stream_parity" -> (qualityStreamParity _),
     "q_text_lm_incremental" -> (lmIncremental _),
     "q_text_span_corrupt" -> (spanCorruptQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -1676,6 +1699,8 @@ object TextQueries {
     // batching leaves no trace
     "q_text_lm_persisted" -> lmScoreSql,
     "q_text_lm_stream_parity" -> lmScoreSql,
+    "q_text_quality_stream_parity" ->
+      graft.ops.QualityModel.scoredOracleSql("documents"),
     "q_text_lm_incremental" -> lmScoreSql,
     "q_text_span_corrupt" ->
       """WITH sp AS (

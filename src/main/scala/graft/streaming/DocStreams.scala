@@ -323,6 +323,26 @@ object DocStreams {
     * UNK/floor ladder (cross-corpus streams are first-class); the
     * model refreshes at epoch boundaries by restarting the stream on
     * a new index path, never inside it. */
+  /** Streaming quality scoring against a persisted
+    * [[graft.ops.QualityModel]] artifact: weights load ONCE at stream
+    * start, every micro-batch scores through the shared scan-fused
+    * path, scores land batch-id-keyed (replay-idempotent). Gated by
+    * q_text_quality_stream_parity against the batch oracle. */
+  def qualityScoreIngest(
+      docs: DataFrame, modelPath: String, sinkPath: String): StreamingQuery = {
+    val w = graft.ops.QualityModel.loadWeights(docs.sparkSession, modelPath)
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.QualityModel.scoredFrameWith(batch, w)
+            .write.mode("overwrite").parquet(s"$sinkPath/scores/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   def lmScoreIngest(
       docs: DataFrame, modelPath: String, sinkPath: String,
       textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
