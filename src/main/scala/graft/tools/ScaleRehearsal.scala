@@ -120,7 +120,11 @@ object ScaleRehearsal {
       // round-13 additions (second batch): the trained quality
       // scorer (census + driver GD + scan-fused scoring) and BPE
       // encode (census + capped driver merge loop + broadcast replay)
-      "q_text_quality_trained", "q_text_bpe_tokens")
+      "q_text_quality_trained", "q_text_bpe_tokens",
+      // round-13 (third batch): tokenizer-integrated packing (word
+      // census + length join + 16-byte pack exchange) and greedy
+      // k-center (k scans + TakeOrdered argmax per round)
+      "q_pack_bpe", "q_embed_kcenter")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
