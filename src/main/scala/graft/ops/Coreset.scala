@@ -53,16 +53,20 @@ object Coreset {
       .select(transform(col(vecCol), x => d(x).cast("string")).as("gv"))
       .head().getSeq[String](0)
 
-  /** Greedy k-center selection: (sel_rank, vec_id, radius) — radius
-    * is the selected point's distance² to the prior set (the running
-    * coverage bound; 0 for the seed). */
-  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  /** One selected center: rank, id, radius (distance² to the prior
+    * set; 0 for the seed), and the gridded vector. */
+  final case class Center(rank: Int, id: Long, radius: Double,
+                          gvec: Seq[String])
+
+  /** The greedy selection loop shared by [[kCenter]] and
+    * [[kCenterAssign]]. */
+  def selectCenters(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Seq[Center] = {
     require(k >= 1, s"k=$k out of range")
-    val spark = emb.sparkSession
     val seedId = emb.agg(min(col(idCol))).head().getLong(0)
-    val selected = Seq.newBuilder[(Int, Long, Double)]
-    selected += ((1, seedId, 0.0))
+    val selected = Seq.newBuilder[Center]
     var center = griddedVec(emb, idCol, vecCol, seedId)
+    selected += Center(1, seedId, 0.0, center)
     var work = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("mind", dist2(col("v"), center))
@@ -74,25 +78,63 @@ object Coreset {
           transform(col("v"), x => d(x).cast("string")).as("gv"))
         .orderBy(col("mind").desc, col("id").asc)
         .limit(1).head()
-      val topId = top.getLong(0)
-      val topMind = top.getDecimal(1)
+      center = top.getSeq[String](2)
       // decimal → double via the string hop (both engines parse
       // decimal digit strings with correct rounding)
-      selected += ((r, topId, java.lang.Double.parseDouble(topMind.toPlainString)))
-      center = top.getSeq[String](2)
+      selected += Center(r, top.getLong(0),
+        java.lang.Double.parseDouble(top.getDecimal(1).toPlainString), center)
       if (r < k)
         work = work
           .withColumn("mind", least(col("mind"), dist2(col("v"), center)))
           .localCheckpoint(true)
       r += 1
     }
+    selected.result()
+  }
+
+  /** Greedy k-center selection: (sel_rank, vec_id, radius) — radius
+    * is the selected point's distance² to the prior set (the running
+    * coverage bound; 0 for the seed). */
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = emb.sparkSession
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        selected.result().map { case (a, b, c) => Row(a, b, c) }, 1),
+        selectCenters(emb, idCol, vecCol, k)
+          .map(c => Row(c.rank, c.id, c.radius)), 1),
       StructType(Seq(
         StructField("sel_rank", IntegerType, false),
         StructField("vec_id", LongType, false),
         StructField("radius", DoubleType, false))))
+      .orderBy(col("sel_rank"))
+  }
+
+  /** Coverage audit: assign every point to its nearest selected
+    * center (exact-decimal argmin, rank tie-break) and report per
+    * center (sel_rank, vec_id, n_assigned, max_d2) — cluster sizes
+    * and the realized per-cluster radius. ONE scan: all k distances
+    * fold in a single projection (k·d decimal ops per row), the
+    * argmin is a `least` over (dist, rank) structs, and only (rank,
+    * partial count, partial max) partials shuffle. */
+  def kCenterAssign(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    val centers = selectCenters(emb, idCol, vecCol, k)
+    val best = least(centers.map(c =>
+      struct(dist2(col("v"), c.gvec).as("d2"), lit(c.rank).as("rnk"))): _*)
+    val byRank = emb.sparkSession.createDataFrame(
+      emb.sparkSession.sparkContext.parallelize(
+        centers.map(c => Row(c.rank, c.id)), 1),
+      StructType(Seq(
+        StructField("sel_rank", IntegerType, false),
+        StructField("vec_id", LongType, false))))
+    emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .select(best.as("b"))
+      .groupBy(col("b.rnk").as("sel_rank"))
+      .agg(count(lit(1)).as("n_assigned"),
+        max(col("b.d2")).as("maxd"))
+      .join(broadcast(byRank), "sel_rank")
+      .select(col("sel_rank"), col("vec_id"), col("n_assigned"),
+        // decimal → double via the string hop
+        col("maxd").cast("string").cast("double").as("max_d2"))
       .orderBy(col("sel_rank"))
   }
 
@@ -101,9 +143,10 @@ object Coreset {
   // center: argmax of the running min-distance, exact decimal.
   // ---------------------------------------------------------------
 
-  /** Oracle: same seed, same grid, same argmax tie order. `dims` must
-    * match the embedding width. */
-  def kCenterOracleSql(table: String, k: Int, dims: Int): String = {
+  /** Shared WITH-prefix: grid, seed, and the k−1 unrolled selection
+    * rounds (c$r = center, cg$r = its gridded vector, m$r = running
+    * min distance). */
+  private def oraclePrefix(table: String, k: Int, dims: Int): String = {
     val rounds = (2 to k).map { r =>
       val prev = r - 1
       s"""c$r AS MATERIALIZED (
@@ -118,10 +161,6 @@ object Coreset {
                  FROM g JOIN cg$r cg ON cg.i = g.i GROUP BY g.vec_id) t
            JOIN m$prev m ON m.vec_id = t.vec_id)"""
     }.mkString(",\n         ")
-    val sel = (2 to k).map { r =>
-      s"""SELECT $r AS sel_rank, cid AS vec_id,
-            CAST(CAST(mind AS VARCHAR) AS DOUBLE) AS radius FROM c$r"""
-    }.mkString("\n       UNION ALL ")
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM $table),
          idx AS (SELECT unnest(range(1, ${dims + 1})) AS i),
          g AS MATERIALIZED (
@@ -135,10 +174,51 @@ object Coreset {
          m1 AS MATERIALIZED (
            SELECT g.vec_id, sum((g.x - cg.x) * (g.x - cg.x)) AS mind
            FROM g JOIN cg1 cg ON cg.i = g.i GROUP BY g.vec_id),
-         $rounds
+         $rounds"""
+  }
+
+  /** Oracle: same seed, same grid, same argmax tie order. `dims` must
+    * match the embedding width. */
+  def kCenterOracleSql(table: String, k: Int, dims: Int): String = {
+    val sel = (2 to k).map { r =>
+      s"""SELECT $r AS sel_rank, cid AS vec_id,
+            CAST(CAST(mind AS VARCHAR) AS DOUBLE) AS radius FROM c$r"""
+    }.mkString("\n       UNION ALL ")
+    oraclePrefix(table, k, dims) +
+      s"""
        SELECT 1 AS sel_rank, cid AS vec_id, CAST(0.0 AS DOUBLE) AS radius
        FROM c1
        UNION ALL $sel
+       ORDER BY sel_rank"""
+  }
+
+  /** Assignment oracle: per-point distance to every derived center,
+    * argmin with rank tie-break, per-center count + realized radius. */
+  def kCenterAssignOracleSql(table: String, k: Int, dims: Int): String = {
+    val dists = (1 to k).map { r =>
+      s"""SELECT g.vec_id, $r AS rnk,
+            sum((g.x - cg.x) * (g.x - cg.x)) AS d2
+          FROM g JOIN cg$r cg ON cg.i = g.i GROUP BY g.vec_id"""
+    }.mkString("\n           UNION ALL ")
+    val cids = (1 to k).map(r => s"SELECT $r AS rnk, cid FROM c$r")
+      .mkString("\n           UNION ALL ")
+    oraclePrefix(table, k, dims) +
+      s""",
+         ad AS MATERIALIZED (
+           $dists),
+         am AS MATERIALIZED (
+           SELECT vec_id, rnk, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, rnk ASC) AS rn
+           FROM ad),
+         cids AS MATERIALIZED (
+           $cids)
+       SELECT a.rnk AS sel_rank, c.cid AS vec_id,
+         CAST(count(1) AS BIGINT) AS n_assigned,
+         CAST(CAST(max(a.d2) AS VARCHAR) AS DOUBLE) AS max_d2
+       FROM am a JOIN cids c ON c.rnk = a.rnk
+       WHERE a.rn = 1
+       GROUP BY a.rnk, c.cid
        ORDER BY sel_rank"""
   }
 }

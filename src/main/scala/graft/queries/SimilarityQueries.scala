@@ -606,6 +606,8 @@ object SimilarityQueries {
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_kcenter" -> ((s, dir) =>
       graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
+    "q_embed_kcenter_assign" -> ((s, dir) =>
+      graft.ops.Coreset.kCenterAssign(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_pca" -> (embedPca _),
     "q_embed_pca_project" -> (embedPcaProject _),
     "q_embed_pca_topr" -> (embedPcaTopR _),
@@ -858,6 +860,8 @@ object SimilarityQueries {
     // greedy center re-derived independently, exact decimal
     "q_embed_kcenter" ->
       graft.ops.Coreset.kCenterOracleSql("embeddings", 8, 64),
+    "q_embed_kcenter_assign" ->
+      graft.ops.Coreset.kCenterAssignOracleSql("embeddings", 8, 64),
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (

@@ -38,6 +38,19 @@ class CoresetSpec extends SparkSpec {
     b.toSeq shouldBe a.toSeq
   }
 
+  it should "assign every point once with the farthest equal to the next radius" in {
+    val k = 5
+    val assign = Coreset.kCenterAssign(emb, "vec_id", "embedding", k)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assign.map(_._3).sum shouldBe emb.count()
+    assign.length shouldBe k // every center covers at least itself
+    // the realized farthest point IS what greedy would select next:
+    // its distance equals the (k+1)-th center's radius
+    val next = Coreset.kCenter(emb, "vec_id", "embedding", k + 1)
+      .filter(col("sel_rank") === k + 1).head().getDouble(2)
+    assign.map(_._4).max shouldBe next +- 1e-12
+  }
+
   it should "select distinct ids seeded by the minimum id" in {
     val rows = Coreset.kCenter(emb, "vec_id", "embedding", 6).collect()
     val ids = rows.map(_.getLong(1))
