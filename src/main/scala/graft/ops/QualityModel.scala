@@ -345,17 +345,21 @@ object QualityModel {
          (SELECT n FROM cen) AS n
        FROM w$Iters ORDER BY dim"""
 
-  /** Scoring oracle: per-doc exact-decimal dot + decimal threshold. */
-  def scoredOracleSql(table: String): String =
-    oracleBody(table) +
-      s"""
+  /** The per-doc score CTEs appended to the training body. */
+  private def scoreCtes: String =
+    s"""
        , fu AS (
            ${(1 to Dims).map(i =>
              s"SELECT doc_id, $i AS i, x$i AS x FROM f")
              .mkString("\n           UNION ALL ")}),
-         sc AS (
+         sc AS MATERIALIZED (
            SELECT fu.doc_id, sum(fu.x * w$Iters.v) AS s
-           FROM fu JOIN w$Iters ON w$Iters.i = fu.i GROUP BY fu.doc_id)
+           FROM fu JOIN w$Iters ON w$Iters.i = fu.i GROUP BY fu.doc_id)"""
+
+  /** Scoring oracle: per-doc exact-decimal dot + decimal threshold. */
+  def scoredOracleSql(table: String): String =
+    oracleBody(table) + scoreCtes +
+      s"""
        SELECT f.doc_id,
          CAST(CAST(sc.s AS VARCHAR) AS DOUBLE) AS score,
          sc.s >= CAST(0.5 AS DECIMAL(12,9)) AS keep,
@@ -363,4 +367,13 @@ object QualityModel {
          (sc.s >= CAST(0.5 AS DECIMAL(12,9))) = (CAST(f.y AS INT) = 1) AS agree
        FROM f JOIN sc ON sc.doc_id = f.doc_id
        ORDER BY f.doc_id"""
+
+  /** Composable oracle prefix ending in `qkeep(doc_id)` — the trained
+    * keep set. Callers append their own CTEs + SELECT; the Spark twin
+    * is `scoredFrame(...).filter(col("keep"))`. */
+  def keepOraclePrefix(table: String): String =
+    oracleBody(table) + scoreCtes +
+      s""",
+         qkeep AS MATERIALIZED (
+           SELECT doc_id FROM sc WHERE s >= CAST(0.5 AS DECIMAL(12,9)))"""
 }

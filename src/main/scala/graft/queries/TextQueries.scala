@@ -1009,6 +1009,31 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** TRAINED-MODEL curation composition — the learned scorer inside
+    * the curation DAG: train the [[graft.ops.QualityModel]] ridge
+    * classifier on the corpus, keep docs it accepts, then equal-share
+    * mixture-resample the survivors and report the per-language
+    * manifest. The oracle composes the unrolled-GD keep set with the
+    * md5 mixture replay — model drift, keep drift, and resample drift
+    * each break the hash. Scale shape: scoring is scan-fused, the
+    * mixture census shuffles stratum counts only. */
+  def curationTrained(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val keepIds = graft.ops.QualityModel.scoredFrame(d)
+      .filter(col("keep")).select(col("doc_id"))
+    val base = d.join(keepIds, "doc_id").localCheckpoint(true)
+    val kept = Sampling.mixtureResample(base, "lang", "doc_id",
+      Seq("de", "en", "es", "fr", "zh").map(_ -> (1, 5)).toMap)
+    val after = kept.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    base.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      .join(after, Seq("lang"), "left")
+      .select(col("lang"), col("n_before"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** END-TO-END curation pipeline — the full training-data prep chain
     * as ONE composed, fully-oracled query: synthetic-PII decoration →
     * redaction ([[graft.ops.Text.redactPii]]) → quality filter (the
@@ -1053,6 +1078,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_curation_pipeline" -> (curationPipeline _),
+    "q_curation_trained" -> (curationTrained _),
     "q_text_pii" -> (piiQ _),
     "q_text_decontam" -> (decontamQ _),
     "q_text_decontam_incremental" -> (decontamIncrementalQ _),
@@ -1701,6 +1727,35 @@ object TextQueries {
     "q_text_lm_stream_parity" -> lmScoreSql,
     "q_text_quality_stream_parity" ->
       graft.ops.QualityModel.scoredOracleSql("documents"),
+    // trained keep set composed with the md5 mixture replay
+    "q_curation_trained" ->
+      (graft.ops.QualityModel.keepOraclePrefix("documents") + """,
+         base AS MATERIALIZED (
+           SELECT d.doc_id, d.lang, d.n_chars
+           FROM documents d JOIN qkeep USING (doc_id)),
+         cb AS (SELECT lang, count(1) AS cnt FROM base GROUP BY 1),
+         totb AS (SELECT count(1) AS n FROM base),
+         thb AS (
+           SELECT lang, cnt,
+             LEAST(CAST(65536 AS HUGEINT),
+               (CAST(n AS HUGEINT) * 65536) // (5 * cnt)) AS t
+           FROM cb, totb),
+         keepb AS (
+           SELECT lang, cnt,
+             CASE WHEN t >= 65536 THEN 'g'
+                  ELSE printf('%04x', CAST(t AS INT)) END AS kb
+           FROM thb),
+         keptd AS (
+           SELECT b.lang, b.n_chars FROM base b JOIN keepb USING (lang)
+           WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < kb)
+       SELECT k.lang, k.cnt AS n_before,
+         coalesce(a.n_kept, 0) AS n_kept,
+         coalesce(a.chars_kept, 0) AS chars_kept
+       FROM keepb k LEFT JOIN (
+         SELECT lang, count(1) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+         FROM keptd GROUP BY 1) a USING (lang)
+       ORDER BY k.lang"""),
     "q_text_lm_incremental" -> lmScoreSql,
     "q_text_span_corrupt" ->
       """WITH sp AS (
