@@ -1197,6 +1197,16 @@ object TextQueries {
     "q_text_lm_persisted" -> (lmPersisted _),
     "q_text_lm_stream_parity" -> (lmStreamParity _),
     "q_text_quality_stream_parity" -> (qualityStreamParity _),
+    // calibration histogram: score-decile buckets vs weak labels —
+    // the model-eval table a filtering pipeline reports. floor(x*10)
+    // on the IEEE double is identical in both engines.
+    "q_text_quality_calibration" -> ((s, dir) =>
+      graft.ops.QualityModel.scoredFrame(docs(s, dir))
+        .groupBy(floor(col("score") * 10).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label")).cast("long").as("n_pos"),
+          sum(col("keep").cast("long")).as("n_keep"))
+        .orderBy(col("bucket"))),
     "q_text_lm_incremental" -> (lmIncremental _),
     "q_text_span_corrupt" -> (spanCorruptQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
@@ -1727,6 +1737,13 @@ object TextQueries {
     "q_text_lm_stream_parity" -> lmScoreSql,
     "q_text_quality_stream_parity" ->
       graft.ops.QualityModel.scoredOracleSql("documents"),
+    "q_text_quality_calibration" ->
+      (s"""SELECT CAST(floor(score * 10) AS BIGINT) AS bucket,
+             CAST(count(1) AS BIGINT) AS n,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+           FROM (${graft.ops.QualityModel.scoredOracleSql("documents")})
+           GROUP BY 1 ORDER BY 1"""),
     // trained keep set composed with the md5 mixture replay
     "q_curation_trained" ->
       (graft.ops.QualityModel.keepOraclePrefix("documents") + """,
