@@ -273,8 +273,11 @@ object Bpe {
                               top: Int = TopTokens): DataFrame =
     tokenFrequenciesWith(docs, loadMerges(docs.sparkSession, modelPath), top)
 
-  private def tokenFrequenciesWith(docs: DataFrame, merges: Array[Merge],
-                                   top: Int): DataFrame = {
+  /** Token-count PARTIALS (no cut): the streaming leg writes one of
+    * these per micro-batch; partials sum associatively, so the
+    * re-aggregated union equals a one-shot encode of the union
+    * corpus. */
+  def tokenPartialsWith(docs: DataFrame, merges: Array[Merge]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(merges)
@@ -283,9 +286,13 @@ object Bpe {
       .flatMap { case (w, f) => applyMerges(w, bc.value).map(t => (t, f)) }
       .toDF("token", "wfreq")
       .groupBy("token").agg(sum("wfreq").as("cnt"))
+  }
+
+  private def tokenFrequenciesWith(docs: DataFrame, merges: Array[Merge],
+                                   top: Int): DataFrame =
+    tokenPartialsWith(docs, merges)
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(top)
-  }
 
   // ---------------------------------------------------------------
   // Generated DuckDB oracle — the same constants emit K unrolled

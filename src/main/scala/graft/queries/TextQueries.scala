@@ -464,6 +464,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAM-PARITY gate for the persisted tokenizer: per-micro-batch
+    * token-count partials re-aggregated across the sink must equal
+    * the one-shot encode oracle (counts are associative). */
+  def bpeStreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-bpe-stream-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    graft.ops.Bpe.writeBpeModel(s, d, s"$base/model")
+    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.DocStreams.bpeEncodeIngest(
+      stream, s"$base/model", s"$base/sink")
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$base/sink/tokens")
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(graft.ops.Bpe.TopTokens)
+  }
+
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
     * decoder parses the header back; the oracle replays the container
@@ -1197,6 +1219,7 @@ object TextQueries {
     "q_text_lm_persisted" -> (lmPersisted _),
     "q_text_lm_stream_parity" -> (lmStreamParity _),
     "q_text_quality_stream_parity" -> (qualityStreamParity _),
+    "q_text_bpe_stream_parity" -> (bpeStreamParity _),
     // calibration histogram: score-decile buckets vs weak labels —
     // the model-eval table a filtering pipeline reports. floor(x*10)
     // on the IEEE double is identical in both engines.
@@ -1908,6 +1931,8 @@ object TextQueries {
     "q_text_quality_incremental" ->
       graft.ops.QualityModel.scoredOracleSql("documents"),
     "q_text_bpe_incremental" ->
+      graft.ops.Bpe.tokensOracleSql("documents"),
+    "q_text_bpe_stream_parity" ->
       graft.ops.Bpe.tokensOracleSql("documents"),
     "q_text_bpe_fertility" ->
       (graft.ops.Bpe.docLensOraclePrefix("documents") +

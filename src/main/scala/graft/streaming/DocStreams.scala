@@ -343,6 +343,27 @@ object DocStreams {
       .start()
   }
 
+  /** Streaming BPE encode against a persisted [[graft.ops.Bpe]]
+    * tokenizer: merges load ONCE at stream start, every micro-batch
+    * lands its token-count PARTIALS batch-id-keyed — partials sum
+    * associatively, so the re-aggregated sink equals a one-shot
+    * encode of the streamed corpus (gated by
+    * q_text_bpe_stream_parity against the batch oracle). */
+  def bpeEncodeIngest(
+      docs: DataFrame, modelPath: String, sinkPath: String): StreamingQuery = {
+    val merges = graft.ops.Bpe.loadMerges(docs.sparkSession, modelPath)
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Bpe.tokenPartialsWith(batch, merges)
+            .write.mode("overwrite").parquet(s"$sinkPath/tokens/batch=$batchId")
+        ()
+      }
+      .start()
+  }
+
   def lmScoreIngest(
       docs: DataFrame, modelPath: String, sinkPath: String,
       textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {
