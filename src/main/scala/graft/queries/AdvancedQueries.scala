@@ -760,7 +760,25 @@ object AdvancedQueries {
         element_at(col("embedding"), -1).cast("double").as("last"))
       .orderBy(col("vec_id"))
 
+  /** Link-graph centrality gates (graft.ops.Graph): exact-integer
+    * PageRank over the customer↔supplier interaction graph. */
+  private def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankTop(
+      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"),
+      iters = 6, k = 20)
+
+  private def graphPagerankMass(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.pageRankMass(
+      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"), iters = 6)
+
+  private def graphDegrees(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.degreeProfile(
+      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_pagerank_mass" -> (graphPagerankMass _),
+    "q_graph_degrees" -> (graphDegrees _),
     "q_string_funcs" -> (stringFuncs _),
     "q_math_funcs" -> (mathFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -822,6 +840,11 @@ object AdvancedQueries {
        FROM r ORDER BY o_custkey, version"""
 
   val oracleSql: Map[String, String] = Map(
+    // generated unrolled-round oracles (graft.ops.Graph): every
+    // PageRank iteration re-derived independently, exact integer
+    "q_graph_pagerank" -> graft.ops.Graph.pageRankTopOracleSql(6, 20),
+    "q_graph_pagerank_mass" -> graft.ops.Graph.pageRankMassOracleSql(6),
+    "q_graph_degrees" -> graft.ops.Graph.degreeProfileOracleSql,
     "q_string_funcs" ->
       """SELECT p_partkey,
            upper(p_name) AS up,
