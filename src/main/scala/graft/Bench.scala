@@ -80,7 +80,10 @@ object Bench {
       // round-13 persisted-model gates: epoch model builds + staged
       // index-tree writes dominate; the scoring kernel under test
       // benches separately as q_text_lm_score / q_dsir_weights
-      "q_text_lm_persisted", "q_dsir_persisted", "q_text_lm_incremental")
+      "q_text_lm_persisted", "q_dsir_persisted", "q_text_lm_incremental",
+      // inverted-index builds (one full + a half+append pair) dominate
+      // these two; the serve-path plan benches as q_text_search
+      "q_text_search_persisted", "q_text_search_incremental")
     def isGate(n: String): Boolean = n.contains("stream") || gateSet(n)
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a PERSISTED inverted index — the search
+  * side of the corpus tooling (inspect/debug/eval lookups over a
+  * pretraining corpus), and the classic IR posture: build the index
+  * once per corpus epoch, serve conjunctive BM25 top-k queries from
+  * the artifact without ever rescanning the documents.
+  *
+  * Artifact layout (all parquet, batch-appendable):
+  * {{{
+  *   path/postings/batch=K/shard=S/   (term, doc_id, tf)
+  *   path/doclen/batch=K/             (doc_id, dl)
+  *   path/vocab/batch=K/              (term, df)
+  *   path/stats/batch=K/              (n_docs, sum_dl)      one row
+  * }}}
+  * `shard = xxhash64(term) mod 16` — a query reads ONLY its terms'
+  * shards (partition-pruned scan; the spec asserts PartitionFilters),
+  * the lexicon (`vocab`) and `stats` are vocabulary-/batch-sized.
+  * Batches hold DISJOINT doc sets, so df and the corpus stats are
+  * additive across batches and an appended index scores bit-identically
+  * to a one-shot build — the sufficient-statistic posture every
+  * persisted artifact in this repo follows.
+  *
+  * Scoring is Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's +1-inside-log
+  * idf), numerically IDENTICAL to [[graft.queries.TextQueries]]'
+  * `q_text_bm25`: every double step in the same order, the per-term
+  * contribution quantized to DECIMAL(18,9) (rule 5b — libm's ln() is
+  * 1 ULP off Java's on a few percent of inputs), and the per-doc score
+  * summed in EXACT decimal so multi-term scores are order-free.
+  * Conjunctive semantics: a document qualifies iff it contains every
+  * term of the query.
+  *
+  * Scale shape: the build is one tokenize scan + two partial aggs
+  * (the tf census IS the postings table); a query touches query-terms
+  * × their posting lists (pruned scan), joins the vocabulary-sized df
+  * and doc-length sides, and cuts top-k per query with a window over
+  * candidates only. Documents themselves never shuffle at query time
+  * — at 100 TB the index is the only thing read.
+  */
+object Retrieval {
+
+  val Shards = 16
+
+  private def toks(docs: DataFrame, textCol: String, idCol: String) =
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      explode(Text.tokens(col(textCol))).as("term"))
+
+  /** The tf census — one row per (term, doc): the postings table. */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    toks(docs, textCol, idCol)
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+
+  /** In-memory index frames: (postings, doclen, vocab, stats). */
+  def indexFrames(docs: DataFrame, textCol: String, idCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val post = postings(docs, textCol, idCol)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val vocab = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (post, dl, vocab, stats)
+  }
+
+  /** The standing query set: the corpus's 2·q head terms by
+    * (df desc, term asc), paired off into q two-term conjunctive
+    * queries — (query_id, term, q_n). Vocabulary-sized derivation. */
+  def headTermQueries(vocab: DataFrame, q: Int): DataFrame = {
+    val w = Window.orderBy(col("df").desc, col("term").asc)
+    vocab.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= q * 2)
+      .select(expr("(rn + 1) div 2").cast("int").as("query_id"),
+        col("term"), lit(2).as("q_n"))
+  }
+
+  /** Conjunctive BM25 top-k over index frames. `queries` = (query_id,
+    * term, q_n). Output: (query_id, rnk, doc_id, score). */
+  def searchFrames(post: DataFrame, dl: DataFrame, vocab: DataFrame,
+                   stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
+    val cand = post.join(queries, "term")
+      .join(vocab, "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df").cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5) + 1.0))
+      .withColumn("contrib_raw",
+        col("idf") * (col("tf").cast("double") * (k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))))
+      // rule 5b: quantize per-term, then sum EXACT decimals so the
+      // per-doc score is term-order-free in both engines
+      .withColumn("contrib_d", col("contrib_raw").cast("decimal(18,9)"))
+    val scored = cand
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_match"), max(col("q_n")).as("q_n"),
+        sum(col("contrib_d")).as("score_d"))
+      .filter(col("n_match") === col("q_n"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_d").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        Similarity.decToDouble(col("score_d")).as("score"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** One-shot in-memory search: head-term queries over a fresh index
+    * of `docs`. */
+  def search(docs: DataFrame, textCol: String, idCol: String,
+             q: Int, k: Int): DataFrame = {
+    val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
+    searchFrames(post, dl, vocab, stats, headTermQueries(vocab, q), k)
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted artifact
+  // ---------------------------------------------------------------
+
+  private def shardCol: Column = pmod(xxhash64(col("term")), lit(Shards))
+
+  /** Write one batch of the index (batch 0 = initial build). */
+  def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
+                       path: String, batch: Int = 0): Unit = {
+    val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
+    post.withColumn("shard", shardCol)
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite")
+      .parquet(s"$path/postings/batch=$batch")
+    dl.write.mode("overwrite").parquet(s"$path/doclen/batch=$batch")
+    vocab.write.mode("overwrite").parquet(s"$path/vocab/batch=$batch")
+    stats.write.mode("overwrite").parquet(s"$path/stats/batch=$batch")
+  }
+
+  /** Append a DISJOINT doc batch — df/stats additivity does the merge
+    * at read time; no prior-batch rescan. */
+  def appendSearchIndex(docs: DataFrame, textCol: String, idCol: String,
+                        path: String, batch: Int): Unit =
+    writeSearchIndex(docs, textCol, idCol, path, batch)
+
+  /** The artifact's postings scan for a term set: filtered to the
+    * terms' shards (partition-pruned — asserted in `RetrievalSpec`)
+    * and the terms themselves (parquet row-group pushdown). Split out
+    * so the spec can read the un-checkpointed plan. */
+  def prunedPostingsFrame(spark: SparkSession, path: String,
+                          terms: Seq[String]): DataFrame = {
+    // shard ids through the SAME engine expression the writer used —
+    // a term-count-sized local frame, no internal-API hash replication
+    import spark.implicits._
+    val shards = terms.toDF("term").select(shardCol.as("s"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    spark.read.parquet(s"$path/postings")
+      .filter(col("shard").isin(shards: _*) && col("term").isin(terms: _*))
+      .drop("shard", "batch")
+  }
+
+  /** Head-term conjunctive BM25 top-k served from the artifact. The
+    * postings scan is filtered to the query terms (and their shards —
+    * partition-pruned); vocab/stats/doclen are the only other reads. */
+  def searchIndexed(spark: SparkSession, path: String,
+                    q: Int, k: Int): DataFrame = {
+    val vocab = spark.read.parquet(s"$path/vocab")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val queries = headTermQueries(vocab, q).cache()
+    val terms = queries.select(col("term")).collect().map(_.getString(0)).toSeq
+    val post = prunedPostingsFrame(spark, path, terms)
+    val dl = spark.read.parquet(s"$path/doclen").drop("batch")
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val out = searchFrames(post, dl, vocab, stats, queries, k)
+      .localCheckpoint(true)
+    queries.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // DuckDB oracle — the from-scratch replay every artifact path must
+  // land on (same tokenization, same head-term query derivation, same
+  // quantized-contribution BM25).
+  // ---------------------------------------------------------------
+
+  def searchOracleSql(table: String, q: Int, k: Int): String =
+    s"""WITH toks AS (
+           SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+           FROM $table),
+         tf AS (
+           SELECT doc_id, term, count(1) AS tf FROM toks GROUP BY doc_id, term),
+         dl AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         dfreq AS (
+           SELECT term, count(1) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         qsel AS (
+           SELECT term, rn FROM (
+             SELECT term,
+               row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+             FROM dfreq) WHERE rn <= ${q * 2}),
+         qterms AS (
+           SELECT CAST((rn + 1) // 2 AS INT) AS query_id, term, 2 AS q_n
+           FROM qsel),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id, qt.q_n,
+             CAST(CAST(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE) +
+                    1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+                      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               AS VARCHAR) AS DECIMAL(18,9)) AS contrib_d
+           FROM tf
+           JOIN qterms qt USING (term)
+           JOIN dfreq USING (term)
+           JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         scored AS (
+           SELECT query_id, doc_id, sum(contrib_d) AS score_d
+           FROM contrib
+           GROUP BY query_id, doc_id, q_n
+           HAVING count(1) = q_n),
+         ranked AS (
+           SELECT query_id, doc_id, score_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_d DESC, doc_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
+         FROM ranked WHERE rnk <= $k
+         ORDER BY query_id, rnk"""
+}

@@ -1115,6 +1115,29 @@ object TextQueries {
     "q_text_lm_score_topk" -> (lmScoreTopKQ _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
+    // conjunctive BM25 retrieval (graft.ops.Retrieval): head-term
+    // standing queries, in-memory / persisted-index / incremental-
+    // append paths — all three must land on the one from-scratch
+    // oracle derivation
+    "q_text_search" -> ((s, dir) =>
+      graft.ops.Retrieval.search(docs(s, dir), "text", "doc_id", q = 3, k = 5)),
+    "q_text_search_persisted" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-search-index-$slug"
+      rmrfLocal(new java.io.File(base))
+      graft.ops.Retrieval.writeSearchIndex(docs(s, dir), "text", "doc_id", base)
+      graft.ops.Retrieval.searchIndexed(s, base, q = 3, k = 5)
+    }),
+    "q_text_search_incremental" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-search-incr-$slug"
+      rmrfLocal(new java.io.File(base))
+      val d = docs(s, dir)
+      val isFirst = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+      graft.ops.Retrieval.writeSearchIndex(d.filter(isFirst), "text", "doc_id", base, batch = 0)
+      graft.ops.Retrieval.appendSearchIndex(d.filter(!isFirst), "text", "doc_id", base, batch = 1)
+      graft.ops.Retrieval.searchIndexed(s, base, q = 3, k = 5)
+    }),
     "q_text_chunks" -> (chunksQ _),
     "q_text_tokens" -> (tokenStats _),
     "q_text_vocab" -> (vocabQ _),
@@ -1753,6 +1776,12 @@ object TextQueries {
     // add-1/2 smoothing, rule-5b VARCHAR-hopped DECIMAL(18,9) costs,
     // exact decimal sums; only the final mean returns to double
     "q_text_lm_score" -> lmScoreSql,
+    // one from-scratch BM25-retrieval replay for all three engine
+    // paths: in-memory, artifact round-trip, half+append — the
+    // persisted index must be value-invisible
+    "q_text_search" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
+    "q_text_search_persisted" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
+    "q_text_search_incremental" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     // the persisted-index and streamed paths must land on the SAME
     // rows: the model round-trips through parquet and the stream's
     // batching leaves no trace

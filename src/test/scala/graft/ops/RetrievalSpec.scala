@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** graft.ops.Retrieval — persisted inverted index + conjunctive BM25. */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "apple banana apple cherry"),
+    (2L, "apple banana banana"),
+    (3L, "apple cherry cherry date"),
+    (4L, "banana date date"),
+    (5L, "apple apple apple banana cherry date")
+  ).toDF("doc_id", "text")
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  behavior of "Retrieval.search"
+
+  it should "enforce conjunctive semantics" in {
+    // head terms by df: apple(4) banana(4) cherry(3) date(3) →
+    // q1 = {apple, banana}, q2 = {cherry, date}
+    val out = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 10)
+    val byQ = out.collect().groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    byQ(1) shouldBe Set(1L, 2L, 5L) // contain both apple AND banana
+    byQ(2) shouldBe Set(3L, 5L)     // contain both cherry AND date
+  }
+
+  it should "rank higher-tf docs above longer ones and respect k" in {
+    val out = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 1)
+    out.count() shouldBe 2 // one row per query
+    out.collect().foreach(_.getInt(1) shouldBe 1)
+  }
+
+  it should "break head-term ties deterministically" in {
+    val a = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 5)
+    val b = Retrieval.search(corpus.repartition(7), "text", "doc_id", q = 2, k = 5)
+    rows(a) shouldBe rows(b)
+  }
+
+  behavior of "Retrieval.searchIndexed"
+
+  it should "match the in-memory search after an artifact round-trip" in {
+    val path = freshDir("retrieval-roundtrip")
+    Retrieval.writeSearchIndex(corpus, "text", "doc_id", path)
+    val direct = rows(Retrieval.search(corpus, "text", "doc_id", q = 2, k = 5))
+    val indexed = rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5))
+    indexed shouldBe direct
+  }
+
+  it should "score an appended disjoint batch identically to a one-shot build" in {
+    val path = freshDir("retrieval-incremental")
+    Retrieval.writeSearchIndex(
+      corpus.filter(col("doc_id") <= 2), "text", "doc_id", path, batch = 0)
+    Retrieval.appendSearchIndex(
+      corpus.filter(col("doc_id") > 2), "text", "doc_id", path, batch = 1)
+    val oneShot = rows(Retrieval.search(corpus, "text", "doc_id", q = 2, k = 5))
+    rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5)) shouldBe oneShot
+  }
+
+  it should "partition-prune the postings scan to the query terms' shards" in {
+    val path = freshDir("retrieval-prune")
+    Retrieval.writeSearchIndex(corpus, "text", "doc_id", path)
+    val plan = Retrieval.prunedPostingsFrame(spark, path, Seq("apple"))
+      .queryExecution.executedPlan.toString
+    // single term → Catalyst simplifies isin to =; multi-term stays IN
+    plan should include regex """PartitionFilters: \[[^\]]*shard#\d+ (IN|=)"""
+    // and the term filter reaches the parquet scan
+    plan should include("PushedFilters")
+  }
+}
