@@ -486,6 +486,26 @@ object TextQueries {
       .limit(graft.ops.Bpe.TopTokens)
   }
 
+  /** STREAM-PARITY gate for the inverted index: a 2-micro-batch file
+    * stream maintains the search index (one index batch per
+    * micro-batch); the served conjunctive BM25 top-k must land on the
+    * one-shot batch oracle verbatim — the stream's batching leaves no
+    * trace because disjoint batches make df/stats additive. */
+  def searchStreamParity(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-search-stream-$slug"
+    rmrfLocal(new java.io.File(base))
+    val d = docs(s, dir)
+    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+    val q = graft.streaming.DocStreams.searchIndexIngest(
+      stream, s"$base/index")
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Retrieval.searchIndexed(s, s"$base/index", q = 3, k = 5)
+  }
+
   /** Multimodal metadata pipeline — REAL codec end-to-end: each
     * document's bytes pack into a genuine P6 PPM container and the
     * decoder parses the header back; the oracle replays the container
@@ -1128,6 +1148,7 @@ object TextQueries {
       graft.ops.Retrieval.writeSearchIndex(docs(s, dir), "text", "doc_id", base)
       graft.ops.Retrieval.searchIndexed(s, base, q = 3, k = 5)
     }),
+    "q_text_search_stream_parity" -> (searchStreamParity _),
     "q_text_search_incremental" -> ((s, dir) => {
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/tmp-search-incr-$slug"
@@ -1782,6 +1803,7 @@ object TextQueries {
     "q_text_search" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_persisted" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_incremental" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
+    "q_text_search_stream_parity" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     // the persisted-index and streamed paths must land on the SAME
     // rows: the model round-trips through parquet and the stream's
     // batching leaves no trace

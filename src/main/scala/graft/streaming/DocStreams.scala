@@ -364,6 +364,30 @@ object DocStreams {
       .start()
   }
 
+  /** Streaming inverted-index maintenance
+    * ([[graft.ops.Retrieval]]): each micro-batch of (disjoint) docs
+    * becomes one index batch — postings/doclen/vocab/stats under
+    * `indexPath/<table>/batch=<id>` (overwrite ⇒ at-least-once replays
+    * rewrite their own partitions). Because batches hold disjoint doc
+    * sets, df and the corpus stats are ADDITIVE across them, so a
+    * served query ([[graft.ops.Retrieval.searchIndexed]]) scores
+    * bit-identically to a one-shot build of the streamed corpus —
+    * however the stream happened to batch it (gated by
+    * q_text_search_stream_parity against the batch oracle). */
+  def searchIndexIngest(
+      docs: DataFrame, indexPath: String,
+      textCol: String = "text", idCol: String = "doc_id"): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Retrieval.writeSearchIndex(
+            batch, textCol, idCol, indexPath, batchId.toInt)
+        ()
+      }
+      .start()
+
   def lmScoreIngest(
       docs: DataFrame, modelPath: String, sinkPath: String,
       textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {

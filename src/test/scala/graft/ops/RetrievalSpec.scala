@@ -62,6 +62,20 @@ class RetrievalSpec extends SparkSpec {
     rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5)) shouldBe oneShot
   }
 
+  it should "be replay-idempotent: rewriting a batch leaves scores unchanged" in {
+    val path = freshDir("retrieval-replay")
+    Retrieval.writeSearchIndex(
+      corpus.filter(col("doc_id") <= 2), "text", "doc_id", path, batch = 0)
+    Retrieval.appendSearchIndex(
+      corpus.filter(col("doc_id") > 2), "text", "doc_id", path, batch = 1)
+    val before = rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5))
+    // an at-least-once replay re-delivers batch 1; overwrite on the
+    // batch dir must make it a value no-op
+    Retrieval.appendSearchIndex(
+      corpus.filter(col("doc_id") > 2), "text", "doc_id", path, batch = 1)
+    rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5)) shouldBe before
+  }
+
   it should "partition-prune the postings scan to the query terms' shards" in {
     val path = freshDir("retrieval-prune")
     Retrieval.writeSearchIndex(corpus, "text", "doc_id", path)

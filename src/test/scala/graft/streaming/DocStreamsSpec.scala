@@ -360,4 +360,32 @@ class DocStreamsSpec extends SparkSpec {
     streamed shouldBe batch
     streamed.size should be > 100
   }
+
+  "searchIndexIngest" should "serve streamed batches exactly like a one-shot index" in {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val index = freshDir("search_stream_index")
+    val corpus = Seq(
+      (1L, "apple banana apple cherry"),
+      (2L, "apple banana banana"),
+      (3L, "apple cherry cherry date"),
+      (4L, "banana date date"),
+      (5L, "apple apple apple banana cherry date"))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStreams.searchIndexIngest(
+      mem.toDF().toDF("doc_id", "text"), index)
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = graft.ops.Retrieval.searchIndexed(spark, index, q = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = graft.ops.Retrieval.search(
+        corpus.toDF("doc_id", "text"), "text", "doc_id", q = 2, k = 5)
+      .collect().map(_.toSeq).toSeq
+    streamed shouldBe oneShot
+    streamed.size should be > 2
+  }
 }
