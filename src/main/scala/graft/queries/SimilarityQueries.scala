@@ -609,6 +609,9 @@ object SimilarityQueries {
     "q_embed_kcenter_assign" -> ((s, dir) =>
       graft.ops.Coreset.kCenterAssign(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_pca" -> (embedPca _),
+    "q_embed_randproj" -> ((s, dir) =>
+      graft.ops.RandomProjection.project(emb(s, dir), "embedding", "vec_id")
+        .orderBy(col("vec_id"))),
     "q_embed_pca_project" -> (embedPcaProject _),
     "q_embed_pca_topr" -> (embedPcaTopR _),
     "q_embed_pca_topr_project" -> (embedPcaTopRProject _),
@@ -850,6 +853,10 @@ object SimilarityQueries {
          WHERE v.vec_id < 100
          ORDER BY v.vec_id, v.dim""",
     "q_embed_pca" -> graft.ops.Pca.oracleSql("embeddings", "embedding"),
+    // pure-hash ±1 JL projection: the oracle re-derives the sign
+    // matrix from the same md5 draw and replays every exact sum
+    "q_embed_randproj" ->
+      graft.ops.RandomProjection.oracleSql("embeddings", "embedding", "vec_id"),
     "q_embed_pca_project" ->
       graft.ops.Pca.projectOracleSql("embeddings", "embedding", "vec_id"),
     "q_embed_pca_topr" ->
