@@ -78,7 +78,20 @@ object Retrieval {
   /** Conjunctive BM25 top-k over index frames. `queries` = (query_id,
     * term, q_n). Output: (query_id, rnk, doc_id, score). */
   def searchFrames(post: DataFrame, dl: DataFrame, vocab: DataFrame,
-                   stats: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+                   stats: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    searchFramesMode(post, dl, vocab, stats, queries, k, conjunctive = true)
+
+  /** Disjunctive (OR) variant: any doc containing ANY query term
+    * qualifies; missing terms simply contribute nothing to the exact
+    * decimal sum. Same candidate plan — the conjunctive/disjunctive
+    * split is only the post-aggregation match filter. */
+  def searchFramesOr(post: DataFrame, dl: DataFrame, vocab: DataFrame,
+                     stats: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    searchFramesMode(post, dl, vocab, stats, queries, k, conjunctive = false)
+
+  private def searchFramesMode(post: DataFrame, dl: DataFrame, vocab: DataFrame,
+      stats: DataFrame, queries: DataFrame, k: Int,
+      conjunctive: Boolean): DataFrame = {
     val k1 = 1.2
     val b = 0.75
     val cand = post.join(queries, "term")
@@ -96,11 +109,13 @@ object Retrieval {
       // rule 5b: quantize per-term, then sum EXACT decimals so the
       // per-doc score is term-order-free in both engines
       .withColumn("contrib_d", col("contrib_raw").cast("decimal(18,9)"))
-    val scored = cand
+    val grouped = cand
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_match"), max(col("q_n")).as("q_n"),
         sum(col("contrib_d")).as("score_d"))
-      .filter(col("n_match") === col("q_n"))
+    val scored =
+      if (conjunctive) grouped.filter(col("n_match") === col("q_n"))
+      else grouped
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score_d").desc, col("doc_id").asc)
     scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
@@ -115,6 +130,52 @@ object Retrieval {
              q: Int, k: Int): DataFrame = {
     val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
     searchFrames(post, dl, vocab, stats, headTermQueries(vocab, q), k)
+  }
+
+  /** One-shot disjunctive (OR) search. */
+  def searchOr(docs: DataFrame, textCol: String, idCol: String,
+               q: Int, k: Int): DataFrame = {
+    val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
+    searchFramesOr(post, dl, vocab, stats, headTermQueries(vocab, q), k)
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009,
+    * the standard lexical+prior combiner) of the conjunctive BM25
+    * ranking with a QUERY-INDEPENDENT document prior — here the
+    * stopword-density quality proxy ([[Text.stopwordCount]] over
+    * [[Text.langMarkers]]("en"), the q_text_quality axis), the
+    * "static rank" a search stack fuses with relevance. Per system
+    * the contribution is 1/(k0 + rank); both contributions quantize
+    * to DECIMAL(18,9) (rule 5b) and sum EXACTLY, so the fused
+    * ordering is engine-identical. The prior is ranked WITHIN each
+    * query's candidate set (depth-bounded), so the fusion plan is
+    * candidate-sized — the corpus contributes one projection for the
+    * prior columns and never shuffles. */
+  def searchHybridRrf(docs: DataFrame, textCol: String, idCol: String,
+                      q: Int, k: Int, depth: Int = 20, k0: Int = 60): DataFrame = {
+    val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
+    val bm25 = searchFrames(post, dl, vocab, stats,
+      headTermQueries(vocab, q), depth)
+    val prior = docs.select(col(idCol).cast("long").as("doc_id"),
+      (Text.stopwordCount(col(textCol), Text.langMarkers("en")).cast("double") /
+        size(Text.tokens(col(textCol))).cast("double")).as("stop_ratio"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("stop_ratio").desc, col("doc_id").asc)
+    val fused = bm25.join(prior, "doc_id")
+      .withColumn("prnk", row_number().over(wp))
+      .withColumn("c_bm",
+        (lit(1.0) / (lit(k0).cast("double") + col("rnk").cast("double")))
+          .cast("decimal(18,9)"))
+      .withColumn("c_pr",
+        (lit(1.0) / (lit(k0).cast("double") + col("prnk").cast("double")))
+          .cast("decimal(18,9)"))
+      .withColumn("rrf_d", col("c_bm") + col("c_pr"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_d").desc, col("doc_id").asc)
+    fused.withColumn("frnk", row_number().over(wf)).filter(col("frnk") <= k)
+      .select(col("query_id"), col("frnk").cast("int").as("rnk"),
+        col("doc_id"), Similarity.decToDouble(col("rrf_d")).as("rrf"))
+      .orderBy(col("query_id"), col("rnk"))
   }
 
   // ---------------------------------------------------------------
@@ -184,6 +245,64 @@ object Retrieval {
   // ---------------------------------------------------------------
 
   def searchOracleSql(table: String, q: Int, k: Int): String =
+    oraclePrefix(table, q, conjunctive = true) +
+      s"""
+         SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
+         FROM ranked WHERE rnk <= $k
+         ORDER BY query_id, rnk"""
+
+  /** Oracle for [[searchOr]]: the conjunctive HAVING removed. */
+  def searchOrOracleSql(table: String, q: Int, k: Int): String =
+    oraclePrefix(table, q, conjunctive = false) +
+      s"""
+         SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
+         FROM ranked WHERE rnk <= $k
+         ORDER BY query_id, rnk"""
+
+  /** Oracle for [[searchHybridRrf]]: the conjunctive ranking at
+    * `depth`, the stopword-density prior re-ranked within each
+    * query's candidates, both reciprocal-rank contributions
+    * VARCHAR-hopped to DECIMAL(18,9) and summed exactly. */
+  def hybridOracleSql(table: String, q: Int, k: Int,
+                      depth: Int = 20, k0: Int = 60): String =
+    oraclePrefix(table, q, conjunctive = true) +
+      s""",
+         prior AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+                 '\\b(the|and|of|to|in|is|data|table)\\b')) AS DOUBLE) /
+               CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS DOUBLE)
+               AS stop_ratio
+           FROM $table),
+         cand AS (
+           SELECT r.query_id, r.rnk, r.doc_id, p.stop_ratio
+           FROM ranked r JOIN prior p USING (doc_id)
+           WHERE r.rnk <= $depth),
+         pranked AS (
+           SELECT query_id, rnk, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY stop_ratio DESC, doc_id ASC) AS prnk
+           FROM cand),
+         fused AS (
+           SELECT query_id, doc_id,
+             CAST(CAST(1.0 / ($k0 + rnk) AS VARCHAR) AS DECIMAL(18,9)) +
+             CAST(CAST(1.0 / ($k0 + prnk) AS VARCHAR) AS DECIMAL(18,9)) AS rrf_d
+           FROM pranked),
+         franked AS (
+           SELECT query_id, doc_id, rrf_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_d DESC, doc_id ASC) AS frnk
+           FROM fused)
+         SELECT query_id, CAST(frnk AS INT) AS rnk, doc_id,
+           CAST(CAST(rrf_d AS VARCHAR) AS DOUBLE) AS rrf
+         FROM franked WHERE frnk <= $k
+         ORDER BY query_id, rnk"""
+
+  /** Shared oracle CTE chain through `ranked` (full per-query
+    * ranking; callers cut at their own depth/k). */
+  private def oraclePrefix(table: String, q: Int, conjunctive: Boolean): String =
     s"""WITH toks AS (
            SELECT doc_id,
              unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
@@ -224,14 +343,10 @@ object Retrieval {
            SELECT query_id, doc_id, sum(contrib_d) AS score_d
            FROM contrib
            GROUP BY query_id, doc_id, q_n
-           HAVING count(1) = q_n),
+           ${if (conjunctive) "HAVING count(1) = q_n" else ""}),
          ranked AS (
            SELECT query_id, doc_id, score_d,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score_d DESC, doc_id ASC) AS rnk
-           FROM scored)
-         SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id,
-           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
-         FROM ranked WHERE rnk <= $k
-         ORDER BY query_id, rnk"""
+           FROM scored)"""
 }

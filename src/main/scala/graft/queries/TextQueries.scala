@@ -1141,6 +1141,13 @@ object TextQueries {
     // oracle derivation
     "q_text_search" -> ((s, dir) =>
       graft.ops.Retrieval.search(docs(s, dir), "text", "doc_id", q = 3, k = 5)),
+    // disjunctive (OR) semantics — same candidate plan, no match gate
+    "q_text_search_or" -> ((s, dir) =>
+      graft.ops.Retrieval.searchOr(docs(s, dir), "text", "doc_id", q = 3, k = 5)),
+    // reciprocal-rank fusion of BM25 with the stopword-density prior
+    "q_text_search_hybrid" -> ((s, dir) =>
+      graft.ops.Retrieval.searchHybridRrf(docs(s, dir), "text", "doc_id",
+        q = 3, k = 5)),
     "q_text_search_persisted" -> ((s, dir) => {
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/tmp-search-index-$slug"
@@ -1801,6 +1808,8 @@ object TextQueries {
     // paths: in-memory, artifact round-trip, half+append — the
     // persisted index must be value-invisible
     "q_text_search" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
+    "q_text_search_or" -> graft.ops.Retrieval.searchOrOracleSql("documents", 3, 5),
+    "q_text_search_hybrid" -> graft.ops.Retrieval.hybridOracleSql("documents", 3, 5),
     "q_text_search_persisted" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_incremental" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_stream_parity" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),

@@ -42,6 +42,50 @@ class RetrievalSpec extends SparkSpec {
     rows(a) shouldBe rows(b)
   }
 
+  behavior of "Retrieval.searchOr"
+
+  it should "admit any-term matches and contain the conjunctive set" in {
+    val or = Retrieval.searchOr(corpus, "text", "doc_id", q = 2, k = 10)
+    val and = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 10)
+    val orByQ = or.collect().groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    // q1 = {apple, banana}: every doc carries at least one of them;
+    // q2 = {cherry, date}: doc 2 carries neither
+    orByQ(1) shouldBe Set(1L, 2L, 3L, 4L, 5L)
+    orByQ(2) shouldBe Set(1L, 3L, 4L, 5L)
+    val andByQ = and.collect().groupBy(_.getInt(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    andByQ.foreach { case (q, s) => s.subsetOf(orByQ(q)) shouldBe true }
+  }
+
+  it should "score single-term matches with just that term's contribution" in {
+    // doc 4 = "banana date date" has banana but not apple: present in
+    // OR results for q1={apple,banana}, absent from conjunctive
+    val or = Retrieval.searchOr(corpus, "text", "doc_id", q = 2, k = 10)
+      .filter(col("query_id") === 1).collect().map(_.getLong(2)).toSet
+    val and = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 10)
+      .filter(col("query_id") === 1).collect().map(_.getLong(2)).toSet
+    (or -- and) should contain(4L)
+  }
+
+  behavior of "Retrieval.searchHybridRrf"
+
+  it should "produce at most k rows per query with dense ranks" in {
+    val out = Retrieval.searchHybridRrf(corpus, "text", "doc_id", q = 2, k = 3)
+    val byQ = out.collect().groupBy(_.getInt(0))
+    byQ.foreach { case (_, rs) =>
+      rs.length should be <= 3
+      rs.map(_.getInt(1)).sorted shouldBe (1 to rs.length).toArray
+    }
+  }
+
+  it should "be partition-invariant" in {
+    def runOn(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.searchHybridRrf(df, "text", "doc_id", q = 2, k = 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    runOn(corpus) shouldBe runOn(corpus.repartition(7))
+  }
+
   behavior of "Retrieval.searchIndexed"
 
   it should "match the in-memory search after an artifact round-trip" in {
