@@ -193,6 +193,19 @@ object Scd {
     * append. Schemas must match. One co-partitioned join (left-anti)
     * + union — at scale, bucket both sides on the key and the
     * exchange disappears entirely. */
+  /** Time-travel read of an SCD2 history: the dimension AS OF `ts` —
+    * each key's one version whose validity interval covers the instant
+    * (`effective_from <= ts < effective_to`, the half-open convention
+    * [[scd2FromEvents]] emits; a current row's null `effective_to` is
+    * +∞). Keys whose first version opens after `ts` are absent — they
+    * did not exist yet. A pure row filter over the history: no
+    * shuffle, no window — on a materialized history table the
+    * predicates push to the scan, so at 100 TB a snapshot read costs
+    * one pruned pass of the history, never a rebuild. */
+  def snapshotAt(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("effective_from") <= ts &&
+      (col("effective_to").isNull || col("effective_to") > ts))
+
   def upsertByKey(existing: DataFrame, updates: DataFrame, key: Seq[String]): DataFrame = {
     require(existing.columns.sameElements(updates.columns),
       s"schema mismatch: ${existing.columns.mkString(",")} vs ${updates.columns.mkString(",")}")

@@ -341,6 +341,44 @@ object AdvancedQueries {
         col("effective_from"), col("effective_to"), col("is_current"))
       .orderBy(col("o_custkey"), col("version"))
 
+  /** ZONE-MAP pruned range scan (round-13, [[graft.io.Zones]]):
+    * lineitem range-clustered on l_shipdate into 16 zone files with a
+    * per-file (min, max) manifest; the 1996-Q1 query consults the
+    * manifest FIRST so only overlapping files enter the scan (the
+    * pruning itself is asserted in `ZonesSpec`; at gate scale Q1-96
+    * touches ~1/16 of the zones). The gate proves value parity —
+    * manifest routing must lose and duplicate nothing against the
+    * oracle's plain filter over the raw table. */
+  def zonemapScan(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-zones-$slug"
+    graft.io.Zones.writeZoned(
+      t(s, dir, "lineitem").select(col("l_shipdate"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice")),
+      base, "l_shipdate", 16)
+    val lo = lit("1996-01-01").cast("timestamp")
+    val hi = lit("1996-03-31").cast("timestamp")
+    graft.io.Zones.readZoneRange(s, base, "l_shipdate", lo, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** SCD2 TIME TRAVEL (round-13, [[graft.etl.Scd.snapshotAt]]): the
+    * customer-priority dimension AS OF 1997-06-01 — each key's one
+    * version valid at the instant, keys born later absent. On a
+    * materialized history this is a predicate-pushed scan; here the
+    * history builds from events first, so the gate proves the
+    * interval filter against the oracle's independent rebuild. */
+  def scd2AsOf(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Scd.snapshotAt(
+      scd2History(s, dir), lit("1997-06-01").cast("timestamp"))
+      .orderBy(col("o_custkey"), col("version"))
+
   /** INCREMENTAL SCD2 (round-11, [[graft.etl.Scd.scd2Apply]]): the
     * pre-1998 history is built once, then the 1998+ orders fold in as
     * a change batch — cost ∝ batch + touched current rows, never the
@@ -802,6 +840,8 @@ object AdvancedQueries {
     "q_quantile_exact" -> (quantileExact _),
     "q_scd2_history" -> (scd2History _),
     "q_scd2_apply" -> (scd2ApplyQ _),
+    "q_scd2_asof" -> (scd2AsOf _),
+    "q_zonemap_scan" -> (zonemapScan _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_matview_incremental" -> (matviewIncremental _),
     "q_entity_pairs" -> (entityPairs _),
@@ -813,9 +853,9 @@ object AdvancedQueries {
     "q_snapshot_diff_bucketed" -> (snapshotDiffBucketed _)
   )
 
-  /** Shared by q_scd2_history AND q_scd2_apply: the incremental fold
-    * must reproduce the from-scratch rebuild row-for-row. */
-  private val scd2HistorySql: String =
+  /** The from-scratch SCD2 rebuild through a final `h` CTE — shared by
+    * the full-history oracles and the as-of snapshot filter. */
+  private val scd2Cte: String =
     """WITH s AS (
          SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
            CASE WHEN lag(o_orderpriority) OVER w IS NOT DISTINCT FROM o_orderpriority
@@ -831,13 +871,33 @@ object AdvancedQueries {
        r AS (
          SELECT o_custkey, version, o_orderpriority AS priority,
            min(o_orderdate) AS effective_from
-         FROM v GROUP BY o_custkey, version, o_orderpriority)
+         FROM v GROUP BY o_custkey, version, o_orderpriority),
+       h AS (
+         SELECT o_custkey, version, priority, effective_from,
+           lead(effective_from) OVER (
+             PARTITION BY o_custkey ORDER BY version) AS effective_to,
+           lead(effective_from) OVER (
+             PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
+         FROM r)"""
+
+  /** Shared by q_scd2_history AND q_scd2_apply: the incremental fold
+    * must reproduce the from-scratch rebuild row-for-row. */
+  private val scd2HistorySql: String = scd2Cte +
+    """
        SELECT o_custkey, version, priority, effective_from,
-         lead(effective_from) OVER (
-           PARTITION BY o_custkey ORDER BY version) AS effective_to,
-         lead(effective_from) OVER (
-           PARTITION BY o_custkey ORDER BY version) IS NULL AS is_current
-       FROM r ORDER BY o_custkey, version"""
+         effective_to, is_current
+       FROM h ORDER BY o_custkey, version"""
+
+  /** Oracle for q_scd2_asof: the rebuild filtered to the versions
+    * valid at the snapshot instant. */
+  private def scd2AsofSql(ts: String): String = scd2Cte +
+    s"""
+       SELECT o_custkey, version, priority, effective_from,
+         effective_to, is_current
+       FROM h
+       WHERE effective_from <= TIMESTAMP '$ts'
+         AND (effective_to IS NULL OR effective_to > TIMESTAMP '$ts')
+       ORDER BY o_custkey, version"""
 
   val oracleSql: Map[String, String] = Map(
     // generated unrolled-round oracles (graft.ops.Graph): every
@@ -1094,6 +1154,17 @@ object AdvancedQueries {
     // must equal the from-scratch rebuild row-for-row.
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
+    "q_scd2_asof" -> scd2AsofSql("1997-06-01"),
+    // zone-map routing must be value-invisible vs the plain filter
+    "q_zonemap_scan" ->
+      """SELECT l_returnflag, count(1) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <= TIMESTAMP '1996-03-31'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_scd2_stream_parity" -> scd2HistorySql,
     // the epoch-folded algebraic state must equal the one-shot
     // aggregate: exact decimal sums make the fold order-free

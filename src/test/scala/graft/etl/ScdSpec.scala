@@ -176,4 +176,30 @@ class ScdSpec extends SparkSpec {
         .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     }
   }
+
+  behavior of "Scd.snapshotAt"
+
+  it should "return each key's one valid version with half-open boundaries" in {
+    import spark.implicits._
+    val hist = Scd.scd2FromEvents(
+      Seq(
+        ("a", "2020-01-01", 1, "x"), ("a", "2020-03-01", 2, "y"),
+        ("b", "2020-06-01", 3, "z"))
+        .toDF("k", "ts", "seq", "attr")
+        .withColumn("ts", col("ts").cast("timestamp")),
+      col("k"), col("ts"), tracked = Seq(col("attr")),
+      tieCols = Seq(col("seq")))
+    def at(ts: String) =
+      Scd.snapshotAt(hist, lit(ts).cast("timestamp"))
+        .select(col("k"), col("version"), col("is_current"))
+        .orderBy(col("k")).collect().map(r => (r.getString(0), r.getLong(1)))
+    // mid-first-interval: only a@v1; b not yet born
+    at("2020-02-01").toSeq shouldBe Seq(("a", 1L))
+    // AT a boundary the new version holds (from <= ts < to, half-open)
+    at("2020-03-01").toSeq shouldBe Seq(("a", 2L))
+    // after every birth: both keys' current rows
+    at("2020-07-01").toSeq shouldBe Seq(("a", 2L), ("b", 1L))
+    // before everything: empty — no key existed yet
+    at("2019-01-01").toSeq shouldBe Seq()
+  }
 }
