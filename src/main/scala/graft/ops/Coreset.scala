@@ -138,6 +138,79 @@ object Coreset {
       .orderBy(col("sel_rank"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998,
+    * SIGIR — the classic relevance-vs-redundancy re-ranker): given a
+    * probe (here the embedding of the minimum id — the same
+    * deterministic-seed convention as [[selectCenters]]), pick k
+    * vectors greedily where round 1 takes the MOST RELEVANT candidate
+    * (min distance² to the probe) and each later round maximizes
+    * `diversity − relevance-cost` = (min dist² to the selected set)
+    * − (dist² to the probe) — the distance form of MMR at λ = 1/2
+    * (the score is the λ-combination scaled by 2, which preserves the
+    * argmax). Every distance is EXACT DECIMAL on the (12,9) grid and
+    * ties break on the id, so the selection is bit-reproducible across
+    * partitionings and engines; the DuckDB oracle re-derives all k
+    * rounds independently.
+    *
+    * Output: (sel_rank, vec_id, rel_d2, gain_d2) — the pick's
+    * distance² to the probe and its min-distance² to the prior
+    * selection (0 for the seed).
+    *
+    * Scale shape = [[selectCenters]]: one scan to pin the probe
+    * distances, then per round one fused-projection scan (d decimal
+    * ops/row against the new pick's literal vector) + a
+    * TakeOrdered(1) argmax; the selected-id exclusion is a k-sized
+    * NOT-IN literal. No corpus shuffle anywhere. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, s"k=$k out of range")
+    val spark = emb.sparkSession
+    val probeId = emb.agg(min(col(idCol))).head().getLong(0)
+    val probe = griddedVec(emb, idCol, vecCol, probeId)
+    var work = emb
+      .filter(col(idCol) =!= probeId)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("d2q", dist2(col("v"), probe))
+      .localCheckpoint(true)
+    def hop(d: java.math.BigDecimal): Double =
+      java.lang.Double.parseDouble(d.toPlainString)
+    // round 1: most relevant
+    val seed = work
+      .select(col("id"), col("d2q"),
+        transform(col("v"), x => d(x).cast("string")).as("gv"))
+      .orderBy(col("d2q").asc, col("id").asc).limit(1).head()
+    var picked = Seq(seed.getLong(0))
+    var center = seed.getSeq[String](2)
+    val rows = Seq.newBuilder[Row]
+    rows += Row(1, seed.getLong(0), hop(seed.getDecimal(1)), 0.0)
+    var r = 2
+    while (r <= k) {
+      work = work
+        .withColumn("mind",
+          if (r == 2) dist2(col("v"), center)
+          else least(col("mind"), dist2(col("v"), center)))
+        .localCheckpoint(true)
+      val top = work
+        .filter(!col("id").isin(picked.map(Long.box): _*))
+        .select(col("id"), col("d2q"), col("mind"),
+          transform(col("v"), x => d(x).cast("string")).as("gv"))
+        .orderBy((col("mind") - col("d2q")).desc, col("id").asc)
+        .limit(1).head()
+      center = top.getSeq[String](3)
+      picked = picked :+ top.getLong(0)
+      rows += Row(r, top.getLong(0), hop(top.getDecimal(1)), hop(top.getDecimal(2)))
+      r += 1
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.result(), 1),
+      StructType(Seq(
+        StructField("sel_rank", IntegerType, false),
+        StructField("vec_id", LongType, false),
+        StructField("rel_d2", DoubleType, false),
+        StructField("gain_d2", DoubleType, false))))
+      .orderBy(col("sel_rank"))
+  }
+
   // ---------------------------------------------------------------
   // Generated DuckDB oracle — k unrolled rounds re-derive every
   // center: argmax of the running min-distance, exact decimal.
@@ -219,6 +292,69 @@ object Coreset {
        FROM am a JOIN cids c ON c.rnk = a.rnk
        WHERE a.rn = 1
        GROUP BY a.rnk, c.cid
+       ORDER BY sel_rank"""
+  }
+
+  /** Oracle for [[mmrSelect]]: probe = min-id vector, k unrolled
+    * greedy rounds (round 1 = min d2q; round r = max (mind − d2q)
+    * excluding prior picks), every distance re-derived on the same
+    * decimal grid. */
+  def mmrOracleSql(table: String, k: Int, dims: Int): String = {
+    val rounds = (2 to k).map { r =>
+      val prev = r - 1
+      val exclude = (1 to prev).map(i => s"SELECT cid FROM c$i")
+        .mkString(" UNION ALL ")
+      val mindSrc = if (prev == 1) "m1" else s"m$prev"
+      s"""c$r AS MATERIALIZED (
+           SELECT m.vec_id AS cid, q.d2q, m.mind
+           FROM $mindSrc m JOIN q USING (vec_id)
+           WHERE m.vec_id NOT IN ($exclude)
+           ORDER BY (m.mind - q.d2q) DESC, m.vec_id ASC LIMIT 1),
+         cg$r AS MATERIALIZED (
+           SELECT g.i, g.x FROM g JOIN c$r ON g.vec_id = c$r.cid),
+         m$r AS MATERIALIZED (
+           SELECT m.vec_id,
+             CASE WHEN m.mind < t.d2 THEN m.mind ELSE t.d2 END AS mind
+           FROM (SELECT g.vec_id, sum((g.x - cg.x) * (g.x - cg.x)) AS d2
+                 FROM g JOIN cg$r cg ON cg.i = g.i GROUP BY g.vec_id) t
+           JOIN $mindSrc m ON m.vec_id = t.vec_id)"""
+    }.mkString(",\n         ")
+    val sel = (2 to k).map { r =>
+      s"""SELECT $r AS sel_rank, cid AS vec_id,
+            CAST(CAST(d2q AS VARCHAR) AS DOUBLE) AS rel_d2,
+            CAST(CAST(mind AS VARCHAR) AS DOUBLE) AS gain_d2 FROM c$r"""
+    }.mkString("\n       UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM $table),
+         idx AS (SELECT unnest(range(1, ${dims + 1})) AS i),
+         g AS MATERIALIZED (
+           SELECT vec_id, i,
+             CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR)
+               AS DECIMAL(12,9)) AS x
+           FROM e, idx),
+         p AS MATERIALIZED (SELECT min(vec_id) AS pid FROM e),
+         pg AS MATERIALIZED (
+           SELECT g.i, g.x FROM g JOIN p ON g.vec_id = p.pid),
+         q AS MATERIALIZED (
+           SELECT g.vec_id, sum((g.x - pg.x) * (g.x - pg.x)) AS d2q
+           FROM g JOIN pg ON pg.i = g.i
+           WHERE g.vec_id <> (SELECT pid FROM p)
+           GROUP BY g.vec_id),
+         c1 AS MATERIALIZED (
+           SELECT vec_id AS cid, d2q FROM q
+           ORDER BY d2q ASC, vec_id ASC LIMIT 1),
+         cg1 AS MATERIALIZED (
+           SELECT g.i, g.x FROM g JOIN c1 ON g.vec_id = c1.cid),
+         m1 AS MATERIALIZED (
+           SELECT q.vec_id, t.d2 AS mind
+           FROM q JOIN (
+             SELECT g.vec_id, sum((g.x - cg.x) * (g.x - cg.x)) AS d2
+             FROM g JOIN cg1 cg ON cg.i = g.i GROUP BY g.vec_id) t
+           USING (vec_id)),
+         $rounds
+       SELECT 1 AS sel_rank, cid AS vec_id,
+         CAST(CAST(d2q AS VARCHAR) AS DOUBLE) AS rel_d2,
+         CAST(0.0 AS DOUBLE) AS gain_d2 FROM c1
+       UNION ALL $sel
        ORDER BY sel_rank"""
   }
 }

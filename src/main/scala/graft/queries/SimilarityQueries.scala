@@ -608,6 +608,9 @@ object SimilarityQueries {
       graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_kcenter_assign" -> ((s, dir) =>
       graft.ops.Coreset.kCenterAssign(emb(s, dir), "vec_id", "embedding", 8)),
+    // MMR diversified selection: probe = min-id vector, λ = 1/2
+    "q_embed_mmr" -> ((s, dir) =>
+      graft.ops.Coreset.mmrSelect(emb(s, dir), "vec_id", "embedding", 6)),
     "q_embed_pca" -> (embedPca _),
     "q_embed_randproj" -> ((s, dir) =>
       graft.ops.RandomProjection.project(emb(s, dir), "embedding", "vec_id")
@@ -869,6 +872,8 @@ object SimilarityQueries {
       graft.ops.Coreset.kCenterOracleSql("embeddings", 8, 64),
     "q_embed_kcenter_assign" ->
       graft.ops.Coreset.kCenterAssignOracleSql("embeddings", 8, 64),
+    "q_embed_mmr" ->
+      graft.ops.Coreset.mmrOracleSql("embeddings", 6, 64),
     "q_embed_dimstats" ->
       """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
          vals AS (

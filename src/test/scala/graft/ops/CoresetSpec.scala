@@ -57,4 +57,43 @@ class CoresetSpec extends SparkSpec {
     ids.distinct.length shouldBe ids.length
     ids.head shouldBe emb.agg(min(col("vec_id"))).head().getLong(0)
   }
+
+  behavior of "Coreset.mmrSelect"
+
+  it should "trade relevance against redundancy on a 1-D geometry" in {
+    import spark.implicits._
+    // probe = min id (value 0); candidates at 1, 5, 6.
+    // r1: most relevant → id 2 (d2q = 1).
+    // r2: score = mind − d2q: id3 = 16 − 25 = −9 beats id4 = 25 − 36
+    //     = −11 even though id4 is farther from the pick — MMR charges
+    //     it for being LESS RELEVANT.
+    // r3: id4 (rel 36, gain = min(25, 1) = 1).
+    val df = Seq(
+      (1L, Array(0f, 0f)), (2L, Array(1f, 0f)),
+      (3L, Array(5f, 0f)), (4L, Array(6f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Coreset.mmrSelect(df, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    got.toSeq shouldBe Seq(
+      (1, 2L, 1.0, 0.0), (2, 3L, 25.0, 16.0), (3, 4L, 36.0, 1.0))
+  }
+
+  it should "select an identical MMR set under repartitioning" in {
+    val a = Coreset.mmrSelect(emb, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq)
+    val b = Coreset.mmrSelect(emb.repartition(7), "vec_id", "embedding", 5)
+      .collect().map(_.toSeq)
+    b.toSeq shouldBe a.toSeq
+  }
+
+  it should "never re-pick and never pick the probe" in {
+    val probe = emb.agg(min(col("vec_id"))).head().getLong(0)
+    val rows = Coreset.mmrSelect(emb, "vec_id", "embedding", 6).collect()
+    val ids = rows.map(_.getLong(1))
+    ids.distinct.length shouldBe ids.length
+    ids should not contain probe
+    rows.map(_.getInt(0)).toSeq shouldBe (1 to 6)
+    // the seed is the global most-relevant candidate
+    rows.head.getDouble(2) shouldBe rows.map(_.getDouble(2)).min
+  }
 }
