@@ -1,0 +1,59 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** graft.io.Zones — file-level zone-map data skipping. */
+class ZonesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base = freshDir("zones")
+
+  private def table = spark.range(1, 1001)
+    .select(col("id").as("k"), (col("id") % 7).as("v"))
+
+  it should "answer a range query identically to the plain filter" in {
+    val path = base
+    Zones.writeZoned(table, path, "k", 8)
+    val got = Zones.readZoneRange(spark, path, "k", lit(100L), lit(250L))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = table.filter(col("k") >= 100 && col("k") <= 250)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe want.toSeq
+  }
+
+  it should "prune non-overlapping files via the manifest" in {
+    val path = base
+    Zones.writeZoned(table, path, "k", 8)
+    val total = Zones.fileCount(spark, path)
+    total should be >= 4L // range clustering actually produced zones
+    // a ~15 % range must not touch every file
+    val pruned = Zones.prunedFiles(spark, path, lit(100L), lit(250L))
+    pruned.size.toLong should be < total
+    // every returned row must come from a pruned-in file
+    val scanned = Zones.readZoneRange(spark, path, "k", lit(100L), lit(250L))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    scanned.toSet.subsetOf(pruned.toSet) shouldBe true
+  }
+
+  it should "return an empty frame (and touch no files) outside the domain" in {
+    val path = base
+    Zones.writeZoned(table, path, "k", 8)
+    Zones.prunedFiles(spark, path, lit(5000L), lit(6000L)) shouldBe empty
+    val out = Zones.readZoneRange(spark, path, "k", lit(5000L), lit(6000L))
+    out.count() shouldBe 0L
+    out.columns.toSeq shouldBe Seq("k", "v")
+  }
+
+  it should "keep zones tight: manifest ranges cover disjoint key spans" in {
+    val path = base
+    Zones.writeZoned(table, path, "k", 8)
+    val zones = spark.read.parquet(s"$path/manifest")
+      .select(col("zmin").cast("long"), col("zmax").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    zones.foreach { case (lo, hi) => lo should be <= hi }
+    zones.zip(zones.tail).foreach { case ((_, hi), (lo2, _)) =>
+      lo2 should be > hi // range clustering → non-overlapping files
+    }
+  }
+}
