@@ -41,6 +41,15 @@ object Sinks {
   def csvDir(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 
+  /** Distributed JSON-Lines write — one JSON object per line, N part
+    * files (the corpus-export twin of [[Sources.jsonl]]). Newlines,
+    * quotes, and control characters in string fields are JSON-escaped
+    * by construction, so arbitrary document text survives the line
+    * framing; null fields are omitted on write and restored by the
+    * reader's schema. */
+  def jsonlDir(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
   /** Batched JDBC append (§2 #9). `batchsize` rows per round-trip per
     * partition — versus the reference's 1. `numPartitions` caps
     * concurrent connections against the database. */

@@ -44,11 +44,26 @@ object Sources {
           case None => r.option("inferSchema", "true").csv(path)
         }
       case "xlsx" | "xls" => Xlsx.read(spark, path)
+      case "jsonl" | "json" => jsonl(spark, path, schema)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported source format '$other' for $path (expected csv/xlsx/xls)")
+          s"Unsupported source format '$other' for $path (expected csv/xlsx/xls/jsonl)")
     }
   }
+
+  /** JSON-Lines scan — the de-facto corpus interchange format of LLM
+    * data pipelines (one JSON object per line, newline-safe because
+    * linebreaks inside strings are escaped). Distributed and
+    * split-capable like CSV; pass the schema to skip the inference
+    * scan (at 100 TB inference is a full extra pass — always pass it).
+    * Reading with an explicit schema also round-trips nulls: the
+    * writer omits null fields, the schema restores them as null. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).json(path)
+      case None => spark.read.json(path)
+    }
 
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)

@@ -206,7 +206,22 @@ object RefQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** JSONL ROUND-TRIP gate (round-13, [[graft.io.Sinks.jsonlDir]] /
+    * [[graft.io.Sources.jsonl]]): the documents corpus exported as
+    * JSON-Lines — the LLM-pipeline interchange format — and scanned
+    * back with the source schema must be value-identical to the
+    * parquet source. Exercises line framing against real document
+    * text (escaping), schema-driven null restoration, and the
+    * distributed multi-part write/read pair. */
+  def ioJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/tmp-io-jsonl-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val docs = t(s, dir, "documents")
+    graft.io.Sinks.jsonlDir(docs, out)
+    graft.io.Sources.jsonl(s, out, Some(docs.schema)).orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "ref_io_object_store" -> (ioObjectStore _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
@@ -235,6 +250,8 @@ object RefQueries {
          FROM customer ORDER BY c_custkey""",
     "ref_io_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "q_io_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
     "ref_io_xlsx_scan" ->
       "SELECT n_name, n_regionkey FROM nation ORDER BY n_name",
     "ref_gold_star" ->

@@ -41,4 +41,38 @@ class SinksSpec extends SparkSpec {
     Sources.splitObjectPath("bronze/bronze-files/fake_data.csv") shouldBe
       (("bronze", "bronze-files", "fake_data.csv"))
   }
+
+  "jsonlDir/jsonl" should "round-trip hostile document text and nulls" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text", Some(10L)),
+      (2L, "line\nbreak\tand \"quotes\" and \\slash", Some(0L)),
+      (3L, "unicode: données 表格 ✓", None),
+      (4L, null.asInstanceOf[String], Some(-1L)))
+      .toDF("id", "text", "n")
+    val path = freshDir("jsonl-roundtrip")
+    Sinks.jsonlDir(df, path)
+    val back = Sources.jsonl(spark, path, Some(df.schema))
+      .orderBy("id").collect()
+    val want = df.orderBy("id").collect()
+    back.toSeq shouldBe want.toSeq
+    // and the extension dispatch guard still rejects unknowns
+    an[IllegalArgumentException] should be thrownBy
+      Sources.read(spark, "x.avro")
+  }
+
+  it should "scan jsonl through the format-dispatched read" in {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val path = freshDir("jsonl-dispatch") + "/part.jsonl"
+    Sinks.jsonlDir(df.coalesce(1),
+      new java.io.File(path).getParent + "/dir")
+    // single .jsonl file path through read()
+    val f = new java.io.File(new java.io.File(path).getParent + "/dir")
+      .listFiles().filter(_.getName.startsWith("part-")).head
+    val renamed = new java.io.File(f.getParent, "data.jsonl")
+    f.renameTo(renamed) shouldBe true
+    Sources.read(spark, renamed.getAbsolutePath, Some(df.schema))
+      .count() shouldBe 2
+  }
 }
