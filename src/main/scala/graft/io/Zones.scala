@@ -74,4 +74,97 @@ object Zones {
   /** Total data-file count per the manifest — for pruning audits. */
   def fileCount(spark: SparkSession, path: String): Long =
     spark.read.parquet(s"$path/manifest").count()
+
+  // ---------------------------------------------------------------
+  // Multi-column Z-ORDER clustering (Delta's OPTIMIZE ZORDER, the
+  // Morton-curve layout): single-column range clustering makes zones
+  // tight on ONE column and useless on every other; interleaving the
+  // bit-planes of each column's zone bucket into a z-value keeps
+  // every participating column PARTIALLY sorted, so a range predicate
+  // on ANY of them prunes files. The price is that no single column
+  // is perfectly clustered — z-order trades the best single-column
+  // pruning for usable pruning on all dimensions.
+  // ---------------------------------------------------------------
+
+  private val ZBits = 8 // 256 buckets per dimension
+
+  /** The Morton interleave of the columns' 8-bit zone buckets: bit b
+    * of column i lands at position b·n + i. Pure shift/and/or integer
+    * expression — whole-stage-codegen'd, no UDF. */
+  private def zValue(buckets: Seq[Column]): Column = {
+    val n = buckets.size
+    val bits = for {
+      (c, i) <- buckets.zipWithIndex
+      b <- 0 until ZBits
+    } yield shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * n + i)
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Scale a column into its 0..255 zone bucket within the observed
+    * [min, max] — long math end to end, constant columns guarded to
+    * bucket 0. */
+  private def bucketOf(c: Column, lo: Long, hi: Long): Column = {
+    val span = math.max(hi - lo + 1, 1L)
+    coalesce(
+      ((c - lit(lo)) * lit(256L) / lit(span)).cast("long"),
+      lit(0L))
+  }
+
+  /** A long view of any orderable column for bucketing: temporal types
+    * go through epoch seconds/days, numerics cast directly. */
+  private def asLong(df: DataFrame, c: String): Column = {
+    import org.apache.spark.sql.types._
+    df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType | DateType =>
+        col(c).cast("timestamp").cast("long")
+      case _ => col(c).cast("long")
+    }
+  }
+
+  /** Write `df` z-order-clustered on `zCols` into ~`zones` files; the
+    * manifest records per-file (min, max) for EVERY z column, so
+    * [[prunedFilesOn]] can route a predicate on any of them. The
+    * bucket domains come from one min/max aggregate over the input
+    * (at 100 TB: a column-pruned scan, or reuse table-level stats). */
+  def writeZonedMulti(df: DataFrame, path: String, zCols: Seq[String],
+                      zones: Int): Unit = {
+    require(zCols.nonEmpty && zCols.size <= 7, s"1..7 z columns, got ${zCols.size}")
+    val spark = df.sparkSession
+    val statExprs = zCols.flatMap(c => Seq(
+      min(asLong(df, c)).as(s"${c}__lo"),
+      max(asLong(df, c)).as(s"${c}__hi")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    val buckets = zCols.zipWithIndex.map { case (c, i) =>
+      bucketOf(asLong(df, c), stats.getLong(2 * i), stats.getLong(2 * i + 1)) }
+    df.withColumn("__z", zValue(buckets))
+      .repartitionByRange(zones, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(s"$path/data")
+    spark.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        zCols.flatMap(c => Seq(
+          min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest")
+  }
+
+  /** Manifest-pruned files for a range predicate on ONE of the z
+    * columns. */
+  def prunedFilesOn(spark: SparkSession, path: String, zCol: String,
+                    lo: Column, hi: Column): Seq[String] =
+    spark.read.parquet(s"$path/manifest")
+      .filter(col(s"${zCol}_max") >= lo && col(s"${zCol}_min") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+
+  /** Range read on any z column through the multi-column manifest. */
+  def readZoneRangeOn(spark: SparkSession, path: String, zCol: String,
+                      lo: Column, hi: Column): DataFrame = {
+    val files = prunedFilesOn(spark, path, zCol, lo, hi)
+    val all = spark.read.parquet(s"$path/data")
+    if (files.isEmpty) all.limit(0)
+    else spark.read.parquet(files: _*)
+      .filter(col(zCol) >= lo && col(zCol) <= hi)
+  }
 }

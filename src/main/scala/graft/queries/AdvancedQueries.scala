@@ -368,6 +368,30 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Z-ORDER pruned scan (round-13, [[graft.io.Zones.writeZonedMulti]]):
+    * lineitem Morton-clustered on (l_shipdate, l_partkey) into 32
+    * files; the probe predicate ranges over l_partkey — the SECOND
+    * dimension, which plain range clustering on shipdate could never
+    * prune — and still routes through the per-file manifest (pruning
+    * asserted in ZonesSpec on both dimensions). The gate proves value
+    * parity vs the oracle's plain filter. */
+  def zorderScan(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-zorder-$slug"
+    graft.io.Zones.writeZonedMulti(
+      t(s, dir, "lineitem").select(col("l_shipdate"), col("l_partkey"),
+        col("l_returnflag"), col("l_quantity")),
+      base, Seq("l_shipdate", "l_partkey"), 32)
+    val maxPk = t(s, dir, "lineitem").agg(max(col("l_partkey"))).head().getLong(0)
+    graft.io.Zones.readZoneRangeOn(s, base, "l_partkey",
+        lit(1L), lit(maxPk / 10))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** SCD2 TIME TRAVEL (round-13, [[graft.etl.Scd.snapshotAt]]): the
     * customer-priority dimension AS OF 1997-06-01 — each key's one
     * version valid at the instant, keys born later absent. On a
@@ -842,6 +866,7 @@ object AdvancedQueries {
     "q_scd2_apply" -> (scd2ApplyQ _),
     "q_scd2_asof" -> (scd2AsOf _),
     "q_zonemap_scan" -> (zonemapScan _),
+    "q_zorder_scan" -> (zorderScan _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_matview_incremental" -> (matviewIncremental _),
     "q_entity_pairs" -> (entityPairs _),
@@ -1164,6 +1189,14 @@ object AdvancedQueries {
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate <= TIMESTAMP '1996-03-31'
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_zorder_scan" ->
+      """SELECT l_returnflag, count(1) AS cnt,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+           min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+         FROM lineitem
+         WHERE l_partkey >= 1
+           AND l_partkey <= (SELECT max(l_partkey) // 10 FROM lineitem)
          GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_scd2_stream_parity" -> scd2HistorySql,
     // the epoch-folded algebraic state must equal the one-shot

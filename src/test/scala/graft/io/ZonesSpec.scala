@@ -45,6 +45,51 @@ class ZonesSpec extends SparkSpec {
     out.columns.toSeq shouldBe Seq("k", "v")
   }
 
+  behavior of "Zones.writeZonedMulti"
+
+  // a 100×100 grid: x fully determines neither y nor the z layout,
+  // so pruning must come from the Morton interleave on BOTH dims
+  private def grid = spark.range(0, 10000)
+    .select((col("id") / 100).cast("long").as("x"),
+      (col("id") % 100).as("y"), col("id").as("payload"))
+
+  it should "answer range queries on EITHER dimension identically to the plain filter" in {
+    val path = freshDir("zorder")
+    Zones.writeZonedMulti(grid, path, Seq("x", "y"), 16)
+    def got(c: String, lo: Long, hi: Long) =
+      Zones.readZoneRangeOn(spark, path, c, lit(lo), lit(hi))
+        .orderBy(col("payload")).collect().map(_.getLong(2))
+    def want(c: String, lo: Long, hi: Long) =
+      grid.filter(col(c) >= lo && col(c) <= hi)
+        .orderBy(col("payload")).collect().map(_.getLong(2))
+    got("x", 10, 19).toSeq shouldBe want("x", 10, 19).toSeq
+    got("y", 42, 47).toSeq shouldBe want("y", 42, 47).toSeq
+  }
+
+  it should "prune files on BOTH dimensions" in {
+    val path = freshDir("zorder-prune")
+    Zones.writeZonedMulti(grid, path, Seq("x", "y"), 16)
+    val total = spark.read.parquet(s"$path/manifest").count()
+    total should be >= 8L
+    val onX = Zones.prunedFilesOn(spark, path, "x", lit(10L), lit(19L))
+    val onY = Zones.prunedFilesOn(spark, path, "y", lit(42L), lit(47L))
+    onX.size.toLong should be < total
+    onY.size.toLong should be < total
+    // scanned files stay within the pruned-in set
+    val scanned = Zones.readZoneRangeOn(spark, path, "y", lit(42L), lit(47L))
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    scanned.toSet.subsetOf(onY.toSet) shouldBe true
+  }
+
+  it should "return empty off-domain and reject degenerate column sets" in {
+    val path = freshDir("zorder-empty")
+    Zones.writeZonedMulti(grid, path, Seq("x", "y"), 8)
+    Zones.readZoneRangeOn(spark, path, "x", lit(500L), lit(900L))
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Zones.writeZonedMulti(grid, freshDir("zorder-bad"), Nil, 8)
+  }
+
   it should "keep zones tight: manifest ranges cover disjoint key spans" in {
     val path = base
     Zones.writeZoned(table, path, "k", 8)
