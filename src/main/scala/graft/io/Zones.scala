@@ -150,6 +150,33 @@ object Zones {
       .write.mode("overwrite").parquet(s"$path/manifest")
   }
 
+  // ---------------------------------------------------------------
+  // Batch-append maintenance — the artifact posture every long-lived
+  // index here follows: batches land under `batch=K` (data AND
+  // manifest), the manifest is ADDITIVE (per-file stats don't care
+  // which batch a file is in), and re-writing a batch dir is a value
+  // no-op, so an at-least-once replay converges. Zone tightness is
+  // per batch: each batch range-clusters its own rows, so a range
+  // query reads ~overlap × batches files — bounded, and a compaction
+  // (rewrite all batches as batch=0) restores one-batch tightness.
+  // ---------------------------------------------------------------
+
+  /** Append one batch to a batch-layout zoned table (use from batch 0;
+    * don't mix with the flat [[writeZoned]] layout). */
+  def appendZoned(df: DataFrame, path: String, zoneCol: String,
+                  zones: Int, batch: Int): Unit = {
+    val spark = df.sparkSession
+    df.repartitionByRange(zones, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode("overwrite").parquet(s"$path/data/batch=$batch")
+    spark.read.parquet(s"$path/data/batch=$batch")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/manifest/batch=$batch")
+  }
+
   /** Manifest-pruned files for a range predicate on ONE of the z
     * columns. */
   def prunedFilesOn(spark: SparkSession, path: String, zCol: String,

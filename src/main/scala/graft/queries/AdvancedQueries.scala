@@ -368,6 +368,34 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** INCREMENTAL zone maps (round-13, [[graft.io.Zones.appendZoned]]):
+    * lineitem lands in two md5-split batches, each range-clustered
+    * with its own additive manifest slice; the same Q1-96 range read
+    * routes through the union manifest and must equal the oracle's
+    * plain filter — the batch seam is value-invisible. */
+  def zonemapIncremental(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-zones-incr-$slug"
+    graft.io.Fs.deleteRecursive(s, base)
+    val li = t(s, dir, "lineitem").select(col("l_shipdate"),
+      col("l_returnflag"), col("l_quantity"), col("l_extendedprice"),
+      col("l_orderkey"))
+    val firstHalf = substring(md5(col("l_orderkey").cast("string")), 1, 1) < "8"
+    graft.io.Zones.appendZoned(
+      li.filter(firstHalf).drop("l_orderkey"), base, "l_shipdate", 16, 0)
+    graft.io.Zones.appendZoned(
+      li.filter(!firstHalf).drop("l_orderkey"), base, "l_shipdate", 16, 1)
+    graft.io.Zones.readZoneRange(s, base, "l_shipdate",
+        lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_price"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Z-ORDER pruned scan (round-13, [[graft.io.Zones.writeZonedMulti]]):
     * lineitem Morton-clustered on (l_shipdate, l_partkey) into 32
     * files; the probe predicate ranges over l_partkey — the SECOND
@@ -866,6 +894,7 @@ object AdvancedQueries {
     "q_scd2_apply" -> (scd2ApplyQ _),
     "q_scd2_asof" -> (scd2AsOf _),
     "q_zonemap_scan" -> (zonemapScan _),
+    "q_zonemap_incremental" -> (zonemapIncremental _),
     "q_zorder_scan" -> (zorderScan _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_matview_incremental" -> (matviewIncremental _),
@@ -912,6 +941,18 @@ object AdvancedQueries {
        SELECT o_custkey, version, priority, effective_from,
          effective_to, is_current
        FROM h ORDER BY o_custkey, version"""
+
+  /** Shared by q_zonemap_scan and q_zonemap_incremental: manifest
+    * routing (flat or batched) must equal the plain filter. */
+  private val zonemapSql: String =
+    """SELECT l_returnflag, count(1) AS cnt,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+         min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate <= TIMESTAMP '1996-03-31'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** Oracle for q_scd2_asof: the rebuild filtered to the versions
     * valid at the snapshot instant. */
@@ -1180,16 +1221,10 @@ object AdvancedQueries {
     "q_scd2_history" -> scd2HistorySql,
     "q_scd2_apply" -> scd2HistorySql,
     "q_scd2_asof" -> scd2AsofSql("1997-06-01"),
-    // zone-map routing must be value-invisible vs the plain filter
-    "q_zonemap_scan" ->
-      """SELECT l_returnflag, count(1) AS cnt,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
-           min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
-         FROM lineitem
-         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-           AND l_shipdate <= TIMESTAMP '1996-03-31'
-         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // zone-map routing must be value-invisible vs the plain filter —
+    // one-shot AND across the incremental batch seam
+    "q_zonemap_scan" -> zonemapSql,
+    "q_zonemap_incremental" -> zonemapSql,
     "q_zorder_scan" ->
       """SELECT l_returnflag, count(1) AS cnt,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -388,6 +388,23 @@ object DocStreams {
       }
       .start()
 
+  /** Streaming zone-map maintenance: each micro-batch appends one
+    * range-clustered batch (data + additive manifest) via
+    * [[graft.io.Zones.appendZoned]] — batch-id-keyed dirs, so an
+    * at-least-once replay rewrites the same batch and converges. */
+  def zoneIngest(
+      rows: DataFrame, path: String, zoneCol: String,
+      zones: Int): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.io.Zones.appendZoned(batch, path, zoneCol, zones, batchId.toInt)
+        ()
+      }
+      .start()
+
   def lmScoreIngest(
       docs: DataFrame, modelPath: String, sinkPath: String,
       textCol: String = "text", idCol: String = "doc_id"): StreamingQuery = {

@@ -90,6 +90,53 @@ class ZonesSpec extends SparkSpec {
       Zones.writeZonedMulti(grid, freshDir("zorder-bad"), Nil, 8)
   }
 
+  behavior of "Zones.appendZoned"
+
+  it should "serve across the batch seam identically to the plain filter" in {
+    val path = freshDir("zones-append")
+    Zones.appendZoned(table.filter(col("k") <= 500), path, "k", 4, 0)
+    Zones.appendZoned(table.filter(col("k") > 500), path, "k", 4, 1)
+    val got = Zones.readZoneRange(spark, path, "k", lit(400L), lit(600L))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = table.filter(col("k") >= 400 && col("k") <= 600)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe want.toSeq
+    // ...and still prunes: the straddling range must not read all files
+    Zones.prunedFiles(spark, path, lit(400L), lit(600L))
+      .size.toLong should be < Zones.fileCount(spark, path)
+  }
+
+  it should "be replay-idempotent: re-appending a batch changes nothing" in {
+    val path = freshDir("zones-replay")
+    Zones.appendZoned(table.filter(col("k") <= 500), path, "k", 4, 0)
+    Zones.appendZoned(table.filter(col("k") > 500), path, "k", 4, 1)
+    def read() = Zones.readZoneRange(spark, path, "k", lit(1L), lit(1000L))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = read()
+    Zones.appendZoned(table.filter(col("k") > 500), path, "k", 4, 1)
+    read() shouldBe before
+  }
+
+  it should "maintain the artifact from a stream with batch parity" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = freshDir("zones-stream")
+    val src = MemoryStream[(Long, Long)]
+    val q = graft.streaming.DocStreams.zoneIngest(
+      src.toDF().toDF("k", "v"), path, "k", 4)
+    src.addData((1L to 500L).map(k => (k, k % 7)): _*)
+    q.processAllAvailable()
+    src.addData((501L to 1000L).map(k => (k, k % 7)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = Zones.readZoneRange(spark, path, "k", lit(100L), lit(250L))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = table.filter(col("k") >= 100 && col("k") <= 250)
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.toSeq shouldBe want.toSeq
+  }
+
   it should "keep zones tight: manifest ranges cover disjoint key spans" in {
     val path = base
     Zones.writeZoned(table, path, "k", 8)
