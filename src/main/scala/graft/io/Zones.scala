@@ -177,6 +177,36 @@ object Zones {
       .write.mode("overwrite").parquet(s"$path/manifest/batch=$batch")
   }
 
+  /** Compact a batch-layout zoned table: rewrite all batches as one
+    * freshly range-clustered `batch=0` under a sibling staging TREE
+    * (data + manifest together), then swap the whole root in one
+    * [[Fs.replaceDir]] — old-complete or new-complete, never a new
+    * data tree routed by an old manifest. The staged manifest's file
+    * URIs are rewritten to their post-swap form (the staging dir name
+    * is the only differing path segment), so they become valid exactly
+    * when the swap lands. Restores one-batch zone tightness after many
+    * appends; the [[Sharding.compactShards]] maintenance posture. */
+  def compactZones(spark: SparkSession, path: String, zoneCol: String,
+                   zones: Int): Unit = {
+    val staging = s"$path.compact"
+    graft.io.Fs.deleteRecursive(spark, staging)
+    spark.read.parquet(s"$path/data").drop("batch")
+      .repartitionByRange(zones, col(zoneCol))
+      .sortWithinPartitions(zoneCol)
+      .write.mode("overwrite").parquet(s"$staging/data/batch=0")
+    val stagedSeg = "/" + new java.io.File(staging).getName + "/data/"
+    val finalSeg = "/" + new java.io.File(path).getName + "/data/"
+    spark.read.parquet(s"$staging/data/batch=0")
+      .groupBy(regexp_replace(input_file_name(),
+        lit(java.util.regex.Pattern.quote(stagedSeg)),
+        lit(java.util.regex.Matcher.quoteReplacement(finalSeg))).as("file"))
+      .agg(min(col(zoneCol)).as("zmin"), max(col(zoneCol)).as("zmax"),
+        count(lit(1)).as("rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$staging/manifest/batch=0")
+    graft.io.Fs.replaceDir(spark, staging, path)
+  }
+
   /** Manifest-pruned files for a range predicate on ONE of the z
     * columns. */
   def prunedFilesOn(spark: SparkSession, path: String, zCol: String,

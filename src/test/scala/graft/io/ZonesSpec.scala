@@ -137,6 +137,30 @@ class ZonesSpec extends SparkSpec {
     got.toSeq shouldBe want.toSeq
   }
 
+  it should "compact many batches into one without changing served values" in {
+    val path = freshDir("zones-compact")
+    (0 until 4).foreach { b =>
+      Zones.appendZoned(
+        table.filter(col("k") % 4 === b), path, "k", 4, b)
+    }
+    def read() = Zones.readZoneRange(spark, path, "k", lit(100L), lit(250L))
+      .orderBy(col("k")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val before = read()
+    val filesBefore = Zones.fileCount(spark, path)
+    Zones.compactZones(spark, path, "k", 4)
+    read() shouldBe before
+    Zones.fileCount(spark, path) should be < filesBefore
+    // single-epoch layout: only batch=0 remains
+    new java.io.File(s"$path/data").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq shouldBe
+      Seq("batch=0")
+    // and pruning got TIGHT again: the interleaved batches each
+    // spanned the whole domain; post-compaction a narrow range reads
+    // a strict subset
+    Zones.prunedFiles(spark, path, lit(100L), lit(250L))
+      .size.toLong should be < Zones.fileCount(spark, path)
+  }
+
   it should "keep zones tight: manifest ranges cover disjoint key spans" in {
     val path = base
     Zones.writeZoned(table, path, "k", 8)
