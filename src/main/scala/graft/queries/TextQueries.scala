@@ -638,6 +638,27 @@ object TextQueries {
     graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** CURRICULUM SCHEDULE (round-13, the curriculum-learning axis —
+    * Bengio et al. 2009, easy→hard ordering by a difficulty score):
+    * the corpus staged into 4 ntile cuts of the bigram-LM average
+    * cost (the perplexity proxy q_text_lm_score gates), per stage the
+    * doc count, bigram mass, and cost band. The window input is one
+    * ~24-byte row per document (never the text); at corpora where even
+    * that global sort hurts, the cut becomes approx-quantile
+    * boundaries on avg_cost with the same stage agg. */
+  def curriculumQ(s: SparkSession, dir: String): DataFrame = {
+    val sc = graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("avg_cost").asc, col("doc_id").asc)
+    sc.withColumn("stage", ntile(4).over(w))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).cast("long").as("n_bigrams"),
+        min(col("avg_cost")).as("min_cost"),
+        max(col("avg_cost")).as("max_cost"))
+      .orderBy(col("stage"))
+  }
+
   /** OPEN-VOCABULARY LM scoring (round-12,
     * [[graft.ops.LangModel.lmScoresTopK]]): the model is pruned to the
     * top-256 bigrams (the corpus has ~930 — roughly 72 % of model rows
@@ -1133,6 +1154,7 @@ object TextQueries {
     "q_text_tfidf" -> (tfidfTop _),
     "q_text_lm_score" -> (lmScoreQ _),
     "q_text_lm_score_topk" -> (lmScoreTopKQ _),
+    "q_text_curriculum" -> (curriculumQ _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     // conjunctive BM25 retrieval (graft.ops.Retrieval): head-term
@@ -1370,7 +1392,9 @@ object TextQueries {
   /** The full-census LM replay — shared by q_text_lm_score and its
     * persisted-index twin (the index round-trip must not change a
     * single quantized cost). */
-  private val lmScoreSql =
+  /** The bigram-LM replay through a per-document `scored` CTE — shared
+    * by the score gates and the curriculum staging. */
+  private val lmScoreCte =
     """WITH toks AS (
          SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
          FROM documents),
@@ -1391,12 +1415,31 @@ object TextQueries {
          SELECT bigram,
            CAST(CAST(-ln((c12 + 0.5) / (c1 + 0.5 * v)) AS VARCHAR)
              AS DECIMAL(18,9)) AS cost_d
-         FROM biw JOIN uni USING (w1) CROSS JOIN vocab)
-       SELECT doc_id, count(1) AS n_bigrams,
-         CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
-         CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
-       FROM pairs JOIN model USING (bigram)
-       GROUP BY doc_id ORDER BY doc_id"""
+         FROM biw JOIN uni USING (w1) CROSS JOIN vocab),
+       scored AS (
+         SELECT doc_id, count(1) AS n_bigrams,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) AS sum_cost,
+           CAST(CAST(sum(cost_d) AS VARCHAR) AS DOUBLE) / count(1) AS avg_cost
+         FROM pairs JOIN model USING (bigram)
+         GROUP BY doc_id)"""
+
+  private val lmScoreSql = lmScoreCte + """
+       SELECT doc_id, n_bigrams, sum_cost, avg_cost
+       FROM scored ORDER BY doc_id"""
+
+  /** Oracle for q_text_curriculum: the per-doc scores cut easy→hard
+    * into 4 ntile stages (avg_cost asc, doc_id tie-break — both
+    * doubles derive from the same VARCHAR-hopped decimal sum, so the
+    * cut order is engine-identical). */
+  private val curriculumSql = lmScoreCte + """,
+       staged AS (
+         SELECT doc_id, n_bigrams, avg_cost,
+           ntile(4) OVER (ORDER BY avg_cost ASC, doc_id ASC) AS stage
+         FROM scored)
+       SELECT stage, count(1) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+         min(avg_cost) AS min_cost, max(avg_cost) AS max_cost
+       FROM staged GROUP BY stage ORDER BY stage"""
 
   /** The DSIR replay ([[dsirWeights]]): both bigram models rebuilt in
     * SQL on the shared DECIMAL(18,9) grid, target-side misses through
@@ -1804,6 +1847,7 @@ object TextQueries {
     // add-1/2 smoothing, rule-5b VARCHAR-hopped DECIMAL(18,9) costs,
     // exact decimal sums; only the final mean returns to double
     "q_text_lm_score" -> lmScoreSql,
+    "q_text_curriculum" -> curriculumSql,
     // one from-scratch BM25-retrieval replay for all three engine
     // paths: in-memory, artifact round-trip, half+append — the
     // persisted index must be value-invisible
