@@ -134,6 +134,30 @@ object Text {
     piiPatterns.foldLeft(text) { case (acc, (_, re, tok)) =>
       regexp_replace(acc, lit(re), lit(tok)) }
 
+  /** Luhn checksum validation of a digit string (ISO/IEC 7812 — the
+    * check every serious card-number detector runs to kill the false
+    * positives a bare \d{13,16} regex drowns in). Pure higher-order
+    * array fold — from the right, double every second digit, subtract
+    * 9 past 9, sum ≡ 0 (mod 10). Integer math end to end, codegen'd,
+    * no UDF; non-digit or empty input is invalid (never an error), so
+    * the expression is safe directly over regex captures. */
+  def luhnValid(digits: Column): Column = {
+    val rev = reverse(digits)
+    val chars = split(rev, "")
+    // greatest() guards the empty string: sequence(0, -1) would count
+    // DOWN and index element_at(chars, 0), which throws
+    val total = aggregate(
+      sequence(lit(0), greatest(length(rev) - 1, lit(0))),
+      lit(0),
+      (acc, i) => {
+        val d = element_at(chars, i + 1).cast("int")
+        val dbl = when(i % 2 === 1, d * 2).otherwise(d)
+        acc + when(dbl > 9, dbl - 9).otherwise(dbl)
+      })
+    length(digits) >= 13 && length(digits) <= 19 &&
+      digits.rlike("^[0-9]+$") && total % 10 === 0
+  }
+
   /** Overlapping token-window chunking — the context-window prep step
     * of an LLM training pipeline: each document becomes
     * `max(1, ceil((n − overlap) / step))` chunks of up to `chunkSize`

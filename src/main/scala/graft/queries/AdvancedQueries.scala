@@ -368,6 +368,24 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** LUHN-VALIDATED card detection (round-13, [[graft.ops.Text
+    * .luhnValid]] — ISO/IEC 7812, the checksum every card detector
+    * runs to kill bare-regex false positives): candidates are
+    * 15-digit strings derived deterministically from orders keys (the
+    * corpus carries no card-shaped digit runs, so a corpus gate would
+    * assert only negatives); the engine decides validity via the
+    * codegen'd array fold and the oracle re-derives every checksum
+    * digit-by-digit. ~11 % of candidates validate — a mod-10 check's
+    * expected rate. */
+  def piiLuhn(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderkey"))
+      .filter(col("o_orderkey") <= 800)
+      .withColumn("digits",
+        lpad((col("o_orderkey") * 7919 % 1000000000000000L).cast("string"),
+          15, "0"))
+      .withColumn("luhn_ok", graft.ops.Text.luhnValid(col("digits")))
+      .orderBy(col("o_orderkey"))
+
   /** INCREMENTAL zone maps (round-13, [[graft.io.Zones.appendZoned]]):
     * lineitem lands in two md5-split batches, each range-clustered
     * with its own additive manifest slice; the same Q1-96 range read
@@ -895,6 +913,7 @@ object AdvancedQueries {
     "q_scd2_asof" -> (scd2AsOf _),
     "q_zonemap_scan" -> (zonemapScan _),
     "q_zonemap_incremental" -> (zonemapIncremental _),
+    "q_pii_luhn" -> (piiLuhn _),
     "q_zorder_scan" -> (zorderScan _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_matview_incremental" -> (matviewIncremental _),
@@ -1225,6 +1244,25 @@ object AdvancedQueries {
     // one-shot AND across the incremental batch seam
     "q_zonemap_scan" -> zonemapSql,
     "q_zonemap_incremental" -> zonemapSql,
+    // the Luhn fold re-derived digit-by-digit in SQL
+    "q_pii_luhn" ->
+      """WITH c AS (
+           SELECT o_orderkey,
+             lpad(CAST(o_orderkey * 7919 % 1000000000000000 AS VARCHAR),
+               15, '0') AS digits
+           FROM orders WHERE o_orderkey <= 800),
+         r AS (SELECT o_orderkey, digits, reverse(digits) AS rd FROM c),
+         t AS (
+           SELECT o_orderkey, digits,
+             list_sum([CASE WHEN (i - 1) % 2 = 1
+                            THEN CASE WHEN 2 * CAST(rd[i] AS INT) > 9
+                                      THEN 2 * CAST(rd[i] AS INT) - 9
+                                      ELSE 2 * CAST(rd[i] AS INT) END
+                            ELSE CAST(rd[i] AS INT) END
+                       FOR i IN range(1, len(rd) + 1)]) AS total
+           FROM r)
+         SELECT o_orderkey, digits, total % 10 = 0 AS luhn_ok
+         FROM t ORDER BY o_orderkey""",
     "q_zorder_scan" ->
       """SELECT l_returnflag, count(1) AS cnt,
            CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

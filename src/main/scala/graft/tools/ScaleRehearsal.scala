@@ -124,7 +124,15 @@ object ScaleRehearsal {
       // round-13 (third batch): tokenizer-integrated packing (word
       // census + length join + 16-byte pack exchange) and greedy
       // k-center (k scans + TakeOrdered argmax per round)
-      "q_pack_bpe", "q_embed_kcenter")
+      "q_pack_bpe", "q_embed_kcenter",
+      // round-13 (fourth batch): zone-map write+serve (one clustering
+      // exchange + pruned scan), z-order (adds the interleave
+      // Project), OR/hybrid retrieval (candidate-sized), MMR (k
+      // scans), curriculum (LM score + doc-count window), JSONL
+      // round-trip (write + schema-first scan)
+      "q_zonemap_scan", "q_zonemap_incremental", "q_zorder_scan",
+      "q_text_search_or", "q_text_search_hybrid", "q_embed_mmr",
+      "q_text_curriculum", "q_io_jsonl_roundtrip")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>

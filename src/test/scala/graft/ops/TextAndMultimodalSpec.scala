@@ -395,4 +395,22 @@ class TextAndMultimodalSpec extends SparkSpec {
     d2(0)._3 shouldBe "just five little words here"
     d2(0)._4 shouldBe 5
   }
+
+  it should "validate Luhn checksums with length and charset guards" in {
+    import spark.implicits._
+    val cases = Seq(
+      ("4539578763621486", true),   // canonical 16-digit valid
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // checksum off by one
+      ("79927398713", false),       // Luhn-valid but < 13 digits
+      ("4539578763621486123456", false), // > 19 digits
+      ("4539a78763621486", false),  // non-digit
+      ("", false)
+    ).toDF("digits", "want")
+    val got = cases.withColumn("ok", Text.luhnValid(col("digits")))
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2)))
+    got.foreach { case (d, want, ok) =>
+      withClue(s"'$d': ") { ok shouldBe want }
+    }
+  }
 }

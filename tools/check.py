@@ -9,7 +9,7 @@ DuckDB over the same parquet tables and compare: row count, column names
 (sorted), and a value hash over column-name-sorted rows. Exact row order is
 also compared (our queries all end in a total ORDER BY).
 """
-import sys, os, json, glob, hashlib
+import sys, os, json, glob, hashlib, time
 import duckdb
 
 def norm(v):
@@ -50,9 +50,11 @@ def main():
                   f"{'OK' if len(spark_rows) > 0 else 'EMPTY!'}")
             continue
         try:
+            t0 = time.time()
             ores = con.execute(oracle[d])
             o_cols = [c[0] for c in ores.description]
             o_rows = ores.fetchall()
+            o_sec = time.time() - t0
         except Exception as e:
             print(f"  [FAIL-ORACLE-SQL] {d}: {e}")
             n_fail += 1
@@ -63,7 +65,8 @@ def main():
             table_hash(spark_rows, spark_cols) == table_hash(o_rows, o_cols)
         if ok_hash:
             n_pass += 1
-            print(f"  [PASS] {d} ({len(spark_rows)} rows)")
+            print(f"  [PASS] {d} ({len(spark_rows)} rows, "
+                  f"oracle {o_sec:.1f}s)")
         else:
             n_fail += 1
             print(f"  [FAIL] {d}: cols {ok_cols} "
