@@ -75,6 +75,30 @@ object Zones {
   def fileCount(spark: SparkSession, path: String): Long =
     spark.read.parquet(s"$path/manifest").count()
 
+  /** METADATA-ONLY range count (the Iceberg/Delta "answer count(*)
+    * from statistics" optimization): files fully contained in
+    * [lo, hi] contribute their manifest `rows` without being read —
+    * only the (at most two zones' worth of) straddling files are
+    * scanned and row-filtered. On a tightly-clustered table a range
+    * count touches O(boundary) data, not O(selectivity). Returns
+    * (count, metaFiles, scannedFiles) so callers and specs can audit
+    * how much was answered from metadata alone. */
+  def countRange(spark: SparkSession, path: String, zoneCol: String,
+                 lo: Column, hi: Column): (Long, Long, Long) = {
+    val m = spark.read.parquet(s"$path/manifest")
+      .filter(col("zmax") >= lo && col("zmin") <= hi)
+      .select(col("file"), col("rows"),
+        (col("zmin") >= lo && col("zmax") <= hi).as("inside"))
+      .collect()
+    val metaRows = m.filter(_.getBoolean(2)).map(_.getLong(1)).sum
+    val scanFiles = m.filterNot(_.getBoolean(2)).map(_.getString(0)).toSeq
+    val scanned =
+      if (scanFiles.isEmpty) 0L
+      else spark.read.parquet(scanFiles: _*)
+        .filter(col(zoneCol) >= lo && col(zoneCol) <= hi).count()
+    (metaRows + scanned, m.count(_.getBoolean(2)).toLong, scanFiles.size.toLong)
+  }
+
   // ---------------------------------------------------------------
   // Multi-column Z-ORDER clustering (Delta's OPTIMIZE ZORDER, the
   // Morton-curve layout): single-column range clustering makes zones

@@ -368,6 +368,24 @@ object AdvancedQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** METADATA-ONLY range count (round-13,
+    * [[graft.io.Zones.countRange]]): count(*) over the Q2+Q3-96 ship
+    * window answered mostly from the manifest's per-file row counts —
+    * only boundary-straddling files are scanned. The emitted count
+    * must equal the oracle's full filter; the meta-vs-scan file split
+    * is asserted in ZonesSpec. */
+  def zonemapCount(s: SparkSession, dir: String): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-zones-cnt-$slug"
+    graft.io.Zones.writeZoned(
+      t(s, dir, "lineitem").select(col("l_shipdate")), base, "l_shipdate", 16)
+    val (n, metaF, scanF) = graft.io.Zones.countRange(s, base, "l_shipdate",
+      lit("1996-04-01").cast("timestamp"), lit("1996-09-30").cast("timestamp"))
+    require(metaF + scanF > 0, "range unexpectedly empty")
+    import s.implicits._
+    Seq(n).toDF("cnt")
+  }
+
   /** LUHN-VALIDATED card detection (round-13, [[graft.ops.Text
     * .luhnValid]] — ISO/IEC 7812, the checksum every card detector
     * runs to kill bare-regex false positives): candidates are
@@ -914,6 +932,7 @@ object AdvancedQueries {
     "q_zonemap_scan" -> (zonemapScan _),
     "q_zonemap_incremental" -> (zonemapIncremental _),
     "q_pii_luhn" -> (piiLuhn _),
+    "q_zonemap_count" -> (zonemapCount _),
     "q_zorder_scan" -> (zorderScan _),
     "q_scd2_stream_parity" -> (scd2StreamParity _),
     "q_matview_incremental" -> (matviewIncremental _),
@@ -1244,6 +1263,10 @@ object AdvancedQueries {
     // one-shot AND across the incremental batch seam
     "q_zonemap_scan" -> zonemapSql,
     "q_zonemap_incremental" -> zonemapSql,
+    "q_zonemap_count" ->
+      """SELECT count(1) AS cnt FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-04-01'
+           AND l_shipdate <= TIMESTAMP '1996-09-30'""",
     // the Luhn fold re-derived digit-by-digit in SQL
     "q_pii_luhn" ->
       """WITH c AS (

@@ -161,6 +161,27 @@ class ZonesSpec extends SparkSpec {
       .size.toLong should be < Zones.fileCount(spark, path)
   }
 
+  behavior of "Zones.countRange"
+
+  it should "answer mostly from metadata and exactly match the filter count" in {
+    val path = freshDir("zones-count")
+    Zones.writeZoned(table, path, "k", 8)
+    val (n, metaF, scanF) = Zones.countRange(spark, path, "k", lit(100L), lit(700L))
+    n shouldBe table.filter(col("k") >= 100 && col("k") <= 700).count()
+    metaF should be >= 1L // interior zones answered without a scan
+    scanF should be <= 2L // only the two boundary files read
+  }
+
+  it should "count an exactly-aligned range with zero scanned files" in {
+    val path = freshDir("zones-count-aligned")
+    Zones.writeZoned(table, path, "k", 8)
+    // whole-domain range: every file inside, nothing scanned
+    val (n, metaF, scanF) = Zones.countRange(spark, path, "k", lit(1L), lit(1000L))
+    n shouldBe 1000L
+    scanF shouldBe 0L
+    metaF shouldBe Zones.fileCount(spark, path)
+  }
+
   it should "keep zones tight: manifest ranges cover disjoint key spans" in {
     val path = base
     Zones.writeZoned(table, path, "k", 8)
