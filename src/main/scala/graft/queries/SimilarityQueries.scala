@@ -623,23 +623,31 @@ object SimilarityQueries {
     "q_ann_index" -> (annIndexGate _)
   )
 
-  /** Shared oracle scaffolding: exact decimal dot/norm via an unnested
-    * index join — mirrors the engine's decimal arithmetic exactly. */
-  private def cosSql(aFilter: String, bFilter: String): String =
-    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings $aFilter),
-        c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings $bFilter),
-        idx AS (SELECT unnest(range(1, 65)) AS i),
-        sums AS (
-          SELECT qid, cid,
-            sum(CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS dot,
-            sum(CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(qe[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS qn2,
-            sum(CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) * CAST(CAST(CAST(ce[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9))) AS cn2
-          FROM q CROSS JOIN c CROSS JOIN idx
-          GROUP BY qid, cid),
+  /** Shared oracle scaffolding: exact decimal dot/norm, values
+    * IDENTICAL to the original unnest-join form (verified row-for-row)
+    * but ~5× faster — per-pair list_sum folds (DuckDB keeps
+    * DECIMAL(38,18) through list_sum, the same widening as SUM)
+    * instead of materializing n²·d rows through a hash aggregate; the
+    * 2522 s q_embed_dedup oracle at sf0.1 was 98 % that aggregate.
+    * `pairPred` pushes the symmetric consumers' `qid < cid` below the
+    * scoring, halving the fold count. */
+  private def cosSql(aFilter: String, bFilter: String,
+                     pairPred: String = ""): String =
+    s"""WITH gq AS (
+          SELECT vec_id AS qid,
+            [CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) FOR x IN embedding] AS qg
+          FROM embeddings $aFilter),
+        gc AS (
+          SELECT vec_id AS cid,
+            [CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) FOR x IN embedding] AS cg
+          FROM embeddings $bFilter),
+        qn AS (SELECT qid, qg, list_sum([x * x FOR x IN qg]) AS qn2 FROM gq),
+        cn AS (SELECT cid, cg, list_sum([x * x FOR x IN cg]) AS cn2 FROM gc),
         scored AS (
           SELECT qid, cid,
-            CAST(CAST(dot AS VARCHAR) AS DOUBLE) / (sqrt(CAST(CAST(qn2 AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cn2 AS VARCHAR) AS DOUBLE))) AS cos
-          FROM sums)"""
+            CAST(CAST(list_sum([qg[i] * cg[i] FOR i IN range(1, len(qg) + 1)]) AS VARCHAR) AS DOUBLE) /
+              (sqrt(CAST(CAST(qn2 AS VARCHAR) AS DOUBLE)) * sqrt(CAST(CAST(cn2 AS VARCHAR) AS DOUBLE))) AS cos
+          FROM qn CROSS JOIN cn $pairPred)"""
 
   /** One invariant oracle arm per ANN method name (UNION ALL over the
     * method list, counted over the given source/filter). */
@@ -679,19 +687,20 @@ object SimilarityQueries {
           SELECT qid, CAST(rn AS INT) AS rnk, cid, cos FROM ranked
           WHERE rn <= 3 ORDER BY qid, rnk"""),
     "q_embed_neardup" ->
-      (cosSql("", "") + """
+      (cosSql("", "", "WHERE qid < cid") + """
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
     "q_embed_neardup_blocked" ->
-      (cosSql("", "") + """
+      (cosSql("", "", "WHERE qid < cid") + """
           SELECT qid AS id_a, cid AS id_b, cos FROM scored
           WHERE qid < cid AND cos >= 0.4 ORDER BY id_a, id_b"""),
     "q_embed_dedup" ->
-      (cosSql("", "").replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-          pairs AS (
+      (cosSql("", "", "WHERE qid < cid")
+        .replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+          pairs AS MATERIALIZED (
             SELECT qid AS pa, cid AS pb FROM scored
             WHERE qid < cid AND cos >= 0.4),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT pa AS src, pb AS dst FROM pairs
             UNION
             SELECT pb AS src, pa AS dst FROM pairs),
@@ -743,12 +752,12 @@ object SimilarityQueries {
              ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
            CROSS JOIN idx
            GROUP BY 1, 2),
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT id_a, id_b FROM psums
            WHERE CAST(CAST(dot AS VARCHAR) AS DOUBLE) /
              (sqrt(CAST(CAST(an2 AS VARCHAR) AS DOUBLE)) *
               sqrt(CAST(CAST(bn2 AS VARCHAR) AS DOUBLE))) >= 0.4),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT id_a AS src, id_b AS dst FROM pairs
            UNION
            SELECT id_b AS src, id_a AS dst FROM pairs),

@@ -1373,8 +1373,8 @@ object TextQueries {
     * (both algorithms converge to the same component minima). */
   private val clustersSql =
     shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
-         edges AS (
+         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION
            SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -2146,8 +2146,8 @@ object TextQueries {
            FROM inter
            JOIN sizes sa ON sa.doc_id = doc_a
            JOIN sizes sb ON sb.doc_id = doc_b),
-         pairs AS (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
-         edges AS (
+         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION
            SELECT doc_b AS src, doc_a AS dst FROM pairs),
@@ -2282,11 +2282,11 @@ object TextQueries {
          ORDER BY f.doc_id""",
     "q_multimodal_dedup" ->
       (phashCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
-         pairs AS (
+         pairs AS MATERIALIZED (
            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id
            WHERE hamming(a.phash_bits, b.phash_bits) <= 15),
-         edges AS (
+         edges AS MATERIALIZED (
            SELECT doc_a AS src, doc_b AS dst FROM pairs
            UNION
            SELECT doc_b AS src, doc_a AS dst FROM pairs),
