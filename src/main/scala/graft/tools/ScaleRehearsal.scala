@@ -88,6 +88,19 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+    // lineitem (round-13, for the zone-map/z-order rehearsals): keys
+    // offset per copy, dates/measures unchanged — file-pruning
+    // selectivity per zone column stays sf0.1's while data grows 10×
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    (0 until Copies).map { c =>
+      li.select(
+        (col("l_orderkey") + lit(c * Offset)).as("l_orderkey"),
+        (col("l_partkey") + lit(c * Offset)).as("l_partkey"),
+        col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
   }
 
   /** Measured paths: driver-query names for the text/dedup pipelines;
@@ -222,7 +235,8 @@ object ScaleRehearsal {
 
     val sf1Dir = "target/sf1"
     if (!new java.io.File(s"$sf1Dir/embeddings.parquet").exists() ||
-        !new java.io.File(s"$sf1Dir/orders.parquet").exists()) {
+        !new java.io.File(s"$sf1Dir/orders.parquet").exists() ||
+        !new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
       println("[scale] generating sf1 slice under target/sf1 ...")
       genSf1(spark, "/root/testdata/sf0.1", sf1Dir)
     }
