@@ -45,6 +45,43 @@ object LangModel {
       .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
 
+  /** COLLOCATION MINING (round-13): top-k bigrams by normalized PMI
+    * (Bouma 2009 — the phrase-mining score; NPMI = PMI / −ln p(xy) ∈
+    * [−1, 1], length-bias-corrected so rare-but-perfect collocations
+    * don't drown frequent ones). Probabilities are exact rationals
+    * over the bigram-occurrence total N: both log arguments are
+    * products/quotients of longs exact in double (< 2^53), the two
+    * lns quantize to DECIMAL(18,9) (rule 5b), and the final ratio
+    * divides the two hopped doubles — correctly rounded, engine-
+    * identical. `minCount` keeps the singleton tail out of the board.
+    *
+    * Scale shape: the bigram census is one partial-agg exchange
+    * (vocab²-bounded output), the left/right marginals two more
+    * vocab-sized aggs, the one-row N broadcast, and the board a
+    * TakeOrdered(k) — occurrence rows never shuffle twice. */
+  def collocations(docs: DataFrame, textCol: Column, idCol: Column,
+                   minCount: Int = 5, k: Int = 30): DataFrame = {
+    val bi = bigramCensus(docs, textCol, idCol)
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val lx = bi.groupBy(col("w1")).agg(sum(col("c12")).as("cx"))
+    val rx = bi.groupBy(col("w2")).agg(sum(col("c12")).as("cy"))
+    val nn = bi.agg(sum(col("c12")).as("n"))
+    val d = (c: Column) => c.cast("double")
+    bi.filter(col("c12") >= minCount)
+      .join(lx, "w1").join(rx, "w2")
+      .crossJoin(broadcast(nn))
+      .withColumn("pmi_d",
+        log(d(col("c12")) * d(col("n")) / (d(col("cx")) * d(col("cy"))))
+          .cast("decimal(18,9)"))
+      .withColumn("den_d",
+        log(d(col("n")) / d(col("c12"))).cast("decimal(18,9)"))
+      .select(col("bigram"), col("c12"),
+        (Similarity.decToDouble(col("pmi_d")) /
+          Similarity.decToDouble(col("den_d"))).as("npmi"))
+      .orderBy(col("npmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-document LM cost: doc_id, n_bigrams, sum_cost, avg_cost.
     * Documents with fewer than two tokens have no bigrams and are
     * absent (they carry no sequence evidence either way — route them

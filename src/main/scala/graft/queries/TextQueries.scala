@@ -1155,6 +1155,10 @@ object TextQueries {
     "q_text_lm_score" -> (lmScoreQ _),
     "q_text_lm_score_topk" -> (lmScoreTopKQ _),
     "q_text_curriculum" -> (curriculumQ _),
+    // NPMI collocation board over the bigram census
+    "q_text_collocations" -> ((s, dir) =>
+      graft.ops.LangModel.collocations(docs(s, dir), col("text"),
+        col("doc_id"), minCount = 5, k = 30)),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     // conjunctive BM25 retrieval (graft.ops.Retrieval): head-term
@@ -1848,6 +1852,39 @@ object TextQueries {
     // exact decimal sums; only the final mean returns to double
     "q_text_lm_score" -> lmScoreSql,
     "q_text_curriculum" -> curriculumSql,
+    // NPMI replay: same census, same marginals, both lns VARCHAR-
+    // hopped to DECIMAL(18,9), ratio of the hopped doubles
+    "q_text_collocations" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+           FROM documents),
+         pairs AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         bi AS (SELECT bigram, count(1) AS c12 FROM pairs GROUP BY 1),
+         lx AS (SELECT split_part(bigram, ' ', 1) AS w,
+                  CAST(sum(c12) AS BIGINT) AS cx FROM bi GROUP BY 1),
+         rx AS (SELECT split_part(bigram, ' ', 2) AS w,
+                  CAST(sum(c12) AS BIGINT) AS cy FROM bi GROUP BY 1),
+         nn AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bi),
+         sc AS (
+           SELECT bigram, c12,
+             CAST(CAST(ln(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE) /
+               (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS VARCHAR)
+               AS DECIMAL(18,9)) AS pmi_d,
+             CAST(CAST(ln(CAST(n AS DOUBLE) / CAST(c12 AS DOUBLE)) AS VARCHAR)
+               AS DECIMAL(18,9)) AS den_d
+           FROM bi
+           JOIN lx ON lx.w = split_part(bigram, ' ', 1)
+           JOIN rx ON rx.w = split_part(bigram, ' ', 2)
+           CROSS JOIN nn
+           WHERE c12 >= 5)
+         SELECT bigram, c12,
+           CAST(CAST(pmi_d AS VARCHAR) AS DOUBLE) /
+             CAST(CAST(den_d AS VARCHAR) AS DOUBLE) AS npmi
+         FROM sc ORDER BY npmi DESC, bigram ASC LIMIT 30""",
     // one from-scratch BM25-retrieval replay for all three engine
     // paths: in-memory, artifact round-trip, half+append — the
     // persisted index must be value-invisible

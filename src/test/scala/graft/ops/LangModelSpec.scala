@@ -165,4 +165,39 @@ class LangModelSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     a shouldBe b
   }
+
+  behavior of "LangModel.collocations"
+
+  it should "score a perfect collocation at exactly 1 and bound the rest" in {
+    import spark.implicits._
+    // "a b" 5×: a appears only before b, b only after a → NPMI = 1.
+    // "x y"/"x z" split x's left mass → "x y" lands strictly below 1.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "a b")) ++
+      (6 to 8).map(i => (i.toLong, "x y")) ++
+      (9 to 10).map(i => (i.toLong, "x z"))
+    ).toDF("doc_id", "text")
+    val out = LangModel.collocations(docs, col("text"), col("doc_id"),
+      minCount = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val byBigram = out.map(t => t._1 -> t._3).toMap
+    byBigram("a b") shouldBe 1.0
+    byBigram("x y") should be < 1.0
+    byBigram("x y") should be > 0.0
+    out.foreach { case (_, _, npmi) =>
+      npmi should (be <= 1.0 and be >= -1.0)
+    }
+    // minCount excludes the 2-occurrence "x z"? No — it passes at 2;
+    // the board is ordered npmi desc with the perfect pair on top
+    out.head._1 shouldBe "a b"
+  }
+
+  it should "mine an identical board under repartitioning" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = LangModel.collocations(docs, col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val b = LangModel.collocations(docs.repartition(7), col("text"), col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    a shouldBe b
+  }
 }
