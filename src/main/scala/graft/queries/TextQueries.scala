@@ -638,6 +638,54 @@ object TextQueries {
     graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
       .orderBy(col("doc_id"))
 
+  /** The accented word list behind q_text_normalize — chosen to cover
+    * precomposed Latin, multi-accent words, Greek tonos, and the
+    * ß/ø class that accent-stripping must NOT touch. The corpus
+    * itself is ASCII (normalization there is the identity — the fast
+    * path), so like q_pii_luhn the kernel gates on deterministic
+    * synthetic candidates. */
+  private val normalizeWords = Seq(
+    "café", "données", "tabelle", "über", "señor", "élève",
+    "mañana", "zürich", "naïve", "crème brûlée", "søster", "ελληνικά")
+
+  /** UNICODE NORMALIZATION gate (round-13,
+    * [[graft.functions.Normalize]] — native codegen'd expressions):
+    * each word decomposes (NFD), recomposes (NFC must restore the
+    * original bytes), and accent-strips. The oracle embeds the
+    * Java-NFD literals (generated at oracle-build time) and replays
+    * recomposition with DuckDB's utf8proc `nfc_normalize` and the
+    * strip with DuckDB's `strip_accents` — two INDEPENDENT Unicode
+    * implementations must land on identical bytes. */
+  def normalizeQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Normalize.register(s)
+    import s.implicits._
+    normalizeWords.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "word")
+      .withColumn("decomposed", graft.functions.Normalize.nfdNormalize("word"))
+      .withColumn("recomposed", graft.functions.Normalize.nfcNormalize("decomposed"))
+      .withColumn("roundtrip_ok", col("recomposed") === col("word"))
+      .withColumn("stripped", graft.functions.Normalize.stripAccentsCol("word"))
+      .orderBy(col("id"))
+  }
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Oracle for [[normalizeQ]]: VALUES rows carry (word, Java-NFD
+    * decomposed) literals; DuckDB recomposes and strips with utf8proc. */
+  private def normalizeSql: String = {
+    val rows = normalizeWords.zipWithIndex.map { case (w, i) =>
+      val nfd = java.text.Normalizer.normalize(w, java.text.Normalizer.Form.NFD)
+      s"(${i.toLong}, ${sqlLit(w)}, ${sqlLit(nfd)})"
+    }.mkString(",\n           ")
+    s"""WITH words(id, word, decomposed) AS (
+           VALUES $rows)
+         SELECT id, word, decomposed,
+           nfc_normalize(decomposed) AS recomposed,
+           nfc_normalize(decomposed) = word AS roundtrip_ok,
+           strip_accents(word) AS stripped
+         FROM words ORDER BY id"""
+  }
+
   /** CURRICULUM SCHEDULE (round-13, the curriculum-learning axis —
     * Bengio et al. 2009, easy→hard ordering by a difficulty score):
     * the corpus staged into 4 ntile cuts of the bigram-LM average
@@ -1159,6 +1207,7 @@ object TextQueries {
     "q_text_collocations" -> ((s, dir) =>
       graft.ops.LangModel.collocations(docs(s, dir), col("text"),
         col("doc_id"), minCount = 5, k = 30)),
+    "q_text_normalize" -> (normalizeQ _),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     // conjunctive BM25 retrieval (graft.ops.Retrieval): head-term
@@ -1852,6 +1901,7 @@ object TextQueries {
     // exact decimal sums; only the final mean returns to double
     "q_text_lm_score" -> lmScoreSql,
     "q_text_curriculum" -> curriculumSql,
+    "q_text_normalize" -> normalizeSql,
     // NPMI replay: same census, same marginals, both lns VARCHAR-
     // hopped to DECIMAL(18,9), ratio of the hopped doubles
     "q_text_collocations" ->
