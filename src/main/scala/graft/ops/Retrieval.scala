@@ -178,6 +178,124 @@ object Retrieval {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK semantic re-rank — the RAG serving
+    * stack's lexical → vector cascade with a Rocchio-style probe:
+    * conjunctive BM25 at `depth`, each query's rank-1 hit donates its
+    * EMBEDDING as the probe ("more like the best match" — classic PRF,
+    * public IR literature), every candidate re-scores by exact-decimal
+    * cosine to the probe, and the lexical and semantic ranks fuse by
+    * RRF (both 1/(k0+rank) contributions DECIMAL(18,9), summed
+    * exactly — the [[searchHybridRrf]] discipline, so the fused order
+    * is engine-identical).
+    *
+    * Scale shape: the BM25 stage is the pruned-index plan; embeddings
+    * enter ONLY through a candidate-sized join (q·depth ids pull their
+    * vectors — at 100 TB that is a broadcast of the candidate ids
+    * against the vector table's scan, never a corpus shuffle), and
+    * the cosine/fusion windows are per-query candidate-sized. */
+  def searchPrfRerank(docs: DataFrame, emb: DataFrame, textCol: String,
+      idCol: String, vecIdCol: String, embCol: String,
+      q: Int, k: Int, depth: Int = 20, k0: Int = 60): DataFrame = {
+    val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
+    val bm25 = searchFrames(post, dl, vocab, stats,
+      headTermQueries(vocab, q), depth)
+      .localCheckpoint(true) // q·depth rows, consumed twice below
+    val ev = emb.select(col(vecIdCol).cast("long").as("doc_id"),
+      col(embCol).as("v"))
+    // a vector store rarely covers the whole corpus: the probe is the
+    // BEST-RANKED candidate that has a vector, vector-less candidates
+    // keep their lexical rank with zero semantic contribution, and a
+    // query with no embedded candidate at all degrades to pure BM25
+    val withV = bm25.join(ev, Seq("doc_id"), "left")
+    val wp = Window.partitionBy(col("query_id")).orderBy(col("rnk").asc)
+    val probes = withV.filter(col("v").isNotNull)
+      .withColumn("prn", row_number().over(wp)).filter(col("prn") === 1)
+      .select(col("query_id"), col("v").as("pv"))
+    val scored = withV.join(broadcast(probes), Seq("query_id"), "left")
+      .withColumn("cos",
+        when(col("v").isNotNull && col("pv").isNotNull,
+          Similarity.cosExact(col("v"), col("pv"),
+            Similarity.norm2Decimal(col("v")),
+            Similarity.norm2Decimal(col("pv")))))
+    val wc = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc_nulls_last, col("doc_id").asc)
+    val fused = scored.withColumn("crnk", row_number().over(wc))
+      .withColumn("c_bm",
+        (lit(1.0) / (lit(k0).cast("double") + col("rnk").cast("double")))
+          .cast("decimal(18,9)"))
+      .withColumn("c_cs",
+        when(col("cos").isNotNull,
+          (lit(1.0) / (lit(k0).cast("double") + col("crnk").cast("double")))
+            .cast("decimal(18,9)"))
+          .otherwise(lit("0").cast("decimal(18,9)")))
+      .withColumn("rrf_d", col("c_bm") + col("c_cs"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_d").desc, col("doc_id").asc)
+    fused.withColumn("frnk", row_number().over(wf)).filter(col("frnk") <= k)
+      .select(col("query_id"), col("frnk").cast("int").as("rnk"),
+        col("doc_id"), Similarity.decToDouble(col("rrf_d")).as("rrf"),
+        col("cos"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Oracle for [[searchPrfRerank]]: the conjunctive ranking at
+    * `depth`, probe vectors from the rank-1 hits, every candidate
+    * cosine replayed on the decimal grid (in-row list_sum folds — the
+    * cosSql discipline), both RRF contributions hopped and summed
+    * exactly. `embTable` must share the id domain with `table`. */
+  def prfOracleSql(table: String, embTable: String, q: Int, k: Int,
+                   depth: Int = 20, k0: Int = 60): String =
+    oraclePrefix(table, q, conjunctive = true) +
+      s""",
+         cand AS MATERIALIZED (
+           SELECT query_id, rnk, doc_id FROM ranked WHERE rnk <= $depth),
+         gq AS MATERIALIZED (
+           SELECT vec_id,
+             [CAST(CAST(CAST(x AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) FOR x IN embedding] AS g
+           FROM $embTable),
+         gn AS MATERIALIZED (
+           SELECT vec_id, g, list_sum([x * x FOR x IN g]) AS n2 FROM gq),
+         probe AS MATERIALIZED (
+           SELECT query_id, pg, pn2 FROM (
+             SELECT c.query_id, e.g AS pg, e.n2 AS pn2,
+               row_number() OVER (PARTITION BY c.query_id
+                                  ORDER BY c.rnk ASC) AS prn
+             FROM cand c JOIN gn e ON e.vec_id = c.doc_id) t
+           WHERE prn = 1),
+         cscore AS (
+           SELECT c.query_id, c.rnk, c.doc_id,
+             CASE WHEN e.vec_id IS NOT NULL AND p.query_id IS NOT NULL
+               THEN CAST(CAST(list_sum([e.g[i] * p.pg[i]
+                                        FOR i IN range(1, len(e.g) + 1)])
+                 AS VARCHAR) AS DOUBLE) /
+                 (sqrt(CAST(CAST(e.n2 AS VARCHAR) AS DOUBLE)) *
+                  sqrt(CAST(CAST(p.pn2 AS VARCHAR) AS DOUBLE)))
+               ELSE NULL END AS cos
+           FROM cand c
+           LEFT JOIN gn e ON e.vec_id = c.doc_id
+           LEFT JOIN probe p ON p.query_id = c.query_id),
+         cr AS (
+           SELECT query_id, rnk, doc_id, cos,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC NULLS LAST, doc_id ASC) AS crnk
+           FROM cscore),
+         prf_fused AS (
+           SELECT query_id, doc_id, cos,
+             CAST(CAST(1.0 / ($k0 + rnk) AS VARCHAR) AS DECIMAL(18,9)) +
+             CASE WHEN cos IS NOT NULL
+               THEN CAST(CAST(1.0 / ($k0 + crnk) AS VARCHAR) AS DECIMAL(18,9))
+               ELSE CAST(0 AS DECIMAL(18,9)) END AS rrf_d
+           FROM cr),
+         prf_ranked AS (
+           SELECT query_id, doc_id, cos, rrf_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf_d DESC, doc_id ASC) AS frnk
+           FROM prf_fused)
+         SELECT query_id, CAST(frnk AS INT) AS rnk, doc_id,
+           CAST(CAST(rrf_d AS VARCHAR) AS DOUBLE) AS rrf, cos
+         FROM prf_ranked WHERE frnk <= $k
+         ORDER BY query_id, rnk"""
+
   // ---------------------------------------------------------------
   // Persisted artifact
   // ---------------------------------------------------------------

@@ -1208,6 +1208,12 @@ object TextQueries {
       graft.ops.LangModel.collocations(docs(s, dir), col("text"),
         col("doc_id"), minCount = 5, k = 30)),
     "q_text_normalize" -> (normalizeQ _),
+    // PRF semantic re-rank: BM25 depth-20 candidates re-scored by
+    // exact-decimal cosine to the rank-1 hit's embedding, RRF-fused
+    "q_text_search_semantic" -> ((s, dir) =>
+      graft.ops.Retrieval.searchPrfRerank(docs(s, dir),
+        Tables.t(s, dir, "embeddings"), "text", "doc_id",
+        "vec_id", "embedding", q = 3, k = 5)),
     "q_text_exact_dedup" -> (exactDedup _),
     "q_text_bm25" -> (bm25Top _),
     // conjunctive BM25 retrieval (graft.ops.Retrieval): head-term
@@ -1941,6 +1947,8 @@ object TextQueries {
     "q_text_search" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_or" -> graft.ops.Retrieval.searchOrOracleSql("documents", 3, 5),
     "q_text_search_hybrid" -> graft.ops.Retrieval.hybridOracleSql("documents", 3, 5),
+    "q_text_search_semantic" ->
+      graft.ops.Retrieval.prfOracleSql("documents", "embeddings", 3, 5),
     "q_text_search_persisted" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_incremental" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_stream_parity" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),

@@ -86,6 +86,42 @@ class RetrievalSpec extends SparkSpec {
     runOn(corpus) shouldBe runOn(corpus.repartition(7))
   }
 
+  behavior of "Retrieval.searchPrfRerank"
+
+  it should "degrade to pure BM25 order when no candidate has a vector" in {
+    import spark.implicits._
+    val emb = Seq((999L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val prf = Retrieval.searchPrfRerank(corpus, emb, "text", "doc_id",
+      "vec_id", "embedding", q = 2, k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val bm = Retrieval.search(corpus, "text", "doc_id", q = 2, k = 5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    prf.toSeq shouldBe bm.toSeq
+  }
+
+  it should "re-rank by cosine to the best embedded hit and keep vector-less candidates" in {
+    import spark.implicits._
+    // only docs 2 and 5 carry vectors; probe for q1 is its best-ranked
+    // embedded candidate, all 3 conjunctive candidates stay in the list
+    val emb = Seq(
+      (2L, Array(1f, 0f)), (5L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val out = Retrieval.searchPrfRerank(corpus, emb, "text", "doc_id",
+      "vec_id", "embedding", q = 2, k = 10)
+    val q1 = out.filter(col("query_id") === 1)
+      .collect().map(r => (r.getLong(2), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    q1.map(_._1).toSet shouldBe Set(1L, 2L, 5L) // full conjunctive set
+    val cosById = q1.toMap
+    cosById(1L) shouldBe None          // no vector → lexical only
+    cosById(2L).isDefined shouldBe true
+    cosById(5L).isDefined shouldBe true
+    // partition invariance of the whole cascade
+    val a = out.collect().map(_.toSeq).toSeq
+    val b = Retrieval.searchPrfRerank(corpus.repartition(7), emb, "text",
+      "doc_id", "vec_id", "embedding", q = 2, k = 10)
+      .collect().map(_.toSeq).toSeq
+    b shouldBe a
+  }
+
   behavior of "Retrieval.searchIndexed"
 
   it should "match the in-memory search after an artifact round-trip" in {
