@@ -61,8 +61,18 @@ object LangModel {
     * TakeOrdered(k) — occurrence rows never shuffle twice. */
   def collocations(docs: DataFrame, textCol: Column, idCol: Column,
                    minCount: Int = 5, k: Int = 30): DataFrame = {
-    val bi = bigramCensus(docs, textCol, idCol)
-      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    // census on (w1, w2) token pairs — the bigram STRING concatenates
+    // only on census rows (≤ vocab²), never per occurrence; the
+    // string-per-occurrence explode is the 6× slower shape
+    // q_text_lm_score's kernel note documents
+    val t = Text.tokens(textCol)
+    val bi = docs.select(t.as("t")).filter(size(col("t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
     val lx = bi.groupBy(col("w1")).agg(sum(col("c12")).as("cx"))
     val rx = bi.groupBy(col("w2")).agg(sum(col("c12")).as("cy"))
     val nn = bi.agg(sum(col("c12")).as("n"))
@@ -75,7 +85,7 @@ object LangModel {
           .cast("decimal(18,9)"))
       .withColumn("den_d",
         log(d(col("n")) / d(col("c12"))).cast("decimal(18,9)"))
-      .select(col("bigram"), col("c12"),
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("c12"),
         (Similarity.decToDouble(col("pmi_d")) /
           Similarity.decToDouble(col("den_d"))).as("npmi"))
       .orderBy(col("npmi").desc, col("bigram").asc)

@@ -145,7 +145,10 @@ object ScaleRehearsal {
       // round-trip (write + schema-first scan)
       "q_zonemap_scan", "q_zonemap_incremental", "q_zorder_scan",
       "q_text_search_or", "q_text_search_hybrid", "q_embed_mmr",
-      "q_text_curriculum", "q_io_jsonl_roundtrip")
+      "q_text_curriculum", "q_io_jsonl_roundtrip",
+      // round-13 (fifth batch): NPMI board (census + marginals +
+      // TakeOrdered) and the PRF lexical→vector cascade
+      "q_text_collocations", "q_text_search_semantic")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
