@@ -83,7 +83,11 @@ object Bench {
       "q_text_lm_persisted", "q_dsir_persisted", "q_text_lm_incremental",
       // inverted-index builds (one full + a half+append pair) dominate
       // these two; the serve-path plan benches as q_text_search
-      "q_text_search_persisted", "q_text_search_incremental")
+      "q_text_search_persisted", "q_text_search_incremental",
+      // round-13 corpus-stats artifact gates: three sketch writes /
+      // four census-partial writes dominate; the serve plans bench as
+      // q_corpus_overlap / q_corpus_drift
+      "q_corpus_overlap_persisted", "q_corpus_drift_incremental")
     def isGate(n: String): Boolean = n.contains("stream") || gateSet(n)
     // 3-decimal (ms) precision: the harness tail-captures only the last
     // few KB of stdout, and BENCH_r03's full-double line (~4 KB over 77

@@ -118,6 +118,52 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("cid"), col("cos"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive-embedding training data:
+    * for each anchor, the k most-similar candidates that are NOT
+    * near-duplicates (exact cosine strictly below `dupThreshold`) —
+    * the "hardest" negatives, the pairs that teach a retrieval model
+    * the most (e.g. DPR, Karpukhin et al. 2020, mines them from BM25;
+    * here from the embedding space itself).
+    *
+    * Same two-phase shape as [[bruteForceTopK]]: double-precision
+    * cosines prefilter and rank, exact-decimal rescore decides both
+    * the dup boundary and the final order. The fast filter keeps a
+    * `margin` ABOVE the threshold so a pair whose double cosine
+    * under-reads its exact value (error ~1e-14, margin 1e-9 = 10⁵×
+    * that) cannot be dropped before the exact pass; pairs the exact
+    * pass rejects as dups merely vacate shortlist slots, covered by
+    * the +16 window. */
+  def hardNegativesTopK(
+      queries: DataFrame, candidates: DataFrame, k: Int,
+      dupThreshold: Double, margin: Double = 1e-9): DataFrame = {
+    val dNorm2 = aggregate(
+      transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val q = queries.select(
+      col("vec_id").as("qid"), col("embedding").as("qe"),
+      sqrt(dNorm2).as("qn"))
+    val c = candidates.select(
+      col("vec_id").as("cid"), col("embedding").as("ce"),
+      sqrt(dNorm2).as("cn"))
+    val dDot = aggregate(
+      zip_with(col("qe"), col("ce"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val wFast = Window.partitionBy(col("qid")).orderBy(col("cos_fast").desc, col("cid"))
+    val shortlist = c.crossJoin(broadcast(q))
+      .withColumn("cos_fast", dDot / (col("qn") * col("cn")))
+      .filter(col("cos_fast") < dupThreshold + margin)
+      .withColumn("rf", row_number().over(wFast))
+      .filter(col("rf") <= k + 16)
+    val wExact = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))
+    shortlist
+      .withColumn("cos",
+        cosExact(col("qe"), col("ce"), norm2Decimal(col("qe")), norm2Decimal(col("ce"))))
+      .filter(col("cos") < dupThreshold)
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("cid"), col("cos"))
+  }
+
   /** Default near-duplicate entry point: the blocked (beyond-broadcast)
     * variant — the shape that survives 100 TB. The broadcast-matrix
     * [[cosineNearDupPairs]] remains available as an explicit opt-in for

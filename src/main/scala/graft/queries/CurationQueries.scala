@@ -503,10 +503,42 @@ object CurationQueries {
     "q_sample_reservoir" -> (reservoirQ _),
     "q_shard_manifest" -> (shardManifestQ _),
     "q_shard_stream" -> (shardStreamQ _),
-    "q_epoch_prep" -> (epochPrepQ _)
+    "q_epoch_prep" -> (epochPrepQ _),
+    "q_data_card" -> (dataCardQ _)
   )
 
+  /** The DATA CARD every published corpus ships (Datasheets for
+    * Datasets, Gebru et al. 2021): one profile row per (lang, source)
+    * slice — document count, character/token volume, length envelope,
+    * distinct-content count and the duplicate rate it implies. All
+    * integer aggregates except the final IEEE division, so DuckDB
+    * value-matches every cell. One partial-agg exchange over slice
+    * rows; the corpus never shuffles. */
+  def dataCardQ(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(col("lang"), col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_chars")).as("sum_chars"),
+      sum(Text.tokenCount(col("text")).cast("long")).as("sum_tokens"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      countDistinct(md5(col("text"))).as("n_unique"))
+    .withColumn("dup_rate",
+      (col("n_docs") - col("n_unique")).cast("double") /
+        col("n_docs").cast("double"))
+    .orderBy(col("lang"), col("source"))
+
   val oracleSql: Map[String, String] = Map(
+    // plain integer replay; the only double is one IEEE division
+    "q_data_card" ->
+      """SELECT lang, source, count(1) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(regexp_split_to_array(lower(trim(text)), '\s+')))
+             AS BIGINT) AS sum_tokens,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           count(DISTINCT md5(text)) AS n_unique,
+           CAST(count(1) - count(DISTINCT md5(text)) AS DOUBLE) /
+             CAST(count(1) AS DOUBLE) AS dup_rate
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mix_repeats" ->
       """WITH w(lang, num, den) AS (
            VALUES ('de', 2, 5), ('en', 1, 10), ('zh', 3, 5)),

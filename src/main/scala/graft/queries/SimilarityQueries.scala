@@ -23,6 +23,18 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Hard negatives for the same anchor/candidate split as
+    * [[annTopK]]: the 3 most-similar candidates per anchor whose exact
+    * cosine sits strictly BELOW the 0.5 near-dup line — contrastive-
+    * training pair mining ([[graft.ops.Similarity.hardNegativesTopK]]). */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    Similarity.hardNegativesTopK(
+        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        k = 3, dupThreshold = 0.5)
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ 0.4 (double prefilter +
     * exact decimal rescore). */
   def cosineNearDups(s: SparkSession, dir: String): DataFrame =
@@ -596,6 +608,7 @@ object SimilarityQueries {
     "q_ann_ivf" -> (ivfAnn _),
     "q_ann_lsh_topk" -> (lshAnnK _),
     "q_ann_topk" -> (annTopK _),
+    "q_embed_hard_negatives" -> (hardNegatives _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_recall_sampled" -> (annRecallSampled _),
     "q_embed_neardup" -> (cosineNearDups _),
@@ -684,6 +697,16 @@ object SimilarityQueries {
             SELECT qid, cid, cos,
               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
             FROM scored)
+          SELECT qid, CAST(rn AS INT) AS rnk, cid, cos FROM ranked
+          WHERE rn <= 3 ORDER BY qid, rnk"""),
+    // hard negatives: the q_ann_topk replay with the exact-cosine
+    // dup gate applied BEFORE ranking — cos < 0.5 strictly
+    "q_embed_hard_negatives" ->
+      (cosSql("WHERE vec_id < 10", "WHERE vec_id >= 10") +
+        """, ranked AS (
+            SELECT qid, cid, cos,
+              row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+            FROM scored WHERE cos < 0.5)
           SELECT qid, CAST(rn AS INT) AS rnk, cid, cos FROM ranked
           WHERE rn <= 3 ORDER BY qid, rnk"""),
     "q_embed_neardup" ->

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Dsir, Multimodal, Sampling, Similarity, Text}
 import graft.functions.PolyHash64
@@ -1187,7 +1187,113 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** The md5-of-id epoch split shared by the corpus-comparison gates:
+    * epoch A = first hex digit of md5(doc_id) below '8' (~half the
+    * corpus), epoch B = the rest — a pure function of the id, so both
+    * engines carve identical epochs. */
+  private def inEpochA: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
+
+  /** Epoch-overlap estimation ([[graft.ops.CorpusStats.overlapBottomK]]):
+    * bottom-256 content-hash sketches of the two md5 epochs, the KMV
+    * Jaccard estimate next to its exact audit. */
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    graft.ops.CorpusStats.overlapBottomK(
+      d.filter(inEpochA), d.filter(!inEpochA), "text", k = 256)
+  }
+
+  /** Epoch drift ([[graft.ops.CorpusStats.psi]]): population stability
+    * index over 10 equal-width n_chars bins between the md5 epochs. */
+  def corpusDrift(s: SparkSession, dir: String): DataFrame =
+    graft.ops.CorpusStats.psi(docs(s, dir), col("n_chars"), inEpochA)
+
+  /** LEAKAGE-SAFE train/val/test split: near-dup clusters are assigned
+    * to splits ATOMICALLY — the split is a function of the cluster id
+    * (md5 first hex: < 'c' train ~75 %, < 'e' val ~12.5 %, else test),
+    * so no near-duplicate pair can straddle a split boundary and leak
+    * eval content into training. The output carries the per-split
+    * census AND the crossing-pair audit (0 by construction; computing
+    * it proves it — a broken cluster assignment flips the column).
+    * Scale: the pair graph and components are the q_dedup_clusters
+    * machinery; the audit is one pair-sized join. */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // checkpointed: the decision AND the audit both consume the mined
+    // pair graph; without the cut the MinHash DAG would run twice
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
+      .localCheckpoint(true)
+    val hx = substring(md5(col("cluster_id").cast("string")), 1, 1)
+    val assigned = Dedup.dedupDecision(d, pairs, "doc_id")
+      .withColumn("split",
+        when(hx < "c", "train").when(hx < "e", "val").otherwise("test"))
+    val bySplit = assigned.groupBy(col("split")).agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster_id")).as("n_clusters"))
+    val crossing = pairs
+      .join(assigned.select(col("doc_id").as("doc_a"),
+        col("split").as("split_a")), Seq("doc_a"))
+      .join(assigned.select(col("doc_id").as("doc_b"),
+        col("split").as("split_b")), Seq("doc_b"))
+      .agg(coalesce(
+        sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)),
+        lit(0L)).as("crossing_pairs"))
+    bySplit.crossJoin(crossing).orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_overlap" -> (corpusOverlap _),
+    // the persisted-artifact twin: epoch A's sketch built
+    // ASSOCIATIVELY from two independently persisted md5 halves
+    // (merge(sketch(A1), sketch(A2)) = sketch(A) exactly), epoch B's
+    // read back from parquet; the estimate is served from 2k sketch
+    // rows with NO corpus access — and must land on the from-scratch
+    // oracle replay, so both the round-trip and the split are
+    // value-invisible
+    "q_corpus_overlap_persisted" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-sketch-$slug"
+      rmrfLocal(new java.io.File(base))
+      val cs = graft.ops.CorpusStats
+      val d = docs(s, dir)
+      val h2 = substring(md5(col("doc_id").cast("string")), 2, 1)
+      val a = d.filter(inEpochA)
+      cs.writeSketch(a.filter(h2 < "8"), "text", 256, s"$base/a1")
+      cs.writeSketch(a.filter(h2 >= "8"), "text", 256, s"$base/a2")
+      cs.writeSketch(d.filter(!inEpochA), "text", 256, s"$base/b")
+      cs.overlapFromSketches(
+        cs.mergeSketches(cs.readSketch(s, s"$base/a1"),
+          cs.readSketch(s, s"$base/a2"), 256),
+        cs.readSketch(s, s"$base/b"), 256)
+    }),
+    "q_corpus_drift" -> (corpusDrift _),
+    // incremental drift: the envelope pins at epoch start, three
+    // md5-seamed ingest batches census independently (additive
+    // partials, batch-id-keyed overwrite ⇒ replay-idempotent — batch 1
+    // is deliberately written twice), and the fold must land on the
+    // ONE-SHOT q_corpus_drift oracle — the batching is value-invisible
+    "q_corpus_drift_incremental" -> ((s, dir) => {
+      val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"target/tmp-drift-$slug"
+      rmrfLocal(new java.io.File(base))
+      val cs = graft.ops.CorpusStats
+      val d = docs(s, dir)
+      val env = d.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx")).head()
+      cs.writeDriftMeta(s, base, env.getLong(0), env.getLong(1), 10)
+      val h2 = substring(md5(col("doc_id").cast("string")), 2, 1)
+      val seams = Seq(h2 < "6", h2 >= "6" && h2 < "b", h2 >= "b")
+      seams.zipWithIndex.foreach { case (pred, i) =>
+        cs.writeDriftPartial(
+          cs.psiCensusPinned(d.filter(pred), col("n_chars"), inEpochA,
+            10, env.getLong(0), env.getLong(1)), base, i.toLong)
+      }
+      // at-least-once replay of batch 1: the overwrite absorbs it
+      cs.writeDriftPartial(
+        cs.psiCensusPinned(d.filter(seams(1)), col("n_chars"), inEpochA,
+          10, env.getLong(0), env.getLong(1)), base, 1L)
+      cs.driftFromPartials(s, base)
+    }),
+    "q_split_leakage" -> (leakageSplit _),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_trained" -> (curationTrained _),
     "q_text_pii" -> (piiQ _),
@@ -1656,7 +1762,59 @@ object TextQueries {
        WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) <> 'f'
        ORDER BY d.doc_id"""
 
+  /** SQL twin of [[inEpochA]]. */
+  private val epochASql = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'"
+
   val oracleSql: Map[String, String] = Map(
+    // bottom-k sketch + exact-audit replay, same md5 draw both engines
+    "q_corpus_overlap" -> graft.ops.CorpusStats.overlapOracleSql(
+      "documents", "text", 256, epochASql, s"NOT ($epochASql)"),
+    // PSI replay: same integer bucketing, smoothed shares, hopped lns
+    "q_corpus_drift" -> graft.ops.CorpusStats.psiOracleSql(
+      "documents", "n_chars", epochASql),
+    // the fold of pinned-envelope batch partials must equal the
+    // one-shot PSI — same oracle verbatim
+    "q_corpus_drift_incremental" -> graft.ops.CorpusStats.psiOracleSql(
+      "documents", "n_chars", epochASql),
+    // sketch-only replay: the persisted/merged build must reproduce
+    // the from-scratch bottom-k row
+    "q_corpus_overlap_persisted" -> graft.ops.CorpusStats.overlapSketchOracleSql(
+      "documents", "text", 256, epochASql, s"NOT ($epochASql)"),
+    // leakage-safe split: the q_dedup_clusters recursive-CTE component
+    // walk, splits assigned from md5(cluster_id), crossing-pair audit
+    "q_split_leakage" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS MATERIALIZED (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+         labeled AS (
+           SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             CASE
+               WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+               WHEN substr(md5(CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+               ELSE 'test' END AS split
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         bysplit AS (
+           SELECT split, count(1) AS n_docs,
+             count(DISTINCT cluster_id) AS n_clusters
+           FROM labeled GROUP BY 1),
+         crossing AS (
+           SELECT coalesce(CAST(sum(
+               CASE WHEN a.split <> b.split THEN 1 ELSE 0 END) AS BIGINT),
+             0) AS crossing_pairs
+           FROM pairs p
+           JOIN labeled a ON a.doc_id = p.doc_a
+           JOIN labeled b ON b.doc_id = p.doc_b)
+         SELECT split, n_docs, n_clusters, crossing_pairs
+         FROM bysplit CROSS JOIN crossing ORDER BY split"""),
     // invariant gates: every boolean is a deterministic full-corpus
     // check computed in Spark (see the query scaladocs); the oracle
     // pins the universe of doc_ids and demands every check hold

@@ -148,7 +148,14 @@ object ScaleRehearsal {
       "q_text_curriculum", "q_io_jsonl_roundtrip",
       // round-13 (fifth batch): NPMI board (census + marginals +
       // TakeOrdered) and the PRF lexical→vector cascade
-      "q_text_collocations", "q_text_search_semantic")
+      "q_text_collocations", "q_text_search_semantic",
+      // round-13 (sixth batch): corpus-comparison statistics (bottom-k
+      // sketch + PSI — distinct-agg / bucket-census exchanges), the
+      // cluster-atomic split (the minhash graph + one pair-sized
+      // audit join), the data card (one partial agg), and hard-negative
+      // mining (anchor-count × corpus, the bruteForceTopK shape)
+      "q_corpus_overlap", "q_corpus_drift", "q_split_leakage",
+      "q_data_card", "q_embed_hard_negatives")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>

@@ -28,6 +28,40 @@ class SimilaritySpec extends SparkSpec {
     out.toSeq shouldBe Seq((1, 20L), (2, 30L), (3, 40L))
   }
 
+  "hardNegativesTopK" should "exclude near-dups and rank the rest by exact cosine" in {
+    // candidate 11 is an exact duplicate of the anchor (cos = 1.0) and
+    // 20 a near-dup (cos ≈ 0.994) — both above the 0.9 line; the
+    // hardest NEGATIVE is 30 (cos ≈ 0.707), then 40, then 50
+    import spark.implicits._
+    val anchor = Seq((10L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cands = Seq(
+      (11L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (20L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (30L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+      (40L, Array(0.5f, 0.6f, 0.0f, 0.0f)),
+      (50L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegativesTopK(anchor, cands, k = 3, dupThreshold = 0.9)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1, 30L), (2, 40L), (3, 50L))
+  }
+
+  it should "equal the threshold-filtered brute-force ranking on real vectors" in {
+    val q = realVecs.filter(col("vec_id") < 10)
+    val c = realVecs.filter(col("vec_id") >= 10)
+    val got = Similarity.hardNegativesTopK(q, c, k = 3, dupThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // reference: exact cosines for ALL pairs, dup-gate applied, re-ranked
+    val ref = Similarity.bruteForceTopK(q, c, k = Int.MaxValue - 32)
+      .filter(col("cos") < 0.5)
+      .withColumn("rnk2", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("cos").desc, col("cid"))))
+      .filter(col("rnk2") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(4), r.getLong(2))).toSeq
+    got.sorted shouldBe ref.sorted
+  }
+
   "bruteForceTop1All" should "agree with bruteForceTopK at k=1 for every query" in {
     val all = Similarity.bruteForceTop1All(vecs, maxGroup = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
