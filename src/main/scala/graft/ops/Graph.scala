@@ -130,18 +130,38 @@ object Graph {
   def pageRank(edges: DataFrame, iters: Int): DataFrame =
     iterate(edges, iters)((_, _) => ())
 
-  /** Gate shape: top-k nodes of the interaction graph by exact rank,
-    * decoded back to (entity kind, warehouse key). */
-  def pageRankTop(lineitem: DataFrame, orders: DataFrame,
-                  iters: Int, k: Int): DataFrame =
-    pageRank(interactionEdges(lineitem, orders), iters)
-      .select(col("node").as("node_id"),
+  /** ONE iterate, BOTH reports: the final rank frame (checkpointed —
+    * safe to reuse across queries) plus the per-round mass ledger. A
+    * production pipeline computes the ranking once per epoch and
+    * publishes every report from it; the gate queries share this run
+    * through a memo so the 6-round iterate doesn't execute once per
+    * report. The ledger costs one node-frame aggregation per round on
+    * top of the plain iterate. */
+  def pageRankWithMass(edges: DataFrame,
+      iters: Int): (DataFrame, Seq[(Int, Long, Long)]) = {
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    val pr = iterate(edges, iters) { (round, p) =>
+      val a = p.agg(count(lit(1)).as("n"), sum(col("pr")).as("s")).head()
+      rows += ((round, a.getLong(0), a.getLong(1)))
+    }
+    (pr, rows.result())
+  }
+
+  /** The top-k report over an already-computed rank frame. */
+  def pageRankTopFrom(pr: DataFrame, k: Int): DataFrame =
+    pr.select(col("node").as("node_id"),
         when(col("node") % 2 === 0, lit("customer"))
           .otherwise(lit("supplier")).as("node_type"),
         expr("node div 2").as("entity_key"),
         col("pr").as("pagerank_u"))
       .orderBy(col("pagerank_u").desc, col("node_id").asc)
       .limit(k)
+
+  /** Gate shape: top-k nodes of the interaction graph by exact rank,
+    * decoded back to (entity kind, warehouse key). */
+  def pageRankTop(lineitem: DataFrame, orders: DataFrame,
+                  iters: Int, k: Int): DataFrame =
+    pageRankTopFrom(pageRank(interactionEdges(lineitem, orders), iters), k)
 
   /** Per-round mass ledger: (round, n_nodes, total_pr_u) for rounds
     * 0..iters — floor division only ever loses mass, so total_pr_u is
