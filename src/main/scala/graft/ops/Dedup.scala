@@ -309,6 +309,42 @@ object Dedup {
         .select(explode(col("shingles")).as("shingle")).distinct(),
       textCol, idCol, n, minOverlap)
 
+  /** N-GRAM NOVELTY against a reference corpus — the freshness /
+    * memorization-exposure metric next to [[decontaminate]]'s boolean:
+    * per candidate, the fraction of its DISTINCT n-grams absent from
+    * the reference corpus's distinct n-gram set (novelty 1 = nothing
+    * shared, 0 = fully covered — the "how much of this batch is new
+    * text" curve an ingest pipeline tracks per dump). Same machinery
+    * as decontamination: both sides reduce to 8-byte hashed shingles,
+    * the candidate side one explode + one hash join away from its
+    * per-doc tally; the reference contributes one distinct-hash set
+    * (persistable exactly like [[writeEvalShingleIndex]] when the
+    * reference is a fixed prior epoch). Documents shorter than n
+    * tokens carry zero n-grams and score novelty 0. */
+  def noveltyScores(
+      cands: DataFrame, reference: DataFrame, textCol: String,
+      idCol: String, n: Int = 4): DataFrame = {
+    val refShingles = docShingles(reference, textCol, idCol, n)
+      .select(explode(col("shingles")).as("shingle")).distinct()
+      .withColumn("seen", lit(true))
+    val candShingled = docShingles(cands, textCol, idCol, n)
+    val counts = candShingled
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .join(refShingles, Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+    candShingled.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_ngrams") === 0L, lit(0.0))
+          .otherwise(col("n_novel").cast("double") /
+            col("n_ngrams").cast("double")))
+  }
+
   /** Persist an eval set's distinct shingle hashes — the decontam
     * INDEX. Benchmark suites are static relative to a training corpus,
     * so this is a write-once epoch artifact: every ingest batch

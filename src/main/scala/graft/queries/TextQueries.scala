@@ -1294,6 +1294,14 @@ object TextQueries {
       cs.driftFromPartials(s, base)
     }),
     "q_split_leakage" -> (leakageSplit _),
+    // per-doc n-gram novelty of epoch B against epoch A — the
+    // freshness curve an ingest tracks per dump
+    "q_text_novelty" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.noveltyScores(d.filter(!inEpochA), d.filter(inEpochA),
+          "text", "doc_id", n = 4)
+        .orderBy(col("doc_id"))
+    }),
     "q_curation_pipeline" -> (curationPipeline _),
     "q_curation_trained" -> (curationTrained _),
     "q_text_pii" -> (piiQ _),
@@ -1780,6 +1788,32 @@ object TextQueries {
     // the from-scratch bottom-k row
     "q_corpus_overlap_persisted" -> graft.ops.CorpusStats.overlapSketchOracleSql(
       "documents", "text", 256, epochASql, s"NOT ($epochASql)"),
+    // novelty replay: the decontam string-shingle machinery, counting
+    // the reference-absent side per candidate (engine hashes vs oracle
+    // strings — the documented ~1.5e-8/pair collision contract)
+    "q_text_novelty" ->
+      s"""WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+         sh AS (
+           SELECT DISTINCT doc_id, list_aggregate(w[i:i+3], 'string_agg', ' ') AS s
+           FROM tok, unnest(range(1, len(w) - 2)) AS t(i) WHERE len(w) >= 4),
+         ref AS (
+           SELECT DISTINCT s, true AS seen FROM sh WHERE $epochASql),
+         ov AS (
+           SELECT c.doc_id, count(1) AS n_ngrams,
+             CAST(sum(CASE WHEN seen IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+           FROM (SELECT * FROM sh WHERE NOT ($epochASql)) c
+           LEFT JOIN ref ON ref.s = c.s GROUP BY 1)
+         SELECT d.doc_id, coalesce(n_ngrams, 0) AS n_ngrams,
+           coalesce(n_novel, 0) AS n_novel,
+           CASE WHEN coalesce(n_ngrams, 0) = 0 THEN 0.0
+                ELSE CAST(n_novel AS DOUBLE) / CAST(n_ngrams AS DOUBLE)
+           END AS novelty
+         FROM documents d LEFT JOIN ov USING (doc_id)
+         WHERE NOT ($epochASql)
+         ORDER BY d.doc_id""",
     // leakage-safe split: the q_dedup_clusters recursive-CTE component
     // walk, splits assigned from md5(cluster_id), crossing-pair audit
     "q_split_leakage" ->

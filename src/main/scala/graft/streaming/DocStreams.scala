@@ -392,6 +392,30 @@ object DocStreams {
     * range-clustered batch (data + additive manifest) via
     * [[graft.io.Zones.appendZoned]] — batch-id-keyed dirs, so an
     * at-least-once replay rewrites the same batch and converges. */
+  /** Streaming DRIFT maintenance: every micro-batch censuses against
+    * the epoch's PINNED bucketing contract (written once via
+    * [[graft.ops.CorpusStats.writeDriftMeta]]) and lands its additive
+    * partial batch-id-keyed — overwrite makes at-least-once replays
+    * idempotent, and because the census is an algebraic aggregate the
+    * fold ([[graft.ops.CorpusStats.driftFromPartials]]) equals the
+    * one-shot PSI under ANY batch split (the [[graft.ops.MatView]]
+    * posture). Per-batch cost = one batch-sized census + a ≤ B-row
+    * write; the stream is never rescanned. */
+  def driftIngest(
+      rows: DataFrame, path: String, valueCol: String, epochACol: String,
+      buckets: Int, mn: Long, mx: Long): StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.CorpusStats.writeDriftPartial(
+            graft.ops.CorpusStats.psiCensusPinned(batch, col(valueCol),
+              col(epochACol), buckets, mn, mx), path, batchId)
+        ()
+      }
+      .start()
+
   def zoneIngest(
       rows: DataFrame, path: String, zoneCol: String,
       zones: Int): StreamingQuery =

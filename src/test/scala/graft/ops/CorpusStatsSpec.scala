@@ -142,6 +142,47 @@ class CorpusStatsSpec extends SparkSpec {
     rows(9L) shouldBe ((0L, 2L)) // 500 clamps down into bucket 9
   }
 
+  "Dedup.noveltyScores" should "score copied, fresh, partial, and short candidates" in {
+    val ref = Seq((100L, "a b c d e f")).toDF("doc_id", "text")
+    val cands = Seq(
+      (1L, "a b c d e f"),     // fully covered -> novelty 0
+      (2L, "p q r s t"),       // nothing shared -> novelty 1
+      (3L, "a b c d x y z w"), // 5 4-grams, 1 covered -> 0.8
+      (4L, "a b")              // < 4 tokens -> 0 n-grams, novelty 0
+    ).toDF("doc_id", "text")
+    val out = Dedup.noveltyScores(cands, ref, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    out(1L) shouldBe ((3L, 0L, 0.0))
+    out(2L) shouldBe ((2L, 2L, 1.0))
+    out(3L) shouldBe ((5L, 4L, 0.8))
+    out(4L) shouldBe ((0L, 0L, 0.0))
+  }
+
+  "DocStreams.driftIngest" should "land additive partials whose fold equals the one-shot PSI" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val dir = freshDir("drift-ingest")
+    val valsA = (1 to 100).map(v => (v.toLong, true))
+    val valsB = (41 to 140).map(v => (v.toLong, false))
+    val df = (valsA ++ valsB).toDF("v", "in_a")
+    val oneShot = CorpusStats.psi(df, col("v"), col("in_a")).collect()
+      .map(_.toSeq).toSeq
+    CorpusStats.writeDriftMeta(spark, dir, 1L, 140L, 10)
+    val mem = MemoryStream[(Long, Boolean)]
+    val q = graft.streaming.DocStreams.driftIngest(
+      mem.toDF().toDF("v", "in_a"), dir, "v", "in_a", 10, 1L, 140L)
+    mem.addData(valsA.map { case (v, a) => (v, a) }: _*)
+    q.processAllAvailable()
+    mem.addData(valsB: _*)
+    q.processAllAvailable()
+    q.stop()
+    val folded = CorpusStats.driftFromPartials(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    folded shouldBe oneShot
+  }
+
   "TextQueries.leakageSplit" should "keep near-dup clusters atomic across splits" in {
     val dir = freshDir("leakage-split-docs")
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
