@@ -183,6 +183,47 @@ class CorpusStatsSpec extends SparkSpec {
     folded shouldBe oneShot
   }
 
+  "CorpusStats.overlapBottomK" should "match Scala set arithmetic on random corpora" in {
+    val rng = new scala.util.Random(77)
+    (1 to 3).foreach { _ =>
+      val univ = (1 to 150).map(i => s"doc word $i")
+      val a = univ.filter(_ => rng.nextBoolean())
+      val b = univ.filter(_ => rng.nextBoolean())
+      val r = CorpusStats.overlapBottomK(
+        a.toDF("text"), b.toDF("text"), "text", k = 200).head()
+      val (sa, sb) = (a.toSet, b.toSet)
+      r.getAs[Long]("n_a") shouldBe sa.size.toLong
+      r.getAs[Long]("n_b") shouldBe sb.size.toLong
+      r.getAs[Long]("n_inter") shouldBe (sa & sb).size.toLong
+      r.getAs[Long]("n_union") shouldBe (sa | sb).size.toLong
+      // k >= |A ∪ B| -> the sketch is exact
+      r.getAs[Double]("j_est") shouldBe r.getAs[Double]("j_exact")
+    }
+  }
+
+  "Dedup.noveltyScores" should "stay in [0,1] and never rise as the reference grows" in {
+    val rng = new scala.util.Random(99)
+    val vocab = (1 to 40).map(i => s"w$i")
+    def randDoc(id: Long) =
+      (id, (1 to (4 + rng.nextInt(9))).map(_ => vocab(rng.nextInt(vocab.length)))
+        .mkString(" "))
+    val cands = (1L to 30L).map(randDoc).toDF("doc_id", "text")
+    val ref1 = (101L to 120L).map(randDoc)
+    val ref2 = ref1 ++ (121L to 140L).map(randDoc)
+    def novMap(ref: Seq[(Long, String)]) =
+      Dedup.noveltyScores(cands, ref.toDF("doc_id", "text"), "text", "doc_id")
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_ngrams"), r.getAs[Double]("novelty"))).toMap
+    val (m1, m2) = (novMap(ref1), novMap(ref2))
+    m1.keySet shouldBe m2.keySet
+    m1.foreach { case (id, (n1, nov1)) =>
+      val (n2, nov2) = m2(id)
+      n2 shouldBe n1 // the candidate's own n-gram census is fixed
+      nov1 should (be >= 0.0 and be <= 1.0)
+      nov2 should be <= nov1 // a larger reference can only cover more
+    }
+  }
+
   "TextQueries.leakageSplit" should "keep near-dup clusters atomic across splits" in {
     val dir = freshDir("leakage-split-docs")
     val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
