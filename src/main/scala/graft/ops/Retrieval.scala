@@ -54,7 +54,11 @@ object Retrieval {
     toks(docs, textCol, idCol)
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
 
-  /** In-memory index frames: (postings, doclen, vocab, stats). */
+  /** In-memory index frames: (postings, doclen, vocab, stats). The
+    * census is NOT materialized here: the token census is small enough
+    * that recomputation per consumer beats an eager checkpoint
+    * (A/B-measured at sf0.1: +36% with the cut) — unlike the n-gram
+    * census in [[phraseIndexFrames]], where the cut wins 2×. */
   def indexFrames(docs: DataFrame, textCol: String, idCol: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val post = postings(docs, textCol, idCol)
@@ -130,6 +134,58 @@ object Retrieval {
              q: Int, k: Int): DataFrame = {
     val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
     searchFrames(post, dl, vocab, stats, headTermQueries(vocab, q), k)
+  }
+
+  /** PHRASE index frames — the SHINGLE-index answer to phrase queries
+    * (the Elasticsearch shingle-filter / Google n-gram posture):
+    * contiguous n-grams are indexed AS TERMS, so a fixed-length phrase
+    * query is a single-term postings lookup. Versus positional-postings
+    * intersection this trades index size (one posting per n-gram
+    * occurrence) for a serve path with ZERO positional joins — at
+    * 100 TB the phrase query costs one pruned postings scan, the same
+    * plan as a term query; adjacency is guaranteed at BUILD time by
+    * the n-gram window, not re-verified per query. Documents shorter
+    * than n tokens carry no shingles and drop out of the phrase
+    * corpus (dl/stats derive from the shingle census — mirrored by
+    * the oracle). */
+  def phraseIndexFrames(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 2): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // materialized once: post feeds FOUR consumers (dl, vocab, stats,
+    // and the search join) plus the head-query cut — without the cut
+    // the shingle explode + census re-executes per consumer (measured
+    // 14.5 s -> linear at sf1); at deployment the persisted-index path
+    // plays this role
+    val post = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        graft.ops.Text.tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"),
+        explode(graft.ops.Text.ngramsAll(col("ts"), n)).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val vocab = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (post, dl, vocab, stats)
+  }
+
+  /** Standing phrase queries: the q most document-frequent phrases,
+    * one phrase per query (q_n = 1). Vocabulary-sized derivation. */
+  def headPhraseQueries(vocab: DataFrame, q: Int): DataFrame = {
+    val w = Window.orderBy(col("df").desc, col("term").asc)
+    vocab.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= q)
+      .select(col("rn").cast("int").as("query_id"),
+        col("term"), lit(1).as("q_n"))
+  }
+
+  /** One-shot phrase search: BM25 with the PHRASE as the scoring unit
+    * (tf = phrase occurrences, df over phrase-containing docs, dl =
+    * the doc's shingle count) — the exact searchFrames kernel over the
+    * shingle index. */
+  def searchPhrase(docs: DataFrame, textCol: String, idCol: String,
+      q: Int, k: Int, n: Int = 2): DataFrame = {
+    val (post, dl, vocab, stats) = phraseIndexFrames(docs, textCol, idCol, n)
+    searchFrames(post, dl, vocab, stats, headPhraseQueries(vocab, q), k)
   }
 
   /** One-shot disjunctive (OR) search. */
@@ -420,6 +476,64 @@ object Retrieval {
 
   /** Shared oracle CTE chain through `ranked` (full per-query
     * ranking; callers cut at their own depth/k). */
+  /** Oracle for [[searchPhrase]] at n = 2: the bigram (shingle) census
+    * replaces the token census — every downstream CTE (dl, df, stats,
+    * head-query cut, quantized BM25, ranking) is the term replay
+    * verbatim with q_n = 1. */
+  def phraseOracleSql(table: String, q: Int, k: Int): String =
+    s"""WITH toks AS (
+           SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+           FROM $table),
+         pairs AS (
+           SELECT doc_id, t[i] || ' ' || t[i + 1] AS term
+           FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+                 FROM toks WHERE len(t) >= 2)),
+         tf AS (
+           SELECT doc_id, term, count(1) AS tf FROM pairs GROUP BY doc_id, term),
+         dl AS (
+           SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+         dfreq AS (
+           SELECT term, count(1) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT CAST(count(1) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         qterms AS (
+           SELECT CAST(rn AS INT) AS query_id, term, 1 AS q_n FROM (
+             SELECT term,
+               row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+             FROM dfreq) WHERE rn <= $q),
+         contrib AS (
+           SELECT qt.query_id, tf.doc_id, qt.q_n,
+             CAST(CAST(
+               ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5) + 1.0)
+                 * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+                 / (CAST(tf.tf AS DOUBLE) +
+                    1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE) /
+                      (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+               AS VARCHAR) AS DECIMAL(18,9)) AS contrib_d
+           FROM tf
+           JOIN qterms qt USING (term)
+           JOIN dfreq USING (term)
+           JOIN dl USING (doc_id)
+           CROSS JOIN stats),
+         scored AS (
+           SELECT query_id, doc_id, sum(contrib_d) AS score_d
+           FROM contrib
+           GROUP BY query_id, doc_id, q_n
+           HAVING count(1) = q_n),
+         ranked AS (
+           SELECT query_id, doc_id, score_d,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_d DESC, doc_id ASC) AS rnk
+           FROM scored)
+         SELECT query_id, CAST(rnk AS INT) AS rnk, doc_id,
+           CAST(CAST(score_d AS VARCHAR) AS DOUBLE) AS score
+         FROM ranked WHERE rnk <= $k
+         ORDER BY query_id, rnk"""
+
   private def oraclePrefix(table: String, q: Int, conjunctive: Boolean): String =
     s"""WITH toks AS (
            SELECT doc_id,

@@ -1339,6 +1339,11 @@ object TextQueries {
     // disjunctive (OR) semantics — same candidate plan, no match gate
     "q_text_search_or" -> ((s, dir) =>
       graft.ops.Retrieval.searchOr(docs(s, dir), "text", "doc_id", q = 3, k = 5)),
+    // phrase semantics over the bigram shingle index — a phrase query
+    // serves as a single-term postings lookup
+    "q_text_search_phrase" -> ((s, dir) =>
+      graft.ops.Retrieval.searchPhrase(docs(s, dir), "text", "doc_id",
+        q = 3, k = 5)),
     // reciprocal-rank fusion of BM25 with the stopword-density prior
     "q_text_search_hybrid" -> ((s, dir) =>
       graft.ops.Retrieval.searchHybridRrf(docs(s, dir), "text", "doc_id",
@@ -2138,6 +2143,7 @@ object TextQueries {
     // persisted index must be value-invisible
     "q_text_search" -> graft.ops.Retrieval.searchOracleSql("documents", 3, 5),
     "q_text_search_or" -> graft.ops.Retrieval.searchOrOracleSql("documents", 3, 5),
+    "q_text_search_phrase" -> graft.ops.Retrieval.phraseOracleSql("documents", 3, 5),
     "q_text_search_hybrid" -> graft.ops.Retrieval.hybridOracleSql("documents", 3, 5),
     "q_text_search_semantic" ->
       graft.ops.Retrieval.prfOracleSql("documents", "embeddings", 3, 5),

@@ -155,7 +155,8 @@ object ScaleRehearsal {
       // audit join), the data card (one partial agg), and hard-negative
       // mining (anchor-count × corpus, the bruteForceTopK shape)
       "q_corpus_overlap", "q_corpus_drift", "q_split_leakage",
-      "q_data_card", "q_embed_hard_negatives", "q_text_novelty")
+      "q_data_card", "q_embed_hard_negatives", "q_text_novelty",
+      "q_text_search_phrase")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>

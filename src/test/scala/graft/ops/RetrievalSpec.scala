@@ -42,6 +42,30 @@ class RetrievalSpec extends SparkSpec {
     rows(a) shouldBe rows(b)
   }
 
+  behavior of "Retrieval.searchPhrase"
+
+  it should "require adjacency, not co-occurrence" in {
+    val docs = Seq(
+      (1L, "red fox red fox"),   // "red fox" twice, short doc
+      (2L, "red fox eats"),      // "red fox" once
+      (3L, "fox saw red paint"), // both words, NEVER adjacent
+      (4L, "red red red")        // head word only
+    ).toDF("doc_id", "text")
+    // phrase vocabulary df: "red fox"(2) is the most doc-frequent
+    // bigram; query 1 = that phrase
+    val out = Retrieval.searchPhrase(docs, "text", "doc_id", q = 1, k = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val q1 = out.filter(_._1 == 1).map(_._3).toSet
+    q1 shouldBe Set(1L, 2L)            // doc 3 co-occurs but never adjacent
+    out.find(_._3 == 1L).get._2 shouldBe 1 // tf=2 outranks tf=1
+  }
+
+  it should "be deterministic under repartitioning" in {
+    val a = Retrieval.searchPhrase(corpus, "text", "doc_id", q = 3, k = 5)
+    val b = Retrieval.searchPhrase(corpus.repartition(7), "text", "doc_id", q = 3, k = 5)
+    rows(a) shouldBe rows(b)
+  }
+
   behavior of "Retrieval.searchOr"
 
   it should "admit any-term matches and contain the conjunctive set" in {
