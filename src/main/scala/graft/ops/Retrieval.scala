@@ -377,6 +377,33 @@ object Retrieval {
                         path: String, batch: Int): Unit =
     writeSearchIndex(docs, textCol, idCol, path, batch)
 
+  /** EPOCH COMPACTION for a streamed search index
+    * ([[graft.streaming.DocStreams.searchIndexIngest]] accumulates one
+    * `batch=K` family per micro-batch): fold every family into a
+    * single fresh `batch=-1` epoch in place — the search twin of
+    * [[Dedup.compactDedupIndex]]. Batches hold DISJOINT doc sets, so
+    * postings/doclen rows merge unchanged while df and the corpus
+    * stats re-aggregate additively; the compacted index serves
+    * bit-identical scores (asserted in `RetrievalSpec`) with the
+    * per-batch file accumulation gone. Each family commits via the
+    * write-then-rename swap, and the postings epoch keeps the
+    * term-shard partitioning so query-time pruning is unchanged. */
+  def compactSearchIndex(spark: SparkSession, path: String): Unit = {
+    locally {
+      val fam = s"$path/postings"
+      val tmp = s"$fam.compact"
+      spark.read.parquet(fam).drop("batch")
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
+      graft.io.Fs.replaceDir(spark, tmp, fam)
+    }
+    Dedup.compactFamily(spark, s"$path/doclen")(identity)
+    Dedup.compactFamily(spark, s"$path/vocab")(v =>
+      v.groupBy(col("term")).agg(sum(col("df")).as("df")))
+    Dedup.compactFamily(spark, s"$path/stats")(s =>
+      s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+  }
+
   /** The artifact's postings scan for a term set: filtered to the
     * terms' shards (partition-pruned — asserted in `RetrievalSpec`)
     * and the terms themselves (parquet row-group pushdown). Split out

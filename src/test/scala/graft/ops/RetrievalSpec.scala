@@ -180,6 +180,30 @@ class RetrievalSpec extends SparkSpec {
     rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5)) shouldBe before
   }
 
+  it should "serve identical scores from a compacted index with a single epoch left" in {
+    val path = freshDir("retrieval-compact")
+    Retrieval.writeSearchIndex(
+      corpus.filter(col("doc_id") <= 2), "text", "doc_id", path, batch = 0)
+    Retrieval.appendSearchIndex(
+      corpus.filter(col("doc_id") === 3 || col("doc_id") === 4),
+      "text", "doc_id", path, batch = 1)
+    Retrieval.appendSearchIndex(
+      corpus.filter(col("doc_id") === 5), "text", "doc_id", path, batch = 2)
+    val before = rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5))
+    Retrieval.compactSearchIndex(spark, path)
+    rows(Retrieval.searchIndexed(spark, path, q = 2, k = 5)) shouldBe before
+    // one epoch per family, no batch=K leftovers
+    Seq("postings", "doclen", "vocab", "stats").foreach { fam =>
+      val dirs = new java.io.File(s"$path/$fam").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+      dirs shouldBe Set("batch=-1")
+    }
+    // stats really folded: one row carrying the full corpus
+    val st = spark.read.parquet(s"$path/stats")
+    st.count() shouldBe 1
+    st.head().getLong(0) shouldBe 5L
+  }
+
   it should "partition-prune the postings scan to the query terms' shards" in {
     val path = freshDir("retrieval-prune")
     Retrieval.writeSearchIndex(corpus, "text", "doc_id", path)
