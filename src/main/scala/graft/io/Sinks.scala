@@ -50,6 +50,11 @@ object Sinks {
   def jsonlDir(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** ORC export — distributed multi-part write, the columnar twin of
+    * [[jsonlDir]]. */
+  def orcDir(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Batched JDBC append (§2 #9). `batchsize` rows per round-trip per
     * partition — versus the reference's 1. `numPartitions` caps
     * concurrent connections against the database. */

@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Source resolution (SURVEY.md §2 #1-#3, #10): format-dispatched reads
@@ -45,10 +46,50 @@ object Sources {
         }
       case "xlsx" | "xls" => Xlsx.read(spark, path)
       case "jsonl" | "json" => jsonl(spark, path, schema)
+      case "orc" => orc(spark, path, schema)
       case other =>
         throw new IllegalArgumentException(
-          s"Unsupported source format '$other' for $path (expected csv/xlsx/xls/jsonl)")
+          s"Unsupported source format '$other' for $path (expected csv/xlsx/xls/jsonl/orc)")
     }
+  }
+
+  /** ORC scan — the other columnar lake format Spark ships natively
+    * (predicate pushdown + column pruning like parquet; pass the
+    * schema to skip footer-based inference on wide tables). */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).orc(path)
+      case None => spark.read.orc(path)
+    }
+
+  /** PERMISSIVE JSONL scan with corrupt-record QUARANTINE routing —
+    * the bad-records path every production ingest needs: a malformed
+    * line must neither kill the job (FAILFAST) nor silently vanish
+    * (DROPMALFORMED); it lands in a quarantine frame for inspection
+    * and replay. Returns (clean rows in the caller's schema, quarantine
+    * of raw offending lines). The parsed frame is cached because Spark
+    * disallows filtering a raw JSON scan on ONLY the internal corrupt
+    * column (SPARK-21610); the cache also keeps the two routes one
+    * scan. Quarantine captures SYNTACTIC corruption — a well-formed
+    * object with missing fields parses to nulls by schema contract and
+    * stays on the clean route (the reference's null-fill rules own
+    * those). */
+  def jsonlWithQuarantine(spark: SparkSession, path: String,
+      schema: StructType): (DataFrame, DataFrame) = {
+    val corruptCol = "_corrupt_record"
+    val withCorrupt = StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(corruptCol,
+        org.apache.spark.sql.types.StringType, nullable = true))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+      .cache()
+    val clean = raw.filter(col(corruptCol).isNull).drop(corruptCol)
+    val quarantine = raw.filter(col(corruptCol).isNotNull)
+      .select(col(corruptCol).as("raw_line"))
+    (clean, quarantine)
   }
 
   /** JSON-Lines scan — the de-facto corpus interchange format of LLM

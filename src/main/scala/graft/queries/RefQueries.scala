@@ -220,7 +220,42 @@ object RefQueries {
     graft.io.Sources.jsonl(s, out, Some(docs.schema)).orderBy(col("doc_id"))
   }
 
+  /** ORC round-trip: documents exported as ORC and scanned back must
+    * be value-identical to the parquet source (the q_io_jsonl pattern
+    * for the other native columnar format). */
+  def ioOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/tmp-io-orc-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val docs = t(s, dir, "documents")
+    graft.io.Sinks.orcDir(docs, out)
+    graft.io.Sources.orc(s, out, Some(docs.schema)).orderBy(col("doc_id"))
+  }
+
+  /** Malformed-line QUARANTINE gate: the corpus exported as JSONL plus
+    * 7 deterministically injected garbage lines, read back through the
+    * PERMISSIVE quarantine route — the clean side must carry EXACTLY
+    * the source rows (count + id/char checksums) and the quarantine
+    * exactly the 7 bad lines. A leaked garbage row, a dropped clean
+    * row, or a mis-routed line breaks the hash. */
+  def ioJsonlQuarantine(s: SparkSession, dir: String): DataFrame = {
+    val out = s"target/tmp-io-quar-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val docs = t(s, dir, "documents")
+    graft.io.Sinks.jsonlDir(docs, out)
+    val garbage = (1 to 7).map(i => s"{broken json line $i")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "zz_garbage.json"),
+      garbage.mkString("", "\n", "\n"))
+    val (clean, quarantine) =
+      graft.io.Sources.jsonlWithQuarantine(s, out, docs.schema)
+    clean.agg(
+        count(lit(1)).as("n_clean"),
+        sum(col("doc_id")).cast("long").as("sum_ids"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_io_orc_roundtrip" -> (ioOrcRoundtrip _),
+    "q_io_jsonl_quarantine" -> (ioJsonlQuarantine _),
     "q_io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "ref_io_object_store" -> (ioObjectStore _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
@@ -252,6 +287,16 @@ object RefQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q_io_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    "q_io_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id",
+    // the quarantine routing must be value-invisible to the clean side
+    // (full count + checksums) and catch exactly the 7 injected lines
+    "q_io_jsonl_quarantine" ->
+      """SELECT count(1) AS n_clean,
+           CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(7 AS BIGINT) AS n_quarantined
+         FROM documents""",
     "ref_io_xlsx_scan" ->
       "SELECT n_name, n_regionkey FROM nation ORDER BY n_name",
     "ref_gold_star" ->

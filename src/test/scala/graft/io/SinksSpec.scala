@@ -61,6 +61,43 @@ class SinksSpec extends SparkSpec {
       Sources.read(spark, "x.avro")
   }
 
+  "orcDir/orc" should "round-trip hostile document text and nulls" in {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain text", Some(10L)),
+      (2L, "line\nbreak\tand \"quotes\" and \\slash", Some(0L)),
+      (3L, "unicode: données 表格 ✓", None),
+      (4L, null.asInstanceOf[String], Some(-1L)))
+      .toDF("id", "text", "n")
+    val path = freshDir("orc-roundtrip")
+    Sinks.orcDir(df, path)
+    Sources.orc(spark, path, Some(df.schema)).orderBy("id").collect()
+      .toSeq shouldBe df.orderBy("id").collect().toSeq
+  }
+
+  "jsonlWithQuarantine" should "route malformed lines without touching clean rows" in {
+    import spark.implicits._
+    val df = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "v")
+    val path = freshDir("jsonl-quarantine")
+    Sinks.jsonlDir(df, path)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path, "bad.json"),
+      "{oops\nnot json at all\n{\"id\": 9, \"v\": \"trailing\n")
+    val (clean, bad) = Sources.jsonlWithQuarantine(spark, path, df.schema)
+    clean.orderBy("id").collect().toSeq shouldBe df.orderBy("id").collect().toSeq
+    val lines = bad.collect().map(_.getString(0)).toSet
+    lines shouldBe Set("{oops", "not json at all", "{\"id\": 9, \"v\": \"trailing")
+    // a well-formed object MISSING fields is schema-null, not corrupt
+    val path2 = freshDir("jsonl-quarantine-partial")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(path2, "part.json"), "{\"id\": 5}\n")
+    val (clean2, bad2) = Sources.jsonlWithQuarantine(spark, path2, df.schema)
+    bad2.count() shouldBe 0
+    val r = clean2.head()
+    r.getLong(0) shouldBe 5L
+    r.isNullAt(1) shouldBe true
+  }
+
   it should "scan jsonl through the format-dispatched read" in {
     import spark.implicits._
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
