@@ -65,6 +65,34 @@ object Orchestrator {
 
   private val Marker = "_GRAFT_SUCCESS"
 
+  /** TASK-INSTANCE LEDGER — the engine-side twin of Airflow's metadata
+    * DB (`task_instance` table: one row per attempt with state and
+    * timing), the operational surface an on-call reads after a bad
+    * night. [[runFor]] records every attempt of a dated run under
+    * `workDir/_ledger/run_date=<d>/` — underscore-prefixed, so data
+    * globs over `run_date=&#42;` never pick it up — overwriting that
+    * date's slice per (re)run: the ledger of a date reflects its LAST
+    * execution, and at-least-once replays stay idempotent. Skipped
+    * (already-committed) dates leave their original ledger untouched.
+    * A hard crash mid-attempt leaves no row for it, exactly like a
+    * scheduler losing its worker — the absent row next to a missing
+    * success marker IS the crash signature. Driver-side metadata only:
+    * O(attempts) 4-column rows per date. */
+  private def writeLedger(spark: SparkSession, workDir: String,
+      runDate: LocalDate, rows: Seq[(Int, String, String, Long)]): Unit = {
+    import spark.implicits._
+    rows.toDF("attempt", "state", "error", "duration_ms")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$workDir/_ledger/run_date=$runDate")
+  }
+
+  /** The full attempt history across dates: (run_date, attempt, state,
+    * error, duration_ms) — run_date supplied by partition discovery. */
+  def readLedger(spark: SparkSession, workDir: String): org.apache.spark.sql.DataFrame =
+    spark.read.parquet(s"$workDir/_ledger")
+      .withColumn("run_date",
+        org.apache.spark.sql.functions.col("run_date").cast("string"))
+
   /** Retry `body` up to `policy.retries` times after the first failure
     * (Airflow counts retries EXCLUDING the initial try), sleeping
     * `delayMs · backoff^(attempt-1)` between attempts. `body` receives
@@ -129,18 +157,37 @@ object Orchestrator {
     if (isComplete(spark, workDir, runDate))
       return RunReport(runDate, attempts = 0, skipped = true, dest)
     val scratch = dest + ".inprogress"
-    val (_, attempts) = withRetries(s"run_date=$runDate", policy, sleep) { _ =>
-      Fs.deleteRecursive(spark, scratch) // partial tree from a failed attempt
-      val gold = Medallion.run(
-        spark, dataPath, configPath, s"$scratch/bronze", spec)
-      gold.foreach { case (table, df) =>
-        df.write.mode("overwrite").parquet(s"$scratch/gold/$table")
+    val ledger = Seq.newBuilder[(Int, String, String, Long)]
+    def attemptOnce(attempt: Int): Unit = {
+      val t0 = System.nanoTime()
+      try {
+        Fs.deleteRecursive(spark, scratch) // partial tree from a failed attempt
+        val gold = Medallion.run(
+          spark, dataPath, configPath, s"$scratch/bronze", spec)
+        gold.foreach { case (table, df) =>
+          df.write.mode("overwrite").parquet(s"$scratch/gold/$table")
+        }
+        // marker INSIDE the scratch tree, written last: the rename below
+        // publishes data + marker in one metadata operation
+        fs(spark, workDir).create(new Path(scratch, Marker), true).close()
+        Fs.replaceDir(spark, scratch, dest)
+        ledger += ((attempt, "success", null, (System.nanoTime() - t0) / 1000000L))
+      } catch {
+        case e: Exception =>
+          ledger += ((attempt, "failed",
+            s"${e.getClass.getSimpleName}: ${e.getMessage}",
+            (System.nanoTime() - t0) / 1000000L))
+          throw e
       }
-      // marker INSIDE the scratch tree, written last: the rename below
-      // publishes data + marker in one metadata operation
-      fs(spark, workDir).create(new Path(scratch, Marker), true).close()
-      Fs.replaceDir(spark, scratch, dest)
     }
+    val attempts =
+      try withRetries(s"run_date=$runDate", policy, sleep)(attemptOnce)._2
+      catch {
+        case e: Exception => // retries exhausted: publish the history, then fail
+          writeLedger(spark, workDir, runDate, ledger.result())
+          throw e
+      }
+    writeLedger(spark, workDir, runDate, ledger.result())
     RunReport(runDate, attempts, skipped = false, dest)
   }
 

@@ -113,6 +113,37 @@ class OrchestratorSpec extends SparkSpec {
     spark.read.parquet(s"${r3.outDir}/gold/property").count() shouldBe 3
   }
 
+  it should "record every attempt in the task-instance ledger" in {
+    val dir = freshDir("orchestrator_ledger")
+    val (csv, xlsx) = writeFixture(dir)
+    val work = s"$dir/work"
+    val d = LocalDate.parse("2025-09-29")
+    val once = Orchestrator.RetryPolicy(retries = 0, delayMs = 0)
+    Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, d, once, sleep = _ => ())
+    val led1 = Orchestrator.readLedger(spark, work).collect()
+    led1.length shouldBe 1
+    led1.head.getAs[String]("state") shouldBe "success"
+    led1.head.getAs[String]("run_date") shouldBe "2025-09-29"
+    // a marker-gated replay leaves the original history untouched
+    Orchestrator.runFor(spark, csv, xlsx, work,
+      Medallion.referenceSpec, d, once, sleep = _ => ())
+    Orchestrator.readLedger(spark, work).count() shouldBe 1L
+    // a permanently failing date records EVERY attempt, then rethrows
+    val d2 = d.plusDays(1)
+    an[Exception] should be thrownBy Orchestrator.runFor(
+      spark, s"$dir/missing.csv", xlsx, work, Medallion.referenceSpec, d2,
+      Orchestrator.RetryPolicy(retries = 2, delayMs = 0), sleep = _ => ())
+    val rows = Orchestrator.readLedger(spark, work)
+      .filter(org.apache.spark.sql.functions.col("run_date") === "2025-09-30")
+      .orderBy(org.apache.spark.sql.functions.col("attempt")).collect()
+    rows.map(_.getAs[Int]("attempt")).toSeq shouldBe Seq(1, 2, 3)
+    rows.foreach { r =>
+      r.getAs[String]("state") shouldBe "failed"
+      r.getAs[String]("error") should not be null
+    }
+  }
+
   it should "catch up exactly the uncommitted dates, oldest first" in {
     val dir = freshDir("orchestrator_catchup")
     val (csv, xlsx) = writeFixture(dir)
