@@ -829,6 +829,20 @@ object AdvancedQueries {
     graft.ops.Quality.profile(t(s, dir, "customer"))
       .orderBy(col("column"))
 
+  /** Declarative expectation suite over the corpus (dbt-test / Great-
+    * Expectations posture): six rules — incl. one that FAILS with a
+    * real violation count (n_chars ∈ [100, 400] against a corpus
+    * spanning past both edges) — evaluated in ONE scan. */
+  def dqExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Quality._
+    graft.ops.Quality.expectations(t(s, dir, "documents"), Seq(
+      NotNull("doc_id"), Unique("doc_id"),
+      InRange("n_chars", 1L, 100000L),
+      InRange("n_chars", 100L, 400L),
+      InSet("lang", Seq("de", "en", "es", "fr", "zh")),
+      Matches("source", "^src[0-9]+$")))
+  }
+
   /** Distributed (no-global-sort) surrogate ids over the fact-sized
     * events table — the 100 TB id path. Ids themselves depend on the
     * partitioning, so the oracle checks the INVARIANT instead: ids are
@@ -943,6 +957,7 @@ object AdvancedQueries {
     "q_distributed_id" -> (distributedId _),
     "q_set_ops_all" -> (setOpsAll _),
     "q_dq_profile" -> (dqProfile _),
+    "q_dq_expectations" -> (dqExpectations _),
     "q_udaf_variance" -> (udafVariance _),
     "q_subquery_scalar" -> (subqueryScalar _),
     "q_subquery_correlated" -> (subqueryCorrelated _),
@@ -1081,6 +1096,37 @@ object AdvancedQueries {
          FROM (SELECT user_id FROM c EXCEPT ALL SELECT user_id FROM p)
          GROUP BY user_id
          ORDER BY tag, user_id""",
+    // every rule re-derived as an independent subquery; the booleans
+    // are computed, not echoed — a drifted violation count flips pass
+    "q_dq_expectations" ->
+      """WITH t AS (SELECT count(1) AS n FROM documents)
+         SELECT expectation, "column", n_rows, n_violations,
+           n_violations = 0 AS pass
+         FROM (
+           SELECT 'in_range(n_chars,1,100000)' AS expectation,
+             'n_chars' AS "column", n AS n_rows,
+             (SELECT count(1) FROM documents
+              WHERE n_chars IS NULL OR n_chars < 1 OR n_chars > 100000)
+               AS n_violations FROM t
+           UNION ALL
+           SELECT 'in_range(n_chars,100,400)', 'n_chars', n,
+             (SELECT count(1) FROM documents
+              WHERE n_chars IS NULL OR n_chars < 100 OR n_chars > 400) FROM t
+           UNION ALL
+           SELECT 'in_set(lang)', 'lang', n,
+             (SELECT count(1) FROM documents
+              WHERE lang IS NULL OR lang NOT IN ('de','en','es','fr','zh')) FROM t
+           UNION ALL
+           SELECT 'matches(source)', 'source', n,
+             (SELECT count(1) FROM documents
+              WHERE source IS NULL OR NOT regexp_matches(source, '^src[0-9]+$')) FROM t
+           UNION ALL
+           SELECT 'not_null(doc_id)', 'doc_id', n,
+             (SELECT count(1) FROM documents WHERE doc_id IS NULL) FROM t
+           UNION ALL
+           SELECT 'unique(doc_id)', 'doc_id', n,
+             (SELECT count(1) - count(DISTINCT doc_id) FROM documents) FROM t)
+         ORDER BY expectation""",
     "q_dq_profile" ->
       """WITH t AS (SELECT count(1) AS n_rows FROM customer)
          SELECT * FROM (
