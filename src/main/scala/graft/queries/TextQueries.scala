@@ -524,6 +524,14 @@ object TextQueries {
     Multimodal.grayStatsPipeline(s, asciiAsserted(docs(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** AUDIO decode parity (the WAV twin of [[multimodalDecode]]): real
+    * RIFF/WAVE containers synthesized per document, chunk-walked and
+    * PCM-decoded; every stat is a pure-integer function of the source
+    * bytes, replayed sample-for-sample by the oracle. */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioStatsPipeline(s, asciiAsserted(docs(s, dir)))
+      .orderBy(col("doc_id"))
+
   /** Multimodal frame sampling (one-to-many mapPartitions): frames per
     * document at stride 3 over 16-byte slices. The oracle replays the
     * count formula: ((ceil(n_bytes/16) − 1) // 3) + 1. */
@@ -1485,6 +1493,7 @@ object TextQueries {
     "q_text_span_corrupt" -> (spanCorruptQ _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_phash" -> (multimodalPhash _),
     "q_multimodal_phash_pairs" -> (multimodalPhashPairs _),
@@ -2533,6 +2542,33 @@ object TextQueries {
            CAST(sum(gray) AS BIGINT) AS sum_gray,
            min(gray) AS min_gray, max(gray) AS max_gray
          FROM px GROUP BY doc_id ORDER BY doc_id"""),
+    // the WAV replay: PCM data bytes are the text bytes cycled over
+    // 2·max(1, ceil(n/2)) positions (the engine's fill rule), samples
+    // the signed 16-bit LE pairs — ASCII corpus, so ascii(substr) IS
+    // the payload byte and the sign branch can't fire (hi byte ≤ 127)
+    "q_multimodal_audio" ->
+      """WITH src AS (
+           SELECT doc_id, text, length(text) AS n,
+             greatest(1, (length(text) + 1) // 2) AS ns
+           FROM documents),
+         s0 AS (
+           SELECT doc_id, text, n, unnest(generate_series(0, ns - 1)) AS j
+           FROM src),
+         samp AS (
+           SELECT doc_id,
+             ascii(substr(text, CAST((2*j)   % n AS INT) + 1, 1))
+             + 256 * ascii(substr(text, CAST((2*j+1) % n AS INT) + 1, 1)) AS raw
+           FROM s0),
+         sv AS (
+           SELECT doc_id,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+           FROM samp)
+         SELECT doc_id, 8000 AS sample_rate,
+           CAST(count(1) AS BIGINT) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_amp,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(min(v) AS INT) AS min_amp, CAST(max(v) AS INT) AS max_amp
+         FROM sv GROUP BY doc_id ORDER BY doc_id""",
     "q_multimodal_phash_pairs" ->
       (phashCte + """,
          pairs AS (

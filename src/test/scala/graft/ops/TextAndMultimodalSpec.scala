@@ -235,6 +235,53 @@ class TextAndMultimodalSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.toSeq).toSeq should not be again
   }
 
+  "Multimodal.Wav" should "round-trip encode → chunk walk → PCM decode" in {
+    for (n <- Seq(1, 2, 3, 48, 553)) {
+      val src = Array.tabulate(n)(i => ((i * 31 + 7) % 128).toByte)
+      val payload = Multimodal.Wav.encodeFromBytes(src)
+      val hd = Multimodal.Wav.parseHeader(payload)
+      val ns = math.max(1, (n + 1) / 2)
+      (hd.channels, hd.sampleRate, hd.bitsPerSample) shouldBe ((1, 8000, 16))
+      hd.nSamples shouldBe ns
+      val s = Multimodal.Wav.samples(payload)
+      s.length shouldBe ns
+      (0 until ns).foreach { j =>
+        val lo = src((2 * j) % n) & 0xff
+        val hi = src((2 * j + 1) % n) & 0xff
+        s(j) shouldBe (lo | (hi << 8))
+      }
+    }
+    // empty source → one silent sample
+    Multimodal.Wav.samples(
+      Multimodal.Wav.encodeFromBytes(Array.empty[Byte])).toSeq shouldBe Seq(0)
+  }
+
+  it should "decode negative samples via 16-bit sign extension" in {
+    // craft a data chunk whose hi byte sets the sign bit
+    val src = Array(0x34.toByte, 0xff.toByte) // raw 0xff34 = 65332
+    val s = Multimodal.Wav.samples(Multimodal.Wav.encodeFromBytes(src))
+    s.toSeq shouldBe Seq(65332 - 65536)
+  }
+
+  it should "skip unknown chunks and reject malformed RIFF payloads" in {
+    // the encoder plants a 'note' filler chunk between fmt and data —
+    // the round-trip above only works if the walker skips it; here a
+    // parser that trusted fixed offsets would have failed already.
+    val good = Multimodal.Wav.encodeFromBytes(Array[Byte](1, 2, 3, 4))
+    Multimodal.Wav.parseHeader(good).nSamples shouldBe 2
+    def mutate(bytes: Array[Byte], at: Int, v: Byte) = {
+      val c = bytes.clone(); c(at) = v; c
+    }
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Wav.parseHeader(mutate(good, 0, 'X'.toByte)) // magic
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Wav.parseHeader(mutate(good, 4, 99.toByte)) // RIFF size lies
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Wav.parseHeader(good.take(20)) // no data chunk reached
+    an[IllegalArgumentException] should be thrownBy
+      Multimodal.Wav.parseHeader(good.dropRight(1)) // truncated data
+  }
+
   "Multimodal.Ppm" should "round-trip encode → header parse" in {
     for (n <- Seq(1, 23, 24, 25, 240, 577)) {
       val src = Array.tabulate(n)(i => ((i * 37 + 11) % 256).toByte)
