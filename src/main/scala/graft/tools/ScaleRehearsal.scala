@@ -156,7 +156,13 @@ object ScaleRehearsal {
       // mining (anchor-count × corpus, the bruteForceTopK shape)
       "q_corpus_overlap", "q_corpus_drift", "q_split_leakage",
       "q_data_card", "q_embed_hard_negatives", "q_text_novelty",
-      "q_text_search_phrase")
+      "q_text_search_phrase",
+      // round-13 (seventh batch): the WAV decode pipeline (partition-
+      // local codec work, zero shuffle), ORC round-trip (write + scan),
+      // quarantine routing (one PERMISSIVE scan, both routes), and the
+      // one-scan expectation suite
+      "q_multimodal_audio", "q_io_orc_roundtrip", "q_io_jsonl_quarantine",
+      "q_dq_expectations")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
