@@ -133,11 +133,11 @@ class XlsxSpec extends SparkSpec {
   }
 
   "Sources.read" should "reject unsupported formats" in {
-    // .json/.jsonl joined the dispatch in round 13 — the guard now
-    // fires on genuinely unknown extensions
+    // .json/.jsonl and .orc joined the dispatch in round 13 — the
+    // guard now fires on genuinely unknown extensions
     an[IllegalArgumentException] should be thrownBy
       Sources.read(spark, "/tmp/x.avro")
     an[IllegalArgumentException] should be thrownBy
-      Sources.read(spark, "/tmp/x.orc")
+      Sources.read(spark, "/tmp/x.feather")
   }
 }
