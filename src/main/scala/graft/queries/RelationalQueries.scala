@@ -268,6 +268,38 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of: the earliest purchase at or after each click. */
+  def joinAsOfForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "purchase_ts", "value" -> "purchase_value"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_ts"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** NEAREST as-of under a 24 h tolerance: the temporally closest
+    * purchase either side of each click, ties backward, matches
+    * farther than a day nulled — the complete merge_asof surface. */
+  def joinAsOfNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+    AsOfJoin.asOf(clicks, purchases, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "purchase_ts", "value" -> "purchase_value"),
+        direction = "nearest", tolerance = Some(24L * 3600 * 1000000))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("purchase_ts"), col("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
   /** rank / lag / running-sum window functions per customer. */
   def windowFuncs(s: SparkSession, dir: String): DataFrame = {
     val byPrice = Window.partitionBy(col("o_custkey"))
@@ -366,6 +398,8 @@ object RelationalQueries {
     "q_join_anti" -> (joinAnti _),
     "q_join_range" -> (joinRange _),
     "q_join_asof" -> (joinAsOf _),
+    "q_join_asof_forward" -> (joinAsOfForward _),
+    "q_join_asof_nearest" -> (joinAsOfNearest _),
     "q_window_funcs" -> (windowFuncs _),
     "q_window_ranks" -> (windowRanks _),
     "q_topk_per_group" -> (topkPerGroup _),
@@ -488,6 +522,32 @@ object RelationalQueries {
          ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
            ON e.user_id = p.user_id AND e.ts >= p.ts
          ORDER BY e.event_id""",
+    // forward = DuckDB ASOF with the inequality flipped
+    "q_join_asof_forward" ->
+      """SELECT e.event_id, e.user_id, e.ts, p.ts AS purchase_ts, p.value AS purchase_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') e
+         ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+           ON e.user_id = p.user_id AND e.ts <= p.ts
+         ORDER BY e.event_id""",
+    // nearest has no native ASOF form: per click, the minimum |Δ|
+    // within 24 h, ties to the backward side (rt <= lt)
+    "q_join_asof_nearest" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+         r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'),
+         cand AS (
+           SELECT l.event_id, r.ts AS rts, r.value,
+             abs(epoch_us(l.ts) - epoch_us(r.ts)) AS d,
+             CASE WHEN r.ts <= l.ts THEN 0 ELSE 1 END AS side
+           FROM l JOIN r USING (user_id)
+           WHERE abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 86400000000),
+         pick AS (
+           SELECT event_id, rts, value,
+             row_number() OVER (PARTITION BY event_id ORDER BY d, side) AS rn
+           FROM cand)
+         SELECT l.event_id, l.user_id, l.ts,
+           p.rts AS purchase_ts, p.value AS purchase_value
+         FROM l LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p USING (event_id)
+         ORDER BY l.event_id""",
     "q_window_funcs" ->
       """SELECT o_orderkey, o_custkey,
            CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,

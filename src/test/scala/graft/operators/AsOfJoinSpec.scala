@@ -30,4 +30,80 @@ class AsOfJoinSpec extends SparkSpec {
       (1L, "e2", 200.0),       // most recent of two
       (2L, "f1", null))        // right row is later
   }
+
+  private def fixture = {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "e1"), (1L, 20L, "e2"), (1L, 5L, "e0"),
+      (2L, 15L, "f1")
+    ).toDF("user_id", "t", "tag").withColumn("ts", col("t").cast("timestamp"))
+    val right = Seq(
+      (1L, 10L, 100.0), (1L, 18L, 200.0), (2L, 99L, 999.0)
+    ).toDF("user_id", "t", "value").withColumn("ts", col("t").cast("timestamp"))
+    (left.select("user_id", "ts", "tag"), right.select("user_id", "ts", "value"))
+  }
+
+  private def run(direction: String, tolerance: Option[Long]) = {
+    val (l, r) = fixture
+    AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts",
+        Map("value" -> "v"), direction, tolerance)
+      .select("user_id", "tag", "v")
+      .collect().map(x => (x.getLong(0), x.getString(1),
+        if (x.isNullAt(2)) null else x.getDouble(2))).toSet
+  }
+
+  it should "attach the earliest right row at or after each left time (forward)" in {
+    run("forward", None) shouldBe Set(
+      (1L, "e0", 100.0),  // next purchase at t=10
+      (1L, "e1", 100.0),  // equal timestamp matches (>=)
+      (1L, "e2", null),   // nothing later
+      (2L, "f1", 999.0))  // the future purchase
+  }
+
+  it should "pick the closer side with ties backward (nearest)" in {
+    run("nearest", None) shouldBe Set(
+      (1L, "e0", 100.0),  // only a forward match (5 -> 10)
+      (1L, "e1", 100.0),  // exact hit
+      (1L, "e2", 200.0),  // backward 2 < nothing forward
+      (2L, "f1", 999.0))  // only forward
+    // a genuine tie: left at 14 sits 4 from both 10 and 18 -> backward
+    import spark.implicits._
+    val l = Seq((1L, 14L, "mid")).toDF("user_id", "t", "tag")
+      .withColumn("ts", col("t").cast("timestamp")).select("user_id", "ts", "tag")
+    val r = fixture._2
+    val got = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts",
+        Map("value" -> "v"), "nearest", None)
+      .select("v").head().getDouble(0)
+    got shouldBe 100.0
+  }
+
+  it should "null out matches beyond the tolerance in every direction" in {
+    // timestamps: tolerance is measured in MICROSECONDS
+    val us = 1000000L
+    run("backward", Some(2L * us)) shouldBe Set(
+      (1L, "e0", null), (1L, "e1", 100.0),
+      (1L, "e2", 200.0),  // 20 - 18 = 2 <= 2
+      (2L, "f1", null))
+    run("forward", Some(4L * us)) shouldBe Set(
+      (1L, "e0", null),   // 10 - 5 = 5 > 4
+      (1L, "e1", 100.0), (1L, "e2", null),
+      (2L, "f1", null))   // 99 - 15 >> 4
+    run("nearest", Some(4L * us)) shouldBe Set(
+      (1L, "e0", null),   // closest is 5 away
+      (1L, "e1", 100.0), (1L, "e2", 200.0),
+      (2L, "f1", null))
+  }
+
+  it should "be invariant under repartitioning in every direction" in {
+    val (l, r) = fixture
+    Seq("backward", "forward", "nearest").foreach { d =>
+      val a = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts",
+          Map("value" -> "v"), d).orderBy("user_id", "tag")
+        .collect().map(_.toSeq).toSeq
+      val b = AsOfJoin.asOf(l.repartition(7), r.repartition(3),
+          Seq("user_id"), "ts", "ts", Map("value" -> "v"), d)
+        .orderBy("user_id", "tag").collect().map(_.toSeq).toSeq
+      withClue(s"direction $d: ")(b shouldBe a)
+    }
+  }
 }
