@@ -429,6 +429,45 @@ object SimilarityQueries {
       .orderBy(col("dim"))
   }
 
+  /** Per-dimension FISHER DISCRIMINANT RATIO over the label column —
+    * the embedding-quality diagnostic (how separable are the classes
+    * along each axis): F_d = between-class / within-class scatter.
+    * Determinism: per-(label, dim) moments are EXACT decimal sums; the
+    * per-class within/between terms are fixed-order double expressions
+    * over those exact operands (the q_embed_dimstats contract), each
+    * rule-5b quantized to DECIMAL(18,9) so the 10-class fold is an
+    * exact decimal sum — class aggregation order can't flip a bit.
+    * Shape: one posexplode scan → (label, dim) partial agg (≤ classes·d
+    * rows on the wire) → metadata-scale arithmetic. */
+  def embedFisher(s: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Similarity.decToDouble
+    val e = emb(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("dim"),
+        col("x").cast("double").cast("decimal(12,9)").as("xd"))
+    val perClass = e.groupBy(col("label"), col("dim")).agg(
+      count(lit(1)).as("n_c"),
+      sum(col("xd")).as("s_c"),
+      sum(col("xd") * col("xd")).as("q_c"))
+    val global = perClass.groupBy(col("dim")).agg(
+      sum(col("n_c")).as("n"), sum(col("s_c")).as("s"))
+    val terms = perClass.join(broadcast(global), "dim")
+      .withColumn("mu_c", decToDouble(col("s_c")) / col("n_c"))
+      .withColumn("mu", decToDouble(col("s")) / col("n"))
+      .withColumn("w_q",
+        (decToDouble(col("q_c")) -
+          decToDouble(col("s_c")) * decToDouble(col("s_c")) / col("n_c"))
+          .cast("string").cast("decimal(18,9)"))
+      .withColumn("b_q",
+        (col("n_c") * (col("mu_c") - col("mu")) * (col("mu_c") - col("mu")))
+          .cast("string").cast("decimal(18,9)"))
+    terms.groupBy(col("dim")).agg(
+        decToDouble(sum(col("w_q")).cast("decimal(38,9)")).as("within"),
+        decToDouble(sum(col("b_q")).cast("decimal(38,9)")).as("between"))
+      .withColumn("fisher", col("between") / col("within"))
+      .orderBy(col("dim"))
+  }
+
   /** Per-dimension STANDARDIZATION of the embeddings — the whitening
     * prep [[embedDimStats]] computes moments for, applied: z = (x −
     * mean_dim)/std_dim. The corpus stats frame is d rows (metadata-
@@ -617,6 +656,7 @@ object SimilarityQueries {
     "q_semdedup_incremental" -> (semDedupIncrementalQ _),
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
+    "q_embed_fisher" -> (embedFisher _),
     "q_embed_kcenter" -> ((s, dir) =>
       graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_kcenter_assign" -> ((s, dir) =>
@@ -920,6 +960,44 @@ object SimilarityQueries {
          SELECT CAST(dim AS INT) AS dim, n, sum_x / n AS mean,
            (sum_x2 - sum_x * sum_x / n) / n AS var_pop
          FROM m ORDER BY dim""",
+    // Fisher replay: exact (label, dim) decimal moments, the same
+    // fixed-order double expressions, hopped DECIMAL(18,9) class terms
+    // summed exactly — identical bit path to the engine
+    "q_embed_fisher" ->
+      """WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+         vals AS (
+           SELECT label, i AS dim,
+             CAST(CAST(CAST(embedding[i] AS DOUBLE) AS VARCHAR) AS DECIMAL(12,9)) AS xd
+           FROM embeddings CROSS JOIN idx),
+         pc AS (
+           SELECT label, dim, count(1) AS n_c,
+             sum(xd) AS s_c, sum(xd * xd) AS q_c
+           FROM vals GROUP BY label, dim),
+         g AS (
+           SELECT dim, CAST(sum(n_c) AS BIGINT) AS n, sum(s_c) AS s
+           FROM pc GROUP BY dim),
+         terms AS (
+           SELECT pc.dim,
+             CAST(CAST(
+               CAST(CAST(q_c AS VARCHAR) AS DOUBLE) -
+               CAST(CAST(s_c AS VARCHAR) AS DOUBLE) *
+                 CAST(CAST(s_c AS VARCHAR) AS DOUBLE) / n_c
+               AS VARCHAR) AS DECIMAL(18,9)) AS w_q,
+             CAST(CAST(
+               n_c * (CAST(CAST(s_c AS VARCHAR) AS DOUBLE) / n_c -
+                      CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+                   * (CAST(CAST(s_c AS VARCHAR) AS DOUBLE) / n_c -
+                      CAST(CAST(s AS VARCHAR) AS DOUBLE) / n)
+               AS VARCHAR) AS DECIMAL(18,9)) AS b_q
+           FROM pc JOIN g ON g.dim = pc.dim),
+         agg AS (
+           SELECT dim,
+             CAST(CAST(CAST(sum(w_q) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS within,
+             CAST(CAST(CAST(sum(b_q) AS DECIMAL(38,9)) AS VARCHAR) AS DOUBLE) AS between
+           FROM terms GROUP BY dim)
+         SELECT CAST(dim AS INT) AS dim, within, between,
+           between / within AS fisher
+         FROM agg ORDER BY dim""",
     "q_embed_stats" ->
       """WITH n AS (
            SELECT label, vec_id,
