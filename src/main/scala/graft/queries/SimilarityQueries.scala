@@ -429,6 +429,28 @@ object SimilarityQueries {
       .orderBy(col("dim"))
   }
 
+  /** kNN(1) LABEL PROBE — the standard embedding-space eval: predict
+    * each sampled query's label as its exact nearest neighbor's label
+    * and report per-class accuracy. Reuses the memoized sampled exact
+    * ground truth the recall gates share (sample·corpus cost, paid
+    * once per session), so this gate adds only two label joins and a
+    * 10-row aggregate. */
+  def embedKnn(s: SparkSession, dir: String): DataFrame = {
+    val labels = emb(s, dir).select(col("vec_id"), col("label"))
+    sampledTruth(s, dir)
+      .join(labels.select(col("vec_id").as("qid"),
+        col("label").as("true_label")), "qid")
+      .join(labels.select(col("vec_id").as("tcid"),
+        col("label").as("pred_label")), "tcid")
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .withColumn("accuracy",
+        col("n_correct").cast("double") / col("n_queries").cast("double"))
+      .orderBy(col("true_label"))
+  }
+
   /** Per-dimension FISHER DISCRIMINANT RATIO over the label column —
     * the embedding-quality diagnostic (how separable are the classes
     * along each axis): F_d = between-class / within-class scatter.
@@ -657,6 +679,7 @@ object SimilarityQueries {
     "q_embed_stats" -> (embedStats _),
     "q_embed_dimstats" -> (embedDimStats _),
     "q_embed_fisher" -> (embedFisher _),
+    "q_embed_knn" -> (embedKnn _),
     "q_embed_kcenter" -> ((s, dir) =>
       graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
     "q_embed_kcenter_assign" -> ((s, dir) =>
@@ -960,6 +983,26 @@ object SimilarityQueries {
          SELECT CAST(dim AS INT) AS dim, n, sum_x / n AS mean,
            (sum_x2 - sum_x * sum_x / n) / n AS var_pop
          FROM m ORDER BY dim""",
+    // kNN replay: exact cosines for every sampled query against the
+    // full corpus (non-self), argmax with the (cos desc, cid) tie, the
+    // neighbor's label scored against the query's
+    "q_embed_knn" ->
+      (cosSql("WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '4'", "",
+        "WHERE qid <> cid") + """,
+         top AS (
+           SELECT qid, cid FROM (
+             SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn
+             FROM scored WHERE qid <> cid) WHERE rn = 1)
+         SELECT tq.label AS true_label, count(1) AS n_queries,
+           CAST(sum(CASE WHEN tc.label = tq.label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN tc.label = tq.label THEN 1 ELSE 0 END) AS DOUBLE) /
+             CAST(count(1) AS DOUBLE) AS accuracy
+         FROM top
+         JOIN embeddings tq ON tq.vec_id = top.qid
+         JOIN embeddings tc ON tc.vec_id = top.cid
+         GROUP BY 1 ORDER BY 1"""),
     // Fisher replay: exact (label, dim) decimal moments, the same
     // fixed-order double expressions, hopped DECIMAL(18,9) class terms
     // summed exactly — identical bit path to the engine
