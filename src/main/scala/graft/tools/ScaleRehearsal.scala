@@ -101,6 +101,20 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+    // events (round-13, for the as-of rehearsals): ids/users offset per
+    // copy — 10× the users at sf0.1's per-user event depth, the linear
+    // regime a clickstream grows in; timestamps unchanged so the asof
+    // window sort depth per key stays constant
+    val ev = spark.read.parquet(s"$srcDir/events.parquet")
+    (0 until Copies).map { c =>
+      ev.select(
+        (col("event_id") + lit(c * Offset)).as("event_id"),
+        col("ts"),
+        (col("user_id") + lit(c * Offset)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   /** Measured paths: driver-query names for the text/dedup pipelines;
@@ -162,7 +176,11 @@ object ScaleRehearsal {
       // quarantine routing (one PERMISSIVE scan, both routes), and the
       // one-scan expectation suite
       "q_multimodal_audio", "q_io_orc_roundtrip", "q_io_jsonl_quarantine",
-      "q_dq_expectations")
+      "q_dq_expectations",
+      // round-13 (eighth batch): the merge_asof variants (one key
+      // exchange, window fills), the Fisher diagnostic (one posexplode
+      // scan + (label, dim) partial agg), and phrase BM25's twin gates
+      "q_join_asof_forward", "q_join_asof_nearest", "q_embed_fisher")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
@@ -253,7 +271,8 @@ object ScaleRehearsal {
     val sf1Dir = "target/sf1"
     if (!new java.io.File(s"$sf1Dir/embeddings.parquet").exists() ||
         !new java.io.File(s"$sf1Dir/orders.parquet").exists() ||
-        !new java.io.File(s"$sf1Dir/lineitem.parquet").exists()) {
+        !new java.io.File(s"$sf1Dir/lineitem.parquet").exists() ||
+        !new java.io.File(s"$sf1Dir/events.parquet").exists()) {
       println("[scale] generating sf1 slice under target/sf1 ...")
       genSf1(spark, "/root/testdata/sf0.1", sf1Dir)
     }
