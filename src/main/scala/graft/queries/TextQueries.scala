@@ -135,6 +135,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the eval every classifier ships:
+    * the marker-heuristic prediction crossed with the corpus's lang
+    * ground truth, one (true, predicted, n) cell per observed pair.
+    * zh has no marker set, so its row is all misclassifications —
+    * the honest confusion a confusion matrix exists to expose. */
+  def langIdConfusionQ(s: SparkSession, dir: String): DataFrame = {
+    val (_, guess) = Text.langId(col("text"))
+    docs(s, dir)
+      .select(col("lang").as("true_lang"), guess.as("pred_lang"))
+      .groupBy(col("true_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("true_lang"), col("pred_lang"))
+  }
+
+  /** Near-dup CLUSTER-SIZE histogram — the dedup diagnostic a corpus
+    * report publishes (how much mass sits in big duplicate families):
+    * (cluster size, number of clusters), singletons included. */
+  def dedupClusterSizesQ(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
+    Dedup.dedupDecision(d, pairs, "doc_id")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("sz"))
+  }
+
   /** Document fingerprint via the custom codegen'd PolyHash64
     * expression; oracled in DuckDB with a list_reduce over bytes. */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
@@ -1458,6 +1484,8 @@ object TextQueries {
     }),
     "q_text_repetition" -> (repetition _),
     "q_text_langid" -> (langIdQ _),
+    "q_text_langid_confusion" -> (langIdConfusionQ _),
+    "q_dedup_cluster_sizes" -> (dedupClusterSizesQ _),
     "q_text_fingerprint" -> (fingerprint _),
     "q_dedup_minhash" -> (minhashDedup _),
     "q_dedup_spans" -> (dedupSpans _),
@@ -2387,6 +2415,44 @@ object TextQueries {
                 WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
                 ELSE 'fr' END AS lang_guess
          FROM s ORDER BY doc_id""",
+    // the same marker-score replay, folded to (true, predicted) cells
+    "q_text_langid_confusion" ->
+      """WITH s AS (
+           SELECT lang,
+             CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|von|daten|tabelle)\b')) AS INT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|data|table)\b')) AS INT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|y|en|datos|tabla)\b')) AS INT) AS s_es,
+             CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|de|données|tableau)\b')) AS INT) AS s_fr
+           FROM documents),
+         p AS (
+           SELECT lang AS true_lang,
+             CASE WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+           FROM s)
+         SELECT true_lang, pred_lang, count(1) AS n
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the q_dedup_clusters component walk folded to a size histogram
+    "q_dedup_cluster_sizes" ->
+      (shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ") + """,
+         pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jacs WHERE jaccard >= 0.8),
+         edges AS MATERIALIZED (
+           SELECT doc_a AS src, doc_b AS dst FROM pairs
+           UNION
+           SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         walk(id, r) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT w.id, e.dst FROM walk w JOIN edges e ON e.src = w.r),
+         comp AS (SELECT id, min(r) AS cluster_id FROM walk GROUP BY id),
+         assigned AS (
+           SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+           FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         csz AS (
+           SELECT cluster_id, count(1) AS sz FROM assigned GROUP BY 1)
+         SELECT sz, count(1) AS n_clusters FROM csz
+         GROUP BY 1 ORDER BY 1"""),
     "q_text_fingerprint" ->
       """SELECT doc_id,
            CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616 ELSE h END AS BIGINT) AS fp
