@@ -380,6 +380,63 @@ object Multimodal {
     blobs.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
   }
 
+  /** REAL image resize on REAL pixels (retires [[StubCodec.resize]]
+    * for the P6 pipeline): decode the raster, nearest-neighbor sample
+    * to `newW`×`newH` — output pixel (r, c) copies source pixel
+    * (r·h div newH, c·w div newW), the classic integer NN kernel — and
+    * re-encode a genuine P6 container. Pure integer end to end, so a
+    * SQL oracle replays every output pixel from the source bytes.
+    * Partition-local, one-to-one, payloads shrink on the wire. */
+  def resizePpm(spark: SparkSession, blobs: Dataset[MediaBlob],
+      newW: Int, newH: Int): Dataset[MediaBlob] = {
+    import spark.implicits._
+    require(newW > 0 && newH > 0, s"degenerate target ${newW}x$newH")
+    blobs.mapPartitions(_.map { b =>
+      val hd = Ppm.parseHeader(b.payload)
+      val header = s"P6\n$newW $newH\n255\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + newW * newH * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var r = 0
+      while (r < newH) {
+        val sr = r * hd.height / newH
+        var c = 0
+        while (c < newW) {
+          val sc = c * hd.width / newW
+          val src = hd.pixelOffset + 3 * (sr * hd.width + sc)
+          val dst = header.length + 3 * (r * newW + c)
+          out(dst) = b.payload(src)
+          out(dst + 1) = b.payload(src + 1)
+          out(dst + 2) = b.payload(src + 2)
+          c += 1
+        }
+        r += 1
+      }
+      MediaBlob(b.doc_id, b.lang, out)
+    })
+  }
+
+  /** documents → real P6 containers → REAL nearest-neighbor resize →
+    * luma stats of the RESIZED raster — decode parity for the whole
+    * decode→resize→re-encode→decode chain, every value integer-exact. */
+  def resizeStatsPipeline(spark: SparkSession, docs: DataFrame,
+      newW: Int, newH: Int): DataFrame = {
+    import spark.implicits._
+    resizePpm(spark, ppmBlobs(spark, docs, "text"), newW, newH)
+      .mapPartitions(_.map { b =>
+        val g = Ppm.grayPixels(b.payload)
+        var s = 0L
+        var mn = Int.MaxValue
+        var mx = Int.MinValue
+        var i = 0
+        while (i < g.length) {
+          s += g(i); if (g(i) < mn) mn = g(i); if (g(i) > mx) mx = g(i)
+          i += 1
+        }
+        (b.doc_id, g.length.toLong, s, mn, mx)
+      }).toDF("doc_id", "n_pixels", "sum_gray", "min_gray", "max_gray")
+  }
+
   /** A document's 64-bit perceptual signature ([[blockhash64]]). */
   case class PHash(doc_id: Long, phash: Long)
 

@@ -550,6 +550,13 @@ object TextQueries {
     Multimodal.grayStatsPipeline(s, asciiAsserted(docs(s, dir)))
       .orderBy(col("doc_id"))
 
+  /** REAL-resize parity: decode → 4×4 nearest-neighbor resize →
+    * re-encode → decode, luma stats of the resized raster — every
+    * output pixel an integer function of the source bytes. */
+  def multimodalResize(s: SparkSession, dir: String): DataFrame =
+    Multimodal.resizeStatsPipeline(s, asciiAsserted(docs(s, dir)), 4, 4)
+      .orderBy(col("doc_id"))
+
   /** AUDIO decode parity (the WAV twin of [[multimodalDecode]]): real
     * RIFF/WAVE containers synthesized per document, chunk-walked and
     * PCM-decoded; every stat is a pure-integer function of the source
@@ -1522,6 +1529,7 @@ object TextQueries {
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_audio" -> (multimodalAudio _),
+    "q_multimodal_resize" -> (multimodalResize _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_phash" -> (multimodalPhash _),
     "q_multimodal_phash_pairs" -> (multimodalPhashPairs _),
@@ -2608,6 +2616,31 @@ object TextQueries {
            CAST(sum(gray) AS BIGINT) AS sum_gray,
            min(gray) AS min_gray, max(gray) AS max_gray
          FROM px GROUP BY doc_id ORDER BY doc_id"""),
+    // nearest-neighbor resize replay: output pixel (r, c) = source
+    // pixel (r·h div 4, c·8 div 4); luma via the decode formula at the
+    // sampled pixel index — the whole decode→resize→decode chain
+    "q_multimodal_resize" ->
+      """WITH src AS (
+           SELECT doc_id, text, length(text) AS n,
+             greatest(1, CAST(ceil(length(text) / 24.0) AS BIGINT)) AS h
+           FROM documents),
+         cells AS (
+           SELECT doc_id, text, n,
+             ((r * h) // 4) * 8 + ((c * 8) // 4) AS sp
+           FROM src,
+             unnest(generate_series(0, 3)) AS tr(r),
+             unnest(generate_series(0, 3)) AS tc(c)),
+         px AS (
+           SELECT doc_id,
+             (299 * ascii(substr(text, CAST((3*sp)   % n AS INT) + 1, 1))
+            + 587 * ascii(substr(text, CAST((3*sp+1) % n AS INT) + 1, 1))
+            + 114 * ascii(substr(text, CAST((3*sp+2) % n AS INT) + 1, 1)))
+             // 1000 AS gray
+           FROM cells)
+         SELECT doc_id, count(1) AS n_pixels,
+           CAST(sum(gray) AS BIGINT) AS sum_gray,
+           min(gray) AS min_gray, max(gray) AS max_gray
+         FROM px GROUP BY doc_id ORDER BY doc_id""",
     // the WAV replay: PCM data bytes are the text bytes cycled over
     // 2·max(1, ceil(n/2)) positions (the engine's fill rule), samples
     // the signed 16-bit LE pairs — ASCII corpus, so ascii(substr) IS

@@ -313,6 +313,25 @@ class TextAndMultimodalSpec extends SparkSpec {
     hd.pixelOffset shouldBe header.length
   }
 
+  it should "nearest-neighbor resize real rasters pixel-exactly" in {
+    import spark.implicits._
+    // 8x1 raster whose pixel j is RGB (j, j, j): easy to track samples
+    val px = (0 until 8).flatMap(j => Seq(j, j, j)).map(_.toByte).toArray
+    val payload = "P6\n8 1\n255\n".getBytes("US-ASCII") ++ px
+    val blobs = Seq(Multimodal.MediaBlob(1L, "en", payload)).toDS()
+    val out = Multimodal.resizePpm(spark, blobs, newW = 4, newH = 1)
+      .collect().head
+    val hd = Multimodal.Ppm.parseHeader(out.payload)
+    (hd.width, hd.height) shouldBe ((4, 1))
+    // output col c samples source col c*8/4 = 2c -> pixels 0,2,4,6
+    Multimodal.Ppm.grayPixels(out.payload).toSeq shouldBe Seq(0, 2, 4, 6)
+    // upscale is legal too: each source pixel repeats
+    val up = Multimodal.resizePpm(spark, blobs, newW = 16, newH = 1)
+      .collect().head
+    Multimodal.Ppm.grayPixels(up.payload).toSeq shouldBe
+      (0 until 16).map(_ / 2)
+  }
+
   it should "decode BT.601 integer luma per RGB triplet" in {
     val px = Array(255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30)
       .map(_.toByte)
