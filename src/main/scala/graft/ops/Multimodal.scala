@@ -437,6 +437,29 @@ object Multimodal {
       }).toDF("doc_id", "n_pixels", "sum_gray", "min_gray", "max_gray")
   }
 
+  /** REAL audio frame sampling (retires [[StubCodec.sampleFrames]] for
+    * the WAV pipeline): decode the PCM stream and emit fixed-length
+    * sample windows — `window` samples every `stride` (the 20 ms-hop
+    * shape every audio featurizer uses) — with each frame's exact
+    * integer energy (Σ v²). One-to-many, partition-local; the last
+    * frame may be short (real streams don't pad), every start <
+    * nSamples emits. */
+  def audioFrames(spark: SparkSession, blobs: Dataset[MediaBlob],
+      window: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    require(window > 0 && stride > 0, s"degenerate framing $window/$stride")
+    blobs.mapPartitions(_.flatMap { b =>
+      val s = Wav.samples(b.payload)
+      Iterator.range(0, s.length, stride).map { start =>
+        val end = math.min(start + window, s.length)
+        var sq = 0L
+        var i = start
+        while (i < end) { sq += s(i).toLong * s(i); i += 1 }
+        (b.doc_id, start / stride, (end - start).toLong, sq)
+      }
+    }).toDF("doc_id", "frame_idx", "n_in_frame", "energy")
+  }
+
   /** A document's 64-bit perceptual signature ([[blockhash64]]). */
   case class PHash(doc_id: Long, phash: Long)
 

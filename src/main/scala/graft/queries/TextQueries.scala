@@ -557,6 +557,15 @@ object TextQueries {
     Multimodal.resizeStatsPipeline(s, asciiAsserted(docs(s, dir)), 4, 4)
       .orderBy(col("doc_id"))
 
+  /** REAL audio frames: 128-sample windows every 64 over the decoded
+    * PCM stream, each with its exact integer energy — the 20 ms-hop
+    * featurizer shape on real decoded samples. */
+  def multimodalAudioFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFrames(s,
+        Multimodal.wavBlobs(s, asciiAsserted(docs(s, dir)), "text"),
+        window = 128, stride = 64)
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** AUDIO decode parity (the WAV twin of [[multimodalDecode]]): real
     * RIFF/WAVE containers synthesized per document, chunk-walked and
     * PCM-decoded; every stat is a pure-integer function of the source
@@ -1530,6 +1539,7 @@ object TextQueries {
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_multimodal_audio" -> (multimodalAudio _),
     "q_multimodal_resize" -> (multimodalResize _),
+    "q_multimodal_audio_frames" -> (multimodalAudioFrames _),
     "q_multimodal_frames" -> (multimodalFrames _),
     "q_multimodal_phash" -> (multimodalPhash _),
     "q_multimodal_phash_pairs" -> (multimodalPhashPairs _),
@@ -2641,6 +2651,35 @@ object TextQueries {
            CAST(sum(gray) AS BIGINT) AS sum_gray,
            min(gray) AS min_gray, max(gray) AS max_gray
          FROM px GROUP BY doc_id ORDER BY doc_id""",
+    // frame replay: the sample CTE windowed at 128/64, per-frame
+    // exact integer energy — the last frame short, every start emits
+    "q_multimodal_audio_frames" ->
+      """WITH src AS (
+           SELECT doc_id, text, length(text) AS n,
+             greatest(1, (length(text) + 1) // 2) AS ns
+           FROM documents),
+         sv AS (
+           SELECT doc_id, ns, j,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS v
+           FROM (
+             SELECT doc_id, ns, j,
+               ascii(substr(text, CAST((2*j)   % n AS INT) + 1, 1))
+               + 256 * ascii(substr(text, CAST((2*j+1) % n AS INT) + 1, 1)) AS raw
+             FROM (SELECT doc_id, text, n, ns,
+                     unnest(generate_series(0, ns - 1)) AS j
+                   FROM src))),
+         fr AS (
+           SELECT doc_id, ns, unnest(generate_series(0, (ns - 1) // 64)) AS f
+           FROM src),
+         cells AS (
+           SELECT fr.doc_id, fr.f,
+             CAST(count(1) AS BIGINT) AS n_in_frame,
+             CAST(sum(v * v) AS BIGINT) AS energy
+           FROM fr JOIN sv ON sv.doc_id = fr.doc_id
+             AND sv.j >= fr.f * 64 AND sv.j < fr.f * 64 + 128
+           GROUP BY fr.doc_id, fr.f)
+         SELECT doc_id, CAST(f AS INT) AS frame_idx, n_in_frame, energy
+         FROM cells ORDER BY doc_id, frame_idx""",
     // the WAV replay: PCM data bytes are the text bytes cycled over
     // 2·max(1, ceil(n/2)) positions (the engine's fill rule), samples
     // the signed 16-bit LE pairs — ASCII corpus, so ascii(substr) IS
