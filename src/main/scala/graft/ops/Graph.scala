@@ -182,6 +182,121 @@ object Graph {
       .orderBy(col("round"))
   }
 
+  /** DIRECTED interaction edges — customer → supplier, one row per
+    * distinct pair: the bipartite direction [[hits]] needs (hubs =
+    * buyers, authorities = suppliers). */
+  def directedInteractionEdges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2L).as("src"),
+        (col("l_suppkey").cast("long") * 2L + 1L).as("dst"))
+      .distinct()
+
+  /** EXACT-INTEGER HITS (Kleinberg 1999, the other classic link-
+    * analysis iterate): hub and authority mass on the same unscaled
+    * 10⁻¹⁷ BIGINT grid as [[pageRank]], with L1 normalization per
+    * half-step done as `P·raw div Σraw` — the product runs in
+    * DECIMAL(38,0) (≤ 10³⁴, exact) and the quotient is ≤ P, so the
+    * integral division lands back in BIGINT losslessly; DuckDB replays
+    * every round in HUGEINT. Each half-step is one broadcast join of
+    * the node-sized score frame into the persisted edge list + a
+    * partial-agg (the pageRank round shape); nothing collects to the
+    * driver. Returns (hubs(node, h_u), authorities(node, a_u)) after
+    * `iters` full rounds. */
+  def hits(edges0: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters=$iters out of range")
+    val e = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nSrc = e.select(col("src")).distinct().count()
+    require(nSrc > 0, "empty graph")
+    def normalize(raw: DataFrame, out: String): DataFrame = {
+      // sum in DECIMAL: Σ_v raw(v) = Σ_u score(u)·deg(u) can pass 2⁶³
+      // on hub-heavy graphs even though each raw(v) fits a long
+      val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("s"))
+      raw.crossJoin(broadcast(s))
+        .select(col("node"),
+          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * ${Scale}L AS DECIMAL(38,0)) div s")
+            .as(out))
+        .localCheckpoint(true)
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(Scale / nSrc)).localCheckpoint(true)
+    var a: DataFrame = null
+    var r = 1
+    while (r <= iters) {
+      a = normalize(
+        e.join(broadcast(h), e("src") === h("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("raw"))
+          .select(col("dst").as("node"), col("raw")), "a")
+      h = normalize(
+        e.join(broadcast(a), e("dst") === a("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("raw"))
+          .select(col("src").as("node"), col("raw")), "h")
+      r += 1
+    }
+    e.unpersist()
+    (h, a)
+  }
+
+  /** Gate shape: the top-k hubs and top-k authorities of the directed
+    * interaction graph, decoded to warehouse keys. */
+  def hitsTop(lineitem: DataFrame, orders: DataFrame,
+              iters: Int, k: Int): DataFrame = {
+    val (h, a) = hits(directedInteractionEdges(lineitem, orders), iters)
+    def arm(df: DataFrame, scoreCol: String, tpe: String) =
+      df.orderBy(col(scoreCol).desc, col("node").asc).limit(k)
+        .select(lit(tpe).as("node_type"),
+          expr("node div 2").as("entity_key"),
+          col(scoreCol).as("score_u"))
+    arm(h, "h", "hub").unionByName(arm(a, "a", "authority"))
+      .orderBy(col("node_type"), col("score_u").desc, col("entity_key").asc)
+  }
+
+  /** Oracle for [[hitsTop]]: K unrolled HUGEINT rounds. */
+  def hitsTopOracleSql(iters: Int, k: Int): String = {
+    val P = Scale
+    val rounds = (1 to iters).map { t =>
+      val ph = if (t == 1) "h0" else s"h${t - 1}"
+      s"""ra$t AS MATERIALIZED (
+            SELECT dst AS node, CAST(sum(v) AS BIGINT) AS raw
+            FROM e JOIN $ph ON $ph.node = e.src GROUP BY dst),
+          a$t AS MATERIALIZED (
+            SELECT node, CAST((CAST(raw AS HUGEINT) * $P) //
+              (SELECT sum(CAST(raw AS HUGEINT)) FROM ra$t) AS BIGINT) AS v
+            FROM ra$t),
+          rh$t AS MATERIALIZED (
+            SELECT src AS node, CAST(sum(v) AS BIGINT) AS raw
+            FROM e JOIN a$t ON a$t.node = e.dst GROUP BY src),
+          h$t AS MATERIALIZED (
+            SELECT node, CAST((CAST(raw AS HUGEINT) * $P) //
+              (SELECT sum(CAST(raw AS HUGEINT)) FROM rh$t) AS BIGINT) AS v
+            FROM rh$t)"""
+    }.mkString(",\n          ")
+    s"""WITH pairs AS MATERIALIZED (
+            SELECT DISTINCT CAST(o_custkey AS BIGINT) * 2 AS c,
+                            CAST(l_suppkey AS BIGINT) * 2 + 1 AS s
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          e AS MATERIALIZED (SELECT c AS src, s AS dst FROM pairs),
+          h0 AS MATERIALIZED (
+            SELECT node, CAST($P // (SELECT count(1) FROM
+              (SELECT DISTINCT src FROM e)) AS BIGINT) AS v
+            FROM (SELECT DISTINCT src AS node FROM e)),
+          $rounds,
+          tops AS (
+            SELECT 'hub' AS node_type, CAST(node // 2 AS BIGINT) AS entity_key,
+              v AS score_u,
+              row_number() OVER (ORDER BY v DESC, node ASC) AS rn
+            FROM h$iters
+            UNION ALL
+            SELECT 'authority', CAST(node // 2 AS BIGINT), v,
+              row_number() OVER (ORDER BY v DESC, node ASC) AS rn
+            FROM a$iters)
+          SELECT node_type, entity_key, score_u FROM tops
+          WHERE rn <= $k
+          ORDER BY node_type, score_u DESC, entity_key ASC"""
+  }
+
   /** Degree profile of the interaction graph: (odeg, n_nodes) — the
     * skew census a crawl scheduler reads before sharding. */
   def degreeProfile(lineitem: DataFrame, orders: DataFrame): DataFrame =

@@ -943,6 +943,11 @@ object AdvancedQueries {
       .orderBy(col("round"))
   }
 
+  private def graphHits(s: SparkSession, dir: String): DataFrame =
+    graft.ops.Graph.hitsTop(
+      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"),
+      iters = 4, k = 10)
+
   private def graphDegrees(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.degreeProfile(
       Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
@@ -950,6 +955,7 @@ object AdvancedQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (graphPagerank _),
     "q_graph_pagerank_mass" -> (graphPagerankMass _),
+    "q_graph_hits" -> (graphHits _),
     "q_graph_degrees" -> (graphDegrees _),
     "q_string_funcs" -> (stringFuncs _),
     "q_math_funcs" -> (mathFuncs _),
@@ -1054,6 +1060,7 @@ object AdvancedQueries {
     // generated unrolled-round oracles (graft.ops.Graph): every
     // PageRank iteration re-derived independently, exact integer
     "q_graph_pagerank" -> graft.ops.Graph.pageRankTopOracleSql(6, 20),
+    "q_graph_hits" -> graft.ops.Graph.hitsTopOracleSql(4, 10),
     "q_graph_pagerank_mass" -> graft.ops.Graph.pageRankMassOracleSql(6),
     "q_graph_degrees" -> graft.ops.Graph.degreeProfileOracleSql,
     "q_string_funcs" ->

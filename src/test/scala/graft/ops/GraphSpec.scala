@@ -89,4 +89,30 @@ class GraphSpec extends SparkSpec {
     es shouldBe Set(
       (2L, 15L), (15L, 2L), (2L, 17L), (17L, 2L), (4L, 15L), (15L, 4L))
   }
+
+  behavior of "Graph.hits"
+
+  it should "rank the broad hub and the shared authority highest" in {
+    // hub 2 links to both suppliers; hub 4 to one; supplier 11 is
+    // cited by both hubs, supplier 13 by one
+    val es = Seq((2L, 11L), (2L, 13L), (4L, 11L))
+    val (h, a) = Graph.hits(edgesDf(es), iters = 4)
+    val hubs = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val auths = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    hubs(2L) should be > hubs(4L)
+    auths(11L) should be > auths(13L)
+    // L1 normalization keeps each side's mass within floor losses of P
+    (hubs.values.sum.toDouble / P) shouldBe 1.0 +- 1e-9
+    (auths.values.sum.toDouble / P) shouldBe 1.0 +- 1e-9
+  }
+
+  it should "be bit-identical under repartitioning" in {
+    val es = Seq((2L, 11L), (2L, 13L), (4L, 11L), (6L, 13L), (6L, 15L))
+    val (h1, a1) = Graph.hits(edgesDf(es), iters = 3)
+    val (h2, a2) = Graph.hits(edgesDf(es).repartition(7), iters = 3)
+    h1.orderBy("node").collect().map(_.toSeq).toSeq shouldBe
+      h2.orderBy("node").collect().map(_.toSeq).toSeq
+    a1.orderBy("node").collect().map(_.toSeq).toSeq shouldBe
+      a2.orderBy("node").collect().map(_.toSeq).toSeq
+  }
 }
