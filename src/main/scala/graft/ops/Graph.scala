@@ -210,15 +210,17 @@ object Graph {
       col("dst").cast("long").as("dst")).distinct().persist()
     val nSrc = e.select(col("src")).distinct().count()
     require(nSrc > 0, "empty graph")
-    def normalize(raw: DataFrame, out: String): DataFrame = {
-      // sum in DECIMAL: Σ_v raw(v) = Σ_u score(u)·deg(u) can pass 2⁶³
-      // on hub-heavy graphs even though each raw(v) fits a long
+    def normalize(raw0: DataFrame, out: String): DataFrame = {
+      // materialize the raw sums once (they feed the total AND the
+      // quotient); sum in DECIMAL: Σ_v raw(v) = Σ_u score(u)·deg(u)
+      // can pass 2⁶³ on hub-heavy graphs even though each raw(v) fits
+      // a long
+      val raw = raw0.localCheckpoint(true)
       val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("s"))
       raw.crossJoin(broadcast(s))
         .select(col("node"),
           expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * ${Scale}L AS DECIMAL(38,0)) div s")
             .as(out))
-        .localCheckpoint(true)
     }
     var h = e.select(col("src").as("node")).distinct()
       .withColumn("h", lit(Scale / nSrc)).localCheckpoint(true)

@@ -96,6 +96,10 @@ object ScaleRehearsal {
       li.select(
         (col("l_orderkey") + lit(c * Offset)).as("l_orderkey"),
         (col("l_partkey") + lit(c * Offset)).as("l_partkey"),
+        // suppkey offset like custkey: the interaction graph grows 10×
+        // in nodes AND edges at sf0.1's per-node degree (the graph
+        // rehearsal regime)
+        (col("l_suppkey") + lit(c * Offset)).as("l_suppkey"),
         col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
         col("l_extendedprice"))
     }.reduce(_ unionAll _)
@@ -180,7 +184,12 @@ object ScaleRehearsal {
       // round-13 (eighth batch): the merge_asof variants (one key
       // exchange, window fills), the Fisher diagnostic (one posexplode
       // scan + (label, dim) partial agg), and phrase BM25's twin gates
-      "q_join_asof_forward", "q_join_asof_nearest", "q_embed_fisher")
+      "q_join_asof_forward", "q_join_asof_nearest", "q_embed_fisher",
+      // round-13 (ninth batch): HITS (per half-step one broadcast
+      // score join + partial agg over the persisted edges), the real
+      // resize/frame kernels (partition-local codec work), novelty's
+      // retrieval twin gates
+      "q_graph_hits", "q_multimodal_resize", "q_multimodal_audio_frames")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
