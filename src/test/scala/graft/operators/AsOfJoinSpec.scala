@@ -94,6 +94,54 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, "f1", null))
   }
 
+  it should "match a plain Scala reference on random streams in every direction" in {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    // distinct right timestamps per key (the operator's documented
+    // determinism contract), left times drawn freely
+    val keys = 1L to 5L
+    val right = keys.flatMap { k =>
+      rng.shuffle((1 to 200).toList).take(8).map(t => (k, t.toLong, rng.nextDouble()))
+    }
+    val left = (1 to 120).map { i =>
+      (i.toLong, keys(rng.nextInt(keys.length)), (1 + rng.nextInt(200)).toLong)
+    }
+    val lDf = left.toDF("event_id", "user_id", "t")
+      .withColumn("ts", col("t").cast("timestamp")).select("event_id", "user_id", "ts")
+    val rDf = right.toDF("user_id", "t", "value")
+      .withColumn("ts", col("t").cast("timestamp")).select("user_id", "ts", "value")
+    val byKey = right.groupBy(_._1)
+    val tol = 37L
+    def ref(direction: String, tolerance: Option[Long]): Map[Long, Option[Double]] =
+      left.map { case (id, k, lt) =>
+        val rs = byKey.getOrElse(k, Nil)
+        def within(rt: Long) = tolerance.forall(t => math.abs(lt - rt) <= t)
+        val back = rs.filter(r => r._2 <= lt && within(r._2)).sortBy(_._2).lastOption
+        val fwd = rs.filter(r => r._2 >= lt && within(r._2)).sortBy(_._2).headOption
+        val pick = direction match {
+          case "backward" => back
+          case "forward" => fwd
+          case "nearest" => (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+        }
+        id -> pick.map(_._3)
+      }.toMap
+    for (d <- Seq("backward", "forward", "nearest");
+         t <- Seq(None, Some(tol * 1000000L))) {
+      val got = AsOfJoin.asOf(lDf, rDf, Seq("user_id"), "ts", "ts",
+          Map("value" -> "v"), d, t)
+        .select(col("event_id"), col("v"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      withClue(s"direction=$d tolerance=$t: ") {
+        got shouldBe ref(d, t.map(_ / 1000000L))
+      }
+    }
+  }
+
   it should "be invariant under repartitioning in every direction" in {
     val (l, r) = fixture
     Seq("backward", "forward", "nearest").foreach { d =>
