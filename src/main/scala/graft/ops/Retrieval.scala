@@ -70,11 +70,21 @@ object Retrieval {
 
   /** The standing query set: the corpus's 2·q head terms by
     * (df desc, term asc), paired off into q two-term conjunctive
-    * queries — (query_id, term, q_n). Vocabulary-sized derivation. */
+    * queries — (query_id, term, q_n).
+    *
+    * The head cut is a distributed `orderBy(...).limit(2q)` — Spark's
+    * TakeOrderedAndProject: each partition keeps its local top-2q and
+    * only 2q·partitions rows move (the [[Bpe]] trainer idiom,
+    * Bpe.scala's capped census). The `row_number` window that assigns
+    * query ids then runs over the ≤2q-row cut ONLY — the full
+    * vocabulary (~10⁸ terms at 100 TB) never funnels through a
+    * single-partition global window. The ordering is total (term is
+    * unique in vocab), so the cut + renumber is value-identical to
+    * numbering the whole vocabulary and keeping rn ≤ 2q. */
   def headTermQueries(vocab: DataFrame, q: Int): DataFrame = {
+    val head = vocab.orderBy(col("df").desc, col("term").asc).limit(q * 2)
     val w = Window.orderBy(col("df").desc, col("term").asc)
-    vocab.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= q * 2)
+    head.withColumn("rn", row_number().over(w))
       .select(expr("(rn + 1) div 2").cast("int").as("query_id"),
         col("term"), lit(2).as("q_n"))
   }
@@ -169,11 +179,14 @@ object Retrieval {
   }
 
   /** Standing phrase queries: the q most document-frequent phrases,
-    * one phrase per query (q_n = 1). Vocabulary-sized derivation. */
+    * one phrase per query (q_n = 1). Head cut is the distributed
+    * TakeOrdered (see [[headTermQueries]]) — critical here because the
+    * shingle "vocabulary" is near corpus-cardinality: a global window
+    * over it would move the whole census to one task. */
   def headPhraseQueries(vocab: DataFrame, q: Int): DataFrame = {
+    val head = vocab.orderBy(col("df").desc, col("term").asc).limit(q)
     val w = Window.orderBy(col("df").desc, col("term").asc)
-    vocab.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= q)
+    head.withColumn("rn", row_number().over(w))
       .select(col("rn").cast("int").as("query_id"),
         col("term"), lit(1).as("q_n"))
   }

@@ -18,8 +18,14 @@ object SimilarityQueries {
     * against all higher-id vectors. */
   def annTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // .limit(10): the anchor filter yields exactly 10 rows, so the limit
+    // is a value no-op — it makes the query-set bound STRUCTURAL, which
+    // is what licenses the broadcast cross join inside bruteForceTopK
+    // (corpus-scan × bounded-broadcast = linear in corpus; PlanLint
+    // rejects the unbounded form)
     Similarity.bruteForceTopK(
-        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10), k = 3)
+        e.filter(col("vec_id") < 10).limit(10),
+        e.filter(col("vec_id") >= 10), k = 3)
       .orderBy(col("qid"), col("rnk"))
   }
 
@@ -29,8 +35,10 @@ object SimilarityQueries {
     * training pair mining ([[graft.ops.Similarity.hardNegativesTopK]]). */
   def hardNegatives(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
+    // .limit(10): value no-op structural bound on the anchor set — see
+    // annTopK
     Similarity.hardNegativesTopK(
-        e.filter(col("vec_id") < 10), e.filter(col("vec_id") >= 10),
+        e.filter(col("vec_id") < 10).limit(10), e.filter(col("vec_id") >= 10),
         k = 3, dupThreshold = 0.5)
       .orderBy(col("qid"), col("rnk"))
   }

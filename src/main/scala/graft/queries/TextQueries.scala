@@ -740,15 +740,17 @@ object TextQueries {
     * Bengio et al. 2009, easy→hard ordering by a difficulty score):
     * the corpus staged into 4 ntile cuts of the bigram-LM average
     * cost (the perplexity proxy q_text_lm_score gates), per stage the
-    * doc count, bigram mass, and cost band. The window input is one
-    * ~24-byte row per document (never the text); at corpora where even
-    * that global sort hurts, the cut becomes approx-quantile
-    * boundaries on avg_cost with the same stage agg. */
+    * doc count, bigram mass, and cost band. The ntile is the exact
+    * DISTRIBUTED form ([[graft.ops.GlobalRank.withNtile]]: range
+    * partition → partition-local rank + driver-collected offsets) —
+    * round 14 replaced the `ntile(4).over(Window.orderBy(...))` this
+    * query shipped with, which moved one row PER DOCUMENT through a
+    * single task (the same shape as the r13 Retrieval scale-killer,
+    * caught by the new PlanLintSpec sweep). */
   def curriculumQ(s: SparkSession, dir: String): DataFrame = {
     val sc = graft.ops.LangModel.lmScores(docs(s, dir), col("text"), col("doc_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("avg_cost").asc, col("doc_id").asc)
-    sc.withColumn("stage", ntile(4).over(w))
+    graft.ops.GlobalRank.withNtile(sc, 4, "stage",
+        Seq(col("avg_cost").asc, col("doc_id").asc))
       .groupBy(col("stage"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_bigrams")).cast("long").as("n_bigrams"),

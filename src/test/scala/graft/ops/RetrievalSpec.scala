@@ -204,6 +204,29 @@ class RetrievalSpec extends SparkSpec {
     st.head().getLong(0) shouldBe 5L
   }
 
+  behavior of "Retrieval plan shape"
+
+  it should "derive standing queries through a distributed head-cut, not a global vocab window" in {
+    // the r13 scale-killer: row_number over the FULL vocabulary with no
+    // partitionBy moved the whole term (or near-corpus-sized shingle)
+    // census to one task. The lint bounds every empty-partitionSpec
+    // window by a limit/TakeOrdered in its subtree.
+    graft.tools.PlanLint.lint(
+      Retrieval.search(corpus, "text", "doc_id", q = 2, k = 5)) shouldBe empty
+    graft.tools.PlanLint.lint(
+      Retrieval.searchOr(corpus, "text", "doc_id", q = 2, k = 5)) shouldBe empty
+    graft.tools.PlanLint.lint(
+      Retrieval.searchHybridRrf(corpus, "text", "doc_id", q = 2, k = 3)) shouldBe empty
+    // head-cut plans themselves: TakeOrderedAndProject, never a
+    // single-partition sort of the vocab
+    val (_, _, vocab, _) = Retrieval.indexFrames(corpus, "text", "doc_id")
+    val headPlan = Retrieval.headTermQueries(vocab, 2)
+      .queryExecution.executedPlan.toString
+    headPlan should include("TakeOrderedAndProject")
+    graft.tools.PlanLint.lint(Retrieval.headTermQueries(vocab, 2)) shouldBe empty
+    graft.tools.PlanLint.lint(Retrieval.headPhraseQueries(vocab, 2)) shouldBe empty
+  }
+
   it should "partition-prune the postings scan to the query terms' shards" in {
     val path = freshDir("retrieval-prune")
     Retrieval.writeSearchIndex(corpus, "text", "doc_id", path)
