@@ -17,6 +17,12 @@ import org.apache.spark.sql.types.StructType
   * exercised (no hadoop-aws jar ships with the image, and tests inject
   * local paths), but the resolution logic is identical.
   */
+/** Result of a quarantined read: the two routes share ONE cached scan;
+  * `release()` unpersists it — call it once both routes are consumed
+  * (or after checkpointing whatever derives from them). */
+final case class QuarantinedRead(
+    clean: DataFrame, quarantine: DataFrame, release: () => Unit)
+
 object Sources {
 
   /** Configure a session for an S3-compatible object store (MinIO). */
@@ -67,16 +73,19 @@ object Sources {
     * the bad-records path every production ingest needs: a malformed
     * line must neither kill the job (FAILFAST) nor silently vanish
     * (DROPMALFORMED); it lands in a quarantine frame for inspection
-    * and replay. Returns (clean rows in the caller's schema, quarantine
-    * of raw offending lines). The parsed frame is cached because Spark
-    * disallows filtering a raw JSON scan on ONLY the internal corrupt
-    * column (SPARK-21610); the cache also keeps the two routes one
-    * scan. Quarantine captures SYNTACTIC corruption — a well-formed
-    * object with missing fields parses to nulls by schema contract and
-    * stays on the clean route (the reference's null-fill rules own
-    * those). */
+    * and replay. Returns clean rows in the caller's schema, the
+    * quarantine of raw offending lines, and a `release` handle. The
+    * parsed frame is cached because Spark disallows filtering a raw
+    * JSON scan on ONLY the internal corrupt column (SPARK-21610); the
+    * cache also keeps the two routes one scan. Callers MUST invoke
+    * `release()` once both routes are consumed — without it the full
+    * raw corpus stays pinned for the application lifetime (the
+    * session-lifetime-cache leak this repo bans elsewhere). Quarantine
+    * captures SYNTACTIC corruption — a well-formed object with missing
+    * fields parses to nulls by schema contract and stays on the clean
+    * route (the reference's null-fill rules own those). */
   def jsonlWithQuarantine(spark: SparkSession, path: String,
-      schema: StructType): (DataFrame, DataFrame) = {
+      schema: StructType): QuarantinedRead = {
     val corruptCol = "_corrupt_record"
     val withCorrupt = StructType(schema.fields :+
       org.apache.spark.sql.types.StructField(corruptCol,
@@ -89,7 +98,7 @@ object Sources {
     val clean = raw.filter(col(corruptCol).isNull).drop(corruptCol)
     val quarantine = raw.filter(col(corruptCol).isNotNull)
       .select(col(corruptCol).as("raw_line"))
-    (clean, quarantine)
+    QuarantinedRead(clean, quarantine, () => { raw.unpersist(); () })
   }
 
   /** JSON-Lines scan — the de-facto corpus interchange format of LLM

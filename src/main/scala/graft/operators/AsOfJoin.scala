@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, TimestampType}
+import org.apache.spark.sql.types.{DataType, StructField, StructType, TimestampType}
 
 /** As-of join: for each left row, attach the temporally nearest right
   * row with the same key (SURVEY.md §2.1 — no reference implementation;
@@ -31,6 +31,13 @@ import org.apache.spark.sql.types.{DataType, TimestampType}
   * Right rows carrying identical (key, time) are not ordered between
   * themselves — callers needing that determinism must dedup or
   * tie-widen the right side first (same contract as DuckDB ASOF).
+  *
+  * All attached columns come from the SAME matched right row: the fill
+  * carries ONE struct of (payload…, rightTime) per direction, so a
+  * matched row whose payload value is NULL attaches that NULL (pandas
+  * merge_asof semantics) — it is never skipped in favor of an
+  * older/farther row, and the tolerance distance is always measured to
+  * the row the payload came from.
   */
 object AsOfJoin {
 
@@ -63,30 +70,34 @@ object AsOfJoin {
     require(Set("backward", "forward", "nearest")(direction),
       s"unknown as-of direction '$direction'")
     val leftCols = left.columns.toSeq
-    val payloadSrcByDst = payload.map { case (src, dst) => dst -> src }
-    // Tagged union schema: keys ++ __t ++ __side ++ left cols ++ payload
-    // ++ __rt (the right row's own time, for tolerance/nearest math).
+    // ONE match struct per right row — payloads and the right row's own
+    // time (for tolerance/nearest math) fill TOGETHER, so every
+    // attached column refers to the same matched row even when some
+    // payload values are NULL. Left rows carry a NULL struct
+    // (ignoreNulls skips them; a right row's struct is never null).
+    val mType = StructType(
+      payload.map { case (src, dst) =>
+        StructField(dst, right.schema(src).dataType) }.toSeq :+
+        StructField("__rt", right.schema(rightTime).dataType))
+    // Tagged union schema: keys ++ __t ++ __side ++ left cols ++ __m.
     val lTagged = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
       .select(
         (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
-          leftCols.filterNot(keyCols.contains).map(col) ++
-          (payload.values.toSeq.map(n => lit(null).cast(
-            right.schema(payloadSrcByDst(n)).dataType).as(n)) :+
-            lit(null).cast(right.schema(rightTime).dataType).as("__rt")): _*)
+          leftCols.filterNot(keyCols.contains).map(col) :+
+          lit(null).cast(mType).as("__m"): _*)
     val rTagged = right
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
       .select(
         (keyCols.map(col) :+ col("__t") :+ col("__side")) ++
           leftCols.filterNot(keyCols.contains)
-            .map(n => lit(null).cast(left.schema(n).dataType).as(n)) ++
-          (payload.map { case (src, dst) => col(src).as(dst) }.toSeq :+
-            col(rightTime).as("__rt")): _*)
+            .map(n => lit(null).cast(left.schema(n).dataType).as(n)) :+
+          struct(payload.map { case (src, dst) => col(src).as(dst) }.toSeq :+
+            col(rightTime).as("__rt"): _*).as("__m"): _*)
     val unioned = lTagged.unionByName(rTagged)
 
-    val fills = payload.values.toSeq :+ "__rt"
     // Backward: right rows sort BEFORE left at the same timestamp → <=.
     val wB = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__t").asc, col("__side").asc)
@@ -96,56 +107,50 @@ object AsOfJoin {
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    def filledWith(df: DataFrame, prefix: String,
-        fill: String => Column): DataFrame =
-      fills.foldLeft(df)((d, n) => d.withColumn(s"$prefix$n", fill(n)))
-
     val tDt = right.schema(rightTime).dataType
     val axis = (c: Column) => onAxis(c, tDt)
+    val dsts = payload.values.toSeq
 
     val resolved = direction match {
       case "backward" =>
-        val f = filledWith(unioned, "__b_", n =>
-          last(col(n), ignoreNulls = true).over(wB))
-        chose(f, payload.values.toSeq, "__b_", axis, tolerance)
+        val f = unioned.withColumn("__b_m",
+          last(col("__m"), ignoreNulls = true).over(wB))
+        chose(f, dsts, "__b_m", axis, tolerance)
       case "forward" =>
-        val f = filledWith(unioned, "__f_", n =>
-          first(col(n), ignoreNulls = true).over(wF))
-        chose(f, payload.values.toSeq, "__f_", axis, tolerance)
+        val f = unioned.withColumn("__f_m",
+          first(col("__m"), ignoreNulls = true).over(wF))
+        chose(f, dsts, "__f_m", axis, tolerance)
       case "nearest" =>
-        val both = filledWith(
-          filledWith(unioned, "__b_", n =>
-            last(col(n), ignoreNulls = true).over(wB)),
-          "__f_", n => first(col(n), ignoreNulls = true).over(wF))
+        val both = unioned
+          .withColumn("__b_m", last(col("__m"), ignoreNulls = true).over(wB))
+          .withColumn("__f_m", first(col("__m"), ignoreNulls = true).over(wF))
         // distances on the time axis; a side out of tolerance (or with
         // no match) drops out before the choice
-        val db0 = axis(col("__t")) - axis(col("__b___rt"))
-        val df0 = axis(col("__f___rt")) - axis(col("__t"))
+        val db0 = axis(col("__t")) - axis(col("__b_m").getField("__rt"))
+        val df0 = axis(col("__f_m").getField("__rt")) - axis(col("__t"))
         val db = tolerance.fold(db0)(t => when(db0 <= t, db0))
         val dfw = tolerance.fold(df0)(t => when(df0 <= t, df0))
         val useB = db.isNotNull && (dfw.isNull || db <= dfw)
-        payload.values.toSeq.foldLeft(both) { (d, n) =>
+        dsts.foldLeft(both) { (d, n) =>
           d.withColumn(n,
-            when(useB, col(s"__b_$n"))
-              .otherwise(when(dfw.isNotNull, col(s"__f_$n"))))
+            when(useB, col("__b_m").getField(n))
+              .otherwise(when(dfw.isNotNull, col("__f_m").getField(n))))
         }
     }
     resolved
       .filter(col("__side") === 1)
-      .drop(resolved.columns.filter(c =>
-        c.startsWith("__b_") || c.startsWith("__f_")): _*)
-      .drop("__t", "__side", "__rt")
+      .drop("__t", "__side", "__m", "__b_m", "__f_m")
   }
 
-  /** Single-direction resolve: copy the filled values into the payload
-    * names, nulling matches outside the tolerance. */
-  private def chose(df: DataFrame, names: Seq[String], prefix: String,
+  /** Single-direction resolve: project the matched struct's payload
+    * fields out, nulling matches outside the tolerance. */
+  private def chose(df: DataFrame, names: Seq[String], mCol: String,
       axis: Column => Column, tolerance: Option[Long]): DataFrame = {
     val dist =
-      if (prefix == "__b_") axis(col("__t")) - axis(col(s"${prefix}__rt"))
-      else axis(col(s"${prefix}__rt")) - axis(col("__t"))
+      if (mCol == "__b_m") axis(col("__t")) - axis(col(mCol).getField("__rt"))
+      else axis(col(mCol).getField("__rt")) - axis(col("__t"))
     val ok = tolerance.fold(lit(true))(t => dist <= t)
     names.foldLeft(df)((d, n) =>
-      d.withColumn(n, when(ok, col(s"$prefix$n"))))
+      d.withColumn(n, when(ok, col(mCol).getField(n))))
   }
 }

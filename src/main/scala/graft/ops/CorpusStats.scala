@@ -111,7 +111,12 @@ object CorpusStats {
     *
     * The metric is defined on exactly reproducible arithmetic:
     * `buckets` equal-width bins over the GLOBAL envelope
-    * (`bucket = (v − min)·B div (max − min + 1)`, pure integer), add-½
+    * (`bucket = (v − min)·B div (max − min + 1)`, exact integer math
+    * WIDENED past 64 bits — DECIMAL(38,0) here, HUGEINT in the oracle
+    * replay — because `(v − min)·B` overflows BIGINT once the value
+    * envelope exceeds Long.MaxValue/B, where Spark would silently wrap
+    * while DuckDB errors: the engines would diverge instead of
+    * hash-matching), add-½
     * smoothed shares `p_i = (2·c_i + 1)/(2·n + B)` so empty bins stay
     * finite, and per-bin terms `(p_i − q_i)·ln(p_i/q_i)` where the ln
     * argument is one IEEE division of two exact (< 2⁵³) integer
@@ -127,7 +132,8 @@ object CorpusStats {
     val env = base.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
     val bucketed = base.crossJoin(broadcast(env))
       .withColumn("bucket",
-        expr(s"CAST(((v - mn) * $buckets) DIV (mx - mn + 1) AS BIGINT)"))
+        expr(s"CAST(((CAST(v AS DECIMAL(38,0)) - mn) * $buckets) " +
+          s"DIV (CAST(mx AS DECIMAL(38,0)) - mn + 1) AS BIGINT)"))
     val counts = bucketed.groupBy(col("bucket")).agg(
       sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
       sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
@@ -145,8 +151,9 @@ object CorpusStats {
       buckets: Int, mn: Long, mx: Long): DataFrame =
     docs.select(valueCol.cast("long").as("v"), epochA.as("in_a"))
       .withColumn("bucket", expr(
-        s"CAST(least($buckets - 1, greatest(0, " +
-          s"((v - ${mn}L) * $buckets) DIV (${mx}L - ${mn}L + 1))) AS BIGINT)"))
+        s"CAST(least(CAST($buckets - 1 AS BIGINT), greatest(0L, " +
+          s"((CAST(v AS DECIMAL(38,0)) - ${mn}L) * $buckets) " +
+          s"DIV (CAST(${mx}L AS DECIMAL(38,0)) - ${mn}L + 1))) AS BIGINT)"))
       .groupBy(col("bucket")).agg(
         sum(when(col("in_a"), 1L).otherwise(0L)).as("c_a"),
         sum(when(!col("in_a"), 1L).otherwise(0L)).as("c_b"))
@@ -297,7 +304,8 @@ object CorpusStats {
           FROM $table),
         env AS (SELECT min(v) AS mn, max(v) AS mx FROM base),
         counts AS (
-          SELECT ((v - mn) * $buckets) // (mx - mn + 1) AS bucket,
+          SELECT CAST(((CAST(v AS HUGEINT) - mn) * $buckets)
+                      // (CAST(mx AS HUGEINT) - mn + 1) AS BIGINT) AS bucket,
             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS c_b
           FROM base CROSS JOIN env GROUP BY 1),

@@ -244,13 +244,17 @@ object RefQueries {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(out, "zz_garbage.json"),
       garbage.mkString("", "\n", "\n"))
-    val (clean, quarantine) =
-      graft.io.Sources.jsonlWithQuarantine(s, out, docs.schema)
-    clean.agg(
+    val qr = graft.io.Sources.jsonlWithQuarantine(s, out, docs.schema)
+    // 1-row result: checkpoint it eagerly so release() can drop the
+    // raw-corpus cache here instead of pinning it for the session
+    val res = qr.clean.agg(
         count(lit(1)).as("n_clean"),
         sum(col("doc_id")).cast("long").as("sum_ids"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
-      .crossJoin(quarantine.agg(count(lit(1)).as("n_quarantined")))
+      .crossJoin(qr.quarantine.agg(count(lit(1)).as("n_quarantined")))
+      .localCheckpoint(true)
+    qr.release()
+    res
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

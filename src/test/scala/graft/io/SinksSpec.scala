@@ -83,19 +83,28 @@ class SinksSpec extends SparkSpec {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path, "bad.json"),
       "{oops\nnot json at all\n{\"id\": 9, \"v\": \"trailing\n")
-    val (clean, bad) = Sources.jsonlWithQuarantine(spark, path, df.schema)
-    clean.orderBy("id").collect().toSeq shouldBe df.orderBy("id").collect().toSeq
-    val lines = bad.collect().map(_.getString(0)).toSet
+    val qr = Sources.jsonlWithQuarantine(spark, path, df.schema)
+    qr.clean.orderBy("id").collect().toSeq shouldBe df.orderBy("id").collect().toSeq
+    val lines = qr.quarantine.collect().map(_.getString(0)).toSet
     lines shouldBe Set("{oops", "not json at all", "{\"id\": 9, \"v\": \"trailing")
+    // release() drops the shared scan cache — nothing of this read
+    // stays pinned in the session (fresh frame: QueryExecution memoizes
+    // withCachedData, so probe cache state through a new Dataset)
+    qr.release()
+    qr.clean.filter(org.apache.spark.sql.functions.lit(true))
+      .queryExecution.withCachedData.collectFirst {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryRelation => m
+    } shouldBe None
     // a well-formed object MISSING fields is schema-null, not corrupt
     val path2 = freshDir("jsonl-quarantine-partial")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(path2, "part.json"), "{\"id\": 5}\n")
-    val (clean2, bad2) = Sources.jsonlWithQuarantine(spark, path2, df.schema)
-    bad2.count() shouldBe 0
-    val r = clean2.head()
+    val qr2 = Sources.jsonlWithQuarantine(spark, path2, df.schema)
+    qr2.quarantine.count() shouldBe 0
+    val r = qr2.clean.head()
     r.getLong(0) shouldBe 5L
     r.isNullAt(1) shouldBe true
+    qr2.release()
   }
 
   it should "scan jsonl through the format-dispatched read" in {

@@ -142,6 +142,42 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  it should "attach ALL payload columns from the matched row, including its NULLs" in {
+    // r13 ADVICE: independent per-column last/first(ignoreNulls) fills
+    // skipped a matched row's NULL payload value and pulled that column
+    // from an OLDER right row — mixing values across rows, unlike
+    // pandas merge_asof. The struct fill pins every attached column
+    // (and the tolerance distance) to one matched row.
+    import spark.implicits._
+    val l = Seq((1L, 20L, "probe")).toDF("user_id", "t", "tag")
+      .withColumn("ts", col("t").cast("timestamp")).select("user_id", "ts", "tag")
+    val r = Seq(
+      (1L, 10L, Some(100.0), "old"),
+      (1L, 18L, Option.empty[Double], "new")
+    ).toDF("user_id", "t", "value", "label")
+      .withColumn("ts", col("t").cast("timestamp"))
+      .select("user_id", "ts", "value", "label")
+    val pay = Map("value" -> "v", "label" -> "lbl")
+    val back = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts", pay)
+      .select("v", "lbl").head()
+    back.isNullAt(0) shouldBe true   // the matched row's value IS null
+    back.getString(1) shouldBe "new" // both columns from the t=18 row
+    // tolerance: the distance is measured to the SAME row the payload
+    // comes from — t=18 is within 3, t=10 (the old fill source) is not
+    val near = AsOfJoin.asOf(l, r, Seq("user_id"), "ts", "ts", pay,
+      "nearest", Some(3L * 1000000L))
+      .select("v", "lbl").head()
+    near.isNullAt(0) shouldBe true
+    near.getString(1) shouldBe "new"
+    // forward from t=5: earliest match is t=10 → value present
+    val l2 = Seq((1L, 5L, "p2")).toDF("user_id", "t", "tag")
+      .withColumn("ts", col("t").cast("timestamp")).select("user_id", "ts", "tag")
+    val fwd = AsOfJoin.asOf(l2, r, Seq("user_id"), "ts", "ts", pay, "forward")
+      .select("v", "lbl").head()
+    fwd.getDouble(0) shouldBe 100.0
+    fwd.getString(1) shouldBe "old"
+  }
+
   it should "be invariant under repartitioning in every direction" in {
     val (l, r) = fixture
     Seq("backward", "forward", "nearest").foreach { d =>

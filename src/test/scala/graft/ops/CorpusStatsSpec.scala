@@ -58,6 +58,29 @@ class CorpusStatsSpec extends SparkSpec {
     total.getAs[Long]("c_b") shouldBe 100L
   }
 
+  it should "bucket correctly when (v - min)·B overflows 64-bit (widened arithmetic)" in {
+    // envelope ±4.6e18: (v − mn)·10 reaches ~9.2e19, past Long.MaxValue —
+    // the pre-r14 BIGINT expression wrapped here (and DuckDB would
+    // error, so the engines diverged). DECIMAL(38,0) stays exact.
+    val half = Long.MaxValue / 2
+    val vals = Seq(-half, -half / 2, -1L, 0L, 1L, half / 2, half)
+    val df = (vals.map((_, true)) ++ vals.map((_, false))).toDF("v", "in_a")
+    val got = CorpusStats.psi(df, col("v"), col("in_a"), buckets = 10)
+      .filter(col("bucket") >= 0).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("c_a")).toMap
+    // BigInt reference of the same formula
+    val (mn, mx) = (BigInt(-half), BigInt(half))
+    val ref = vals.groupBy(v => ((BigInt(v) - mn) * 10 / (mx - mn + 1)).toLong)
+      .map { case (b, vs) => b -> vs.length.toLong }
+    got.filter(_._2 > 0) shouldBe ref
+    got.keys.foreach { b => b should (be >= 0L and be < 10L) }
+    // pinned-envelope census: same widened math under explicit bounds
+    val pinned = CorpusStats.psiCensusPinned(df, col("v"), col("in_a"),
+        buckets = 10, mn = -half, mx = half)
+      .collect().map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("c_a")).toMap
+    pinned.filter(_._2 > 0) shouldBe ref
+  }
+
   it should "flag a shifted distribution with nonnegative terms summing to the total" in {
     val df = ((1 to 100).map(v => (v.toLong, true)) ++
       (51 to 150).map(v => (v.toLong, false))).toDF("v", "in_a")
