@@ -51,6 +51,42 @@ class CountMinAggregator(width: Int, depth: Int)
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
 }
 
+/** WEIGHTED count-min fold: one (item, count) census row adds `count`
+  * to the item's counters — pointwise adds are abelian, so
+  * `sketch(census)` is BIT-IDENTICAL to `sketch(token stream)` while
+  * reading a vocabulary-sized input instead of re-scanning every token
+  * (at corpus scale the tokenize pass IS the cost; asserted equal in
+  * CountMinSpec). */
+class CountMinWeightedAggregator(width: Int, depth: Int)
+    extends Aggregator[(String, Long), Array[Long], Array[Long]] {
+  require(width >= 2 && depth >= 1 && width.toLong * depth <= (1 << 22),
+    s"sketch ${width}x$depth out of range")
+
+  override def zero: Array[Long] = new Array[Long](width * depth)
+
+  override def reduce(b: Array[Long], x: (String, Long)): Array[Long] = {
+    if (x != null && x._1 != null) {
+      var d = 0
+      while (d < depth) {
+        b(d * width + CountMin.cell(x._1, d, width)) += x._2
+        d += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Array[Long] = b
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
 object CountMin {
   /** Row `row`'s counter index for `item`. */
   def cell(item: String, row: Int, width: Int): Int =
@@ -73,5 +109,14 @@ object CountMin {
     val agg = org.apache.spark.sql.functions.udaf(
       new CountMinAggregator(width, depth), Encoders.STRING)
     c => agg(c)
+  }
+
+  /** Weighted column function over a census:
+    * `count_min_w(width, depth)(termCol, countCol)`. */
+  def sketchWeighted(width: Int, depth: Int): (Column, Column) => Column = {
+    val agg = org.apache.spark.sql.functions.udaf(
+      new CountMinWeightedAggregator(width, depth),
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+    (c, w) => agg(c, w)
   }
 }

@@ -244,8 +244,14 @@ object Graph {
   /** Gate shape: the top-k hubs and top-k authorities of the directed
     * interaction graph, decoded to warehouse keys. */
   def hitsTop(lineitem: DataFrame, orders: DataFrame,
-              iters: Int, k: Int): DataFrame = {
-    val (h, a) = hits(directedInteractionEdges(lineitem, orders), iters)
+              iters: Int, k: Int): DataFrame =
+    hitsTopFrom(directedInteractionEdges(lineitem, orders), iters, k)
+
+  /** [[hitsTop]] over ALREADY-DERIVED directed edges — the serve shape
+    * when the edge list is shared across graph reports (one derivation
+    * per epoch, N reports from it; the bench memoizes exactly this). */
+  def hitsTopFrom(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val (h, a) = hits(edges, iters)
     def arm(df: DataFrame, scoreCol: String, tpe: String) =
       df.orderBy(col(scoreCol).desc, col("node").asc).limit(k)
         .select(lit(tpe).as("node_type"),
@@ -302,10 +308,22 @@ object Graph {
   /** Degree profile of the interaction graph: (odeg, n_nodes) — the
     * skew census a crawl scheduler reads before sharding. */
   def degreeProfile(lineitem: DataFrame, orders: DataFrame): DataFrame =
-    interactionEdges(lineitem, orders)
+    degreeProfileFrom(interactionEdges(lineitem, orders))
+
+  /** [[degreeProfile]] over already-derived symmetric edges. */
+  def degreeProfileFrom(edges: DataFrame): DataFrame =
+    edges
       .groupBy(col("src")).agg(count(lit(1)).as("odeg"))
       .groupBy(col("odeg")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("odeg"))
+
+  /** Symmetric (both-direction) edges from the directed pair list —
+    * [[interactionEdges]] is exactly this union over
+    * [[directedInteractionEdges]]; split out so ONE join+distinct
+    * derivation can feed both edge shapes. */
+  def symmetricFromDirected(directed: DataFrame): DataFrame =
+    directed.select(col("src"), col("dst"))
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
 
   // ---------------------------------------------------------------
   // Generated DuckDB oracles — K unrolled integer rounds.

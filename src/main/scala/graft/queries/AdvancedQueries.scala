@@ -527,37 +527,62 @@ object AdvancedQueries {
       col("o_orderkey"), col("o_orderpriority"))
     val cut = lit("1998-01-01").cast("timestamp")
     val mid = lit("1999-07-01").cast("timestamp")
-    val hist = graft.etl.Scd.scd2FromEvents(
-      o.filter(col("o_orderdate") < cut),
-      col("o_custkey"), col("o_orderdate"),
-      Seq(col("o_orderpriority")), Seq(col("o_orderkey")))
-      .select(col("o_custkey"), col("version"), col("effective_from"),
-        col("effective_to"), col("is_current"), col("o_orderpriority"))
-    graft.streaming.ScdStreams.writeScdHistory(
-      hist, s"$base/hist", "o_custkey", buckets = 8)
+    // the PRISTINE fixtures — the pre-1998 bucketed history and the two
+    // observation files — are a pure function of the orders table:
+    // disk-memoized across processes (StageMemo, r14 / VERDICT r13
+    // task 5); each run works on a cheap file copy, because the stream
+    // fold MUTATES the history tree in place
+    val stage = s"target/stage-scd-stream-$slug"
+    graft.io.StageMemo.cachedDir(s, stage,
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/orders.parquet"))) {
+      val hist = graft.etl.Scd.scd2FromEvents(
+        o.filter(col("o_orderdate") < cut),
+        col("o_custkey"), col("o_orderdate"),
+        Seq(col("o_orderpriority")), Seq(col("o_orderkey")))
+        .select(col("o_custkey"), col("version"), col("effective_from"),
+          col("effective_to"), col("is_current"), col("o_orderpriority"))
+      graft.streaming.ScdStreams.writeScdHistory(
+        hist, s"$stage/hist", "o_custkey", buckets = 8)
+      o.filter(col("o_orderdate") >= cut && col("o_orderdate") < mid)
+        .coalesce(1).write.parquet(s"$stage/in1")
+      o.filter(col("o_orderdate") >= mid)
+        .coalesce(1).write.parquet(s"$stage/in2")
+    }
+    graft.io.StageMemo.copyTree(s"$stage/hist", s"$base/hist")
     // two time-ordered files → two micro-batches. FileStreamSource
-    // orders by modification time, and back-to-back writes can land
-    // with EQUAL mtimes — in which case delivery order is unspecified
-    // and scd2Apply(onLateDrop) would silently drop a
-    // later-date-range-first batch, failing this gate flakily. Pin
-    // distinct mtimes explicitly so batch order is deterministic.
-    o.filter(col("o_orderdate") >= cut && col("o_orderdate") < mid)
-      .coalesce(1).write.parquet(s"$base/in")
-    def parts(d: String) = new java.io.File(d).listFiles()
-      .filter(_.getName.endsWith(".parquet")).toSet
-    val firstFiles = parts(s"$base/in")
-    o.filter(col("o_orderdate") >= mid)
-      .coalesce(1).write.mode("append").parquet(s"$base/in")
+    // orders by modification time, and files landing with EQUAL mtimes
+    // have unspecified delivery order — scd2Apply(onLateDrop) would
+    // silently drop a later-date-range-first batch, failing this gate
+    // flakily. Pin distinct mtimes explicitly so batch order is
+    // deterministic.
+    val inDir = java.nio.file.Paths.get(base, "in")
+    java.nio.file.Files.createDirectories(inDir)
     val t0 = System.currentTimeMillis() - 60000L
-    firstFiles.foreach(f => assert(f.setLastModified(t0), s"mtime: $f"))
-    (parts(s"$base/in") -- firstFiles)
-      .foreach(f => assert(f.setLastModified(t0 + 30000L), s"mtime: $f"))
+    def copyParts(sub: String, mtime: Long, pfx: String): Unit = {
+      val parts = new java.io.File(s"$stage/$sub").listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      assert(parts.nonEmpty, s"no staged part files under $stage/$sub")
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val d = inDir.resolve(f"$pfx-$i%05d.parquet")
+        java.nio.file.Files.copy(f.toPath, d)
+        assert(d.toFile.setLastModified(mtime), s"mtime: $d")
+      }
+    }
+    copyParts("in1", t0, "a")
+    copyParts("in2", t0 + 30000L, "b")
     val stream = s.readStream.schema(o.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = graft.streaming.ScdStreams.scdIngest(
       stream, s"$base/hist", s"$base/ckpt", "o_custkey", "o_orderdate",
       Seq("o_orderpriority"), Seq("o_orderkey"), buckets = 8)
     try q.processAllAvailable() finally q.stop()
+    // r14 (VERDICT r13 task 8, closing r12 task 3's second half): fold
+    // the per-batch applied markers into one watermark BEFORE serving,
+    // so this gate also proves the read lands byte-identical through a
+    // COMPACTED history (marker-fold mechanics spec'd in ScdStreamsSpec;
+    // here the oracle hash would catch any value drift)
+    graft.streaming.ScdStreams.compactScdMarkers(s, s"$base/hist")
     graft.streaming.ScdStreams.readScdHistory(s, s"$base/hist")
       .select(col("o_custkey"), col("version"),
         col("o_orderpriority").as("priority"),
@@ -921,18 +946,37 @@ object AdvancedQueries {
     * so the memoized reference stays valid across queries. */
   private val pagerankCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, Seq[(Int, Long, Long)])]()
-  private def pagerankMemoKey(s: SparkSession, dir: String): String = {
+  private def graphMemoKey(s: SparkSession,
+      caches: Seq[java.util.concurrent.ConcurrentHashMap[String, _]],
+      dir: String): String = {
     val appId = s.sparkContext.applicationId
-    pagerankCache.keySet.removeIf(k => !k.startsWith(appId + ":"))
+    caches.foreach(_.keySet.removeIf(k => !k.startsWith(appId + ":")))
     appId + ":" + dir
   }
+
+  /** Memoized DIRECTED edge list per (application, sfDir) — the one
+    * lineitem⋈orders + distinct derivation ALL four graph gates share
+    * (r13 VERDICT task: the bench re-paid this setup in q_graph_degrees,
+    * q_graph_hits, AND the pagerank run; a production pipeline derives
+    * the edge list once per epoch and publishes every centrality
+    * report from it). Checkpointed so consumers read materialized
+    * blocks, never re-run the join. */
+  private val edgesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def directedEdges(s: SparkSession, dir: String): DataFrame =
+    edgesCache.computeIfAbsent(
+      graphMemoKey(s, Seq(edgesCache, pagerankCache), dir), _ =>
+        graft.ops.Graph.directedInteractionEdges(
+          Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
+          .localCheckpoint(true))
+
   private def pagerankRun(s: SparkSession,
       dir: String): (DataFrame, Seq[(Int, Long, Long)]) =
-    pagerankCache.computeIfAbsent(pagerankMemoKey(s, dir), _ =>
-      graft.ops.Graph.pageRankWithMass(
-        graft.ops.Graph.interactionEdges(
-          Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders")),
-        iters = 6))
+    pagerankCache.computeIfAbsent(
+      graphMemoKey(s, Seq(edgesCache, pagerankCache), dir), _ =>
+        graft.ops.Graph.pageRankWithMass(
+          graft.ops.Graph.symmetricFromDirected(directedEdges(s, dir)),
+          iters = 6))
 
   private def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.pageRankTopFrom(pagerankRun(s, dir)._1, k = 20)
@@ -944,13 +988,11 @@ object AdvancedQueries {
   }
 
   private def graphHits(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.hitsTop(
-      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"),
-      iters = 4, k = 10)
+    graft.ops.Graph.hitsTopFrom(directedEdges(s, dir), iters = 4, k = 10)
 
   private def graphDegrees(s: SparkSession, dir: String): DataFrame =
-    graft.ops.Graph.degreeProfile(
-      Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
+    graft.ops.Graph.degreeProfileFrom(
+      graft.ops.Graph.symmetricFromDirected(directedEdges(s, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_pagerank" -> (graphPagerank _),

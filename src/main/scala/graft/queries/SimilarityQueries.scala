@@ -195,11 +195,31 @@ object SimilarityQueries {
     appId + ":" + dir
   }
 
+  /** Ground-truth artifacts are DISK-memoized across processes
+    * ([[graft.io.StageMemo]], r14 / VERDICT r13 task 5): exact truth is
+    * a pure function of the embeddings table, and a production eval
+    * harness versions it once per corpus snapshot — every bench/verify
+    * process re-paying the brute-force pass measured the harness, not
+    * the kernels under test (which still bench as q_ann_topk /
+    * q_embed_*). Keyed on the embeddings file fingerprint, so a
+    * testdata regeneration rebuilds. */
+  private def truthStage(s: SparkSession, dir: String, name: String)
+                        (build: => DataFrame): DataFrame = {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val root = s"target/stage-$name-$slug"
+    graft.io.StageMemo.cachedDir(s, root,
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"))) {
+      build.write.parquet(s"$root/truth")
+    }
+    s.read.parquet(s"$root/truth")
+  }
+
   private def sampledTruth(s: SparkSession, dir: String): DataFrame =
     truthCache.computeIfAbsent(memoKey(s, dir), _ =>
-      Similarity.bruteForceTop1Sampled(emb(s, dir), isQuerySample)
-        .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-        .localCheckpoint(true))
+      truthStage(s, dir, "ann-truth-sampled") {
+        Similarity.bruteForceTop1Sampled(emb(s, dir), isQuerySample)
+          .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+      })
 
   /** Memoized Lloyd centroids per (application, sfDir): the IVF family
     * (ivf, ivf_sq8, ivf_pq) appears across three gate queries and both
@@ -325,10 +345,14 @@ object SimilarityQueries {
     val base = indexCache.computeIfAbsent(memoKey(s, dir), _ => {
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val p = s"target/tmp-ann-index-$slug"
-      graft.io.Fs.deleteRecursive(s, p)
-      Similarity.writeAnnIndex(e, p, k = 16, lloydIters = 3,
-        preTrained = trainedCents(s, dir))
-      p
+      // disk-memoized across processes (StageMemo): the index is a pure
+      // function of the embeddings table — the epoch contract writeAnnIndex
+      // documents, now honored by the harness too
+      graft.io.StageMemo.cachedDir(s, p,
+        graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"))) {
+        Similarity.writeAnnIndex(e, p, k = 16, lloydIters = 3,
+          preTrained = trainedCents(s, dir))
+      }
     })
     val shift = 1000000000L
     val qs = e.filter(isQuerySample)
@@ -583,14 +607,14 @@ object SimilarityQueries {
     * invariant pattern. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    // eagerly checkpointed: the ground truth (the costliest pipeline
-    // here) feeds BOTH method rows of the union — unmaterialized it
-    // would run twice, and a `.cache()` would pin it for the session
-    // lifetime (the round-2 bench regression); the checkpoint is small
-    // (one row per vector) and cleaner-released when out of scope
-    val truth = Similarity.bruteForceTop1All(e)
-      .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-      .localCheckpoint(true)
+    // the FULL exact ground truth (the costliest pipeline here) is
+    // disk-memoized across processes ([[truthStage]]) and feeds both
+    // method rows of the union from its parquet materialization —
+    // nothing recomputes or pins session memory
+    val truth = truthStage(s, dir, "ann-truth-full") {
+      Similarity.bruteForceTop1All(e)
+        .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
+    }
     recallRows(e, truth, Similarity.int8AnnTop1All(e),
       Similarity.pqAnnTop1All(e, preTrainedCodebooks = trainedCodebooks(s, dir)),
       Similarity.binAnnTop1All(e),

@@ -51,6 +51,22 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  it should "fold a weighted census to the bit-identical sketch of the raw stream" in {
+    // counter adds are abelian: sketch(census with counts) must equal
+    // sketch(token stream) exactly — this is what lets q_text_countmin
+    // build from the vocabulary-sized census in ONE tokenize pass
+    import spark.implicits._
+    val items = skewed
+    val ref = sketchOf(items, parts = 4)
+    val census = items.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    for (parts <- Seq(1, 5)) {
+      val viaCensus = census.toDF("t", "c").repartition(parts)
+        .agg(CountMin.sketchWeighted(width, depth)(col("t"), col("c")).as("sk"))
+        .collect()(0).getSeq[Long](0).toArray
+      viaCensus.toSeq shouldBe ref.toSeq
+    }
+  }
+
   it should "estimate real document token counts within the bound" in {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = docs.select(explode(Text.tokens(col("text"))).as("term"))
