@@ -189,7 +189,10 @@ object ScaleRehearsal {
       // score join + partial agg over the persisted edges), the real
       // resize/frame kernels (partition-local codec work), novelty's
       // retrieval twin gates
-      "q_graph_hits", "q_multimodal_resize", "q_multimodal_audio_frames")
+      "q_graph_hits", "q_multimodal_resize", "q_multimodal_audio_frames",
+      // round-14: the weighted-census count-min gate (one tokenize
+      // pass + vocab-sized sketch fold — was two full token scans)
+      "q_text_countmin")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
