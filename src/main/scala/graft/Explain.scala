@@ -16,7 +16,7 @@ object Explain {
     * pattern) and therefore explains as a bare ExistingRDD scan. These
     * pseudo-queries rebuild the same logical frame WITHOUT the
     * checkpoint so the join/aggregate shape stays inspectable. */
-  private val innerPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val innerPlans: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inner_minhash_pairs" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
       val shingled = Dedup.docShingles(docs, "text", "doc_id")

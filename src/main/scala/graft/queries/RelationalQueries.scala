@@ -382,7 +382,31 @@ object RelationalQueries {
         max(col("o_orderdate")).as("last_ts"))
       .orderBy(col("yr"), col("mo"))
 
+  /** EXACT GLOBAL RANK, distributed (round-14, [[graft.ops.GlobalRank]]):
+    * the leaderboard / dense-global-id shape over the whole orders
+    * table — value-identical to `row_number().over(Window.orderBy(...))`
+    * but the plan is range-partition + partition-local rank + a
+    * partition-count-sized offset census: no corpus-sized frame ever
+    * meets a single task (PlanLintSpec enforces the shape). The order
+    * is total (orderkey tie-break), so the rank is deterministic. */
+  def rankGlobal(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalRank.withGlobalRowNumber(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "rnk", Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .orderBy(col("rnk"))
+
+  /** Exact distributed ntile over the same total order — the engine's
+    * curriculum-bucketing primitive gated on a plain relational
+    * surface. */
+  def rankGlobalNtile(s: SparkSession, dir: String): DataFrame =
+    graft.ops.GlobalRank.withNtile(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        7, "tile", Seq(col("o_totalprice").desc, col("o_orderkey").asc))
+      .orderBy(col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rank_global" -> (rankGlobal _),
+    "q_rank_global_ntile" -> (rankGlobalNtile _),
     "q_agg_pricing" -> (aggPricing _),
     "q_star_revenue" -> (starRevenue _),
     "q_star_returns" -> (starReturns _),
@@ -410,6 +434,16 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_rank_global" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+             AS BIGINT) AS rnk
+         FROM orders ORDER BY rnk""",
+    "q_rank_global_ntile" ->
+      """SELECT o_orderkey, o_totalprice,
+           CAST(ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey ASC)
+             AS INT) AS tile
+         FROM orders ORDER BY o_orderkey""",
     "q_window_ranks" ->
       """SELECT o_orderkey, o_orderpriority,
            CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -62,4 +62,17 @@ class PlanLintSpec extends SparkSpec {
       failures shouldBe empty
     }
   }
+
+  it should "lint the checkpoint-hidden inner plans too" in {
+    // operators whose public surface eagerly materializes expose only
+    // an ExistingRDD above; graft.Explain.innerPlans rebuilds their
+    // pre-checkpoint logical frames — lint those directly
+    val failures = graft.Explain.innerPlans.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        PlanLint.lint(fn(spark, sfDir)).map(v => s"$name → $v")
+    }
+    withClue(failures.mkString("\n", "\n", "\n")) {
+      failures shouldBe empty
+    }
+  }
 }
