@@ -1,0 +1,151 @@
+package graft.io.pg
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+/** Minimal PostgreSQL frontend (wire v3, simple-query subset) — the
+  * client half of the [[PgLiteServer]] pair. A REAL `org.postgresql`
+  * driver would be the stronger witness, but the offline image ships
+  * no PostgreSQL JDBC jar and `build.sbt` may not grow dependencies —
+  * so the protocol is exercised from both ends against the PUBLISHED
+  * message layouts instead (PgLiteSpec additionally pins golden
+  * handshake bytes so the pair can't drift into a private dialect).
+  *
+  * Speaks: optional SSLRequest (expects 'N'), StartupMessage, 'Q'
+  * simple query, 'X' terminate. Reads: R/S/K/Z/T/D/C/E/I/N messages.
+  */
+final class PgLiteClient(host: String, port: Int,
+                         user: String = "graft", database: String = "graft") {
+
+  final case class PgServerError(code: String, message: String)
+      extends RuntimeException(s"$code: $message")
+  final case class QueryResult(columns: Seq[String], typeOids: Seq[Int],
+                               rows: Seq[Seq[Option[String]]], tags: Seq[String])
+
+  private val sock = new Socket(host, port)
+  private val in = new DataInputStream(sock.getInputStream)
+  private val out = new DataOutputStream(sock.getOutputStream)
+
+  /** Full connection handshake; `negotiateSsl` first sends an
+    * SSLRequest and requires the documented single-byte 'N' refusal. */
+  def connect(negotiateSsl: Boolean = false): Unit = {
+    if (negotiateSsl) {
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      val resp = in.read()
+      require(resp == 'N', s"expected SSL refusal 'N', got $resp")
+    }
+    val params = Seq("user" -> user, "database" -> database)
+    val body = params.flatMap { case (k, v) =>
+      k.getBytes(UTF_8).toSeq ++ Seq(0.toByte) ++
+        v.getBytes(UTF_8).toSeq ++ Seq(0.toByte)
+    } :+ 0.toByte
+    out.writeInt(4 + 4 + body.length)
+    out.writeInt(196608)
+    out.write(body.toArray)
+    out.flush()
+    // drain until ReadyForQuery; demand AuthenticationOk on the way
+    var authOk = false
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'R' =>
+          require(payload.length == 4 && readInt(payload, 0) == 0,
+            "expected AuthenticationOk")
+          authOk = true
+        case 'S' | 'K' | 'N' => ()
+        case 'Z' => ready = true
+        case 'E' => throw parseError(payload)
+        case other => throw new IllegalStateException(s"startup: unexpected '$other'")
+      }
+    }
+    require(authOk, "server never sent AuthenticationOk")
+  }
+
+  /** Simple-query round trip. Multiple result sets merge their rows;
+    * every CommandComplete tag is collected in order. */
+  def query(sql: String): QueryResult = {
+    val b = sql.getBytes(UTF_8)
+    out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+    out.write(b); out.writeByte(0); out.flush()
+    var cols = Seq.empty[String]
+    var oids = Seq.empty[Int]
+    val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
+    val tags = mutable.ArrayBuffer[String]()
+    var err: PgServerError = null
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'T' =>
+          val n = readShort(payload, 0)
+          var off = 2
+          val cs = mutable.ArrayBuffer[String]()
+          val os = mutable.ArrayBuffer[Int]()
+          (0 until n).foreach { _ =>
+            val end = payload.indexOf(0, off)
+            cs += new String(payload, off, end - off, UTF_8)
+            // name\0 (end+1), table oid 4, attnum 2 → type oid
+            os += readInt(payload, end + 1 + 4 + 2)
+            off = end + 1 + 4 + 2 + 4 + 2 + 4 + 2
+          }
+          cols = cs.toSeq; oids = os.toSeq
+        case 'D' =>
+          val n = readShort(payload, 0)
+          var off = 2
+          val r = mutable.ArrayBuffer[Option[String]]()
+          (0 until n).foreach { _ =>
+            val len = readInt(payload, off); off += 4
+            if (len < 0) r += None
+            else { r += Some(new String(payload, off, len, UTF_8)); off += len }
+          }
+          rows += r.toSeq
+        case 'C' =>
+          tags += new String(payload, 0, payload.length - 1, UTF_8)
+        case 'E' => err = parseError(payload)
+        case 'I' | 'N' | 'S' => ()
+        case 'Z' => ready = true
+        case other => throw new IllegalStateException(s"query: unexpected '$other'")
+      }
+    }
+    if (err != null) throw err
+    QueryResult(cols, oids, rows.toSeq, tags.toSeq)
+  }
+
+  def close(): Unit = {
+    try { out.writeByte('X'); out.writeInt(4); out.flush() }
+    finally sock.close()
+  }
+
+  private def readMessage(): (Char, Array[Byte]) = {
+    val tpe = in.read()
+    if (tpe < 0) throw new java.io.EOFException("server closed connection")
+    val len = in.readInt()
+    val payload = new Array[Byte](len - 4)
+    in.readFully(payload)
+    (tpe.toChar, payload)
+  }
+
+  private def parseError(payload: Array[Byte]): PgServerError = {
+    var off = 0
+    var code = "?????"; var msg = ""
+    while (off < payload.length && payload(off) != 0) {
+      val k = payload(off).toChar
+      val end = payload.indexOf(0, off + 1)
+      val v = new String(payload, off + 1, end - off - 1, UTF_8)
+      if (k == 'C') code = v
+      if (k == 'M') msg = v
+      off = end + 1
+    }
+    PgServerError(code, msg)
+  }
+
+  private def readInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def readShort(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+}

@@ -1,0 +1,250 @@
+package graft.io.pg
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable
+
+/** In-memory relational backend for [[PgLiteServer]] — the RUNTIME
+  * semantics of the reference's Postgres leg
+  * (dags/dag_etl_minio_to_postgres.py:296-360 silver DDL+insert,
+  * :413-595 gold): `CREATE SCHEMA/TABLE` with `SERIAL PRIMARY KEY`,
+  * `UNIQUE` and `FOREIGN KEY` constraints, parameterless `INSERT …
+  * VALUES … [RETURNING col]` with DB-side serial assignment (the
+  * reference captures the RETURNING id into `id_mapping`, :134-136),
+  * and `SELECT … FROM t`. Exactly the statement surface
+  * [[graft.io.Sinks.createTableDdl]]/[[graft.io.Sinks.createSchemaDdl]]
+  * emit plus the reference's insert/read-back patterns — not a SQL
+  * engine; anything outside that surface raises a Postgres-coded
+  * error (42601 syntax) rather than guessing.
+  *
+  * Error codes mirror Postgres: 23505 unique_violation, 23503
+  * foreign_key_violation, 42P01 undefined_table, 42601 syntax_error.
+  * Thread-safe via a per-table lock (the server is thread-per-
+  * connection; the reference's writer is a single task, so contention
+  * is incidental).
+  */
+object PgLiteEngine {
+  final case class Col(name: String, pgType: String, serial: Boolean,
+                       unique: Boolean, references: Option[(String, String)])
+  final class Table(val name: String, val cols: Seq[Col]) {
+    val rows = mutable.ArrayBuffer[Array[String]]() // text-format values; null = SQL NULL
+    var nextSerial = 1L
+  }
+  final case class PgError(code: String, message: String)
+      extends RuntimeException(message)
+  /** Result of one statement: optional row set + command tag. */
+  final case class Result(columns: Seq[Col], rows: Seq[Array[String]], tag: String)
+}
+
+final class PgLiteEngine {
+  import PgLiteEngine._
+
+  private val schemas = ConcurrentHashMap.newKeySet[String]()
+  private val tables = new ConcurrentHashMap[String, Table]()
+
+  /** Postgres type OIDs for the text-format wire row description. */
+  def oidOf(pgType: String): Int = {
+    val t = pgType.toUpperCase.takeWhile(c => c.isLetter || c == ' ').trim
+    t match {
+      case "TEXT" | "VARCHAR" | "CHAR" => 25
+      case "INTEGER" | "INT" | "SERIAL" => 23
+      case "BIGINT" => 20
+      case "NUMERIC" | "DECIMAL" => 1700
+      case "DOUBLE PRECISION" => 701
+      case "BOOLEAN" => 16
+      case "TIMESTAMP" => 1114
+      case "DATE" => 1082
+      case "BYTEA" => 17
+      case _ => 25
+    }
+  }
+
+  def execute(sql0: String): Result = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val up = sql.toUpperCase
+    if (up.startsWith("CREATE SCHEMA")) createSchema(sql)
+    else if (up.startsWith("CREATE TABLE")) createTable(sql)
+    else if (up.startsWith("INSERT INTO")) insert(sql)
+    else if (up.startsWith("SELECT")) select(sql)
+    else if (up.startsWith("DROP TABLE")) dropTable(sql)
+    else throw PgError("42601", s"unsupported statement: ${sql.take(60)}")
+  }
+
+  private def createSchema(sql: String): Result = {
+    val m = "(?i)CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][\\w]*)".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad CREATE SCHEMA: $sql"))
+    val name = m.group(2).toLowerCase
+    if (!schemas.add(name) && m.group(1) == null)
+      throw PgError("42P06", s"schema \"$name\" already exists")
+    Result(Nil, Nil, "CREATE SCHEMA")
+  }
+
+  /** Split a parenthesized column list on top-level commas (NUMERIC(5,2)
+    * carries nested commas). */
+  private def topLevelSplit(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def createTable(sql: String): Result = {
+    val m = ("(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w]+(?:\\.[\\w]+)?)\\s*\\((.*)\\)\\s*$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad CREATE TABLE: ${sql.take(60)}"))
+    val name = m.group(2).toLowerCase
+    name.split("\\.") match {
+      case Array(sch, _) if !schemas.contains(sch) =>
+        throw PgError("3F000", s"schema \"$sch\" does not exist")
+      case _ => ()
+    }
+    if (tables.containsKey(name)) {
+      if (m.group(1) != null) return Result(Nil, Nil, "CREATE TABLE")
+      throw PgError("42P07", s"relation \"$name\" already exists")
+    }
+    val cols = topLevelSplit(m.group(3)).map(parseCol(name, _))
+    tables.put(name, new Table(name, cols))
+    Result(Nil, Nil, "CREATE TABLE")
+  }
+
+  private def parseCol(table: String, defn: String): Col = {
+    val fkM = "(?i)REFERENCES\\s+([\\w]+(?:\\.[\\w]+)?)\\s*\\(([\\w]+)\\)".r
+      .findFirstMatchIn(defn)
+    val fk = fkM.map(x => (x.group(1).toLowerCase, x.group(2).toLowerCase))
+    fk.foreach { case (ft, _) =>
+      if (!tables.containsKey(ft))
+        throw PgError("42P01", s"relation \"$ft\" does not exist") }
+    val unique = "(?i)\\bUNIQUE\\b".r.findFirstIn(defn).isDefined
+    val head = defn.trim.split("\\s+", 2)
+    val cname = head(0).toLowerCase
+    val rest = if (head.length > 1) head(1) else ""
+    val serial = "(?i)^SERIAL\\b".r.findFirstIn(rest.trim).isDefined
+    val tpe =
+      if (serial) "INTEGER"
+      else rest.split("(?i)\\s+(UNIQUE|PRIMARY|REFERENCES|NOT)\\b")(0).trim
+    Col(cname, if (tpe.isEmpty) "TEXT" else tpe, serial,
+      unique || "(?i)PRIMARY\\s+KEY".r.findFirstIn(defn).isDefined, fk)
+  }
+
+  /** Literal SQL values: 'quoted' ('' escape), numbers, NULL, booleans. */
+  private def parseValues(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    var i = 0; val n = s.length
+    while (i < n) {
+      while (i < n && (s(i) == ' ' || s(i) == ',')) i += 1
+      if (i < n) {
+        if (s(i) == '\'') {
+          val sb = new StringBuilder; i += 1
+          var done = false
+          while (!done) {
+            if (i >= n) throw PgError("42601", "unterminated string literal")
+            if (s(i) == '\'' && i + 1 < n && s(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else if (s(i) == '\'') { i += 1; done = true }
+            else { sb.append(s(i)); i += 1 }
+          }
+          out += sb.toString
+        } else {
+          val j0 = i
+          while (i < n && s(i) != ',') i += 1
+          val tok = s.substring(j0, i).trim
+          out += (if (tok.equalsIgnoreCase("NULL")) null else tok)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def insert(sql: String): Result = {
+    val m = ("(?is)INSERT\\s+INTO\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
+      "\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*(RETURNING\\s+([\\w]+))?\\s*$").r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad INSERT: ${sql.take(60)}"))
+    val name = m.group(1).toLowerCase
+    val t = Option(tables.get(name))
+      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    val colNames = m.group(2).split(",").map(_.trim.toLowerCase).toSeq
+    val vals = parseValues(m.group(3))
+    if (vals.length != colNames.length)
+      throw PgError("42601", s"${colNames.length} columns, ${vals.length} values")
+    val byName = colNames.zip(vals).toMap
+    t.synchronized {
+      val row = t.cols.map { c =>
+        if (c.serial) { val v = t.nextSerial.toString; t.nextSerial += 1; v }
+        else byName.getOrElse(c.name, null)
+      }.toArray
+      // constraint checks BEFORE the append (reference semantics: a
+      // violated insert leaves the table unchanged)
+      t.cols.zipWithIndex.foreach { case (c, i) =>
+        if (c.unique && row(i) != null &&
+            t.rows.exists(r => r(i) != null && r(i) == row(i)))
+          throw PgError("23505",
+            s"duplicate key value violates unique constraint on ${t.name}.${c.name}")
+        c.references.foreach { case (ft, fc) =>
+          val rt = Option(tables.get(ft))
+            .getOrElse(throw PgError("42P01", s"relation \"$ft\" does not exist"))
+          val fi = rt.cols.indexWhere(_.name == fc)
+          if (row(i) != null && !rt.rows.exists(r => r(fi) == row(i)))
+            throw PgError("23503",
+              s"insert on ${t.name} violates foreign key: ${c.name}=${row(i)} not in $ft.$fc")
+        }
+      }
+      t.rows += row
+      val ret = Option(m.group(5)).map(_.toLowerCase)
+      ret match {
+        case Some(rc) =>
+          val i = t.cols.indexWhere(_.name == rc)
+          if (i < 0) throw PgError("42703", s"column \"$rc\" does not exist")
+          Result(Seq(t.cols(i)), Seq(Array(row(i))), "INSERT 0 1")
+        case None => Result(Nil, Nil, "INSERT 0 1")
+      }
+    }
+  }
+
+  private def select(sql: String): Result = {
+    val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
+      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?\\s*$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+    val name = m.group(2).toLowerCase
+    val t = Option(tables.get(name))
+      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    t.synchronized {
+      val (cols, proj) = m.group(1).trim match {
+        case "*" => (t.cols, t.cols.indices.toSeq)
+        case list =>
+          val names = list.split(",").map(_.trim.toLowerCase).toSeq
+          val idx = names.map { cn =>
+            val i = t.cols.indexWhere(_.name == cn)
+            if (i < 0) throw PgError("42703", s"column \"$cn\" does not exist")
+            i
+          }
+          (idx.map(t.cols(_)), idx)
+      }
+      var rows = t.rows.toSeq.map(r => proj.map(r(_)).toArray)
+      Option(m.group(3)).map(_.toLowerCase).foreach { ob =>
+        val oi = cols.indexWhere(_.name == ob)
+        if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
+        val numeric = Set(23, 20, 701, 1700)(oidOf(cols(oi).pgType))
+        rows =
+          if (numeric) rows.sortBy(r => BigDecimal(r(oi)))
+          else rows.sortBy(_(oi))
+      }
+      Result(cols, rows, s"SELECT ${rows.length}")
+    }
+  }
+
+  private def dropTable(sql: String): Result = {
+    val m = "(?i)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w]+(?:\\.[\\w]+)?)".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad DROP TABLE: $sql"))
+    val name = m.group(2).toLowerCase
+    if (tables.remove(name) == null && m.group(1) == null)
+      throw PgError("42P01", s"relation \"$name\" does not exist")
+    Result(Nil, Nil, "DROP TABLE")
+  }
+}

@@ -1,0 +1,113 @@
+package graft.io
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.SparkSpec
+import graft.io.pg.{PgLiteClient, PgLiteServer}
+
+/** PG-wire endpoint + driverless client: golden protocol bytes against
+  * the PUBLISHED v3 layouts (so the pair can't drift into a private
+  * dialect), then the reference's runtime patterns — SERIAL assignment
+  * with RETURNING-id capture (the id_mapping,
+  * dag_etl_minio_to_postgres.py:134-136), UNIQUE and FK enforcement
+  * with real SQLSTATEs, read-back scans. */
+class PgLiteSpec extends SparkSpec {
+
+  behavior of "PgLiteServer wire protocol"
+
+  it should "answer SSLRequest and startup with the documented byte layouts" in {
+    val (server, _) = PgLiteServer.start()
+    try {
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      // SSLRequest: int32 len=8, int32 80877103 → exactly one byte 'N'
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      in.read() shouldBe 'N'.toInt
+      // StartupMessage: protocol 196608, "user\0graft\0\0"
+      val body = "user".getBytes(UTF_8) ++ Array(0.toByte) ++
+        "graft".getBytes(UTF_8) ++ Array(0.toByte, 0.toByte)
+      out.writeInt(4 + 4 + body.length); out.writeInt(196608)
+      out.write(body); out.flush()
+      // AuthenticationOk: 'R' len=8 code=0 — byte-exact per the docs
+      in.read() shouldBe 'R'.toInt
+      in.readInt() shouldBe 8
+      in.readInt() shouldBe 0
+      // then ParameterStatus/BackendKeyData until ReadyForQuery 'Z' len=5 'I'
+      var tpe = in.read()
+      while (tpe != 'Z'.toInt) {
+        Seq('S'.toInt, 'K'.toInt) should contain(tpe)
+        val len = in.readInt()
+        in.readFully(new Array[Byte](len - 4))
+        tpe = in.read()
+      }
+      in.readInt() shouldBe 5
+      in.read() shouldBe 'I'.toInt
+      sock.close()
+    } finally server.stop()
+  }
+
+  behavior of "PgLite runtime semantics (the reference's Postgres leg)"
+
+  it should "run DDL, SERIAL+RETURNING inserts, constraints, and scans end-to-end" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect(negotiateSsl = true)
+      c.query(Sinks.createSchemaDdl("gold")).tags shouldBe Seq("CREATE SCHEMA")
+      // the repo's own DDL emitter (SERIAL PK + UNIQUE), run live
+      val ddl = Sinks.createTableDdl(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("seg",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.IntegerType))),
+        "gold", "segment", serialPk = Some("id"), unique = Seq("seg"))
+      c.query(ddl).tags shouldBe Seq("CREATE TABLE")
+      // idempotent re-create (IF NOT EXISTS)
+      c.query(ddl).tags shouldBe Seq("CREATE TABLE")
+      // SERIAL + RETURNING: the id_mapping pattern
+      val idMap = Seq("automobile", "building", "machinery").map { seg =>
+        val r = c.query(
+          s"INSERT INTO gold.segment (seg, n) VALUES ('$seg', 1) RETURNING id")
+        r.columns shouldBe Seq("id")
+        r.typeOids shouldBe Seq(23) // int4
+        seg -> r.rows.head.head.get.toLong
+      }.toMap
+      idMap shouldBe Map("automobile" -> 1L, "building" -> 2L, "machinery" -> 3L)
+      // UNIQUE violation: Postgres SQLSTATE 23505, table unchanged
+      val dup = intercept[c.PgServerError](
+        c.query("INSERT INTO gold.segment (seg, n) VALUES ('building', 9)"))
+      dup.code shouldBe "23505"
+      // FK table + violation: 23503
+      c.query("CREATE TABLE gold.fact (seg_id INTEGER REFERENCES gold.segment(id), v TEXT)")
+      c.query("INSERT INTO gold.fact (seg_id, v) VALUES (2, 'ok')")
+      val fk = intercept[c.PgServerError](
+        c.query("INSERT INTO gold.fact (seg_id, v) VALUES (99, 'bad')"))
+      fk.code shouldBe "23503"
+      // NULL round trip + scan with ORDER BY
+      c.query("INSERT INTO gold.fact (seg_id, v) VALUES (1, NULL)")
+      val scan = c.query("SELECT seg_id, v FROM gold.fact ORDER BY seg_id")
+      scan.rows shouldBe Seq(Seq(Some("1"), None), Seq(Some("2"), Some("ok")))
+      scan.tags shouldBe Seq("SELECT 2")
+      // escaped quote survives the literal parser
+      c.query("INSERT INTO gold.segment (seg, n) VALUES ('o''brien', 0)")
+      val ob = c.query("SELECT seg FROM gold.segment ORDER BY seg")
+      ob.rows.map(_.head.get) should contain("o'brien")
+      // multi-statement simple query: both tags, one ReadyForQuery
+      val multi = c.query(
+        "INSERT INTO gold.fact (seg_id, v) VALUES (3, 'x'); SELECT v FROM gold.fact")
+      multi.tags shouldBe Seq("INSERT 0 1", "SELECT 3")
+      // an error mid-batch skips the rest (PG semantics) and reports
+      val bad = intercept[c.PgServerError](c.query(
+        "INSERT INTO gold.fact (seg_id, v) VALUES (77, 'y'); SELECT seg FROM gold.segment"))
+      bad.code shouldBe "23503"
+      // undefined table
+      intercept[c.PgServerError](
+        c.query("SELECT x FROM gold.nope")).code shouldBe "42P01"
+      c.close()
+    } finally server.stop()
+  }
+}
