@@ -95,18 +95,22 @@ object Coreset {
   /** Greedy k-center selection: (sel_rank, vec_id, radius) — radius
     * is the selected point's distance² to the prior set (the running
     * coverage bound; 0 for the seed). */
-  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val spark = emb.sparkSession
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    kCenterFrom(emb.sparkSession, selectCenters(emb, idCol, vecCol, k))
+
+  /** [[kCenter]]'s report frame over ALREADY-SELECTED centers — split
+    * out so one greedy run can feed both the selection report and the
+    * assignment audit (the centers are the expensive part: k corpus
+    * scans; the query layer memoizes them per (application, sfDir)). */
+  def kCenterFrom(spark: SparkSession, centers: Seq[Center]): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(
-        selectCenters(emb, idCol, vecCol, k)
-          .map(c => Row(c.rank, c.id, c.radius)), 1),
+        centers.map(c => Row(c.rank, c.id, c.radius)), 1),
       StructType(Seq(
         StructField("sel_rank", IntegerType, false),
         StructField("vec_id", LongType, false),
         StructField("radius", DoubleType, false))))
       .orderBy(col("sel_rank"))
-  }
 
   /** Coverage audit: assign every point to its nearest selected
     * center (exact-decimal argmin, rank tie-break) and report per
@@ -116,8 +120,14 @@ object Coreset {
     * argmin is a `least` over (dist, rank) structs, and only (rank,
     * partial count, partial max) partials shuffle. */
   def kCenterAssign(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int): DataFrame = {
-    val centers = selectCenters(emb, idCol, vecCol, k)
+                    k: Int): DataFrame =
+    kCenterAssignFrom(emb, idCol, vecCol,
+      selectCenters(emb, idCol, vecCol, k))
+
+  /** [[kCenterAssign]] over already-selected centers (see
+    * [[kCenterFrom]]). */
+  def kCenterAssignFrom(emb: DataFrame, idCol: String, vecCol: String,
+                        centers: Seq[Center]): DataFrame = {
     val best = least(centers.map(c =>
       struct(dist2(col("v"), c.gvec).as("d2"), lit(c.rank).as("rnk"))): _*)
     val byRank = emb.sparkSession.createDataFrame(

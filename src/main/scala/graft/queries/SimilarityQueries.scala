@@ -191,7 +191,7 @@ object SimilarityQueries {
     val appId = s.sparkContext.applicationId
     evictDeadApps(
       Seq(truthCache, centroidCache, codebookCache, indexCache,
-        pcaCensusCache), appId)
+        pcaCensusCache, kcenterCache), appId)
     appId + ":" + dir
   }
 
@@ -213,6 +213,17 @@ object SimilarityQueries {
     }
     s.read.parquet(s"$root/truth")
   }
+
+  /** Memoized k-center greedy selection per (application, sfDir) —
+    * [[graft.ops.Coreset.selectCenters]] is k corpus scans and both
+    * the selection report (q_embed_kcenter) and the assignment audit
+    * (q_embed_kcenter_assign) derive from ONE selection in a
+    * production curation run. Driver state: k Center records. */
+  private val kcenterCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[graft.ops.Coreset.Center]]()
+  private def kcenters(s: SparkSession, dir: String): Seq[graft.ops.Coreset.Center] =
+    kcenterCache.computeIfAbsent(memoKey(s, dir), _ =>
+      graft.ops.Coreset.selectCenters(emb(s, dir), "vec_id", "embedding", 8))
 
   private def sampledTruth(s: SparkSession, dir: String): DataFrame =
     truthCache.computeIfAbsent(memoKey(s, dir), _ =>
@@ -713,9 +724,10 @@ object SimilarityQueries {
     "q_embed_fisher" -> (embedFisher _),
     "q_embed_knn" -> (embedKnn _),
     "q_embed_kcenter" -> ((s, dir) =>
-      graft.ops.Coreset.kCenter(emb(s, dir), "vec_id", "embedding", 8)),
+      graft.ops.Coreset.kCenterFrom(s, kcenters(s, dir))),
     "q_embed_kcenter_assign" -> ((s, dir) =>
-      graft.ops.Coreset.kCenterAssign(emb(s, dir), "vec_id", "embedding", 8)),
+      graft.ops.Coreset.kCenterAssignFrom(emb(s, dir), "vec_id", "embedding",
+        kcenters(s, dir))),
     // MMR diversified selection: probe = min-id vector, λ = 1/2
     "q_embed_mmr" -> ((s, dir) =>
       graft.ops.Coreset.mmrSelect(emb(s, dir), "vec_id", "embedding", 6)),

@@ -191,8 +191,10 @@ object ScaleRehearsal {
       // retrieval twin gates
       "q_graph_hits", "q_multimodal_resize", "q_multimodal_audio_frames",
       // round-14: the weighted-census count-min gate (one tokenize
-      // pass + vocab-sized sketch fold — was two full token scans)
-      "q_text_countmin")
+      // pass + vocab-sized sketch fold — was two full token scans),
+      // and the exact distributed global rank (range partition +
+      // offset census — the GlobalRank primitive)
+      "q_text_countmin", "q_rank_global")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
