@@ -74,6 +74,9 @@ object StageMemo {
       new String(Files.readAllBytes(stamp), StandardCharsets.UTF_8) == key
     if (!hit) {
       Fs.deleteRecursive(spark, dir)
+      // recreate the (empty) root before the builder runs: Spark
+      // writers mkdir themselves, plain-file builders should not have to
+      Files.createDirectories(Paths.get(dir))
       build
       Files.createDirectories(Paths.get(dir))
       Files.write(stamp, key.getBytes(StandardCharsets.UTF_8))
