@@ -115,6 +115,72 @@ final class PgLiteClient(host: String, port: Int,
     QueryResult(cols, oids, rows.toSeq, tags.toSeq)
   }
 
+  /** COPY … FROM STDIN round trip: send the COPY statement, expect
+    * CopyInResponse, stream the rows as text-format CopyData (fields
+    * tab-delimited, `\N` null, backslash escapes), CopyDone, and
+    * return the CommandComplete tag ("COPY n"). The bulk-load path a
+    * production writer uses instead of row-at-a-time INSERTs. */
+  def copyIn(sql: String, rows: Seq[Seq[Option[String]]],
+             batchRows: Int = 1024): String = {
+    val b = sql.getBytes(UTF_8)
+    out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+    out.write(b); out.writeByte(0); out.flush()
+    // wait for CopyInResponse (or an up-front error e.g. 42P01)
+    var started = false
+    while (!started) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'G' => started = true
+        case 'E' =>
+          val err = parseError(payload)
+          // server closes the statement with ReadyForQuery
+          drainToReady()
+          throw err
+        case 'S' | 'N' => ()
+        case other => throw new IllegalStateException(s"copyIn: unexpected '$other'")
+      }
+    }
+    def esc(v: Option[String]): String = v match {
+      case None => "\\N"
+      case Some(s) => s.flatMap {
+        case '\\' => "\\\\"
+        case '\t' => "\\t"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case c => c.toString
+      }
+    }
+    rows.grouped(batchRows).foreach { group =>
+      val data = group.map(_.map(esc).mkString("\t"))
+        .mkString("", "\n", "\n").getBytes(UTF_8)
+      out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+    }
+    out.writeByte('c'); out.writeInt(4); out.flush() // CopyDone
+    var tag = ""
+    var err: PgServerError = null
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'C' => tag = new String(payload, 0, payload.length - 1, UTF_8)
+        case 'E' => err = parseError(payload)
+        case 'Z' => ready = true
+        case 'S' | 'N' => ()
+        case other => throw new IllegalStateException(s"copyIn: unexpected '$other'")
+      }
+    }
+    if (err != null) throw err
+    tag
+  }
+
+  private def drainToReady(): Unit = {
+    var ready = false
+    while (!ready) {
+      val (tpe, _) = readMessage()
+      if (tpe == 'Z') ready = true
+    }
+  }
+
   def close(): Unit = {
     try { out.writeByte('X'); out.writeInt(4); out.flush() }
     finally sock.close()

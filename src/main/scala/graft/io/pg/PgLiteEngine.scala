@@ -238,6 +238,74 @@ final class PgLiteEngine {
     }
   }
 
+  /** COPY target resolution: `COPY schema.table (cols) FROM STDIN`.
+    * Returns (table, column order). The bulk-load path — the engine's
+    * batched-write posture over the wire, versus the reference's
+    * row-at-a-time INSERT loop (§2 row 9). */
+  def copyTarget(sql: String): (String, Seq[String]) = {
+    val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
+    val name = m.group(1).toLowerCase
+    val t = Option(tables.get(name))
+      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    val cols = Option(m.group(2))
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+      .getOrElse(t.cols.filterNot(_.serial).map(_.name))
+    cols.foreach { cn =>
+      if (!t.cols.exists(_.name == cn))
+        throw PgError("42703", s"column \"$cn\" does not exist") }
+    (name, cols)
+  }
+
+  /** Apply a COPY batch (text-format rows already decoded): same
+    * SERIAL/UNIQUE/FK semantics as [[insert]], all-or-nothing — a
+    * violated row aborts the whole batch with the table unchanged
+    * (Postgres COPY is a single command). */
+  def copyRows(table: String, cols: Seq[String],
+               rows: Seq[Seq[String]]): Result = {
+    val t = Option(tables.get(table))
+      .getOrElse(throw PgError("42P01", s"relation \"$table\" does not exist"))
+    t.synchronized {
+      val colIdx = cols.map(cn => t.cols.indexWhere(_.name == cn))
+      var serial = t.nextSerial
+      val staged = rows.map { vals =>
+        if (vals.length != cols.length)
+          throw PgError("22P04", s"row has ${vals.length} fields, expected ${cols.length}")
+        val row = new Array[String](t.cols.length)
+        colIdx.zip(vals).foreach { case (i, v) => row(i) = v }
+        t.cols.zipWithIndex.foreach { case (c, i) =>
+          if (c.serial && row(i) == null) { row(i) = serial.toString; serial += 1 }
+        }
+        row
+      }
+      // constraint pass over existing ∪ staged before any mutation
+      t.cols.zipWithIndex.foreach { case (c, i) =>
+        if (c.unique) {
+          val existing = t.rows.map(_(i)).filter(_ != null).toSet
+          val fresh = staged.map(_(i)).filter(_ != null)
+          if (fresh.exists(existing) || fresh.distinct.length != fresh.length)
+            throw PgError("23505",
+              s"duplicate key value violates unique constraint on ${t.name}.${c.name}")
+        }
+        c.references.foreach { case (ft, fc) =>
+          val rt = Option(tables.get(ft))
+            .getOrElse(throw PgError("42P01", s"relation \"$ft\" does not exist"))
+          val fi = rt.cols.indexWhere(_.name == fc)
+          val keys = rt.rows.map(_(fi)).toSet
+          staged.foreach { r =>
+            if (r(i) != null && !keys.contains(r(i)))
+              throw PgError("23503",
+                s"copy on ${t.name} violates foreign key: ${c.name}=${r(i)} not in $ft.$fc")
+          }
+        }
+      }
+      t.rows ++= staged
+      t.nextSerial = serial
+      Result(Nil, Nil, s"COPY ${staged.length}")
+    }
+  }
+
   private def dropTable(sql: String): Result = {
     val m = "(?i)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w]+(?:\\.[\\w]+)?)".r
       .findFirstMatchIn(sql)

@@ -67,7 +67,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip \0
-              runQuery(sql, out)
+              runQuery(sql, in, out)
             case 'X' => open = false
             case other =>
               sendError(out, "0A000", s"unsupported message type '$other'")
@@ -145,7 +145,8 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     out.result().map(_.trim).filter(_.nonEmpty)
   }
 
-  private def runQuery(sql: String, out: DataOutputStream): Unit = {
+  private def runQuery(sql: String, in: DataInputStream,
+                       out: DataOutputStream): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) {
       out.writeByte('I'); out.writeInt(4) // EmptyQueryResponse
@@ -154,7 +155,11 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       stmts.foreach { st =>
         if (!failed) {
           try {
-            val r = engine.execute(st)
+            val r =
+              if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\s*$".r
+                    .findFirstIn(st.trim).isDefined)
+                runCopyIn(st, in, out)
+              else engine.execute(st)
             if (r.columns.nonEmpty) {
               writeRowDescription(out, r.columns)
               r.rows.foreach(writeDataRow(out, _))
@@ -175,6 +180,75 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
     }
     readyForQuery(out)
+  }
+
+  /** COPY … FROM STDIN (text format): CopyInResponse, then CopyData
+    * frames until CopyDone/CopyFail, decoded per the published text
+    * rules (tab-delimited fields, newline rows, `\N` null, backslash
+    * escapes) and applied all-or-nothing through the engine. */
+  private def runCopyIn(st: String, in: DataInputStream,
+                        out: DataOutputStream): PgLiteEngine.Result = {
+    val (table, cols) = engine.copyTarget(st) // validates BEFORE 'G'
+    // CopyInResponse: 'G', int8 format 0 (text), int16 ncols, int16[ncols] 0
+    out.writeByte('G'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
+    out.writeByte(0); out.writeShort(cols.length)
+    cols.foreach(_ => out.writeShort(0))
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    var fail: Option[String] = None
+    while (!done) {
+      val tpe = in.read()
+      if (tpe < 0) throw new EOFException("connection closed mid-COPY")
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tpe.toChar match {
+        case 'd' => buf.write(body)
+        case 'c' => done = true
+        case 'f' =>
+          fail = Some(new String(body, 0, math.max(0, body.length - 1), UTF_8))
+          done = true
+        case 'H' | 'S' => () // Flush/Sync tolerated
+        case other =>
+          throw PgLiteEngine.PgError("08P01", s"unexpected '$other' during COPY")
+      }
+    }
+    fail.foreach(msg => throw PgLiteEngine.PgError("57014", s"COPY failed: $msg"))
+    val text = new String(buf.toByteArray, UTF_8)
+    val rows = text.split("\n", -1).toSeq.filter(_.nonEmpty).map(decodeCopyRow)
+    engine.copyRows(table, cols, rows)
+  }
+
+  /** One text-format COPY row → field values (null for `\N`). */
+  private def decodeCopyRow(line: String): Seq[String] = {
+    val fields = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var escaped = false
+    var isNull = false
+    def flush(): Unit = {
+      fields += (if (isNull && cur.isEmpty) null else cur.toString)
+      cur.clear(); isNull = false
+    }
+    line.foreach { c =>
+      if (escaped) {
+        c match {
+          case 'N' => isNull = true
+          case 't' => cur.append('\t')
+          case 'n' => cur.append('\n')
+          case 'r' => cur.append('\r')
+          case '\\' => cur.append('\\')
+          case other => cur.append(other)
+        }
+        escaped = false
+      } else c match {
+        case '\\' => escaped = true
+        case '\t' => flush()
+        case other => cur.append(other)
+      }
+    }
+    flush()
+    fields.result()
   }
 
   private def writeRowDescription(

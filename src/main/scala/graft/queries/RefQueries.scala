@@ -258,6 +258,45 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** WIRE BULK-LOAD gate (round-14): the silver write leg through the
+    * COPY protocol — the batched-write posture the engine substitutes
+    * for the reference's row-at-a-time INSERT loop (§2 row 9; the
+    * reference's 161 s gold stage IS that loop), over the same live
+    * wire-v3 endpoint as [[pgRuntime]]. The cleaned customer frame
+    * ships as text-format CopyData (tab/newline/backslash escaping and
+    * `\N` nulls exercised by PgLiteSpec), lands all-or-nothing, and is
+    * read back by a wire SELECT — the oracle replays the clean rules
+    * directly, so any wire corruption (framing, escaping, type
+    * round-trip) breaks the hash. Driver-side collect is the POINT of
+    * the wire leg here (the reference writes from one process); the
+    * distributed write posture stays [[graft.io.Sinks.jdbcBatch]]. */
+  def pgCopy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      c.query(graft.io.Sinks.createSchemaDdl("silver"))
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer"))
+      val rows = cleaned.orderBy(col("c_custkey")).collect().iterator.map { r =>
+        Seq(Option(r.get(0)).map(_.toString),
+          Option(r.get(1)).map(_.toString),
+          Option(r.get(2)).map(_.toString))
+      }.toSeq
+      val tag = c.copyIn(
+        "COPY silver.customer (c_custkey, c_name, c_mktsegment) FROM STDIN", rows)
+      require(tag == s"COPY ${rows.length}", s"unexpected COPY tag: $tag")
+      val back = c.query(
+        "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer")
+      c.close()
+      back.rows.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** JSONL ROUND-TRIP gate (round-13, [[graft.io.Sinks.jsonlDir]] /
     * [[graft.io.Sources.jsonl]]): the documents corpus exported as
     * JSON-Lines — the LLM-pipeline interchange format — and scanned
@@ -315,6 +354,7 @@ object RefQueries {
     "q_io_jsonl_roundtrip" -> (ioJsonlRoundtrip _),
     "ref_io_object_store" -> (ioObjectStore _),
     "ref_pg_runtime" -> (pgRuntime _),
+    "ref_pg_copy" -> (pgCopy _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -342,6 +382,13 @@ object RefQueries {
          FROM customer ORDER BY c_custkey""",
     "ref_io_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    // the wire COPY round trip must be value-invisible: read-back ≡
+    // the clean rules applied directly to the parquet source
+    "ref_pg_copy" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
     // DB-side SERIAL ids were assigned in sorted-segment insert order →
     // row_number over the sorted distinct segment list replays them
     "ref_pg_runtime" ->

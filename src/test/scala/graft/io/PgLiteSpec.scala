@@ -110,4 +110,41 @@ class PgLiteSpec extends SparkSpec {
       c.close()
     } finally server.stop()
   }
+
+  it should "bulk-load through the COPY protocol with escapes, nulls, and constraints" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE SCHEMA silver")
+      c.query("CREATE TABLE silver.docs (id SERIAL PRIMARY KEY, k TEXT UNIQUE, v TEXT)")
+      // hostile payloads: tab, newline, backslash, plus a NULL field
+      val rows = Seq(
+        Seq(Some("a"), Some("plain")),
+        Seq(Some("b"), Some("tab\there and line\nbreak and back\\slash")),
+        Seq(Some("c"), None))
+      c.copyIn("COPY silver.docs (k, v) FROM STDIN", rows) shouldBe "COPY 3"
+      val back = c.query("SELECT id, k, v FROM silver.docs ORDER BY k")
+      back.rows shouldBe Seq(
+        Seq(Some("1"), Some("a"), Some("plain")),
+        Seq(Some("2"), Some("b"), Some("tab\there and line\nbreak and back\\slash")),
+        Seq(Some("3"), Some("c"), None))
+      // constraint violation mid-batch: all-or-nothing, table unchanged
+      val dup = intercept[c.PgServerError](c.copyIn(
+        "COPY silver.docs (k, v) FROM STDIN",
+        Seq(Seq(Some("z"), Some("x")), Seq(Some("a"), Some("dup")))))
+      dup.code shouldBe "23505"
+      c.query("SELECT k FROM silver.docs").rows.length shouldBe 3
+      // serials continue after the bulk batch
+      val nxt = c.query("INSERT INTO silver.docs (k, v) VALUES ('d', 'x') RETURNING id")
+      nxt.rows.head.head.get shouldBe "4"
+      // COPY into a missing relation errors BEFORE CopyInResponse
+      intercept[c.PgServerError](c.copyIn(
+        "COPY silver.nope (k) FROM STDIN", Seq(Seq(Some("x")))))
+        .code shouldBe "42P01"
+      // the connection survives all of the above
+      c.query("SELECT k FROM silver.docs").rows.length shouldBe 4
+      c.close()
+    } finally server.stop()
+  }
 }
