@@ -28,16 +28,28 @@ object StageMemo {
   private val KeyFile = "_stage_key"
 
   /** Fingerprint of input paths (files or directories, local fs):
-    * md5 over the sorted (path, length, mtime) census. Listing-only —
-    * never reads data bytes; the testdata snapshot rewrites mtimes when
-    * it changes, which is the drift signal this keys on. */
-  def fingerprint(inputs: Seq[String]): String = {
+    * md5 over the sorted (path, length, mtime) census, SALTED with the
+    * caller's builder-version string. Listing-only — never reads data
+    * bytes; the testdata snapshot rewrites mtimes when it changes,
+    * which is the drift signal this keys on.
+    *
+    * `version` names the BUILDER, not the inputs: staged artifacts
+    * under target/ outlive commits, so a builder-logic or parameter
+    * change (index k, history format, model layout) must invalidate
+    * the stamp even when the inputs did not move — bump the call
+    * site's version string with the builder. Missing input paths fail
+    * fast instead of silently fingerprinting as an empty census. */
+  def fingerprint(inputs: Seq[String], version: String): String = {
     def walk(f: File): Seq[File] =
       if (f.isDirectory)
         Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
       else Seq(f)
-    val lines = inputs.sorted.flatMap(p => walk(new File(p)))
-      .map(f => s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+    inputs.foreach { p =>
+      require(new File(p).exists(), s"StageMemo input missing: $p")
+    }
+    val lines = (s"builder=$version" +: inputs.sorted
+      .flatMap(p => walk(new File(p)))
+      .map(f => s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}"))
     val md = MessageDigest.getInstance("MD5")
     md.update(lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
     md.digest().map("%02x".format(_)).mkString

@@ -107,6 +107,16 @@ final class PgLiteClient(host: String, port: Int,
           tags += new String(payload, 0, payload.length - 1, UTF_8)
         case 'E' => err = parseError(payload)
         case 'I' | 'N' | 'S' => ()
+        case 'G' =>
+          // CopyInResponse through query(): abort the COPY cleanly
+          // (CopyFail) and resynchronize to ReadyForQuery, so the
+          // connection survives the caller's mistake.
+          val reason = "COPY FROM STDIN requires copyIn()".getBytes(UTF_8)
+          out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+          out.write(reason); out.writeByte(0); out.flush()
+          drainToReady()
+          throw new IllegalStateException(
+            "query(): statement is COPY ... FROM STDIN — use copyIn()")
         case 'Z' => ready = true
         case other => throw new IllegalStateException(s"query: unexpected '$other'")
       }

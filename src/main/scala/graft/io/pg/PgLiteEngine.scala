@@ -230,9 +230,14 @@ final class PgLiteEngine {
         val oi = cols.indexWhere(_.name == ob)
         if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
         val numeric = Set(23, 20, 701, 1700)(oidOf(cols(oi).pgType))
+        // Option-aware ordering: SQL NULLs sort LAST (Postgres default
+        // for ASC), never fed to BigDecimal/String comparison.
         rows =
-          if (numeric) rows.sortBy(r => BigDecimal(r(oi)))
-          else rows.sortBy(_(oi))
+          if (numeric)
+            rows.sortBy(r => (r(oi) == null,
+              BigDecimal(Option(r(oi)).getOrElse("0"))))
+          else rows.sortBy(r => (r(oi) == null,
+            Option(r(oi)).getOrElse("")))
       }
       Result(cols, rows, s"SELECT ${rows.length}")
     }

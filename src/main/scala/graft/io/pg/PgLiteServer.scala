@@ -216,7 +216,14 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     }
     fail.foreach(msg => throw PgLiteEngine.PgError("57014", s"COPY failed: $msg"))
     val text = new String(buf.toByteArray, UTF_8)
-    val rows = text.split("\n", -1).toSeq.filter(_.nonEmpty).map(decodeCopyRow)
+    // Split keeping empties: a single-column table's empty line IS a
+    // valid row (one empty-string field) in Postgres text format; only
+    // the final empty element produced by the trailing \n is dropped.
+    val parts = text.split("\n", -1)
+    val lines =
+      if (parts.nonEmpty && parts.last.isEmpty) parts.toSeq.dropRight(1)
+      else parts.toSeq
+    val rows = lines.map(decodeCopyRow)
     engine.copyRows(table, cols, rows)
   }
 

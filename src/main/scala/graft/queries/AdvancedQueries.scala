@@ -534,7 +534,8 @@ object AdvancedQueries {
     // fold MUTATES the history tree in place
     val stage = s"target/stage-scd-stream-$slug"
     graft.io.StageMemo.cachedDir(s, stage,
-      graft.io.StageMemo.fingerprint(Seq(s"$dir/orders.parquet"))) {
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/orders.parquet"),
+        "scd-stream-hist-v1")) {
       val hist = graft.etl.Scd.scd2FromEvents(
         o.filter(col("o_orderdate") < cut),
         col("o_custkey"), col("o_orderdate"),
@@ -946,6 +947,10 @@ object AdvancedQueries {
     * so the memoized reference stays valid across queries. */
   private val pagerankCache = new java.util.concurrent.ConcurrentHashMap[
     String, (DataFrame, Seq[(Int, Long, Long)])]()
+  /** Memo key + stale-app eviction. MUST be called OUTSIDE any
+    * `computeIfAbsent` mapping function: `removeIf` during a compute
+    * violates ConcurrentHashMap's recursive-update prohibition. Callers
+    * compute the key once up front and pass it down. */
   private def graphMemoKey(s: SparkSession,
       caches: Seq[java.util.concurrent.ConcurrentHashMap[String, _]],
       dir: String): String = {
@@ -964,19 +969,26 @@ object AdvancedQueries {
   private val edgesCache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def directedEdges(s: SparkSession, dir: String): DataFrame =
-    edgesCache.computeIfAbsent(
-      graphMemoKey(s, Seq(edgesCache, pagerankCache), dir), _ =>
-        graft.ops.Graph.directedInteractionEdges(
-          Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
-          .localCheckpoint(true))
+    directedEdgesAt(graphMemoKey(s, Seq(edgesCache, pagerankCache), dir),
+      s, dir)
+
+  /** Eviction-free inner lookup: `key` was computed (and stale apps
+    * purged) by the caller, so this is safe inside computeIfAbsent. */
+  private def directedEdgesAt(key: String, s: SparkSession,
+      dir: String): DataFrame =
+    edgesCache.computeIfAbsent(key, _ =>
+      graft.ops.Graph.directedInteractionEdges(
+        Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
+        .localCheckpoint(true))
 
   private def pagerankRun(s: SparkSession,
-      dir: String): (DataFrame, Seq[(Int, Long, Long)]) =
-    pagerankCache.computeIfAbsent(
-      graphMemoKey(s, Seq(edgesCache, pagerankCache), dir), _ =>
-        graft.ops.Graph.pageRankWithMass(
-          graft.ops.Graph.symmetricFromDirected(directedEdges(s, dir)),
-          iters = 6))
+      dir: String): (DataFrame, Seq[(Int, Long, Long)]) = {
+    val key = graphMemoKey(s, Seq(edgesCache, pagerankCache), dir)
+    pagerankCache.computeIfAbsent(key, _ =>
+      graft.ops.Graph.pageRankWithMass(
+        graft.ops.Graph.symmetricFromDirected(directedEdgesAt(key, s, dir)),
+        iters = 6))
+  }
 
   private def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graft.ops.Graph.pageRankTopFrom(pagerankRun(s, dir)._1, k = 20)

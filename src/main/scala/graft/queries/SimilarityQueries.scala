@@ -208,7 +208,7 @@ object SimilarityQueries {
     val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val root = s"target/stage-$name-$slug"
     graft.io.StageMemo.cachedDir(s, root,
-      graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"))) {
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"), s"truth-$name-v1")) {
       build.write.parquet(s"$root/truth")
     }
     s.read.parquet(s"$root/truth")
@@ -360,7 +360,7 @@ object SimilarityQueries {
       // function of the embeddings table — the epoch contract writeAnnIndex
       // documents, now honored by the harness too
       graft.io.StageMemo.cachedDir(s, p,
-        graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"))) {
+        graft.io.StageMemo.fingerprint(Seq(s"$dir/embeddings.parquet"), "ann-index-k16-lloyd3-v1")) {
         Similarity.writeAnnIndex(e, p, k = 16, lloydIters = 3,
           preTrained = trainedCents(s, dir))
       }

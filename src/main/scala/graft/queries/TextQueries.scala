@@ -397,7 +397,7 @@ object TextQueries {
     // pure function of the documents table — the once-per-epoch train
     // contract; the indexed scoring still runs per invocation
     graft.io.StageMemo.cachedDir(s, base,
-      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"))) {
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"), "lm-model-v1")) {
       graft.ops.LangModel.writeLmModel(d, col("text"), base)
     }
     graft.ops.LangModel.lmScoresIndexed(d, col("text"), col("doc_id"), base)
@@ -412,7 +412,7 @@ object TextQueries {
     val base = s"target/tmp-dsir-index-$slug"
     val d = docs(s, dir)
     graft.io.StageMemo.cachedDir(s, base,
-      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"))) {
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"), "dsir-models-v1")) {
       graft.ops.LangModel.writeLmModel(d, col("text"), s"$base/raw")
       graft.ops.LangModel.writeLmModel(
         d.filter(col("lang") === "en"), col("text"), s"$base/tgt")
@@ -442,7 +442,7 @@ object TextQueries {
     val base = s"target/tmp-lm-incr-$slug"
     val d = docs(s, dir)
     graft.io.StageMemo.cachedDir(s, base,
-      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"))) {
+      graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"), "lm-incr-v1")) {
       val isFirst = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
       graft.ops.LangModel.writeLmModel(d.filter(isFirst), col("text"), s"$base/model")
       graft.ops.LangModel.appendLmModel(d.filter(!isFirst), col("text"), s"$base/model")
@@ -1421,7 +1421,7 @@ object TextQueries {
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/tmp-search-index-$slug"
       graft.io.StageMemo.cachedDir(s, base,
-        graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"))) {
+        graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"), "search-index-v1")) {
         graft.ops.Retrieval.writeSearchIndex(docs(s, dir), "text", "doc_id", base)
       }
       graft.ops.Retrieval.searchIndexed(s, base, q = 3, k = 5)
@@ -1431,7 +1431,7 @@ object TextQueries {
       val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
       val base = s"target/tmp-search-incr-$slug"
       graft.io.StageMemo.cachedDir(s, base,
-        graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"))) {
+        graft.io.StageMemo.fingerprint(Seq(s"$dir/documents.parquet"), "search-incr-v1")) {
         val d = docs(s, dir)
         val isFirst = substring(md5(col("doc_id").cast("string")), 1, 1) < "8"
         graft.ops.Retrieval.writeSearchIndex(d.filter(isFirst), "text", "doc_id", base, batch = 0)

@@ -147,4 +147,55 @@ class PgLiteSpec extends SparkSpec {
       c.close()
     } finally server.stop()
   }
+
+  it should "keep empty-string rows in single-column COPY (Postgres text format)" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE lines (s TEXT)")
+      // an empty line IS a valid row: one empty-string field — must not
+      // be silently dropped (r14 ADVICE, PgLiteServer COPY decode)
+      val rows = Seq(Seq(Some("x")), Seq(Some("")), Seq(Some("y")), Seq(Some("")))
+      c.copyIn("COPY lines (s) FROM STDIN", rows) shouldBe "COPY 4"
+      val back = c.query("SELECT s FROM lines ORDER BY s")
+      back.rows shouldBe Seq(
+        Seq(Some("")), Seq(Some("")), Seq(Some("x")), Seq(Some("y")))
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "sort SQL NULLs last in ORDER BY, numeric and text" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (n INTEGER, s TEXT)")
+      c.query("INSERT INTO t (n, s) VALUES (2, 'b')")
+      c.query("INSERT INTO t (n, s) VALUES (NULL, NULL)")
+      c.query("INSERT INTO t (n, s) VALUES (1, 'a')")
+      // Postgres ASC default is NULLS LAST; must not crash (r14 ADVICE)
+      c.query("SELECT n FROM t ORDER BY n").rows shouldBe
+        Seq(Seq(Some("1")), Seq(Some("2")), Seq(None))
+      c.query("SELECT s FROM t ORDER BY s").rows shouldBe
+        Seq(Seq(Some("a")), Seq(Some("b")), Seq(None))
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "abort a COPY issued through query() with CopyFail and stay usable" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE cp (k TEXT)")
+      // wrong entry point: must not desync the connection (r14 ADVICE)
+      intercept[IllegalStateException](
+        c.query("COPY cp (k) FROM STDIN")).getMessage should include("copyIn")
+      // connection resynchronized: normal traffic still works
+      c.query("INSERT INTO cp (k) VALUES ('ok')")
+      c.query("SELECT k FROM cp").rows shouldBe Seq(Seq(Some("ok")))
+      c.close()
+    } finally server.stop()
+  }
 }

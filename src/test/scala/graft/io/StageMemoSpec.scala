@@ -20,7 +20,7 @@ class StageMemoSpec extends SparkSpec {
       builds += 1
       Files.writeString(Paths.get(dir, "artifact"), s"v$builds")
     }
-    val key = StageMemo.fingerprint(Seq(in))
+    val key = StageMemo.fingerprint(Seq(in), "spec-v1")
     StageMemo.cachedDir(spark, dir, key)(build())
     StageMemo.cachedDir(spark, dir, key)(build())
     builds shouldBe 1
@@ -37,12 +37,12 @@ class StageMemoSpec extends SparkSpec {
       builds += 1
       Files.writeString(Paths.get(dir, s"artifact$builds"), "x")
     }
-    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in)))(build())
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "spec-v1"))(build())
     // content + mtime change → new fingerprint → rebuild; the stale
     // artifact must be GONE (cachedDir clears before building)
     Files.writeString(f, "alpha-changed")
     f.toFile.setLastModified(f.toFile.lastModified() + 5000)
-    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in)))(build())
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "spec-v1"))(build())
     builds shouldBe 2
     Files.exists(Paths.get(dir, "artifact1")) shouldBe false
     Files.exists(Paths.get(dir, "artifact2")) shouldBe true
@@ -55,12 +55,32 @@ class StageMemoSpec extends SparkSpec {
     // simulate a crash: artifact present, stamp never written
     Files.writeString(Paths.get(dir, "artifact"), "halfway")
     var builds = 0
-    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in))) {
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "spec-v1")) {
       builds += 1
       Files.writeString(Paths.get(dir, "artifact"), "complete")
     }
     builds shouldBe 1
     Files.readString(Paths.get(dir, "artifact")) shouldBe "complete"
+  }
+
+  it should "rebuild when the builder version bumps, even with unchanged inputs" in {
+    val in = freshDir("memo-ver-in")
+    Files.writeString(Paths.get(in, "a.txt"), "alpha")
+    val dir = freshDir("memo-ver-out")
+    var builds = 0
+    def build(): Unit = { builds += 1 }
+    // stale-artifact hazard (r14 ADVICE): target/ outlives commits, so
+    // builder-logic changes must invalidate the stamp via the salt
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "v1"))(build())
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "v1"))(build())
+    builds shouldBe 1
+    StageMemo.cachedDir(spark, dir, StageMemo.fingerprint(Seq(in), "v2"))(build())
+    builds shouldBe 2
+  }
+
+  it should "fail fast on a missing input path instead of fingerprinting empty" in {
+    intercept[IllegalArgumentException](
+      StageMemo.fingerprint(Seq("/nonexistent/nope.parquet"), "v1"))
   }
 
   behavior of "StageMemo.copyTree"
