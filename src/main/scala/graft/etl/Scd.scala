@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Warehouse history maintenance (round-11): the three operators that
   * turn the reference's recreate-everything gold stage
@@ -118,12 +119,12 @@ object Scd {
       .select((keyCol +: "version" +: "effective_from" +: "effective_to" +:
         "is_current" +: tracked).map(col): _*)
       .withColumnRenamed("version", "__bv")
-      .localCheckpoint(true)
-    val touched = batchHist.select(col(keyCol)).distinct().localCheckpoint(true)
+      .checkpointLinted()
+    val touched = batchHist.select(col(keyCol)).distinct().checkpointLinted()
 
     val current = history.filter(col("is_current"))
       .join(touched, Seq(keyCol), "left_semi")
-      .localCheckpoint(true) // touched-keys-sized; reread by guard + stitch
+      .checkpointLinted() // touched-keys-sized; reread by guard + stitch
     val untouched = history.join(touched, Seq(keyCol), "left_anti")
     val closedTouched = history.filter(!col("is_current"))
       .join(touched, Seq(keyCol), "left_semi")

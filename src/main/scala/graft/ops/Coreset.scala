@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.tools.Ckpt._
 
 /** Greedy k-center coreset selection (Gonzalez 1985) over an
   * embedding column — the diversity-driven data-selection pass a
@@ -70,7 +71,7 @@ object Coreset {
     var work = emb
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("mind", dist2(col("v"), center))
-      .localCheckpoint(true)
+      .checkpointLinted()
     var r = 2
     while (r <= k) {
       val top = work
@@ -86,7 +87,7 @@ object Coreset {
       if (r < k)
         work = work
           .withColumn("mind", least(col("mind"), dist2(col("v"), center)))
-          .localCheckpoint(true)
+          .checkpointLinted()
       r += 1
     }
     selected.result()
@@ -181,7 +182,7 @@ object Coreset {
       .filter(col(idCol) =!= probeId)
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .withColumn("d2q", dist2(col("v"), probe))
-      .localCheckpoint(true)
+      .checkpointLinted()
     def hop(d: java.math.BigDecimal): Double =
       java.lang.Double.parseDouble(d.toPlainString)
     // round 1: most relevant
@@ -199,7 +200,7 @@ object Coreset {
         .withColumn("mind",
           if (r == 2) dist2(col("v"), center)
           else least(col("mind"), dist2(col("v"), center)))
-        .localCheckpoint(true)
+        .checkpointLinted()
       val top = work
         .filter(!col("id").isin(picked.map(Long.box): _*))
         .select(col("id"), col("d2q"), col("mind"),

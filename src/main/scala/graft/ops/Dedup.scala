@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Document deduplication for training-data pipelines (build brief):
   * exact (hash-groupBy), MinHash + LSH banding, SimHash, and exact
@@ -230,7 +231,7 @@ object Dedup {
     // ran after this one in the round-2 bench
     val out = verifyJaccard(cands, shingled)
       .filter(col("jaccard") >= threshold)
-      .localCheckpoint(true)
+      .checkpointLinted()
     shingled.unpersist()
     out
   }
@@ -254,7 +255,7 @@ object Dedup {
     val out = ngramJaccardFrame(shingled, threshold)
       // small result, materialized eagerly so the shingle cache is
       // released at return instead of leaking for the session lifetime
-      .localCheckpoint(true)
+      .checkpointLinted()
     shingled.unpersist()
     out
   }
@@ -427,7 +428,7 @@ object Dedup {
     val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
     val out = incrementalPairs(corpusIndex, newIndex,
         corpusShingled.union(newShingled), threshold)
-      .localCheckpoint(true)
+      .checkpointLinted()
     corpusShingled.unpersist()
     newShingled.unpersist()
     newIndex.unpersist()
@@ -588,7 +589,7 @@ object Dedup {
     val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
     val out = incrementalPairs(corpusIndex, newIndex,
         corpusShingles.union(newShingled), threshold)
-      .localCheckpoint(true)
+      .checkpointLinted()
     newShingled.unpersist()
     newIndex.unpersist()
     out
@@ -873,7 +874,7 @@ object Dedup {
     // appears twice below, and without the cut the upstream pair-mining
     // pipeline (e.g. the whole MinHash DAG) would execute twice
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     if (fwd.count() <= maxLocalEdges) return localComponents(fwd)
     // high-diameter graphs route to the O(log²) star contraction —
     // same output, rounds independent of diameter
@@ -881,9 +882,9 @@ object Dedup {
       return connectedComponentsStars(fwd, "src", "dst", maxIters)
     require(algorithm == "label", s"unknown components algorithm '$algorithm'")
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
+      .distinct().checkpointLinted()
     var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")).localCheckpoint(true)
+      .select(col("id"), col("id").as("comp")).checkpointLinted()
     def checksum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("comp").cast("decimal(30,0)"))).head().getDecimal(0)
     var prev = checksum(labels)
@@ -895,7 +896,7 @@ object Dedup {
         .groupBy(col("id")).agg(min(col("comp")).as("nbr"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), least(col("comp"), col("nbr")).as("comp"))
-        .localCheckpoint(true)
+        .checkpointLinted()
       val cur = checksum(next)
       done = java.util.Objects.equals(prev, cur)
       prev = cur
@@ -962,10 +963,10 @@ object Dedup {
     var edges = pairs.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct().checkpointLinted()
     val nodes = edges.select(col("a").as("id"))
       .union(edges.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true)
+      .checkpointLinted()
     def checksum(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("a").cast("decimal(30,0)")),
@@ -986,7 +987,7 @@ object Dedup {
       val large = sym.join(mins, Seq("u"))
         .filter(col("v") > col("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .distinct().localCheckpoint(true)
+        .distinct().checkpointLinted()
       // small-star on the oriented edges: every node and its smaller
       // neighbors re-point at its minimum neighbor (all parents < a,
       // so outputs stay canonical; b === m rows would be self-loops)
@@ -995,7 +996,7 @@ object Dedup {
         .filter(col("b") =!= col("m"))
         .select(col("b").as("a"), col("m").as("b"))
         .union(pmins.select(col("a"), col("m").as("b")))
-        .distinct().localCheckpoint(true)
+        .distinct().checkpointLinted()
       large.unpersist()
       val cur = checksum(next)
       // checksum equality is necessary but NOT sufficient for a

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Entity resolution (round-11): fuzzy matching of string entities —
   * the "are `cold widget` and `bold widget` the same product?" problem
@@ -68,7 +69,7 @@ object Entities {
   def resolve(
       df: DataFrame, idCol: Column, nameCol: Column, maxDist: Int,
       blockFn: Column => Column = lastWordBlock): DataFrame = {
-    val cat = catalog(df, idCol, nameCol).localCheckpoint(true)
+    val cat = catalog(df, idCol, nameCol).checkpointLinted()
     val pairs = fuzzyPairs(cat, maxDist, blockFn)
     Dedup.dedupDecision(cat, pairs, "entity_id", "id_a", "id_b")
       .withColumnRenamed("doc_id", "entity_id")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Exact GLOBAL ranking without a single-partition window — the
   * distributed replacement for `row_number().over(Window.orderBy(...))`
@@ -58,7 +59,7 @@ object GlobalRank {
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__grk_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .checkpointLinted()
     val sizes = ranged.groupBy(col("__grk_pid")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Link-graph centrality — the crawl-prioritization pass of a
   * pretraining data pipeline (PageRank over the domain/link graph,
@@ -103,7 +104,7 @@ object Graph {
     val base = (15L * Scale / 100L) / n
     var pr = deg.select(col("src").as("node"))
       .withColumn("pr", lit(Scale / n))
-      .localCheckpoint(true)
+      .checkpointLinted()
     ewd.count() // materialize off the cached e before dropping it
     deg.unpersist()
     e.unpersist()
@@ -116,7 +117,7 @@ object Graph {
         .agg(sum(col("c")).as("csum"))
         .select(col("dst").as("node"),
           expr(s"${base}L + (85L * csum) div 100L").as("pr"))
-        .localCheckpoint(true)
+        .checkpointLinted()
       audit(r, pr)
       r += 1
     }
@@ -215,7 +216,7 @@ object Graph {
       // quotient); sum in DECIMAL: Σ_v raw(v) = Σ_u score(u)·deg(u)
       // can pass 2⁶³ on hub-heavy graphs even though each raw(v) fits
       // a long
-      val raw = raw0.localCheckpoint(true)
+      val raw = raw0.checkpointLinted()
       val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("s"))
       raw.crossJoin(broadcast(s))
         .select(col("node"),
@@ -223,7 +224,7 @@ object Graph {
             .as(out))
     }
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(Scale / nSrc)).localCheckpoint(true)
+      .withColumn("h", lit(Scale / nSrc)).checkpointLinted()
     var a: DataFrame = null
     var r = 1
     while (r <= iters) {

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Statistical-LM document quality scoring (round-11) — the
   * CCNet/Gopher-style perplexity filter: score each document by the
@@ -170,7 +171,7 @@ object LangModel {
           .select(explode(Text.ngramsAll(col("ts"), 2)).as("bigram"))
           .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
           .withColumn("w1", substring_index(col("bigram"), " ", 1))
-          .localCheckpoint(true) // one census scan feeds cut + totals
+          .checkpointLinted() // one census scan feeds cut + totals
         // vocab-sized context totals; collected map ∝ vocab, never vocab²
         val c1 = new java.util.HashMap[String, Long]()
         census.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -320,7 +321,7 @@ object LangModel {
     val docBi = docs.select(idCol.as("doc_id"),
       explode(Text.ngramsAll(Text.tokens(textCol), 2)).as("bigram"))
       .groupBy(col("doc_id"), col("bigram")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val bi = docBi.groupBy(col("bigram")).agg(sum(col("c")).as("c12"))
       .withColumn("w1", substring_index(col("bigram"), " ", 1))
     val uni = bi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -420,7 +421,7 @@ object LangModel {
     vocab0.write.parquet(s"$staging/vocab")
     val census = spark.read.parquet(s"$staging/census")
     val uni = census.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-      .localCheckpoint(true) // vocab-sized; feeds model + unk
+      .checkpointLinted() // vocab-sized; feeds model + unk
     val v = spark.read.parquet(s"$staging/vocab").count()
     val kept = topK match {
       case Some(k) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import graft.io.Fs
+import graft.tools.Ckpt._
 
 /** Incremental materialized-view maintenance (round-11): keep a
   * per-group aggregate table current as batches arrive, WITHOUT
@@ -64,7 +65,7 @@ object MatView {
   /** Fold accumulated partials into one `batch=-1` epoch (values
     * unchanged — fold associativity), bounding future read cost. */
   def compact(spark: SparkSession, path: String): Unit = {
-    val folded = readMatView(spark, path).localCheckpoint(true)
+    val folded = readMatView(spark, path).checkpointLinted()
     val tmp = path + ".next"
     folded.write.mode("overwrite").parquet(s"$tmp/batch=-1")
     Fs.replaceDir(spark, tmp, path)

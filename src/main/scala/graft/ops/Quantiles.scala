@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Deterministic two-pass histogram quantiles — the 100 TB alternative
   * to both the exact per-group sort (`percentile` holds every group
@@ -142,7 +143,7 @@ object Quantiles {
     // once so each pass re-reads 16 bytes/row, not the source scan
     val vals = df.select(groupCol.as("g"), valueCol.cast("long").as("v"))
       .filter(col("v").isNotNull)
-      .localCheckpoint(true)
+      .checkpointLinted()
 
     var state = vals.groupBy(col("g")).agg(
       min(col("v")).as("lo"), max(col("v")).as("hi"),

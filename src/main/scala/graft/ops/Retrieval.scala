@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Full-text retrieval over a PERSISTED inverted index — the search
   * side of the corpus tooling (inspect/debug/eval lookups over a
@@ -171,7 +172,7 @@ object Retrieval {
       .select(col("doc_id"),
         explode(graft.ops.Text.ngramsAll(col("ts"), n)).as("term"))
       .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val vocab = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -268,7 +269,7 @@ object Retrieval {
     val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
     val bm25 = searchFrames(post, dl, vocab, stats,
       headTermQueries(vocab, q), depth)
-      .localCheckpoint(true) // q·depth rows, consumed twice below
+      .checkpointLinted() // q·depth rows, consumed twice below
     val ev = emb.select(col(vecIdCol).cast("long").as("doc_id"),
       col(embCol).as("v"))
     // a vector store rarely covers the whole corpus: the probe is the
@@ -447,7 +448,7 @@ object Retrieval {
     val stats = spark.read.parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val out = searchFrames(post, dl, vocab, stats, queries, k)
-      .localCheckpoint(true)
+      .checkpointLinted()
     queries.unpersist()
     out
   }

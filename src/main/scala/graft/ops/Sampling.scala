@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Deterministic sampling operators for training-data curation.
   *
@@ -213,7 +214,7 @@ object Sampling {
       .repartitionByRange(col(scoreCol).desc, col(idCol))
       .sortWithinPartitions(col(scoreCol).desc, col(idCol))
       .withColumn("__sel_pid", spark_partition_id())
-      .localCheckpoint(true)
+      .checkpointLinted()
     val totals = skinny.groupBy(col("__sel_pid"))
       .agg(sum(col(tokCol).cast("long")).as("t")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

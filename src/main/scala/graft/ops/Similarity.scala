@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.catalyst.expressions.XXH64
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.tools.Ckpt._
 
 /** Embedding similarity search (build brief): exact cosine in decimal
   * arithmetic (oracle-reproducible), brute-force top-k, near-duplicate
@@ -242,7 +243,7 @@ object Similarity {
         cosExact(col("ea"), col("eb"), col("n2a"), col("n2b")))
       .filter(col("cos") >= lit(tau))
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     graft.ops.Dedup.dedupDecision(
         assign.select(col("vec_id")), pairs, "vec_id",
         aCol = "id_a", bCol = "id_b")
@@ -301,7 +302,7 @@ object Similarity {
       .withColumn("__sd_nd", sqrt(aggregate(
         transform(col("embedding"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val touched = bAssign.select(col("centroid_id")).distinct()
     // partition-column join → only the touched cluster partitions of
     // the persisted assignment are listed/read
@@ -404,7 +405,7 @@ object Similarity {
       .withColumn("__sd_rn", row_number().over(aw))
       .filter(col("__sd_rn") === 1)
       .select(col("vec_id"), col("embedding"), col("sid").as("centroid_id"))
-      .localCheckpoint(true)
+      .checkpointLinted()
   }
 
   /** Near-duplicate pairs by cosine ≥ threshold. Two-phase:
@@ -672,7 +673,7 @@ object Similarity {
       // the big cached row set can be released immediately — without
       // this, every ANN call leaked a corpus-sized cache entry for the
       // session lifetime
-      .localCheckpoint(true)
+      .checkpointLinted()
     cached.unpersist()
     bests
   }
@@ -898,7 +899,7 @@ object Similarity {
         }
       }
       .toDF("qid", "cid", "dot")
-      .localCheckpoint(true)
+      .checkpointLinted()
     cached.unpersist()
     bests
   }
@@ -1573,7 +1574,7 @@ object Similarity {
         }
       }
       .toDF("qid", "cid", "dot")
-      .localCheckpoint(true)
+      .checkpointLinted()
     cached.unpersist()
     bests
   }
@@ -1860,7 +1861,7 @@ object Similarity {
       }
       // the probed-list set feeds a partition-pruning filter below and
       // the coded rows feed the kernel — materialize once
-      .localCheckpoint(true)
+      .checkpointLinted()
     // ≤ k distinct values by construction (metadata-sized, NOT
     // data-sized): collecting them turns the candidate read into a
     // partition-pruned scan — lists no query probes are never touched

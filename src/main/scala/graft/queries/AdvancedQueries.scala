@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.SkewJoin
 import graft.ops.Similarity.decToDouble
+import graft.tools.Ckpt._
 
 /** Second wave of relational capability: skew-salted joins, exact
   * percentiles, moment-based variance, range window frames, pivot, and
@@ -496,7 +497,7 @@ object AdvancedQueries {
       // scd2Apply's contract input is a MATERIALIZED history table (in
       // production it is read from storage); cut the build pipeline's
       // lineage so the apply's three branch reads don't re-window it
-      .localCheckpoint(true)
+      .checkpointLinted()
     graft.etl.Scd.scd2Apply(hist, o.filter(col("o_orderdate") >= cut),
       "o_custkey", "o_orderdate", Seq("o_orderpriority"), Seq("o_orderkey"))
       .select(col("o_custkey"), col("version"),
@@ -979,7 +980,7 @@ object AdvancedQueries {
     edgesCache.computeIfAbsent(key, _ =>
       graft.ops.Graph.directedInteractionEdges(
         Tables.t(s, dir, "lineitem"), Tables.t(s, dir, "orders"))
-        .localCheckpoint(true))
+        .checkpointLinted())
 
   private def pagerankRun(s: SparkSession,
       dir: String): (DataFrame, Seq[(Int, Long, Long)]) = {

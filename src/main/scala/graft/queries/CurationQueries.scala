@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Membership, Packing, Sampling, Sharding, Text}
+import graft.tools.Ckpt._
 
 /** Corpus-curation operators beyond the round-6 surface: per-source
   * caps, sequence packing, and Bloom-filter membership — each with a
@@ -47,11 +48,11 @@ object CurationQueries {
     // regex tokenize runs a single pass over the corpus
     val dd = docs(s, dir).select(col("doc_id"),
       size(Text.tokens(col("text"))).cast("long").as("toks"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     // consumed by three aggregates below — the doc-level frame is
     // (id, tok, bucket, bin) at 32 bytes/doc, checkpointed once
     val packed = Packing.packNextFit(dd, "doc_id", "toks", budget, buckets)
-      .localCheckpoint(true)
+      .checkpointLinted()
     val input = dd.agg(
       count(lit(1)).as("c_in"), sum(col("toks")).as("t_in"))
     val perDoc = packed.agg(
@@ -210,7 +211,7 @@ object CurationQueries {
     while (m < 16L * n) m <<= 1
     // m/64 rows — metadata-sized; checkpointed so the two probe paths
     // and the collect don't re-run the build aggregation
-    val bitsDf = Membership.bloomBits(d, "doc_id", m, k).localCheckpoint(true)
+    val bitsDf = Membership.bloomBits(d, "doc_id", m, k).checkpointLinted()
     val bits = Membership.collectBits(bitsDf, m)
     val presentBc = Membership.probeBroadcast(d, "doc_id", bits, m, k)
       .agg(count(lit(1)).as("n_probes"),
@@ -261,7 +262,7 @@ object CurationQueries {
     var m = 1L << 17
     while (m < 16L * n && m < (1L << 20)) m <<= 1
     val bitsDf = Membership
-      .bloomBits(d, "doc_id", m, k, Membership.md5Hash).localCheckpoint(true)
+      .bloomBits(d, "doc_id", m, k, Membership.md5Hash).checkpointLinted()
     val bits = Membership.collectBits(bitsDf, m)
     val absent = d.select((col("doc_id") + lit(1000000000000L)).as("doc_id"))
     def agg(side: String, kernel: String, probed: DataFrame): DataFrame =
@@ -351,8 +352,8 @@ object CurationQueries {
           "doc_id", m, k),
         Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 1),
           "doc_id", m, k))
-      .localCheckpoint(true)
-    val joint = Membership.bloomBits(d, "doc_id", m, k).localCheckpoint(true)
+      .checkpointLinted()
+    val joint = Membership.bloomBits(d, "doc_id", m, k).checkpointLinted()
     val mergeEq = merged.withColumnRenamed("bits", "mb")
       .join(joint.withColumnRenamed("bits", "jb"), Seq("word"), "full_outer")
       .agg(coalesce(

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
+import graft.tools.Ckpt._
 
 /** Embedding similarity-search queries over the `embeddings` table
   * (build brief §extensions). Cosines are exact-decimal (see
@@ -286,7 +287,7 @@ object SimilarityQueries {
       floor: Double): DataFrame = {
     val e = emb(s, dir)
     // one row per corpus vector, read twice (structure + recall join)
-    val ann = ann0.localCheckpoint(true)
+    val ann = ann0.checkpointLinted()
     val stats = ann.agg(
       count(lit(1)).as("n_res"),
       min(when(col("cid") =!= col("qid") &&
@@ -574,7 +575,7 @@ object SimilarityQueries {
     val e = emb(s, dir)
     // one row per (vector, rank), read three times below
     val topk = Similarity.lshAnnTopK(e, k = 3, planes = 4, tables = 8)
-      .localCheckpoint(true)
+      .checkpointLinted()
     val w = Window.partitionBy(col("qid")).orderBy(col("rnk"))
     val ordered = topk.withColumn("prev", lag(col("cos"), 1).over(w))
       .select(

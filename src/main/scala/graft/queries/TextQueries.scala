@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Dsir, Multimodal, Sampling, Similarity, Text}
 import graft.functions.PolyHash64
+import graft.tools.Ckpt._
 
 /** Text-analysis, deduplication, and multimodal queries over the
   * `documents` table (build brief §extensions; SURVEY.md §7.5).
@@ -249,7 +250,7 @@ object TextQueries {
   def simhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sigs = Dedup.simhash(docs(s, dir), "text", "doc_id")
       .filter(col("simhash").isNotNull)
-      .localCheckpoint(true) // 16 B per doc; feeds banded + brute sides
+      .checkpointLinted() // 16 B per doc; feeds banded + brute sides
     val banded = Dedup.hammingNearDups(sigs, "doc_id", "simhash", maxHamming = 3)
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
@@ -331,9 +332,9 @@ object TextQueries {
       // swaps the index dirs out from under their lazy plans
       val exact = Dedup.exactGroupsIncremental(
           s.read.parquet(s"$base/hashes"), probe, "text", "doc_id")
-        .select(col("doc_id"), col("status")).localCheckpoint(true)
+        .select(col("doc_id"), col("status")).checkpointLinted()
       val pairs = Dedup.minhashNearDupsIndexed(base, probe, "text", "doc_id", 0.8)
-        .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+        .select(col("doc_a"), col("doc_b")).checkpointLinted()
       (exact, pairs)
     }
     val (e1, p1) = decisions()
@@ -915,7 +916,7 @@ object TextQueries {
       .withColumn("stop_ratio", nStop.cast("double") / col("n_words").cast("double"))
       .filter(col("n_words") >= 5 && col("n_words") <= 10000 && col("stop_ratio") >= 0.01)
       .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val pairs = Dedup.minhashNearDups(ok, "text", "doc_id", 0.8)
     val keepIds = Dedup.dedupDecision(ok, pairs, "doc_id")
       .filter(col("keep")).select(col("doc_id"))
@@ -959,7 +960,7 @@ object TextQueries {
     val batchDec = graft.streaming.DocStreams
       .batchDecisions(batch, s"$base/index", "text", "doc_id", 0.8)
       .select(col("doc_id"), col("status").as("batch_status"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     batch.write.parquet(s"$base/in")
     val stream = s.readStream.schema(batch.schema).parquet(s"$base/in")
     val q = graft.streaming.DocStreams
@@ -998,7 +999,7 @@ object TextQueries {
     // — checkpoint so tokenize+explode runs once for the exact side,
     // not once per consumer (the Dedup cluster-census pattern)
     val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val n = tc.agg(sum(col("cnt")).as("n"))
     tc.crossJoin(n)
       .filter(col("cnt").cast("double") > col("n").cast("double") / k)
@@ -1032,7 +1033,7 @@ object TextQueries {
     // to folding the raw token stream because counter adds are abelian;
     // previously the sketch re-scanned every token)
     val tc = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      .checkpointLinted()
     val sk = tc
       .agg(graft.functions.CountMin.sketchWeighted(width, depth)(
         col("term"), col("cnt")).as("sk"))
@@ -1197,7 +1198,7 @@ object TextQueries {
     val d = docs(s, dir)
     val keepIds = graft.ops.QualityModel.scoredFrame(d)
       .filter(col("keep")).select(col("doc_id"))
-    val base = d.join(keepIds, "doc_id").localCheckpoint(true)
+    val base = d.join(keepIds, "doc_id").checkpointLinted()
     val kept = Sampling.mixtureResample(base, "lang", "doc_id",
       Seq("de", "en", "es", "fr", "zh").map(_ -> (1, 5)).toMap)
     val after = kept.groupBy(col("lang")).agg(
@@ -1234,14 +1235,14 @@ object TextQueries {
       .filter(col("n_words") >= 5 && col("n_words") <= 10000 &&
         col("stop_ratio") >= 0.01)
       .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
-      .localCheckpoint(true) // feeds eval shingles, cand shingles, AND stats
+      .checkpointLinted() // feeds eval shingles, cand shingles, AND stats
     val decisions = Dedup.decontaminate(
       ok.filter(h =!= "f"), ok.filter(h === "f"), "text", "doc_id", n = 4)
     // checkpointed: the mixture census (one action) and the returned
     // filter would otherwise each re-run the decontamination join
     val clean = ok.join(
         decisions.filter(!col("contaminated")).select(col("doc_id")), "doc_id")
-      .localCheckpoint(true)
+      .checkpointLinted()
     val kept = Sampling.mixtureResample(clean, "lang", "doc_id",
       Seq("de", "en", "es", "fr", "zh").map(_ -> (1, 5)).toMap)
     kept.groupBy(col("lang"))
@@ -1287,7 +1288,7 @@ object TextQueries {
     // checkpointed: the decision AND the audit both consume the mined
     // pair graph; without the cut the MinHash DAG would run twice
     val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
-      .localCheckpoint(true)
+      .checkpointLinted()
     val hx = substring(md5(col("cluster_id").cast("string")), 1, 1)
     val assigned = Dedup.dedupDecision(d, pairs, "doc_id")
       .withColumn("split",

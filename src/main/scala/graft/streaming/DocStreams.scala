@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.ops.Dedup
+import graft.tools.Ckpt._
 
 /** Streaming corpus ingest with per-micro-batch deduplication against a
   * PERSISTED dedup index — the streaming twin of the batch incremental
@@ -63,7 +64,7 @@ object DocStreams {
     val spark = batch.sparkSession
     val hashes = spark.read.parquet(s"$indexPath/hashes")
     val exact = Dedup.exactGroupsIncremental(hashes, batch, textCol, idCol)
-      .localCheckpoint(true) // small: one (id, hash, status) row per batch doc
+      .checkpointLinted() // small: one (id, hash, status) row per batch doc
     val exactNew = batch.join(
       exact.filter(col("status") === "new").select(col("doc_id").as(idCol)), idCol)
 
@@ -174,9 +175,9 @@ object DocStreams {
       .select(col("doc_id"), col("lang"), col("payload"))
       .as[graft.ops.Multimodal.MediaBlob]
     val sigs = graft.ops.Multimodal.blockhash64(spark, typed).toDF()
-      .localCheckpoint(true) // 16 B per batch doc; read 3× below
+      .checkpointLinted() // 16 B per batch doc; read 3× below
     val decisions = mediaBatchDecisions(sigs, indexPath, maxHamming)
-      .localCheckpoint(true)
+      .checkpointLinted()
     val keptIds = decisions.filter(col("status") === "kept")
       .select(col("doc_id"))
     batch.join(keptIds, "doc_id")
@@ -276,10 +277,10 @@ object DocStreams {
       textCol: String, idCol: String, threshold: Double,
       batchId: Long): Unit = {
     val decisions = batchDecisions(batch, indexPath, textCol, idCol, threshold)
-      .localCheckpoint(true) // one row per batch doc; read 3× below
+      .checkpointLinted() // one row per batch doc; read 3× below
     val survivors = batch.join(
       decisions.filter(col("status") === "kept").select(col("doc_id").as(idCol)), idCol)
-      .localCheckpoint(true)
+      .checkpointLinted()
     survivors.write.mode("overwrite").parquet(s"$sinkPath/docs/batch=$batchId")
     decisions.write.mode("overwrite")
       .parquet(s"$sinkPath/decisions/batch=$batchId")

@@ -3,6 +3,7 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.Similarity
+import graft.tools.Ckpt._
 
 /** Scratch: measured sampled-vs-full ANN recall per SF (floors for
   * q_ann_recall / q_ann_recall_sampled and the per-method gate rows of
@@ -29,14 +30,14 @@ object RecallProbe {
       val nVec = e.count()
       val truth = Similarity.bruteForceTop1Sampled(e, isQ)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-        .localCheckpoint(true)
+        .checkpointLinted()
       val truthAll = Similarity.bruteForceTop1All(e)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-        .localCheckpoint(true)
-      val lshTop1 = Similarity.lshAnnTop1(e, planes = 4, tables = 8).localCheckpoint(true)
-      val ivfTop1 = Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3).localCheckpoint(true)
-      val ivfSq8 = Similarity.ivfSq8AnnTop1(e).localCheckpoint(true)
-      val ivfPq = Similarity.ivfPqAnnTop1(e).localCheckpoint(true)
+        .checkpointLinted()
+      val lshTop1 = Similarity.lshAnnTop1(e, planes = 4, tables = 8).checkpointLinted()
+      val ivfTop1 = Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3).checkpointLinted()
+      val ivfSq8 = Similarity.ivfSq8AnnTop1(e).checkpointLinted()
+      val ivfPq = Similarity.ivfPqAnnTop1(e).checkpointLinted()
       val (nl, lsh) = recall(truth, lshTop1)
       val (_, ivf) = recall(truth, ivfTop1)
       val (_, sq8) = recall(truth, Similarity.int8AnnTop1Sampled(e, isQ))
@@ -50,7 +51,7 @@ object RecallProbe {
         f"ivf_sq8_full=$isq8F%.4f ivf_pq_full=$ipqF%.4f")
 
       // structural facts the per-method gate rows assert
-      val topk = Similarity.lshAnnTopK(e, k = 3, planes = 4, tables = 8).localCheckpoint(true)
+      val topk = Similarity.lshAnnTopK(e, k = 3, planes = 4, tables = 8).checkpointLinted()
       val perQ = topk.groupBy(col("qid"))
         .agg(count(lit(1)).as("n"), max(col("rnk")).as("maxr"),
           countDistinct(col("cid")).as("nd"))
@@ -78,7 +79,7 @@ object RecallProbe {
       val idxTopk = Similarity.annIndexTopK(idxBase, qs, topK = 4, nprobe = 16)
         .select((col("qid") - shift).as("qid"), col("cid"), col("cos"))
         .filter(col("cid") =!= col("qid"))
-        .localCheckpoint(true)
+        .checkpointLinted()
       val idxHit = truth.join(idxTopk, Seq("qid"), "left")
         .filter(col("cid") === col("tcid") || col("cos") === col("tcos"))
         .select(col("qid")).distinct().count()
@@ -100,7 +101,7 @@ object RecallProbe {
       val n = e.count()
       val truth = Similarity.bruteForceTop1Sampled(e, isQ)
         .select(col("qid"), col("cid").as("tcid"), col("cos").as("tcos"))
-        .localCheckpoint(true)
+        .checkpointLinted()
       val k = Similarity.ivfListsFor(n)
       val planes = Similarity.lshPlanesFor(n)
       val (nq, ivfFixed) = recall(truth, Similarity.ivfAnnTop1(e, k = 16, nprobe = 4))
