@@ -1,0 +1,167 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.io.Sinks
+import graft.io.pg.PgLiteClient
+
+/** The gold star schema written through the LIVE wire-v3 endpoint
+  * (VERDICT r15 task 4): the reference's actual Postgres protocol —
+  * CREATE SCHEMA/TABLE with SERIAL surrogate keys
+  * (dags/dag_etl_minio_to_postgres.py:413-551), row-at-a-time
+  * `INSERT … RETURNING id` capture (the id_mapping dict, :125-138,
+  * :478), and the engine's batched substitution, COPY — exercised
+  * end-to-end by the FLAGSHIP (`ref_medallion`) and the gold-DDL-set
+  * spec, not just the customer-segment miniature.
+  *
+  * Id discipline: tables are created with `id SERIAL PRIMARY KEY` and
+  * loaded WITHOUT their engine-assigned id column, in engine-id order —
+  * so the server's SERIAL assignment must land on exactly the engine's
+  * dense ordered ids. [[writeTable]] verifies that equality on the
+  * RETURNING head rows and the caller's oracle hash verifies it on the
+  * whole read-back: any drift between DB-side and engine-side id
+  * assignment breaks the gate.
+  *
+  * Size classes: this is the PROTOCOL-fidelity leg (driver-side, like
+  * the reference's single psycopg2 process); the distributed bulk
+  * posture remains [[graft.io.Sinks.jdbcBatch]].
+  */
+object PgGold {
+
+  /** Driver-side wire text for a frame's rows, in the frame's current
+    * order (callers pre-sort by the engine id). */
+  def textRows(df: DataFrame, cols: Seq[String]): Seq[Seq[Option[String]]] = {
+    val idx = cols.map(df.columns.indexOf(_))
+    df.collect().iterator.map { r =>
+      idx.map(i => Option(r.get(i)).map(_.toString))
+    }.toSeq
+  }
+
+  /** Rebuild a TYPED frame from wire text rows — the read-back half of
+    * the round trip. Inverse of `Row.get(_).toString` for the DDL type
+    * vocabulary ([[Sinks.pgType]]). */
+  def fromWire(spark: SparkSession, rows: Seq[Seq[Option[String]]],
+               schema: StructType): DataFrame = {
+    def parse(v: String, dt: DataType): Any = dt match {
+      case StringType => v
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case _: DecimalType => new java.math.BigDecimal(v)
+      case TimestampType => java.sql.Timestamp.valueOf(v)
+      case DateType => java.sql.Date.valueOf(v)
+      case other =>
+        throw new IllegalArgumentException(s"no wire parse for $other")
+    }
+    val data = rows.map { r =>
+      Row.fromSeq(r.zip(schema.fields).map { case (v, f) =>
+        v.map(parse(_, f.dataType)).orNull
+      })
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava), schema)
+  }
+
+  /** SQL literal for an INSERT statement (types from the schema):
+    * strings/timestamps/dates quoted with '' escaping, numerics and
+    * booleans raw, null → NULL. */
+  private def literal(v: Option[String], dt: DataType): String = v match {
+    case None => "NULL"
+    case Some(s) => dt match {
+      case StringType | TimestampType | DateType =>
+        "'" + s.replace("'", "''") + "'"
+      case _ => s
+    }
+  }
+
+  /** One table through the wire: CREATE TABLE with `idCol SERIAL
+    * PRIMARY KEY` (the id column DROPPED from the load so the SERVER
+    * assigns it), the first `returningProbe` rows inserted with
+    * `INSERT … RETURNING idCol` — each returned id REQUIRED equal to
+    * the engine's — the remainder bulk-loaded via COPY (serial
+    * continuation across the protocol switch), then the whole table
+    * read back over a wire SELECT as a typed frame in `df`'s column
+    * order. `df` must be ordered by `idCol` with dense ids 1..N. */
+  def writeTable(c: PgLiteClient, df: DataFrame, schemaName: String,
+                 table: String, idCol: String, unique: Seq[String] = Nil,
+                 fks: Map[String, String] = Map.empty,
+                 returningProbe: Int = 3): DataFrame = {
+    val dataFields = df.schema.fields.filter(_.name != idCol).toSeq
+    val ddl = Sinks.createTableDdl(StructType(dataFields), schemaName, table,
+      serialPk = Some(idCol), unique = unique, foreignKeys = fks)
+    require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
+    val dataCols = dataFields.map(_.name)
+    val rows = textRows(df, idCol +: dataCols)
+    val probe = rows.take(returningProbe)
+    // the reference's id_mapping pattern, live: per-row RETURNING ids
+    // must reproduce the engine's dense ordered assignment
+    probe.foreach { r =>
+      val vals = r.tail.zip(dataFields)
+        .map { case (v, f) => literal(v, f.dataType) }.mkString(", ")
+      val ret = c.query(s"INSERT INTO $schemaName.$table " +
+        s"(${dataCols.mkString(", ")}) VALUES ($vals) RETURNING $idCol")
+      require(ret.rows.head.head == r.head,
+        s"$table: SERIAL id ${ret.rows.head.head} != engine id ${r.head}")
+    }
+    // the batched posture: COPY, with the serial continuing seamlessly
+    val rest = rows.drop(returningProbe).map(_.tail)
+    if (rest.nonEmpty) {
+      val tag = c.copyIn(
+        s"COPY $schemaName.$table (${dataCols.mkString(", ")}) FROM STDIN", rest)
+      require(tag == s"COPY ${rest.length}", s"$table: unexpected tag $tag")
+    }
+    val back = c.query(s"SELECT ${df.columns.mkString(", ")} " +
+      s"FROM $schemaName.$table ORDER BY $idCol")
+    fromWire(df.sparkSession, back.rows, df.schema)
+  }
+
+  /** A fact table (no surrogate id of its own): plain DDL + COPY, FKs
+    * enforced live by the server against the already-loaded main. */
+  def writeFact(c: PgLiteClient, df: DataFrame, schemaName: String,
+                table: String, fks: Map[String, String]): DataFrame = {
+    val ddl = Sinks.createTableDdl(df.schema, schemaName, table,
+      serialPk = None, unique = Nil, foreignKeys = fks)
+    require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
+    val cols = df.columns.toSeq
+    val rows = textRows(df, cols)
+    val tag = c.copyIn(
+      s"COPY $schemaName.$table (${cols.mkString(", ")}) FROM STDIN", rows)
+    require(tag == s"COPY ${rows.length}", s"$table: unexpected tag $tag")
+    // facts have no id: read back in the frame's first-column order
+    // (the reorderd id-first FK), which is unique per fact row contract
+    val back = c.query(s"SELECT ${cols.mkString(", ")} " +
+      s"FROM $schemaName.$table")
+    fromWire(df.sparkSession, back.rows, df.schema)
+  }
+
+  /** The whole gold star through the wire, in FK dependency order:
+    * dims (SERIAL + RETURNING + COPY) → main (FK→dim keys) → facts
+    * (FK→main id). Returns the wire read-back per table. */
+  def writeGold(c: PgLiteClient, gold: Map[String, DataFrame],
+                spec: Medallion.GoldSpec,
+                schemaName: String = "gold"): Map[String, DataFrame] = {
+    c.query(Sinks.createSchemaDdl(schemaName))
+    val id = spec.surrogateIdCol
+    val dims = spec.dimKeyCols.keys.toSeq.sorted.map { d =>
+      d -> writeTable(c, gold(d).orderBy(col(id)), schemaName, d, id,
+        unique = Seq(s"${d}_key"))
+    }
+    val mainFks = spec.dimKeyCols.keys.map(d =>
+      s"${d}_key" -> s"$schemaName.$d(${d}_key)").toMap
+    val main = writeTable(c, gold(spec.mainTable).orderBy(col(id)),
+      schemaName, spec.mainTable, id, unique = Nil, fks = mainFks)
+    val factNames = gold.keySet -- spec.dimKeyCols.keySet - spec.mainTable
+    val facts = factNames.toSeq.sorted.map { f =>
+      f -> writeFact(c, gold(f), schemaName, f,
+        fks = Map(s"${spec.mainTable}_id" ->
+          s"$schemaName.${spec.mainTable}($id)"))
+    }
+    (dims ++ facts :+ (spec.mainTable -> main)).toMap
+  }
+}

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.etl._
+import graft.tools.Ckpt._
 
 /** Reference-parity operator queries (SURVEY.md §2 rows 5-7, 11-18, 20)
   * expressed over the harness testdata tables, each with a DuckDB oracle.
@@ -100,16 +101,34 @@ object RefQueries {
       .orderBy(col("o_orderkey"))
   }
 
-  // ---- §7.3 flagship: the full cleaning→keys→dedup→surrogate-id chain -----
+  // ---- §7.3 flagship: the full cleaning→keys→dedup→surrogate-id chain,
+  //      SERVED THROUGH THE WIRE (r15): the engine frame is written to a
+  //      live wire-v3 endpoint — CREATE SCHEMA/TABLE with SERIAL PK +
+  //      UNIQUE key, the reference's INSERT…RETURNING id_mapping pattern
+  //      on the head rows (dag_etl_minio_to_postgres.py:125-138, :478),
+  //      COPY bulk load for the rest (serial continuation), wire SELECT
+  //      read-back — and the READ-BACK is what the oracle hashes, so any
+  //      protocol corruption or DB-side/engine-side id drift breaks the
+  //      flagship gate. ------------------------------------------------------
   def medallion(s: SparkSession, dir: String): DataFrame = {
     val cleaned = Clean.clean(t(s, dir, "customer"))
     val keyed = cleaned.withColumn(
       "c_key", Keys.hashKey(Seq(col("c_name"), col("c_nationkey"))))
     val dd = Dims.dedup(keyed)
-    Dims.withSurrogateId(dd, "id", Seq(col("c_key"), col("c_custkey")))
+    val engine = Dims.withSurrogateId(dd, "id", Seq(col("c_key"), col("c_custkey")))
       .select(col("id"), col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), col("c_key"))
       .orderBy(col("id"))
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      c.query(graft.io.Sinks.createSchemaDdl("gold"))
+      val back = graft.pipeline.PgGold.writeTable(
+        c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
+      c.close()
+      back.orderBy(col("id"))
+    } finally server.stop()
   }
 
   // ---- §3.4: the whole gold stage (Split+Keys+Dims+Reorder composed
@@ -343,7 +362,7 @@ object RefQueries {
         sum(col("doc_id")).cast("long").as("sum_ids"),
         sum(col("n_chars")).cast("long").as("sum_chars"))
       .crossJoin(qr.quarantine.agg(count(lit(1)).as("n_quarantined")))
-      .localCheckpoint(true)
+      .checkpointLinted()
     qr.release()
     res
   }
