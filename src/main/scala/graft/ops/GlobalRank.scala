@@ -57,19 +57,29 @@ object GlobalRank {
                       order: Seq[Column]): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism, 1)
+    // range partition + IN-PARTITION sort before the freeze (r15): the
+    // checkpointed blocks are globally ordered, so the rank pass needs
+    // no further exchange or sort — monotonically_increasing_id's
+    // documented layout (partition id in the upper bits, in-partition
+    // ordinal in the lower 33) supplies the partition-local row number
+    // directly from the frozen iteration order. The old rank pass paid
+    // a hash exchange + window sort here.
     val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__grk_pid", spark_partition_id())
+      .sortWithinPartitions(order: _*)
       .checkpointLinted()
-    val sizes = ranged.groupBy(col("__grk_pid")).agg(count(lit(1)).as("n"))
+    val sizes = ranged.groupBy(spark_partition_id().as("__grk_pid"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until parts)
       .scanLeft(0L)((acc, p) => acc + sizes.getOrElse(p, 0L))
-    val w = Window.partitionBy(col("__grk_pid")).orderBy(order: _*)
+    val mid = col("__grk_mid")
     val out = ranged
+      .withColumn("__grk_mid", monotonically_increasing_id())
       .withColumn(idName,
-        element_at(typedLit(offsets.take(parts)), col("__grk_pid") + 1) +
-          row_number().over(w).cast("long"))
-      .drop("__grk_pid")
+        element_at(typedLit(offsets.take(parts)),
+          shiftright(mid, 33).cast("int") + 1) +
+          mid.bitwiseAND(lit((1L << 33) - 1)) + lit(1L))
+      .drop("__grk_mid")
     (out, offsets.last)
   }
 }
