@@ -27,6 +27,13 @@ object StageMemo {
 
   private val KeyFile = "_stage_key"
 
+  /** Stage builds executed in this JVM (misses that ran a builder).
+    * [[graft.Bench]] snapshots it per query and records which queries
+    * paid a COLD stage build, so a fresh-checkout sweep is
+    * self-describing instead of reading as a gate regression
+    * (VERDICT r15 task 6). */
+  val buildCount = new java.util.concurrent.atomic.AtomicLong
+
   /** Fingerprint of input paths (files or directories, local fs):
     * md5 over the sorted (path, length, mtime) census, SALTED with the
     * caller's builder-version string. Listing-only — never reads data
@@ -85,6 +92,7 @@ object StageMemo {
     val hit = Files.exists(stamp) &&
       new String(Files.readAllBytes(stamp), StandardCharsets.UTF_8) == key
     if (!hit) {
+      buildCount.incrementAndGet()
       Fs.deleteRecursive(spark, dir)
       // recreate the (empty) root before the builder runs: Spark
       // writers mkdir themselves, plain-file builders should not have to

@@ -119,6 +119,21 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // customer (round-15, for the wire-protocol rehearsals): keys
+    // offset per copy; names get a per-copy suffix so hash keys stay
+    // UNIQUE (ref_medallion's DDL declares c_key UNIQUE — identical
+    // names across copies would violate it, an artifact not a finding)
+    // while the segment dimension stays 5 values at any scale
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    (0 until Copies).map { c =>
+      cust.select(
+        (col("c_custkey") + lit(c * Offset)).as("c_custkey"),
+        (if (c == 0) col("c_name")
+         else concat(col("c_name"), lit(s"#$c"))).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }.reduce(_ unionAll _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
   }
 
   /** Measured paths: driver-query names for the text/dedup pipelines;
@@ -194,9 +209,30 @@ object ScaleRehearsal {
       // pass + vocab-sized sketch fold — was two full token scans),
       // and the exact distributed global rank (range partition +
       // offset census — the GlobalRank primitive)
-      "q_text_countmin", "q_rank_global")
+      "q_text_countmin", "q_rank_global",
+      // round-15 (VERDICT r14 task 2): the ntile variant (same frozen
+      // range partitioning + one driver-side tile arithmetic pass),
+      // the wire-protocol gates — COPY bulk load at 10× rows (the
+      // reference's dominant cost, BASELINE.md rows 2-10), the
+      // RETURNING/SERIAL runtime miniature (dimension-sized at any
+      // scale), and the flagship's full wire round trip
+      "q_rank_global_ntile", "ref_pg_copy", "ref_pg_runtime",
+      "ref_medallion")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
+      // round-15: the memoized graph family COLD (first entry derives
+      // the checkpointed edge list + the 6-round pagerank iterate once
+      // per dir) vs WARM (second entry re-reports from the memos) —
+      // the bench-vs-rehearsal gap attribution made a standing number.
+      // Run cold before warm; each sums all four family gates.
+      "op_graph_family_cold" -> ((s: SparkSession, d: String) =>
+        Seq("q_graph_degrees", "q_graph_hits", "q_graph_pagerank",
+          "q_graph_pagerank_mass")
+          .map(n => graft.SparkEntry.queries(n)(s, d).count()).sum),
+      "op_graph_family_warm" -> ((s: SparkSession, d: String) =>
+        Seq("q_graph_degrees", "q_graph_hits", "q_graph_pagerank",
+          "q_graph_pagerank_mass")
+          .map(n => graft.SparkEntry.queries(n)(s, d).count()).sum),
       "op_ann_ivf_top1" -> ((s: SparkSession, d: String) =>
         graft.ops.Similarity.ivfAnnTop1(
           s.read.parquet(s"$d/embeddings.parquet")).count()),
@@ -286,7 +322,8 @@ object ScaleRehearsal {
     if (!new java.io.File(s"$sf1Dir/embeddings.parquet").exists() ||
         !new java.io.File(s"$sf1Dir/orders.parquet").exists() ||
         !new java.io.File(s"$sf1Dir/lineitem.parquet").exists() ||
-        !new java.io.File(s"$sf1Dir/events.parquet").exists()) {
+        !new java.io.File(s"$sf1Dir/events.parquet").exists() ||
+        !new java.io.File(s"$sf1Dir/customer.parquet").exists()) {
       println("[scale] generating sf1 slice under target/sf1 ...")
       genSf1(spark, "/root/testdata/sf0.1", sf1Dir)
     }
