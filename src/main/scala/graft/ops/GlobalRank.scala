@@ -23,6 +23,13 @@ import graft.tools.Ckpt._
   *
   * The order must be TOTAL (tie-break to a unique column) — same
   * requirement the single-partition form has for determinism.
+  *
+  * Bounds: the rank pass reads the partition-local ordinal from
+  * `monotonically_increasing_id`'s documented layout (partition id in
+  * the upper bits, record number in the lower 33), so a single
+  * partition must hold < 2³³ (~8.6 B) rows — at 100 TB that is
+  * satisfied by construction (range partitions are sized to executor
+  * memory, orders of magnitude below 8 B rows).
   */
 object GlobalRank {
 
