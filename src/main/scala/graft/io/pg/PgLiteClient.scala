@@ -131,7 +131,15 @@ final class PgLiteClient(host: String, port: Int,
     * return the CommandComplete tag ("COPY n"). The bulk-load path a
     * production writer uses instead of row-at-a-time INSERTs. */
   def copyIn(sql: String, rows: Seq[Seq[Option[String]]],
-             batchRows: Int = 1024): String = {
+             batchRows: Int = 1024): String =
+    copyIn(sql, rows.iterator, batchRows)
+
+  /** Streaming variant: rows are consumed and framed batch by batch,
+    * never buffered whole — the per-partition writer posture
+    * ([[PgWire.copyDistributed]]) streams arbitrarily large partitions
+    * through constant memory. */
+  def copyIn(sql: String, rows: Iterator[Seq[Option[String]]],
+             batchRows: Int): String = {
     val b = sql.getBytes(UTF_8)
     out.writeByte('Q'); out.writeInt(4 + b.length + 1)
     out.write(b); out.writeByte(0); out.flush()

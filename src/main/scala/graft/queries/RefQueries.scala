@@ -316,6 +316,36 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DISTRIBUTED wire bulk-load gate (round-15,
+    * [[graft.io.pg.PgWire.copyDistributed]]): the same clean-rules
+    * round trip as [[pgCopy]], but written by EIGHT concurrent
+    * per-partition wire connections streaming CopyData frames — the
+    * production Spark→Postgres writer posture — instead of one
+    * driver-side socket. The read-back oracle proves the concurrent
+    * interleave lost, duplicated, and corrupted nothing (the engine's
+    * per-table all-or-nothing COPY under thread-per-connection). */
+  def pgCopyDistributed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      c.query(graft.io.Sinks.createSchemaDdl("silver"))
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer_dist"))
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_dist",
+        numPartitions = 8)
+      val back = c.query(
+        "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer_dist")
+      c.close()
+      back.rows.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** JSONL ROUND-TRIP gate (round-13, [[graft.io.Sinks.jsonlDir]] /
     * [[graft.io.Sources.jsonl]]): the documents corpus exported as
     * JSON-Lines — the LLM-pipeline interchange format — and scanned
@@ -374,6 +404,7 @@ object RefQueries {
     "ref_io_object_store" -> (ioObjectStore _),
     "ref_pg_runtime" -> (pgRuntime _),
     "ref_pg_copy" -> (pgCopy _),
+    "ref_pg_copy_distributed" -> (pgCopyDistributed _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -404,6 +435,13 @@ object RefQueries {
     // the wire COPY round trip must be value-invisible: read-back ≡
     // the clean rules applied directly to the parquet source
     "ref_pg_copy" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the 8-connection concurrent COPY must land on the identical
+    // read-back — same oracle as the single-socket twin
+    "ref_pg_copy_distributed" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

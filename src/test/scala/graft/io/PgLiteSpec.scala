@@ -148,6 +148,35 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "interleave concurrent per-connection COPYs atomically" in {
+    val (server, _) = PgLiteServer.start()
+    try {
+      val admin = new PgLiteClient("127.0.0.1", server.port)
+      admin.connect()
+      admin.query("CREATE TABLE conc (src INTEGER, k INTEGER UNIQUE)")
+      // 4 writers × 500 rows, disjoint key ranges, concurrent sockets —
+      // the PgWire.copyDistributed partition shape
+      val threads = (0 until 4).map { w =>
+        new Thread(() => {
+          val c = new PgLiteClient("127.0.0.1", server.port)
+          c.connect()
+          try c.copyIn("COPY conc (src, k) FROM STDIN",
+            (0 until 500).iterator.map(i =>
+              Seq(Some(w.toString), Some((w * 1000 + i).toString))),
+            batchRows = 64)
+          finally c.close()
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      // nothing lost, nothing duplicated, per-writer counts intact
+      val back = admin.query("SELECT src FROM conc")
+      back.rows.length shouldBe 2000
+      back.rows.groupBy(_.head.get).view.mapValues(_.size).toMap shouldBe
+        Map("0" -> 500, "1" -> 500, "2" -> 500, "3" -> 500)
+      admin.close()
+    } finally server.stop()
+  }
+
   it should "keep empty-string rows in single-column COPY (Postgres text format)" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
