@@ -217,7 +217,11 @@ object ScaleRehearsal {
       // RETURNING/SERIAL runtime miniature (dimension-sized at any
       // scale), and the flagship's full wire round trip
       "q_rank_global_ntile", "ref_pg_copy", "ref_pg_runtime",
-      "ref_medallion")
+      "ref_medallion",
+      // the 8-connection distributed COPY vs the single-socket twin:
+      // the scale story is the RATIO GAP between this row and
+      // ref_pg_copy's (per-partition connections amortize the wire leg)
+      "ref_pg_copy_distributed")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-15: the memoized graph family COLD (first entry derives
