@@ -148,6 +148,31 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "round-trip randomized hostile payloads through COPY + SELECT" in {
+    // deterministic randomized property (the RandomizedPropertySpec
+    // idiom): 300 rows of adversarial text — tabs, newlines, CRs,
+    // backslashes, quotes, unicode, empty strings, NULLs — must
+    // survive the full socket round trip byte-identically
+    val rng = new scala.util.Random(4242)
+    val atoms = Array("a", "tab\t", "nl\n", "cr\r", "bs\\", "q'", "dq\"",
+      "\\N", "é漢🙂", "", " ", "end\\")
+    def randomField(): Option[String] =
+      if (rng.nextInt(10) == 0) None
+      else Some((0 until rng.nextInt(6))
+        .map(_ => atoms(rng.nextInt(atoms.length))).mkString)
+    val rows = (0 until 300).map(i => Seq(Some(i.toString), randomField()))
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      c.query("CREATE TABLE fuzz (k INTEGER, v TEXT)")
+      c.copyIn("COPY fuzz (k, v) FROM STDIN", rows) shouldBe "COPY 300"
+      val back = c.query("SELECT k, v FROM fuzz ORDER BY k")
+      back.rows shouldBe rows
+      c.close()
+    } finally server.stop()
+  }
+
   it should "interleave concurrent per-connection COPYs atomically" in {
     val (server, _) = PgLiteServer.start()
     try {
