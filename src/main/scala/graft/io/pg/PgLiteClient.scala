@@ -168,10 +168,27 @@ final class PgLiteClient(host: String, port: Int,
         case c => c.toString
       }
     }
-    rows.grouped(batchRows).foreach { group =>
-      val data = group.map(_.map(esc).mkString("\t"))
-        .mkString("", "\n", "\n").getBytes(UTF_8)
-      out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+    // a failing row PRODUCER (e.g. a deserialization error mid-
+    // partition in PgWire.copyDistributed) must not leave the
+    // connection desynced mid-COPY: abort with CopyFail, resync to
+    // ReadyForQuery, and rethrow the producer's error. A broken SOCKET
+    // makes the abort itself throw — swallowed, the original error
+    // still surfaces and the caller's close() tears the socket down.
+    try {
+      rows.grouped(batchRows).foreach { group =>
+        val data = group.map(_.map(esc).mkString("\t"))
+          .mkString("", "\n", "\n").getBytes(UTF_8)
+        out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try {
+          val reason = String.valueOf(e.getMessage).getBytes(UTF_8)
+          out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+          out.write(reason); out.writeByte(0); out.flush()
+          drainToReady()
+        } catch { case _: Throwable => () }
+        throw e
     }
     out.writeByte('c'); out.writeInt(4); out.flush() // CopyDone
     var tag = ""

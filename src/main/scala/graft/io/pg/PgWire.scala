@@ -29,7 +29,10 @@ object PgWire {
   /** COPY `df` into `table` (schema-qualified) over `numPartitions`
     * concurrent wire connections. Column order is the frame's; values
     * ship as `Row.get(_).toString` text, nulls as `\N` — the exact
-    * serialization [[graft.pipeline.PgGold.fromWire]] inverts. */
+    * serialization [[graft.pipeline.PgGold.fromWire]] inverts.
+    * `coalesce` (not `repartition`) caps the connection count WITHOUT
+    * an exchange — the write itself is the bottleneck, not balance;
+    * a caller with a skewed layout repartitions upstream. */
   def copyDistributed(df: DataFrame, host: String, port: Int,
                       table: String, numPartitions: Int = 8): Unit = {
     val cols = df.columns.toSeq

@@ -148,6 +148,35 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "abort with CopyFail when the row producer throws mid-stream" in {
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      c.query("CREATE TABLE pf (k INTEGER)")
+      // producer dies after 2 rows (the PgWire.copyDistributed failure
+      // mode: a deserialization error mid-partition) — the client must
+      // resync the connection, not hang the server mid-COPY
+      val bad = new Iterator[Seq[Option[String]]] {
+        private var i = 0
+        def hasNext = true
+        def next(): Seq[Option[String]] = {
+          i += 1
+          if (i > 2) sys.error("producer blew up")
+          Seq(Some(i.toString))
+        }
+      }
+      val e = intercept[RuntimeException](
+        c.copyIn("COPY pf (k) FROM STDIN", bad, batchRows = 1))
+      e.getMessage should include("blew up")
+      // the aborted COPY left nothing behind and the connection works
+      c.query("SELECT k FROM pf").rows shouldBe empty
+      c.query("INSERT INTO pf (k) VALUES (7)")
+      c.query("SELECT k FROM pf").rows shouldBe Seq(Seq(Some("7")))
+      c.close()
+    } finally server.stop()
+  }
+
   it should "round-trip randomized hostile payloads through COPY + SELECT" in {
     // deterministic randomized property (the RandomizedPropertySpec
     // idiom): 300 rows of adversarial text — tabs, newlines, CRs,

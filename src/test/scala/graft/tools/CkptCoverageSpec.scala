@@ -58,11 +58,13 @@ class CkptCoverageSpec extends SparkSpec {
 
   behavior of "Ckpt.checkpointLinted"
 
-  it should "checkpoint clean plans and preserve their rows" in {
+  it should "checkpoint clean plans, preserve rows, and count the lint" in {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "k")
       .groupBy("k").agg(sum("id").as("s"))
+    val before = Ckpt.lintedCount.get()
     val out = df.checkpointLinted()
+    Ckpt.lintedCount.get() shouldBe before + 1
     out.collect().map(r => (r.getString(0), r.getLong(1))).toMap shouldBe
       Map("a" -> 4L, "b" -> 2L)
   }
