@@ -140,6 +140,22 @@ object AdvancedQueries {
       .na.fill(0L)
       .orderBy(col("bucket"))
 
+  /** Unpivot (melt, r15) — the inverse of [[pivot]]: wide per-metric
+    * columns back to long (key, metric, value) form, the layout a
+    * metrics store or feature pipeline ingests. Spark-native
+    * `Dataset.unpivot` compiles to one Expand projection — zero
+    * shuffle, codegen'd, embarrassingly parallel at any scale. Values
+    * pass through as unmodified doubles (no arithmetic), so the oracle
+    * is an exact UNION ALL replay. */
+  def unpivotQ(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")),
+        Array(col("acctbal"), col("nationkey")), "metric", "value")
+      .orderBy(col("c_custkey"), col("metric"))
+
   /** HLL approximate distinct as an INVARIANT oracle (round-1 verdict
     * item 6): the sketch estimate itself is implementation-specific, so
     * the hashed output carries the exact counts plus a boolean asserting
@@ -1030,6 +1046,7 @@ object AdvancedQueries {
     "q_dq_outliers" -> (outliers _),
     "q_window_range" -> (windowRange _),
     "q_pivot" -> (pivot _),
+    "q_unpivot" -> (unpivotQ _),
     "q_approx_distinct" -> (approxDistinct _),
     "q_hll_exact" -> (hllExact _),
     "q_quantile_histogram" -> (quantileHistogram _),
@@ -1613,6 +1630,15 @@ object AdvancedQueries {
            count(1) FILTER (WHERE event_type = 'purchase') AS purchase,
            count(1) FILTER (WHERE event_type = 'signup') AS signup,
            count(1) FILTER (WHERE event_type = 'view') AS view
-         FROM events GROUP BY 1 ORDER BY 1"""
+         FROM events GROUP BY 1 ORDER BY 1""",
+    // exact UNION ALL replay of the melt: values are unmodified doubles
+    "q_unpivot" ->
+      """SELECT c_custkey, metric, value FROM (
+           SELECT c_custkey, 'acctbal' AS metric,
+             CAST(c_acctbal AS DOUBLE) AS value FROM customer
+           UNION ALL
+           SELECT c_custkey, 'nationkey',
+             CAST(c_nationkey AS DOUBLE) FROM customer)
+         ORDER BY c_custkey, metric"""
   )
 }
