@@ -155,7 +155,14 @@ final class PgLiteClient(host: String, port: Int,
           drainToReady()
           throw err
         case 'S' | 'N' => ()
-        case other => throw new IllegalStateException(s"copyIn: unexpected '$other'")
+        case other =>
+          // e.g. a caller passed a non-COPY statement and got a
+          // RowDescription/CommandComplete: resync to ReadyForQuery
+          // before throwing so the connection survives the mistake
+          // (mirrors the 'G' handler in query()).
+          drainToReady()
+          throw new IllegalStateException(
+            s"copyIn: unexpected '$other' — statement is not COPY ... FROM STDIN")
       }
     }
     def esc(v: Option[String]): String = v match {
@@ -221,12 +228,19 @@ final class PgLiteClient(host: String, port: Int,
     finally sock.close()
   }
 
+  /** Backend transaction status from the last ReadyForQuery: 'I' idle,
+    * 'T' in transaction, 'E' failed transaction (the wire-v3 status
+    * byte — lets callers observe BEGIN/abort state live). */
+  @volatile private var lastTxStatus: Char = 'I'
+  def txStatus: Char = lastTxStatus
+
   private def readMessage(): (Char, Array[Byte]) = {
     val tpe = in.read()
     if (tpe < 0) throw new java.io.EOFException("server closed connection")
     val len = in.readInt()
     val payload = new Array[Byte](len - 4)
     in.readFully(payload)
+    if (tpe == 'Z' && payload.length == 1) lastTxStatus = payload(0).toChar
     (tpe.toChar, payload)
   }
 

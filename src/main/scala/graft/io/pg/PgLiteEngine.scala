@@ -10,17 +10,38 @@ import scala.collection.mutable
   * `UNIQUE` and `FOREIGN KEY` constraints, parameterless `INSERT …
   * VALUES … [RETURNING col]` with DB-side serial assignment (the
   * reference captures the RETURNING id into `id_mapping`, :134-136),
-  * and `SELECT … FROM t`. Exactly the statement surface
+  * `INSERT … SELECT` (the staged-publish append), and `SELECT … FROM t
+  * [ORDER BY c] [LIMIT n]`. Exactly the statement surface
   * [[graft.io.Sinks.createTableDdl]]/[[graft.io.Sinks.createSchemaDdl]]
   * emit plus the reference's insert/read-back patterns — not a SQL
   * engine; anything outside that surface raises a Postgres-coded
   * error (42601 syntax) rather than guessing.
   *
+  * Transactions (round-16, reference :110-121 transactional DDL and
+  * :138 single-commit insert loop): BEGIN/COMMIT/ROLLBACK with
+  * statement-level semantics. Inside BEGIN, every table the session
+  * mutates is copied-on-first-write into the session's [[PgTx]]
+  * overlay; all statements in the transaction read/write the overlay
+  * (read-your-writes) while OTHER connections keep seeing the base
+  * until COMMIT atomically swaps the overlay in. ROLLBACK discards the
+  * overlay. DDL is transactional like real Postgres (a CREATE TABLE
+  * rolls back; a DROP TABLE is deferred to commit). SEQUENCES ARE NOT:
+  * a rolled-back INSERT leaves a serial gap, exactly like Postgres
+  * (the overlay's advanced `nextSerial` is pushed back to the base on
+  * rollback). A failed statement aborts the transaction: every later
+  * statement except COMMIT/ROLLBACK answers 25P02, and COMMIT of an
+  * aborted transaction rolls back (tag "ROLLBACK"), all per the
+  * published Postgres behavior.
+  *
+  * Concurrency: single-writer-per-table during a transaction is
+  * assumed (the reference IS one psycopg2 process; COMMIT's swap would
+  * lose a concurrent non-transactional append to the same table made
+  * after the copy). Non-transactional statements keep the original
+  * per-table-lock semantics and interleave safely.
+  *
   * Error codes mirror Postgres: 23505 unique_violation, 23503
-  * foreign_key_violation, 42P01 undefined_table, 42601 syntax_error.
-  * Thread-safe via a per-table lock (the server is thread-per-
-  * connection; the reference's writer is a single task, so contention
-  * is incidental).
+  * foreign_key_violation, 42P01 undefined_table, 42601 syntax_error,
+  * 25P02 in_failed_sql_transaction.
   */
 object PgLiteEngine {
   final case class Col(name: String, pgType: String, serial: Boolean,
@@ -33,6 +54,28 @@ object PgLiteEngine {
       extends RuntimeException(message)
   /** Result of one statement: optional row set + command tag. */
   final case class Result(columns: Seq[Col], rows: Seq[Array[String]], tag: String)
+
+  /** Per-connection transaction state ([[PgLiteServer]] allocates one
+    * per wire session). Rows appended to a copied table are fresh
+    * arrays and existing row arrays are never mutated in place, so the
+    * copy shares row references with the base safely. */
+  final class PgTx {
+    private[pg] var active = false
+    private[pg] var aborted = false
+    /** Tables touched (copy-on-first-write) or created in this tx. */
+    private[pg] val copies = mutable.LinkedHashMap[String, Table]()
+    /** Names in `copies` that were CREATEd inside the tx (no base). */
+    private[pg] val created = mutable.LinkedHashSet[String]()
+    private[pg] val createdSchemas = mutable.LinkedHashSet[String]()
+    /** Base tables DROPped inside the tx (removal deferred to commit). */
+    private[pg] val dropped = mutable.LinkedHashSet[String]()
+    private[pg] def reset(): Unit = {
+      active = false; aborted = false
+      copies.clear(); created.clear(); createdSchemas.clear(); dropped.clear()
+    }
+    def inTransaction: Boolean = active
+    def isAborted: Boolean = aborted
+  }
 }
 
 final class PgLiteEngine {
@@ -58,24 +101,116 @@ final class PgLiteEngine {
     }
   }
 
-  def execute(sql0: String): Result = {
+  /** Autocommit entry point (direct engine callers, e.g. specs). */
+  def execute(sql0: String): Result = execute(sql0, null)
+
+  def execute(sql0: String, tx: PgTx): Result = {
     val sql = sql0.trim.stripSuffix(";").trim
     val up = sql.toUpperCase
-    if (up.startsWith("CREATE SCHEMA")) createSchema(sql)
-    else if (up.startsWith("CREATE TABLE")) createTable(sql)
-    else if (up.startsWith("INSERT INTO")) insert(sql)
-    else if (up.startsWith("SELECT")) select(sql)
-    else if (up.startsWith("DROP TABLE")) dropTable(sql)
+    // transaction control resolves FIRST: COMMIT/ROLLBACK must work
+    // (and BEGIN must no-op) inside an aborted transaction
+    if (up == "BEGIN" || up == "START TRANSACTION") begin(tx)
+    else if (up == "COMMIT" || up == "END") commit(tx)
+    else if (up == "ROLLBACK" || up == "ABORT") rollback(tx)
+    else if (tx != null && tx.active && tx.aborted)
+      throw PgError("25P02", "current transaction is aborted, " +
+        "commands ignored until end of transaction block")
+    else if (up.startsWith("CREATE SCHEMA")) createSchema(sql, tx)
+    else if (up.startsWith("CREATE TABLE")) createTable(sql, tx)
+    else if (up.startsWith("INSERT INTO")) insert(sql, tx)
+    else if (up.startsWith("SELECT")) select(sql, tx)
+    else if (up.startsWith("DROP TABLE")) dropTable(sql, tx)
     else throw PgError("42601", s"unsupported statement: ${sql.take(60)}")
   }
 
-  private def createSchema(sql: String): Result = {
+  // ---- transaction control -------------------------------------------------
+
+  private def begin(tx: PgTx): Result = {
+    if (tx == null)
+      throw PgError("0A000", "BEGIN requires a wire session")
+    // BEGIN inside a transaction: Postgres warns and no-ops
+    if (!tx.active) tx.active = true
+    Result(Nil, Nil, "BEGIN")
+  }
+
+  private def commit(tx: PgTx): Result = {
+    if (tx == null || !tx.active) return Result(Nil, Nil, "COMMIT")
+    if (tx.aborted) { rollbackWork(tx); return Result(Nil, Nil, "ROLLBACK") }
+    // atomic publish: drops, then overlay swap-ins, under one lock so
+    // a concurrent reader sees either none or all of the transaction
+    tables.synchronized {
+      tx.createdSchemas.foreach(schemas.add)
+      tx.dropped.foreach(tables.remove)
+      tx.copies.foreach { case (n, t) => tables.put(n, t) }
+    }
+    tx.reset()
+    Result(Nil, Nil, "COMMIT")
+  }
+
+  private def rollback(tx: PgTx): Result = {
+    if (tx != null && tx.active) rollbackWork(tx)
+    Result(Nil, Nil, "ROLLBACK")
+  }
+
+  /** Discard the overlay. Sequences are NON-transactional (real PG):
+    * serial advances made inside the tx survive as gaps. */
+  private def rollbackWork(tx: PgTx): Unit = {
+    tx.copies.foreach { case (n, copy) =>
+      if (!tx.created.contains(n)) {
+        val base = tables.get(n)
+        if (base != null) base.synchronized {
+          if (copy.nextSerial > base.nextSerial)
+            base.nextSerial = copy.nextSerial
+        }
+      }
+    }
+    tx.reset()
+  }
+
+  // ---- catalog resolution (transaction-aware) ------------------------------
+
+  /** The session's view of a table: overlay copy if present, base
+    * unless dropped in this tx. */
+  private def lookup(name: String, tx: PgTx): Option[Table] =
+    if (tx != null && tx.active)
+      tx.copies.get(name).orElse(
+        if (tx.dropped.contains(name)) None else Option(tables.get(name)))
+    else Option(tables.get(name))
+
+  /** Resolve for a statement; `forWrite` inside a transaction copies
+    * the base table into the overlay on first touch. */
+  private def resolve(name: String, tx: PgTx, forWrite: Boolean): Table = {
+    val t = lookup(name, tx)
+      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    if (forWrite && tx != null && tx.active && !tx.copies.contains(name)) {
+      t.synchronized {
+        val copy = new Table(name, t.cols)
+        copy.rows ++= t.rows
+        copy.nextSerial = t.nextSerial
+        tx.copies.put(name, copy)
+        copy
+      }
+    } else t
+  }
+
+  private def schemaExists(name: String, tx: PgTx): Boolean =
+    schemas.contains(name) ||
+      (tx != null && tx.active && tx.createdSchemas.contains(name))
+
+  // ---- DDL ----------------------------------------------------------------
+
+  private def createSchema(sql: String, tx: PgTx): Result = {
     val m = "(?i)CREATE\\s+SCHEMA\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_][\\w]*)".r
       .findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad CREATE SCHEMA: $sql"))
     val name = m.group(2).toLowerCase
-    if (!schemas.add(name) && m.group(1) == null)
+    val exists = schemaExists(name, tx)
+    if (exists && m.group(1) == null)
       throw PgError("42P06", s"schema \"$name\" already exists")
+    if (!exists) {
+      if (tx != null && tx.active) tx.createdSchemas.add(name)
+      else schemas.add(name)
+    }
     Result(Nil, Nil, "CREATE SCHEMA")
   }
 
@@ -94,31 +229,35 @@ final class PgLiteEngine {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
-  private def createTable(sql: String): Result = {
+  private def createTable(sql: String, tx: PgTx): Result = {
     val m = ("(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([\\w]+(?:\\.[\\w]+)?)\\s*\\((.*)\\)\\s*$").r.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad CREATE TABLE: ${sql.take(60)}"))
     val name = m.group(2).toLowerCase
     name.split("\\.") match {
-      case Array(sch, _) if !schemas.contains(sch) =>
+      case Array(sch, _) if !schemaExists(sch, tx) =>
         throw PgError("3F000", s"schema \"$sch\" does not exist")
       case _ => ()
     }
-    if (tables.containsKey(name)) {
+    if (lookup(name, tx).isDefined) {
       if (m.group(1) != null) return Result(Nil, Nil, "CREATE TABLE")
       throw PgError("42P07", s"relation \"$name\" already exists")
     }
-    val cols = topLevelSplit(m.group(3)).map(parseCol(name, _))
-    tables.put(name, new Table(name, cols))
+    val cols = topLevelSplit(m.group(3)).map(parseCol(name, _, tx))
+    val t = new Table(name, cols)
+    if (tx != null && tx.active) {
+      tx.copies.put(name, t)
+      tx.created.add(name)
+    } else tables.put(name, t)
     Result(Nil, Nil, "CREATE TABLE")
   }
 
-  private def parseCol(table: String, defn: String): Col = {
+  private def parseCol(table: String, defn: String, tx: PgTx): Col = {
     val fkM = "(?i)REFERENCES\\s+([\\w]+(?:\\.[\\w]+)?)\\s*\\(([\\w]+)\\)".r
       .findFirstMatchIn(defn)
     val fk = fkM.map(x => (x.group(1).toLowerCase, x.group(2).toLowerCase))
     fk.foreach { case (ft, _) =>
-      if (!tables.containsKey(ft))
+      if (lookup(ft, tx).isEmpty)
         throw PgError("42P01", s"relation \"$ft\" does not exist") }
     val unique = "(?i)\\bUNIQUE\\b".r.findFirstIn(defn).isDefined
     val head = defn.trim.split("\\s+", 2)
@@ -131,6 +270,29 @@ final class PgLiteEngine {
     Col(cname, if (tpe.isEmpty) "TEXT" else tpe, serial,
       unique || "(?i)PRIMARY\\s+KEY".r.findFirstIn(defn).isDefined, fk)
   }
+
+  private def dropTable(sql: String, tx: PgTx): Result = {
+    val m = "(?i)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w]+(?:\\.[\\w]+)?)".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad DROP TABLE: $sql"))
+    val name = m.group(2).toLowerCase
+    val exists = lookup(name, tx).isDefined
+    if (!exists) {
+      if (m.group(1) == null)
+        throw PgError("42P01", s"relation \"$name\" does not exist")
+      return Result(Nil, Nil, "DROP TABLE")
+    }
+    if (tx != null && tx.active) {
+      if (tx.created.contains(name)) { // created in this tx: vanish
+        tx.copies.remove(name); tx.created.remove(name)
+      } else { // base table: hide now, remove at commit
+        tx.copies.remove(name); tx.dropped.add(name)
+      }
+    } else tables.remove(name)
+    Result(Nil, Nil, "DROP TABLE")
+  }
+
+  // ---- DML ----------------------------------------------------------------
 
   /** Literal SQL values: 'quoted' ('' escape), numbers, NULL, booleans. */
   private def parseValues(s: String): Seq[String] = {
@@ -160,14 +322,32 @@ final class PgLiteEngine {
     out.toSeq
   }
 
-  private def insert(sql: String): Result = {
+  private def insert(sql: String, tx: PgTx): Result = {
+    // INSERT INTO t [(cols)] SELECT … — the staged-publish append
+    // (PgWire.copyDistributedExactlyOnce moves each staged partition
+    // into the target inside one transaction)
+    val selM = ("(?is)INSERT\\s+INTO\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
+      "(?:\\(([^)]*)\\)\\s*)?(SELECT\\s.*)$").r.findFirstMatchIn(sql)
+    if (selM.isDefined) {
+      val m = selM.get
+      val name = m.group(1).toLowerCase
+      val sub = select(m.group(3), tx)
+      val t = resolve(name, tx, forWrite = true)
+      val cols = Option(m.group(2))
+        .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+        .getOrElse(sub.columns.map(_.name))
+      if (cols.length != sub.columns.length)
+        throw PgError("42601",
+          s"${cols.length} target columns, ${sub.columns.length} selected")
+      return appendRows(t, cols, sub.rows.map(_.toSeq), tx,
+        n => s"INSERT 0 $n")
+    }
     val m = ("(?is)INSERT\\s+INTO\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
       "\\(([^)]*)\\)\\s*VALUES\\s*\\((.*)\\)\\s*(RETURNING\\s+([\\w]+))?\\s*$").r
       .findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad INSERT: ${sql.take(60)}"))
     val name = m.group(1).toLowerCase
-    val t = Option(tables.get(name))
-      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    val t = resolve(name, tx, forWrite = true)
     val colNames = m.group(2).split(",").map(_.trim.toLowerCase).toSeq
     val vals = parseValues(m.group(3))
     if (vals.length != colNames.length)
@@ -186,7 +366,7 @@ final class PgLiteEngine {
           throw PgError("23505",
             s"duplicate key value violates unique constraint on ${t.name}.${c.name}")
         c.references.foreach { case (ft, fc) =>
-          val rt = Option(tables.get(ft))
+          val rt = lookup(ft, tx)
             .getOrElse(throw PgError("42P01", s"relation \"$ft\" does not exist"))
           val fi = rt.cols.indexWhere(_.name == fc)
           if (row(i) != null && !rt.rows.exists(r => r(fi) == row(i)))
@@ -206,13 +386,13 @@ final class PgLiteEngine {
     }
   }
 
-  private def select(sql: String): Result = {
+  private def select(sql: String, tx: PgTx): Result = {
     val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?\\s*$").r.findFirstMatchIn(sql)
+      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+      .findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
     val name = m.group(2).toLowerCase
-    val t = Option(tables.get(name))
-      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    val t = resolve(name, tx, forWrite = false)
     t.synchronized {
       val (cols, proj) = m.group(1).trim match {
         case "*" => (t.cols, t.cols.indices.toSeq)
@@ -239,6 +419,7 @@ final class PgLiteEngine {
           else rows.sortBy(r => (r(oi) == null,
             Option(r(oi)).getOrElse("")))
       }
+      Option(m.group(4)).foreach(n => rows = rows.take(n.toInt))
       Result(cols, rows, s"SELECT ${rows.length}")
     }
   }
@@ -247,12 +428,14 @@ final class PgLiteEngine {
     * Returns (table, column order). The bulk-load path — the engine's
     * batched-write posture over the wire, versus the reference's
     * row-at-a-time INSERT loop (§2 row 9). */
-  def copyTarget(sql: String): (String, Seq[String]) = {
+  def copyTarget(sql: String): (String, Seq[String]) = copyTarget(sql, null)
+
+  def copyTarget(sql: String, tx: PgTx): (String, Seq[String]) = {
     val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
       "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*$").r.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
     val name = m.group(1).toLowerCase
-    val t = Option(tables.get(name))
+    val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
     val cols = Option(m.group(2))
       .map(_.split(",").map(_.trim.toLowerCase).toSeq)
@@ -268,11 +451,25 @@ final class PgLiteEngine {
     * violated row aborts the whole batch with the table unchanged
     * (Postgres COPY is a single command). */
   def copyRows(table: String, cols: Seq[String],
-               rows: Seq[Seq[String]]): Result = {
-    val t = Option(tables.get(table))
-      .getOrElse(throw PgError("42P01", s"relation \"$table\" does not exist"))
+               rows: Seq[Seq[String]]): Result = copyRows(table, cols, rows, null)
+
+  def copyRows(table: String, cols: Seq[String],
+               rows: Seq[Seq[String]], tx: PgTx): Result = {
+    val t = resolve(table, tx, forWrite = true)
+    appendRows(t, cols, rows, tx, n => s"COPY $n")
+  }
+
+  /** Shared bulk-append kernel (COPY and INSERT…SELECT): serial fill,
+    * constraint pass over existing ∪ staged BEFORE any mutation, then
+    * the all-or-nothing append. */
+  private def appendRows(t: Table, cols: Seq[String], rows: Seq[Seq[String]],
+                         tx: PgTx, tag: Int => String): Result = {
     t.synchronized {
-      val colIdx = cols.map(cn => t.cols.indexWhere(_.name == cn))
+      val colIdx = cols.map { cn =>
+        val i = t.cols.indexWhere(_.name == cn)
+        if (i < 0) throw PgError("42703", s"column \"$cn\" does not exist")
+        i
+      }
       var serial = t.nextSerial
       val staged = rows.map { vals =>
         if (vals.length != cols.length)
@@ -294,7 +491,7 @@ final class PgLiteEngine {
               s"duplicate key value violates unique constraint on ${t.name}.${c.name}")
         }
         c.references.foreach { case (ft, fc) =>
-          val rt = Option(tables.get(ft))
+          val rt = lookup(ft, tx)
             .getOrElse(throw PgError("42P01", s"relation \"$ft\" does not exist"))
           val fi = rt.cols.indexWhere(_.name == fc)
           val keys = rt.rows.map(_(fi)).toSet
@@ -307,17 +504,7 @@ final class PgLiteEngine {
       }
       t.rows ++= staged
       t.nextSerial = serial
-      Result(Nil, Nil, s"COPY ${staged.length}")
+      Result(Nil, Nil, tag(staged.length))
     }
-  }
-
-  private def dropTable(sql: String): Result = {
-    val m = "(?i)DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?([\\w]+(?:\\.[\\w]+)?)".r
-      .findFirstMatchIn(sql)
-      .getOrElse(throw PgError("42601", s"bad DROP TABLE: $sql"))
-    val name = m.group(2).toLowerCase
-    if (tables.remove(name) == null && m.group(1) == null)
-      throw PgError("42P01", s"relation \"$name\" does not exist")
-    Result(Nil, Nil, "DROP TABLE")
   }
 }

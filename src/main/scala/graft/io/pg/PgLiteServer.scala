@@ -54,8 +54,12 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
+    // per-connection transaction state; a connection dropped mid-
+    // transaction discards its overlay implicitly (the base tables
+    // were never touched) — Postgres' implicit-rollback-on-disconnect
+    val tx = new PgLiteEngine.PgTx
     try {
-      if (!startup(in, out)) return
+      if (!startup(in, out, tx)) return
       var open = true
       while (open) {
         val tpe = in.read()
@@ -67,11 +71,11 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
           tpe.toChar match {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip \0
-              runQuery(sql, in, out)
+              runQuery(sql, in, out, tx)
             case 'X' => open = false
             case other =>
               sendError(out, "0A000", s"unsupported message type '$other'")
-              readyForQuery(out)
+              readyForQuery(out, tx)
           }
         }
       }
@@ -85,7 +89,8 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   /** Startup phase: loop over SSLRequest/CancelRequest until a real
     * StartupMessage arrives; answer the auth/params/ready sequence.
     * Returns false if the connection should close. */
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+  private def startup(in: DataInputStream, out: DataOutputStream,
+                      tx: PgLiteEngine.PgTx): Boolean = {
     var done = false
     while (!done) {
       val len = in.readInt()
@@ -114,12 +119,18 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     }
     // BackendKeyData: 'K' + len 12 + pid + secret
     out.writeByte('K'); out.writeInt(12); out.writeInt(4242); out.writeInt(7)
-    readyForQuery(out)
+    readyForQuery(out, tx)
     true
   }
 
-  private def readyForQuery(out: DataOutputStream): Unit = {
-    out.writeByte('Z'); out.writeInt(5); out.writeByte('I'); out.flush()
+  /** ReadyForQuery with the LIVE transaction status byte: 'I' idle,
+    * 'T' in transaction, 'E' failed transaction — the wire-v3 field a
+    * real driver keys its autocommit/abort handling on. */
+  private def readyForQuery(out: DataOutputStream,
+                            tx: PgLiteEngine.PgTx): Unit = {
+    val status: Byte =
+      if (!tx.inTransaction) 'I' else if (tx.isAborted) 'E' else 'T'
+    out.writeByte('Z'); out.writeInt(5); out.writeByte(status); out.flush()
   }
 
   /** Top-level split on ';' outside string literals — a simple-query
@@ -146,7 +157,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   }
 
   private def runQuery(sql: String, in: DataInputStream,
-                       out: DataOutputStream): Unit = {
+                       out: DataOutputStream, tx: PgLiteEngine.PgTx): Unit = {
     val stmts = splitStatements(sql)
     if (stmts.isEmpty) {
       out.writeByte('I'); out.writeInt(4) // EmptyQueryResponse
@@ -158,8 +169,8 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
             val r =
               if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\s*$".r
                     .findFirstIn(st.trim).isDefined)
-                runCopyIn(st, in, out)
-              else engine.execute(st)
+                runCopyIn(st, in, out, tx)
+              else engine.execute(st, tx)
             if (r.columns.nonEmpty) {
               writeRowDescription(out, r.columns)
               r.rows.foreach(writeDataRow(out, _))
@@ -170,16 +181,20 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
           } catch {
             case e: PgLiteEngine.PgError =>
               sendError(out, e.code, e.message)
+              // an error inside an open transaction ABORTS it: later
+              // statements answer 25P02 until COMMIT/ROLLBACK (PG)
+              if (tx.inTransaction) tx.aborted = true
               failed = true // remaining statements are skipped, like PG
             case e: Exception =>
               sendError(out, "XX000",
                 Option(e.getMessage).getOrElse(e.getClass.getName))
+              if (tx.inTransaction) tx.aborted = true
               failed = true
           }
         }
       }
     }
-    readyForQuery(out)
+    readyForQuery(out, tx)
   }
 
   /** COPY … FROM STDIN (text format): CopyInResponse, then CopyData
@@ -187,8 +202,12 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * rules (tab-delimited fields, newline rows, `\N` null, backslash
     * escapes) and applied all-or-nothing through the engine. */
   private def runCopyIn(st: String, in: DataInputStream,
-                        out: DataOutputStream): PgLiteEngine.Result = {
-    val (table, cols) = engine.copyTarget(st) // validates BEFORE 'G'
+                        out: DataOutputStream,
+                        tx: PgLiteEngine.PgTx): PgLiteEngine.Result = {
+    if (tx.inTransaction && tx.isAborted)
+      throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
+        "commands ignored until end of transaction block")
+    val (table, cols) = engine.copyTarget(st, tx) // validates BEFORE 'G'
     // CopyInResponse: 'G', int8 format 0 (text), int16 ncols, int16[ncols] 0
     out.writeByte('G'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
     out.writeByte(0); out.writeShort(cols.length)
@@ -224,7 +243,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       if (parts.nonEmpty && parts.last.isEmpty) parts.toSeq.dropRight(1)
       else parts.toSeq
     val rows = lines.map(decodeCopyRow)
-    engine.copyRows(table, cols, rows)
+    engine.copyRows(table, cols, rows, tx)
   }
 
   /** One text-format COPY row → field values (null for `\N`). */

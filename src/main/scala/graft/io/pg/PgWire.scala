@@ -17,18 +17,36 @@ import org.apache.spark.sql.{DataFrame, Row}
   * Concurrency: the server is thread-per-connection and the engine
   * serializes per table with all-or-nothing COPY batches, so parallel
   * partition COPYs interleave atomically (proven under concurrent
-  * clients in PgLiteSpec). Delivery is at-least-once per PARTITION
-  * under task retries: a failed partition's aborted COPY left nothing
-  * behind (all-or-nothing), so its retry is clean — but speculative
-  * re-execution of a SUCCEEDED task would duplicate that partition;
-  * run with speculation off (Spark's default) or land in a staging
-  * table and swap, the same commit discipline the parquet sinks use.
+  * clients in PgLiteSpec). Delivery for [[copyDistributed]] is
+  * at-least-once per PARTITION under task retries: a failed
+  * partition's aborted COPY left nothing behind (all-or-nothing), so
+  * its retry is clean — but speculative re-execution of a SUCCEEDED
+  * task would duplicate that partition; run it with speculation off
+  * (Spark's default), or use [[copyDistributedExactlyOnce]], which
+  * implements the staging-table + transactional-publish commit
+  * discipline (VERDICT r15 task 2) and is safe under retries AND
+  * speculation.
   */
 object PgWire {
 
+  /** Wire text for one non-null value — Row.get's runtime classes
+    * mapped to the exact text [[graft.pipeline.PgGold.fromWire]]
+    * parses back. Temporal types format EXPLICITLY: with
+    * `spark.sql.datetime.java8API.enabled=true` Row.get returns
+    * java.time.Instant/LocalDate whose ISO `toString`
+    * (`2024-01-01T00:00:00Z`) `Timestamp.valueOf`/`Date.valueOf`
+    * cannot parse — a silent config-dependent round-trip break
+    * (ADVICE r15); everything else round-trips through `toString`. */
+  def wireText(v: Any): String = v match {
+    case i: java.time.Instant => java.sql.Timestamp.from(i).toString
+    case d: java.time.LocalDate => java.sql.Date.valueOf(d).toString
+    case dt: java.time.LocalDateTime => java.sql.Timestamp.valueOf(dt).toString
+    case other => other.toString
+  }
+
   /** COPY `df` into `table` (schema-qualified) over `numPartitions`
     * concurrent wire connections. Column order is the frame's; values
-    * ship as `Row.get(_).toString` text, nulls as `\N` — the exact
+    * ship as [[wireText]] — the exact
     * serialization [[graft.pipeline.PgGold.fromWire]] inverts.
     * `coalesce` (not `repartition`) caps the connection count WITHOUT
     * an exchange — the write itself is the bottleneck, not balance;
@@ -43,11 +61,97 @@ object PgWire {
         c.connect()
         try {
           val rows = it.map(r =>
-            cols.indices.map(i => Option(r.get(i)).map(_.toString)))
+            cols.indices.map(i => Option(r.get(i)).map(wireText)))
           c.copyIn(copySql, rows, batchRows = 1024)
           ()
         } finally c.close()
       }
     }
+  }
+
+  /** Deterministic staging-table name for one task attempt. Unique per
+    * (partition, attemptNumber), so two CONCURRENT attempts of the same
+    * partition (speculation) can never interleave inside one table. */
+  private[graft] def stageName(table: String, pid: Int, attempt: Int): String = {
+    val bare = table.substring(table.lastIndexOf('.') + 1)
+    s"${bare}__stage_p${pid}_a$attempt"
+  }
+
+  /** Spark retries a partition at most this many times; the publish
+    * step drops every possible attempt's stage, 0 until this bound. */
+  private val MaxAttempts = 5
+
+  /** EXACTLY-ONCE distributed wire COPY (VERDICT r15 task 2): the
+    * staging-table + atomic-swap commit discipline the parquet sinks
+    * use, over the live protocol.
+    *
+    * Each task attempt COPYs its partition into its own
+    * `table__stage_p<pid>_a<attempt>` table (drop-if-exists + create +
+    * COPY, so a RETRY of a failed attempt is idempotent, and a
+    * SPECULATIVE duplicate writes a different table — no interleaving
+    * is possible). The tasks return (partition, stage, rowcount)
+    * through the job result, so Spark's own task-commit discipline
+    * hands the driver EXACTLY ONE winning attempt per partition even
+    * when speculation ran two to success. The driver then publishes
+    * inside ONE wire transaction — `BEGIN; INSERT INTO target SELECT …
+    * FROM stage_p<i>; …; DROP TABLE …; COMMIT` — so the target
+    * atomically gains each partition exactly once (a crash before
+    * COMMIT leaves the target untouched and only orphan stages, which
+    * the next run's drop-first discipline clears). Loser attempts'
+    * stages are dropped in the same transaction by attempt-number
+    * sweep.
+    *
+    * `table` is schema-qualified (`silver.customer`); stage tables land
+    * in the same schema. Returns total rows published. */
+  def copyDistributedExactlyOnce(df: DataFrame, host: String, port: Int,
+                                 table: String,
+                                 numPartitions: Int = 8): Long = {
+    val Array(schemaName, bare) = table.split("\\.", 2) match {
+      case a @ Array(_, _) => a
+      case _ => throw new IllegalArgumentException(
+        s"table must be schema-qualified: $table")
+    }
+    val cols = df.columns.toSeq
+    val colList = cols.mkString(", ")
+    val schema = df.schema
+    // one winning (pid, stage, count) per partition: mapPartitions
+    // results ride Spark's task-commit protocol, which keeps exactly
+    // one attempt's output per partition under retries AND speculation
+    val winners = df.coalesce(numPartitions).rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.attemptNumber()).getOrElse(0)
+        val stage = stageName(bare, pid, attempt)
+        val c = new PgLiteClient(host, port)
+        c.connect()
+        val n = try {
+          c.query(s"DROP TABLE IF EXISTS $schemaName.$stage")
+          c.query(graft.io.Sinks.createTableDdl(schema, schemaName, stage))
+          val rows = it.map(r =>
+            cols.indices.map(i => Option(r.get(i)).map(wireText)))
+          val tag = c.copyIn(s"COPY $schemaName.$stage ($colList) FROM STDIN",
+            rows, batchRows = 1024)
+          tag.stripPrefix("COPY ").trim.toLong
+        } finally c.close()
+        Iterator.single((pid, stage, n))
+      }.collect().sortBy(_._1) // partition-count-sized driver metadata
+    val c = new PgLiteClient(host, port)
+    c.connect()
+    try {
+      c.query("BEGIN")
+      winners.foreach { case (_, stage, n) =>
+        if (n > 0)
+          c.query(s"INSERT INTO $table ($colList) " +
+            s"SELECT $colList FROM $schemaName.$stage")
+      }
+      winners.foreach { case (pid, _, _) =>
+        (0 until MaxAttempts).foreach { a =>
+          c.query(s"DROP TABLE IF EXISTS $schemaName.${stageName(bare, pid, a)}")
+        }
+      }
+      require(c.query("COMMIT").tags == Seq("COMMIT"),
+        "publish transaction failed to commit")
+    } finally c.close()
+    winners.iterator.map(_._3).sum
   }
 }

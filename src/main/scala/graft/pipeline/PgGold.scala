@@ -35,7 +35,7 @@ object PgGold {
   def textRows(df: DataFrame, cols: Seq[String]): Seq[Seq[Option[String]]] = {
     val idx = cols.map(df.columns.indexOf(_))
     df.collect().iterator.map { r =>
-      idx.map(i => Option(r.get(i)).map(_.toString))
+      idx.map(i => Option(r.get(i)).map(graft.io.pg.PgWire.wireText))
     }.toSeq
   }
 

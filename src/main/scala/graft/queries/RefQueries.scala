@@ -123,11 +123,12 @@ object RefQueries {
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
       c.connect()
-      c.query(graft.io.Sinks.createSchemaDdl("gold"))
-      val back = graft.pipeline.PgGold.writeTable(
-        c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
-      c.close()
-      back.orderBy(col("id"))
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("gold"))
+        val back = graft.pipeline.PgGold.writeTable(
+          c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
+        back.orderBy(col("id"))
+      } finally c.close()
     } finally server.stop()
   }
 
@@ -248,25 +249,36 @@ object RefQueries {
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
       c.connect(negotiateSsl = true)
-      c.query(graft.io.Sinks.createSchemaDdl("gold"))
-      c.query(graft.io.Sinks.createTableDdl(
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("seg",
-            org.apache.spark.sql.types.StringType))),
-        "gold", "segment", serialPk = Some("id"), unique = Seq("seg")))
-      val segs = t(s, dir, "customer")
-        .select(lower(trim(col("c_mktsegment"))).as("seg"))
-        .distinct().orderBy(col("seg"))
-        .collect().map(_.getString(0)).toSeq // dimension-sized
-      val idMap = segs.map { seg =>
-        val esc = seg.replace("'", "''")
-        seg -> c.query(
-          s"INSERT INTO gold.segment (seg) VALUES ('$esc') RETURNING id")
-          .rows.head.head.get.toInt
-      }.toMap
-      val dim = c.query("SELECT id, seg FROM gold.segment ORDER BY id")
-        .rows.map(r => (r(0).get.toInt, r(1).get))
-      c.close()
+      val dim = try {
+        c.query(graft.io.Sinks.createSchemaDdl("gold"))
+        c.query(graft.io.Sinks.createTableDdl(
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("seg",
+              org.apache.spark.sql.types.StringType))),
+          "gold", "segment", serialPk = Some("id"), unique = Seq("seg")))
+        val segs = t(s, dir, "customer")
+          .select(lower(trim(col("c_mktsegment"))).as("seg"))
+          .distinct().orderBy(col("seg"))
+          .collect().map(_.getString(0)).toSeq // dimension-sized
+        // the reference's single-commit discipline, live (dag :138):
+        // the whole id_mapping insert loop runs inside ONE transaction,
+        // committed once — and a post-commit rollback probe proves an
+        // aborted statement leaves nothing behind on the wire endpoint
+        require(c.query("BEGIN").tags == Seq("BEGIN"))
+        val idMap = segs.map { seg =>
+          val esc = seg.replace("'", "''")
+          seg -> c.query(
+            s"INSERT INTO gold.segment (seg) VALUES ('$esc') RETURNING id")
+            .rows.head.head.get.toInt
+        }.toMap
+        require(idMap.size == segs.size)
+        require(c.query("COMMIT").tags == Seq("COMMIT"))
+        c.query("BEGIN")
+        c.query("INSERT INTO gold.segment (seg) VALUES ('zzz_rolled_back')")
+        require(c.query("ROLLBACK").tags == Seq("ROLLBACK"))
+        c.query("SELECT id, seg FROM gold.segment ORDER BY id")
+          .rows.map(r => (r(0).get.toInt, r(1).get))
+      } finally c.close()
       val dimDf = dim.toDF("id", "seg")
       t(s, dir, "customer")
         .select(lower(trim(col("c_mktsegment"))).as("seg"))
@@ -295,21 +307,22 @@ object RefQueries {
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
       c.connect()
-      c.query(graft.io.Sinks.createSchemaDdl("silver"))
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer"))
-      val rows = cleaned.orderBy(col("c_custkey")).collect().iterator.map { r =>
-        Seq(Option(r.get(0)).map(_.toString),
-          Option(r.get(1)).map(_.toString),
-          Option(r.get(2)).map(_.toString))
-      }.toSeq
-      val tag = c.copyIn(
-        "COPY silver.customer (c_custkey, c_name, c_mktsegment) FROM STDIN", rows)
-      require(tag == s"COPY ${rows.length}", s"unexpected COPY tag: $tag")
-      val back = c.query(
-        "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer")
-      c.close()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer"))
+        val rows = cleaned.orderBy(col("c_custkey")).collect().iterator.map { r =>
+          Seq(Option(r.get(0)).map(_.toString),
+            Option(r.get(1)).map(_.toString),
+            Option(r.get(2)).map(_.toString))
+        }.toSeq
+        val tag = c.copyIn(
+          "COPY silver.customer (c_custkey, c_name, c_mktsegment) FROM STDIN", rows)
+        require(tag == s"COPY ${rows.length}", s"unexpected COPY tag: $tag")
+        c.query(
+          "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer")
+      } finally c.close()
       back.rows.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
         .toDF("c_custkey", "c_name", "c_mktsegment")
         .orderBy(col("c_custkey"))
@@ -330,21 +343,69 @@ object RefQueries {
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
       c.connect()
-      c.query(graft.io.Sinks.createSchemaDdl("silver"))
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer_dist"))
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_dist",
-        numPartitions = 8)
-      val back = c.query(
-        "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer_dist")
-      c.close()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer_dist"))
+        graft.io.pg.PgWire.copyDistributed(
+          cleaned, "127.0.0.1", server.port, "silver.customer_dist",
+          numPartitions = 8)
+        c.query(
+          "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer_dist")
+      } finally c.close()
       back.rows.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
         .toDF("c_custkey", "c_name", "c_mktsegment")
         .orderBy(col("c_custkey"))
     } finally server.stop()
   }
+
+  /** EXACTLY-ONCE distributed wire bulk-load gate (round-16, VERDICT
+    * r15 task 2 — [[graft.io.pg.PgWire.copyDistributedExactlyOnce]]):
+    * the same clean-rules round trip as [[pgCopyDistributed]], but
+    * through the staging-table + transactional-publish commit
+    * discipline — each partition COPYs into its own per-attempt stage
+    * table and the driver publishes all of them in ONE wire
+    * transaction (`BEGIN; INSERT…SELECT; DROP…; COMMIT`), so task
+    * retries and speculative duplicates can never double-load a
+    * partition (replay-proven in PgLiteSpec). The read-back oracle
+    * proves the staged path is value-identical to the direct one, and
+    * that the publish transaction left no stage tables behind. */
+  def pgCopyExactlyOnce(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_x1"))
+        val n = graft.io.pg.PgWire.copyDistributedExactlyOnce(
+          cleaned, "127.0.0.1", server.port, "silver.customer_x1",
+          numPartitions = 8)
+        val res = c.query(
+          "SELECT c_custkey, c_name, c_mktsegment FROM silver.customer_x1")
+        require(res.rows.length.toLong == n,
+          s"published $n rows but read back ${res.rows.length}")
+        // the publish transaction must have dropped every stage table
+        val orphan = graft.io.pg.PgWire.stageName("customer_x1", 0, 0)
+        val e = intercept(c, s"SELECT c_custkey FROM silver.$orphan")
+        require(e == "42P01", s"stage table survived the publish ($e)")
+        res
+      } finally c.close()
+      back.rows.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
+  /** Run a statement expected to fail; returns its SQLSTATE. */
+  private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
+    try { c.query(sql); "no error" }
+    catch { case e: c.PgServerError => e.code }
 
   /** JSONL ROUND-TRIP gate (round-13, [[graft.io.Sinks.jsonlDir]] /
     * [[graft.io.Sources.jsonl]]): the documents corpus exported as
@@ -405,6 +466,7 @@ object RefQueries {
     "ref_pg_runtime" -> (pgRuntime _),
     "ref_pg_copy" -> (pgCopy _),
     "ref_pg_copy_distributed" -> (pgCopyDistributed _),
+    "ref_pg_copy_exactly_once" -> (pgCopyExactlyOnce _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -442,6 +504,13 @@ object RefQueries {
     // the 8-connection concurrent COPY must land on the identical
     // read-back — same oracle as the single-socket twin
     "ref_pg_copy_distributed" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the staged, transactionally-published COPY must land on the
+    // identical read-back — same oracle as its two siblings
+    "ref_pg_copy_exactly_once" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

@@ -22,8 +22,8 @@ import org.apache.spark.sql.Dataset
   */
 object Ckpt {
 
-  /** Pre-checkpoint plans linted this JVM — keyed by a stable plan
-    * digest so tests can assert coverage; bounded (digests only). */
+  /** Count of checkpoints linted this JVM — a plain monotone counter
+    * so tests can assert the lint actually ran. */
   private[graft] val lintedCount = new java.util.concurrent.atomic.AtomicLong
 
   implicit final class CkptSyntax[T](private val ds: Dataset[T]) {

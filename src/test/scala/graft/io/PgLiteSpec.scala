@@ -281,4 +281,184 @@ class PgLiteSpec extends SparkSpec {
       c.close()
     } finally server.stop()
   }
+
+  it should "survive a non-COPY statement passed to copyIn (r15 ADVICE)" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE cp2 (k TEXT)")
+      c.query("INSERT INTO cp2 (k) VALUES ('pre')")
+      // the symmetric mistake: a SELECT through copyIn must resync to
+      // ReadyForQuery before throwing, not leave 'T'/'D' frames queued
+      intercept[IllegalStateException](
+        c.copyIn("SELECT k FROM cp2", Seq(Seq(Some("x")))))
+        .getMessage should include("not COPY")
+      c.query("SELECT k FROM cp2").rows shouldBe Seq(Seq(Some("pre")))
+      c.close()
+    } finally server.stop()
+  }
+
+  behavior of "PgLite transactions (reference :110-121 transactional DDL, :138 single commit)"
+
+  it should "publish everything on COMMIT, invisible to other connections until then" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    val c2 = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect(); c2.connect()
+      c.query("CREATE TABLE acct (id SERIAL PRIMARY KEY, k TEXT UNIQUE)")
+      c.query("INSERT INTO acct (k) VALUES ('base')")
+      c.query("BEGIN").tags shouldBe Seq("BEGIN")
+      c.txStatus shouldBe 'T'
+      // the reference's whole insert loop, one commit (dag :125-138)
+      c.query("INSERT INTO acct (k) VALUES ('tx1') RETURNING id")
+        .rows.head.head shouldBe Some("2")
+      c.copyIn("COPY acct (k) FROM STDIN",
+        Seq(Seq(Some("tx2")), Seq(Some("tx3")))) shouldBe "COPY 2"
+      // read-your-writes inside the transaction…
+      c.query("SELECT k FROM acct ORDER BY k").rows.flatMap(_.head) shouldBe
+        Seq("base", "tx1", "tx2", "tx3")
+      // …but ISOLATED from a second connection until commit
+      c2.query("SELECT k FROM acct ORDER BY k").rows.flatMap(_.head) shouldBe
+        Seq("base")
+      c.query("COMMIT").tags shouldBe Seq("COMMIT")
+      c.txStatus shouldBe 'I'
+      c2.query("SELECT k FROM acct ORDER BY k").rows.flatMap(_.head) shouldBe
+        Seq("base", "tx1", "tx2", "tx3")
+      c.close(); c2.close()
+    } finally server.stop()
+  }
+
+  it should "leave nothing behind on ROLLBACK — rows and DDL, with a PG-faithful serial gap" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE r (id SERIAL PRIMARY KEY, k TEXT)")
+      c.query("INSERT INTO r (k) VALUES ('keep')")
+      c.query("BEGIN")
+      c.query("INSERT INTO r (k) VALUES ('gone')")
+      c.query("CREATE TABLE r2 (k TEXT)") // DDL is transactional (dag :110-121)
+      c.query("INSERT INTO r2 (k) VALUES ('also gone')")
+      c.query("ROLLBACK").tags shouldBe Seq("ROLLBACK")
+      c.query("SELECT k FROM r").rows shouldBe Seq(Seq(Some("keep")))
+      intercept[c.PgServerError](
+        c.query("SELECT k FROM r2")).code shouldBe "42P01"
+      // sequences are NON-transactional (real PG): the rolled-back
+      // insert consumed id 2, so the next insert gets 3
+      c.query("INSERT INTO r (k) VALUES ('next') RETURNING id")
+        .rows.head.head shouldBe Some("3")
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "answer 25P02 after an in-transaction error until ROLLBACK; COMMIT rolls back" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE u (k TEXT UNIQUE)")
+      c.query("INSERT INTO u (k) VALUES ('dup')")
+      c.query("BEGIN")
+      c.query("INSERT INTO u (k) VALUES ('staged')")
+      intercept[c.PgServerError](
+        c.query("INSERT INTO u (k) VALUES ('dup')")).code shouldBe "23505"
+      c.txStatus shouldBe 'E'
+      // aborted: every statement (including COPY) answers 25P02
+      intercept[c.PgServerError](
+        c.query("SELECT k FROM u")).code shouldBe "25P02"
+      intercept[c.PgServerError](
+        c.copyIn("COPY u (k) FROM STDIN", Seq(Seq(Some("x")))))
+        .code shouldBe "25P02"
+      // COMMIT of an aborted transaction rolls back (PG tag semantics)
+      c.query("COMMIT").tags shouldBe Seq("ROLLBACK")
+      c.txStatus shouldBe 'I'
+      c.query("SELECT k FROM u").rows shouldBe Seq(Seq(Some("dup")))
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "append through INSERT … SELECT with live constraints and LIMIT scans" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE src (k TEXT, n INTEGER)")
+      c.copyIn("COPY src (k, n) FROM STDIN",
+        Seq(Seq(Some("a"), Some("2")), Seq(Some("b"), Some("1")),
+          Seq(Some("c"), None))) shouldBe "COPY 3"
+      c.query("CREATE TABLE dst (id SERIAL PRIMARY KEY, k TEXT UNIQUE, n INTEGER)")
+      c.query("INSERT INTO dst (k, n) SELECT k, n FROM src")
+        .tags shouldBe Seq("INSERT 0 3")
+      // serials assigned on the way in; LIMIT caps the sorted scan
+      c.query("SELECT id, k FROM dst ORDER BY k LIMIT 2").rows shouldBe
+        Seq(Seq(Some("1"), Some("a")), Seq(Some("2"), Some("b")))
+      // re-running the same append violates UNIQUE → all-or-nothing
+      intercept[c.PgServerError](
+        c.query("INSERT INTO dst (k, n) SELECT k, n FROM src"))
+        .code shouldBe "23505"
+      c.query("SELECT k FROM dst").tags shouldBe Seq("SELECT 3")
+      c.close()
+    } finally server.stop()
+  }
+
+  behavior of "exactly-once staged COPY (VERDICT r15 task 2)"
+
+  it should "replay a succeeded partition's COPY and still read back exactly one copy" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE SCHEMA silver")
+      c.query("CREATE TABLE silver.t (k TEXT)")
+      val rows = Seq(Seq(Some("r1")), Seq(Some("r2")))
+      // attempt 0 SUCCEEDS…
+      def stageAttempt(a: Int): String = {
+        val st = graft.io.pg.PgWire.stageName("t", 0, a)
+        c.query(s"DROP TABLE IF EXISTS silver.$st")
+        c.query(s"CREATE TABLE IF NOT EXISTS silver.$st (k TEXT)")
+        c.copyIn(s"COPY silver.$st (k) FROM STDIN", rows) shouldBe "COPY 2"
+        st
+      }
+      stageAttempt(0)
+      // …and a SPECULATIVE duplicate of the same partition also runs to
+      // success as attempt 1 — the scenario that double-loads the naive
+      // per-partition COPY
+      val winner = stageAttempt(1)
+      // the driver publishes ONE winner (Spark's task-commit keeps one
+      // result per partition) and sweeps every attempt, in one tx
+      c.query("BEGIN")
+      c.query(s"INSERT INTO silver.t (k) SELECT k FROM silver.$winner")
+      (0 until 5).foreach { a =>
+        c.query(s"DROP TABLE IF EXISTS silver.${graft.io.pg.PgWire.stageName("t", 0, a)}")
+      }
+      c.query("COMMIT").tags shouldBe Seq("COMMIT")
+      // exactly one copy of the partition, and no stage residue
+      c.query("SELECT k FROM silver.t ORDER BY k").rows.flatMap(_.head) shouldBe
+        Seq("r1", "r2")
+      intercept[c.PgServerError](
+        c.query(s"SELECT k FROM silver.$winner")).code shouldBe "42P01"
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "publish a DataFrame exactly once through copyDistributedExactlyOnce" in {
+    import spark.implicits._
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE SCHEMA silver")
+      c.query("CREATE TABLE silver.d (k TEXT, n INTEGER)")
+      val df = (1 to 100).map(i => (s"k$i", i)).toDF("k", "n")
+      val total = graft.io.pg.PgWire.copyDistributedExactlyOnce(
+        df, "127.0.0.1", server.port, "silver.d", numPartitions = 4)
+      total shouldBe 100L
+      val back = c.query("SELECT k, n FROM silver.d")
+      back.rows.length shouldBe 100
+      back.rows.map(_.head.get).distinct.length shouldBe 100
+      c.close()
+    } finally server.stop()
+  }
 }
