@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.io.Sinks
-import graft.io.pg.PgLiteClient
+import graft.io.pg.{PgLiteClient, PgWire}
 
 /** The gold star schema written through the LIVE wire-v3 endpoint
   * (VERDICT r15 task 4): the reference's actual Postgres protocol —
@@ -24,9 +24,14 @@ import graft.io.pg.PgLiteClient
   * whole read-back: any drift between DB-side and engine-side id
   * assignment breaks the gate.
   *
-  * Size classes: this is the PROTOCOL-fidelity leg (driver-side, like
-  * the reference's single psycopg2 process); the distributed bulk
-  * posture remains [[graft.io.Sinks.jdbcBatch]].
+  * Size classes (round-16): DIMS and the RETURNING-id head stay
+  * driver-side — that is the protocol-fidelity leg (the reference IS
+  * one psycopg2 process) and dims are small by construction. FACTS
+  * are input-sized, so [[writeFactDistributed]] ships them through
+  * [[PgWire.copyDistributedExactlyOnce]] (one wire connection per
+  * partition, staged + transactionally published) and verifies by
+  * server-confirmed count plus an explicitly SAMPLED ordered head
+  * read-back — no corpus-sized frame ever collects to the driver.
   */
 object PgGold {
 
@@ -121,31 +126,53 @@ object PgGold {
     fromWire(df.sparkSession, back.rows, df.schema)
   }
 
-  /** A fact table (no surrogate id of its own): plain DDL + COPY, FKs
-    * enforced live by the server against the already-loaded main. */
-  def writeFact(c: PgLiteClient, df: DataFrame, schemaName: String,
-                table: String, fks: Map[String, String]): DataFrame = {
+  /** A distributed fact write: the server-confirmed published row
+    * count and the sampled, ordered, typed head read-back. */
+  final case class FactWrite(total: Long, head: DataFrame)
+
+  /** A fact table (no surrogate id of its own), written at the FACT
+    * size class (VERDICT r15 task 1): DDL on the driver connection,
+    * rows through [[PgWire.copyDistributedExactlyOnce]] — one wire
+    * connection per partition COPYing into per-attempt staging tables,
+    * published in one transaction — so corpus-sized facts never
+    * collect to the driver. FKs are enforced live by the server when
+    * the publish's `INSERT … SELECT` lands in the constrained target.
+    *
+    * Verification is the scale-safe pair: the server-confirmed
+    * published total must equal the engine's `df.count()`
+    * (distributed), and the returned read-back is an EXPLICITLY
+    * SAMPLED head — `ORDER BY orderCol LIMIT sampleK` over the wire —
+    * typed back into `df`'s schema. `orderCol` must be unique per fact
+    * row for the head to be deterministic. */
+  def writeFactDistributed(c: PgLiteClient, df: DataFrame,
+                           host: String, port: Int,
+                           schemaName: String, table: String,
+                           fks: Map[String, String],
+                           orderCol: String, sampleK: Int = 100): FactWrite = {
     val ddl = Sinks.createTableDdl(df.schema, schemaName, table,
       serialPk = None, unique = Nil, foreignKeys = fks)
     require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
+    val total = PgWire.copyDistributedExactlyOnce(
+      df, host, port, s"$schemaName.$table")
+    val expected = df.count()
+    require(total == expected,
+      s"$table: server confirmed $total rows, engine expected $expected")
     val cols = df.columns.toSeq
-    val rows = textRows(df, cols)
-    val tag = c.copyIn(
-      s"COPY $schemaName.$table (${cols.mkString(", ")}) FROM STDIN", rows)
-    require(tag == s"COPY ${rows.length}", s"$table: unexpected tag $tag")
-    // facts have no id: read back in the frame's first-column order
-    // (the reorderd id-first FK), which is unique per fact row contract
     val back = c.query(s"SELECT ${cols.mkString(", ")} " +
-      s"FROM $schemaName.$table")
-    fromWire(df.sparkSession, back.rows, df.schema)
+      s"FROM $schemaName.$table ORDER BY $orderCol LIMIT $sampleK")
+    FactWrite(total, fromWire(df.sparkSession, back.rows, df.schema))
   }
 
   /** The whole gold star through the wire, in FK dependency order:
-    * dims (SERIAL + RETURNING + COPY) → main (FK→dim keys) → facts
-    * (FK→main id). Returns the wire read-back per table. */
+    * dims (SERIAL + RETURNING + COPY, driver-side — dims are small by
+    * construction) → main (FK→dim keys) → facts (input-sized:
+    * DISTRIBUTED exactly-once COPY with count verification). Returns
+    * the wire read-back per table — full frames for dims and main, the
+    * sampled ordered head for facts (the scale-safe read-back). */
   def writeGold(c: PgLiteClient, gold: Map[String, DataFrame],
-                spec: Medallion.GoldSpec,
-                schemaName: String = "gold"): Map[String, DataFrame] = {
+                spec: Medallion.GoldSpec, host: String, port: Int,
+                schemaName: String = "gold",
+                factSampleK: Int = 100): Map[String, DataFrame] = {
     c.query(Sinks.createSchemaDdl(schemaName))
     val id = spec.surrogateIdCol
     val dims = spec.dimKeyCols.keys.toSeq.sorted.map { d =>
@@ -158,9 +185,10 @@ object PgGold {
       schemaName, spec.mainTable, id, unique = Nil, fks = mainFks)
     val factNames = gold.keySet -- spec.dimKeyCols.keySet - spec.mainTable
     val facts = factNames.toSeq.sorted.map { f =>
-      f -> writeFact(c, gold(f), schemaName, f,
+      f -> writeFactDistributed(c, gold(f), host, port, schemaName, f,
         fks = Map(s"${spec.mainTable}_id" ->
-          s"$schemaName.${spec.mainTable}($id)"))
+          s"$schemaName.${spec.mainTable}($id)"),
+        orderCol = s"${spec.mainTable}_id", sampleK = factSampleK).head
     }
     (dims ++ facts :+ (spec.mainTable -> main)).toMap
   }

@@ -102,14 +102,24 @@ object RefQueries {
   }
 
   // ---- §7.3 flagship: the full cleaning→keys→dedup→surrogate-id chain,
-  //      SERVED THROUGH THE WIRE (r15): the engine frame is written to a
-  //      live wire-v3 endpoint — CREATE SCHEMA/TABLE with SERIAL PK +
-  //      UNIQUE key, the reference's INSERT…RETURNING id_mapping pattern
-  //      on the head rows (dag_etl_minio_to_postgres.py:125-138, :478),
-  //      COPY bulk load for the rest (serial continuation), wire SELECT
-  //      read-back — and the READ-BACK is what the oracle hashes, so any
-  //      protocol corruption or DB-side/engine-side id drift breaks the
-  //      flagship gate. ------------------------------------------------------
+  //      SERVED THROUGH THE WIRE (r15), with the FACT leg DISTRIBUTED
+  //      (r16, VERDICT r15 task 1). Two size classes, each on its
+  //      scale-correct path:
+  //       - DIM (driver-side, protocol fidelity): CREATE TABLE with
+  //         SERIAL PK + UNIQUE key, the reference's INSERT…RETURNING
+  //         id_mapping pattern on the head rows
+  //         (dag_etl_minio_to_postgres.py:125-138, :478), COPY for the
+  //         rest (serial continuation), full wire SELECT read-back —
+  //         additionally required VALUE-IDENTICAL to the engine frame.
+  //       - FACT (input-sized): orders resolved to the dim's surrogate
+  //         ids by broadcast join, then written through
+  //         PgWire.copyDistributedExactlyOnce — one wire connection per
+  //         partition, per-attempt staging tables, one-transaction
+  //         publish — verified by server-confirmed count and an
+  //         explicitly SAMPLED ordered head read-back (LIMIT 100).
+  //      The emitted frame joins the fact head to the dim read-back, so
+  //      every output value crossed the wire on one of the two legs and
+  //      the oracle hash gates BOTH protocol round trips. ----------------
   def medallion(s: SparkSession, dir: String): DataFrame = {
     val cleaned = Clean.clean(t(s, dir, "customer"))
     val keyed = cleaned.withColumn(
@@ -125,9 +135,29 @@ object RefQueries {
       c.connect()
       try {
         c.query(graft.io.Sinks.createSchemaDdl("gold"))
-        val back = graft.pipeline.PgGold.writeTable(
+        val dimBack = graft.pipeline.PgGold.writeTable(
           c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
-        back.orderBy(col("id"))
+        // the dim leg is fully verified: read-back ≡ engine frame
+        // (dimension-sized driver compare, the protocol-fidelity class)
+        val dimCols = engine.columns.toSeq
+        require(graft.pipeline.PgGold.textRows(dimBack, dimCols) ==
+          graft.pipeline.PgGold.textRows(engine, dimCols),
+          "customer_dim wire read-back drifted from the engine frame")
+        val fact = t(s, dir, "orders")
+          .join(broadcast(engine.select(
+            col("id").as("customer_id"), col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("customer_id"), col("o_orderkey"), col("o_orderstatus"))
+        val fw = graft.pipeline.PgGold.writeFactDistributed(
+          c, fact, "127.0.0.1", server.port, "gold", "orders_fact",
+          fks = Map("customer_id" -> "gold.customer_dim(id)"),
+          orderCol = "o_orderkey", sampleK = 100)
+        val dimB = dimBack.select(
+          col("id"), col("c_name"), col("c_key"))
+        fw.head.join(dimB, fw.head("customer_id") === dimB("id"))
+          .select(col("o_orderkey"), col("customer_id"),
+            col("o_orderstatus"), col("c_name"), col("c_key"))
+          .orderBy(col("o_orderkey"))
       } finally c.close()
     } finally server.stop()
   }
@@ -584,6 +614,9 @@ object RefQueries {
          SELECT d.customer_id, o.o_orderkey, o.o_orderstatus
          FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey
          ORDER BY o.o_orderkey""",
+    // the flagship hashes BOTH wire legs: the dim chain replayed to its
+    // surrogate ids, joined to orders (the fact read-back), cut to the
+    // sampled ordered head exactly like the wire SELECT … LIMIT 100
     "ref_medallion" ->
       """WITH cleaned AS (
            SELECT c_custkey,
@@ -595,9 +628,17 @@ object RefQueries {
            SELECT *, substr(sha256(concat(coalesce(CAST(c_name AS VARCHAR), 'nan'),
                                           coalesce(CAST(c_nationkey AS VARCHAR), 'nan'))), 1, 16) AS c_key
            FROM cleaned),
-         dd AS (SELECT DISTINCT * FROM keyed)
-         SELECT CAST(row_number() OVER (ORDER BY c_key, c_custkey) AS INT) AS id,
-                c_custkey, c_name, c_nationkey, c_mktsegment, c_key
-         FROM dd ORDER BY id"""
+         dd AS (SELECT DISTINCT * FROM keyed),
+         main AS (
+           SELECT CAST(row_number() OVER (ORDER BY c_key, c_custkey) AS INT) AS id,
+                  c_custkey, c_name, c_nationkey, c_mktsegment, c_key
+           FROM dd),
+         head AS (
+           SELECT o.o_orderkey, m.id AS customer_id, o.o_orderstatus,
+                  m.c_name, m.c_key
+           FROM orders o JOIN main m ON o.o_custkey = m.c_custkey
+           ORDER BY o.o_orderkey LIMIT 100)
+         SELECT o_orderkey, customer_id, o_orderstatus, c_name, c_key
+         FROM head ORDER BY o_orderkey"""
   )
 }
