@@ -7,71 +7,36 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, processed by iterator-based
   * `mapPartitions` pipelines.
   *
-  * Two codec tiers. The GATED pipelines (metadata, decode stats,
-  * per-document phash) run a REAL byte-level codec end-to-end: binary
-  * PPM (P6) is the one self-describing raster format writable without
-  * codec libraries, so [[Ppm]] synthesizes genuine P6 containers from
-  * document bytes, parses their headers back the way any netpbm reader
-  * does, and decodes RGB→integer-luma — all integer-exact, so a SQL
-  * oracle replays every pixel. [[StubCodec]] remains ONLY for the
-  * stages whose real formats need external libraries (frame sampling,
-  * resize): it derives deterministic fake output from the bytes while
-  * everything AROUND it keeps the production shape — binary column,
-  * typed `Dataset[T]` boundary, partition-local batch iteration (one
-  * codec init per partition, not per row) — exactly how a
-  * JNI/FFMpeg/libjpeg stage plugs into Spark at scale. Partitioning
-  * note: decode is CPU-bound and embarrassingly parallel; no shuffle
-  * is introduced, so throughput scales linearly with executor cores.
+  * Every gated pipeline (metadata, decode stats, resize, frame
+  * sampling, per-document phash, audio) runs a REAL byte-level codec
+  * end-to-end: binary PPM (P6) and RIFF/WAVE PCM are the two
+  * self-describing media formats writable without codec libraries, so
+  * [[Ppm]]/[[Wav]] synthesize genuine containers from document bytes,
+  * parse them back the way any netpbm/RIFF reader does, and decode to
+  * integer luma/PCM — all integer-exact, so a SQL oracle replays every
+  * pixel and sample. Multi-frame streams are concatenated P6 rasters
+  * ([[Ppm.encodeFramesFromBytes]], the MJPEG shape: self-delimiting
+  * frames back to back) walked header-by-header. Everything keeps the
+  * production shape — binary column, typed `Dataset[T]` boundary,
+  * partition-local batch iteration (one codec init per partition, not
+  * per row) — exactly how a JNI/FFmpeg/libjpeg stage plugs into Spark
+  * at scale. Partitioning note: decode is CPU-bound and
+  * embarrassingly parallel; no shuffle is introduced, so throughput
+  * scales linearly with executor cores.
   */
 object Multimodal {
 
   /** A row carrying an opaque media payload. */
   case class MediaBlob(doc_id: Long, lang: String, payload: Array[Byte])
 
-  /** Typed metadata extracted by the (stub) decoder. */
+  /** Typed metadata extracted by the container decoder. */
   case class MediaMeta(
       doc_id: Long, lang: String, n_bytes: Int,
       width: Int, height: Int, format: String)
 
-  /** A sampled "frame": fixed-size byte slice + its index. */
-  case class Frame(doc_id: Long, frame_idx: Int, bytes: Array[Byte])
-
-  object StubCodec {
-    /** STUB decode — a real implementation would parse the container
-      * header (JPEG SOF / WAV fmt / MP4 moov). Deterministic fake:
-      * dimensions derived from payload length and first byte. */
-    def decode(b: MediaBlob): MediaMeta = {
-      val first = if (b.payload.nonEmpty) b.payload(0) & 0xff else 0
-      MediaMeta(
-        doc_id = b.doc_id,
-        lang = b.lang,
-        n_bytes = b.payload.length,
-        width = 64 + (b.payload.length % 512),
-        height = 64 + ((first * 7) % 512),
-        format = b.payload.length % 3 match {
-          case 0 => "img"; case 1 => "audio"; case _ => "video"
-        })
-    }
-
-    /** STUB frame sampler: every `stride`-th 16-byte slice. */
-    def sampleFrames(b: MediaBlob, stride: Int): Iterator[Frame] =
-      b.payload.grouped(16).zipWithIndex
-        .filter { case (_, i) => i % stride == 0 }
-        .map { case (bytes, i) => Frame(b.doc_id, i, bytes) }
-
-    /** STUB resize: a real implementation would decode + rescale
-      * pixels; the fake deterministically downsamples the byte payload
-      * to `targetBytes` by striding — preserving the production shape
-      * (binary in, smaller binary out, same row count). */
-    def resize(b: MediaBlob, targetBytes: Int): MediaBlob =
-      if (b.payload.length <= targetBytes) b
-      else {
-        val stride = math.max(1, b.payload.length / targetBytes)
-        MediaBlob(b.doc_id, b.lang,
-          b.payload.indices.collect { case i if i % stride == 0 => b.payload(i) }
-            .take(targetBytes).toArray)
-      }
-  }
+  /** Per-frame integer luma stats of one DECODED sampled frame. */
+  case class FrameStats(doc_id: Long, frame_idx: Int, n_pixels: Long,
+                        sum_gray: Long, min_gray: Int, max_gray: Int)
 
   /** REAL codec (round-12): a genuine byte-level decoder for the one
     * self-describing format writable without codec libraries — binary
@@ -81,8 +46,7 @@ object Multimodal {
     * comments, single byte after maxval), and [[grayPixels]] converts
     * the decoded RGB to integer luma ((299r+587g+114b)/1000 — the
     * BT.601 weights in exact integer math, so the DuckDB oracle can
-    * replay every pixel). [[StubCodec]] stays as the spec-level twin
-    * for the formats that DO need external codecs. */
+    * replay every pixel). */
   object Ppm {
     /** Fixed raster width for synthesized payloads: 8 px × 3 bytes =
       * 24 payload bytes per row. */
@@ -111,15 +75,44 @@ object Multimodal {
       out
     }
 
+    /** A multi-frame container: `max(1, ceil(n/bytesPerFrame))` P6
+      * rasters CONCATENATED back to back — the MJPEG stream shape
+      * (self-delimiting frames, no outer index), so a demuxer must
+      * walk headers frame by frame. Frame f encodes source bytes
+      * `[f·bytesPerFrame, min((f+1)·bytesPerFrame, n))` through
+      * [[encodeFromBytes]] (empty source → one black 8×1 frame). */
+    def encodeFramesFromBytes(src: Array[Byte], bytesPerFrame: Int): Array[Byte] = {
+      require(bytesPerFrame > 0, s"degenerate frame size $bytesPerFrame")
+      val n = src.length
+      val nf = math.max(1, (n + bytesPerFrame - 1) / bytesPerFrame)
+      val frames = (0 until nf).map { f =>
+        encodeFromBytes(java.util.Arrays.copyOfRange(
+          src, f * bytesPerFrame, math.min((f + 1) * bytesPerFrame, n)))
+      }
+      val out = new Array[Byte](frames.iterator.map(_.length).sum)
+      var off = 0
+      frames.foreach { fr =>
+        System.arraycopy(fr, 0, out, off, fr.length); off += fr.length
+      }
+      out
+    }
+
     /** Parse a P6 header byte-by-byte: magic, then three ASCII
       * integers separated by whitespace runs (with `#`-to-EOL comments
       * allowed, per the netpbm spec), then EXACTLY ONE whitespace byte
       * before the raster. Throws on malformed input — a decoder that
       * guesses is worse than one that fails. */
-    def parseHeader(payload: Array[Byte]): Header = {
-      require(payload.length >= 2 && payload(0) == 'P' && payload(1) == '6',
-        "not a P6 PPM payload")
-      var pos = 2
+    def parseHeader(payload: Array[Byte]): Header = parseHeaderAt(payload, 0)
+
+    /** [[parseHeader]] at an arbitrary container offset — the demuxer
+      * entry point for walking [[encodeFramesFromBytes]] streams; the
+      * returned `pixelOffset` is absolute, and bytes past this frame's
+      * raster are legal (the next frame starts there). */
+    def parseHeaderAt(payload: Array[Byte], off: Int): Header = {
+      require(payload.length >= off + 2 &&
+        payload(off) == 'P' && payload(off + 1) == '6',
+        s"not a P6 PPM frame at byte $off")
+      var pos = off + 2
       def skipSeparators(): Unit = {
         var going = true
         while (going && pos < payload.length) {
@@ -168,8 +161,12 @@ object Multimodal {
 
     /** Decode to integer luma: gray_j = (299·r + 587·g + 114·b) / 1000
       * over the j-th RGB triplet — all integer, oracle-replayable. */
-    def grayPixels(payload: Array[Byte]): Array[Int] = {
-      val hd = parseHeader(payload)
+    def grayPixels(payload: Array[Byte]): Array[Int] =
+      grayPixelsAt(payload, parseHeader(payload))
+
+    /** Luma decode of one already-parsed frame (multi-frame walks
+      * parse once and decode only the sampled frames). */
+    def grayPixelsAt(payload: Array[Byte], hd: Header): Array[Int] = {
       val m = hd.width * hd.height
       val out = new Array[Int](m)
       var j = 0
@@ -358,30 +355,61 @@ object Multimodal {
     blobs.mapPartitions(_.map(RealCodec.decode))
   }
 
-  /** The decode stage: typed, partition-local. Codec state (expensive
-    * in a real decoder) is initialized once per partition. */
-  def decodeMeta(spark: SparkSession, blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
+  /** Multi-frame container payloads: each row's text bytes packed into
+    * a concatenated-P6 stream ([[Ppm.encodeFramesFromBytes]]) —
+    * `bytesPerFrame` source bytes per frame. Partition-local. */
+  def ppmFrameBlobs(spark: SparkSession, df: DataFrame, textCol: String,
+                    bytesPerFrame: Int): Dataset[MediaBlob] = {
     import spark.implicits._
-    blobs.mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map(StubCodec.decode)
-    }
+    df.select(col("doc_id").cast("long"), col("lang"), col(textCol))
+      .as[(Long, String, String)]
+      .mapPartitions(_.map { case (id, lang, text) =>
+        MediaBlob(id, lang, Ppm.encodeFramesFromBytes(
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          bytesPerFrame))
+      })
   }
 
-  /** The frame-sampling stage: one-to-many, still partition-local. */
-  def sampleFrames(spark: SparkSession, blobs: Dataset[MediaBlob], stride: Int): Dataset[Frame] = {
+  /** REAL frame sampling (retires the last stub kernel, VERDICT r15
+    * task 3): walk the concatenated-P6 container header by header the
+    * way an MJPEG demuxer walks JPEG SOI markers — every frame's
+    * length comes from ITS OWN parsed header, never from an assumed
+    * stride — decode every `stride`-th frame's pixels, and emit
+    * per-frame integer luma stats. Frames not sampled are SKIPPED
+    * without pixel decode (header-only hop, the cheap seek a real
+    * demuxer does). One-to-many, partition-local, payloads never
+    * shuffle; a truncated or corrupt frame fails the parse loudly. */
+  def sampleFrames(spark: SparkSession, blobs: Dataset[MediaBlob],
+                   stride: Int): Dataset[FrameStats] = {
     import spark.implicits._
-    blobs.mapPartitions(_.flatMap(StubCodec.sampleFrames(_, stride)))
+    require(stride > 0, s"degenerate stride $stride")
+    blobs.mapPartitions(_.flatMap { b =>
+      val out = scala.collection.mutable.ArrayBuffer[FrameStats]()
+      var pos = 0
+      var idx = 0
+      while (pos < b.payload.length) {
+        val hd = Ppm.parseHeaderAt(b.payload, pos)
+        if (idx % stride == 0) {
+          val g = Ppm.grayPixelsAt(b.payload, hd)
+          var s = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          var i = 0
+          while (i < g.length) {
+            s += g(i); if (g(i) < mn) mn = g(i); if (g(i) > mx) mx = g(i)
+            i += 1
+          }
+          out += FrameStats(b.doc_id, idx, g.length.toLong, s, mn, mx)
+        }
+        pos = hd.pixelOffset + 3 * hd.width * hd.height
+        idx += 1
+      }
+      out.iterator
+    })
   }
 
-  /** The resize stage: one-to-one, partition-local, shrinks payloads. */
-  def resize(spark: SparkSession, blobs: Dataset[MediaBlob], targetBytes: Int): Dataset[MediaBlob] = {
-    import spark.implicits._
-    blobs.mapPartitions(_.map(StubCodec.resize(_, targetBytes)))
-  }
-
-  /** REAL image resize on REAL pixels (retires [[StubCodec.resize]]
-    * for the P6 pipeline): decode the raster, nearest-neighbor sample
+  /** REAL image resize on REAL pixels (round-13; retired the r12 stub
+    * resize): decode the raster, nearest-neighbor sample
     * to `newW`×`newH` — output pixel (r, c) copies source pixel
     * (r·h div newH, c·w div newW), the classic integer NN kernel — and
     * re-encode a genuine P6 container. Pure integer end to end, so a
@@ -437,8 +465,8 @@ object Multimodal {
       }).toDF("doc_id", "n_pixels", "sum_gray", "min_gray", "max_gray")
   }
 
-  /** REAL audio frame sampling (retires [[StubCodec.sampleFrames]] for
-    * the WAV pipeline): decode the PCM stream and emit fixed-length
+  /** REAL audio frame sampling (round-13; retired the r12 stub frame
+    * slicer for the WAV pipeline): decode the PCM stream and emit fixed-length
     * sample windows — `window` samples every `stride` (the 20 ms-hop
     * shape every audio featurizer uses) — with each frame's exact
     * integer energy (Σ v²). One-to-many, partition-local; the last
@@ -472,8 +500,10 @@ object Multimodal {
     * (banded, recall 1.0 within the bound — no shuffle of payloads,
     * only 8-byte signatures).
     *
-    * On real media this runs on DECODED grayscale pixels; here it runs
-    * on the stub codec's byte stream (the testdata ships no binaries),
+    * On real media this runs on DECODED grayscale pixels
+    * ([[blockhash64Gray]]); this variant runs on the raw payload byte
+    * stream — the basis the pair-mining gates need (see
+    * [[graft.queries.TextQueries]]'s phash-pairs rationale) —
     * which preserves the property that matters — near-dup payloads →
     * near-equal signatures. Every comparison is integer-exact
     * (cell_sum·n > total·cell_count cross-multiplication, no
@@ -567,8 +597,7 @@ object Multimodal {
     * [[ppmBlobs]] packs each document's bytes into a real P6 PPM and
     * [[RealCodec.decode]] parses the container header back —
     * `n_bytes` is the container size, `width`/`height` the parsed
-    * raster dimensions. [[StubCodec]] remains only where the format
-    * genuinely needs an external codec (frames/resize). */
+    * raster dimensions. */
   def mediaMetaPipeline(spark: SparkSession, docs: DataFrame): DataFrame =
     decodeMetaReal(spark, ppmBlobs(spark, docs, "text")).toDF()
 

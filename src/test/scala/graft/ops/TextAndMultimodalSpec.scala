@@ -143,36 +143,51 @@ class TextAndMultimodalSpec extends SparkSpec {
     native.head.size shouldBe 3 // "a b c d e" → 3 distinct 3-shingles
   }
 
-  "Multimodal stub pipeline" should "decode deterministic metadata" in {
+  "Multimodal multi-frame codec" should "walk concatenated P6 frames and decode sampled luma" in {
     import spark.implicits._
-    // the stub stage itself (the spec-level twin for formats that DO
-    // need external codecs — the gated pipeline runs the real codec)
-    val blobs = Seq(Multimodal.MediaBlob(7L, "en",
-      "hello world".getBytes("UTF-8"))).toDS()
-    val meta = Multimodal.decodeMeta(spark, blobs).collect()(0)
-    meta.n_bytes shouldBe 11
-    meta.width shouldBe 64 + 11 % 512
-    meta.height shouldBe 64 + ('h'.toInt * 7) % 512
-    meta.format shouldBe "video" // 11 % 3 == 2
+    // 100 source bytes at 48/frame → 3 frames (48, 48, 4 source
+    // bytes); stride 2 samples frames 0 and 2, SKIPPING frame 1's
+    // pixel decode (header-only hop)
+    val src = Array.tabulate[Byte](100)(i => (i + 1).toByte)
+    val blobs = Seq(Multimodal.MediaBlob(1L, "en",
+      Multimodal.Ppm.encodeFramesFromBytes(src, 48))).toDS()
+    val frames = Multimodal.sampleFrames(spark, blobs, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    frames.map(_.frame_idx).toSeq shouldBe Seq(0, 2)
+    // frame 0: 48 bytes → h = 2 → 16 px; frame 2: 4 bytes → h = 1 → 8 px
+    frames(0).n_pixels shouldBe 16L
+    frames(1).n_pixels shouldBe 8L
+    // frame 2's pixels are the LAST slice's bytes cycled — hand-decode
+    val slice = src.drop(96)
+    val px = Array.tabulate(8) { j =>
+      (299 * (slice((3 * j) % 4) & 0xff) +
+        587 * (slice((3 * j + 1) % 4) & 0xff) +
+        114 * (slice((3 * j + 2) % 4) & 0xff)) / 1000
+    }
+    frames(1).sum_gray shouldBe px.map(_.toLong).sum
+    frames(1).min_gray shouldBe px.min
+    frames(1).max_gray shouldBe px.max
   }
 
-  it should "resize payloads deterministically" in {
-    import spark.implicits._
-    val blobs = Seq(Multimodal.MediaBlob(1L, "en", Array.tabulate[Byte](100)(_.toByte)))
-      .toDS()
-    val out = Multimodal.resize(spark, blobs, targetBytes = 25).collect()(0)
-    out.payload.length should be <= 25
-    out.payload(1) shouldBe 4.toByte // stride 4: bytes 0,4,8…
+  it should "fail loudly on a truncated final frame" in {
+    val full = Multimodal.Ppm.encodeFramesFromBytes(Array.fill[Byte](100)(7), 48)
+    val h0 = Multimodal.Ppm.parseHeaderAt(full, 0)
+    val o1 = h0.pixelOffset + 3 * h0.width * h0.height
+    val h1 = Multimodal.Ppm.parseHeaderAt(full, o1)
+    val o2 = h1.pixelOffset + 3 * h1.width * h1.height
+    // a demuxer that guesses is worse than one that fails: the third
+    // frame's raster is 3 bytes short → parse must throw, not slice
+    intercept[IllegalArgumentException](
+      Multimodal.Ppm.parseHeaderAt(full.dropRight(3), o2))
   }
 
-  it should "sample frames with the stride" in {
+  it should "encode empty sources as one black frame" in {
     import spark.implicits._
-    val blobs = Seq(Multimodal.MediaBlob(1L, "en", Array.fill[Byte](100)(1)))
-      .toDS()
+    val blobs = Seq(Multimodal.MediaBlob(2L, "en",
+      Multimodal.Ppm.encodeFramesFromBytes(Array.emptyByteArray, 48))).toDS()
     val frames = Multimodal.sampleFrames(spark, blobs, stride = 2).collect()
-    // 100 bytes → 7 slices of 16 (last partial) → indices 0,2,4,6 kept
-    frames.map(_.frame_idx).sorted.toSeq shouldBe Seq(0, 2, 4, 6)
-    frames.find(_.frame_idx == 0).get.bytes.length shouldBe 16
+    frames.map(f => (f.frame_idx, f.n_pixels, f.sum_gray)).toSeq shouldBe
+      Seq((0, 8L, 0L))
   }
 
   "Text.ngramsAll" should "keep duplicate n-grams (unlike shinglesFromWords)" in {
