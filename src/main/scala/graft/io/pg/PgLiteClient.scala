@@ -15,7 +15,9 @@ import scala.collection.mutable
   * handshake bytes so the pair can't drift into a private dialect).
   *
   * Speaks: optional SSLRequest (expects 'N'), StartupMessage, 'Q'
-  * simple query, 'X' terminate. Reads: R/S/K/Z/T/D/C/E/I/N messages.
+  * simple query, the extended pipeline P/B/D/E/S with text parameters
+  * ([[execParams]]), COPY d/c/f, 'X' terminate. Reads:
+  * R/S/K/Z/T/D/C/E/I/N/G plus the extended completes 1/2/3/n/t.
   */
 final class PgLiteClient(host: String, port: Int,
                          user: String = "graft", database: String = "graft") {
@@ -119,6 +121,83 @@ final class PgLiteClient(host: String, port: Int,
             "query(): statement is COPY ... FROM STDIN — use copyIn()")
         case 'Z' => ready = true
         case other => throw new IllegalStateException(s"query: unexpected '$other'")
+      }
+    }
+    if (err != null) throw err
+    QueryResult(cols, oids, rows.toSeq, tags.toSeq)
+  }
+
+  /** EXTENDED-protocol round trip (Parse → Bind → Describe → Execute →
+    * Sync) with TEXT-format parameters bound server-side into $1..$n —
+    * the surface a real driver's server-side-prepared path exercises.
+    * Uses the unnamed statement and portal; the row shape arrives from
+    * Describe (RowDescription or NoData), rows from Execute. */
+  def execParams(sql: String,
+                 params: Seq[Option[String]] = Nil): QueryResult = {
+    def msg(tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+    }
+    val bb = new java.io.ByteArrayOutputStream()
+    def i16(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def i32(v: Int): Unit = {
+      bb.write((v >> 24) & 0xff); bb.write((v >> 16) & 0xff)
+      bb.write((v >> 8) & 0xff); bb.write(v & 0xff)
+    }
+    // Parse: unnamed statement, no declared param types (text)
+    bb.write(0); bb.write(sql.getBytes(UTF_8)); bb.write(0); i16(0)
+    msg('P', bb.toByteArray); bb.reset()
+    // Bind: unnamed portal ← unnamed statement, text params
+    bb.write(0); bb.write(0); i16(0); i16(params.length)
+    params.foreach {
+      case None => i32(-1)
+      case Some(v) =>
+        val b = v.getBytes(UTF_8); i32(b.length); bb.write(b, 0, b.length)
+    }
+    i16(0)
+    msg('B', bb.toByteArray); bb.reset()
+    msg('D', Array[Byte]('P'.toByte, 0))
+    // Execute: unnamed portal, no row limit
+    msg('E', Array[Byte](0, 0, 0, 0, 0))
+    msg('S', Array.emptyByteArray)
+    out.flush()
+    var cols = Seq.empty[String]
+    var oids = Seq.empty[Int]
+    val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
+    val tags = mutable.ArrayBuffer[String]()
+    var err: PgServerError = null
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case '1' | '2' | '3' | 'n' | 't' | 'N' | 'S' => () // completes/NoData
+        case 'T' =>
+          val n = readShort(payload, 0)
+          var off = 2
+          val cs = mutable.ArrayBuffer[String]()
+          val os = mutable.ArrayBuffer[Int]()
+          (0 until n).foreach { _ =>
+            val end = payload.indexOf(0, off)
+            cs += new String(payload, off, end - off, UTF_8)
+            os += readInt(payload, end + 1 + 4 + 2)
+            off = end + 1 + 4 + 2 + 4 + 2 + 4 + 2
+          }
+          cols = cs.toSeq; oids = os.toSeq
+        case 'D' =>
+          val n = readShort(payload, 0)
+          var off = 2
+          val r = mutable.ArrayBuffer[Option[String]]()
+          (0 until n).foreach { _ =>
+            val len = readInt(payload, off); off += 4
+            if (len < 0) r += None
+            else { r += Some(new String(payload, off, len, UTF_8)); off += len }
+          }
+          rows += r.toSeq
+        case 'C' =>
+          tags += new String(payload, 0, payload.length - 1, UTF_8)
+        case 'E' => err = parseError(payload)
+        case 'Z' => ready = true
+        case other =>
+          throw new IllegalStateException(s"execParams: unexpected '$other'")
       }
     }
     if (err != null) throw err

@@ -386,25 +386,56 @@ final class PgLiteEngine {
     }
   }
 
-  private def select(sql: String, tx: PgTx): Result = {
+  /** Result shape WITHOUT execution — what Describe(portal) answers in
+    * the extended protocol: a SELECT's projected columns, an INSERT's
+    * RETURNING column, empty (NoData) for everything else. Read-only:
+    * resolves the catalog but touches no rows. */
+  def describe(sql0: String, tx: PgTx): Seq[Col] = {
+    val sql = sql0.trim.stripSuffix(";").trim
+    val up = sql.toUpperCase
+    if (up.startsWith("SELECT")) {
+      val (_, cols, _) = selectShape(sql, tx)
+      cols
+    } else if (up.startsWith("INSERT INTO")) {
+      "(?is)RETURNING\\s+([\\w]+)\\s*$".r.findFirstMatchIn(sql).toSeq.flatMap { m =>
+        val name = "(?is)INSERT\\s+INTO\\s+([\\w]+(?:\\.[\\w]+)?)".r
+          .findFirstMatchIn(sql).get.group(1).toLowerCase
+        val rc = m.group(1).toLowerCase
+        lookup(name, tx).toSeq.flatMap(_.cols.filter(_.name == rc))
+      }
+    } else Nil
+  }
+
+  /** Parse + catalog-resolve a SELECT (shared by [[select]] and
+    * [[describe]]): (table, projected cols, projection indices). */
+  private def selectShape(sql: String, tx: PgTx): (Table, Seq[Col], Seq[Int]) = {
     val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
       "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
       .findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
     val name = m.group(2).toLowerCase
     val t = resolve(name, tx, forWrite = false)
+    val (cols, proj) = m.group(1).trim match {
+      case "*" => (t.cols, t.cols.indices.toSeq)
+      case list =>
+        val names = list.split(",").map(_.trim.toLowerCase).toSeq
+        val idx = names.map { cn =>
+          val i = t.cols.indexWhere(_.name == cn)
+          if (i < 0) throw PgError("42703", s"column \"$cn\" does not exist")
+          i
+        }
+        (idx.map(t.cols(_)), idx)
+    }
+    (t, cols, proj)
+  }
+
+  private def select(sql: String, tx: PgTx): Result = {
+    val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
+      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+    val (t, cols, proj) = selectShape(sql, tx)
     t.synchronized {
-      val (cols, proj) = m.group(1).trim match {
-        case "*" => (t.cols, t.cols.indices.toSeq)
-        case list =>
-          val names = list.split(",").map(_.trim.toLowerCase).toSeq
-          val idx = names.map { cn =>
-            val i = t.cols.indexWhere(_.name == cn)
-            if (i < 0) throw PgError("42703", s"column \"$cn\" does not exist")
-            i
-          }
-          (idx.map(t.cols(_)), idx)
-      }
       var rows = t.rows.toSeq.map(r => proj.map(r(_)).toArray)
       Option(m.group(3)).map(_.toLowerCase).foreach { ob =>
         val oi = cols.indexWhere(_.name == ob)

@@ -58,6 +58,28 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     // transaction discards its overlay implicitly (the base tables
     // were never touched) — Postgres' implicit-rollback-on-disconnect
     val tx = new PgLiteEngine.PgTx
+    // extended-protocol session state: named prepared statements and
+    // bound portals, plus the error-skip flag — after an error, every
+    // extended message is IGNORED until Sync (the published recovery
+    // rule), which answers ReadyForQuery and clears the flag
+    val prepared = scala.collection.mutable.Map[String, String]()
+    val portals = scala.collection.mutable.Map[String, String]()
+    var extFailed = false
+    def extTry(f: => Unit): Unit =
+      if (!extFailed) {
+        try f
+        catch {
+          case e: PgLiteEngine.PgError =>
+            sendError(out, e.code, e.message)
+            if (tx.inTransaction) tx.aborted = true
+            extFailed = true
+          case e: Exception =>
+            sendError(out, "XX000",
+              Option(e.getMessage).getOrElse(e.getClass.getName))
+            if (tx.inTransaction) tx.aborted = true
+            extFailed = true
+        }
+      }
     try {
       if (!startup(in, out, tx)) return
       var open = true
@@ -72,6 +94,15 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip \0
               runQuery(sql, in, out, tx)
+            case 'P' => extTry(handleParse(body, out, prepared))
+            case 'B' => extTry(handleBind(body, out, prepared, portals))
+            case 'D' => extTry(handleDescribe(body, out, portals, tx))
+            case 'E' => extTry(handleExecute(body, out, portals, tx))
+            case 'C' => extTry(handleClose(body, out, prepared, portals))
+            case 'S' => // Sync: end of the extended pipeline
+              extFailed = false
+              readyForQuery(out, tx)
+            case 'H' => out.flush() // Flush
             case 'X' => open = false
             case other =>
               sendError(out, "0A000", s"unsupported message type '$other'")
@@ -84,6 +115,137 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     } finally {
       try sock.close() catch { case _: IOException => () }
     }
+  }
+
+  // ---- extended protocol (Parse/Bind/Describe/Execute/Close/Sync) --------
+  //
+  // The subset a real driver's server-side-prepared path exercises
+  // (psycopg2's client-side-interpolated execute rides the simple
+  // protocol above): TEXT-format parameters only — a binary format
+  // code is refused with 0A000 rather than mis-decoded.
+
+  private def cstr(b: Array[Byte], off: Int): (String, Int) = {
+    val end = b.indexOf(0, off)
+    (new String(b, off, end - off, UTF_8), end + 1)
+  }
+  private def int16(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+  private def int32(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def complete(out: DataOutputStream, tpe: Char): Unit = {
+    out.writeByte(tpe); out.writeInt(4)
+  }
+
+  /** Parse: store the statement text under its name (param type oids
+    * are accepted and ignored — parameters arrive as text). */
+  private def handleParse(body: Array[Byte], out: DataOutputStream,
+                          prepared: scala.collection.mutable.Map[String, String]): Unit = {
+    val (name, o1) = cstr(body, 0)
+    val (sql, _) = cstr(body, o1)
+    prepared(name) = sql
+    complete(out, '1') // ParseComplete
+  }
+
+  /** Bind: substitute the text parameters into $1..$n as SQL literals
+    * (NULL for the -1-length parameter) and store the portal. */
+  private def handleBind(body: Array[Byte], out: DataOutputStream,
+                         prepared: scala.collection.mutable.Map[String, String],
+                         portals: scala.collection.mutable.Map[String, String]): Unit = {
+    val (portal, o1) = cstr(body, 0)
+    val (stmt, o2) = cstr(body, o1)
+    val sql0 = prepared.getOrElse(stmt,
+      throw PgLiteEngine.PgError("26000",
+        s"prepared statement \"$stmt\" does not exist"))
+    var off = o2
+    val nFmt = int16(body, off); off += 2
+    (0 until nFmt).foreach { _ =>
+      if (int16(body, off) != 0)
+        throw PgLiteEngine.PgError("0A000", "binary parameter format not supported")
+      off += 2
+    }
+    val nParams = int16(body, off); off += 2
+    val params = (0 until nParams).map { _ =>
+      val len = int32(body, off); off += 4
+      if (len < 0) None
+      else { val v = new String(body, off, len, UTF_8); off += len; Some(v) }
+    }
+    val nResFmt = int16(body, off); off += 2
+    (0 until nResFmt).foreach { _ =>
+      if (int16(body, off) != 0)
+        throw PgLiteEngine.PgError("0A000", "binary result format not supported")
+      off += 2
+    }
+    // descending index so $10 substitutes before $1
+    val bound = params.zipWithIndex.sortBy(-_._2).foldLeft(sql0) {
+      case (sql, (v, i)) =>
+        val lit = v.map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL")
+        sql.replace("$" + (i + 1), lit)
+    }
+    portals(portal) = bound
+    complete(out, '2') // BindComplete
+  }
+
+  /** Describe: for a portal, the REAL row shape (RowDescription, or
+    * NoData for row-less statements) resolved WITHOUT execution; for a
+    * statement, ParameterDescription (none recorded — text params) +
+    * NoData. */
+  private def handleDescribe(body: Array[Byte], out: DataOutputStream,
+                             portals: scala.collection.mutable.Map[String, String],
+                             tx: PgLiteEngine.PgTx): Unit = {
+    val kind = body(0).toChar
+    val (name, _) = cstr(body, 1)
+    kind match {
+      case 'P' =>
+        val sql = portals.getOrElse(name,
+          throw PgLiteEngine.PgError("34000", s"portal \"$name\" does not exist"))
+        val cols = engine.describe(sql, tx)
+        if (cols.isEmpty) complete(out, 'n') // NoData
+        else writeRowDescription(out, cols)
+      case 'S' =>
+        out.writeByte('t'); out.writeInt(6); out.writeShort(0) // no param oids
+        complete(out, 'n')
+      case other =>
+        throw PgLiteEngine.PgError("08P01", s"bad Describe kind '$other'")
+    }
+  }
+
+  /** Execute: run the bound portal. Per the published flow, Execute
+    * emits DataRows + CommandComplete only — the RowDescription came
+    * from Describe. */
+  private def handleExecute(body: Array[Byte], out: DataOutputStream,
+                            portals: scala.collection.mutable.Map[String, String],
+                            tx: PgLiteEngine.PgTx): Unit = {
+    val (portal, _) = cstr(body, 0)
+    val sql = portals.getOrElse(portal,
+      throw PgLiteEngine.PgError("34000", s"portal \"$portal\" does not exist"))
+    if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\s*$".r.findFirstIn(sql.trim).isDefined)
+      throw PgLiteEngine.PgError("0A000",
+        "COPY FROM STDIN is a simple-protocol statement here")
+    if (tx.inTransaction && tx.isAborted)
+      throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
+        "commands ignored until end of transaction block")
+    val r = engine.execute(sql, tx)
+    r.rows.foreach(writeDataRow(out, _))
+    val tag = r.tag.getBytes(UTF_8)
+    out.writeByte('C'); out.writeInt(4 + tag.length + 1)
+    out.write(tag); out.writeByte(0)
+  }
+
+  /** Close: drop a prepared statement or portal; closing a missing one
+    * is NOT an error (per the docs). */
+  private def handleClose(body: Array[Byte], out: DataOutputStream,
+                          prepared: scala.collection.mutable.Map[String, String],
+                          portals: scala.collection.mutable.Map[String, String]): Unit = {
+    val kind = body(0).toChar
+    val (name, _) = cstr(body, 1)
+    kind match {
+      case 'S' => prepared.remove(name)
+      case 'P' => portals.remove(name)
+      case other =>
+        throw PgLiteEngine.PgError("08P01", s"bad Close kind '$other'")
+    }
+    complete(out, '3') // CloseComplete
   }
 
   /** Startup phase: loop over SSLRequest/CancelRequest until a real

@@ -120,15 +120,21 @@ object RefQueries {
   //      The emitted frame joins the fact head to the dim read-back, so
   //      every output value crossed the wire on one of the two legs and
   //      the oracle hash gates BOTH protocol round trips. ----------------
-  def medallion(s: SparkSession, dir: String): DataFrame = {
+  /** The flagship's engine-side dim frame (shared by [[medallion]] and
+    * the scale rehearsal's dim-leg split row). */
+  def medallionEngineDim(s: SparkSession, dir: String): DataFrame = {
     val cleaned = Clean.clean(t(s, dir, "customer"))
     val keyed = cleaned.withColumn(
       "c_key", Keys.hashKey(Seq(col("c_name"), col("c_nationkey"))))
     val dd = Dims.dedup(keyed)
-    val engine = Dims.withSurrogateId(dd, "id", Seq(col("c_key"), col("c_custkey")))
+    Dims.withSurrogateId(dd, "id", Seq(col("c_key"), col("c_custkey")))
       .select(col("id"), col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_mktsegment"), col("c_key"))
       .orderBy(col("id"))
+  }
+
+  def medallion(s: SparkSession, dir: String): DataFrame = {
+    val engine = medallionEngineDim(s, dir)
     val (server, _) = graft.io.pg.PgLiteServer.start()
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
@@ -292,14 +298,15 @@ object RefQueries {
           .collect().map(_.getString(0)).toSeq // dimension-sized
         // the reference's single-commit discipline, live (dag :138):
         // the whole id_mapping insert loop runs inside ONE transaction,
-        // committed once — and a post-commit rollback probe proves an
-        // aborted statement leaves nothing behind on the wire endpoint
+        // committed once — each insert through the EXTENDED protocol
+        // (Parse/Bind/Describe/Execute with a server-side text
+        // parameter, r16 task 8) — and a post-commit rollback probe
+        // proves an aborted statement leaves nothing behind
         require(c.query("BEGIN").tags == Seq("BEGIN"))
         val idMap = segs.map { seg =>
-          val esc = seg.replace("'", "''")
-          seg -> c.query(
-            s"INSERT INTO gold.segment (seg) VALUES ('$esc') RETURNING id")
-            .rows.head.head.get.toInt
+          seg -> c.execParams(
+            "INSERT INTO gold.segment (seg) VALUES ($1) RETURNING id",
+            Seq(Some(seg))).rows.head.head.get.toInt
         }.toMap
         require(idMap.size == segs.size)
         require(c.query("COMMIT").tags == Seq("COMMIT"))

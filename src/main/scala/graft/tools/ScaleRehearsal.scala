@@ -221,9 +221,31 @@ object ScaleRehearsal {
       // the 8-connection distributed COPY vs the single-socket twin:
       // the scale story is the RATIO GAP between this row and
       // ref_pg_copy's (per-partition connections amortize the wire leg)
-      "ref_pg_copy_distributed")
+      "ref_pg_copy_distributed",
+      // round-16: the staged exactly-once variant (per-attempt stage
+      // tables + one-transaction publish) — the commit discipline's
+      // overhead vs the at-least-once row above is the story
+      "ref_pg_copy_exactly_once")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
+      // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY
+      // residue alone — the dim + RETURNING head through one socket,
+      // exactly r15's ref_medallion shape — so ref_medallion minus this
+      // row IS the distributed fact leg's cost at each scale
+      "op_medallion_dim_leg" -> ((s: SparkSession, d: String) => {
+        val engine = graft.queries.RefQueries.medallionEngineDim(s, d)
+        val (server, _) = graft.io.pg.PgLiteServer.start()
+        try {
+          val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+          c.connect()
+          try {
+            c.query(graft.io.Sinks.createSchemaDdl("gold"))
+            graft.pipeline.PgGold.writeTable(
+              c, engine, "gold", "customer_dim", "id",
+              unique = Seq("c_key")).count()
+          } finally c.close()
+        } finally server.stop()
+      })) ++ Seq(
       // round-15: the memoized graph family COLD (first entry derives
       // the checkpointed edge list + the 6-round pagerank iterate once
       // per dir) vs WARM (second entry re-reports from the memos) —
