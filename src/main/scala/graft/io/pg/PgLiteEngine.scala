@@ -437,20 +437,42 @@ final class PgLiteEngine {
     val (t, cols, proj) = selectShape(sql, tx)
     t.synchronized {
       var rows = t.rows.toSeq.map(r => proj.map(r(_)).toArray)
-      Option(m.group(3)).map(_.toLowerCase).foreach { ob =>
-        val oi = cols.indexWhere(_.name == ob)
-        if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
-        val numeric = Set(23, 20, 701, 1700)(oidOf(cols(oi).pgType))
-        // Option-aware ordering: SQL NULLs sort LAST (Postgres default
-        // for ASC), never fed to BigDecimal/String comparison.
-        rows =
-          if (numeric)
-            rows.sortBy(r => (r(oi) == null,
-              BigDecimal(Option(r(oi)).getOrElse("0"))))
-          else rows.sortBy(r => (r(oi) == null,
-            Option(r(oi)).getOrElse("")))
+      val limit = Option(m.group(4)).map(_.toInt)
+      Option(m.group(3)).map(_.toLowerCase) match {
+        case Some(ob) =>
+          val oi = cols.indexWhere(_.name == ob)
+          if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
+          val oid = oidOf(cols(oi).pgType)
+          // Option-aware ordering: SQL NULLs sort LAST (Postgres
+          // default for ASC), never fed to numeric/String comparison.
+          // Integer columns compare as Long (INT/BIGINT/SERIAL store
+          // their canonical toString), decimals as BigDecimal.
+          val ord: Ordering[Array[String]] =
+            if (oid == 23 || oid == 20)
+              Ordering.by(r => (r(oi) == null,
+                if (r(oi) == null) 0L else java.lang.Long.parseLong(r(oi))))
+            else if (oid == 701 || oid == 1700)
+              Ordering.by(r => (r(oi) == null,
+                BigDecimal(Option(r(oi)).getOrElse("0"))))
+            else
+              Ordering.by(r => (r(oi) == null, Option(r(oi)).getOrElse("")))
+          rows = limit match {
+            // ORDER BY + LIMIT n: a bounded top-k heap, not a full
+            // sort — the sampled-head read-back (`ORDER BY c LIMIT k`)
+            // must stay O(rows·log k) however large the table grows
+            case Some(n) if n < rows.length =>
+              val heap = new scala.collection.mutable.PriorityQueue[
+                Array[String]]()(ord) // max-heap: root = worst kept row
+              rows.foreach { r =>
+                if (heap.size < n) heap.enqueue(r)
+                else if (ord.lt(r, heap.head)) { heap.dequeue(); heap.enqueue(r) }
+              }
+              heap.dequeueAll.reverse.toSeq
+            case _ => rows.sorted(ord)
+          }
+        case None => ()
       }
-      Option(m.group(4)).foreach(n => rows = rows.take(n.toInt))
+      limit.foreach(n => rows = rows.take(n))
       Result(cols, rows, s"SELECT ${rows.length}")
     }
   }

@@ -152,9 +152,14 @@ object PgGold {
     val ddl = Sinks.createTableDdl(df.schema, schemaName, table,
       serialPk = None, unique = Nil, foreignKeys = fks)
     require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
-    val total = PgWire.copyDistributedExactlyOnce(
-      df, host, port, s"$schemaName.$table")
-    val expected = df.count()
+    // the COPY and the expected-count verification both consume the
+    // fact frame: cache across the two passes, release after
+    val cached = df.persist()
+    val (total, expected) =
+      try {
+        (PgWire.copyDistributedExactlyOnce(
+          cached, host, port, s"$schemaName.$table"), cached.count())
+      } finally { cached.unpersist(); () }
     require(total == expected,
       s"$table: server confirmed $total rows, engine expected $expected")
     val cols = df.columns.toSeq

@@ -134,7 +134,16 @@ object RefQueries {
   }
 
   def medallion(s: SparkSession, dir: String): DataFrame = {
-    val engine = medallionEngineDim(s, dir)
+    // consumed three times (wire write, read-back compare, fact join):
+    // one cached materialization of the dimension-sized frame
+    val engine = medallionEngineDim(s, dir).persist()
+    try {
+      medallionWire(s, dir, engine)
+    } finally { engine.unpersist(); () }
+  }
+
+  private def medallionWire(s: SparkSession, dir: String,
+                            engine: DataFrame): DataFrame = {
     val (server, _) = graft.io.pg.PgLiteServer.start()
     try {
       val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
