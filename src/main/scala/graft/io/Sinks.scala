@@ -77,7 +77,10 @@ object Sinks {
     case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
     case DoubleType | FloatType => "DOUBLE PRECISION"
     case BooleanType => "BOOLEAN"
-    case TimestampType => "TIMESTAMP"
+    // PG TIMESTAMP is WITHOUT time zone — NTZ is the exact match; the
+    // zoned Spark type maps to the same DDL (the reference's psycopg2
+    // leg never declares timestamptz)
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
     case DateType => "DATE"
     case BinaryType => "BYTEA"
     case other =>

@@ -219,6 +219,54 @@ final class PgLiteClient(host: String, port: Int,
     * through constant memory. */
   def copyIn(sql: String, rows: Iterator[Seq[Option[String]]],
              batchRows: Int): String = {
+    startCopy(sql, expectBinary = false)
+    def esc(v: Option[String]): String = v match {
+      case None => "\\N"
+      case Some(s) => s.flatMap {
+        case '\\' => "\\\\"
+        case '\t' => "\\t"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case c => c.toString
+      }
+    }
+    copyBody {
+      rows.grouped(batchRows).foreach { group =>
+        val data = group.map(_.map(esc).mkString("\t"))
+          .mkString("", "\n", "\n").getBytes(UTF_8)
+        copyData(data)
+      }
+    }
+  }
+
+  /** COPY … FROM STDIN in the published BINARY format ([[PgBinaryCopy]]):
+    * the statement must carry a binary format clause (`… FROM STDIN
+    * BINARY` / `WITH (FORMAT BINARY)`), `types` gives the DDL type per
+    * copied column (what each field's binary send format is keyed on),
+    * and rows arrive as the same canonical text [[copyIn]] ships — the
+    * two formats must land value-identical tables
+    * (`ref_pg_copy_binary`'s oracle). Streaming like [[copyIn]]:
+    * header + batched tuples + trailer, constant memory. */
+  def copyInBinary(sql: String, rows: Iterator[Seq[Option[String]]],
+                   types: Seq[String], batchRows: Int = 1024): String = {
+    startCopy(sql, expectBinary = true)
+    copyBody {
+      copyData(PgBinaryCopy.header())
+      val bb = new java.io.ByteArrayOutputStream()
+      rows.grouped(batchRows).foreach { group =>
+        bb.reset()
+        group.foreach(r => bb.write(PgBinaryCopy.encodeTuple(types, r)))
+        copyData(bb.toByteArray)
+      }
+      copyData(PgBinaryCopy.trailer())
+    }
+  }
+
+  /** Send the COPY statement and wait for CopyInResponse, demanding
+    * the server's overall-format byte match the caller's framing — a
+    * text writer driving a binary COPY (or vice versa) aborts cleanly
+    * with CopyFail instead of loading garbage. */
+  private def startCopy(sql: String, expectBinary: Boolean): Unit = {
     val b = sql.getBytes(UTF_8)
     out.writeByte('Q'); out.writeInt(4 + b.length + 1)
     out.write(b); out.writeByte(0); out.flush()
@@ -227,7 +275,19 @@ final class PgLiteClient(host: String, port: Int,
     while (!started) {
       val (tpe, payload) = readMessage()
       tpe match {
-        case 'G' => started = true
+        case 'G' =>
+          val fmt = payload(0).toInt
+          val want = if (expectBinary) 1 else 0
+          if (fmt != want) {
+            val reason = (s"client framing is ${if (expectBinary) "binary"
+              else "text"} but server format is $fmt").getBytes(UTF_8)
+            out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+            out.write(reason); out.writeByte(0); out.flush()
+            drainToReady()
+            throw new IllegalStateException(
+              s"copyIn: COPY format mismatch (server $fmt, expected $want)")
+          }
+          started = true
         case 'E' =>
           val err = parseError(payload)
           // server closes the statement with ReadyForQuery
@@ -244,29 +304,22 @@ final class PgLiteClient(host: String, port: Int,
             s"copyIn: unexpected '$other' — statement is not COPY ... FROM STDIN")
       }
     }
-    def esc(v: Option[String]): String = v match {
-      case None => "\\N"
-      case Some(s) => s.flatMap {
-        case '\\' => "\\\\"
-        case '\t' => "\\t"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case c => c.toString
-      }
-    }
-    // a failing row PRODUCER (e.g. a deserialization error mid-
-    // partition in PgWire.copyDistributed) must not leave the
-    // connection desynced mid-COPY: abort with CopyFail, resync to
-    // ReadyForQuery, and rethrow the producer's error. A broken SOCKET
-    // makes the abort itself throw — swallowed, the original error
-    // still surfaces and the caller's close() tears the socket down.
-    try {
-      rows.grouped(batchRows).foreach { group =>
-        val data = group.map(_.map(esc).mkString("\t"))
-          .mkString("", "\n", "\n").getBytes(UTF_8)
-        out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
-      }
-    } catch {
+  }
+
+  private def copyData(data: Array[Byte]): Unit = {
+    out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+  }
+
+  /** Run the CopyData producer, then CopyDone and collect the tag.
+    * A failing row PRODUCER (e.g. a deserialization error mid-
+    * partition in PgWire.copyDistributed) must not leave the
+    * connection desynced mid-COPY: abort with CopyFail, resync to
+    * ReadyForQuery, and rethrow the producer's error. A broken SOCKET
+    * makes the abort itself throw — swallowed, the original error
+    * still surfaces and the caller's close() tears the socket down. */
+  private def copyBody(produce: => Unit): String = {
+    try produce
+    catch {
       case scala.util.control.NonFatal(e) =>
         try {
           val reason = String.valueOf(e.getMessage).getBytes(UTF_8)

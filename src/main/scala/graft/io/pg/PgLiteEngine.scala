@@ -484,9 +484,24 @@ final class PgLiteEngine {
   def copyTarget(sql: String): (String, Seq[String]) = copyTarget(sql, null)
 
   def copyTarget(sql: String, tx: PgTx): (String, Seq[String]) = {
+    val (name, cols, _) = copyTargetFormat(sql, tx)
+    (name, cols)
+  }
+
+  /** Format-aware COPY resolution: (table, columns, binary?). Accepts
+    * the published format suffixes — bare, `BINARY` (legacy syntax),
+    * `WITH (FORMAT BINARY)` / `(FORMAT BINARY)`, and the explicit
+    * `WITH (FORMAT TEXT)` — anything else after STDIN is a 42601. */
+  def copyTargetFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
     val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
-      "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*$").r.findFirstMatchIn(sql)
+      "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$").r.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
+    val binary = m.group(3).trim.toUpperCase.replaceAll("\\s+", " ") match {
+      case "" | "WITH (FORMAT TEXT)" | "(FORMAT TEXT)" => false
+      case "BINARY" | "WITH BINARY" | "WITH (FORMAT BINARY)" |
+           "(FORMAT BINARY)" => true
+      case other => throw PgError("42601", s"bad COPY options: $other")
+    }
     val name = m.group(1).toLowerCase
     val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
@@ -496,7 +511,20 @@ final class PgLiteEngine {
     cols.foreach { cn =>
       if (!t.cols.exists(_.name == cn))
         throw PgError("42703", s"column \"$cn\" does not exist") }
-    (name, cols)
+    (name, cols, binary)
+  }
+
+  /** DDL types of `cols` in declaration strings (`NUMERIC(12,2)`,
+    * `BIGINT`, …) — what the binary COPY decode keys its per-field
+    * codec on. */
+  def colTypes(table: String, cols: Seq[String], tx: PgTx): Seq[String] = {
+    val t = lookup(table, tx)
+      .getOrElse(throw PgError("42P01", s"relation \"$table\" does not exist"))
+    cols.map { cn =>
+      t.cols.find(_.name == cn)
+        .getOrElse(throw PgError("42703", s"column \"$cn\" does not exist"))
+        .pgType
+    }
   }
 
   /** Apply a COPY batch (text-format rows already decoded): same

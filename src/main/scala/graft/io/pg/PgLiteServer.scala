@@ -219,7 +219,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     val (portal, _) = cstr(body, 0)
     val sql = portals.getOrElse(portal,
       throw PgLiteEngine.PgError("34000", s"portal \"$portal\" does not exist"))
-    if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\s*$".r.findFirstIn(sql.trim).isDefined)
+    if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\b".r.findFirstIn(sql.trim).isDefined)
       throw PgLiteEngine.PgError("0A000",
         "COPY FROM STDIN is a simple-protocol statement here")
     if (tx.inTransaction && tx.isAborted)
@@ -329,7 +329,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
         if (!failed) {
           try {
             val r =
-              if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\s*$".r
+              if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\b".r
                     .findFirstIn(st.trim).isDefined)
                 runCopyIn(st, in, out, tx)
               else engine.execute(st, tx)
@@ -359,21 +359,24 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     readyForQuery(out, tx)
   }
 
-  /** COPY … FROM STDIN (text format): CopyInResponse, then CopyData
-    * frames until CopyDone/CopyFail, decoded per the published text
+  /** COPY … FROM STDIN, text OR binary format: CopyInResponse (with
+    * the statement's format echoed per column), then CopyData frames
+    * until CopyDone/CopyFail — text decoded per the published text
     * rules (tab-delimited fields, newline rows, `\N` null, backslash
-    * escapes) and applied all-or-nothing through the engine. */
+    * escapes), binary through [[PgBinaryCopy.decodeStream]] — and
+    * applied all-or-nothing through the engine. */
   private def runCopyIn(st: String, in: DataInputStream,
                         out: DataOutputStream,
                         tx: PgLiteEngine.PgTx): PgLiteEngine.Result = {
     if (tx.inTransaction && tx.isAborted)
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
-    val (table, cols) = engine.copyTarget(st, tx) // validates BEFORE 'G'
-    // CopyInResponse: 'G', int8 format 0 (text), int16 ncols, int16[ncols] 0
+    val (table, cols, binary) = engine.copyTargetFormat(st, tx) // validates BEFORE 'G'
+    val fmt = if (binary) 1 else 0
+    // CopyInResponse: 'G', int8 format, int16 ncols, int16[ncols] format
     out.writeByte('G'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
-    out.writeByte(0); out.writeShort(cols.length)
-    cols.foreach(_ => out.writeShort(0))
+    out.writeByte(fmt); out.writeShort(cols.length)
+    cols.foreach(_ => out.writeShort(fmt))
     out.flush()
     val buf = new java.io.ByteArrayOutputStream()
     var done = false
@@ -396,15 +399,21 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
     }
     fail.foreach(msg => throw PgLiteEngine.PgError("57014", s"COPY failed: $msg"))
-    val text = new String(buf.toByteArray, UTF_8)
-    // Split keeping empties: a single-column table's empty line IS a
-    // valid row (one empty-string field) in Postgres text format; only
-    // the final empty element produced by the trailing \n is dropped.
-    val parts = text.split("\n", -1)
-    val lines =
-      if (parts.nonEmpty && parts.last.isEmpty) parts.toSeq.dropRight(1)
-      else parts.toSeq
-    val rows = lines.map(decodeCopyRow)
+    val rows =
+      if (binary)
+        PgBinaryCopy.decodeStream(buf.toByteArray,
+          engine.colTypes(table, cols, tx))
+      else {
+        val text = new String(buf.toByteArray, UTF_8)
+        // Split keeping empties: a single-column table's empty line IS a
+        // valid row (one empty-string field) in Postgres text format; only
+        // the final empty element produced by the trailing \n is dropped.
+        val parts = text.split("\n", -1)
+        val lines =
+          if (parts.nonEmpty && parts.last.isEmpty) parts.toSeq.dropRight(1)
+          else parts.toSeq
+        lines.map(decodeCopyRow)
+      }
     engine.copyRows(table, cols, rows, tx)
   }
 

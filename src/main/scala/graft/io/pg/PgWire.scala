@@ -69,6 +69,36 @@ object PgWire {
     }
   }
 
+  /** [[copyDistributed]] in the published COPY BINARY format
+    * ([[PgBinaryCopy]]): per-field typed binary encodings (int8/float8
+    * bit patterns, microsecond timestamps, base-10000 numerics) instead
+    * of text escaping — the faster serialization a production bulk
+    * loader prefers, with the per-column DDL types derived from the
+    * frame's schema exactly as the stage-table DDL derives them
+    * ([[graft.io.Sinks.pgType]]). Same connection-per-partition,
+    * constant-memory, at-least-once-per-partition posture as the text
+    * variant; `ref_pg_copy_binary`'s oracle proves the two formats land
+    * value-identical tables. */
+  def copyDistributedBinary(df: DataFrame, host: String, port: Int,
+                            table: String, numPartitions: Int = 8): Unit = {
+    val cols = df.columns.toSeq
+    val types = df.schema.fields.map(f => graft.io.Sinks.pgType(f.dataType)).toSeq
+    val copySql =
+      s"COPY $table (${cols.mkString(", ")}) FROM STDIN WITH (FORMAT BINARY)"
+    df.coalesce(numPartitions).foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val c = new PgLiteClient(host, port)
+        c.connect()
+        try {
+          val rows = it.map(r =>
+            cols.indices.map(i => Option(r.get(i)).map(wireText)))
+          c.copyInBinary(copySql, rows, types, batchRows = 1024)
+          ()
+        } finally c.close()
+      }
+    }
+  }
+
   /** Deterministic staging-table name for one task attempt. Unique per
     * (partition, attemptNumber), so two CONCURRENT attempts of the same
     * partition (speculation) can never interleave inside one table. */

@@ -59,6 +59,9 @@ object PgGold {
       case BooleanType => v.toBoolean
       case _: DecimalType => new java.math.BigDecimal(v)
       case TimestampType => java.sql.Timestamp.valueOf(v)
+      // NTZ rows carry LocalDateTime; the wire text is the same
+      // wall-clock form PgWire.wireText emitted
+      case TimestampNTZType => java.sql.Timestamp.valueOf(v).toLocalDateTime
       case DateType => java.sql.Date.valueOf(v)
       case other =>
         throw new IllegalArgumentException(s"no wire parse for $other")

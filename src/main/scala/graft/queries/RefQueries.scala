@@ -448,6 +448,42 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** BINARY-format wire bulk-load gate (round-16,
+    * [[graft.io.pg.PgWire.copyDistributedBinary]] /
+    * [[graft.io.pg.PgBinaryCopy]]): the published `COPY … WITH (FORMAT
+    * BINARY)` field layouts — big-endian int8, IEEE float8 bit
+    * patterns, microsecond-epoch timestamps — shipped by 8 concurrent
+    * per-partition connections and read back through a wire SELECT.
+    * The frame is a deterministic orders slice chosen for TYPE
+    * DIVERSITY (BIGINT + TEXT + DOUBLE PRECISION + TIMESTAMP — the
+    * text twins ship all-text customer columns), so the oracle
+    * hash-checks every binary field codec against DuckDB's read of
+    * the same parquet values. PgBinarySpec additionally proves
+    * binary ≡ text format parity cell-for-cell on hostile data. */
+  def pgCopyBinary(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 10 === 7)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderdate"))
+    val schema = orders.schema
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(schema, "silver", "orders_bin"))
+        graft.io.pg.PgWire.copyDistributedBinary(
+          orders, "127.0.0.1", server.port, "silver.orders_bin",
+          numPartitions = 8)
+        c.query("SELECT o_orderkey, o_orderstatus, o_totalprice, " +
+          "o_orderdate FROM silver.orders_bin")
+      } finally c.close()
+      graft.pipeline.PgGold.fromWire(s, back.rows, schema)
+        .orderBy(col("o_orderkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -513,6 +549,7 @@ object RefQueries {
     "ref_pg_copy" -> (pgCopy _),
     "ref_pg_copy_distributed" -> (pgCopyDistributed _),
     "ref_pg_copy_exactly_once" -> (pgCopyExactlyOnce _),
+    "ref_pg_copy_binary" -> (pgCopyBinary _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -561,6 +598,12 @@ object RefQueries {
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
          FROM customer ORDER BY c_custkey""",
+    // the BINARY-format COPY round trip must be value-invisible: every
+    // typed field codec (int8/float8/µs-timestamp/UTF-8) inverted
+    // exactly, so the read-back ≡ the parquet slice it started from
+    "ref_pg_copy_binary" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders WHERE o_orderkey % 10 = 7 ORDER BY o_orderkey""",
     // DB-side SERIAL ids were assigned in sorted-segment insert order →
     // row_number over the sorted distinct segment list replays them
     "ref_pg_runtime" ->
