@@ -119,6 +119,13 @@ final class PgLiteClient(host: String, port: Int,
           drainToReady()
           throw new IllegalStateException(
             "query(): statement is COPY ... FROM STDIN — use copyIn()")
+        case 'H' =>
+          // CopyOutResponse through query(): the server streams the
+          // whole export then ReadyForQuery regardless — drain and
+          // throw, connection intact.
+          drainToReady()
+          throw new IllegalStateException(
+            "query(): statement is COPY ... TO STDOUT — use copyOut()")
         case 'Z' => ready = true
         case other => throw new IllegalStateException(s"query: unexpected '$other'")
       }
@@ -220,23 +227,80 @@ final class PgLiteClient(host: String, port: Int,
   def copyIn(sql: String, rows: Iterator[Seq[Option[String]]],
              batchRows: Int): String = {
     startCopy(sql, expectBinary = false)
-    def esc(v: Option[String]): String = v match {
-      case None => "\\N"
-      case Some(s) => s.flatMap {
-        case '\\' => "\\\\"
-        case '\t' => "\\t"
-        case '\n' => "\\n"
-        case '\r' => "\\r"
-        case c => c.toString
-      }
-    }
     copyBody {
       rows.grouped(batchRows).foreach { group =>
-        val data = group.map(_.map(esc).mkString("\t"))
+        val data = group.map(PgTextCopy.encodeRow)
           .mkString("", "\n", "\n").getBytes(UTF_8)
         copyData(data)
       }
     }
+  }
+
+  /** COPY … TO STDOUT round trip (text format): send the statement,
+    * expect CopyOutResponse, collect the CopyData frames until
+    * CopyDone, and decode the text rows — the bulk EXPORT twin of
+    * [[copyIn]]. Returns the rows (None = SQL NULL). */
+  def copyOut(sql: String): Seq[Seq[Option[String]]] = {
+    val payload = copyOutRaw(sql, expectBinary = false)
+    PgTextCopy.splitLines(new String(payload, UTF_8))
+      .map(PgTextCopy.decodeRow(_).map(Option(_)))
+  }
+
+  /** COPY … TO STDOUT in BINARY format: `types` gives the DDL type per
+    * exported column, exactly as [[copyInBinary]]. */
+  def copyOutBinary(sql: String, types: Seq[String]): Seq[Seq[Option[String]]] = {
+    val payload = copyOutRaw(sql, expectBinary = true)
+    PgBinaryCopy.decodeStream(payload, types).map(_.map(Option(_)))
+  }
+
+  /** Shared COPY OUT flow: 'Q', demand CopyOutResponse with the
+    * matching format byte, concatenate CopyData until CopyDone,
+    * return the raw payload after CommandComplete + ReadyForQuery. */
+  private def copyOutRaw(sql: String, expectBinary: Boolean): Array[Byte] = {
+    val b = sql.getBytes(UTF_8)
+    out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+    out.write(b); out.writeByte(0); out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var err: PgServerError = null
+    var ready = false
+    var sawCopyOut = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case 'H' =>
+          val fmt = payload(0).toInt
+          val want = if (expectBinary) 1 else 0
+          if (fmt != want) {
+            // server streams the export regardless; drain it, stay usable
+            drainToReady()
+            throw new IllegalStateException(
+              s"copyOut: COPY format mismatch (server $fmt, expected $want)")
+          }
+          sawCopyOut = true
+        case 'd' => buf.write(payload)
+        case 'c' => () // CopyDone; CommandComplete follows
+        case 'C' => ()
+        case 'E' => err = parseError(payload)
+        case 'Z' => ready = true
+        case 'S' | 'N' => ()
+        case 'G' =>
+          val reason = "statement is COPY FROM STDIN".getBytes(UTF_8)
+          out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+          out.write(reason); out.writeByte(0); out.flush()
+          drainToReady()
+          throw new IllegalStateException(
+            "copyOut: statement is COPY ... FROM STDIN — use copyIn()")
+        case other =>
+          drainToReady()
+          throw new IllegalStateException(
+            s"copyOut: unexpected '$other' — statement is not COPY ... TO STDOUT")
+      }
+    }
+    if (err != null) throw err
+    if (!sawCopyOut)
+      throw new IllegalStateException(
+        "copyOut: statement produced no CopyOutResponse")
+    buf.toByteArray
   }
 
   /** COPY … FROM STDIN in the published BINARY format ([[PgBinaryCopy]]):

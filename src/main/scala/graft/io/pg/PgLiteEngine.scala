@@ -406,12 +406,23 @@ final class PgLiteEngine {
     } else Nil
   }
 
+  /** The supported SELECT surface: projection, single table, optional
+    * `WHERE col >= lit AND col < lit` (the half-open range a
+    * PARTITIONED reader scans — [[graft.io.pg.PgWire.readDistributed]]
+    * issues exactly this shape per partition) or a single
+    * `WHERE col >= lit` / `WHERE col < lit`, optional
+    * `ORDER BY col [ASC|DESC]`, optional LIMIT. */
+  private val SelectRe =
+    ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
+      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+)" +
+      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+))?)?" +
+      "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?)?" +
+      "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+
   /** Parse + catalog-resolve a SELECT (shared by [[select]] and
     * [[describe]]): (table, projected cols, projection indices). */
   private def selectShape(sql: String, tx: PgTx): (Table, Seq[Col], Seq[Int]) = {
-    val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
-      .findFirstMatchIn(sql)
+    val m = SelectRe.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
     val name = m.group(2).toLowerCase
     val t = resolve(name, tx, forWrite = false)
@@ -429,25 +440,60 @@ final class PgLiteEngine {
     (t, cols, proj)
   }
 
+  /** Typed comparison key for one column: integers as Long, decimals
+    * as BigDecimal, everything else (text, ISO dates/timestamps) as
+    * the lexicographic string PG's text form sorts identically. */
+  private def cmpKey(oid: Int, v: String): Any =
+    if (oid == 23 || oid == 20) java.lang.Long.parseLong(v)
+    else if (oid == 701 || oid == 1700) BigDecimal(v)
+    else v
+  private def cmpLt(oid: Int, a: String, b: String): Boolean =
+    if (oid == 23 || oid == 20)
+      java.lang.Long.parseLong(a) < java.lang.Long.parseLong(b)
+    else if (oid == 701 || oid == 1700) BigDecimal(a) < BigDecimal(b)
+    else a < b
+
   private def select(sql: String, tx: PgTx): Result = {
-    val m = ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+ORDER\\s+BY\\s+([\\w]+))?(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
-      .findFirstMatchIn(sql)
+    val m = SelectRe.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
     val (t, cols, proj) = selectShape(sql, tx)
     t.synchronized {
-      var rows = t.rows.toSeq.map(r => proj.map(r(_)).toArray)
-      val limit = Option(m.group(4)).map(_.toInt)
-      Option(m.group(3)).map(_.toLowerCase) match {
+      // WHERE predicates evaluate against the FULL row (the filter
+      // column need not be projected); SQL semantics: NULL never
+      // satisfies a comparison
+      val preds = Seq((m.group(3), m.group(4), m.group(5)),
+        (m.group(6), m.group(7), m.group(8)))
+        .collect { case (c, op, lit) if c != null =>
+          val ci = t.cols.indexWhere(_.name == c.toLowerCase)
+          if (ci < 0) throw PgError("42703", s"column \"$c\" does not exist")
+          val oid = oidOf(t.cols(ci).pgType)
+          val v = if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit
+          try cmpKey(oid, v) // validates the literal's type eagerly
+          catch { case _: NumberFormatException =>
+            throw PgError("22P02", s"bad literal for \"$c\": $lit") }
+          (ci, oid, op, v)
+        }
+      def keep(r: Array[String]): Boolean = preds.forall { case (ci, oid, op, v) =>
+        r(ci) != null && (op match {
+          case ">=" => !cmpLt(oid, r(ci), v)
+          case "<" => cmpLt(oid, r(ci), v)
+        })
+      }
+      var rows = t.rows.toSeq.iterator
+        .filter(keep).map(r => proj.map(r(_)).toArray).toSeq
+      val limit = Option(m.group(11)).map(_.toInt)
+      val desc = m.group(10) != null && m.group(10).equalsIgnoreCase("DESC")
+      Option(m.group(9)).map(_.toLowerCase) match {
         case Some(ob) =>
           val oi = cols.indexWhere(_.name == ob)
           if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
           val oid = oidOf(cols(oi).pgType)
           // Option-aware ordering: SQL NULLs sort LAST (Postgres
-          // default for ASC), never fed to numeric/String comparison.
-          // Integer columns compare as Long (INT/BIGINT/SERIAL store
-          // their canonical toString), decimals as BigDecimal.
-          val ord: Ordering[Array[String]] =
+          // default for ASC; DESC flips them FIRST like PG), never fed
+          // to numeric/String comparison. Integer columns compare as
+          // Long (INT/BIGINT/SERIAL store their canonical toString),
+          // decimals as BigDecimal.
+          val asc: Ordering[Array[String]] =
             if (oid == 23 || oid == 20)
               Ordering.by(r => (r(oi) == null,
                 if (r(oi) == null) 0L else java.lang.Long.parseLong(r(oi))))
@@ -456,6 +502,7 @@ final class PgLiteEngine {
                 BigDecimal(Option(r(oi)).getOrElse("0"))))
             else
               Ordering.by(r => (r(oi) == null, Option(r(oi)).getOrElse("")))
+          val ord = if (desc) asc.reverse else asc
           rows = limit match {
             // ORDER BY + LIMIT n: a bounded top-k heap, not a full
             // sort — the sampled-head read-back (`ORDER BY c LIMIT k`)
@@ -488,20 +535,25 @@ final class PgLiteEngine {
     (name, cols)
   }
 
-  /** Format-aware COPY resolution: (table, columns, binary?). Accepts
-    * the published format suffixes — bare, `BINARY` (legacy syntax),
-    * `WITH (FORMAT BINARY)` / `(FORMAT BINARY)`, and the explicit
-    * `WITH (FORMAT TEXT)` — anything else after STDIN is a 42601. */
-  def copyTargetFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
-    val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
-      "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$").r.findFirstMatchIn(sql)
-      .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
-    val binary = m.group(3).trim.toUpperCase.replaceAll("\\s+", " ") match {
+  /** The published COPY format suffixes — bare, `BINARY` (legacy
+    * syntax), `WITH (FORMAT BINARY)` / `(FORMAT BINARY)`, and the
+    * explicit `WITH (FORMAT TEXT)` — anything else is a 42601. */
+  private def copyFormat(opts: String): Boolean =
+    opts.trim.toUpperCase.replaceAll("\\s+", " ") match {
       case "" | "WITH (FORMAT TEXT)" | "(FORMAT TEXT)" => false
       case "BINARY" | "WITH BINARY" | "WITH (FORMAT BINARY)" |
            "(FORMAT BINARY)" => true
       case other => throw PgError("42601", s"bad COPY options: $other")
     }
+
+  /** Format-aware COPY FROM STDIN resolution: (table, columns,
+    * binary?). Column default mirrors the write posture: every
+    * non-serial column (serials are DB-assigned). */
+  def copyTargetFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
+    val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
+    val binary = copyFormat(m.group(3))
     val name = m.group(1).toLowerCase
     val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
@@ -512,6 +564,43 @@ final class PgLiteEngine {
       if (!t.cols.exists(_.name == cn))
         throw PgError("42703", s"column \"$cn\" does not exist") }
     (name, cols, binary)
+  }
+
+  /** Format-aware COPY TO STDOUT resolution — the bulk EXPORT side.
+    * Column default is ALL columns (PG's COPY TO default; serials are
+    * real data on the way out). */
+  def copyOutFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
+    val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
+      "(?:\\(([^)]*)\\))?\\s+TO\\s+STDOUT\\s*(.*)$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
+    val binary = copyFormat(m.group(3))
+    val name = m.group(1).toLowerCase
+    val t = lookup(name, tx)
+      .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
+    val cols = Option(m.group(2))
+      .map(_.split(",").map(_.trim.toLowerCase).toSeq)
+      .getOrElse(t.cols.map(_.name))
+    cols.foreach { cn =>
+      if (!t.cols.exists(_.name == cn))
+        throw PgError("42703", s"column \"$cn\" does not exist") }
+    (name, cols, binary)
+  }
+
+  /** Export rows for COPY TO STDOUT: the copy list's projection in
+    * heap (insertion) order — exactly what a SELECT without ORDER BY
+    * answers, snapshotted under the table lock so a concurrent COPY IN
+    * can't interleave half a batch into the export. */
+  def copyOutRows(table: String, cols: Seq[String],
+                  tx: PgTx): Seq[Array[String]] = {
+    val t = resolve(table, tx, forWrite = false)
+    t.synchronized {
+      val proj = cols.map { cn =>
+        val i = t.cols.indexWhere(_.name == cn)
+        if (i < 0) throw PgError("42703", s"column \"$cn\" does not exist")
+        i
+      }
+      t.rows.toSeq.map(r => proj.map(r(_)).toArray)
+    }
   }
 
   /** DDL types of `cols` in declaration strings (`NUMERIC(12,2)`,

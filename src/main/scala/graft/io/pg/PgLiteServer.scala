@@ -219,9 +219,10 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     val (portal, _) = cstr(body, 0)
     val sql = portals.getOrElse(portal,
       throw PgLiteEngine.PgError("34000", s"portal \"$portal\" does not exist"))
-    if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\b".r.findFirstIn(sql.trim).isDefined)
+    if ("(?is)^COPY\\b.*\\b(FROM\\s+STDIN|TO\\s+STDOUT)\\b".r
+          .findFirstIn(sql.trim).isDefined)
       throw PgLiteEngine.PgError("0A000",
-        "COPY FROM STDIN is a simple-protocol statement here")
+        "COPY FROM STDIN / TO STDOUT are simple-protocol statements here")
     if (tx.inTransaction && tx.isAborted)
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
@@ -332,6 +333,9 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
               if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\b".r
                     .findFirstIn(st.trim).isDefined)
                 runCopyIn(st, in, out, tx)
+              else if ("(?is)^COPY\\b.*\\bTO\\s+STDOUT\\b".r
+                    .findFirstIn(st.trim).isDefined)
+                runCopyOut(st, out, tx)
               else engine.execute(st, tx)
             if (r.columns.nonEmpty) {
               writeRowDescription(out, r.columns)
@@ -403,49 +407,51 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       if (binary)
         PgBinaryCopy.decodeStream(buf.toByteArray,
           engine.colTypes(table, cols, tx))
-      else {
-        val text = new String(buf.toByteArray, UTF_8)
-        // Split keeping empties: a single-column table's empty line IS a
-        // valid row (one empty-string field) in Postgres text format; only
-        // the final empty element produced by the trailing \n is dropped.
-        val parts = text.split("\n", -1)
-        val lines =
-          if (parts.nonEmpty && parts.last.isEmpty) parts.toSeq.dropRight(1)
-          else parts.toSeq
-        lines.map(decodeCopyRow)
-      }
+      else
+        PgTextCopy.splitLines(new String(buf.toByteArray, UTF_8))
+          .map(PgTextCopy.decodeRow)
     engine.copyRows(table, cols, rows, tx)
   }
 
-  /** One text-format COPY row → field values (null for `\N`). */
-  private def decodeCopyRow(line: String): Seq[String] = {
-    val fields = Seq.newBuilder[String]
-    val cur = new StringBuilder
-    var escaped = false
-    var isNull = false
-    def flush(): Unit = {
-      fields += (if (isNull && cur.isEmpty) null else cur.toString)
-      cur.clear(); isNull = false
+  /** COPY … TO STDOUT, text OR binary — the bulk EXPORT side:
+    * CopyOutResponse('H') with the statement's format, the table's
+    * projection streamed as CopyData frames (text rows through
+    * [[PgTextCopy]], binary through [[PgBinaryCopy]] header/tuples/
+    * trailer), CopyDone, then "COPY n". No frontend messages are read
+    * during COPY OUT per the published flow. */
+  private def runCopyOut(st: String, out: DataOutputStream,
+                         tx: PgLiteEngine.PgTx): PgLiteEngine.Result = {
+    if (tx.inTransaction && tx.isAborted)
+      throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
+        "commands ignored until end of transaction block")
+    val (table, cols, binary) = engine.copyOutFormat(st, tx)
+    val rows = engine.copyOutRows(table, cols, tx)
+    val fmt = if (binary) 1 else 0
+    // CopyOutResponse: 'H', int8 format, int16 ncols, int16[ncols] format
+    out.writeByte('H'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
+    out.writeByte(fmt); out.writeShort(cols.length)
+    cols.foreach(_ => out.writeShort(fmt))
+    def frame(data: Array[Byte]): Unit = {
+      out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
     }
-    line.foreach { c =>
-      if (escaped) {
-        c match {
-          case 'N' => isNull = true
-          case 't' => cur.append('\t')
-          case 'n' => cur.append('\n')
-          case 'r' => cur.append('\r')
-          case '\\' => cur.append('\\')
-          case other => cur.append(other)
-        }
-        escaped = false
-      } else c match {
-        case '\\' => escaped = true
-        case '\t' => flush()
-        case other => cur.append(other)
+    if (binary) {
+      val types = engine.colTypes(table, cols, tx)
+      frame(PgBinaryCopy.header())
+      rows.grouped(1024).foreach { group =>
+        val bb = new java.io.ByteArrayOutputStream()
+        group.foreach(r => bb.write(
+          PgBinaryCopy.encodeTuple(types, r.map(Option(_)).toSeq)))
+        frame(bb.toByteArray)
+      }
+      frame(PgBinaryCopy.trailer())
+    } else {
+      rows.grouped(1024).foreach { group =>
+        frame(group.map(r => PgTextCopy.encodeRow(r.map(Option(_)).toSeq))
+          .mkString("", "\n", "\n").getBytes(UTF_8))
       }
     }
-    flush()
-    fields.result()
+    out.writeByte('c'); out.writeInt(4) // CopyDone
+    PgLiteEngine.Result(Nil, Nil, s"COPY ${rows.length}")
   }
 
   private def writeRowDescription(

@@ -44,6 +44,31 @@ object PgWire {
     case other => other.toString
   }
 
+  /** Inverse of [[wireText]] for one non-null cell, typed by the
+    * frame's Spark field: the text → catalyst-external value mapping
+    * [[graft.pipeline.PgGold.fromWire]] (driver-side) and
+    * [[readDistributed]] (executor-side) share. */
+  def parseWire(v: String, dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => v
+      case IntegerType => v.toInt
+      case LongType => v.toLong
+      case ShortType => v.toShort
+      case DoubleType => v.toDouble
+      case FloatType => v.toFloat
+      case BooleanType => v.toBoolean
+      case _: DecimalType => new java.math.BigDecimal(v)
+      case TimestampType => java.sql.Timestamp.valueOf(v)
+      // NTZ rows carry LocalDateTime; the wire text is the same
+      // wall-clock form wireText emitted
+      case TimestampNTZType => java.sql.Timestamp.valueOf(v).toLocalDateTime
+      case DateType => java.sql.Date.valueOf(v)
+      case other =>
+        throw new IllegalArgumentException(s"no wire parse for $other")
+    }
+  }
+
   /** COPY `df` into `table` (schema-qualified) over `numPartitions`
     * concurrent wire connections. Column order is the frame's; values
     * ship as [[wireText]] — the exact
@@ -96,6 +121,74 @@ object PgWire {
           ()
         } finally c.close()
       }
+    }
+  }
+
+  /** DISTRIBUTED wire READ — the mirror of [[copyDistributed]] on the
+    * scan side (§2 #10's production posture: Spark's own JDBC source
+    * does exactly this key-range partitioning): the driver probes the
+    * integer key's min/max with two LIMIT-1 queries (O(rows·log 1) on
+    * the server's bounded heap), splits `[min, max]` into
+    * `numPartitions` half-open ranges, and each Spark task opens its
+    * own wire connection and scans `WHERE key >= lo AND key < hi` —
+    * per-task memory ∝ its range, nothing table-sized on the driver.
+    * `keyCol` must be an INTEGER/BIGINT column of `schema`; skewed key
+    * spaces get skewed partitions, exactly like the JDBC source —
+    * repartition downstream if that matters. */
+  def readDistributed(spark: org.apache.spark.sql.SparkSession,
+                      host: String, port: Int, table: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      keyCol: String,
+                      numPartitions: Int = 8): DataFrame = {
+    val cols = schema.fieldNames.toSeq
+    require(cols.contains(keyCol), s"keyCol $keyCol not in schema")
+    val colList = cols.mkString(", ")
+    // min via ASC LIMIT 1 (the engine sorts NULLs last, so a non-null
+    // head IS the min); max via DESC LIMIT 1 *range-filtered from the
+    // min* — DESC sorts NULLs first (PG), and a WHERE predicate is
+    // never satisfied by NULL, so the filter screens them out. Rows
+    // with a NULL key are invisible to a range scan by SQL semantics:
+    // keyCol is the PK in practice and documented non-null.
+    val bounds = {
+      val c = new PgLiteClient(host, port)
+      c.connect()
+      try {
+        c.query(s"SELECT $keyCol FROM $table ORDER BY $keyCol LIMIT 1")
+          .rows.headOption.flatMap(_.head).map(_.toLong).map { lo =>
+            val hi = c.query(s"SELECT $keyCol FROM $table " +
+                s"WHERE $keyCol >= $lo ORDER BY $keyCol DESC LIMIT 1")
+              .rows.head.head.get.toLong
+            (lo, hi)
+          }
+      } finally c.close()
+    }
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    bounds match {
+      case None => empty
+      case Some((lo, hi)) =>
+        val n = math.max(1, math.min(numPartitions.toLong, hi - lo + 1)).toInt
+        val step = (hi - lo) / n + 1
+        val ranges = (0 until n).map { i =>
+          (lo + i * step, math.min(lo + (i + 1) * step, hi + 1))
+        }.filter { case (a, b) => a < b }
+        val fields = schema.fields
+        val rdd = spark.sparkContext
+          .parallelize(ranges, ranges.length)
+          .flatMap { case (a, b) =>
+            val c = new PgLiteClient(host, port)
+            c.connect()
+            try {
+              c.query(s"SELECT $colList FROM $table " +
+                  s"WHERE $keyCol >= $a AND $keyCol < $b")
+                .rows.map { r =>
+                  Row.fromSeq(r.zip(fields).map { case (v, f) =>
+                    v.map(parseWire(_, f.dataType)).orNull
+                  })
+                }
+            } finally c.close()
+          }
+        spark.createDataFrame(rdd, schema)
     }
   }
 

@@ -49,26 +49,9 @@ object PgGold {
     * vocabulary ([[Sinks.pgType]]). */
   def fromWire(spark: SparkSession, rows: Seq[Seq[Option[String]]],
                schema: StructType): DataFrame = {
-    def parse(v: String, dt: DataType): Any = dt match {
-      case StringType => v
-      case IntegerType => v.toInt
-      case LongType => v.toLong
-      case ShortType => v.toShort
-      case DoubleType => v.toDouble
-      case FloatType => v.toFloat
-      case BooleanType => v.toBoolean
-      case _: DecimalType => new java.math.BigDecimal(v)
-      case TimestampType => java.sql.Timestamp.valueOf(v)
-      // NTZ rows carry LocalDateTime; the wire text is the same
-      // wall-clock form PgWire.wireText emitted
-      case TimestampNTZType => java.sql.Timestamp.valueOf(v).toLocalDateTime
-      case DateType => java.sql.Date.valueOf(v)
-      case other =>
-        throw new IllegalArgumentException(s"no wire parse for $other")
-    }
     val data = rows.map { r =>
       Row.fromSeq(r.zip(schema.fields).map { case (v, f) =>
-        v.map(parse(_, f.dataType)).orNull
+        v.map(PgWire.parseWire(_, f.dataType)).orNull
       })
     }
     spark.createDataFrame(

@@ -484,6 +484,83 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** COPY TO STDOUT gate (round-16, [[graft.io.pg.PgLiteClient
+    * .copyOut]] / `PgLiteServer.runCopyOut`): the bulk EXPORT side of
+    * the protocol — the cleaned customer frame lands over COPY FROM
+    * STDIN, then reads back through `COPY … TO STDOUT` in BOTH wire
+    * formats; the text and binary exports are REQUIRED cell-identical
+    * before the text one becomes the result, and the oracle replays
+    * the clean rules — so export framing, escaping, and every binary
+    * field codec on the OUT path all sit under the hash. */
+  def pgCopyOut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        c.query(graft.io.Sinks.createTableDdl(cleaned.schema, "silver", "customer_out"))
+        val rows = cleaned.orderBy(col("c_custkey")).collect().iterator.map { r =>
+          Seq(Option(r.get(0)).map(_.toString),
+            Option(r.get(1)).map(_.toString),
+            Option(r.get(2)).map(_.toString))
+        }.toSeq
+        c.copyIn(
+          "COPY silver.customer_out (c_custkey, c_name, c_mktsegment) FROM STDIN",
+          rows)
+        val sel = "COPY silver.customer_out (c_custkey, c_name, c_mktsegment)"
+        val text = c.copyOut(s"$sel TO STDOUT")
+        val bin = c.copyOutBinary(s"$sel TO STDOUT WITH (FORMAT BINARY)",
+          cleaned.schema.fields.map(f => graft.io.Sinks.pgType(f.dataType)).toSeq)
+        require(text == bin,
+          "text and binary COPY TO STDOUT exports disagree")
+        text
+      } finally c.close()
+      back.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
+  /** DISTRIBUTED wire SCAN gate (round-16,
+    * [[graft.io.pg.PgWire.readDistributed]]): §2 #10's production READ
+    * posture over the live protocol — the cleaned customer frame lands
+    * through the 8-connection distributed COPY, then comes back
+    * through 8 per-partition wire connections each scanning a key
+    * range (`WHERE c_custkey >= lo AND c_custkey < hi` — the engine's
+    * SELECT grew range predicates + DESC for the max probe), so BOTH
+    * directions of the round trip are distributed and nothing
+    * table-sized touches the driver. The oracle replays the clean
+    * rules: any range seam (row lost or doubled at a partition
+    * boundary) breaks the hash. */
+  def pgScanDistributed(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_scan"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_scan",
+        numPartitions = 8)
+      graft.io.pg.PgWire.readDistributed(
+          s, "127.0.0.1", server.port, "silver.customer_scan",
+          cleaned.schema, keyCol = "c_custkey", numPartitions = 8)
+        // EAGER: the scan must run while the endpoint is alive — the
+        // enclosing finally stops the server before any later action
+        .checkpointLinted()
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -550,6 +627,8 @@ object RefQueries {
     "ref_pg_copy_distributed" -> (pgCopyDistributed _),
     "ref_pg_copy_exactly_once" -> (pgCopyExactlyOnce _),
     "ref_pg_copy_binary" -> (pgCopyBinary _),
+    "ref_pg_copy_out" -> (pgCopyOut _),
+    "ref_pg_scan_distributed" -> (pgScanDistributed _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -594,6 +673,22 @@ object RefQueries {
     // the staged, transactionally-published COPY must land on the
     // identical read-back — same oracle as its two siblings
     "ref_pg_copy_exactly_once" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the distributed SCAN: 8 per-partition key-range reads must
+    // reassemble the table with no seam (row lost or doubled at a
+    // range boundary) — same clean-rules oracle as the write gates
+    "ref_pg_scan_distributed" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the EXPORT side: COPY TO STDOUT (text ≡ binary required in the
+    // query) must be value-invisible — same clean-rules oracle as the
+    // COPY FROM STDIN family it mirrors
+    "ref_pg_copy_out" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

@@ -225,7 +225,13 @@ object ScaleRehearsal {
       // round-16: the staged exactly-once variant (per-attempt stage
       // tables + one-transaction publish) — the commit discipline's
       // overhead vs the at-least-once row above is the story
-      "ref_pg_copy_exactly_once")
+      "ref_pg_copy_exactly_once",
+      // round-16 (second batch): the binary-format distributed COPY —
+      // typed field encodings instead of text escaping; the story is
+      // the serialization-cost gap vs ref_pg_copy_distributed's text
+      // framing at the same connection count (different frame: orders
+      // slice with timestamps/doubles, so compare RATIOS not absolutes)
+      "ref_pg_copy_binary")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY

@@ -174,6 +174,69 @@ class PgBinarySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  behavior of "COPY TO STDOUT"
+
+  it should "export text and binary streams identical to the loaded rows" in {
+    val df = hostileDf
+    val types = schema.fields.map(f => Sinks.pgType(f.dataType)).toSeq
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createSchemaDdl("ex"))
+        c.query(Sinks.createTableDdl(schema, "ex", "t"))
+        PgWire.copyDistributedBinary(df, "127.0.0.1", server.port,
+          "ex.t", numPartitions = 4)
+        val cols = schema.fieldNames.mkString(", ")
+        val viaSelect = c.query(s"SELECT $cols FROM ex.t").rows
+          .sortBy(_.head.get.toLong)
+        val viaText = c.copyOut(s"COPY ex.t ($cols) TO STDOUT")
+          .sortBy(_.head.get.toLong)
+        val viaBin = c.copyOutBinary(
+          s"COPY ex.t ($cols) TO STDOUT WITH (FORMAT BINARY)", types)
+          .sortBy(_.head.get.toLong)
+        viaText should have size 97
+        viaText shouldBe viaSelect // text export ≡ wire SELECT, nulls included
+        viaBin shouldBe viaSelect  // binary export too
+        // the connection stays usable after both exports
+        c.query("SELECT k FROM ex.t ORDER BY k LIMIT 1")
+          .rows shouldBe Seq(Seq(Some("0")))
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "survive wrong-API and wrong-format COPY OUT calls" in {
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA s")
+      engine.execute("CREATE TABLE s.t (k BIGINT)")
+      engine.execute("INSERT INTO s.t (k) VALUES (9)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        // COPY OUT through plain query(): drained, thrown, survivable
+        intercept[IllegalStateException] {
+          c.query("COPY s.t (k) TO STDOUT")
+        }.getMessage should include("use copyOut()")
+        // text copyOut against a binary statement: drained + thrown
+        intercept[IllegalStateException] {
+          c.copyOut("COPY s.t (k) TO STDOUT BINARY")
+        }.getMessage should include("format mismatch")
+        // copyOut on a SELECT: resynced + thrown
+        intercept[IllegalStateException] {
+          c.copyOut("SELECT k FROM s.t")
+        }
+        // copyOut on a COPY FROM STDIN: CopyFail + thrown
+        intercept[IllegalStateException] {
+          c.copyOut("COPY s.t (k) FROM STDIN")
+        }.getMessage should include("use copyIn()")
+        // after all four mistakes, the connection still serves
+        c.copyOut("COPY s.t (k) TO STDOUT") shouldBe Seq(Seq(Some("9")))
+      } finally c.close()
+    } finally server.stop()
+  }
+
   it should "abort all-or-nothing on a malformed stream and keep the table" in {
     val (server, engine) = PgLiteServer.start()
     try {

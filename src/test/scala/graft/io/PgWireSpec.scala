@@ -86,4 +86,83 @@ class PgWireSpec extends SparkSpec {
       e.getMessage should include("does not exist")
     } finally server.stop()
   }
+
+  behavior of "engine SELECT range predicates"
+
+  it should "filter half-open ranges with typed comparison, DESC, and NULL exclusion" in {
+    val e = new graft.io.pg.PgLiteEngine
+    e.execute("CREATE SCHEMA s")
+    e.execute("CREATE TABLE s.t (k BIGINT, v TEXT)")
+    // 9 < 10 as LONGS, not strings; one NULL key; one NULL value
+    Seq("(2, 'b')", "(9, 'i')", "(10, 'j')", "(NULL, 'x')", "(30, NULL)")
+      .foreach(vs => e.execute(s"INSERT INTO s.t (k, v) VALUES $vs"))
+    def ks(sql: String): Seq[String] =
+      e.execute(sql).rows.map(_(0)).toSeq
+    // typed: k >= 9 keeps 9,10,30 (string compare would drop 9 vs '10')
+    ks("SELECT k FROM s.t WHERE k >= 9 ORDER BY k") shouldBe
+      Seq("9", "10", "30")
+    // half-open seam: [2,10) ∪ [10,31) must cover each row exactly once
+    ks("SELECT k FROM s.t WHERE k >= 2 AND k < 10 ORDER BY k") shouldBe
+      Seq("2", "9")
+    ks("SELECT k FROM s.t WHERE k >= 10 AND k < 31 ORDER BY k") shouldBe
+      Seq("10", "30")
+    // a NULL key never satisfies a range predicate
+    ks("SELECT k FROM s.t WHERE k >= 0 ORDER BY k")
+      .forall(_ != null) shouldBe true
+    // DESC: NULLs first (PG default), then descending
+    ks("SELECT k FROM s.t ORDER BY k DESC") shouldBe
+      Seq(null, "30", "10", "9", "2")
+    // DESC + LIMIT under a WHERE: the max probe readDistributed issues
+    ks("SELECT k FROM s.t WHERE k >= 2 ORDER BY k DESC LIMIT 1") shouldBe
+      Seq("30")
+    // text ranges take quoted literals
+    ks("SELECT k FROM s.t WHERE v >= 'b' AND v < 'j' ORDER BY k") shouldBe
+      Seq("2", "9")
+    // a non-numeric literal against a BIGINT column is a typed error
+    intercept[graft.io.pg.PgLiteEngine.PgError](
+      e.execute("SELECT k FROM s.t WHERE k >= 'oops'")).code shouldBe "22P02"
+  }
+
+  behavior of "PgWire.readDistributed"
+
+  it should "reassemble the table seamlessly across 4 range partitions" in {
+    val schema2 = StructType(Seq(
+      StructField("k", LongType),
+      StructField("s", StringType),
+      StructField("d", DoubleType)))
+    val data: Seq[Row] = (0 until 101).map { i =>
+      Row(i.toLong * 3 + 7, // sparse keys: ranges land mid-gap
+        if (i % 5 == 0) null else s"tab\there $i",
+        if (i % 7 == 0) null else i * 0.5)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 3), schema2)
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createSchemaDdl("rd"))
+        c.query(Sinks.createTableDdl(schema2, "rd", "t"))
+        PgWire.copyDistributed(df, "127.0.0.1", server.port, "rd.t", 3)
+        val got = PgWire.readDistributed(spark, "127.0.0.1", server.port,
+          "rd.t", schema2, "k", numPartitions = 4)
+        got.rdd.getNumPartitions shouldBe 4
+        val gotRows = got.collect().map(r => r.getLong(0) -> r.toSeq).toMap
+        val want = data.map(r => r.getLong(0) -> r.toSeq).toMap
+        gotRows shouldBe want // no seam: nothing lost, nothing doubled
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "answer an empty frame for an empty table" in {
+    val schema2 = StructType(Seq(StructField("k", LongType)))
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA rd")
+      engine.execute("CREATE TABLE rd.empty (k BIGINT)")
+      PgWire.readDistributed(spark, "127.0.0.1", server.port,
+        "rd.empty", schema2, "k").count() shouldBe 0L
+    } finally server.stop()
+  }
 }
