@@ -25,7 +25,8 @@ final class PgLiteClient(host: String, port: Int,
   final case class PgServerError(code: String, message: String)
       extends RuntimeException(s"$code: $message")
   final case class QueryResult(columns: Seq[String], typeOids: Seq[Int],
-                               rows: Seq[Seq[Option[String]]], tags: Seq[String])
+                               rows: Seq[Seq[Option[String]]], tags: Seq[String],
+                               typeMods: Seq[Int] = Nil)
 
   private val sock = new Socket(host, port)
   private val in = new DataInputStream(sock.getInputStream)
@@ -75,6 +76,7 @@ final class PgLiteClient(host: String, port: Int,
     out.write(b); out.writeByte(0); out.flush()
     var cols = Seq.empty[String]
     var oids = Seq.empty[Int]
+    var mods = Seq.empty[Int]
     val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
     val tags = mutable.ArrayBuffer[String]()
     var err: PgServerError = null
@@ -83,18 +85,8 @@ final class PgLiteClient(host: String, port: Int,
       val (tpe, payload) = readMessage()
       tpe match {
         case 'T' =>
-          val n = readShort(payload, 0)
-          var off = 2
-          val cs = mutable.ArrayBuffer[String]()
-          val os = mutable.ArrayBuffer[Int]()
-          (0 until n).foreach { _ =>
-            val end = payload.indexOf(0, off)
-            cs += new String(payload, off, end - off, UTF_8)
-            // name\0 (end+1), table oid 4, attnum 2 → type oid
-            os += readInt(payload, end + 1 + 4 + 2)
-            off = end + 1 + 4 + 2 + 4 + 2 + 4 + 2
-          }
-          cols = cs.toSeq; oids = os.toSeq
+          val (cs, os, ms) = parseRowDescription(payload)
+          cols = cs; oids = os; mods = ms
         case 'D' =>
           val n = readShort(payload, 0)
           var off = 2
@@ -131,7 +123,27 @@ final class PgLiteClient(host: String, port: Int,
       }
     }
     if (err != null) throw err
-    QueryResult(cols, oids, rows.toSeq, tags.toSeq)
+    QueryResult(cols, oids, rows.toSeq, tags.toSeq, mods)
+  }
+
+  /** RowDescription → (names, type oids, typmods). Field layout per
+    * the docs: name\0, table oid int32, attnum int16, type oid int32,
+    * typlen int16, typmod int32, format int16. */
+  private def parseRowDescription(
+      payload: Array[Byte]): (Seq[String], Seq[Int], Seq[Int]) = {
+    val n = readShort(payload, 0)
+    var off = 2
+    val cs = mutable.ArrayBuffer[String]()
+    val os = mutable.ArrayBuffer[Int]()
+    val ms = mutable.ArrayBuffer[Int]()
+    (0 until n).foreach { _ =>
+      val end = payload.indexOf(0, off)
+      cs += new String(payload, off, end - off, UTF_8)
+      os += readInt(payload, end + 1 + 4 + 2)
+      ms += readInt(payload, end + 1 + 4 + 2 + 4 + 2)
+      off = end + 1 + 4 + 2 + 4 + 2 + 4 + 2
+    }
+    (cs.toSeq, os.toSeq, ms.toSeq)
   }
 
   /** EXTENDED-protocol round trip (Parse → Bind → Describe → Execute →
@@ -169,6 +181,7 @@ final class PgLiteClient(host: String, port: Int,
     out.flush()
     var cols = Seq.empty[String]
     var oids = Seq.empty[Int]
+    var mods = Seq.empty[Int]
     val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
     val tags = mutable.ArrayBuffer[String]()
     var err: PgServerError = null
@@ -178,17 +191,8 @@ final class PgLiteClient(host: String, port: Int,
       tpe match {
         case '1' | '2' | '3' | 'n' | 't' | 'N' | 'S' => () // completes/NoData
         case 'T' =>
-          val n = readShort(payload, 0)
-          var off = 2
-          val cs = mutable.ArrayBuffer[String]()
-          val os = mutable.ArrayBuffer[Int]()
-          (0 until n).foreach { _ =>
-            val end = payload.indexOf(0, off)
-            cs += new String(payload, off, end - off, UTF_8)
-            os += readInt(payload, end + 1 + 4 + 2)
-            off = end + 1 + 4 + 2 + 4 + 2 + 4 + 2
-          }
-          cols = cs.toSeq; oids = os.toSeq
+          val (cs, os, ms) = parseRowDescription(payload)
+          cols = cs; oids = os; mods = ms
         case 'D' =>
           val n = readShort(payload, 0)
           var off = 2
@@ -208,7 +212,7 @@ final class PgLiteClient(host: String, port: Int,
       }
     }
     if (err != null) throw err
-    QueryResult(cols, oids, rows.toSeq, tags.toSeq)
+    QueryResult(cols, oids, rows.toSeq, tags.toSeq, mods)
   }
 
   /** COPY … FROM STDIN round trip: send the COPY statement, expect

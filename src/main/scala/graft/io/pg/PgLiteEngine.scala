@@ -101,6 +101,16 @@ final class PgLiteEngine {
     }
   }
 
+  /** Postgres type modifier for the wire row description: NUMERIC(p,s)
+    * carries `((p << 16) | s) + 4` (the documented VARHDRSZ-offset
+    * atttypmod), everything else -1 — so a wire client can recover the
+    * exact declared decimal type, like a real PG server. */
+  def typmodOf(pgType: String): Int = {
+    val m = "(?i)^(?:NUMERIC|DECIMAL)\\s*\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+      .findFirstMatchIn(pgType.trim)
+    m.map(x => ((x.group(1).toInt << 16) | x.group(2).toInt) + 4).getOrElse(-1)
+  }
+
   /** Autocommit entry point (direct engine callers, e.g. specs). */
   def execute(sql0: String): Result = execute(sql0, null)
 

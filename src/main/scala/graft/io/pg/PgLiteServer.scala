@@ -466,7 +466,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       out.writeShort(0)                 // attribute number
       out.writeInt(engine.oidOf(c.pgType)) // type oid
       out.writeShort(-1)                // typlen (varlena)
-      out.writeInt(-1)                  // typmod
+      out.writeInt(engine.typmodOf(c.pgType)) // typmod (NUMERIC p,s)
       out.writeShort(0)                 // text format
     }
   }

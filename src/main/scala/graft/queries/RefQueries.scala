@@ -561,6 +561,43 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 wire-source gate (round-16, [[graft.io.pg.PgLiteDataSource]]):
+    * the catalog-integrated face of the distributed scan —
+    * `spark.read.format("pglite")` with the schema inferred from the
+    * server's RowDescription (OIDs + NUMERIC typmod) and the scan
+    * range-partitioned on the key, so Catalyst's column pruning and
+    * the partition planning both reach the wire (plan-asserted in
+    * PgLiteDataSourceSpec). Same clean-rules oracle as its
+    * `readDistributed` sibling: a seam, a mis-inferred type, or a
+    * mis-decoded cell breaks the hash. */
+  def pgDsv2Scan(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_ds"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_ds",
+        numPartitions = 8)
+      s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_ds")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        // EAGER: the scan must run while the endpoint is alive — the
+        // enclosing finally stops the server before any later action
+        .checkpointLinted()
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -629,6 +666,7 @@ object RefQueries {
     "ref_pg_copy_binary" -> (pgCopyBinary _),
     "ref_pg_copy_out" -> (pgCopyOut _),
     "ref_pg_scan_distributed" -> (pgScanDistributed _),
+    "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -673,6 +711,13 @@ object RefQueries {
     // the staged, transactionally-published COPY must land on the
     // identical read-back — same oracle as its two siblings
     "ref_pg_copy_exactly_once" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the DSv2 face of the distributed scan: server-inferred schema +
+    // range-partitioned read — same clean-rules oracle as its sibling
+    "ref_pg_dsv2_scan" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

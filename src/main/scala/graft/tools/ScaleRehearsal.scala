@@ -231,7 +231,12 @@ object ScaleRehearsal {
       // the serialization-cost gap vs ref_pg_copy_distributed's text
       // framing at the same connection count (different frame: orders
       // slice with timestamps/doubles, so compare RATIOS not absolutes)
-      "ref_pg_copy_binary")
+      "ref_pg_copy_binary",
+      // round-16 (third batch): the READ side — single-socket export
+      // (both formats), the range-partitioned distributed scan, and
+      // its DSv2 face; the scan pair's story is the same ratio gap the
+      // COPY pair showed (per-partition connections amortize the wire)
+      "ref_pg_copy_out", "ref_pg_scan_distributed", "ref_pg_dsv2_scan")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY
