@@ -29,9 +29,11 @@ import graft.io.pg.{PgLiteClient, PgWire}
   * one psycopg2 process) and dims are small by construction. FACTS
   * are input-sized, so [[writeFactDistributed]] ships them through
   * [[PgWire.copyDistributedExactlyOnce]] (one wire connection per
-  * partition, staged + transactionally published) and verifies by
-  * server-confirmed count plus an explicitly SAMPLED ordered head
-  * read-back — no corpus-sized frame ever collects to the driver.
+  * partition, staged + transactionally published) and verifies
+  * server-confirmed count PLUS a fully distributed cell-for-cell
+  * read-back comparison over [[PgWire.readDistributed]]'s per-range
+  * wire scans — no corpus-sized frame ever collects to the driver,
+  * and the whole fact round trip (not a sample) sits under the check.
   */
 object PgGold {
 
@@ -124,12 +126,19 @@ object PgGold {
     * collect to the driver. FKs are enforced live by the server when
     * the publish's `INSERT … SELECT` lands in the constrained target.
     *
-    * Verification is the scale-safe pair: the server-confirmed
-    * published total must equal the engine's `df.count()`
-    * (distributed), and the returned read-back is an EXPLICITLY
-    * SAMPLED head — `ORDER BY orderCol LIMIT sampleK` over the wire —
-    * typed back into `df`'s schema. `orderCol` must be unique per fact
-    * row for the head to be deterministic. */
+    * Verification is FULLY distributed (round-16: the sampled-head
+    * compromise retired once [[PgWire.readDistributed]] existed):
+    * (1) the server-confirmed published total must equal the engine's
+    * `df.count()`; (2) EVERY row reads back through per-key-range wire
+    * scans and the two frames must be MULTISET-equal (`exceptAll` both
+    * directions — `orderCol` need not be unique: the star's fact
+    * tables carry several rows per main id, which a key-join compare
+    * would cross-multiply) — nothing table-sized on the driver at any
+    * scale. The RESULT surface stays the sampled head — `ORDER BY
+    * orderCol LIMIT sampleK` over the wire — typed back into `df`'s
+    * schema, so gate hashes are unchanged by the stronger check.
+    * `orderCol` must be a non-null integer column; unique makes the
+    * head deterministic (the flagship's facts key on o_orderkey). */
   def writeFactDistributed(c: PgLiteClient, df: DataFrame,
                            host: String, port: Int,
                            schemaName: String, table: String,
@@ -138,17 +147,26 @@ object PgGold {
     val ddl = Sinks.createTableDdl(df.schema, schemaName, table,
       serialPk = None, unique = Nil, foreignKeys = fks)
     require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
-    // the COPY and the expected-count verification both consume the
-    // fact frame: cache across the two passes, release after
-    val cached = df.persist()
-    val (total, expected) =
-      try {
-        (PgWire.copyDistributedExactlyOnce(
-          cached, host, port, s"$schemaName.$table"), cached.count())
-      } finally { cached.unpersist(); () }
-    require(total == expected,
-      s"$table: server confirmed $total rows, engine expected $expected")
     val cols = df.columns.toSeq
+    // the COPY, the expected count, and the full-equality join all
+    // consume the fact frame: cache across the passes, release after
+    val cached = df.persist()
+    val total =
+      try {
+        val published = PgWire.copyDistributedExactlyOnce(
+          cached, host, port, s"$schemaName.$table")
+        val expected = cached.count()
+        require(published == expected,
+          s"$table: server confirmed $published rows, engine expected $expected")
+        val back = PgWire.readDistributed(df.sparkSession, host, port,
+          s"$schemaName.$table", df.schema, orderCol, numPartitions = 8)
+        val missing = cached.exceptAll(back).count()
+        val extra = back.exceptAll(cached).count()
+        require(missing == 0L && extra == 0L,
+          s"$table: wire read-back differs from the engine frame " +
+            s"($missing rows missing, $extra extra)")
+        published
+      } finally { cached.unpersist(); () }
     val back = c.query(s"SELECT ${cols.mkString(", ")} " +
       s"FROM $schemaName.$table ORDER BY $orderCol LIMIT $sampleK")
     FactWrite(total, fromWire(df.sparkSession, back.rows, df.schema))
