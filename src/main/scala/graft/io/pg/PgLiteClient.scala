@@ -243,7 +243,13 @@ final class PgLiteClient(host: String, port: Int,
   /** COPY … TO STDOUT round trip (text format): send the statement,
     * expect CopyOutResponse, collect the CopyData frames until
     * CopyDone, and decode the text rows — the bulk EXPORT twin of
-    * [[copyIn]]. Returns the rows (None = SQL NULL). */
+    * [[copyIn]]. Returns the rows (None = SQL NULL).
+    *
+    * Single-socket and CLIENT-BUFFERED (the whole export
+    * materializes here) — the protocol-fidelity posture, for
+    * dimension-class tables and gate read-backs. The corpus-scale
+    * read path is [[PgWire.readDistributed]] / the `pglite` DSv2
+    * source: per-key-range connections, per-task memory ∝ range. */
   def copyOut(sql: String): Seq[Seq[Option[String]]] = {
     val payload = copyOutRaw(sql, expectBinary = false)
     PgTextCopy.splitLines(new String(payload, UTF_8))

@@ -174,6 +174,68 @@ class PgBinarySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "round-trip randomized typed payloads through the binary wire, both directions" in {
+    // deterministic randomized property (the PgLiteSpec text-fuzz
+    // idiom): 300 rows across the whole supported type vocabulary —
+    // hostile text, double extremes, random-scale numerics,
+    // micro-precision timestamps, pre/post-2000 dates, NULLs — must
+    // survive COPY FROM STDIN BINARY + COPY TO STDOUT BINARY
+    // byte-identically in their canonical text forms
+    val rng = new scala.util.Random(20260816)
+    val atoms = Array("a", "tab\t", "nl\n", "cr\r", "bs\\", "q'", "dq\"",
+      "\\N", "é漢🙂", "", " ", "end\\")
+    def opt[A](f: => A): Option[String] =
+      if (rng.nextInt(8) == 0) None else Some(f.toString)
+    val doubles = Array(0.0, -0.0, 1e308, -1e-308, Double.NaN,
+      Double.PositiveInfinity, Double.NegativeInfinity, 0.1 + 0.2)
+    def numeric(): String = {
+      val scale = rng.nextInt(9)
+      val unscaled = BigInt(rng.nextLong() % 1000000000000L)
+      val bd = new java.math.BigDecimal(unscaled.bigInteger, scale)
+      if (bd.signum == 0 && unscaled.signum < 0)
+        bd.abs.toPlainString // negative zero has no canonical text form
+      else bd.toPlainString
+    }
+    def ts(): String = {
+      val ldt = java.time.LocalDateTime.of(
+        1900 + rng.nextInt(200), 1 + rng.nextInt(12), 1 + rng.nextInt(28),
+        rng.nextInt(24), rng.nextInt(60), rng.nextInt(60),
+        rng.nextInt(1000000) * 1000)
+      java.sql.Timestamp.valueOf(ldt).toString
+    }
+    def date(): String = java.time.LocalDate
+      .of(1900 + rng.nextInt(200), 1 + rng.nextInt(12), 1 + rng.nextInt(28))
+      .toString
+    val types = Seq("BIGINT", "TEXT", "DOUBLE PRECISION",
+      "NUMERIC(20,8)", "BOOLEAN", "TIMESTAMP", "DATE")
+    val rows: Seq[Seq[Option[String]]] = (0 until 300).map { i =>
+      Seq(
+        Some(i.toString), // unique key keeps the read-back sortable
+        opt((0 until rng.nextInt(5))
+          .map(_ => atoms(rng.nextInt(atoms.length))).mkString),
+        opt(doubles(rng.nextInt(doubles.length))),
+        opt(numeric()),
+        opt(rng.nextBoolean()),
+        opt(ts()),
+        opt(date()))
+    }
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE TABLE bfuzz (k BIGINT, v TEXT, " +
+        "d DOUBLE PRECISION, n NUMERIC(20,8), b BOOLEAN, ts TIMESTAMP, dt DATE)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.copyInBinary("COPY bfuzz (k, v, d, n, b, ts, dt) FROM STDIN BINARY",
+          rows.iterator, types) shouldBe "COPY 300"
+        val back = c.copyOutBinary(
+          "COPY bfuzz (k, v, d, n, b, ts, dt) TO STDOUT BINARY", types)
+          .sortBy(_.head.get.toLong)
+        back shouldBe rows
+      } finally c.close()
+    } finally server.stop()
+  }
+
   behavior of "COPY TO STDOUT"
 
   it should "export text and binary streams identical to the loaded rows" in {
