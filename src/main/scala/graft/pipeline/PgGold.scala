@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.types._
 
 import graft.io.Sinks
@@ -130,11 +130,11 @@ object PgGold {
     * compromise retired once [[PgWire.readDistributed]] existed):
     * (1) the server-confirmed published total must equal the engine's
     * `df.count()`; (2) EVERY row reads back through per-key-range wire
-    * scans and the two frames must be MULTISET-equal (`exceptAll` both
-    * directions — `orderCol` need not be unique: the star's fact
-    * tables carry several rows per main id, which a key-join compare
-    * would cross-multiply) — nothing table-sized on the driver at any
-    * scale. The RESULT surface stays the sampled head — `ORDER BY
+    * scans and the two frames must be MULTISET-equal (signed-count
+    * grouping over all columns, one pass — `orderCol` need not be
+    * unique: the star's fact tables carry several rows per main id,
+    * which a key-join compare would cross-multiply) — nothing
+    * table-sized on the driver at any scale. The RESULT surface stays the sampled head — `ORDER BY
     * orderCol LIMIT sampleK` over the wire — typed back into `df`'s
     * schema, so gate hashes are unchanged by the stronger check.
     * `orderCol` must be a non-null integer column; unique makes the
@@ -160,11 +160,21 @@ object PgGold {
           s"$table: server confirmed $published rows, engine expected $expected")
         val back = PgWire.readDistributed(df.sparkSession, host, port,
           s"$schemaName.$table", df.schema, orderCol, numPartitions = 8)
-        val missing = cached.exceptAll(back).count()
-        val extra = back.exceptAll(cached).count()
-        require(missing == 0L && extra == 0L,
+        // signed-count multiset equality in ONE pass: +1 per engine
+        // row, -1 per wire row, grouped on every column — any group
+        // with a nonzero sum is a row the round trip lost, duplicated,
+        // or altered. One wire scan + one shuffle (exceptAll × 2 would
+        // re-scan the table over the wire twice and shuffle twice).
+        val signed = cached.select(cols.map(col): _*)
+          .withColumn("__sign", lit(1L))
+          .unionAll(back.select(cols.map(col): _*)
+            .withColumn("__sign", lit(-1L)))
+        val mismatched = signed.groupBy(cols.map(col): _*)
+          .agg(sum(col("__sign")).as("__d"))
+          .filter(col("__d") =!= 0L).count()
+        require(mismatched == 0L,
           s"$table: wire read-back differs from the engine frame " +
-            s"($missing rows missing, $extra extra)")
+            s"($mismatched distinct rows with unbalanced counts)")
         published
       } finally { cached.unpersist(); () }
     val back = c.query(s"SELECT ${cols.mkString(", ")} " +
