@@ -4,9 +4,10 @@ import java.util
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -35,7 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `numPartitions` (default 8) switch the scan from one connection to
   * one per key range, planned exactly like [[PgWire.readDistributed]].
   * The endpoint is in-JVM so executors reach it over loopback; against
-  * a real PostgreSQL the same shape holds per host:port. */
+  * a real PostgreSQL the same shape holds per host:port.
+  *
+  * WRITES: `df.write.format("pglite").mode("append")` appends through
+  * Spark's V2 commit protocol with the staged-exactly-once discipline
+  * ([[PgLiteBatchWrite]]) — per-task-attempt stage tables, one
+  * transactional publish at commit, abort drops the stages. The target
+  * table must already exist (JDBC-append semantics); only append mode
+  * is supported (the engine-side idempotent posture for overwrite is
+  * the Orchestrator's staging + rename-swap). */
 class PgLiteDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "pglite"
@@ -125,13 +134,145 @@ private[pg] object PgLiteDataSource {
 private class PgLiteTable(conn: PgLiteConn, table: String,
                           tableSchema: StructType,
                           partCol: Option[String], numParts: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"pglite:$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new PgLiteBatchWrite(conn, table, info.schema())
+      }
+    }
+}
+
+/** APPEND through Spark's V2 commit protocol, over the wire — the
+  * official shape of [[PgWire.copyDistributedExactlyOnce]]'s
+  * hand-rolled discipline: each task attempt COPYs its partition into
+  * its own `__stage_p<pid>_t<taskId>` table (taskId is unique per
+  * attempt, so a SPECULATIVE duplicate writes a different table and a
+  * retry drop-first-recreates its own), its commit message carries
+  * (stage, count), Spark delivers exactly one committed message per
+  * partition, and [[commit]] publishes every winning stage in ONE wire
+  * transaction (`BEGIN; INSERT…SELECT; DROP…; COMMIT`). [[abort]]
+  * best-effort-drops the reported stages; a stage whose task never
+  * committed is dropped by the next run's drop-first discipline.
+  * The TARGET table must already exist (JDBC-append semantics). */
+private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
+                               schema: StructType) extends BatchWrite {
+  private val Array(schemaName, bare) = table.split("\\.", 2) match {
+    case a @ Array(_, _) => a
+    case _ => throw new IllegalArgumentException(
+      s"pglite write target must be schema-qualified: $table")
+  }
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    PgLiteWriterFactory(conn, schemaName, bare, schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: PgStageCommit => m }
+    val c = conn.open()
+    try {
+      c.query("BEGIN")
+      val cols = schema.fieldNames.mkString(", ")
+      commits.foreach { m =>
+        if (m.count > 0)
+          c.query(s"INSERT INTO $table ($cols) " +
+            s"SELECT $cols FROM $schemaName.${m.stage}")
+      }
+      commits.foreach(m =>
+        c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+      require(c.query("COMMIT").tags == Seq("COMMIT"),
+        s"pglite publish transaction failed for $table")
+    } finally c.close()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val c = conn.open()
+    try messages.collect { case m: PgStageCommit => m }.foreach(m =>
+      c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+    finally c.close()
+  }
+}
+
+private case class PgStageCommit(stage: String, count: Long)
+    extends WriterCommitMessage
+
+private case class PgLiteWriterFactory(conn: PgLiteConn, schemaName: String,
+                                       bare: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int,
+                            taskId: Long): DataWriter[InternalRow] =
+    new PgLiteDataWriter(conn, schemaName, bare, schema, partitionId, taskId)
+}
+
+/** One task attempt's writer: rows buffer into 1024-row batches, each
+  * shipped as its own COPY into the attempt-private stage table
+  * (multiple COPYs append within the stage; the stage is private, so
+  * partial state is invisible until the driver's publish). */
+private class PgLiteDataWriter(conn: PgLiteConn, schemaName: String,
+                               bare: String, schema: StructType,
+                               partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+  private val stage = s"${bare}__stage_p${partitionId}_t$taskId"
+  private val cols = schema.fieldNames.toSeq
+  private val client = {
+    val c = conn.open()
+    c.query(s"DROP TABLE IF EXISTS $schemaName.$stage")
+    c.query(graft.io.Sinks.createTableDdl(schema, schemaName, stage))
+    c
+  }
+  private val buf = scala.collection.mutable.ArrayBuffer[Seq[Option[String]]]()
+  private var n = 0L
+
+  /** InternalRow cell → the canonical wire text [[PgWire.wireText]]
+    * emits for the same external value. */
+  private def cell(row: InternalRow, i: Int): Option[String] =
+    if (row.isNullAt(i)) None
+    else Some(schema.fields(i).dataType match {
+      case StringType => row.getUTF8String(i).toString
+      case IntegerType => row.getInt(i).toString
+      case LongType => row.getLong(i).toString
+      case DoubleType => row.getDouble(i).toString
+      case BooleanType => row.getBoolean(i).toString
+      case d: DecimalType =>
+        row.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toString
+      case TimestampType =>
+        DateTimeUtils.toJavaTimestamp(row.getLong(i)).toString
+      case TimestampNTZType =>
+        java.sql.Timestamp.valueOf(
+          DateTimeUtils.microsToLocalDateTime(row.getLong(i))).toString
+      case DateType =>
+        DateTimeUtils.toJavaDate(row.getInt(i)).toString
+      case other =>
+        throw new UnsupportedOperationException(s"pglite write: no encoder for $other")
+    })
+
+  private def flush(): Unit = if (buf.nonEmpty) {
+    client.copyIn(
+      s"COPY $schemaName.$stage (${cols.mkString(", ")}) FROM STDIN",
+      buf.toSeq)
+    n += buf.length
+    buf.clear()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    buf += schema.fields.indices.map(cell(row, _))
+    if (buf.length >= 1024) flush()
+  }
+  override def commit(): WriterCommitMessage = {
+    flush()
+    client.close()
+    PgStageCommit(stage, n)
+  }
+  override def abort(): Unit = {
+    try client.query(s"DROP TABLE IF EXISTS $schemaName.$stage")
+    catch { case _: Throwable => () }
+    client.close()
+  }
+  override def close(): Unit = ()
 }
 
 private class PgLiteScanBuilder(conn: PgLiteConn, table: String,

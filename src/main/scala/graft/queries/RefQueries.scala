@@ -598,6 +598,45 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 wire-sink gate (round-16, [[graft.io.pg.PgLiteDataSource]]
+    * writes): the round trip entirely through Spark's V2 planner —
+    * `df.write.format("pglite").mode("append")` appends via the V2
+    * COMMIT PROTOCOL (per-task-attempt stage tables, COPY batches,
+    * one transactional publish at BatchWrite.commit — the
+    * exactly-once discipline as the OFFICIAL Spark sink contract,
+    * speculation-safe by construction) and the read-back rides the
+    * DSv2 range-partitioned scan. The oracle replays the clean rules:
+    * a lost stage, a double publish, or a mis-encoded cell breaks the
+    * hash. */
+  def pgDsv2Write(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_w"))
+      } finally c.close()
+      cleaned.repartition(8).write.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_w")
+        .mode("append").save()
+      s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_w")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        // EAGER: the scan must run while the endpoint is alive — the
+        // enclosing finally stops the server before any later action
+        .checkpointLinted()
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -667,6 +706,7 @@ object RefQueries {
     "ref_pg_copy_out" -> (pgCopyOut _),
     "ref_pg_scan_distributed" -> (pgScanDistributed _),
     "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
+    "ref_pg_dsv2_write" -> (pgDsv2Write _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -711,6 +751,13 @@ object RefQueries {
     // the staged, transactionally-published COPY must land on the
     // identical read-back — same oracle as its two siblings
     "ref_pg_copy_exactly_once" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the DSv2 sink: append through Spark's V2 commit protocol (staged
+    // exactly-once) + DSv2 scan back — same clean-rules oracle
+    "ref_pg_dsv2_write" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

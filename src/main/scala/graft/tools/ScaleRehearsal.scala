@@ -236,7 +236,11 @@ object ScaleRehearsal {
       // (both formats), the range-partitioned distributed scan, and
       // its DSv2 face; the scan pair's story is the same ratio gap the
       // COPY pair showed (per-partition connections amortize the wire)
-      "ref_pg_copy_out", "ref_pg_scan_distributed", "ref_pg_dsv2_scan")
+      "ref_pg_copy_out", "ref_pg_scan_distributed", "ref_pg_dsv2_scan",
+      // the DSv2 sink: the staged exactly-once discipline as Spark's
+      // official commit protocol — compare to ref_pg_copy_exactly_once
+      // (same discipline, hand-rolled)
+      "ref_pg_dsv2_write")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY

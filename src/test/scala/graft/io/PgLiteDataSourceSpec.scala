@@ -125,4 +125,60 @@ class PgLiteDataSourceSpec extends SparkSpec {
       read(server).load().count() shouldBe data.length.toLong
     } finally server.stop()
   }
+
+  behavior of "pglite DataSource V2 writes"
+
+  it should "append through the V2 commit protocol and leave no stage tables" in {
+    val (server, data) = fixture()
+    try {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 3), schema)
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createTableDdl(schema, "ds", "w"))
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.w").mode("append").save()
+        // every typed value landed, nulls included
+        val got = spark.read.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.w").load().collect()
+          .map(r => r.getLong(0) -> r.toSeq).toMap
+        val want = data.map(r => r.getLong(0) -> r.toSeq).toMap
+        got.keySet shouldBe want.keySet
+        got.foreach { case (k, vs) =>
+          withClue(s"row $k:") {
+            vs.zip(want(k)).foreach {
+              case (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+                a.compareTo(b) shouldBe 0
+              case (a, b) => a shouldBe b
+            }
+          }
+        }
+        // the publish transaction dropped every attempt's stage table
+        val e = intercept[c.PgServerError](
+          c.query("SELECT k FROM ds.w__stage_p0_t0"))
+        e.code shouldBe "42P01"
+        // append semantics: a second write doubles the rows
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.w").mode("append").save()
+        c.query("SELECT k FROM ds.w").rows.length shouldBe 2 * data.length
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "fail loudly when the target table does not exist" in {
+    val (server, _) = fixture()
+    try {
+      import spark.implicits._
+      val e = intercept[Exception] {
+        Seq((1L, "x")).toDF("k", "s").write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.nope").mode("append").save()
+      }
+      e.getMessage should include("does not exist")
+    } finally server.stop()
+  }
 }
