@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -138,7 +139,8 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
   override def name(): String = s"pglite:$table"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -146,6 +148,8 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new PgLiteBatchWrite(conn, table, info.schema())
+        override def toStreaming: StreamingWrite =
+          new PgLiteStreamingWrite(conn, table, info.schema())
       }
     }
 }
@@ -205,18 +209,92 @@ private case class PgLiteWriterFactory(conn: PgLiteConn, schemaName: String,
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
-    new PgLiteDataWriter(conn, schemaName, bare, schema, partitionId, taskId)
+    new PgLiteDataWriter(conn, schemaName, schema,
+      s"${bare}__stage_p${partitionId}_t$taskId")
+}
+
+/** STREAMING append (`df.writeStream.format("pglite")`) — the
+  * micro-batch face of the same staged commit discipline, EXACTLY-ONCE
+  * ACROSS EPOCH REPLAYS: stage names carry the epoch id, and
+  * [[commit]] inserts the epoch into a `<table>__epochs` marker table
+  * (UNIQUE) inside the SAME publish transaction — a replayed epoch
+  * (checkpoint recovery re-delivering a committed batch) hits 23505,
+  * rolls the duplicate publish back untouched, and just drops its
+  * stages. The marker write and the data publish commit atomically, so
+  * there is no window where one lands without the other. */
+private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
+                                       schema: StructType)
+    extends StreamingWrite {
+  private val Array(schemaName, bare) = table.split("\\.", 2) match {
+    case a @ Array(_, _) => a
+    case _ => throw new IllegalArgumentException(
+      s"pglite write target must be schema-qualified: $table")
+  }
+  private val epochsTable = s"$schemaName.${bare}__epochs"
+  locally { // marker table rides the target's schema; idempotent
+    val c = conn.open()
+    try c.query(s"CREATE TABLE IF NOT EXISTS $epochsTable (epoch BIGINT UNIQUE)")
+    finally c.close()
+  }
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    PgLiteStreamingWriterFactory(conn, schemaName, bare, schema)
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case m: PgStageCommit => m }
+    val c = conn.open()
+    try {
+      c.query("BEGIN")
+      val replay =
+        try { c.query(s"INSERT INTO $epochsTable (epoch) VALUES ($epochId)"); false }
+        catch { case e: c.PgServerError if e.code == "23505" => true }
+      if (replay) {
+        c.query("ROLLBACK") // 23505 aborted the tx; nothing published
+      } else {
+        val cols = schema.fieldNames.mkString(", ")
+        commits.foreach { m =>
+          if (m.count > 0)
+            c.query(s"INSERT INTO $table ($cols) " +
+              s"SELECT $cols FROM $schemaName.${m.stage}")
+        }
+        commits.foreach(m =>
+          c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+        require(c.query("COMMIT").tags == Seq("COMMIT"),
+          s"pglite epoch $epochId publish failed for $table")
+      }
+      if (replay) // duplicate stages are dropped OUTSIDE the rolled-back tx
+        commits.foreach(m =>
+          c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+    } finally c.close()
+  }
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val c = conn.open()
+    try messages.collect { case m: PgStageCommit => m }.foreach(m =>
+      c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+    finally c.close()
+  }
+}
+
+private case class PgLiteStreamingWriterFactory(
+    conn: PgLiteConn, schemaName: String, bare: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new PgLiteDataWriter(conn, schemaName, schema,
+      s"${bare}__stage_e${epochId}_p${partitionId}_t$taskId")
 }
 
 /** One task attempt's writer: rows buffer into 1024-row batches, each
   * shipped as its own COPY into the attempt-private stage table
   * (multiple COPYs append within the stage; the stage is private, so
-  * partial state is invisible until the driver's publish). */
+  * partial state is invisible until the driver's publish). The stage
+  * name encodes the attempt identity — (pid, taskId) for batch,
+  * (epoch, pid, taskId) for streaming — so concurrent attempts can
+  * never interleave inside one table. */
 private class PgLiteDataWriter(conn: PgLiteConn, schemaName: String,
-                               bare: String, schema: StructType,
-                               partitionId: Int, taskId: Long)
+                               schema: StructType, stage: String)
     extends DataWriter[InternalRow] {
-  private val stage = s"${bare}__stage_p${partitionId}_t$taskId"
   private val cols = schema.fieldNames.toSeq
   private val client = {
     val c = conn.open()

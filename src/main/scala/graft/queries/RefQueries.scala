@@ -637,6 +637,61 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** STREAMING wire-sink gate (round-16, [[graft.io.pg
+    * .PgLiteDataSource]] streaming writes): the cleaned customer frame
+    * flows through a REAL file-stream source in multiple micro-batches
+    * into `writeStream.format("pglite")` — each epoch staged
+    * per-task, published in one wire transaction together with its
+    * epoch marker (exactly-once across checkpoint replays, proven in
+    * PgLiteDataSourceSpec) — then reads back through the DSv2 range
+    * scan. The oracle replays the clean rules: a lost epoch, a double
+    * publish, or a batch-boundary seam breaks the hash. */
+  def pgStreamSink(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-pg-sink-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    // 8 input files × maxFilesPerTrigger=2 → four real micro-batches
+    cleaned.repartition(8).write.parquet(s"$base/in")
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_st"))
+      } finally c.close()
+      val q = s.readStream.schema(cleaned.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(s"$base/in")
+        .writeStream.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_st")
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_st")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        // EAGER: the scan must run while the endpoint is alive — the
+        // enclosing finally stops the server before any later action
+        .checkpointLinted()
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -707,6 +762,7 @@ object RefQueries {
     "ref_pg_scan_distributed" -> (pgScanDistributed _),
     "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
     "ref_pg_dsv2_write" -> (pgDsv2Write _),
+    "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -751,6 +807,13 @@ object RefQueries {
     // the staged, transactionally-published COPY must land on the
     // identical read-back — same oracle as its two siblings
     "ref_pg_copy_exactly_once" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the STREAMING sink: micro-batched epochs, each published
+    // atomically with its epoch marker — same clean-rules oracle
+    "ref_pg_stream_sink" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

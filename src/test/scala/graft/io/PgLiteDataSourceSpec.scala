@@ -169,6 +169,92 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  behavior of "pglite streaming sink"
+
+  it should "append micro-batches through writeStream exactly once" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA st")
+      engine.execute("CREATE TABLE st.t (k BIGINT, v TEXT)")
+      val mem = MemoryStream[(Long, String)]
+      val q = mem.toDF().toDF("k", "v").writeStream
+        .format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "st.t")
+        // freshDir: a STALE checkpoint from a previous test run would
+        // carry a committed offset ahead of the new MemoryStream's
+        .option("checkpointLocation", freshDir("pglite-sink-ckpt"))
+        .outputMode("append")
+        .start()
+      try {
+        mem.addData((1L, "a"), (2L, "b"))
+        q.processAllAvailable()
+        mem.addData((3L, "c"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query("SELECT k, v FROM st.t ORDER BY k").rows.map(_.map(_.get)) shouldBe
+          Seq(Seq("1", "a"), Seq("2", "b"), Seq("3", "c"))
+        // one marker per committed epoch, no stage tables left
+        c.query("SELECT epoch FROM st.t__epochs").rows.length should be >= 2
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "ignore a replayed epoch: the marker commits atomically with the data" in {
+    val schema2 = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA st")
+      engine.execute("CREATE TABLE st.r (k BIGINT, v TEXT)")
+      val props = new java.util.HashMap[String, String]()
+      props.put("host", "127.0.0.1")
+      props.put("port", server.port.toString)
+      props.put("table", "st.r")
+      val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options() = new org.apache.spark.sql.util.CaseInsensitiveStringMap(props)
+        override def queryId() = "replay-test"
+        override def schema() = schema2
+      }
+      val sw = new graft.io.pg.PgLiteDataSource().getTable(schema2,
+          Array.empty, props)
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsWrite]
+        .newWriteBuilder(info).build().toStreaming
+      val phys = new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions() = 1
+      }
+      def stageEpoch(epoch: Long, taskId: Long): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        val w = sw.createStreamingWriterFactory(phys).createWriter(0, taskId, epoch)
+        val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](7L, org.apache.spark.unsafe.types.UTF8String.fromString("x")))
+        w.write(row)
+        w.commit()
+      }
+      // first delivery of epoch 42 publishes; the REPLAY (checkpoint
+      // recovery re-running a committed batch with a fresh task) is a
+      // no-op that still cleans its stage
+      sw.commit(42L, Array(stageEpoch(42L, taskId = 1L)))
+      sw.commit(42L, Array(stageEpoch(42L, taskId = 2L)))
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query("SELECT k FROM st.r").rows shouldBe Seq(Seq(Some("7")))
+        c.query("SELECT epoch FROM st.r__epochs").rows shouldBe
+          Seq(Seq(Some("42")))
+        // the replay's stage table did not survive
+        val e = intercept[c.PgServerError](
+          c.query("SELECT k FROM st.r__stage_e42_p0_t2"))
+        e.code shouldBe "42P01"
+      } finally c.close()
+    } finally server.stop()
+  }
+
   it should "fail loudly when the target table does not exist" in {
     val (server, _) = fixture()
     try {
