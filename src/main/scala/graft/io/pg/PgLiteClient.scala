@@ -336,6 +336,30 @@ final class PgLiteClient(host: String, port: Int,
     }
   }
 
+  /** COPY … FROM STDIN in CSV format ([[PgCsvCopy]]): `""` ships the
+    * empty string, an unquoted empty field is NULL, embedded
+    * delimiters/quotes/newlines ride inside quotes. The wire format
+    * byte is 0 like text (CSV is statement-level in the protocol), so
+    * framing discipline is the CALLER's contract, exactly as with a
+    * real PostgreSQL. */
+  def copyInCsv(sql: String, rows: Iterator[Seq[Option[String]]],
+                batchRows: Int = 1024): String = {
+    startCopy(sql, expectBinary = false)
+    copyBody {
+      rows.grouped(batchRows).foreach { group =>
+        val data = group.map(PgCsvCopy.encodeRow)
+          .mkString("", "\n", "\n").getBytes(UTF_8)
+        copyData(data)
+      }
+    }
+  }
+
+  /** COPY … TO STDOUT in CSV format — decode twin of [[copyInCsv]]. */
+  def copyOutCsv(sql: String): Seq[Seq[Option[String]]] = {
+    val payload = copyOutRaw(sql, expectBinary = false)
+    PgCsvCopy.decodeRows(new String(payload, UTF_8)).map(_.map(Option(_)))
+  }
+
   /** Send the COPY statement and wait for CopyInResponse, demanding
     * the server's overall-format byte match the caller's framing — a
     * text writer driving a binary COPY (or vice versa) aborts cleanly

@@ -55,6 +55,14 @@ object PgLiteEngine {
   /** Result of one statement: optional row set + command tag. */
   final case class Result(columns: Seq[Col], rows: Seq[Array[String]], tag: String)
 
+  /** COPY statement format: text, PGCOPY binary, or CSV. On the wire
+    * only binary sets the CopyIn/CopyOutResponse format byte — CSV is
+    * a flavor of the text format in the protocol. */
+  sealed trait CopyFormat
+  case object FmtText extends CopyFormat
+  case object FmtBinary extends CopyFormat
+  case object FmtCsv extends CopyFormat
+
   /** Per-connection transaction state ([[PgLiteServer]] allocates one
     * per wire session). Rows appended to a copied table are fresh
     * arrays and existing row arrays are never mutated in place, so the
@@ -545,25 +553,27 @@ final class PgLiteEngine {
     (name, cols)
   }
 
-  /** The published COPY format suffixes — bare, `BINARY` (legacy
-    * syntax), `WITH (FORMAT BINARY)` / `(FORMAT BINARY)`, and the
-    * explicit `WITH (FORMAT TEXT)` — anything else is a 42601. */
-  private def copyFormat(opts: String): Boolean =
+  /** The published COPY format suffixes — bare / explicit TEXT,
+    * `BINARY` (legacy syntax) / `WITH (FORMAT BINARY)`, and
+    * `CSV` / `WITH (FORMAT CSV)` — anything else is a 42601. */
+  private def copyFormat(opts: String): CopyFormat =
     opts.trim.toUpperCase.replaceAll("\\s+", " ") match {
-      case "" | "WITH (FORMAT TEXT)" | "(FORMAT TEXT)" => false
+      case "" | "WITH (FORMAT TEXT)" | "(FORMAT TEXT)" => FmtText
       case "BINARY" | "WITH BINARY" | "WITH (FORMAT BINARY)" |
-           "(FORMAT BINARY)" => true
+           "(FORMAT BINARY)" => FmtBinary
+      case "CSV" | "WITH CSV" | "WITH (FORMAT CSV)" |
+           "(FORMAT CSV)" => FmtCsv
       case other => throw PgError("42601", s"bad COPY options: $other")
     }
 
   /** Format-aware COPY FROM STDIN resolution: (table, columns,
-    * binary?). Column default mirrors the write posture: every
+    * format). Column default mirrors the write posture: every
     * non-serial column (serials are DB-assigned). */
-  def copyTargetFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
+  def copyTargetFormat(sql: String, tx: PgTx): (String, Seq[String], CopyFormat) = {
     val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
       "(?:\\(([^)]*)\\))?\\s+FROM\\s+STDIN\\s*(.*)$").r.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
-    val binary = copyFormat(m.group(3))
+    val fmt = copyFormat(m.group(3))
     val name = m.group(1).toLowerCase
     val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
@@ -573,17 +583,17 @@ final class PgLiteEngine {
     cols.foreach { cn =>
       if (!t.cols.exists(_.name == cn))
         throw PgError("42703", s"column \"$cn\" does not exist") }
-    (name, cols, binary)
+    (name, cols, fmt)
   }
 
   /** Format-aware COPY TO STDOUT resolution — the bulk EXPORT side.
     * Column default is ALL columns (PG's COPY TO default; serials are
     * real data on the way out). */
-  def copyOutFormat(sql: String, tx: PgTx): (String, Seq[String], Boolean) = {
+  def copyOutFormat(sql: String, tx: PgTx): (String, Seq[String], CopyFormat) = {
     val m = ("(?is)COPY\\s+([\\w]+(?:\\.[\\w]+)?)\\s*" +
       "(?:\\(([^)]*)\\))?\\s+TO\\s+STDOUT\\s*(.*)$").r.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad COPY: ${sql.take(60)}"))
-    val binary = copyFormat(m.group(3))
+    val fmt = copyFormat(m.group(3))
     val name = m.group(1).toLowerCase
     val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
@@ -593,7 +603,7 @@ final class PgLiteEngine {
     cols.foreach { cn =>
       if (!t.cols.exists(_.name == cn))
         throw PgError("42703", s"column \"$cn\" does not exist") }
-    (name, cols, binary)
+    (name, cols, fmt)
   }
 
   /** Export rows for COPY TO STDOUT: the copy list's projection in

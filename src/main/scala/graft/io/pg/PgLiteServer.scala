@@ -375,8 +375,9 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     if (tx.inTransaction && tx.isAborted)
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
-    val (table, cols, binary) = engine.copyTargetFormat(st, tx) // validates BEFORE 'G'
-    val fmt = if (binary) 1 else 0
+    val (table, cols, format) = engine.copyTargetFormat(st, tx) // validates BEFORE 'G'
+    // only BINARY sets the wire format byte; CSV rides the text format
+    val fmt = if (format == PgLiteEngine.FmtBinary) 1 else 0
     // CopyInResponse: 'G', int8 format, int16 ncols, int16[ncols] format
     out.writeByte('G'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
     out.writeByte(fmt); out.writeShort(cols.length)
@@ -403,13 +404,16 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
     }
     fail.foreach(msg => throw PgLiteEngine.PgError("57014", s"COPY failed: $msg"))
-    val rows =
-      if (binary)
+    val rows = format match {
+      case PgLiteEngine.FmtBinary =>
         PgBinaryCopy.decodeStream(buf.toByteArray,
           engine.colTypes(table, cols, tx))
-      else
+      case PgLiteEngine.FmtCsv =>
+        PgCsvCopy.decodeRows(new String(buf.toByteArray, UTF_8))
+      case PgLiteEngine.FmtText =>
         PgTextCopy.splitLines(new String(buf.toByteArray, UTF_8))
           .map(PgTextCopy.decodeRow)
+    }
     engine.copyRows(table, cols, rows, tx)
   }
 
@@ -424,9 +428,9 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     if (tx.inTransaction && tx.isAborted)
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
-    val (table, cols, binary) = engine.copyOutFormat(st, tx)
+    val (table, cols, format) = engine.copyOutFormat(st, tx)
     val rows = engine.copyOutRows(table, cols, tx)
-    val fmt = if (binary) 1 else 0
+    val fmt = if (format == PgLiteEngine.FmtBinary) 1 else 0
     // CopyOutResponse: 'H', int8 format, int16 ncols, int16[ncols] format
     out.writeByte('H'); out.writeInt(4 + 1 + 2 + 2 * cols.length)
     out.writeByte(fmt); out.writeShort(cols.length)
@@ -434,21 +438,27 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     def frame(data: Array[Byte]): Unit = {
       out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
     }
-    if (binary) {
-      val types = engine.colTypes(table, cols, tx)
-      frame(PgBinaryCopy.header())
-      rows.grouped(1024).foreach { group =>
-        val bb = new java.io.ByteArrayOutputStream()
-        group.foreach(r => bb.write(
-          PgBinaryCopy.encodeTuple(types, r.map(Option(_)).toSeq)))
-        frame(bb.toByteArray)
-      }
-      frame(PgBinaryCopy.trailer())
-    } else {
-      rows.grouped(1024).foreach { group =>
-        frame(group.map(r => PgTextCopy.encodeRow(r.map(Option(_)).toSeq))
-          .mkString("", "\n", "\n").getBytes(UTF_8))
-      }
+    format match {
+      case PgLiteEngine.FmtBinary =>
+        val types = engine.colTypes(table, cols, tx)
+        frame(PgBinaryCopy.header())
+        rows.grouped(1024).foreach { group =>
+          val bb = new java.io.ByteArrayOutputStream()
+          group.foreach(r => bb.write(
+            PgBinaryCopy.encodeTuple(types, r.map(Option(_)).toSeq)))
+          frame(bb.toByteArray)
+        }
+        frame(PgBinaryCopy.trailer())
+      case PgLiteEngine.FmtCsv =>
+        rows.grouped(1024).foreach { group =>
+          frame(group.map(r => PgCsvCopy.encodeRow(r.map(Option(_)).toSeq))
+            .mkString("", "\n", "\n").getBytes(UTF_8))
+        }
+      case PgLiteEngine.FmtText =>
+        rows.grouped(1024).foreach { group =>
+          frame(group.map(r => PgTextCopy.encodeRow(r.map(Option(_)).toSeq))
+            .mkString("", "\n", "\n").getBytes(UTF_8))
+        }
     }
     out.writeByte('c'); out.writeInt(4) // CopyDone
     PgLiteEngine.Result(Nil, Nil, s"COPY ${rows.length}")

@@ -692,6 +692,46 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** CSV-format COPY gate (round-16, [[graft.io.pg.PgCsvCopy]]): the
+    * third published COPY format — quoted-empty-vs-NULL semantics and
+    * quote-aware row framing — through the full socket round trip:
+    * clean customer in via `COPY … WITH (FORMAT CSV)`, out via CSV
+    * COPY TO STDOUT, with the TEXT-format export of the same table
+    * REQUIRED cell-identical before the CSV read-back becomes the
+    * result. Same clean-rules oracle as the rest of the COPY family. */
+  def pgCopyCsv(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val back = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_csv"))
+        val rows = cleaned.orderBy(col("c_custkey")).collect().iterator.map { r =>
+          Seq(Option(r.get(0)).map(_.toString),
+            Option(r.get(1)).map(_.toString),
+            Option(r.get(2)).map(_.toString))
+        }.toSeq
+        val tag = c.copyInCsv("COPY silver.customer_csv " +
+          "(c_custkey, c_name, c_mktsegment) FROM STDIN WITH (FORMAT CSV)",
+          rows.iterator)
+        require(tag == s"COPY ${rows.length}", s"unexpected COPY tag: $tag")
+        val sel = "COPY silver.customer_csv (c_custkey, c_name, c_mktsegment)"
+        val csv = c.copyOutCsv(s"$sel TO STDOUT WITH (FORMAT CSV)")
+        val text = c.copyOut(s"$sel TO STDOUT")
+        require(csv == text, "CSV and text COPY TO STDOUT exports disagree")
+        csv
+      } finally c.close()
+      back.map(r => (r(0).get.toLong, r(1).orNull, r(2).orNull))
+        .toDF("c_custkey", "c_name", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** Run a statement expected to fail; returns its SQLSTATE. */
   private def intercept(c: graft.io.pg.PgLiteClient, sql: String): String =
     try { c.query(sql); "no error" }
@@ -759,6 +799,7 @@ object RefQueries {
     "ref_pg_copy_exactly_once" -> (pgCopyExactlyOnce _),
     "ref_pg_copy_binary" -> (pgCopyBinary _),
     "ref_pg_copy_out" -> (pgCopyOut _),
+    "ref_pg_copy_csv" -> (pgCopyCsv _),
     "ref_pg_scan_distributed" -> (pgScanDistributed _),
     "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
     "ref_pg_dsv2_write" -> (pgDsv2Write _),
@@ -836,6 +877,13 @@ object RefQueries {
     // reassemble the table with no seam (row lost or doubled at a
     // range boundary) — same clean-rules oracle as the write gates
     "ref_pg_scan_distributed" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the CSV format: quoted-empty-vs-NULL + quote-aware framing
+    // (CSV ≡ text export required in the query) — same oracle
+    "ref_pg_copy_csv" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment

@@ -236,6 +236,53 @@ class PgBinarySpec extends SparkSpec {
     } finally server.stop()
   }
 
+  behavior of "COPY CSV format"
+
+  it should "draw the NULL vs empty-string line by quoting" in {
+    import graft.io.pg.PgCsvCopy
+    // output: NULL unquoted-empty, empty string quoted, hostile quoted
+    PgCsvCopy.encodeRow(Seq(None, Some(""), Some("a,b"), Some("q\"x"),
+      Some("line\nbreak"), Some("plain"))) shouldBe
+      "," + "\"\"" + ",\"a,b\",\"q\"\"x\",\"line\nbreak\",plain"
+    // decode inverts exactly, including the quote-aware row framing
+    PgCsvCopy.decodeRows(
+      ",\"\",\"a,b\",\"q\"\"x\",\"line\nbreak\",plain\n") shouldBe
+      Seq(Seq(null, "", "a,b", "q\"x", "line\nbreak", "plain"))
+    // an unterminated quote is a loud 22P04, never half a table
+    intercept[PgLiteEngine.PgError](
+      PgCsvCopy.decodeRows("\"open")).code shouldBe "22P04"
+  }
+
+  it should "round-trip hostile payloads through CSV COPY both directions" in {
+    val rng = new scala.util.Random(816)
+    val atoms = Array("a", "comma,", "q\"", "nl\n", "cr\r", "", " ",
+      "é漢🙂", "\"\"", ",,")
+    def field(): Option[String] =
+      if (rng.nextInt(8) == 0) None
+      else Some((0 until rng.nextInt(5))
+        .map(_ => atoms(rng.nextInt(atoms.length))).mkString)
+    val rows: Seq[Seq[Option[String]]] =
+      (0 until 200).map(i => Seq(Some(i.toString), field()))
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE TABLE cfuzz (k BIGINT, v TEXT)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.copyInCsv("COPY cfuzz (k, v) FROM STDIN WITH (FORMAT CSV)",
+          rows.iterator) shouldBe "COPY 200"
+        // CSV export ≡ what went in (NULL vs "" preserved)
+        val back = c.copyOutCsv("COPY cfuzz (k, v) TO STDOUT WITH (FORMAT CSV)")
+          .sortBy(_.head.get.toLong)
+        back shouldBe rows
+        // and the TEXT export of the same table agrees cell-for-cell
+        val viaText = c.copyOut("COPY cfuzz (k, v) TO STDOUT")
+          .sortBy(_.head.get.toLong)
+        viaText shouldBe rows
+      } finally c.close()
+    } finally server.stop()
+  }
+
   behavior of "COPY TO STDOUT"
 
   it should "export text and binary streams identical to the loaded rows" in {

@@ -61,11 +61,11 @@ class CollectCoverageSpec extends SparkSpec {
         "partition"),
     "graft/io/Zones.scala" -> (3,
       "zone-map file metadata — one row per data FILE, not per data row"),
-    "graft/queries/RefQueries.scala" -> (4,
+    "graft/queries/RefQueries.scala" -> (5,
       "gate legs at adjudicated size classes: config-sized XLSX fixture, " +
         "dimension-sized segment list, single-socket COPY protocol twins " +
-        "(ref_pg_copy + ref_pg_copy_out's load leg — the distributed " +
-        "posture is their sibling gates)"),
+        "(ref_pg_copy + ref_pg_copy_out/ref_pg_copy_csv load legs — the " +
+        "distributed posture is their sibling gates)"),
     "graft/queries/TextQueries.scala" -> (2,
       "1-row sketch frame and k-sized top-k probe")
   )
