@@ -5,7 +5,7 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -31,6 +31,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *    WHERE grammar) evaluate server-side; everything else stays a
   *    Spark-side residual. With `partitionColumn` set, the two WHERE
   *    slots belong to the range scan and no filters are accepted.
+  *  - LIMIT / TOP-N PUSHDOWN: `df.orderBy(c).limit(n)` (one sort
+  *    column) renders `ORDER BY c dir NULLS place LIMIT n` into every
+  *    per-partition SELECT — the engine serves it from a bounded
+  *    top-k heap, so each connection ships ≤ n rows however large the
+  *    table is; a bare `.limit(n)` pushes `LIMIT n`. Both are PARTIAL
+  *    (`isPartiallyPushed`): Spark keeps the global TopK/Limit above
+  *    the scan and merges the per-range local winners, so plans stay
+  *    correct even though each range answers only its own slice.
+  *    Spark's null ordering pushes explicitly (ASC defaults to NULLS
+  *    FIRST where PG's is NULLS LAST — the engine grammar takes
+  *    `NULLS FIRST|LAST`, so the wire order matches Spark's exactly).
   *
   * Options: `host`, `port`, `table` (schema-qualified) required;
   * `partitionColumn` (an integer-typed, non-null column — the PK) +
@@ -357,9 +368,37 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
                                 full: StructType,
                                 partCol: Option[String], numParts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  // ORDER BY col dir NULLS place LIMIT n — rendered into every
+  // per-partition SELECT; the engine serves it from a bounded top-k
+  // heap, so each connection ships at most n rows however large the
+  // table is. Always PARTIAL: Spark keeps its own TopK/Limit above the
+  // scan (each range returns a local top-n; the global answer is the
+  // merge), so correctness never depends on the engine's sort.
+  private var topn: Option[(String, SortDirection, NullOrdering, Int)] = None
+  private var plainLimit: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    plainLimit = Some(limit); true
+  }
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
+    orders match {
+      case Array(o) => o.expression() match {
+        case ref: NamedReference if ref.fieldNames().length == 1 &&
+            full.fieldNames.contains(ref.fieldNames()(0)) =>
+          // Spark's ASC defaults to NULLS FIRST where PG's is NULLS
+          // LAST — the engine grammar takes an explicit NULLS clause,
+          // so ANY single-column order pushes faithfully.
+          topn = Some((ref.fieldNames()(0), o.direction(), o.nullOrdering(), limit))
+          true
+        case _ => false
+      }
+      case _ => false
+    }
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -402,14 +441,26 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     if (parts.isEmpty) None else Some(parts.mkString(" AND "))
   }
 
+  /** The statement tail after the WHERE: `ORDER BY … LIMIT n` for a
+    * pushed TopN (sort column must survive pruning — partial pushdown
+    * means Spark re-sorts above the scan, so it always does), or a
+    * bare `LIMIT n`. */
+  private def tailOf: Option[String] = topn match {
+    case Some((col, dir, no, n)) =>
+      val d = if (dir == SortDirection.DESCENDING) "DESC" else "ASC"
+      val nu = if (no == NullOrdering.NULLS_FIRST) "FIRST" else "LAST"
+      Some(s"ORDER BY $col $d NULLS $nu LIMIT $n")
+    case None => plainLimit.map(n => s"LIMIT $n")
+  }
+
   override def build(): Scan =
     new PgLiteScan(conn, table, full, required, whereOf(pushed),
-      partCol, numParts)
+      tailOf, partCol, numParts)
 }
 
 private class PgLiteScan(conn: PgLiteConn, table: String,
                          full: StructType, required: StructType,
-                         where: Option[String],
+                         where: Option[String], tail: Option[String],
                          partCol: Option[String], numParts: Int)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -419,6 +470,7 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   override def description(): String =
     s"pglite:$table cols=[${required.fieldNames.mkString(",")}]" +
       where.map(w => s" where=[$w]").getOrElse("") +
+      tail.map(t => s" pushed=[$t]").getOrElse("") +
       partCol.map(k => s" rangeOn=[$k x$numParts]").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = partCol match {
@@ -449,13 +501,13 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PgLiteReaderFactory(conn, table, required)
+    new PgLiteReaderFactory(conn, table, required, tail)
 }
 
 private case class PgLitePartition(where: Option[String]) extends InputPartition
 
 private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
-                                  required: StructType)
+                                  required: StructType, tail: Option[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PgLitePartition]
@@ -466,10 +518,11 @@ private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
       private val sel =
         if (required.isEmpty) "*" else required.fieldNames.mkString(", ")
       private val client = conn.open()
-      private val it =
+      private val it = // rows fully framed; socket closed in close()
         try client.query(s"SELECT $sel FROM $table" +
-            part.where.map(w => s" WHERE $w").getOrElse("")).rows.iterator
-        finally () // rows fully framed; socket closed in close()
+            part.where.map(w => s" WHERE $w").getOrElse("") +
+            tail.map(t => s" $t").getOrElse("")).rows.iterator
+        catch { case e: Throwable => client.close(); throw e }
       private var current: Seq[Option[String]] = _
       override def next(): Boolean = {
         val h = it.hasNext

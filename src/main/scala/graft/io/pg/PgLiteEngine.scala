@@ -429,12 +429,17 @@ final class PgLiteEngine {
     * PARTITIONED reader scans — [[graft.io.pg.PgWire.readDistributed]]
     * issues exactly this shape per partition) or a single
     * `WHERE col >= lit` / `WHERE col < lit`, optional
-    * `ORDER BY col [ASC|DESC]`, optional LIMIT. */
+    * `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST]`, optional LIMIT.
+    * Explicit NULLS placement (PG syntax) exists so a client whose
+    * sort semantics differ from PG's defaults — Spark's ASC is
+    * NULLS FIRST where PG's is NULLS LAST — can push an order the
+    * engine reproduces exactly (the DSv2 TopN pushdown needs this). */
   private val SelectRe =
     ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
       "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+)" +
       "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+))?)?" +
-      "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?)?" +
+      "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?" +
+      "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
 
   /** Parse + catalog-resolve a SELECT (shared by [[select]] and
@@ -499,28 +504,36 @@ final class PgLiteEngine {
       }
       var rows = t.rows.toSeq.iterator
         .filter(keep).map(r => proj.map(r(_)).toArray).toSeq
-      val limit = Option(m.group(11)).map(_.toInt)
+      val limit = Option(m.group(12)).map(_.toInt)
       val desc = m.group(10) != null && m.group(10).equalsIgnoreCase("DESC")
       Option(m.group(9)).map(_.toLowerCase) match {
         case Some(ob) =>
           val oi = cols.indexWhere(_.name == ob)
           if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
           val oid = oidOf(cols(oi).pgType)
-          // Option-aware ordering: SQL NULLs sort LAST (Postgres
-          // default for ASC; DESC flips them FIRST like PG), never fed
-          // to numeric/String comparison. Integer columns compare as
-          // Long (INT/BIGINT/SERIAL store their canonical toString),
-          // decimals as BigDecimal.
-          val asc: Ordering[Array[String]] =
+          // NULL placement: PG defaults (ASC → LAST, DESC → FIRST)
+          // unless the statement says NULLS FIRST|LAST explicitly.
+          // NULLs are placed, never fed to numeric/String comparison.
+          // Integer columns compare as Long (INT/BIGINT/SERIAL store
+          // their canonical toString), decimals as BigDecimal.
+          val nullsFirst = Option(m.group(11)) match {
+            case Some(s) => s.equalsIgnoreCase("FIRST")
+            case None => desc
+          }
+          def cmpVal(a: String, b: String): Int =
             if (oid == 23 || oid == 20)
-              Ordering.by(r => (r(oi) == null,
-                if (r(oi) == null) 0L else java.lang.Long.parseLong(r(oi))))
-            else if (oid == 701 || oid == 1700)
-              Ordering.by(r => (r(oi) == null,
-                BigDecimal(Option(r(oi)).getOrElse("0"))))
-            else
-              Ordering.by(r => (r(oi) == null, Option(r(oi)).getOrElse("")))
-          val ord = if (desc) asc.reverse else asc
+              java.lang.Long.compare(
+                java.lang.Long.parseLong(a), java.lang.Long.parseLong(b))
+            else if (oid == 701 || oid == 1700) BigDecimal(a).compare(BigDecimal(b))
+            else a.compareTo(b)
+          val ord: Ordering[Array[String]] = (x: Array[String], y: Array[String]) => {
+            val (a, b) = (x(oi), y(oi))
+            if (a == null && b == null) 0
+            else if (a == null) { if (nullsFirst) -1 else 1 }
+            else if (b == null) { if (nullsFirst) 1 else -1 }
+            else if (desc) -cmpVal(a, b)
+            else cmpVal(a, b)
+          }
           rows = limit match {
             // ORDER BY + LIMIT n: a bounded top-k heap, not a full
             // sort — the sampled-head read-back (`ORDER BY c LIMIT k`)

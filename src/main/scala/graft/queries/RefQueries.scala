@@ -637,6 +637,49 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 TOP-N pushdown gate (round-16, [[graft.io.pg
+    * .PgLiteDataSource]]): `orderBy(key desc).limit(k)` over the
+    * range-partitioned wire scan pushes
+    * `ORDER BY … DESC NULLS LAST LIMIT k` into every per-partition
+    * SELECT — the endpoint answers each range from a bounded top-k
+    * heap, so ≤ k rows per connection cross the wire however large
+    * the table is, and Spark's TakeOrdered above the scan merges the
+    * local winners. The gate REQUIRES the pushdown structurally (a
+    * regressed plan that ships whole ranges fails even if the values
+    * match) and the oracle re-derives the same top-k from the parquet
+    * source: a dropped range winner, a null-ordering mismatch, or an
+    * off-by-one at the heap bound breaks the hash. */
+  def pgDsv2TopN(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_topn"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_topn",
+        numPartitions = 8)
+      val topn = s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_topn")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        .orderBy(col("c_custkey").desc).limit(100)
+      val plan = topn.queryExecution.executedPlan.toString
+      require(plan.contains("pushed=[ORDER BY c_custkey DESC NULLS LAST LIMIT 100]"),
+        s"DSv2 top-n pushdown regressed — scan ships whole ranges:\n$plan")
+      // EAGER: the scan must run while the endpoint is alive — the
+      // enclosing finally stops the server before any later action
+      topn.checkpointLinted().orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** STREAMING wire-sink gate (round-16, [[graft.io.pg
     * .PgLiteDataSource]] streaming writes): the cleaned customer frame
     * flows through a REAL file-stream source in multiple micro-batches
@@ -803,6 +846,7 @@ object RefQueries {
     "ref_pg_scan_distributed" -> (pgScanDistributed _),
     "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
     "ref_pg_dsv2_write" -> (pgDsv2Write _),
+    "ref_pg_dsv2_topn" -> (pgDsv2TopN _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
@@ -866,6 +910,16 @@ object RefQueries {
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
          FROM customer ORDER BY c_custkey""",
+    // the DSv2 TOP-N pushdown: per-range ORDER BY … DESC LIMIT k on
+    // the wire, merged by Spark — the oracle re-derives the global
+    // top-100 keys from the parquet source under the same clean rules
+    "ref_pg_dsv2_topn" ->
+      """SELECT * FROM (
+           SELECT c_custkey,
+             coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+             coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+           FROM customer ORDER BY c_custkey DESC LIMIT 100
+         ) ORDER BY c_custkey""",
     // the DSv2 face of the distributed scan: server-inferred schema +
     // range-partitioned read — same clean-rules oracle as its sibling
     "ref_pg_dsv2_scan" ->

@@ -240,7 +240,14 @@ object ScaleRehearsal {
       // the DSv2 sink: the staged exactly-once discipline as Spark's
       // official commit protocol — compare to ref_pg_copy_exactly_once
       // (same discipline, hand-rolled)
-      "ref_pg_dsv2_write")
+      "ref_pg_dsv2_write",
+      // round-16 (fourth batch): the CSV-format COPY (quote-aware
+      // framing instead of text escapes — same single-socket shape as
+      // ref_pg_copy, so compare that pair's ratios), and the DSv2
+      // TOP-N pushdown (per-range ORDER BY…LIMIT k on the wire: the
+      // per-connection payload is k rows at ANY scale, so the ratio
+      // should be the protocol fixed cost, not the data growth)
+      "ref_pg_copy_csv", "ref_pg_dsv2_topn")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY

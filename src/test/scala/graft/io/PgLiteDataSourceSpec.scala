@@ -126,6 +126,86 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  behavior of "pglite DataSource V2 limit/top-n pushdown"
+
+  it should "push ORDER BY + LIMIT to the wire on a single-connection scan" in {
+    val (server, data) = fixture()
+    try {
+      val q = read(server).load()
+        .orderBy(col("k").desc).limit(5).select(col("k"))
+      val plan = q.queryExecution.executedPlan.toString
+      // Spark's desc defaults to NULLS LAST; the pushed statement says so
+      plan should include("pushed=[ORDER BY k DESC NULLS LAST LIMIT 5]")
+      q.collect().map(_.getLong(0)) shouldBe
+        data.map(_.getLong(0)).sorted.reverse.take(5)
+    } finally server.stop()
+  }
+
+  it should "merge per-range local top-k under the partitioned scan" in {
+    val (server, data) = fixture()
+    try {
+      val df = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+      val q = df.orderBy(col("k")).limit(7).select(col("k"))
+      val plan = q.queryExecution.executedPlan.toString
+      // each of the 4 ranges ships at most 7 rows; Spark's TakeOrdered
+      // above the scan merges the local winners into the global answer
+      plan should include("pushed=[ORDER BY k ASC NULLS FIRST LIMIT 7]")
+      plan should include("rangeOn=[k x4]")
+      q.collect().map(_.getLong(0)) shouldBe
+        data.map(_.getLong(0)).sorted.take(7)
+    } finally server.stop()
+  }
+
+  it should "push Spark's null ordering explicitly (ASC NULLS FIRST vs LAST)" in {
+    val (server, data) = fixture()
+    try {
+      // Spark ASC default = NULLS FIRST (opposite of PG): the 4 rows
+      // with null d must win the top-4
+      val first = read(server).load()
+        .orderBy(col("d").asc).limit(4).select(col("d"))
+      first.queryExecution.executedPlan.toString should
+        include("pushed=[ORDER BY d ASC NULLS FIRST LIMIT 4]")
+      first.collect().foreach(_.isNullAt(0) shouldBe true)
+      // asc_nulls_last: the smallest non-null values win instead
+      val last = read(server).load()
+        .orderBy(col("d").asc_nulls_last).limit(4).select(col("d"))
+      last.queryExecution.executedPlan.toString should
+        include("pushed=[ORDER BY d ASC NULLS LAST LIMIT 4]")
+      last.collect().map(_.getDouble(0)).sorted shouldBe
+        data.map(_.get(2)).collect { case d: Double => d }.sorted.take(4)
+    } finally server.stop()
+  }
+
+  it should "push a bare LIMIT and keep the global limit above the scan" in {
+    val (server, _) = fixture()
+    try {
+      val q = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load().limit(7)
+      q.queryExecution.executedPlan.toString should include("pushed=[LIMIT 7]")
+      q.count() shouldBe 7L // 4 ranges × ≤7 rows each, Spark takes 7
+    } finally server.stop()
+  }
+
+  it should "decline top-n it cannot express (multi-column order) and stay correct" in {
+    val (server, data) = fixture()
+    try {
+      val q = read(server).load()
+        .orderBy(col("b"), col("k").desc).limit(3).select(col("k"))
+      q.queryExecution.executedPlan.toString should not include "pushed=["
+      // Spark computes the whole top-n itself; answer still right
+      // (b: false < true < null under Spark ASC NULLS LAST? — no:
+      // Spark ASC default is NULLS FIRST, so null-b rows sort first)
+      val want = data.sortBy(r =>
+        (Option(r.get(4)).fold(0)(_ => 1), // nulls first
+         Option(r.get(4)).map(_.asInstanceOf[Boolean]).getOrElse(false),
+         -r.getLong(0))).take(3).map(_.getLong(0))
+      q.collect().map(_.getLong(0)) shouldBe want
+    } finally server.stop()
+  }
+
   behavior of "pglite DataSource V2 writes"
 
   it should "append through the V2 commit protocol and leave no stage tables" in {

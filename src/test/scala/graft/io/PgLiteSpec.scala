@@ -266,6 +266,40 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "honor explicit NULLS FIRST|LAST, full sort and top-k heap alike" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (n INTEGER)")
+      Seq("2", "NULL", "1", "3", "NULL").foreach(v =>
+        c.query(s"INSERT INTO t (n) VALUES ($v)"))
+      def vals(sql: String): Seq[Option[String]] =
+        c.query(sql).rows.map(_.head)
+      // all four explicit combinations (Spark's ASC default is NULLS
+      // FIRST — the opposite of PG's — so the DSv2 TopN pushdown
+      // depends on the explicit form being honored exactly)
+      vals("SELECT n FROM t ORDER BY n ASC NULLS FIRST") shouldBe
+        Seq(None, None, Some("1"), Some("2"), Some("3"))
+      vals("SELECT n FROM t ORDER BY n ASC NULLS LAST") shouldBe
+        Seq(Some("1"), Some("2"), Some("3"), None, None)
+      vals("SELECT n FROM t ORDER BY n DESC NULLS FIRST") shouldBe
+        Seq(None, None, Some("3"), Some("2"), Some("1"))
+      vals("SELECT n FROM t ORDER BY n DESC NULLS LAST") shouldBe
+        Seq(Some("3"), Some("2"), Some("1"), None, None)
+      // the bounded top-k heap path (LIMIT < rows) places nulls the
+      // same way the full sort does
+      vals("SELECT n FROM t ORDER BY n ASC NULLS FIRST LIMIT 3") shouldBe
+        Seq(None, None, Some("1"))
+      vals("SELECT n FROM t ORDER BY n DESC NULLS LAST LIMIT 2") shouldBe
+        Seq(Some("3"), Some("2"))
+      // defaults unchanged: ASC → LAST, DESC → FIRST (PG semantics)
+      vals("SELECT n FROM t ORDER BY n DESC LIMIT 2") shouldBe
+        Seq(None, None)
+      c.close()
+    } finally server.stop()
+  }
+
   it should "abort a COPY issued through query() with CopyFail and stay usable" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
