@@ -6,10 +6,11 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, LessThan}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, IsNotNull, LessThan}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -42,6 +43,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Spark's null ordering pushes explicitly (ASC defaults to NULLS
   *    FIRST where PG's is NULLS LAST — the engine grammar takes
   *    `NULLS FIRST|LAST`, so the wire order matches Spark's exactly).
+  *  - AGGREGATE PUSHDOWN (PARTIAL): count(*)/count(c)/sum(c)/min(c)/
+  *    max(c) grouped by any number of plain columns render
+  *    `SELECT [g…,] agg… FROM t [WHERE …] [GROUP BY g…]` per partition —
+  *    one row PER GROUP PER RANGE crosses the wire instead of the
+  *    table (map-side combine, server-side), and Spark's final
+  *    aggregate merges the partials (count/sum via sum, min/max via
+  *    min/max). Complete pushdown is never claimed, so correctness
+  *    holds identically for the single-connection and partitioned
+  *    scans; sums are exact server-side (decimal arithmetic over the
+  *    text cells) and surface as Spark's widest lossless type.
   *
   * Options: `host`, `port`, `table` (schema-qualified) required;
   * `partitionColumn` (an integer-typed, non-null column — the PK) +
@@ -369,7 +380,8 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
                                 partCol: Option[String], numParts: Int)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   // ORDER BY col dir NULLS place LIMIT n — rendered into every
@@ -400,6 +412,68 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     }
   override def isPartiallyPushed(): Boolean = true
 
+  // pushed aggregation: the per-partition SELECT list (group cols
+  // first, then agg calls — the column order Spark's rewrite expects),
+  // the GROUP BY suffix, and the scan's output schema. PARTIAL always
+  // (supportCompletePushDown stays false): each range answers its own
+  // groups, Spark's final aggregate merges — count via sum, sum via
+  // sum, min/max via min/max — so one row PER GROUP PER RANGE crosses
+  // the wire instead of the table (map-side combine, server-side).
+  private var agg: Option[(String, Option[String], StructType)] = None
+
+  private def singleName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: NamedReference if r.fieldNames().length == 1 =>
+        Some(r.fieldNames()(0)).filter(full.fieldNames.contains)
+      case _ => None
+    }
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    // every grouping expression must be a plain column
+    val groupNames = a.groupByExpressions().map(singleName)
+    val group: Option[Seq[String]] =
+      if (groupNames.forall(_.isDefined)) Some(groupNames.flatten.toSeq)
+      else None
+    def field(n: String) = full.fields(full.fieldIndex(n))
+    val items: Array[Option[(String, StructField)]] =
+      a.aggregateExpressions().zipWithIndex.map {
+        case (_: CountStar, i) =>
+          Some((s"count(*) AS agg$i", StructField(s"agg$i", LongType)))
+        case (c: Count, i) if !c.isDistinct =>
+          singleName(c.column()).map(n =>
+            (s"count($n) AS agg$i", StructField(s"agg$i", LongType)))
+        case (f: Min, i) =>
+          singleName(f.column()).map(n =>
+            (s"min($n) AS agg$i", StructField(s"agg$i", field(n).dataType)))
+        case (f: Max, i) =>
+          singleName(f.column()).map(n =>
+            (s"max($n) AS agg$i", StructField(s"agg$i", field(n).dataType)))
+        case (s: Sum, i) if !s.isDistinct =>
+          singleName(s.column()).flatMap { n =>
+            // the engine sums exactly (BigDecimal over the text cells);
+            // declare the widest lossless Spark type per input class
+            val out = field(n).dataType match {
+              case IntegerType => Some(LongType)
+              case LongType => Some(DecimalType(38, 0))
+              case DoubleType => Some(DoubleType)
+              case d: DecimalType => Some(DecimalType(38, d.scale))
+              case _ => None
+            }
+            out.map(t => (s"sum($n) AS agg$i", StructField(s"agg$i", t)))
+          }
+        case _ => None // avg/distinct/general: decline, Spark computes
+      }
+    (group, if (items.forall(_.isDefined)) Some(items.flatten) else None) match {
+      case (Some(g), Some(its)) =>
+        val sel = (g ++ its.map(_._1)).mkString(", ")
+        val schema = StructType(g.map(field) ++ its.map(_._2))
+        agg = Some((sel,
+          if (g.isEmpty) None else Some(g.mkString(", ")), schema))
+        true
+      case _ => false
+    }
+  }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -421,22 +495,36 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     // with a partitioned scan the engine's two predicate slots carry
     // the key range — every filter stays a Spark-side residual
     if (partCol.isDefined) return filters
-    val (ok, residual) = filters.partition {
+    val (cmp, rest) = filters.partition {
       case GreaterThanOrEqual(a, v) => full.fieldNames.contains(a) && lit(v).isDefined
       case LessThan(a, v) => full.fieldNames.contains(a) && lit(v).isDefined
       case _ => false
     }
     // engine grammar: at most two ANDed predicates
-    pushed = ok.take(2)
-    residual ++ ok.drop(2)
+    val taken = cmp.take(2)
+    val cmpCols = taken.collect {
+      case GreaterThanOrEqual(a, _) => a
+      case LessThan(a, _) => a
+    }.toSet
+    // a pushed comparison on c already excludes NULLs server-side (SQL:
+    // NULL never satisfies a comparison), so IsNotNull(c) is subsumed —
+    // claiming it keeps the scan residual-free, which is what lets
+    // aggregate pushdown compose with a pushed range filter
+    val (absorbed, residual) = rest.partition {
+      case IsNotNull(a) => cmpCols.contains(a)
+      case _ => false
+    }
+    pushed = taken ++ absorbed
+    residual ++ cmp.drop(2)
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   private def whereOf(fs: Array[Filter]): Option[String] = {
-    val parts = fs.map {
+    val parts = fs.collect {
       case GreaterThanOrEqual(a, v) => s"$a >= ${lit(v).get}"
       case LessThan(a, v) => s"$a < ${lit(v).get}"
-      case f => throw new IllegalStateException(s"unpushable filter $f")
+      // IsNotNull carries no WHERE text: the comparison it rode in on
+      // already excludes NULLs server-side
     }
     if (parts.isEmpty) None else Some(parts.mkString(" AND "))
   }
@@ -453,15 +541,22 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     case None => plainLimit.map(n => s"LIMIT $n")
   }
 
-  override def build(): Scan =
-    new PgLiteScan(conn, table, full, required, whereOf(pushed),
-      tailOf, partCol, numParts)
+  override def build(): Scan = agg match {
+    case Some((sel, group, schema)) =>
+      new PgLiteScan(conn, table, full, schema, whereOf(pushed),
+        tailOf, partCol, numParts,
+        aggSelect = Some(sel), groupBy = group)
+    case None =>
+      new PgLiteScan(conn, table, full, required, whereOf(pushed),
+        tailOf, partCol, numParts, aggSelect = None, groupBy = None)
+  }
 }
 
 private class PgLiteScan(conn: PgLiteConn, table: String,
                          full: StructType, required: StructType,
                          where: Option[String], tail: Option[String],
-                         partCol: Option[String], numParts: Int)
+                         partCol: Option[String], numParts: Int,
+                         aggSelect: Option[String], groupBy: Option[String])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -470,6 +565,7 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   override def description(): String =
     s"pglite:$table cols=[${required.fieldNames.mkString(",")}]" +
       where.map(w => s" where=[$w]").getOrElse("") +
+      aggSelect.map(a => s" agg=[$a${groupBy.map(g => s" GROUP BY $g").getOrElse("")}]").getOrElse("") +
       tail.map(t => s" pushed=[$t]").getOrElse("") +
       partCol.map(k => s" rangeOn=[$k x$numParts]").getOrElse("")
 
@@ -501,13 +597,15 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PgLiteReaderFactory(conn, table, required, tail)
+    new PgLiteReaderFactory(conn, table, required, tail, aggSelect, groupBy)
 }
 
 private case class PgLitePartition(where: Option[String]) extends InputPartition
 
 private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
-                                  required: StructType, tail: Option[String])
+                                  required: StructType, tail: Option[String],
+                                  aggSelect: Option[String],
+                                  groupBy: Option[String])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val part = p.asInstanceOf[PgLitePartition]
@@ -515,12 +613,13 @@ private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
       private val types = required.fields.map(_.dataType)
       // a zero-column scan (e.g. count(*) after full pruning) still
       // needs the row COUNT: probe the first column instead
-      private val sel =
-        if (required.isEmpty) "*" else required.fieldNames.mkString(", ")
+      private val sel = aggSelect.getOrElse(
+        if (required.isEmpty) "*" else required.fieldNames.mkString(", "))
       private val client = conn.open()
       private val it = // rows fully framed; socket closed in close()
         try client.query(s"SELECT $sel FROM $table" +
             part.where.map(w => s" WHERE $w").getOrElse("") +
+            groupBy.map(g => s" GROUP BY $g").getOrElse("") +
             tail.map(t => s" $t").getOrElse("")).rows.iterator
         catch { case e: Throwable => client.close(); throw e }
       private var current: Seq[Option[String]] = _

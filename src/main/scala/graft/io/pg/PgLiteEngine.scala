@@ -10,8 +10,11 @@ import scala.collection.mutable
   * `UNIQUE` and `FOREIGN KEY` constraints, parameterless `INSERT …
   * VALUES … [RETURNING col]` with DB-side serial assignment (the
   * reference captures the RETURNING id into `id_mapping`, :134-136),
-  * `INSERT … SELECT` (the staged-publish append), and `SELECT … FROM t
-  * [ORDER BY c] [LIMIT n]`. Exactly the statement surface
+  * `INSERT … SELECT` (the staged-publish append), `SELECT … FROM t
+  * [ORDER BY c] [LIMIT n]`, and the aggregate form `SELECT [g,]
+  * count(*)|count(c)|sum(c)|min(c)|max(c) … FROM t [WHERE …]
+  * [GROUP BY g]` (what Spark's DSv2 aggregate pushdown emits — one
+  * row per group crosses the wire). Exactly the statement surface
   * [[graft.io.Sinks.createTableDdl]]/[[graft.io.Sinks.createSchemaDdl]]
   * emit plus the reference's insert/read-back patterns — not a SQL
   * engine; anything outside that surface raises a Postgres-coded
@@ -476,32 +479,44 @@ final class PgLiteEngine {
     else if (oid == 701 || oid == 1700) BigDecimal(a) < BigDecimal(b)
     else a < b
 
-  private def select(sql: String, tx: PgTx): Result = {
-    val m = SelectRe.findFirstMatchIn(sql)
-      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+  /** WHERE predicates from up to two (col, op, literal) triples —
+    * evaluated against the FULL row (the filter column need not be
+    * projected); SQL semantics: NULL never satisfies a comparison. */
+  private def predFilter(t: Table,
+      triples: Seq[(String, String, String)]): Array[String] => Boolean = {
+    val preds = triples.collect { case (c, op, lit) if c != null =>
+      val ci = t.cols.indexWhere(_.name == c.toLowerCase)
+      if (ci < 0) throw PgError("42703", s"column \"$c\" does not exist")
+      val oid = oidOf(t.cols(ci).pgType)
+      val v = if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit
+      try cmpKey(oid, v) // validates the literal's type eagerly
+      catch { case _: NumberFormatException =>
+        throw PgError("22P02", s"bad literal for \"$c\": $lit") }
+      (ci, oid, op, v)
+    }
+    r => preds.forall { case (ci, oid, op, v) =>
+      r(ci) != null && (op match {
+        case ">=" => !cmpLt(oid, r(ci), v)
+        case "<" => cmpLt(oid, r(ci), v)
+      })
+    }
+  }
+
+  private def select(sql: String, tx: PgTx): Result =
+    SelectRe.findFirstMatchIn(sql) match {
+      // an aggregate select list (`count(*)`, `sum(c)`, …) or a GROUP
+      // BY never fits the plain grammar — route to the aggregate path
+      case Some(m) if !m.group(1).contains("(") => plainSelect(m, sql, tx)
+      case _ => aggSelect(sql, tx)
+    }
+
+  private def plainSelect(m: scala.util.matching.Regex.Match,
+                          sql: String, tx: PgTx): Result = {
     val (t, cols, proj) = selectShape(sql, tx)
     t.synchronized {
-      // WHERE predicates evaluate against the FULL row (the filter
-      // column need not be projected); SQL semantics: NULL never
-      // satisfies a comparison
-      val preds = Seq((m.group(3), m.group(4), m.group(5)),
-        (m.group(6), m.group(7), m.group(8)))
-        .collect { case (c, op, lit) if c != null =>
-          val ci = t.cols.indexWhere(_.name == c.toLowerCase)
-          if (ci < 0) throw PgError("42703", s"column \"$c\" does not exist")
-          val oid = oidOf(t.cols(ci).pgType)
-          val v = if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit
-          try cmpKey(oid, v) // validates the literal's type eagerly
-          catch { case _: NumberFormatException =>
-            throw PgError("22P02", s"bad literal for \"$c\": $lit") }
-          (ci, oid, op, v)
-        }
-      def keep(r: Array[String]): Boolean = preds.forall { case (ci, oid, op, v) =>
-        r(ci) != null && (op match {
-          case ">=" => !cmpLt(oid, r(ci), v)
-          case "<" => cmpLt(oid, r(ci), v)
-        })
-      }
+      val keep = predFilter(t, Seq(
+        (m.group(3), m.group(4), m.group(5)),
+        (m.group(6), m.group(7), m.group(8))))
       var rows = t.rows.toSeq.iterator
         .filter(keep).map(r => proj.map(r(_)).toArray).toSeq
       val limit = Option(m.group(12)).map(_.toInt)
@@ -552,6 +567,125 @@ final class PgLiteEngine {
       }
       limit.foreach(n => rows = rows.take(n))
       Result(cols, rows, s"SELECT ${rows.length}")
+    }
+  }
+
+  /** Aggregate SELECT surface: `SELECT [g,] count(*)|count(c)|sum(c)|
+    * min(c)|max(c) [AS alias], … FROM t [WHERE …] [GROUP BY g]` —
+    * exactly the shape Spark's DSv2 aggregate pushdown emits
+    * ([[graft.io.pg.PgLiteDataSource]]): one output row per group (one
+    * total without GROUP BY, even over zero input rows, per SQL), so a
+    * partitioned reader ships group-count rows per connection instead
+    * of the table. */
+  private val AggSelectRe =
+    ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
+      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+)" +
+      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+))?)?" +
+      "(?:\\s+GROUP\\s+BY\\s+([\\w]+(?:\\s*,\\s*[\\w]+)*))?\\s*$").r
+  private val AggItemRe =
+    "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r
+
+  private def aggSelect(sql: String, tx: PgTx): Result = {
+    val m = AggSelectRe.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+    val t = resolve(m.group(2).toLowerCase, tx, forWrite = false)
+    def colIdx(c: String): Int = {
+      val i = t.cols.indexWhere(_.name == c.toLowerCase)
+      if (i < 0) throw PgError("42703", s"column \"$c\" does not exist")
+      i
+    }
+    val groupCols: Option[Seq[Int]] = Option(m.group(9))
+      .map(_.split(",").map(g => colIdx(g.trim)).toSeq)
+    // (fn, colIdx or -1 for *, output Col); a bare column reference is
+    // legal only when it IS one of the grouping columns (42803
+    // otherwise)
+    val items: Seq[(String, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
+      AggItemRe.findFirstMatchIn(raw.trim) match {
+        case Some(im) =>
+          val fn = im.group(1).toLowerCase
+          val arg = im.group(2)
+          val ci =
+            if (arg == "*") {
+              if (fn != "count")
+                throw PgError("42601", s"$fn(*) is not a function")
+              -1
+            } else colIdx(arg)
+          val inOid = if (ci < 0) 20 else oidOf(t.cols(ci).pgType)
+          if (fn == "sum" && !Set(23, 20, 701, 1700).contains(inOid))
+            throw PgError("42883",
+              s"function sum(${t.cols(ci).pgType}) does not exist")
+          val outType = fn match {
+            case "count" => "BIGINT"
+            case "sum" => if (inOid == 23) "BIGINT"
+              else if (inOid == 701) "DOUBLE PRECISION" else "NUMERIC"
+            case _ => if (ci < 0) "BIGINT" else t.cols(ci).pgType
+          }
+          val name = Option(im.group(3)).map(_.toLowerCase)
+            .getOrElse(if (arg == "*") fn else s"${fn}_${arg.toLowerCase}")
+          (fn, ci, Col(name, outType, serial = false, unique = false, None))
+        case None =>
+          val ci = colIdx(raw.trim)
+          if (!groupCols.exists(_.contains(ci)))
+            throw PgError("42803",
+              s"column \"${raw.trim}\" must appear in the GROUP BY clause")
+          ("group", ci, t.cols(ci))
+      }
+    }
+    t.synchronized {
+      val keep = predFilter(t, Seq(
+        (m.group(3), m.group(4), m.group(5)),
+        (m.group(6), m.group(7), m.group(8))))
+      // accumulate per group key — the outer Option is "has a GROUP
+      // BY" (None = the single global group), the inner Seq holds one
+      // value per grouping column (None = SQL NULL, which groups
+      // together); count as Long; sum as exact BigDecimal over the
+      // text values; min/max by the column's typed comparison
+      final case class Acc(count: Array[Long], sum: Array[BigDecimal],
+                           mm: Array[String])
+      def fresh() = Acc(Array.fill(items.length)(0L),
+        Array.fill(items.length)(null), Array.fill(items.length)(null))
+      val groups = mutable.LinkedHashMap[Option[Seq[Option[String]]], Acc]()
+      if (groupCols.isEmpty) groups(None) = fresh() // global group: one
+      // row out even over zero input rows, per SQL aggregate semantics
+      t.rows.foreach { r =>
+        if (keep(r)) {
+          val key = groupCols.map(_.map(gi => Option(r(gi))))
+          val acc = groups.getOrElseUpdate(key, fresh())
+          items.zipWithIndex.foreach { case ((fn, ci, _), i) =>
+            fn match {
+              case "group" => ()
+              case "count" =>
+                if (ci < 0 || r(ci) != null) acc.count(i) += 1L
+              case "sum" => if (r(ci) != null) {
+                val v = BigDecimal(r(ci))
+                acc.sum(i) = if (acc.sum(i) == null) v else acc.sum(i) + v
+              }
+              case "min" | "max" => if (r(ci) != null) {
+                val oid = oidOf(t.cols(ci).pgType)
+                val cur = acc.mm(i)
+                val better = cur == null ||
+                  (if (fn == "min") cmpLt(oid, r(ci), cur)
+                   else cmpLt(oid, cur, r(ci)))
+                if (better) acc.mm(i) = r(ci)
+              }
+            }
+          }
+        }
+      }
+      val out = groups.toSeq.map { case (key, acc) =>
+        items.zipWithIndex.map { case ((fn, ci, c), i) =>
+          fn match {
+            case "group" => key.get(groupCols.get.indexOf(ci)).orNull
+            case "count" => acc.count(i).toString
+            case "sum" => Option(acc.sum(i)).map { s =>
+              if (oidOf(c.pgType) == 20) s.toBigInt.toString
+              else s.bigDecimal.toPlainString
+            }.orNull
+            case _ => acc.mm(i)
+          }
+        }.toArray
+      }
+      Result(items.map(_._3), out, s"SELECT ${out.length}")
     }
   }
 

@@ -680,6 +680,54 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 AGGREGATE pushdown gate (round-16, [[graft.io.pg
+    * .PgLiteDataSource]]): `groupBy(segment).agg(count/sum/min/max)`
+    * over the range-partitioned wire scan renders
+    * `SELECT g, count(*), sum(c), min(c), max(c) … GROUP BY g` into
+    * every per-partition SELECT — one row PER GROUP PER RANGE crosses
+    * the wire instead of the table (map-side combine, server-side; the
+    * engine sums exactly in decimal), and Spark's final aggregate
+    * merges the partials. The gate REQUIRES the pushdown structurally
+    * and the oracle re-derives the same aggregates from the parquet
+    * source: a lost group at a range seam, a double-counted partial,
+    * or a sum overflow breaks the hash. */
+  def pgDsv2Agg(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_agg"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_agg",
+        numPartitions = 8)
+      val agg = s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_agg")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("sum_key"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+      val plan = agg.queryExecution.executedPlan.toString
+      require(plan.contains("agg=[c_mktsegment, count(*) AS agg0, " +
+          "sum(c_custkey) AS agg1, min(c_custkey) AS agg2, " +
+          "max(c_custkey) AS agg3 GROUP BY c_mktsegment]"),
+        s"DSv2 aggregate pushdown regressed — scan ships whole ranges:\n$plan")
+      // EAGER: the scan must run while the endpoint is alive — the
+      // enclosing finally stops the server before any later action
+      agg.checkpointLinted().orderBy(col("c_mktsegment"))
+    } finally server.stop()
+  }
+
   /** STREAMING wire-sink gate (round-16, [[graft.io.pg
     * .PgLiteDataSource]] streaming writes): the cleaned customer frame
     * flows through a REAL file-stream source in multiple micro-batches
@@ -847,6 +895,7 @@ object RefQueries {
     "ref_pg_dsv2_scan" -> (pgDsv2Scan _),
     "ref_pg_dsv2_write" -> (pgDsv2Write _),
     "ref_pg_dsv2_topn" -> (pgDsv2TopN _),
+    "ref_pg_dsv2_agg" -> (pgDsv2Agg _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
@@ -920,6 +969,16 @@ object RefQueries {
              coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
            FROM customer ORDER BY c_custkey DESC LIMIT 100
          ) ORDER BY c_custkey""",
+    // the DSv2 AGGREGATE pushdown: per-range GROUP BY partials on the
+    // wire, final-merged by Spark — the oracle re-derives the group
+    // aggregates from the parquet source under the same clean rules
+    "ref_pg_dsv2_agg" ->
+      """SELECT coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment,
+           count(*) AS n_rows,
+           CAST(sum(c_custkey) AS BIGINT) AS sum_key,
+           min(c_custkey) AS min_key,
+           max(c_custkey) AS max_key
+         FROM customer GROUP BY 1 ORDER BY 1""",
     // the DSv2 face of the distributed scan: server-inferred schema +
     // range-partitioned read — same clean-rules oracle as its sibling
     "ref_pg_dsv2_scan" ->

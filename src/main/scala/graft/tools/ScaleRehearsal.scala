@@ -247,7 +247,11 @@ object ScaleRehearsal {
       // TOP-N pushdown (per-range ORDER BY…LIMIT k on the wire: the
       // per-connection payload is k rows at ANY scale, so the ratio
       // should be the protocol fixed cost, not the data growth)
-      "ref_pg_copy_csv", "ref_pg_dsv2_topn")
+      "ref_pg_copy_csv", "ref_pg_dsv2_topn",
+      // the DSv2 AGGREGATE pushdown: per-range GROUP BY partials on
+      // the wire — group-count rows per connection at ANY scale, so
+      // like topn the ratio should be protocol fixed cost, not data
+      "ref_pg_dsv2_agg")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY

@@ -206,6 +206,95 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  behavior of "pglite DataSource V2 aggregate pushdown"
+
+  import org.apache.spark.sql.functions.{count, countDistinct, lit, max, min, sum}
+
+  it should "push a groupless aggregate: one row per range crosses the wire" in {
+    val (server, data) = fixture()
+    try {
+      val df = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+      val q = df.agg(count(lit(1)).as("n"), count(col("d")).as("nd"),
+        sum(col("n")).as("s"), min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("agg=[count(*) AS agg0, count(d) AS agg1, " +
+        "sum(n) AS agg2, min(k) AS agg3, max(k) AS agg4]")
+      val r = q.collect().head
+      r.getLong(0) shouldBe data.length.toLong
+      r.getLong(1) shouldBe data.count(_.get(2) != null).toLong
+      r.getDecimal(2).compareTo(
+        data.flatMap(d => Option(d.get(3)))
+          .map(_.asInstanceOf[java.math.BigDecimal])
+          .reduce(_.add(_))) shouldBe 0
+      r.getLong(3) shouldBe data.map(_.getLong(0)).min
+      r.getLong(4) shouldBe data.map(_.getLong(0)).max
+    } finally server.stop()
+  }
+
+  it should "push GROUP BY aggregates including the SQL NULL group" in {
+    val (server, data) = fixture()
+    try {
+      val df = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+      val q = df.groupBy(col("s")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("agg=[s, count(*) AS agg0 GROUP BY s]")
+      val got = q.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+      val want = data.groupBy(r => Option(r.getString(1)))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      got shouldBe want
+      got.keySet should contain(None) // fixture has null s rows
+    } finally server.stop()
+  }
+
+  it should "push multi-column GROUP BY aggregates" in {
+    val (server, data) = fixture()
+    try {
+      val df = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+      val q = df.groupBy(col("s"), col("b")).agg(count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("agg=[s, b, count(*) AS agg0 GROUP BY s, b]")
+      val got = q.collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1))) -> r.getLong(2)).toMap
+      val want = data.groupBy(r => (Option(r.get(1)), Option(r.get(4))))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      got shouldBe want
+    } finally server.stop()
+  }
+
+  it should "compose pushed aggregation with a pushed range filter" in {
+    val (server, data) = fixture()
+    try {
+      val q = read(server).load()
+        .filter(col("k") >= 21L && col("k") < 41L)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("s"))
+      val plan = q.queryExecution.executedPlan.toString
+      plan should include("where=[k >= 21 AND k < 41]")
+      plan should include("agg=[count(*) AS agg0, sum(k) AS agg1]")
+      val keys = data.map(_.getLong(0)).filter(k => k >= 21L && k < 41L)
+      val r = q.collect().head
+      r.getLong(0) shouldBe keys.length.toLong
+      // the scan ships exact decimal partials; Spark's final sum over a
+      // long column is long again (it casts the partials back)
+      r.getLong(1) shouldBe keys.sum
+    } finally server.stop()
+  }
+
+  it should "decline aggregates it cannot express and stay correct" in {
+    val (server, data) = fixture()
+    try {
+      val q = read(server).load().agg(countDistinct(col("s")).as("u"))
+      q.queryExecution.executedPlan.toString should not include "agg=["
+      q.collect().head.getLong(0) shouldBe
+        data.flatMap(r => Option(r.getString(1))).distinct.length.toLong
+    } finally server.stop()
+  }
+
   behavior of "pglite DataSource V2 writes"
 
   it should "append through the V2 commit protocol and leave no stage tables" in {

@@ -300,6 +300,45 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "answer aggregate SELECTs: count/sum/min/max, GROUP BY, NULL group" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (g TEXT, n INTEGER, x NUMERIC(10,2))")
+      Seq(("'a'", "1", "1.50"), ("'a'", "2", "NULL"), ("'b'", "NULL", "2.25"),
+          ("NULL", "4", "0.25"), ("NULL", "NULL", "NULL")).foreach {
+        case (g, n, x) =>
+          c.query(s"INSERT INTO t (g, n, x) VALUES ($g, $n, $x)")
+      }
+      // global aggregates: count(*) counts rows, count(c)/sum/min/max
+      // skip NULLs; exact decimal sum
+      c.query("SELECT count(*), count(n), sum(n), min(n), max(n), sum(x) FROM t")
+        .rows.map(_.map(_.orNull)) shouldBe
+        Seq(Seq("5", "3", "7", "1", "4", "4.00"))
+      // GROUP BY: one row per group, the SQL NULL group groups together
+      c.query("SELECT g, count(*) AS c, sum(n) AS s FROM t GROUP BY g")
+        .rows.map(_.map(_.orNull)).sortBy(r => Option(r.head).getOrElse("")) shouldBe
+        Seq(Seq(null, "2", "4"), Seq("a", "2", "3"), Seq("b", "1", null))
+      // WHERE composes (half-open range), and a zero-row global
+      // aggregate still answers ONE row: count 0, sum NULL
+      c.query("SELECT count(*), sum(n) FROM t WHERE n >= 2").rows
+        .map(_.map(_.orNull)) shouldBe Seq(Seq("2", "6"))
+      c.query("SELECT count(*), sum(n) FROM t WHERE n >= 100").rows
+        .map(_.map(_.orNull)) shouldBe Seq(Seq("0", null))
+      // multi-column GROUP BY: every (g, n) pair here is distinct
+      c.query("SELECT g, n, count(*) AS c FROM t GROUP BY g, n")
+        .rows.map(_.last) shouldBe Seq.fill(5)(Some("1"))
+      // a bare column outside the GROUP BY is a grouping error
+      intercept[c.PgServerError](
+        c.query("SELECT n, count(*) FROM t GROUP BY g")).code shouldBe "42803"
+      // sum over a non-numeric column does not exist
+      intercept[c.PgServerError](
+        c.query("SELECT sum(g) FROM t")).code shouldBe "42883"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "abort a COPY issued through query() with CopyFail and stay usable" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
