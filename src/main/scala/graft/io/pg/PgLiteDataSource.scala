@@ -520,11 +520,16 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
   override def pushedFilters(): Array[Filter] = pushed
 
   private def whereOf(fs: Array[Filter]): Option[String] = {
-    val parts = fs.collect {
-      case GreaterThanOrEqual(a, v) => s"$a >= ${lit(v).get}"
-      case LessThan(a, v) => s"$a < ${lit(v).get}"
+    val parts = fs.flatMap {
+      case GreaterThanOrEqual(a, v) => Some(s"$a >= ${lit(v).get}")
+      case LessThan(a, v) => Some(s"$a < ${lit(v).get}")
       // IsNotNull carries no WHERE text: the comparison it rode in on
-      // already excludes NULLs server-side
+      // (pushFilters only absorbs it alongside one) excludes NULLs
+      case _: IsNotNull => None
+      // anything else in pushedFilters() without WHERE text would be
+      // silently unenforced (Spark removed it from the plan) — fail
+      // loudly instead, the tripwire for a pushFilters/whereOf drift
+      case f => throw new IllegalStateException(s"unpushable filter $f")
     }
     if (parts.isEmpty) None else Some(parts.mkString(" AND "))
   }
@@ -543,8 +548,13 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
 
   override def build(): Scan = agg match {
     case Some((sel, group, schema)) =>
+      // tail=None: Spark never pushes a limit/top-n into a scan that
+      // carries a pushed aggregation (the final Aggregate sits between
+      // them), and the engine grammar accepts no tail after GROUP BY —
+      // threading tailOf here would wire an unreachable-but-crashing
+      // statement shape
       new PgLiteScan(conn, table, full, schema, whereOf(pushed),
-        tailOf, partCol, numParts,
+        tail = None, partCol, numParts,
         aggSelect = Some(sel), groupBy = group)
     case None =>
       new PgLiteScan(conn, table, full, required, whereOf(pushed),
@@ -583,7 +593,11 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
           }
       } finally c.close()
       bounds match {
-        case None => Array.empty
+        // empty table: ONE full-table partition, not zero — a pushed
+        // global aggregate must still produce its one count=0 partial
+        // row per SQL (zero partitions would make Spark's final Sum
+        // over the partial counts return NULL instead of 0)
+        case None => Array(PgLitePartition(None))
         case Some((lo, hi)) =>
           val n = math.max(1, math.min(numParts.toLong, hi - lo + 1)).toInt
           val step = (hi - lo) / n + 1

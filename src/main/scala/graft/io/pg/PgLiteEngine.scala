@@ -415,8 +415,14 @@ final class PgLiteEngine {
     val sql = sql0.trim.stripSuffix(";").trim
     val up = sql.toUpperCase
     if (up.startsWith("SELECT")) {
-      val (_, cols, _) = selectShape(sql, tx)
-      cols
+      // same routing as select(): an aggregate list or GROUP BY never
+      // fits the plain grammar — Describe must agree with Execute
+      SelectRe.findFirstMatchIn(sql) match {
+        case Some(m) if !m.group(1).contains("(") =>
+          val (_, cols, _) = selectShape(sql, tx)
+          cols
+        case _ => aggShape(sql, tx)._2.map(_._4)
+      }
     } else if (up.startsWith("INSERT INTO")) {
       "(?is)RETURNING\\s+([\\w]+)\\s*$".r.findFirstMatchIn(sql).toSeq.flatMap { m =>
         val name = "(?is)INSERT\\s+INTO\\s+([\\w]+(?:\\.[\\w]+)?)".r
@@ -466,18 +472,44 @@ final class PgLiteEngine {
     (t, cols, proj)
   }
 
-  /** Typed comparison key for one column: integers as Long, decimals
-    * as BigDecimal, everything else (text, ISO dates/timestamps) as
-    * the lexicographic string PG's text form sorts identically. */
+  /** Typed comparison key for one column: integers as Long, float8 as
+    * Double (parseDouble accepts NaN/Infinity, and Double.compare's
+    * total order — NaN greatest — matches both PG's and Spark's float
+    * ordering), decimals as BigDecimal, everything else (text, ISO
+    * dates/timestamps) as UTF-8 bytes — the order Spark's UTF8String
+    * uses, which differs from Java's UTF-16 `<` for supplementary-
+    * plane characters (emoji vs U+E000..U+FFFF), and which a pushed
+    * top-n/min/max partial must reproduce or it ships the wrong
+    * per-range winners. */
   private def cmpKey(oid: Int, v: String): Any =
     if (oid == 23 || oid == 20) java.lang.Long.parseLong(v)
-    else if (oid == 701 || oid == 1700) BigDecimal(v)
+    else if (oid == 701) java.lang.Double.parseDouble(v)
+    else if (oid == 1700) BigDecimal(v)
     else v
-  private def cmpLt(oid: Int, a: String, b: String): Boolean =
+  /** Unsigned lexicographic UTF-8 byte order (Spark's string order). */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private def cmpVal(oid: Int, a: String, b: String): Int =
     if (oid == 23 || oid == 20)
-      java.lang.Long.parseLong(a) < java.lang.Long.parseLong(b)
-    else if (oid == 701 || oid == 1700) BigDecimal(a) < BigDecimal(b)
-    else a < b
+      java.lang.Long.compare(
+        java.lang.Long.parseLong(a), java.lang.Long.parseLong(b))
+    else if (oid == 701)
+      java.lang.Double.compare(
+        java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
+    else if (oid == 1700) BigDecimal(a).compare(BigDecimal(b))
+    else utf8Cmp(a, b)
+  private def cmpLt(oid: Int, a: String, b: String): Boolean =
+    cmpVal(oid, a, b) < 0
 
   /** WHERE predicates from up to two (col, op, literal) triples —
     * evaluated against the FULL row (the filter column need not be
@@ -535,19 +567,13 @@ final class PgLiteEngine {
             case Some(s) => s.equalsIgnoreCase("FIRST")
             case None => desc
           }
-          def cmpVal(a: String, b: String): Int =
-            if (oid == 23 || oid == 20)
-              java.lang.Long.compare(
-                java.lang.Long.parseLong(a), java.lang.Long.parseLong(b))
-            else if (oid == 701 || oid == 1700) BigDecimal(a).compare(BigDecimal(b))
-            else a.compareTo(b)
           val ord: Ordering[Array[String]] = (x: Array[String], y: Array[String]) => {
             val (a, b) = (x(oi), y(oi))
             if (a == null && b == null) 0
             else if (a == null) { if (nullsFirst) -1 else 1 }
             else if (b == null) { if (nullsFirst) 1 else -1 }
-            else if (desc) -cmpVal(a, b)
-            else cmpVal(a, b)
+            else if (desc) -cmpVal(oid, a, b)
+            else cmpVal(oid, a, b)
           }
           rows = limit match {
             // ORDER BY + LIMIT n: a bounded top-k heap, not a full
@@ -585,7 +611,13 @@ final class PgLiteEngine {
   private val AggItemRe =
     "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r
 
-  private def aggSelect(sql: String, tx: PgTx): Result = {
+  /** Parsed aggregate-select shape, shared by [[aggSelect]] and
+    * [[describe]]: item = (fn, colIdx or -1 for `*`, input oid,
+    * output Col). A bare column reference is legal only when it IS
+    * one of the grouping columns (42803 otherwise). */
+  private def aggShape(sql: String, tx: PgTx)
+      : (Table, Seq[(String, Int, Int, Col)], Option[Seq[Int]],
+         scala.util.matching.Regex.Match) = {
     val m = AggSelectRe.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
     val t = resolve(m.group(2).toLowerCase, tx, forWrite = false)
@@ -596,10 +628,7 @@ final class PgLiteEngine {
     }
     val groupCols: Option[Seq[Int]] = Option(m.group(9))
       .map(_.split(",").map(g => colIdx(g.trim)).toSeq)
-    // (fn, colIdx or -1 for *, output Col); a bare column reference is
-    // legal only when it IS one of the grouping columns (42803
-    // otherwise)
-    val items: Seq[(String, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
+    val items: Seq[(String, Int, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
       AggItemRe.findFirstMatchIn(raw.trim) match {
         case Some(im) =>
           val fn = im.group(1).toLowerCase
@@ -622,15 +651,20 @@ final class PgLiteEngine {
           }
           val name = Option(im.group(3)).map(_.toLowerCase)
             .getOrElse(if (arg == "*") fn else s"${fn}_${arg.toLowerCase}")
-          (fn, ci, Col(name, outType, serial = false, unique = false, None))
+          (fn, ci, inOid, Col(name, outType, serial = false, unique = false, None))
         case None =>
           val ci = colIdx(raw.trim)
           if (!groupCols.exists(_.contains(ci)))
             throw PgError("42803",
               s"column \"${raw.trim}\" must appear in the GROUP BY clause")
-          ("group", ci, t.cols(ci))
+          ("group", ci, oidOf(t.cols(ci).pgType), t.cols(ci))
       }
     }
+    (t, items, groupCols, m)
+  }
+
+  private def aggSelect(sql: String, tx: PgTx): Result = {
+    val (t, items, groupCols, m) = aggShape(sql, tx)
     t.synchronized {
       val keep = predFilter(t, Seq(
         (m.group(3), m.group(4), m.group(5)),
@@ -638,12 +672,17 @@ final class PgLiteEngine {
       // accumulate per group key — the outer Option is "has a GROUP
       // BY" (None = the single global group), the inner Seq holds one
       // value per grouping column (None = SQL NULL, which groups
-      // together); count as Long; sum as exact BigDecimal over the
-      // text values; min/max by the column's typed comparison
+      // together); count as Long; int/decimal sums as exact
+      // BigDecimal over the text values, float8 sums in IEEE double
+      // (the arithmetic PG and Spark both use for float8 — and
+      // BigDecimal cannot represent NaN/Infinity, which are legal
+      // float8 cells); min/max by the column's typed comparison
       final case class Acc(count: Array[Long], sum: Array[BigDecimal],
+                           dsum: Array[Double], seen: Array[Boolean],
                            mm: Array[String])
       def fresh() = Acc(Array.fill(items.length)(0L),
-        Array.fill(items.length)(null), Array.fill(items.length)(null))
+        Array.fill(items.length)(null), Array.fill(items.length)(0.0),
+        Array.fill(items.length)(false), Array.fill(items.length)(null))
       val groups = mutable.LinkedHashMap[Option[Seq[Option[String]]], Acc]()
       if (groupCols.isEmpty) groups(None) = fresh() // global group: one
       // row out even over zero input rows, per SQL aggregate semantics
@@ -651,17 +690,21 @@ final class PgLiteEngine {
         if (keep(r)) {
           val key = groupCols.map(_.map(gi => Option(r(gi))))
           val acc = groups.getOrElseUpdate(key, fresh())
-          items.zipWithIndex.foreach { case ((fn, ci, _), i) =>
+          items.zipWithIndex.foreach { case ((fn, ci, oid, _), i) =>
             fn match {
               case "group" => ()
               case "count" =>
                 if (ci < 0 || r(ci) != null) acc.count(i) += 1L
               case "sum" => if (r(ci) != null) {
-                val v = BigDecimal(r(ci))
-                acc.sum(i) = if (acc.sum(i) == null) v else acc.sum(i) + v
+                if (oid == 701) {
+                  acc.dsum(i) += java.lang.Double.parseDouble(r(ci))
+                  acc.seen(i) = true
+                } else {
+                  val v = BigDecimal(r(ci))
+                  acc.sum(i) = if (acc.sum(i) == null) v else acc.sum(i) + v
+                }
               }
               case "min" | "max" => if (r(ci) != null) {
-                val oid = oidOf(t.cols(ci).pgType)
                 val cur = acc.mm(i)
                 val better = cur == null ||
                   (if (fn == "min") cmpLt(oid, r(ci), cur)
@@ -673,19 +716,22 @@ final class PgLiteEngine {
         }
       }
       val out = groups.toSeq.map { case (key, acc) =>
-        items.zipWithIndex.map { case ((fn, ci, c), i) =>
+        items.zipWithIndex.map { case ((fn, ci, oid, c), i) =>
           fn match {
             case "group" => key.get(groupCols.get.indexOf(ci)).orNull
             case "count" => acc.count(i).toString
-            case "sum" => Option(acc.sum(i)).map { s =>
-              if (oidOf(c.pgType) == 20) s.toBigInt.toString
-              else s.bigDecimal.toPlainString
-            }.orNull
+            case "sum" =>
+              if (oid == 701) {
+                if (acc.seen(i)) acc.dsum(i).toString else null
+              } else Option(acc.sum(i)).map { s =>
+                if (oidOf(c.pgType) == 20) s.toBigInt.toString
+                else s.bigDecimal.toPlainString
+              }.orNull
             case _ => acc.mm(i)
           }
         }.toArray
       }
-      Result(items.map(_._3), out, s"SELECT ${out.length}")
+      Result(items.map(_._4), out, s"SELECT ${out.length}")
     }
   }
 

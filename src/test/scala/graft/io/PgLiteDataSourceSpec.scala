@@ -285,6 +285,30 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "answer count 0, not NULL, for a pushed aggregate over an empty partitioned table" in {
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query("CREATE SCHEMA ds")
+        c.query("CREATE TABLE ds.empty (k BIGINT, v TEXT)")
+      } finally c.close()
+      val df = spark.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "ds.empty")
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+      // the bounds probe finds no rows; the scan must still plan ONE
+      // partition so the engine's zero-row global aggregate (count=0)
+      // reaches Spark's final Sum — zero partitions would yield NULL
+      val r = df.agg(count(lit(1)).as("n"), sum(col("k")).as("s")).collect().head
+      r.getLong(0) shouldBe 0L
+      r.isNullAt(1) shouldBe true
+      df.count() shouldBe 0L // the plain scan path stays empty too
+    } finally server.stop()
+  }
+
   it should "decline aggregates it cannot express and stay correct" in {
     val (server, data) = fixture()
     try {

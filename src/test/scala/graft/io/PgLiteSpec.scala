@@ -339,6 +339,55 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "order and aggregate float8 NaN/Infinity like PG and Spark (NaN greatest)" in {
+    val (server, engine) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (d DOUBLE PRECISION)")
+      Seq("'1.5'", "'NaN'", "'-Infinity'", "'Infinity'").foreach(v =>
+        c.query(s"INSERT INTO t (d) VALUES ($v)"))
+      // total order: -Infinity < finite < Infinity < NaN — PG's float8
+      // order AND Spark's, so pushed top-n partials ship the right rows
+      c.query("SELECT d FROM t ORDER BY d").rows.map(_.head.get) shouldBe
+        Seq("-Infinity", "1.5", "Infinity", "NaN")
+      c.query("SELECT d FROM t ORDER BY d DESC NULLS LAST LIMIT 1")
+        .rows.map(_.head.get) shouldBe Seq("NaN")
+      // float8 sums are IEEE double (BigDecimal has no NaN/Infinity):
+      // NaN poisons the sum, exactly like PG and Spark
+      c.query("SELECT sum(d), min(d), max(d) FROM t")
+        .rows.map(_.map(_.get)) shouldBe
+        Seq(Seq("NaN", "-Infinity", "NaN"))
+      // describe agrees with execute on the aggregate surface
+      engine.describe("SELECT count(*), sum(d) FROM t", null)
+        .map(col => (col.name, col.pgType)) shouldBe
+        Seq(("count", "BIGINT"), ("sum_d", "DOUBLE PRECISION"))
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "order strings by UTF-8 bytes (Spark's order), not UTF-16 code units" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (s TEXT)")
+      // U+10000 (supplementary plane, UTF-8 F0 90 80 80) vs U+FFFD
+      // (UTF-8 EF BF BD): Java UTF-16 `<` says U+10000 first (D800 <
+      // FFFD), Spark's UTF8String byte order says U+FFFD first — a
+      // pushed min/top-n partial must use Spark's order or it ships
+      // the wrong per-range winner
+      c.query("INSERT INTO t (s) VALUES ('𐀀')")
+      c.query("INSERT INTO t (s) VALUES ('�')")
+      c.query("SELECT s FROM t ORDER BY s LIMIT 1")
+        .rows.map(_.head.get) shouldBe Seq("�")
+      c.query("SELECT min(s) AS lo, max(s) AS hi FROM t")
+        .rows.map(_.map(_.get)) shouldBe
+        Seq(Seq("�", "𐀀"))
+      c.close()
+    } finally server.stop()
+  }
+
   it should "abort a COPY issued through query() with CopyFail and stay usable" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
