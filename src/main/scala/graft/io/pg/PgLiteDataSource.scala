@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThanOrEqual, IsNotNull, LessThan}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,10 +28,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - COLUMN PRUNING reaches the wire: the per-partition SELECT names
   *    only the required columns, so unprojected columns never leave
   *    the server;
-  *  - FILTER PUSHDOWN: up to two `>=` / `<` predicates (the engine's
-  *    WHERE grammar) evaluate server-side; everything else stays a
-  *    Spark-side residual. With `partitionColumn` set, the two WHERE
-  *    slots belong to the range scan and no filters are accepted.
+  *  - FILTER PUSHDOWN: up to two `>=`/`>`/`<=`/`<`/`=` predicates
+  *    (the engine's WHERE grammar; `=` serves point lookups) evaluate
+  *    server-side, and a pushed comparison subsumes Spark's
+  *    auto-generated IsNotNull on the same column; everything else
+  *    stays a Spark-side residual. With `partitionColumn` set, the
+  *    two WHERE slots belong to the range scan and no filters are
+  *    accepted.
   *  - LIMIT / TOP-N PUSHDOWN: `df.orderBy(c).limit(n)` (one sort
   *    column) renders `ORDER BY c dir NULLS place LIMIT n` into every
   *    per-partition SELECT — the engine serves it from a bounded
@@ -485,6 +488,7 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     case n: Long => Some(n.toString)
     case n: Double => Some(n.toString)
     case n: java.math.BigDecimal => Some(n.toPlainString)
+    case b: Boolean => Some(s"'$b'") // engine stores bool text cells
     case s: String if !s.contains("'") => Some(s"'$s'")
     case t: java.sql.Timestamp => Some(s"'$t'")
     case d: java.sql.Date => Some(s"'$d'")
@@ -495,16 +499,24 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     // with a partitioned scan the engine's two predicate slots carry
     // the key range — every filter stays a Spark-side residual
     if (partCol.isDefined) return filters
+    def pushable(a: String, v: Any): Boolean =
+      full.fieldNames.contains(a) && lit(v).isDefined
     val (cmp, rest) = filters.partition {
-      case GreaterThanOrEqual(a, v) => full.fieldNames.contains(a) && lit(v).isDefined
-      case LessThan(a, v) => full.fieldNames.contains(a) && lit(v).isDefined
+      case GreaterThanOrEqual(a, v) => pushable(a, v)
+      case GreaterThan(a, v) => pushable(a, v)
+      case LessThanOrEqual(a, v) => pushable(a, v)
+      case LessThan(a, v) => pushable(a, v)
+      case EqualTo(a, v) => pushable(a, v)
       case _ => false
     }
     // engine grammar: at most two ANDed predicates
     val taken = cmp.take(2)
     val cmpCols = taken.collect {
       case GreaterThanOrEqual(a, _) => a
+      case GreaterThan(a, _) => a
+      case LessThanOrEqual(a, _) => a
       case LessThan(a, _) => a
+      case EqualTo(a, _) => a
     }.toSet
     // a pushed comparison on c already excludes NULLs server-side (SQL:
     // NULL never satisfies a comparison), so IsNotNull(c) is subsumed —
@@ -522,7 +534,10 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
   private def whereOf(fs: Array[Filter]): Option[String] = {
     val parts = fs.flatMap {
       case GreaterThanOrEqual(a, v) => Some(s"$a >= ${lit(v).get}")
+      case GreaterThan(a, v) => Some(s"$a > ${lit(v).get}")
+      case LessThanOrEqual(a, v) => Some(s"$a <= ${lit(v).get}")
       case LessThan(a, v) => Some(s"$a < ${lit(v).get}")
+      case EqualTo(a, v) => Some(s"$a = ${lit(v).get}")
       // IsNotNull carries no WHERE text: the comparison it rode in on
       // (pushFilters only absorbs it alongside one) excludes NULLs
       case _: IsNotNull => None

@@ -434,10 +434,10 @@ final class PgLiteEngine {
   }
 
   /** The supported SELECT surface: projection, single table, optional
-    * `WHERE col >= lit AND col < lit` (the half-open range a
-    * PARTITIONED reader scans — [[graft.io.pg.PgWire.readDistributed]]
-    * issues exactly this shape per partition) or a single
-    * `WHERE col >= lit` / `WHERE col < lit`, optional
+    * WHERE of one or two ANDed `col (>=|<=|<|>|=) literal` predicates
+    * (`>= AND <` is the half-open range a PARTITIONED reader scans —
+    * [[graft.io.pg.PgWire.readDistributed]] issues exactly this shape
+    * per partition; `=` serves pushed point lookups), optional
     * `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST]`, optional LIMIT.
     * Explicit NULLS placement (PG syntax) exists so a client whose
     * sort semantics differ from PG's defaults — Spark's ASC is
@@ -445,8 +445,8 @@ final class PgLiteEngine {
     * engine reproduces exactly (the DSv2 TopN pushdown needs this). */
   private val SelectRe =
     ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+)" +
-      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+))?)?" +
+      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
+      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+))?)?" +
       "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?" +
       "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
@@ -527,10 +527,16 @@ final class PgLiteEngine {
       (ci, oid, op, v)
     }
     r => preds.forall { case (ci, oid, op, v) =>
-      r(ci) != null && (op match {
-        case ">=" => !cmpLt(oid, r(ci), v)
-        case "<" => cmpLt(oid, r(ci), v)
-      })
+      r(ci) != null && {
+        val c = cmpVal(oid, r(ci), v)
+        op match {
+          case ">=" => c >= 0
+          case ">" => c > 0
+          case "<=" => c <= 0
+          case "<" => c < 0
+          case "=" => c == 0
+        }
+      }
     }
   }
 
@@ -605,8 +611,8 @@ final class PgLiteEngine {
     * of the table. */
   private val AggSelectRe =
     ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+)" +
-      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<)\\s*('[^']*'|[\\w.+-]+))?)?" +
+      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
+      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+))?)?" +
       "(?:\\s+GROUP\\s+BY\\s+([\\w]+(?:\\s*,\\s*[\\w]+)*))?\\s*$").r
   private val AggItemRe =
     "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r

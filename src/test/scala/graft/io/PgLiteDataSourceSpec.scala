@@ -102,6 +102,27 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "push =, >, <= point and boundary filters" in {
+    val (server, data) = fixture()
+    try {
+      // point lookup: = reaches the wire
+      val eq = read(server).load().filter(col("k") === 21L).select(col("k"), col("s"))
+      eq.queryExecution.executedPlan.toString should include("where=[k = 21]")
+      eq.collect().map(_.getLong(0)) shouldBe Array(21L)
+      // strict/inclusive bounds
+      val band = read(server).load()
+        .filter(col("k") > 21L && col("k") <= 27L).select(col("k"))
+      band.queryExecution.executedPlan.toString should
+        include("where=[k > 21 AND k <= 27]")
+      band.collect().map(_.getLong(0)).sorted shouldBe Array(23L, 25L, 27L)
+      // = on a string column, quoted on the wire
+      val seq = read(server).load().filter(col("s") === "s 3").select(col("k"))
+      seq.queryExecution.executedPlan.toString should include("where=[s = 's 3']")
+      seq.collect().map(_.getLong(0)) shouldBe
+        data.filter(r => r.getString(1) == "s 3").map(_.getLong(0)).toArray
+    } finally server.stop()
+  }
+
   it should "plan range partitions when partitionColumn is set" in {
     val (server, data) = fixture()
     try {
