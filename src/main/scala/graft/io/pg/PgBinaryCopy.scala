@@ -232,7 +232,9 @@ object PgBinaryCopy {
     var off = Signature.length
     off += 4 // flags: no critical bits defined beyond OIDs flag; ignore
     val extLen = rd32(bytes, off); off += 4
-    if (extLen < 0 || off + extLen > bytes.length)
+    // Long arithmetic: a hostile length near Int.MaxValue overflows
+    // `off + extLen` negative and would slip past an Int comparison
+    if (extLen < 0 || off.toLong + extLen > bytes.length)
       throw PgError("22P04", s"bad header extension length $extLen")
     off += extLen
     val rows = mutable.ArrayBuffer[Seq[String]]()
@@ -253,7 +255,7 @@ object PgBinaryCopy {
           val len = rd32(bytes, off); off += 4
           if (len == -1) row(i) = null
           else {
-            if (len < 0 || off + len > bytes.length)
+            if (len < 0 || off.toLong + len > bytes.length)
               throw PgError("22P04", s"bad field length $len")
             row(i) = decodeField(types(i),
               java.util.Arrays.copyOfRange(bytes, off, off + len))

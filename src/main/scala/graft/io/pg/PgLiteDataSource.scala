@@ -75,6 +75,10 @@ class PgLiteDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "pglite"
 
+  // a caller may override the inferred schema (e.g. read a column the
+  // engine types TIMESTAMP as TimestampNTZ) — the JDBC-source posture
+  override def supportsExternalMetadata(): Boolean = true
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     PgLiteDataSource.schemaOf(PgLiteConn(options), tableOf(options))
 
@@ -150,6 +154,10 @@ private[pg] object PgLiteDataSource {
         Decimal(new java.math.BigDecimal(v), d.precision, d.scale)
       case TimestampType =>
         DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(v))
+      case TimestampNTZType => // write path maps NTZ → TIMESTAMP; a
+        // user-specified NTZ read schema must decode the same text
+        DateTimeUtils.localDateTimeToMicros(
+          java.sql.Timestamp.valueOf(v).toLocalDateTime)
       case DateType =>
         DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(v))
       case other =>
@@ -189,7 +197,10 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
   * partition, and [[commit]] publishes every winning stage in ONE wire
   * transaction (`BEGIN; INSERT…SELECT; DROP…; COMMIT`). [[abort]]
   * best-effort-drops the reported stages; a stage whose task never
-  * committed is dropped by the next run's drop-first discipline.
+  * committed (hard-killed executor — abort never runs, its taskId is
+  * globally unique so no later drop can guess the name) is cleaned by
+  * the next run's information_schema prefix sweep
+  * ([[PgWire.sweepStages]], run before writers start).
   * The TARGET table must already exist (JDBC-append semantics). */
 private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
                                schema: StructType) extends BatchWrite {
@@ -199,24 +210,22 @@ private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
       s"pglite write target must be schema-qualified: $table")
   }
   override def createBatchWriterFactory(
-      info: PhysicalWriteInfo): DataWriterFactory =
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    // janitor (driver-side, before any writer runs): a previous run's
+    // hard-killed task leaves a stage table whose (pid, taskId) name
+    // no later run can guess — sweep by prefix via information_schema
+    val c = conn.open()
+    try PgWire.sweepStages(c, schemaName, bare) finally c.close()
     PgLiteWriterFactory(conn, schemaName, bare, schema)
+  }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: PgStageCommit => m }
     val c = conn.open()
-    try {
-      c.query("BEGIN")
-      val cols = schema.fieldNames.mkString(", ")
-      commits.foreach { m =>
-        if (m.count > 0)
-          c.query(s"INSERT INTO $table ($cols) " +
-            s"SELECT $cols FROM $schemaName.${m.stage}")
-      }
-      commits.foreach(m =>
-        c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
-      require(c.query("COMMIT").tags == Seq("COMMIT"),
-        s"pglite publish transaction failed for $table")
-    } finally c.close()
+    // shared one-transaction publish (PgWire.publishStages): its sweep
+    // also clears aborted-attempt stages the messages never report
+    try PgWire.publishStages(c, table, schema.fieldNames.mkString(", "),
+      schemaName, bare, commits.toSeq.map(m => (m.stage, m.count)))
+    finally c.close()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val c = conn.open()
@@ -256,10 +265,15 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
       s"pglite write target must be schema-qualified: $table")
   }
   private val epochsTable = s"$schemaName.${bare}__epochs"
-  locally { // marker table rides the target's schema; idempotent
+  locally { // marker table rides the target's schema; idempotent.
+    // Also the orphan-stage janitor (once per query start, not per
+    // epoch): a crash between an epoch's staging and its publish
+    // leaves task-unique stage tables only discovery can clean
     val c = conn.open()
-    try c.query(s"CREATE TABLE IF NOT EXISTS $epochsTable (epoch BIGINT UNIQUE)")
-    finally c.close()
+    try {
+      c.query(s"CREATE TABLE IF NOT EXISTS $epochsTable (epoch BIGINT UNIQUE)")
+      PgWire.sweepStages(c, schemaName, bare)
+    } finally c.close()
   }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -275,6 +289,9 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
         catch { case e: c.PgServerError if e.code == "23505" => true }
       if (replay) {
         c.query("ROLLBACK") // 23505 aborted the tx; nothing published
+        // duplicate stages are swept OUTSIDE the rolled-back tx —
+        // epochs run sequentially, so no other stage is live
+        PgWire.sweepStages(c, schemaName, bare)
       } else {
         val cols = schema.fieldNames.mkString(", ")
         commits.foreach { m =>
@@ -282,14 +299,10 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
             c.query(s"INSERT INTO $table ($cols) " +
               s"SELECT $cols FROM $schemaName.${m.stage}")
         }
-        commits.foreach(m =>
-          c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
+        PgWire.sweepStages(c, schemaName, bare) // incl. aborted attempts
         require(c.query("COMMIT").tags == Seq("COMMIT"),
           s"pglite epoch $epochId publish failed for $table")
       }
-      if (replay) // duplicate stages are dropped OUTSIDE the rolled-back tx
-        commits.foreach(m =>
-          c.query(s"DROP TABLE IF EXISTS $schemaName.${m.stage}"))
     } finally c.close()
   }
   override def abort(epochId: Long,
@@ -597,16 +610,10 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   override def planInputPartitions(): Array[InputPartition] = partCol match {
     case None => Array(PgLitePartition(where))
     case Some(k) =>
-      // same bounds-probe + half-open split as PgWire.readDistributed
+      // the SAME bounds-probe + half-open split as
+      // PgWire.readDistributed — shared helpers, not a copy
       val c = conn.open()
-      val bounds = try {
-        c.query(s"SELECT $k FROM $table ORDER BY $k LIMIT 1")
-          .rows.headOption.flatMap(_.head).map(_.toLong).map { lo =>
-            (lo, c.query(s"SELECT $k FROM $table " +
-                s"WHERE $k >= $lo ORDER BY $k DESC LIMIT 1")
-              .rows.head.head.get.toLong)
-          }
-      } finally c.close()
+      val bounds = try PgWire.probeBounds(c, table, k) finally c.close()
       bounds match {
         // empty table: ONE full-table partition, not zero — a pushed
         // global aggregate must still produce its one count=0 partial
@@ -614,11 +621,7 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
         // over the partial counts return NULL instead of 0)
         case None => Array(PgLitePartition(None))
         case Some((lo, hi)) =>
-          val n = math.max(1, math.min(numParts.toLong, hi - lo + 1)).toInt
-          val step = (hi - lo) / n + 1
-          (0 until n).map { i =>
-            (lo + i * step, math.min(lo + (i + 1) * step, hi + 1))
-          }.filter { case (a, b) => a < b }
+          PgWire.splitRanges(lo, hi, numParts)
             .map { case (a, b) =>
               PgLitePartition(Some(s"$k >= $a AND $k < $b"))
             }.toArray[InputPartition]

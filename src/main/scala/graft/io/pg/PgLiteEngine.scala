@@ -2,6 +2,7 @@ package graft.io.pg
 
 import java.util.concurrent.ConcurrentHashMap
 import scala.collection.mutable
+import scala.jdk.CollectionConverters._
 
 /** In-memory relational backend for [[PgLiteServer]] — the RUNTIME
   * semantics of the reference's Postgres leg
@@ -200,7 +201,38 @@ final class PgLiteEngine {
 
   /** Resolve for a statement; `forWrite` inside a transaction copies
     * the base table into the overlay on first touch. */
+  /** `information_schema.tables` — the PG catalog view a client needs
+    * to DISCOVER tables (the V2 sink's orphan-stage janitor sweeps it
+    * by name prefix: a hard-killed task's attempt-unique stage table
+    * would otherwise leak forever, since later runs' attempt ids never
+    * match it). Read-only, synthesized per query: base catalog plus
+    * the session's in-transaction creates, minus its pending drops. */
+  private def infoSchemaTables(tx: PgTx): Table = {
+    val t = new Table("information_schema.tables",
+      Seq(Col("table_schema", "TEXT", serial = false, unique = false, None),
+        Col("table_name", "TEXT", serial = false, unique = false, None)))
+    val names = mutable.SortedSet.empty[String]
+    names ++= tables.keySet.asScala
+    if (tx != null && tx.active) {
+      names ++= tx.created
+      names --= tx.dropped
+    }
+    names.foreach { n =>
+      val Array(sch, bare) = n.split("\\.", 2) match {
+        case a @ Array(_, _) => a
+        case _ => Array("public", n)
+      }
+      t.rows += Array(sch, bare)
+    }
+    t
+  }
+
   private def resolve(name: String, tx: PgTx, forWrite: Boolean): Table = {
+    if (name == "information_schema.tables") {
+      if (forWrite)
+        throw PgError("42501", "information_schema.tables is read-only")
+      return infoSchemaTables(tx)
+    }
     val t = lookup(name, tx)
       .getOrElse(throw PgError("42P01", s"relation \"$name\" does not exist"))
     if (forWrite && tx != null && tx.active && !tx.copies.contains(name)) {
@@ -419,7 +451,7 @@ final class PgLiteEngine {
       // fits the plain grammar — Describe must agree with Execute
       SelectRe.findFirstMatchIn(sql) match {
         case Some(m) if !m.group(1).contains("(") =>
-          val (_, cols, _) = selectShape(sql, tx)
+          val (_, cols, _) = selectShape(m, tx)
           cols
         case _ => aggShape(sql, tx)._2.map(_._4)
       }
@@ -451,11 +483,12 @@ final class PgLiteEngine {
       "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
 
-  /** Parse + catalog-resolve a SELECT (shared by [[select]] and
-    * [[describe]]): (table, projected cols, projection indices). */
-  private def selectShape(sql: String, tx: PgTx): (Table, Seq[Col], Seq[Int]) = {
-    val m = SelectRe.findFirstMatchIn(sql)
-      .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
+  /** Catalog-resolve an already-matched plain SELECT (shared by
+    * [[plainSelect]] and [[describe]] — both hold the Match, so the
+    * statement is regex-parsed exactly once):
+    * (table, projected cols, projection indices). */
+  private def selectShape(m: scala.util.matching.Regex.Match,
+                          tx: PgTx): (Table, Seq[Col], Seq[Int]) = {
     val name = m.group(2).toLowerCase
     val t = resolve(name, tx, forWrite = false)
     val (cols, proj) = m.group(1).trim match {
@@ -544,13 +577,13 @@ final class PgLiteEngine {
     SelectRe.findFirstMatchIn(sql) match {
       // an aggregate select list (`count(*)`, `sum(c)`, …) or a GROUP
       // BY never fits the plain grammar — route to the aggregate path
-      case Some(m) if !m.group(1).contains("(") => plainSelect(m, sql, tx)
+      case Some(m) if !m.group(1).contains("(") => plainSelect(m, tx)
       case _ => aggSelect(sql, tx)
     }
 
   private def plainSelect(m: scala.util.matching.Regex.Match,
-                          sql: String, tx: PgTx): Result = {
-    val (t, cols, proj) = selectShape(sql, tx)
+                          tx: PgTx): Result = {
+    val (t, cols, proj) = selectShape(m, tx)
     t.synchronized {
       val keep = predFilter(t, Seq(
         (m.group(3), m.group(4), m.group(5)),
@@ -582,6 +615,7 @@ final class PgLiteEngine {
             else cmpVal(oid, a, b)
           }
           rows = limit match {
+            case Some(0) => Seq.empty // legal LIMIT 0: no sort, no heap
             // ORDER BY + LIMIT n: a bounded top-k heap, not a full
             // sort — the sampled-head read-back (`ORDER BY c LIMIT k`)
             // must stay O(rows·log k) however large the table grows

@@ -176,11 +176,39 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
         throw PgLiteEngine.PgError("0A000", "binary result format not supported")
       off += 2
     }
-    // descending index so $10 substitutes before $1
-    val bound = params.zipWithIndex.sortBy(-_._2).foldLeft(sql0) {
-      case (sql, (v, i)) =>
-        val lit = v.map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL")
-        sql.replace("$" + (i + 1), lit)
+    // ONE left-to-right scan, quote-aware: sequential string replaces
+    // would re-substitute $n tokens INSIDE an earlier parameter's
+    // spliced value ($2 = "costs $1 each" → the $1 pass corrupts it),
+    // and a $n inside the statement's own '…' literal must stay text
+    val bound = {
+      val sb = new StringBuilder
+      var i = 0
+      var inQuote = false
+      val n = sql0.length
+      while (i < n) {
+        val c = sql0.charAt(i)
+        if (inQuote) {
+          sb.append(c)
+          if (c == '\'') inQuote = false
+          i += 1
+        } else if (c == '\'') {
+          sb.append(c); inQuote = true; i += 1
+        } else if (c == '$' && i + 1 < n && sql0.charAt(i + 1).isDigit) {
+          var j = i + 1
+          while (j < n && sql0.charAt(j).isDigit) j += 1
+          val idx = sql0.substring(i + 1, j).toInt
+          if (idx < 1 || idx > params.length)
+            throw PgLiteEngine.PgError("08P01",
+              s"bind message supplies ${params.length} parameters, " +
+                s"but prepared statement requires $$$idx")
+          sb.append(params(idx - 1)
+            .map(s => "'" + s.replace("'", "''") + "'").getOrElse("NULL"))
+          i = j
+        } else {
+          sb.append(c); i += 1
+        }
+      }
+      sb.toString
     }
     portals(portal) = bound
     complete(out, '2') // BindComplete

@@ -143,35 +143,17 @@ object PgWire {
     val cols = schema.fieldNames.toSeq
     require(cols.contains(keyCol), s"keyCol $keyCol not in schema")
     val colList = cols.mkString(", ")
-    // min via ASC LIMIT 1 (the engine sorts NULLs last, so a non-null
-    // head IS the min); max via DESC LIMIT 1 *range-filtered from the
-    // min* — DESC sorts NULLs first (PG), and a WHERE predicate is
-    // never satisfied by NULL, so the filter screens them out. Rows
-    // with a NULL key are invisible to a range scan by SQL semantics:
-    // keyCol is the PK in practice and documented non-null.
     val bounds = {
       val c = new PgLiteClient(host, port)
       c.connect()
-      try {
-        c.query(s"SELECT $keyCol FROM $table ORDER BY $keyCol LIMIT 1")
-          .rows.headOption.flatMap(_.head).map(_.toLong).map { lo =>
-            val hi = c.query(s"SELECT $keyCol FROM $table " +
-                s"WHERE $keyCol >= $lo ORDER BY $keyCol DESC LIMIT 1")
-              .rows.head.head.get.toLong
-            (lo, hi)
-          }
-      } finally c.close()
+      try probeBounds(c, table, keyCol) finally c.close()
     }
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
     bounds match {
       case None => empty
       case Some((lo, hi)) =>
-        val n = math.max(1, math.min(numPartitions.toLong, hi - lo + 1)).toInt
-        val step = (hi - lo) / n + 1
-        val ranges = (0 until n).map { i =>
-          (lo + i * step, math.min(lo + (i + 1) * step, hi + 1))
-        }.filter { case (a, b) => a < b }
+        val ranges = splitRanges(lo, hi, numPartitions)
         val fields = schema.fields
         val rdd = spark.sparkContext
           .parallelize(ranges, ranges.length)
@@ -200,9 +182,72 @@ object PgWire {
     s"${bare}__stage_p${pid}_a$attempt"
   }
 
-  /** Spark retries a partition at most this many times; the publish
-    * step drops every possible attempt's stage, 0 until this bound. */
-  private val MaxAttempts = 5
+  /** Key bounds of `table.keyCol` via two bounded-heap probes: min via
+    * ASC LIMIT 1 (the engine sorts NULLs last, so a non-null head IS
+    * the min); max via DESC LIMIT 1 *range-filtered from the min* —
+    * DESC sorts NULLs first (PG), and a WHERE predicate is never
+    * satisfied by NULL, so the filter screens them out. Rows with a
+    * NULL key are invisible to a range scan by SQL semantics: keyCol
+    * is the PK in practice and documented non-null. None = no rows
+    * with a non-null key. Shared by [[readDistributed]] and the DSv2
+    * scan's partition planning, so a fix lands in both. */
+  private[pg] def probeBounds(c: PgLiteClient, table: String,
+                              keyCol: String): Option[(Long, Long)] =
+    c.query(s"SELECT $keyCol FROM $table ORDER BY $keyCol LIMIT 1")
+      .rows.headOption.flatMap(_.head).map(_.toLong).map { lo =>
+        val hi = c.query(s"SELECT $keyCol FROM $table " +
+            s"WHERE $keyCol >= $lo ORDER BY $keyCol DESC LIMIT 1")
+          .rows.head.head.get.toLong
+        (lo, hi)
+      }
+
+  /** Half-open key ranges covering [lo, hi] in ≤ numPartitions
+    * near-even slices (never an empty slice). */
+  private[pg] def splitRanges(lo: Long, hi: Long,
+                              numPartitions: Int): Seq[(Long, Long)] = {
+    val n = math.max(1, math.min(numPartitions.toLong, hi - lo + 1)).toInt
+    val step = (hi - lo) / n + 1
+    (0 until n).map(i => (lo + i * step, math.min(lo + (i + 1) * step, hi + 1)))
+      .filter { case (a, b) => a < b }
+  }
+
+  /** The one-transaction staged publish every exactly-once writer
+    * shares: INSERT…SELECT each non-empty stage into `table`, sweep
+    * ALL `<bare>__stage_…` tables (committed winners, aborted-attempt
+    * leftovers, and hard-killed orphans alike), COMMIT — atomically.
+    * Callers hold the single-writer-per-target assumption. */
+  private[pg] def publishStages(c: PgLiteClient, table: String,
+                                colList: String, schemaName: String,
+                                bare: String,
+                                stages: Seq[(String, Long)]): Unit = {
+    c.query("BEGIN")
+    stages.foreach { case (stage, n) =>
+      if (n > 0)
+        c.query(s"INSERT INTO $table ($colList) " +
+          s"SELECT $colList FROM $schemaName.$stage")
+    }
+    sweepStages(c, schemaName, bare)
+    require(c.query("COMMIT").tags == Seq("COMMIT"),
+      s"publish transaction failed to commit for $table")
+  }
+
+  /** Drop every stage table named `<bare>__stage_…` under
+    * `schemaName`, discovered through `information_schema.tables` —
+    * orphans from hard-killed attempts carry attempt/task-unique names
+    * no fixed drop-first loop can ever guess, so discovery is the only
+    * complete sweep. `'~'` (0x7E) upper-bounds the prefix range: every
+    * character stage names use after the prefix ([a-z0-9_]) sorts
+    * below it. Single-writer-per-target assumption (the engine's
+    * documented posture): a CONCURRENT writer's live stages would be
+    * swept. */
+  private[pg] def sweepStages(c: PgLiteClient, schemaName: String,
+                              bare: String): Unit = {
+    val prefix = s"${bare}__stage_"
+    c.query("SELECT table_name FROM information_schema.tables " +
+        s"WHERE table_name >= '$prefix' AND table_name < '$prefix~'")
+      .rows.flatMap(_.head)
+      .foreach(nm => c.query(s"DROP TABLE IF EXISTS $schemaName.$nm"))
+  }
 
   /** EXACTLY-ONCE distributed wire COPY (VERDICT r15 task 2): the
     * staging-table + atomic-swap commit discipline the parquet sinks
@@ -237,6 +282,12 @@ object PgWire {
     val cols = df.columns.toSeq
     val colList = cols.mkString(", ")
     val schema = df.schema
+    locally { // janitor: a previous run hard-killed mid-write may have
+      // left stages no later attempt-numbered drop can ever match
+      val c = new PgLiteClient(host, port)
+      c.connect()
+      try sweepStages(c, schemaName, bare) finally c.close()
+    }
     // one winning (pid, stage, count) per partition: mapPartitions
     // results ride Spark's task-commit protocol, which keeps exactly
     // one attempt's output per partition under retries AND speculation
@@ -260,21 +311,13 @@ object PgWire {
       }.collect().sortBy(_._1) // partition-count-sized driver metadata
     val c = new PgLiteClient(host, port)
     c.connect()
-    try {
-      c.query("BEGIN")
-      winners.foreach { case (_, stage, n) =>
-        if (n > 0)
-          c.query(s"INSERT INTO $table ($colList) " +
-            s"SELECT $colList FROM $schemaName.$stage")
-      }
-      winners.foreach { case (pid, _, _) =>
-        (0 until MaxAttempts).foreach { a =>
-          c.query(s"DROP TABLE IF EXISTS $schemaName.${stageName(bare, pid, a)}")
-        }
-      }
-      require(c.query("COMMIT").tags == Seq("COMMIT"),
-        "publish transaction failed to commit")
-    } finally c.close()
+    // the sweep inside publishStages replaces the old attempt-number
+    // drop loop: it catches attempts ≥ any fixed bound, and a
+    // speculative loser that re-creates its stage AFTER this publish
+    // is cleaned by the next run's janitor above
+    try publishStages(c, table, colList, schemaName, bare,
+      winners.map { case (_, stage, n) => (stage, n) })
+    finally c.close()
     winners.iterator.map(_._3).sum
   }
 }

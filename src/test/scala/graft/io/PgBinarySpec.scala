@@ -89,6 +89,18 @@ class PgBinarySpec extends SparkSpec {
     err(good.dropRight(5)) shouldBe "22P04"
     // trailing garbage after the trailer
     err(good ++ Array[Byte](0)) shouldBe "22P04"
+    // hostile lengths near Int.MaxValue: `off + len` overflows Int
+    // negative and would slip past a non-widened bounds check — both
+    // the header-extension and field-length reads must stay 22P04,
+    // not ArrayIndexOutOfBounds
+    val hugeExt = PgBinaryCopy.header()
+    val extOff = hugeExt.length - 4 // last 4 bytes = extension length
+    Array[Byte](0x7f, -1, -1, -16).copyToArray(hugeExt, extOff)
+    err(hugeExt) shouldBe "22P04"
+    val hugeField = PgBinaryCopy.header() ++
+      Array[Byte](0, 1) ++ // one field
+      Array[Byte](0x7f, -1, -1, -16) // length 0x7ffffff0
+    err(hugeField) shouldBe "22P04"
     // intact stream decodes
     PgBinaryCopy.decodeStream(good, types) shouldBe Seq(Seq("7"))
   }

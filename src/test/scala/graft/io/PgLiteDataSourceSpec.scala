@@ -469,6 +469,63 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "sweep a hard-kill's orphaned stage table before the next write" in {
+    val (server, data) = fixture()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createTableDdl(schema, "ds", "j"))
+        // simulate a previous run's hard-killed task: its stage table
+        // carries a taskId no later run's drop-first can ever guess
+        c.query("CREATE TABLE ds.j__stage_p7_t999999 (k BIGINT)")
+        c.query("INSERT INTO ds.j__stage_p7_t999999 (k) VALUES (1)")
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 3), schema)
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.j").mode("append").save()
+        // the write's janitor + publish sweep removed the orphan, and
+        // its stale row never leaked into the target
+        val e = intercept[c.PgServerError](
+          c.query("SELECT k FROM ds.j__stage_p7_t999999"))
+        e.code shouldBe "42P01"
+        c.query("SELECT k FROM ds.j").rows.length shouldBe data.length
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "read TimestampNTZ back under a user-specified schema" in {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val (server, _) = PgLiteServer.start()
+    try {
+      val ntz = StructType(Seq(
+        StructField("k", LongType), StructField("t", TimestampNTZType)))
+      val rows = Seq(
+        Row(1L, java.time.LocalDateTime.of(2026, 2, 1, 12, 30, 5, 250000000)),
+        Row(2L, null))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), ntz)
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createSchemaDdl("ds"))
+        c.query(Sinks.createTableDdl(ntz, "ds", "ntz"))
+      } finally c.close()
+      df.write.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "ds.ntz").mode("append").save()
+      // the engine types the column TIMESTAMP, so reading NTZ requires
+      // the caller's schema — the decoder must invert the write text
+      val got = spark.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "ds.ntz").schema(ntz).load()
+        .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+      got(1L) shouldBe java.time.LocalDateTime.of(2026, 2, 1, 12, 30, 5, 250000000)
+      assert(got(2L) == null)
+    } finally server.stop()
+  }
+
   it should "fail loudly when the target table does not exist" in {
     val (server, _) = fixture()
     try {

@@ -300,6 +300,64 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "bind parameters whose VALUES contain $n tokens without corruption" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE bx (a TEXT, b TEXT)")
+      // a sequential-replace bind would splice 'costs $1 each' first,
+      // then rewrite the $1 INSIDE it on the next pass (r16 review) —
+      // the single quote-aware scan must keep the value verbatim
+      c.execParams("INSERT INTO bx (a, b) VALUES ($1, $2)",
+        Seq(Some("x"), Some("costs $1 each")))
+      c.query("SELECT a, b FROM bx").rows.map(_.map(_.get)) shouldBe
+        Seq(Seq("x", "costs $1 each"))
+      // a $n inside the statement's OWN string literal stays text
+      c.execParams("INSERT INTO bx (a, b) VALUES ('lit $1', $1)",
+        Seq(Some("y")))
+      c.query("SELECT a, b FROM bx WHERE a = 'lit $1'")
+        .rows.map(_.map(_.get)) shouldBe Seq(Seq("lit $1", "y"))
+      // referencing a parameter the Bind never supplied is an error
+      intercept[c.PgServerError](
+        c.execParams("INSERT INTO bx (a, b) VALUES ($1, $3)",
+          Seq(Some("z")))).code shouldBe "08P01"
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "answer ORDER BY … LIMIT 0 with an empty set, not an error" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE lz (n INTEGER)")
+      c.query("INSERT INTO lz (n) VALUES (1)")
+      c.query("SELECT n FROM lz ORDER BY n LIMIT 0").rows shouldBe Nil
+      c.query("SELECT n FROM lz LIMIT 0").rows shouldBe Nil
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "expose the catalog through information_schema.tables" in {
+    val (server, engine) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      engine.execute("CREATE SCHEMA s1")
+      engine.execute("CREATE TABLE s1.t1 (k INTEGER)")
+      engine.execute("CREATE TABLE s1.t1__stage_p0_t42 (k INTEGER)")
+      c.query("SELECT table_schema, table_name FROM information_schema.tables " +
+          "WHERE table_name >= 't1__stage_' AND table_name < 't1__stage~'")
+        .rows.map(_.map(_.get)) shouldBe Seq(Seq("s1", "t1__stage_p0_t42"))
+      // read-only: no INSERT target
+      intercept[c.PgServerError](
+        c.query("INSERT INTO information_schema.tables (table_schema, table_name) " +
+          "VALUES ('x', 'y')")).code should not be "00000"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "answer aggregate SELECTs: count/sum/min/max, GROUP BY, NULL group" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
