@@ -155,9 +155,12 @@ private[pg] object PgLiteDataSource {
       case TimestampType =>
         DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(v))
       case TimestampNTZType => // write path maps NTZ → TIMESTAMP; a
-        // user-specified NTZ read schema must decode the same text
+        // user-specified NTZ read schema must decode the same text.
+        // LocalDateTime.parse, NOT Timestamp.valueOf: NTZ is a pure
+        // wall clock, and valueOf routes through the JVM default zone
+        // (a DST-gap wall time would silently shift an hour)
         DateTimeUtils.localDateTimeToMicros(
-          java.sql.Timestamp.valueOf(v).toLocalDateTime)
+          java.time.LocalDateTime.parse(v.replace(' ', 'T')))
       case DateType =>
         DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(v))
       case other =>

@@ -532,14 +532,38 @@ final class PgLiteEngine {
     }
     x.length - y.length
   }
+  /** Wall-clock key for timestamp text — TZ-independent (LocalDateTime,
+    * never java.sql's default-zone parse) and CANONICALIZING: a
+    * hand-inserted '… 12:30:05' and a writer's '… 12:30:05.0' are the
+    * same instant, so a pushed `=` must see them equal where raw text
+    * bytes would not. Non-ISO text falls back to byte order. */
+  private def tsKey(v: String): Either[String, java.time.LocalDateTime] =
+    try Right(java.time.LocalDateTime.parse(v.replace(' ', 'T')))
+    catch { case _: java.time.format.DateTimeParseException => Left(v) }
+  private def dateKey(v: String): Either[String, java.time.LocalDate] =
+    try Right(java.time.LocalDate.parse(v))
+    catch { case _: java.time.format.DateTimeParseException => Left(v) }
+
   private def cmpVal(oid: Int, a: String, b: String): Int =
     if (oid == 23 || oid == 20)
       java.lang.Long.compare(
         java.lang.Long.parseLong(a), java.lang.Long.parseLong(b))
-    else if (oid == 701)
-      java.lang.Double.compare(
-        java.lang.Double.parseDouble(a), java.lang.Double.parseDouble(b))
+    else if (oid == 701) {
+      // Spark's double semantics (SQLOrderingUtil): -0.0 == 0.0 (IEEE
+      // ==) and NaN == NaN / NaN greatest (Double.compare)
+      val (x, y) = (java.lang.Double.parseDouble(a),
+        java.lang.Double.parseDouble(b))
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    }
     else if (oid == 1700) BigDecimal(a).compare(BigDecimal(b))
+    else if (oid == 1114) (tsKey(a), tsKey(b)) match {
+      case (Right(x), Right(y)) => x.compareTo(y)
+      case _ => utf8Cmp(a, b)
+    }
+    else if (oid == 1082) (dateKey(a), dateKey(b)) match {
+      case (Right(x), Right(y)) => x.compareTo(y)
+      case _ => utf8Cmp(a, b)
+    }
     else utf8Cmp(a, b)
   private def cmpLt(oid: Int, a: String, b: String): Boolean =
     cmpVal(oid, a, b) < 0

@@ -196,7 +196,10 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
         } else if (c == '$' && i + 1 < n && sql0.charAt(i + 1).isDigit) {
           var j = i + 1
           while (j < n && sql0.charAt(j).isDigit) j += 1
-          val idx = sql0.substring(i + 1, j).toInt
+          // ≤9 digits: a hostile $9999999999 must be a clean protocol
+          // error, not a NumberFormatException out of toInt
+          val idx =
+            if (j - i - 1 <= 9) sql0.substring(i + 1, j).toInt else Int.MaxValue
           if (idx < 1 || idx > params.length)
             throw PgLiteEngine.PgError("08P01",
               s"bind message supplies ${params.length} parameters, " +

@@ -61,8 +61,12 @@ object PgWire {
       case _: DecimalType => new java.math.BigDecimal(v)
       case TimestampType => java.sql.Timestamp.valueOf(v)
       // NTZ rows carry LocalDateTime; the wire text is the same
-      // wall-clock form wireText emitted
-      case TimestampNTZType => java.sql.Timestamp.valueOf(v).toLocalDateTime
+      // wall-clock form wireText emitted. LocalDateTime.parse, NOT
+      // Timestamp.valueOf: NTZ is a pure wall clock, and valueOf
+      // routes through the JVM default zone (a DST-gap wall time
+      // would silently shift an hour)
+      case TimestampNTZType =>
+        java.time.LocalDateTime.parse(v.replace(' ', 'T'))
       case DateType => java.sql.Date.valueOf(v)
       case other =>
         throw new IllegalArgumentException(s"no wire parse for $other")
@@ -240,12 +244,25 @@ object PgWire {
     * below it. Single-writer-per-target assumption (the engine's
     * documented posture): a CONCURRENT writer's live stages would be
     * swept. */
+  /** The exact stage-name grammar every writer here emits:
+    * `__stage_p<pid>_a<attempt>` (hand-rolled exactly-once),
+    * `__stage_p<pid>_t<taskId>` (DSv2 batch),
+    * `__stage_e<epoch>_p<pid>_t<taskId>` (DSv2 streaming). The sweep
+    * drops ONLY names matching it — a user table that merely shares
+    * the prefix (`j__stage_x`, or another target's `__epochs` marker)
+    * must never be collateral. */
   private[pg] def sweepStages(c: PgLiteClient, schemaName: String,
                               bare: String): Unit = {
-    val prefix = s"${bare}__stage_"
+    // the engine lowercases catalog names; a user-cased `table` option
+    // must still find its stages (byte-range compare is case-exact)
+    val lc = bare.toLowerCase
+    val prefix = s"${lc}__stage_"
+    val exact = ("^" + java.util.regex.Pattern.quote(lc) +
+      "__stage_(?:e\\d+_)?p\\d+_[at]\\d+$").r
     c.query("SELECT table_name FROM information_schema.tables " +
         s"WHERE table_name >= '$prefix' AND table_name < '$prefix~'")
       .rows.flatMap(_.head)
+      .filter(nm => exact.findFirstIn(nm).isDefined)
       .foreach(nm => c.query(s"DROP TABLE IF EXISTS $schemaName.$nm"))
   }
 

@@ -480,6 +480,10 @@ class PgLiteDataSourceSpec extends SparkSpec {
         // carries a taskId no later run's drop-first can ever guess
         c.query("CREATE TABLE ds.j__stage_p7_t999999 (k BIGINT)")
         c.query("INSERT INTO ds.j__stage_p7_t999999 (k) VALUES (1)")
+        // a DECOY that merely shares the prefix but is not a stage
+        // table (another target, say) must survive the sweep
+        c.query("CREATE TABLE ds.j__stage_x (k BIGINT)")
+        c.query("INSERT INTO ds.j__stage_x (k) VALUES (7)")
         val df = spark.createDataFrame(
           spark.sparkContext.parallelize(data, 3), schema)
         df.write.format("pglite")
@@ -491,6 +495,16 @@ class PgLiteDataSourceSpec extends SparkSpec {
           c.query("SELECT k FROM ds.j__stage_p7_t999999"))
         e.code shouldBe "42P01"
         c.query("SELECT k FROM ds.j").rows.length shouldBe data.length
+        // the decoy survived with its data
+        c.query("SELECT k FROM ds.j__stage_x").rows.map(_.head.get) shouldBe
+          Seq("7")
+        // a user-cased table option still sweeps the lowercased stages
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.J").mode("append").save()
+        c.query("SELECT table_name FROM information_schema.tables " +
+            "WHERE table_name >= 'j__stage_p' AND table_name < 'j__stage_p~'")
+          .rows shouldBe Nil
       } finally c.close()
     } finally server.stop()
   }

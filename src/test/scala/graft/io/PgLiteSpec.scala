@@ -416,10 +416,35 @@ class PgLiteSpec extends SparkSpec {
       c.query("SELECT sum(d), min(d), max(d) FROM t")
         .rows.map(_.map(_.get)) shouldBe
         Seq(Seq("NaN", "-Infinity", "NaN"))
+      // Spark double semantics: -0.0 = 0.0 (a pushed EqualTo must not
+      // drop the negative-zero row Spark would return)
+      c.query("INSERT INTO t (d) VALUES ('-0.0')")
+      c.query("SELECT d FROM t WHERE d = 0.0").rows.map(_.head.get) shouldBe
+        Seq("-0.0")
       // describe agrees with execute on the aggregate surface
       engine.describe("SELECT count(*), sum(d) FROM t", null)
         .map(col => (col.name, col.pgType)) shouldBe
         Seq(("count", "BIGINT"), ("sum_d", "DOUBLE PRECISION"))
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "compare timestamps by wall clock, not text bytes" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (ts TIMESTAMP)")
+      // a hand-written literal has no fraction; a writer's canonical
+      // Timestamp.toString always carries one — same instant, and a
+      // pushed `=` must see them equal where raw bytes would not
+      c.query("INSERT INTO t (ts) VALUES ('2026-02-01 12:30:05')")
+      c.query("SELECT ts FROM t WHERE ts = '2026-02-01 12:30:05.0'")
+        .rows.map(_.head.get) shouldBe Seq("2026-02-01 12:30:05")
+      // mixed-format text still sorts chronologically
+      c.query("INSERT INTO t (ts) VALUES ('2026-02-01 12:30:04.9')")
+      c.query("SELECT ts FROM t ORDER BY ts").rows.map(_.head.get) shouldBe
+        Seq("2026-02-01 12:30:04.9", "2026-02-01 12:30:05")
       c.close()
     } finally server.stop()
   }
