@@ -466,8 +466,11 @@ final class PgLiteEngine {
   }
 
   /** The supported SELECT surface: projection, single table, optional
-    * WHERE of one or two ANDed `col (>=|<=|<|>|=) literal` predicates
-    * (`>= AND <` is the half-open range a PARTITIONED reader scans —
+    * WHERE of ANY NUMBER of ANDed `col (>=|<=|<|>|=) literal`
+    * predicates (round-17, VERDICT r16 task 4 — two fixed slots meant
+    * a partitioned reader's key range consumed the whole grammar and
+    * no user filter could ride alongside it; `>= AND <` is the
+    * half-open range a PARTITIONED reader scans —
     * [[graft.io.pg.PgWire.readDistributed]] issues exactly this shape
     * per partition; `=` serves pushed point lookups), optional
     * `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST]`, optional LIMIT.
@@ -475,13 +478,26 @@ final class PgLiteEngine {
     * sort semantics differ from PG's defaults — Spark's ASC is
     * NULLS FIRST where PG's is NULLS LAST — can push an order the
     * engine reproduces exactly (the DSv2 TopN pushdown needs this). */
+  private val PredPat = "[\\w]+\\s*(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)"
+  private val WherePat =
+    s"(?:\\s+WHERE\\s+($PredPat(?:\\s+AND\\s+$PredPat)*))?"
   private val SelectRe =
-    ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
-      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+))?)?" +
+    ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" + WherePat +
       "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?" +
       "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+
+  /** (col, op, literal) triples of an already-validated WHERE clause
+    * (the enclosing SelectRe/AggSelectRe anchored it to
+    * `pred (AND pred)*`, so a per-predicate scan can't pick up junk —
+    * quoted literals never contain a quote by the grammar, so a
+    * literal can't swallow an AND). */
+  private val PredRe =
+    "([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)".r
+  private def parseWhere(clause: String): Seq[(String, String, String)] =
+    if (clause == null) Nil
+    else PredRe.findAllMatchIn(clause)
+      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
 
   /** Catalog-resolve an already-matched plain SELECT (shared by
     * [[plainSelect]] and [[describe]] — both hold the Match, so the
@@ -568,9 +584,9 @@ final class PgLiteEngine {
   private def cmpLt(oid: Int, a: String, b: String): Boolean =
     cmpVal(oid, a, b) < 0
 
-  /** WHERE predicates from up to two (col, op, literal) triples —
-    * evaluated against the FULL row (the filter column need not be
-    * projected); SQL semantics: NULL never satisfies a comparison. */
+  /** WHERE predicates from (col, op, literal) triples — evaluated
+    * against the FULL row (the filter column need not be projected);
+    * SQL semantics: NULL never satisfies a comparison. */
   private def predFilter(t: Table,
       triples: Seq[(String, String, String)]): Array[String] => Boolean = {
     val preds = triples.collect { case (c, op, lit) if c != null =>
@@ -609,14 +625,12 @@ final class PgLiteEngine {
                           tx: PgTx): Result = {
     val (t, cols, proj) = selectShape(m, tx)
     t.synchronized {
-      val keep = predFilter(t, Seq(
-        (m.group(3), m.group(4), m.group(5)),
-        (m.group(6), m.group(7), m.group(8))))
+      val keep = predFilter(t, parseWhere(m.group(3)))
       var rows = t.rows.toSeq.iterator
         .filter(keep).map(r => proj.map(r(_)).toArray).toSeq
-      val limit = Option(m.group(12)).map(_.toInt)
-      val desc = m.group(10) != null && m.group(10).equalsIgnoreCase("DESC")
-      Option(m.group(9)).map(_.toLowerCase) match {
+      val limit = Option(m.group(7)).map(_.toInt)
+      val desc = m.group(5) != null && m.group(5).equalsIgnoreCase("DESC")
+      Option(m.group(4)).map(_.toLowerCase) match {
         case Some(ob) =>
           val oi = cols.indexWhere(_.name == ob)
           if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
@@ -626,7 +640,7 @@ final class PgLiteEngine {
           // NULLs are placed, never fed to numeric/String comparison.
           // Integer columns compare as Long (INT/BIGINT/SERIAL store
           // their canonical toString), decimals as BigDecimal.
-          val nullsFirst = Option(m.group(11)) match {
+          val nullsFirst = Option(m.group(6)) match {
             case Some(s) => s.equalsIgnoreCase("FIRST")
             case None => desc
           }
@@ -668,9 +682,7 @@ final class PgLiteEngine {
     * partitioned reader ships group-count rows per connection instead
     * of the table. */
   private val AggSelectRe =
-    ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" +
-      "(?:\\s+WHERE\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
-      "(?:\\s+AND\\s+([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+))?)?" +
+    ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" + WherePat +
       "(?:\\s+GROUP\\s+BY\\s+([\\w]+(?:\\s*,\\s*[\\w]+)*))?\\s*$").r
   private val AggItemRe =
     "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r
@@ -690,7 +702,7 @@ final class PgLiteEngine {
       if (i < 0) throw PgError("42703", s"column \"$c\" does not exist")
       i
     }
-    val groupCols: Option[Seq[Int]] = Option(m.group(9))
+    val groupCols: Option[Seq[Int]] = Option(m.group(4))
       .map(_.split(",").map(g => colIdx(g.trim)).toSeq)
     val items: Seq[(String, Int, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
       AggItemRe.findFirstMatchIn(raw.trim) match {
@@ -730,9 +742,7 @@ final class PgLiteEngine {
   private def aggSelect(sql: String, tx: PgTx): Result = {
     val (t, items, groupCols, m) = aggShape(sql, tx)
     t.synchronized {
-      val keep = predFilter(t, Seq(
-        (m.group(3), m.group(4), m.group(5)),
-        (m.group(6), m.group(7), m.group(8))))
+      val keep = predFilter(t, parseWhere(m.group(3)))
       // accumulate per group key — the outer Option is "has a GROUP
       // BY" (None = the single global group), the inner Seq holds one
       // value per grouping column (None = SQL NULL, which groups
@@ -788,7 +798,15 @@ final class PgLiteEngine {
               if (oid == 701) {
                 if (acc.seen(i)) acc.dsum(i).toString else null
               } else Option(acc.sum(i)).map { s =>
-                if (oidOf(c.pgType) == 20) s.toBigInt.toString
+                // BIGINT sum outputs emit a WRAPPED 64-bit value: a
+                // pushed sum(int) declares LongType on the Spark side,
+                // and Spark's own unpushed sum(int) wraps — printing
+                // the exact BigInt here would make the same query
+                // crash the reader's Long parse only when pushdown
+                // fired (ADVICE r16). mod-2^64 addition is
+                // associative, so wrapped per-range partials re-summed
+                // by Spark equal the globally wrapped total.
+                if (oidOf(c.pgType) == 20) s.toBigInt.longValue.toString
                 else s.bigDecimal.toPlainString
               }.orNull
             case _ => acc.mm(i)

@@ -259,8 +259,12 @@ object PgWire {
     val prefix = s"${lc}__stage_"
     val exact = ("^" + java.util.regex.Pattern.quote(lc) +
       "__stage_(?:e\\d+_)?p\\d+_[at]\\d+$").r
+    // table_schema rides the WHERE too (the engine grammar takes N
+    // ANDed predicates since r17), so a same-named stage in another
+    // schema never even produces a DROP round trip (ADVICE r16)
     c.query("SELECT table_name FROM information_schema.tables " +
-        s"WHERE table_name >= '$prefix' AND table_name < '$prefix~'")
+        s"WHERE table_schema = '${schemaName.toLowerCase}' " +
+        s"AND table_name >= '$prefix' AND table_name < '$prefix~'")
       .rows.flatMap(_.head)
       .filter(nm => exact.findFirstIn(nm).isDefined)
       .foreach(nm => c.query(s"DROP TABLE IF EXISTS $schemaName.$nm"))

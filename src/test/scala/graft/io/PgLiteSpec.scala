@@ -397,6 +397,50 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "take any number of ANDed WHERE predicates and wrap BIGINT sums" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (k INTEGER, g TEXT, n INTEGER, big BIGINT)")
+      (1 to 10).foreach(i => c.query("INSERT INTO t (k, g, n, big) VALUES " +
+        s"($i, '${if (i % 2 == 0) "even" else "odd"}', ${i * 10}, 0)"))
+      // THREE conjunctions on a plain select: a key range (what a
+      // partitioned reader ships) PLUS a pushed user filter (r17 —
+      // the two-slot grammar forced the DSv2 source to decline all
+      // filters on partitioned scans)
+      c.query("SELECT k FROM t WHERE k >= 3 AND k < 9 AND g = 'even'")
+        .rows.map(_.head.get) shouldBe Seq("4", "6", "8")
+      // four conjunctions, mixing ops and columns
+      c.query("SELECT k FROM t " +
+          "WHERE k >= 1 AND k <= 10 AND n > 25 AND g = 'odd'")
+        .rows.map(_.head.get) shouldBe Seq("3", "5", "7", "9")
+      // the aggregate path takes the same N-conjunction WHERE
+      c.query("SELECT count(*), sum(n) FROM t " +
+          "WHERE k >= 2 AND k < 10 AND g = 'even'")
+        .rows.map(_.map(_.get)) shouldBe Seq(Seq("4", "200"))
+      // sum(BIGINT) outputs NUMERIC (like real PG): exact, never
+      // wrapped — the DSv2 pushdown declares DecimalType(38,0) for it
+      c.query(s"INSERT INTO t (k, g, n, big) VALUES " +
+        s"(11, 'x', 0, ${Long.MaxValue})")
+      c.query(s"INSERT INTO t (k, g, n, big) VALUES (12, 'x', 0, 1)")
+      c.query("SELECT sum(big) FROM t WHERE g = 'x'")
+        .rows.head.head.get shouldBe "9223372036854775808"
+      // sum(INTEGER) outputs BIGINT, which WRAPS at 64 bits (ADVICE
+      // r16): the pushed scan declares LongType and Spark's own
+      // unpushed sum(int) wraps — pushdown must not turn the same
+      // query's success into a Long-parse crash. The engine stores
+      // text and doesn't range-check int4, so oversized cells stand
+      // in for the 2^33 rows a real wrap would need.
+      c.query("CREATE TABLE ti (v INTEGER)")
+      c.query(s"INSERT INTO ti (v) VALUES (${Long.MaxValue})")
+      c.query("INSERT INTO ti (v) VALUES (1)")
+      c.query("SELECT sum(v) FROM ti").rows.head.head.get shouldBe
+        Long.MinValue.toString
+      c.close()
+    } finally server.stop()
+  }
+
   it should "order and aggregate float8 NaN/Infinity like PG and Spark (NaN greatest)" in {
     val (server, engine) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
