@@ -28,13 +28,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - COLUMN PRUNING reaches the wire: the per-partition SELECT names
   *    only the required columns, so unprojected columns never leave
   *    the server;
-  *  - FILTER PUSHDOWN: up to two `>=`/`>`/`<=`/`<`/`=` predicates
-  *    (the engine's WHERE grammar; `=` serves point lookups) evaluate
-  *    server-side, and a pushed comparison subsumes Spark's
-  *    auto-generated IsNotNull on the same column; everything else
-  *    stays a Spark-side residual. With `partitionColumn` set, the
-  *    two WHERE slots belong to the range scan and no filters are
-  *    accepted.
+  *  - FILTER PUSHDOWN: any number of ANDed `>=`/`>`/`<=`/`<`/`=`
+  *    predicates (the engine's WHERE grammar takes N conjunctions
+  *    since r17; `=` serves point lookups) evaluate server-side, and
+  *    a pushed comparison subsumes Spark's auto-generated IsNotNull
+  *    on the same column; everything else stays a Spark-side
+  *    residual. With `partitionColumn` set, pushed filters AND onto
+  *    each partition's key-range bounds — a filtered read of a big
+  *    partitioned table filters server-side instead of shipping
+  *    whole ranges.
   *  - LIMIT / TOP-N PUSHDOWN: `df.orderBy(c).limit(n)` (one sort
   *    column) renders `ORDER BY c dir NULLS place LIMIT n` into every
   *    per-partition SELECT — the engine serves it from a bounded
@@ -512,9 +514,11 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
   }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // with a partitioned scan the engine's two predicate slots carry
-    // the key range — every filter stays a Spark-side residual
-    if (partCol.isDefined) return filters
+    // the engine's WHERE grammar takes N ANDed predicates (r17 —
+    // previously two fixed slots, which a partitioned scan's key range
+    // consumed whole, so the COMMON shape — a filtered read of a big
+    // partitioned table — shipped entire ranges): every supported
+    // comparison pushes, alongside the range bounds when partitioned
     def pushable(a: String, v: Any): Boolean =
       full.fieldNames.contains(a) && lit(v).isDefined
     val (cmp, rest) = filters.partition {
@@ -525,9 +529,7 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case EqualTo(a, v) => pushable(a, v)
       case _ => false
     }
-    // engine grammar: at most two ANDed predicates
-    val taken = cmp.take(2)
-    val cmpCols = taken.collect {
+    val cmpCols = cmp.collect {
       case GreaterThanOrEqual(a, _) => a
       case GreaterThan(a, _) => a
       case LessThanOrEqual(a, _) => a
@@ -542,8 +544,8 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case IsNotNull(a) => cmpCols.contains(a)
       case _ => false
     }
-    pushed = taken ++ absorbed
-    residual ++ cmp.drop(2)
+    pushed = cmp ++ absorbed
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -614,7 +616,10 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
     case None => Array(PgLitePartition(where))
     case Some(k) =>
       // the SAME bounds-probe + half-open split as
-      // PgWire.readDistributed — shared helpers, not a copy
+      // PgWire.readDistributed — shared helpers, not a copy. Pushed
+      // user filters AND onto each range (the engine WHERE takes N
+      // conjunctions since r17), so a filtered partitioned read
+      // evaluates the filter server-side instead of shipping ranges.
       val c = conn.open()
       val bounds = try PgWire.probeBounds(c, table, k) finally c.close()
       bounds match {
@@ -622,11 +627,12 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
         // global aggregate must still produce its one count=0 partial
         // row per SQL (zero partitions would make Spark's final Sum
         // over the partial counts return NULL instead of 0)
-        case None => Array(PgLitePartition(None))
+        case None => Array(PgLitePartition(where))
         case Some((lo, hi)) =>
           PgWire.splitRanges(lo, hi, numParts)
             .map { case (a, b) =>
-              PgLitePartition(Some(s"$k >= $a AND $k < $b"))
+              PgLitePartition(Some(
+                (s"$k >= $a AND $k < $b" +: where.toSeq).mkString(" AND ")))
             }.toArray[InputPartition]
       }
   }

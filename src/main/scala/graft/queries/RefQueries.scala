@@ -680,6 +680,49 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 FILTER-pushdown-on-a-PARTITIONED-scan gate (round-17,
+    * VERDICT r16 task 4): the COMMON big-table shape — a filtered read
+    * of a range-partitioned wire table. The engine's WHERE grammar
+    * takes N ANDed predicates since r17, so the pushed user comparison
+    * rides ALONGSIDE each partition's key-range bounds and evaluates
+    * server-side: only matching rows cross the wire, per range. The
+    * gate REQUIRES the pushdown structurally (a regressed plan that
+    * ships whole ranges and re-filters in Spark fails even if values
+    * match) and the oracle replays clean rules + filter on the parquet
+    * source: a row wrongly filtered at a range seam breaks the hash. */
+  def pgDsv2Filter(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_f"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_f",
+        numPartitions = 8)
+      val filtered = s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_f")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        .filter(col("c_mktsegment") === "building")
+      val plan = filtered.queryExecution.executedPlan.toString
+      require(plan.contains("where=[c_mktsegment = 'building']") &&
+          plan.contains("rangeOn=[c_custkey"),
+        s"DSv2 filter pushdown on a partitioned scan regressed — " +
+          s"ranges ship unfiltered:\n$plan")
+      // EAGER: the scan must run while the endpoint is alive — the
+      // enclosing finally stops the server before any later action
+      filtered.checkpointLinted().orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** DSv2 AGGREGATE pushdown gate (round-16, [[graft.io.pg
     * .PgLiteDataSource]]): `groupBy(segment).agg(count/sum/min/max)`
     * over the range-partitioned wire scan renders
@@ -896,6 +939,7 @@ object RefQueries {
     "ref_pg_dsv2_write" -> (pgDsv2Write _),
     "ref_pg_dsv2_topn" -> (pgDsv2TopN _),
     "ref_pg_dsv2_agg" -> (pgDsv2Agg _),
+    "ref_pg_dsv2_filter" -> (pgDsv2Filter _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
@@ -979,6 +1023,16 @@ object RefQueries {
            min(c_custkey) AS min_key,
            max(c_custkey) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // the FILTERED partitioned read: the pushed comparison evaluates
+    // server-side inside every key range — the oracle replays clean
+    // rules + the filter on the parquet source
+    "ref_pg_dsv2_filter" ->
+      """SELECT c_custkey,
+           coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+           coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer
+         WHERE coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') = 'building'
+         ORDER BY c_custkey""",
     // the DSv2 face of the distributed scan: server-inferred schema +
     // range-partitioned read — same clean-rules oracle as its sibling
     "ref_pg_dsv2_scan" ->
