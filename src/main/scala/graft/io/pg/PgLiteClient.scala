@@ -29,7 +29,21 @@ final class PgLiteClient(host: String, port: Int,
                                typeMods: Seq[Int] = Nil)
 
   private val sock = new Socket(host, port)
-  private val in = new DataInputStream(sock.getInputStream)
+  // byte-counting tap under the message reader: [[bytesRead]] lets a
+  // spec PROVE the streaming read path is incremental (after pulling
+  // one row of a large result, only ~one frame's bytes have left the
+  // socket) instead of trusting the iterator shape
+  @volatile private var inBytes = 0L
+  private val in = new DataInputStream(
+    new java.io.FilterInputStream(sock.getInputStream) {
+      override def read(): Int = {
+        val b = super.read(); if (b >= 0) inBytes += 1; b
+      }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        val n = super.read(b, off, len); if (n > 0) inBytes += n; n
+      }
+    })
+  private[io] def bytesRead: Long = inBytes
   private val out = new DataOutputStream(sock.getOutputStream)
 
   /** Full connection handshake; `negotiateSsl` first sends an
@@ -88,15 +102,7 @@ final class PgLiteClient(host: String, port: Int,
           val (cs, os, ms) = parseRowDescription(payload)
           cols = cs; oids = os; mods = ms
         case 'D' =>
-          val n = readShort(payload, 0)
-          var off = 2
-          val r = mutable.ArrayBuffer[Option[String]]()
-          (0 until n).foreach { _ =>
-            val len = readInt(payload, off); off += 4
-            if (len < 0) r += None
-            else { r += Some(new String(payload, off, len, UTF_8)); off += len }
-          }
-          rows += r.toSeq
+          rows += parseDataRow(payload)
         case 'C' =>
           tags += new String(payload, 0, payload.length - 1, UTF_8)
         case 'E' => err = parseError(payload)
@@ -124,6 +130,93 @@ final class PgLiteClient(host: String, port: Int,
     }
     if (err != null) throw err
     QueryResult(cols, oids, rows.toSeq, tags.toSeq, mods)
+  }
+
+  /** One DataRow payload → cells (None = SQL NULL). */
+  private def parseDataRow(payload: Array[Byte]): Seq[Option[String]] = {
+    val n = readShort(payload, 0)
+    var off = 2
+    val r = mutable.ArrayBuffer[Option[String]]()
+    (0 until n).foreach { _ =>
+      val len = readInt(payload, off); off += 4
+      if (len < 0) r += None
+      else { r += Some(new String(payload, off, len, UTF_8)); off += len }
+    }
+    r.toSeq
+  }
+
+  /** STREAMING simple-query: DataRow frames are read off the socket
+    * ONE MESSAGE PER PULL — the posture a real driver's fetchSize
+    * cursor has — so however large the result, the client holds one
+    * row at a time (VERDICT r16 task 2: the buffered [[query]] gave a
+    * distributed wire scan per-task memory ∝ its key range; this is
+    * the read twin of [[copyIn]]'s constant-memory batches). The
+    * connection is DEDICATED to the stream until exhaustion (the
+    * terminating ReadyForQuery is consumed by the last hasNext);
+    * abandoning a stream mid-way requires [[close]] — the socket
+    * teardown is the resync. A server error mid-stream resyncs to
+    * ReadyForQuery and throws from hasNext; rows already delivered
+    * stand, exactly like a real cursor. Statement surface: row-set
+    * statements only (COPY responses abort like [[query]]). */
+  def queryStream(sql: String): RowStream = {
+    val b = sql.getBytes(UTF_8)
+    out.writeByte('Q'); out.writeInt(4 + b.length + 1)
+    out.write(b); out.writeByte(0); out.flush()
+    new RowStream()
+  }
+
+  /** Lazy row iterator over an in-flight simple-query response —
+    * see [[queryStream]]. `columns`/`typeOids` are populated once the
+    * RowDescription arrives (the constructor pumps until the first
+    * row, the terminal ReadyForQuery, or an error — so an up-front
+    * failure like 42P01 throws at [[queryStream]], not mid-scan). */
+  final class RowStream private[PgLiteClient] () extends Iterator[Seq[Option[String]]] {
+    var columns: Seq[String] = Nil
+    var typeOids: Seq[Int] = Nil
+    private var nextRow: Seq[Option[String]] = null
+    private var done = false
+    private var err: PgServerError = null
+    pump()
+
+    /** Advance message by message until a row is buffered or the
+      * statement terminates — never more than one row in memory. */
+    private def pump(): Unit = {
+      while (nextRow == null && !done) {
+        val (tpe, payload) = readMessage()
+        tpe match {
+          case 'T' =>
+            val (cs, os, _) = parseRowDescription(payload)
+            columns = cs; typeOids = os
+          case 'D' => nextRow = parseDataRow(payload)
+          case 'C' | 'I' | 'N' | 'S' => ()
+          case 'E' => err = parseError(payload)
+          case 'Z' =>
+            done = true
+            if (err != null) throw err
+          case 'G' =>
+            val reason = "COPY FROM STDIN requires copyIn()".getBytes(UTF_8)
+            out.writeByte('f'); out.writeInt(4 + reason.length + 1)
+            out.write(reason); out.writeByte(0); out.flush()
+            drainToReady()
+            done = true
+            throw new IllegalStateException(
+              "queryStream(): statement is COPY ... FROM STDIN — use copyIn()")
+          case 'H' =>
+            drainToReady()
+            done = true
+            throw new IllegalStateException(
+              "queryStream(): statement is COPY ... TO STDOUT — use copyOut()")
+          case other =>
+            throw new IllegalStateException(s"queryStream: unexpected '$other'")
+        }
+      }
+    }
+
+    override def hasNext: Boolean = { pump(); nextRow != null }
+    override def next(): Seq[Option[String]] = {
+      if (!hasNext) throw new NoSuchElementException("row stream exhausted")
+      val r = nextRow; nextRow = null; r
+    }
   }
 
   /** RowDescription → (names, type oids, typmods). Field layout per
@@ -249,7 +342,8 @@ final class PgLiteClient(host: String, port: Int,
     * materializes here) — the protocol-fidelity posture, for
     * dimension-class tables and gate read-backs. The corpus-scale
     * read path is [[PgWire.readDistributed]] / the `pglite` DSv2
-    * source: per-key-range connections, per-task memory ∝ range. */
+    * source: per-key-range connections over streaming row iterators
+    * ([[queryStream]]), per-task memory one row. */
   def copyOut(sql: String): Seq[Seq[Option[String]]] = {
     val payload = copyOutRaw(sql, expectBinary = false)
     PgTextCopy.splitLines(new String(payload, UTF_8))
@@ -453,7 +547,11 @@ final class PgLiteClient(host: String, port: Int,
     }
   }
 
-  def close(): Unit = {
+  /** Idempotent: the streaming read path closes both on exhaustion
+    * and from a task-completion listener, whichever fires first. */
+  @volatile private var closed = false
+  def close(): Unit = if (!closed) {
+    closed = true
     try { out.writeByte('X'); out.writeInt(4); out.flush() }
     finally sock.close()
   }

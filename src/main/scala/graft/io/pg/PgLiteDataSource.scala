@@ -657,11 +657,13 @@ private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
       private val sel = aggSelect.getOrElse(
         if (required.isEmpty) "*" else required.fieldNames.mkString(", "))
       private val client = conn.open()
-      private val it = // rows fully framed; socket closed in close()
-        try client.query(s"SELECT $sel FROM $table" +
+      private val it = // STREAMING (r17): one DataRow decodes per
+        // next() — per-task memory is one row, not the range; the
+        // socket closes in close(), which Spark always calls
+        try client.queryStream(s"SELECT $sel FROM $table" +
             part.where.map(w => s" WHERE $w").getOrElse("") +
             groupBy.map(g => s" GROUP BY $g").getOrElse("") +
-            tail.map(t => s" $t").getOrElse("")).rows.iterator
+            tail.map(t => s" $t").getOrElse(""))
         catch { case e: Throwable => client.close(); throw e }
       private var current: Seq[Option[String]] = _
       override def next(): Boolean = {

@@ -135,7 +135,9 @@ object PgWire {
     * the server's bounded heap), splits `[min, max]` into
     * `numPartitions` half-open ranges, and each Spark task opens its
     * own wire connection and scans `WHERE key >= lo AND key < hi` —
-    * per-task memory ∝ its range, nothing table-sized on the driver.
+    * through a STREAMING row iterator — per-task memory is ONE ROW
+    * (r17; previously the whole range framed in executor heap),
+    * nothing table-sized on the driver.
     * `keyCol` must be an INTEGER/BIGINT column of `schema`; skewed key
     * spaces get skewed partitions, exactly like the JDBC source —
     * repartition downstream if that matters. */
@@ -164,15 +166,31 @@ object PgWire {
           .flatMap { case (a, b) =>
             val c = new PgLiteClient(host, port)
             c.connect()
-            try {
-              c.query(s"SELECT $colList FROM $table " +
-                  s"WHERE $keyCol >= $a AND $keyCol < $b")
-                .rows.map { r =>
-                  Row.fromSeq(r.zip(fields).map { case (v, f) =>
-                    v.map(parseWire(_, f.dataType)).orNull
-                  })
-                }
-            } finally c.close()
+            // STREAMING read (r17, VERDICT r16 task 2): DataRow frames
+            // decode one message per pull — per-task memory is one
+            // row, not the range (the posture copyIn's batches have on
+            // the write side). The connection closes on exhaustion;
+            // the completion listener covers a task cut short (limit,
+            // failure) — close() is idempotent.
+            Option(org.apache.spark.TaskContext.get())
+              .foreach(_.addTaskCompletionListener[Unit](_ => c.close()))
+            val stream =
+              try c.queryStream(s"SELECT $colList FROM $table " +
+                s"WHERE $keyCol >= $a AND $keyCol < $b")
+              catch { case e: Throwable => c.close(); throw e }
+            new Iterator[Row] {
+              override def hasNext: Boolean = {
+                val h = stream.hasNext
+                if (!h) c.close()
+                h
+              }
+              override def next(): Row = {
+                val r = stream.next()
+                Row.fromSeq(r.zip(fields).map { case (v, f) =>
+                  v.map(parseWire(_, f.dataType)).orNull
+                })
+              }
+            }
           }
         spark.createDataFrame(rdd, schema)
     }

@@ -397,6 +397,39 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "stream query rows incrementally off the socket (bounded buffering)" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    val c2 = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect(); c2.connect()
+      c.query("CREATE TABLE big (k INTEGER, pad TEXT)")
+      val rows = (1 to 5000).map(i => Seq(Some(i.toString), Some("x" * 64)))
+      c.copyIn("COPY big (k, pad) FROM STDIN", rows)
+      val before = c2.bytesRead
+      val st = c2.queryStream("SELECT k, pad FROM big")
+      st.columns shouldBe Seq("k", "pad")
+      val first = st.next()
+      first.head shouldBe Some("1") // heap order = insertion order
+      // BOUNDED: after one row, only the RowDescription + one DataRow
+      // have left the socket — not the ~350 KB the whole result
+      // carries. This is the r16-verdict fetchSize-cursor posture,
+      // proven on the byte counter rather than trusted from the shape.
+      (c2.bytesRead - before) should be < 4096L
+      // the remainder streams to completion and equals the buffered
+      // query() of a second connection, row for row
+      val all = first +: st.toSeq
+      all.length shouldBe 5000
+      (c2.bytesRead - before) should be > (5000L * 64)
+      all shouldBe c.query("SELECT k, pad FROM big").rows
+      // an up-front error throws AT queryStream() (the constructor
+      // pumps to the first row), and the connection stays usable
+      intercept[c2.PgServerError](
+        c2.queryStream("SELECT k FROM missing")).code shouldBe "42P01"
+      c2.query("SELECT count(*) FROM big").rows.head.head.get shouldBe "5000"
+    } finally { c.close(); c2.close(); server.stop() }
+  }
+
   it should "take any number of ANDed WHERE predicates and wrap BIGINT sums" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
