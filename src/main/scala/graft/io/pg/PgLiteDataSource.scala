@@ -59,10 +59,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    scans; sums are exact server-side (decimal arithmetic over the
   *    text cells) and surface as Spark's widest lossless type.
   *
+  *  - STATISTICS: the scan reports a server-probed row count (under
+  *    the pushed WHERE) and a derived byte size to Spark's CBO, so
+  *    join-side broadcast decisions on wire tables ride real
+  *    cardinality instead of the sizeInBytes default.
+  *
   * Options: `host`, `port`, `table` (schema-qualified) required;
-  * `partitionColumn` (an integer-typed, non-null column — the PK) +
-  * `numPartitions` (default 8) switch the scan from one connection to
-  * one per key range, planned exactly like [[PgWire.readDistributed]].
+  * `partitionColumn` (an integer-typed, NON-NULL column — the PK;
+  * planning fails fast on NULL keys, which a range scan would
+  * silently hide) + `numPartitions` (default 8, the FLOOR) switch the
+  * scan from one connection to one per key range, planned exactly
+  * like [[PgWire.readDistributed]]: the actual partition count grows
+  * with a server-side row census toward `rowsPerPartition`
+  * (default 100000) rows per task, capped at 4096 — 100× the data is
+  * ~100× the tasks, not 100× the per-task work.
   * The endpoint is in-JVM so executors reach it over loopback; against
   * a real PostgreSQL the same shape holds per host:port.
   *
@@ -94,7 +104,8 @@ class PgLiteDataSource extends TableProvider with DataSourceRegister {
     val opts = new CaseInsensitiveStringMap(properties)
     new PgLiteTable(PgLiteConn(opts), tableOf(opts), schema,
       Option(opts.get("partitionColumn")),
-      Option(opts.get("numPartitions")).map(_.toInt).getOrElse(8))
+      Option(opts.get("numPartitions")).map(_.toInt).getOrElse(8),
+      Option(opts.get("rowsPerPartition")).map(_.toLong).getOrElse(100000L))
   }
 }
 
@@ -172,7 +183,8 @@ private[pg] object PgLiteDataSource {
 
 private class PgLiteTable(conn: PgLiteConn, table: String,
                           tableSchema: StructType,
-                          partCol: Option[String], numParts: Int)
+                          partCol: Option[String], numParts: Int,
+                          rowsPerPart: Long)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"pglite:$table"
   override def schema(): StructType = tableSchema
@@ -180,7 +192,8 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts)
+    new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts,
+      rowsPerPart)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -398,7 +411,8 @@ private class PgLiteDataWriter(conn: PgLiteConn, schemaName: String,
 
 private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
                                 full: StructType,
-                                partCol: Option[String], numParts: Int)
+                                partCol: Option[String], numParts: Int,
+                                rowsPerPart: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -587,11 +601,12 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       // threading tailOf here would wire an unreachable-but-crashing
       // statement shape
       new PgLiteScan(conn, table, full, schema, whereOf(pushed),
-        tail = None, partCol, numParts,
+        tail = None, partCol, numParts, rowsPerPart,
         aggSelect = Some(sel), groupBy = group)
     case None =>
       new PgLiteScan(conn, table, full, required, whereOf(pushed),
-        tailOf, partCol, numParts, aggSelect = None, groupBy = None)
+        tailOf, partCol, numParts, rowsPerPart,
+        aggSelect = None, groupBy = None)
   }
 }
 
@@ -599,10 +614,32 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
                          full: StructType, required: StructType,
                          where: Option[String], tail: Option[String],
                          partCol: Option[String], numParts: Int,
+                         rowsPerPart: Long,
                          aggSelect: Option[String], groupBy: Option[String])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Server-side row-count statistics (r17 stretch, VERDICT r16 task
+    * 8): one aggregate round trip under the PUSHED where, so Spark's
+    * CBO sees the filtered cardinality of the wire table — broadcast
+    * decisions stop riding the sizeInBytes default. Lazy + cached: the
+    * probe runs once per planned scan, only when the planner asks. */
+  private lazy val probedStats: Statistics = {
+    val c = conn.open()
+    val n =
+      try c.query(s"SELECT count(*) AS n FROM $table" +
+        where.map(w => s" WHERE $w").getOrElse("")).rows.head.head.get.toLong
+      finally c.close()
+    val rowBytes = required.fields.map(_.dataType.defaultSize).sum
+      .max(1).toLong
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong =
+        util.OptionalLong.of(n * rowBytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    }
+  }
+  override def estimateStatistics(): Statistics = probedStats
   // surfaced in .explain so pruning/pushdown are ASSERTABLE, the same
   // way parquet shows ReadSchema/PushedFilters
   override def description(): String =
@@ -615,21 +652,26 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   override def planInputPartitions(): Array[InputPartition] = partCol match {
     case None => Array(PgLitePartition(where))
     case Some(k) =>
-      // the SAME bounds-probe + half-open split as
+      // the SAME census-probe + half-open split as
       // PgWire.readDistributed — shared helpers, not a copy. Pushed
       // user filters AND onto each range (the engine WHERE takes N
       // conjunctions since r17), so a filtered partitioned read
       // evaluates the filter server-side instead of shipping ranges.
+      // NULL partition keys fail planning fast (ADVICE r16); the
+      // partition count scales with the table toward rowsPerPart
+      // rows/task, never below numParts (r17).
       val c = conn.open()
-      val bounds = try PgWire.probeBounds(c, table, k) finally c.close()
-      bounds match {
+      val st = try PgWire.probeScanStats(c, table, k) finally c.close()
+      PgWire.requireKeysNonNull(st, table, k)
+      st.bounds match {
         // empty table: ONE full-table partition, not zero — a pushed
         // global aggregate must still produce its one count=0 partial
         // row per SQL (zero partitions would make Spark's final Sum
         // over the partial counts return NULL instead of 0)
         case None => Array(PgLitePartition(where))
         case Some((lo, hi)) =>
-          PgWire.splitRanges(lo, hi, numParts)
+          PgWire.splitRanges(lo, hi,
+              PgWire.adaptivePartitions(st.keyRows, numParts, rowsPerPart))
             .map { case (a, b) =>
               PgLitePartition(Some(
                 (s"$k >= $a AND $k < $b" +: where.toSeq).mkString(" AND ")))

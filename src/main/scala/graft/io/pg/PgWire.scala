@@ -138,28 +138,38 @@ object PgWire {
     * through a STREAMING row iterator — per-task memory is ONE ROW
     * (r17; previously the whole range framed in executor heap),
     * nothing table-sized on the driver.
-    * `keyCol` must be an INTEGER/BIGINT column of `schema`; skewed key
-    * spaces get skewed partitions, exactly like the JDBC source —
-    * repartition downstream if that matters. */
+    * `keyCol` must be an INTEGER/BIGINT NON-NULL column of `schema`
+    * (planning fails fast on NULL keys — a range scan would silently
+    * hide them); skewed key spaces get skewed partitions, exactly like
+    * the JDBC source — repartition downstream if that matters.
+    *
+    * `numPartitions` is the FLOOR: the actual partition count derives
+    * from a one-round-trip server-side census targeting
+    * `rowsPerPartition` rows per task (r17 — a constant count meant
+    * 100× data was 100× per-task work), capped at 4096. Small tables
+    * keep their plan. */
   def readDistributed(spark: org.apache.spark.sql.SparkSession,
                       host: String, port: Int, table: String,
                       schema: org.apache.spark.sql.types.StructType,
                       keyCol: String,
-                      numPartitions: Int = 8): DataFrame = {
+                      numPartitions: Int = 8,
+                      rowsPerPartition: Long = 100000L): DataFrame = {
     val cols = schema.fieldNames.toSeq
     require(cols.contains(keyCol), s"keyCol $keyCol not in schema")
     val colList = cols.mkString(", ")
-    val bounds = {
+    val st = {
       val c = new PgLiteClient(host, port)
       c.connect()
-      try probeBounds(c, table, keyCol) finally c.close()
+      try probeScanStats(c, table, keyCol) finally c.close()
     }
+    requireKeysNonNull(st, table, keyCol)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
-    bounds match {
+    st.bounds match {
       case None => empty
       case Some((lo, hi)) =>
-        val ranges = splitRanges(lo, hi, numPartitions)
+        val ranges = splitRanges(lo, hi,
+          adaptivePartitions(st.keyRows, numPartitions, rowsPerPartition))
         val fields = schema.fields
         val rdd = spark.sparkContext
           .parallelize(ranges, ranges.length)
@@ -222,6 +232,45 @@ object PgWire {
           .rows.head.head.get.toLong
         (lo, hi)
       }
+
+  /** Planning census for a ranged wire scan, ONE server-side aggregate
+    * round trip (the same statement shape the DSv2 aggregate pushdown
+    * emits — one row crosses the wire): total rows, non-null key rows,
+    * and the key bounds. Replaces [[probeBounds]]' two probes where the
+    * row count is needed anyway (r17: partition count scales with the
+    * table instead of a constant 8). */
+  final case class ScanStats(rows: Long, keyRows: Long,
+                             bounds: Option[(Long, Long)])
+  private[pg] def probeScanStats(c: PgLiteClient, table: String,
+                                 keyCol: String): ScanStats = {
+    val r = c.query(s"SELECT count(*) AS n, count($keyCol) AS nk, " +
+      s"min($keyCol) AS lo, max($keyCol) AS hi FROM $table").rows.head
+    ScanStats(r(0).get.toLong, r(1).get.toLong,
+      r(2).map(lo => (lo.toLong, r(3).get.toLong)))
+  }
+
+  /** Rows with a NULL partition key are INVISIBLE to a range scan
+    * (SQL: NULL satisfies no comparison) — silently returning a
+    * partial table is the one wrong answer a scan must never give, so
+    * planning fails fast instead (ADVICE r16: previously an all-null
+    * key yielded a full-table partition that DID see them, while one
+    * non-null key hid them — inconsistent visibility). */
+  private[pg] def requireKeysNonNull(st: ScanStats, table: String,
+                                     keyCol: String): Unit =
+    require(st.keyRows == st.rows,
+      s"$table.$keyCol carries ${st.rows - st.keyRows} NULL rows — a " +
+        "range-partitioned scan would silently hide them; scan with a " +
+        "non-null (PK) partition column")
+
+  /** Partition count for `rows` at `rowsPerPartition` per task, never
+    * below the caller's floor (small tables keep their plan) and never
+    * above 4096 (task-count sanity at any scale). */
+  private[io] def adaptivePartitions(rows: Long, floor: Int,
+                                     rowsPerPartition: Long): Int = {
+    require(rowsPerPartition > 0, "rowsPerPartition must be positive")
+    val adaptive = (rows + rowsPerPartition - 1) / rowsPerPartition
+    math.min(math.max(floor.toLong, adaptive), 4096L).toInt
+  }
 
   /** Half-open key ranges covering [lo, hi] in ≤ numPartitions
     * near-even slices (never an empty slice). */

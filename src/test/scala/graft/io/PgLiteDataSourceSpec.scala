@@ -140,6 +140,42 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "scale the partition count with the table, fail fast on NULL keys, report stats" in {
+    val (server, data) = fixture()
+    try {
+      // 60 rows at 10 rows/task → 6 partitions (floor 4 beaten)
+      val adp = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .option("rowsPerPartition", "10")
+        .load()
+      adp.rdd.getNumPartitions shouldBe 6
+      adp.count() shouldBe data.length.toLong
+      // server-probed statistics reach Spark's CBO: the scan relation
+      // reports the real row count, not the sizeInBytes default
+      val rel = adp.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      rel.computeStats().rowCount shouldBe Some(BigInt(60))
+      // under a pushed filter the probe counts the FILTERED cardinality
+      val filtered = read(server).load().filter(col("k") <= 19L)
+      val frel = filtered.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+      frel.computeStats().rowCount shouldBe
+        Some(BigInt(data.count(_.getLong(0) <= 19L)))
+      // a NULL partition key would be invisible to the ranged scan:
+      // planning fails fast (ADVICE r16) instead of hiding rows
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try c.query("INSERT INTO ds.t (k, s) VALUES (NULL, 'null-key')")
+      finally c.close()
+      val e = intercept[Exception] {
+        read(server).option("partitionColumn", "k").load().count()
+      }
+      e.getMessage should include("NULL")
+    } finally server.stop()
+  }
+
   it should "push user filters ALONGSIDE the key range on a partitioned scan" in {
     val (server, data) = fixture()
     try {

@@ -165,4 +165,41 @@ class PgWireSpec extends SparkSpec {
         "rd.empty", schema2, "k").count() shouldBe 0L
     } finally server.stop()
   }
+
+  it should "scale the partition count with the table and fail fast on NULL keys" in {
+    val schema2 = StructType(Seq(StructField("k", LongType)))
+    val data: Seq[Row] = (1 to 60).map(i => Row(i.toLong))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2), schema2)
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA rd")
+      engine.execute("CREATE TABLE rd.adp (k BIGINT)")
+      PgWire.copyDistributed(df, "127.0.0.1", server.port, "rd.adp", 2)
+      // 60 rows at 10 rows/task → 6 partitions (floor 2 beaten)
+      val got = PgWire.readDistributed(spark, "127.0.0.1", server.port,
+        "rd.adp", schema2, "k", numPartitions = 2, rowsPerPartition = 10L)
+      got.rdd.getNumPartitions shouldBe 6
+      got.collect().map(_.getLong(0)).sorted shouldBe (1L to 60L).toArray
+      // small table at the default rows/task keeps the caller's floor
+      PgWire.readDistributed(spark, "127.0.0.1", server.port,
+        "rd.adp", schema2, "k", numPartitions = 4)
+        .rdd.getNumPartitions shouldBe 4
+      // a NULL key row would be INVISIBLE to the range scan: planning
+      // fails fast instead of silently returning a partial table
+      engine.execute("INSERT INTO rd.adp (k) VALUES (NULL)")
+      val e = intercept[IllegalArgumentException](
+        PgWire.readDistributed(spark, "127.0.0.1", server.port,
+          "rd.adp", schema2, "k"))
+      e.getMessage should include("NULL")
+    } finally server.stop()
+  }
+
+  it should "derive partition counts: floor for small tables, capped at 4096" in {
+    PgWire.adaptivePartitions(0L, 8, 100000L) shouldBe 8
+    PgWire.adaptivePartitions(800000L, 8, 100000L) shouldBe 8
+    PgWire.adaptivePartitions(800001L, 8, 100000L) shouldBe 9
+    PgWire.adaptivePartitions(15000000L, 8, 100000L) shouldBe 150
+    PgWire.adaptivePartitions(Long.MaxValue / 4, 8, 100000L) shouldBe 4096
+  }
 }
