@@ -140,9 +140,46 @@ final class PgLiteEngine {
     else if (up.startsWith("CREATE SCHEMA")) createSchema(sql, tx)
     else if (up.startsWith("CREATE TABLE")) createTable(sql, tx)
     else if (up.startsWith("INSERT INTO")) insert(sql, tx)
+    else if ("(?is)^SELECT\\s+SETVAL\\s*\\(".r.findFirstIn(sql).isDefined)
+      setval(sql, tx)
     else if (up.startsWith("SELECT")) select(sql, tx)
     else if (up.startsWith("DROP TABLE")) dropTable(sql, tx)
     else throw PgError("42601", s"unsupported statement: ${sql.take(60)}")
+  }
+
+  /** `SELECT setval('<table>_<col>_seq', v)` — the published PG idiom
+    * a production bulk load runs after COPYing rows WITH explicit
+    * serial ids (COPY never advances the sequence, so the next
+    * INSERT…RETURNING would collide without it). Semantics per PG:
+    * the next serial drawn is `v + 1`; NON-transactional (a rollback
+    * does not undo it), like the sequences themselves. The sequence
+    * name resolves against the catalog using PG's serial naming
+    * convention — table and column names may themselves contain '_',
+    * so every split point is tried, rightmost first. */
+  private def setval(sql: String, tx: PgTx): Result = {
+    val m = ("(?is)^SELECT\\s+setval\\s*\\(\\s*'([\\w.]+)'\\s*,\\s*" +
+      "(\\d+)\\s*\\)\\s*$").r.findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad setval: ${sql.take(60)}"))
+    val seq = m.group(1).toLowerCase
+    val v = m.group(2).toLong
+    if (!seq.endsWith("_seq"))
+      throw PgError("42P01", s"sequence \"$seq\" does not exist")
+    val base = seq.stripSuffix("_seq")
+    val t = base.zipWithIndex.collect { case ('_', i) =>
+        (base.substring(0, i), base.substring(i + 1))
+      }.reverseIterator.flatMap { case (tn, cn) =>
+        lookup(tn, tx).filter(_.cols.exists(c => c.serial && c.name == cn))
+      }.nextOption()
+      .getOrElse(throw PgError("42P01", s"sequence \"$seq\" does not exist"))
+    t.synchronized { t.nextSerial = v + 1 }
+    // write through to the base under a transaction overlay: sequence
+    // state is shared across sessions immediately, like real PG
+    if (tx != null && tx.active)
+      Option(tables.get(t.name)).foreach { b =>
+        b.synchronized { b.nextSerial = v + 1 }
+      }
+    Result(Seq(Col("setval", "BIGINT", serial = false, unique = false, None)),
+      Seq(Array(v.toString)), "SELECT 1")
   }
 
   // ---- transaction control -------------------------------------------------

@@ -24,16 +24,21 @@ import graft.io.pg.{PgLiteClient, PgWire}
   * whole read-back: any drift between DB-side and engine-side id
   * assignment breaks the gate.
   *
-  * Size classes (round-16): DIMS and the RETURNING-id head stay
-  * driver-side — that is the protocol-fidelity leg (the reference IS
-  * one psycopg2 process) and dims are small by construction. FACTS
-  * are input-sized, so [[writeFactDistributed]] ships them through
-  * [[PgWire.copyDistributedExactlyOnce]] (one wire connection per
-  * partition, staged + transactionally published) and verifies
-  * server-confirmed count PLUS a fully distributed cell-for-cell
-  * read-back comparison over [[PgWire.readDistributed]]'s per-range
-  * wire scans — no corpus-sized frame ever collects to the driver,
-  * and the whole fact round trip (not a sample) sits under the check.
+  * Size classes (r16 facts, r17 main): DIMS and the RETURNING-id
+  * heads stay driver-side — that is the protocol-fidelity leg (the
+  * reference IS one psycopg2 process) and dims are small by
+  * construction. The MAIN table is CORPUS-sized in the reference's
+  * star (gold.property: one row per input row after key-dedup, dag
+  * :430-447), so [[writeMainDistributed]] keeps only the k-row
+  * RETURNING probe on the driver and bulk-loads the remainder WITH
+  * explicit ids through [[PgWire.copyDistributedExactlyOnce]],
+  * continuing the sequence via setval. FACTS are input-sized, so
+  * [[writeFactDistributed]] ships them through the same exactly-once
+  * COPY. Both verify server-confirmed counts PLUS a fully distributed
+  * cell-for-cell read-back comparison over
+  * [[PgWire.readDistributed]]'s per-range wire scans — no
+  * corpus-sized frame ever collects to the driver, and the whole
+  * round trip (not a sample) sits under the check.
   */
 object PgGold {
 
@@ -118,6 +123,95 @@ object PgGold {
     * count and the sampled, ordered, typed head read-back. */
   final case class FactWrite(total: Long, head: DataFrame)
 
+  /** The MAIN table at the CORPUS size class (round-17, VERDICT r16
+    * task 1 — [[writeTable]]'s driver-side path is right for dims but
+    * the reference's main table, `gold.property` at dag :430-447, is
+    * one row per input row after key-dedup, so its main leg was a
+    * corpus-sized driver collect at 100×):
+    *
+    *  1. DDL with `idCol SERIAL PRIMARY KEY` + FKs, as [[writeTable]];
+    *  2. the k-row RETURNING PROBE — the first `returningProbe` rows
+    *     in engine-id order insert row-at-a-time with `INSERT …
+    *     RETURNING idCol`, each server-assigned id REQUIRED equal to
+    *     the engine's (the reference's id_mapping fidelity, dag :478;
+    *     the ONLY driver-side rows);
+    *  3. the REMAINDER bulk-loads WITH EXPLICIT ids through
+    *     [[PgWire.copyDistributedExactlyOnce]] — one wire connection
+    *     per partition, per-attempt stages, one-transaction publish;
+    *  4. `SELECT setval('<table>_<idCol>_seq', N)` — the published PG
+    *     idiom after an explicit-id bulk load (COPY never advances
+    *     the sequence), so the NEXT live insert continues at N+1
+    *     exactly as the all-server-assigned path would;
+    *  5. verification is FULLY distributed, the facts' discipline:
+    *     server-confirmed count plus signed-count multiset equality
+    *     over a [[PgWire.readDistributed]] re-scan of every row.
+    *
+    * Returns the DISTRIBUTED wire read-back frame (per-key-range
+    * connections, streaming rows) — nothing corpus-sized ever touches
+    * the driver on either direction. `df` must carry dense engine ids
+    * 1..N in `idCol`. The frame is lazy: consume it while the
+    * endpoint is alive. */
+  def writeMainDistributed(c: PgLiteClient, df: DataFrame,
+                           host: String, port: Int,
+                           schemaName: String, table: String, idCol: String,
+                           unique: Seq[String] = Nil,
+                           fks: Map[String, String] = Map.empty,
+                           returningProbe: Int = 3): DataFrame = {
+    val dataFields = df.schema.fields.filter(_.name != idCol).toSeq
+    val ddl = Sinks.createTableDdl(StructType(dataFields), schemaName, table,
+      serialPk = Some(idCol), unique = unique, foreignKeys = fks)
+    require(c.query(ddl).tags == Seq("CREATE TABLE"), s"DDL failed for $table")
+    val dataCols = dataFields.map(_.name)
+    val allCols = idCol +: dataCols
+    // probe + count + COPY + verification all consume the frame
+    val cached = df.persist()
+    try {
+      val total = cached.count()
+      // (2) the id_mapping probe — k rows, the only driver-side leg
+      val probe = textRows(
+        cached.orderBy(col(idCol)).limit(returningProbe), allCols)
+      probe.foreach { r =>
+        val vals = r.tail.zip(dataFields)
+          .map { case (v, f) => literal(v, f.dataType) }.mkString(", ")
+        val ret = c.query(s"INSERT INTO $schemaName.$table " +
+          s"(${dataCols.mkString(", ")}) VALUES ($vals) RETURNING $idCol")
+        require(ret.rows.head.head == r.head,
+          s"$table: SERIAL id ${ret.rows.head.head} != engine id ${r.head}")
+      }
+      val k = probe.length.toLong
+      // (3) the corpus-sized remainder, distributed and exactly-once,
+      // WITH explicit ids (dense 1..N, so id > k IS the remainder)
+      if (total > k) {
+        val rest = cached.filter(col(idCol) > k)
+          .select(allCols.map(col): _*)
+        val published = PgWire.copyDistributedExactlyOnce(
+          rest, host, port, s"$schemaName.$table")
+        require(published == total - k,
+          s"$table: published $published rows, expected ${total - k}")
+      }
+      // (4) sequence continuation past the explicit-id load
+      val sv = c.query(
+        s"SELECT setval('$schemaName.${table}_${idCol}_seq', $total)")
+      require(sv.rows.head.head.contains(total.toString),
+        s"$table: setval echoed ${sv.rows.head.head}, expected $total")
+      // (5) signed-count multiset equality over a full distributed
+      // re-scan — the facts' one-pass check (see writeFactDistributed)
+      val back = PgWire.readDistributed(df.sparkSession, host, port,
+        s"$schemaName.$table", df.schema, idCol)
+      val signed = cached.select(allCols.map(col): _*)
+        .withColumn("__sign", lit(1L))
+        .unionAll(back.select(allCols.map(col): _*)
+          .withColumn("__sign", lit(-1L)))
+      val mismatched = signed.groupBy(allCols.map(col): _*)
+        .agg(sum(col("__sign")).as("__d"))
+        .filter(col("__d") =!= 0L).count()
+      require(mismatched == 0L,
+        s"$table: wire read-back differs from the engine frame " +
+          s"($mismatched distinct rows with unbalanced counts)")
+      back
+    } finally { cached.unpersist(); () }
+  }
+
   /** A fact table (no surrogate id of its own), written at the FACT
     * size class (VERDICT r15 task 1): DDL on the driver connection,
     * rows through [[PgWire.copyDistributedExactlyOnce]] — one wire
@@ -184,10 +278,13 @@ object PgGold {
 
   /** The whole gold star through the wire, in FK dependency order:
     * dims (SERIAL + RETURNING + COPY, driver-side — dims are small by
-    * construction) → main (FK→dim keys) → facts (input-sized:
-    * DISTRIBUTED exactly-once COPY with count verification). Returns
-    * the wire read-back per table — full frames for dims and main, the
-    * sampled ordered head for facts (the scale-safe read-back). */
+    * construction) → main (FK→dim keys; CORPUS-sized in the
+    * reference's star, so it rides [[writeMainDistributed]]'s
+    * probe + exactly-once explicit-id COPY + setval path, r17) →
+    * facts (input-sized: DISTRIBUTED exactly-once COPY with count
+    * verification). Returns the wire read-back per table — full
+    * driver frames for dims, the DISTRIBUTED lazy scan frame for
+    * main, the sampled ordered head for facts. */
   def writeGold(c: PgLiteClient, gold: Map[String, DataFrame],
                 spec: Medallion.GoldSpec, host: String, port: Int,
                 schemaName: String = "gold",
@@ -200,7 +297,7 @@ object PgGold {
     }
     val mainFks = spec.dimKeyCols.keys.map(d =>
       s"${d}_key" -> s"$schemaName.$d(${d}_key)").toMap
-    val main = writeTable(c, gold(spec.mainTable).orderBy(col(id)),
+    val main = writeMainDistributed(c, gold(spec.mainTable), host, port,
       schemaName, spec.mainTable, id, unique = Nil, fks = mainFks)
     val factNames = gold.keySet -- spec.dimKeyCols.keySet - spec.mainTable
     val facts = factNames.toSeq.sorted.map { f =>

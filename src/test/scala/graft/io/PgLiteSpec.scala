@@ -397,6 +397,37 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "continue the serial via setval after an explicit-id bulk load" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE SCHEMA g")
+      c.query("CREATE TABLE g.prop_x (id SERIAL PRIMARY KEY, v TEXT)")
+      c.query("INSERT INTO g.prop_x (v) VALUES ('a') RETURNING id")
+        .rows.head.head.get shouldBe "1"
+      // COPY with EXPLICIT ids does not advance the sequence (real PG)
+      c.copyIn("COPY g.prop_x (id, v) FROM STDIN",
+        Seq(Seq(Some("2"), Some("b")), Seq(Some("3"), Some("c"))))
+      // …so the next server-assigned id collides without setval
+      intercept[c.PgServerError](
+        c.query("INSERT INTO g.prop_x (v) VALUES ('d') RETURNING id"))
+        .code shouldBe "23505"
+      // the published post-bulk-load idiom: setval to max(id), next
+      // draw continues at N+1 (the failed insert above burned one id —
+      // a PG-faithful gap that setval overwrites)
+      c.query("SELECT setval('g.prop_x_id_seq', 3)")
+        .rows.head.head.get shouldBe "3"
+      c.query("INSERT INTO g.prop_x (v) VALUES ('d') RETURNING id")
+        .rows.head.head.get shouldBe "4"
+      // resolution is catalog-backed ('_' in table names is fine, the
+      // rightmost split matching a serial column wins); unknown → 42P01
+      intercept[c.PgServerError](
+        c.query("SELECT setval('g.nope_id_seq', 9)")).code shouldBe "42P01"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "stream query rows incrementally off the socket (bounded buffering)" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)

@@ -50,8 +50,9 @@ class CollectCoverageSpec extends SparkSpec {
     "graft/Bench.scala" -> (1,
       "1-row JVM warm-up aggregate"),
     "graft/pipeline/PgGold.scala" -> (1,
-      "adjudicated protocol-fidelity leg: dims + RETURNING head only " +
-        "(dimension-sized); facts route through copyDistributedExactlyOnce"),
+      "protocol-fidelity leg: dims + k-row RETURNING probes only " +
+        "(dimension-/k-sized); main AND facts route through " +
+        "copyDistributedExactlyOnce with distributed read-back (r17)"),
     "graft/etl/Split.scala" -> (2,
       "field-config targets — config-table-sized"),
     "graft/tools/ScaleRehearsal.scala" -> (2,
