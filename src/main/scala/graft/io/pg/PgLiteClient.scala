@@ -245,7 +245,39 @@ final class PgLiteClient(host: String, port: Int,
     * Uses the unnamed statement and portal; the row shape arrives from
     * Describe (RowDescription or NoData), rows from Execute. */
   def execParams(sql: String,
-                 params: Seq[Option[String]] = Nil): QueryResult = {
+                 params: Seq[Option[String]] = Nil): QueryResult =
+    execExtended(sql, paramOids = Seq.fill(params.length)(0),
+      payloads = params.map(_.map(_.getBytes(UTF_8))),
+      formats = Seq.empty) // zero format codes = all text, per the docs
+
+  /** [[execParams]] with TYPED BINARY parameters — what a real driver
+    * sends by default for prepared int8/float8/int4 values: Parse
+    * declares the parameter type OIDs, Bind carries per-parameter
+    * format code 1 and the published fixed-width big-endian payloads.
+    * `params` = (type oid, value): 23 int4, 20 int8, 701 float8. */
+  def execParamsBinary(sql: String,
+                       params: Seq[(Int, Option[Any])]): QueryResult =
+    execExtended(sql, paramOids = params.map(_._1),
+      payloads = params.map { case (oid, v) => v.map(encodeBinParam(oid, _)) },
+      formats = Seq.fill(params.length)(1))
+
+  /** Published binary send formats for the fixed-width types. */
+  private def encodeBinParam(oid: Int, v: Any): Array[Byte] = oid match {
+    case 23 => java.nio.ByteBuffer.allocate(4).putInt(v.toString.toInt).array()
+    case 20 => java.nio.ByteBuffer.allocate(8).putLong(v.toString.toLong).array()
+    case 701 =>
+      java.nio.ByteBuffer.allocate(8).putDouble(v.toString.toDouble).array()
+    case other => throw new IllegalArgumentException(
+      s"no binary parameter encoding for oid $other")
+  }
+
+  /** Shared extended-protocol pipeline; `formats` is the Bind
+    * parameter-format-code array (empty = all text, one = uniform,
+    * else per-parameter). private[io] so specs can craft hostile
+    * shapes (e.g. a binary format code on an unsupported oid). */
+  private[io] def execExtended(sql: String, paramOids: Seq[Int],
+                               payloads: Seq[Option[Array[Byte]]],
+                               formats: Seq[Int]): QueryResult = {
     def msg(tpe: Char, body: Array[Byte]): Unit = {
       out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
     }
@@ -255,15 +287,17 @@ final class PgLiteClient(host: String, port: Int,
       bb.write((v >> 24) & 0xff); bb.write((v >> 16) & 0xff)
       bb.write((v >> 8) & 0xff); bb.write(v & 0xff)
     }
-    // Parse: unnamed statement, no declared param types (text)
-    bb.write(0); bb.write(sql.getBytes(UTF_8)); bb.write(0); i16(0)
+    // Parse: unnamed statement, declared param type oids (0 = untyped)
+    bb.write(0); bb.write(sql.getBytes(UTF_8)); bb.write(0)
+    i16(paramOids.length); paramOids.foreach(i32)
     msg('P', bb.toByteArray); bb.reset()
-    // Bind: unnamed portal ← unnamed statement, text params
-    bb.write(0); bb.write(0); i16(0); i16(params.length)
-    params.foreach {
+    // Bind: unnamed portal ← unnamed statement
+    bb.write(0); bb.write(0)
+    i16(formats.length); formats.foreach(i16)
+    i16(payloads.length)
+    payloads.foreach {
       case None => i32(-1)
-      case Some(v) =>
-        val b = v.getBytes(UTF_8); i32(b.length); bb.write(b, 0, b.length)
+      case Some(b) => i32(b.length); bb.write(b, 0, b.length)
     }
     i16(0)
     msg('B', bb.toByteArray); bb.reset()

@@ -740,6 +740,46 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "bind BINARY int4/int8/float8 parameters by their declared oids" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE pb (id SERIAL PRIMARY KEY, " +
+        "i INTEGER, n BIGINT, d DOUBLE PRECISION)")
+      // the shape a real driver sends by default for prepared numeric
+      // params: Parse declares oids, Bind ships big-endian fixed-width
+      // payloads with format code 1 (r17, VERDICT r16 task 5)
+      val r1 = c.execParamsBinary(
+        "INSERT INTO pb (i, n, d) VALUES ($1, $2, $3) RETURNING id",
+        Seq((23, Some(-7)), (20, Some(Long.MaxValue)), (701, Some(1.5))))
+      r1.rows shouldBe Seq(Seq(Some("1")))
+      // a NULL binary parameter is the -1-length cell, like text
+      c.execParamsBinary(
+        "INSERT INTO pb (i, n, d) VALUES ($1, $2, $3) RETURNING id",
+        Seq((23, None), (20, Some(0L)), (701, Some(-0.5))))
+        .rows shouldBe Seq(Seq(Some("2")))
+      c.query("SELECT id, i, n, d FROM pb ORDER BY id").rows shouldBe Seq(
+        Seq(Some("1"), Some("-7"), Some(Long.MaxValue.toString), Some("1.5")),
+        Seq(Some("2"), None, Some("0"), Some("-0.5")))
+      // binary params compose with WHERE through the extended path
+      c.execParamsBinary("SELECT id FROM pb WHERE n = $1",
+        Seq((20, Some(Long.MaxValue)))).rows shouldBe Seq(Seq(Some("1")))
+      // an UNSUPPORTED oid in binary format is refused loudly (0A000),
+      // never mis-decoded; the pipeline recovers at Sync
+      intercept[c.PgServerError](c.execExtended(
+        "SELECT id FROM pb WHERE i = $1", Seq(25),
+        Seq(Some("x".getBytes("UTF-8"))), Seq(1))).code shouldBe "0A000"
+      // a wrong-width payload is a protocol error, not a mis-parse
+      intercept[c.PgServerError](c.execExtended(
+        "SELECT id FROM pb WHERE n = $1", Seq(20),
+        Seq(Some(Array[Byte](1, 2, 3))), Seq(1))).code shouldBe "08P01"
+      // the connection survived both refusals
+      c.query("SELECT count(*) FROM pb").rows.head.head.get shouldBe "2"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "recover from an extended-pipeline error at Sync and stay usable" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
