@@ -208,7 +208,7 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
 /** APPEND through Spark's V2 commit protocol, over the wire — the
   * official shape of [[PgWire.copyDistributedExactlyOnce]]'s
   * hand-rolled discipline: each task attempt COPYs its partition into
-  * its own `__stage_p<pid>_t<taskId>` table (taskId is unique per
+  * its own `__stage_r<runId>_p<pid>_t<taskId>` table (taskId is unique per
   * attempt, so a SPECULATIVE duplicate writes a different table and a
   * retry drop-first-recreates its own), its commit message carries
   * (stage, count), Spark delivers exactly one committed message per
@@ -227,22 +227,27 @@ private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
     case _ => throw new IllegalArgumentException(
       s"pglite write target must be schema-qualified: $table")
   }
+  // run-unique stage namespace (r17, ADVICE r16): the publish-time
+  // sweep is scoped to it, so a concurrent append's live stages survive
+  private val runId = PgWire.newRunId()
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory = {
     // janitor (driver-side, before any writer runs): a previous run's
-    // hard-killed task leaves a stage table whose (pid, taskId) name
-    // no later run can guess — sweep by prefix via information_schema
+    // hard-killed task leaves a stage table whose (run, taskId) name
+    // no later run can guess — the one UNSCOPED prefix sweep, under
+    // the documented single-writer-at-start assumption
     val c = conn.open()
     try PgWire.sweepStages(c, schemaName, bare) finally c.close()
-    PgLiteWriterFactory(conn, schemaName, bare, schema)
+    PgLiteWriterFactory(conn, schemaName, bare, runId, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: PgStageCommit => m }
     val c = conn.open()
-    // shared one-transaction publish (PgWire.publishStages): its sweep
-    // also clears aborted-attempt stages the messages never report
+    // shared one-transaction publish (PgWire.publishStages): its
+    // RUN-SCOPED sweep also clears this run's aborted-attempt stages
+    // the messages never report
     try PgWire.publishStages(c, table, schema.fieldNames.mkString(", "),
-      schemaName, bare, commits.toSeq.map(m => (m.stage, m.count)))
+      schemaName, bare, runId, commits.toSeq.map(m => (m.stage, m.count)))
     finally c.close()
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -257,12 +262,13 @@ private case class PgStageCommit(stage: String, count: Long)
     extends WriterCommitMessage
 
 private case class PgLiteWriterFactory(conn: PgLiteConn, schemaName: String,
-                                       bare: String, schema: StructType)
+                                       bare: String, runId: String,
+                                       schema: StructType)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int,
                             taskId: Long): DataWriter[InternalRow] =
     new PgLiteDataWriter(conn, schemaName, schema,
-      s"${bare}__stage_p${partitionId}_t$taskId")
+      s"${bare}__stage_r${runId}_p${partitionId}_t$taskId")
 }
 
 /** STREAMING append (`df.writeStream.format("pglite")`) — the
@@ -283,10 +289,16 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
       s"pglite write target must be schema-qualified: $table")
   }
   private val epochsTable = s"$schemaName.${bare}__epochs"
+  // run-unique stage namespace for this query execution (r17): epoch
+  // sweeps scope to (runId, epoch ≤ N), so a slow epoch-N commit can
+  // never drop epoch-N+1's eagerly staged rows (ADVICE r16), and a
+  // concurrent writer's stages survive
+  private val runId = PgWire.newRunId()
   locally { // marker table rides the target's schema; idempotent.
     // Also the orphan-stage janitor (once per query start, not per
     // epoch): a crash between an epoch's staging and its publish
-    // leaves task-unique stage tables only discovery can clean
+    // leaves task-unique stage tables only discovery can clean —
+    // the one UNSCOPED sweep (single-writer-at-start assumption)
     val c = conn.open()
     try {
       c.query(s"CREATE TABLE IF NOT EXISTS $epochsTable (epoch BIGINT UNIQUE)")
@@ -295,7 +307,7 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
   }
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    PgLiteStreamingWriterFactory(conn, schemaName, bare, schema)
+    PgLiteStreamingWriterFactory(conn, schemaName, bare, runId, schema)
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val commits = messages.collect { case m: PgStageCommit => m }
@@ -307,9 +319,10 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
         catch { case e: c.PgServerError if e.code == "23505" => true }
       if (replay) {
         c.query("ROLLBACK") // 23505 aborted the tx; nothing published
-        // duplicate stages are swept OUTSIDE the rolled-back tx —
-        // epochs run sequentially, so no other stage is live
-        PgWire.sweepStages(c, schemaName, bare)
+        // duplicate stages are swept OUTSIDE the rolled-back tx,
+        // scoped to this run's epochs ≤ N
+        PgWire.sweepStages(c, schemaName, bare,
+          runScope = Some(runId), maxEpoch = Some(epochId))
       } else {
         val cols = schema.fieldNames.mkString(", ")
         commits.foreach { m =>
@@ -317,7 +330,10 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
             c.query(s"INSERT INTO $table ($cols) " +
               s"SELECT $cols FROM $schemaName.${m.stage}")
         }
-        PgWire.sweepStages(c, schemaName, bare) // incl. aborted attempts
+        // incl. this epoch's aborted attempts; epoch-scoped so an
+        // overlapping epoch-N+1 writer's stages survive
+        PgWire.sweepStages(c, schemaName, bare,
+          runScope = Some(runId), maxEpoch = Some(epochId))
         require(c.query("COMMIT").tags == Seq("COMMIT"),
           s"pglite epoch $epochId publish failed for $table")
       }
@@ -333,12 +349,13 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
 }
 
 private case class PgLiteStreamingWriterFactory(
-    conn: PgLiteConn, schemaName: String, bare: String, schema: StructType)
+    conn: PgLiteConn, schemaName: String, bare: String, runId: String,
+    schema: StructType)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new PgLiteDataWriter(conn, schemaName, schema,
-      s"${bare}__stage_e${epochId}_p${partitionId}_t$taskId")
+      s"${bare}__stage_r${runId}_e${epochId}_p${partitionId}_t$taskId")
 }
 
 /** One task attempt's writer: rows buffer into 1024-row batches, each

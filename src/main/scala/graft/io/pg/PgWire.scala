@@ -206,13 +206,22 @@ object PgWire {
     }
   }
 
-  /** Deterministic staging-table name for one task attempt. Unique per
-    * (partition, attemptNumber), so two CONCURRENT attempts of the same
-    * partition (speculation) can never interleave inside one table. */
-  private[graft] def stageName(table: String, pid: Int, attempt: Int): String = {
+  /** Staging-table name for one task attempt. Unique per (runId,
+    * partition, attemptNumber): the run id scopes publish-time sweeps
+    * to THIS job's stages (r17, ADVICE r16 — an unscoped sweep made
+    * two concurrent appends to the same table kill each other's live
+    * stages), and the attempt number keeps two CONCURRENT attempts of
+    * the same partition (speculation) from interleaving in one table. */
+  private[graft] def stageName(table: String, runId: String,
+                               pid: Int, attempt: Int): String = {
     val bare = table.substring(table.lastIndexOf('.') + 1)
-    s"${bare}__stage_p${pid}_a$attempt"
+    s"${bare}__stage_r${runId}_p${pid}_a$attempt"
   }
+
+  /** Fresh job-unique run id for stage names ([0-9a-f], fits the
+    * sweep grammar). */
+  private[pg] def newRunId(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
 
   /** Key bounds of `table.keyCol` via two bounded-heap probes: min via
     * ASC LIMIT 1 (the engine sorts NULLs last, so a non-null head IS
@@ -284,12 +293,13 @@ object PgWire {
 
   /** The one-transaction staged publish every exactly-once writer
     * shares: INSERT…SELECT each non-empty stage into `table`, sweep
-    * ALL `<bare>__stage_…` tables (committed winners, aborted-attempt
-    * leftovers, and hard-killed orphans alike), COMMIT — atomically.
-    * Callers hold the single-writer-per-target assumption. */
-  private[pg] def publishStages(c: PgLiteClient, table: String,
+    * THIS RUN's `<bare>__stage_r<runId>_…` tables (committed winners
+    * and aborted-attempt leftovers — run-scoped since r17, so a
+    * CONCURRENT writer's live stages survive; cross-run orphans are
+    * the start-of-job janitor's province), COMMIT — atomically. */
+  private[io] def publishStages(c: PgLiteClient, table: String,
                                 colList: String, schemaName: String,
-                                bare: String,
+                                bare: String, runId: String,
                                 stages: Seq[(String, Long)]): Unit = {
     c.query("BEGIN")
     stages.foreach { case (stage, n) =>
@@ -297,35 +307,45 @@ object PgWire {
         c.query(s"INSERT INTO $table ($colList) " +
           s"SELECT $colList FROM $schemaName.$stage")
     }
-    sweepStages(c, schemaName, bare)
+    sweepStages(c, schemaName, bare, runScope = Some(runId))
     require(c.query("COMMIT").tags == Seq("COMMIT"),
       s"publish transaction failed to commit for $table")
   }
 
-  /** Drop every stage table named `<bare>__stage_…` under
-    * `schemaName`, discovered through `information_schema.tables` —
-    * orphans from hard-killed attempts carry attempt/task-unique names
-    * no fixed drop-first loop can ever guess, so discovery is the only
-    * complete sweep. `'~'` (0x7E) upper-bounds the prefix range: every
+  /** Drop stage tables named `<bare>__stage_…` under `schemaName`,
+    * discovered through `information_schema.tables` — orphans from
+    * hard-killed attempts carry run/task-unique names no fixed
+    * drop-first loop can ever guess, so discovery is the only complete
+    * sweep. `'~'` (0x7E) upper-bounds the prefix range: every
     * character stage names use after the prefix ([a-z0-9_]) sorts
-    * below it. Single-writer-per-target assumption (the engine's
-    * documented posture): a CONCURRENT writer's live stages would be
-    * swept. */
-  /** The exact stage-name grammar every writer here emits:
-    * `__stage_p<pid>_a<attempt>` (hand-rolled exactly-once),
-    * `__stage_p<pid>_t<taskId>` (DSv2 batch),
-    * `__stage_e<epoch>_p<pid>_t<taskId>` (DSv2 streaming). The sweep
-    * drops ONLY names matching it — a user table that merely shares
-    * the prefix (`j__stage_x`, or another target's `__epochs` marker)
-    * must never be collateral. */
-  private[pg] def sweepStages(c: PgLiteClient, schemaName: String,
-                              bare: String): Unit = {
+    * below it.
+    *
+    * The exact stage-name grammar every writer here emits:
+    * `__stage_r<runId>_p<pid>_a<attempt>` (hand-rolled exactly-once),
+    * `__stage_r<runId>_p<pid>_t<taskId>` (DSv2 batch),
+    * `__stage_r<runId>_e<epoch>_p<pid>_t<taskId>` (DSv2 streaming).
+    * The sweep drops ONLY names matching it — a user table that merely
+    * shares the prefix (`j__stage_x`, or another target's `__epochs`
+    * marker) must never be collateral. Pre-r17 names without a run id
+    * still match (orphan cleanup).
+    *
+    * SCOPES (r17, ADVICE r16): `runScope` restricts the sweep to one
+    * run's stages — publish-time sweeps pass it so a CONCURRENT
+    * writer's live stages survive; only the start-of-job janitor
+    * sweeps unscoped, under the documented single-writer-at-start
+    * assumption. `maxEpoch` additionally keeps stages of LATER epochs
+    * (a slow epoch-N commit racing epoch-N+1's eagerly started
+    * writers must not drop N+1's staged rows). */
+  private[io] def sweepStages(c: PgLiteClient, schemaName: String,
+                              bare: String,
+                              runScope: Option[String] = None,
+                              maxEpoch: Option[Long] = None): Unit = {
     // the engine lowercases catalog names; a user-cased `table` option
     // must still find its stages (byte-range compare is case-exact)
     val lc = bare.toLowerCase
     val prefix = s"${lc}__stage_"
     val exact = ("^" + java.util.regex.Pattern.quote(lc) +
-      "__stage_(?:e\\d+_)?p\\d+_[at]\\d+$").r
+      "__stage_(?:r([0-9a-f]+)_)?(?:e(\\d+)_)?p\\d+_[at]\\d+$").r
     // table_schema rides the WHERE too (the engine grammar takes N
     // ANDed predicates since r17), so a same-named stage in another
     // schema never even produces a DROP round trip (ADVICE r16)
@@ -333,7 +353,14 @@ object PgWire {
         s"WHERE table_schema = '${schemaName.toLowerCase}' " +
         s"AND table_name >= '$prefix' AND table_name < '$prefix~'")
       .rows.flatMap(_.head)
-      .filter(nm => exact.findFirstIn(nm).isDefined)
+      .filter { nm =>
+        exact.findFirstMatchIn(nm).exists { m =>
+          val run = Option(m.group(1))
+          val epoch = Option(m.group(2)).map(_.toLong)
+          runScope.forall(run.contains) &&
+            maxEpoch.forall(me => epoch.forall(_ <= me))
+        }
+      }
       .foreach(nm => c.query(s"DROP TABLE IF EXISTS $schemaName.$nm"))
   }
 
@@ -370,8 +397,10 @@ object PgWire {
     val cols = df.columns.toSeq
     val colList = cols.mkString(", ")
     val schema = df.schema
+    val runId = newRunId()
     locally { // janitor: a previous run hard-killed mid-write may have
-      // left stages no later attempt-numbered drop can ever match
+      // left stages no later attempt-numbered drop can ever match —
+      // the ONE unscoped sweep (single-writer-at-start assumption)
       val c = new PgLiteClient(host, port)
       c.connect()
       try sweepStages(c, schemaName, bare) finally c.close()
@@ -383,7 +412,7 @@ object PgWire {
       .mapPartitionsWithIndex { (pid, it) =>
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.attemptNumber()).getOrElse(0)
-        val stage = stageName(bare, pid, attempt)
+        val stage = stageName(bare, runId, pid, attempt)
         val c = new PgLiteClient(host, port)
         c.connect()
         val n = try {
@@ -399,11 +428,12 @@ object PgWire {
       }.collect().sortBy(_._1) // partition-count-sized driver metadata
     val c = new PgLiteClient(host, port)
     c.connect()
-    // the sweep inside publishStages replaces the old attempt-number
-    // drop loop: it catches attempts ≥ any fixed bound, and a
-    // speculative loser that re-creates its stage AFTER this publish
-    // is cleaned by the next run's janitor above
-    try publishStages(c, table, colList, schemaName, bare,
+    // the run-scoped sweep inside publishStages catches this run's
+    // loser attempts at any attempt number without touching a
+    // concurrent writer's stages; a speculative loser that re-creates
+    // its stage AFTER this publish is cleaned by the next run's
+    // janitor above
+    try publishStages(c, table, colList, schemaName, bare, runId,
       winners.map { case (_, stage, n) => (stage, n) })
     finally c.close()
     winners.iterator.map(_._3).sum

@@ -437,7 +437,7 @@ object RefQueries {
         require(res.rows.length.toLong == n,
           s"published $n rows but read back ${res.rows.length}")
         // the publish transaction must have dropped every stage table
-        val orphan = graft.io.pg.PgWire.stageName("customer_x1", 0, 0)
+        val orphan = graft.io.pg.PgWire.stageName("customer_x1", "0fa11", 0, 0)
         val e = intercept(c, s"SELECT c_custkey FROM silver.$orphan")
         require(e == "42P01", s"stage table survived the publish ($e)")
         res

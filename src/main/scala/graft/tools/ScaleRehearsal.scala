@@ -251,7 +251,12 @@ object ScaleRehearsal {
       // the DSv2 AGGREGATE pushdown: per-range GROUP BY partials on
       // the wire — group-count rows per connection at ANY scale, so
       // like topn the ratio should be protocol fixed cost, not data
-      "ref_pg_dsv2_agg")
+      "ref_pg_dsv2_agg",
+      // round-17: filter pushdown COMPOSED with range partitioning
+      // (the N-conjunction grammar) — the filter evaluates server-side
+      // inside every range, so the wire payload is the SELECTIVITY
+      // share of the table, not the table
+      "ref_pg_dsv2_filter")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY
@@ -270,6 +275,56 @@ object ScaleRehearsal {
               c, engine, "gold", "customer_dim", "id",
               unique = Seq("c_key")).count()
           } finally c.close()
+        } finally server.stop()
+      })) ++ Seq(
+      // round-17 (VERDICT r16 task 1): the gold MAIN table at the
+      // corpus size class — k-row RETURNING probe + exactly-once
+      // explicit-id distributed COPY + setval continuation + fully
+      // distributed signed-count read-back verification. The frame is
+      // the flagship's engine dim (corpus-shaped: one row per distinct
+      // customer), so ref_medallion's dim leg and this row bracket the
+      // two write disciplines on the same data shape.
+      "op_gold_main_distributed" -> ((s: SparkSession, d: String) => {
+        val engine = graft.queries.RefQueries.medallionEngineDim(s, d)
+        val (server, _) = graft.io.pg.PgLiteServer.start()
+        try {
+          val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+          c.connect()
+          try {
+            c.query(graft.io.Sinks.createSchemaDdl("gold"))
+            graft.pipeline.PgGold.writeMainDistributed(
+              c, engine, "127.0.0.1", server.port,
+              "gold", "customer_main", "id",
+              unique = Seq("c_key")).count()
+          } finally c.close()
+        } finally server.stop()
+      }),
+      // round-17 (VERDICT r16 task 3): ADAPTIVE partition planning —
+      // rowsPerPartition=10000 makes the census the partition driver
+      // (sf0.1 customer ~15k rows → the floor of 8 holds; sf1 ~150k →
+      // 15 ranges), so the printed counts ARE the scaling claim
+      "op_pg_scan_adaptive" -> ((s: SparkSession, d: String) => {
+        val cleaned = graft.etl.Clean.clean(
+            s.read.parquet(s"$d/customer.parquet"))
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        val (server, _) = graft.io.pg.PgLiteServer.start()
+        try {
+          val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+          c.connect()
+          try {
+            c.query(graft.io.Sinks.createSchemaDdl("silver"))
+            c.query(graft.io.Sinks.createTableDdl(
+              cleaned.schema, "silver", "customer_adp"))
+          } finally c.close()
+          graft.io.pg.PgWire.copyDistributed(
+            cleaned, "127.0.0.1", server.port, "silver.customer_adp", 8)
+          val got = graft.io.pg.PgWire.readDistributed(
+            s, "127.0.0.1", server.port, "silver.customer_adp",
+            cleaned.schema, "c_custkey",
+            numPartitions = 8, rowsPerPartition = 10000L)
+          println(s"[scale] adaptive wire-scan partitions at $d: " +
+            got.rdd.getNumPartitions)
+          got.count()
         } finally server.stop()
       })) ++ Seq(
       // round-15: the memoized graph family COLD (first entry derives

@@ -442,9 +442,10 @@ class PgLiteDataSourceSpec extends SparkSpec {
           }
         }
         // the publish transaction dropped every attempt's stage table
-        val e = intercept[c.PgServerError](
-          c.query("SELECT k FROM ds.w__stage_p0_t0"))
-        e.code shouldBe "42P01"
+        // (names carry a run id since r17 — assert via the catalog)
+        c.query("SELECT table_name FROM information_schema.tables " +
+            "WHERE table_name >= 'w__stage_' AND table_name < 'w__stage~'")
+          .rows shouldBe Nil
         // append semantics: a second write doubles the rows
         df.write.format("pglite")
           .option("host", "127.0.0.1").option("port", server.port)
@@ -521,6 +522,10 @@ class PgLiteDataSourceSpec extends SparkSpec {
         w.write(row)
         w.commit()
       }
+      // epoch 43's writers start EAGERLY while epoch 42 is still
+      // committing — the r16 unscoped epoch sweep would have dropped
+      // their staged rows (ADVICE r16); r17 scopes sweeps to epoch ≤ N
+      val m43 = stageEpoch(43L, taskId = 9L)
       // first delivery of epoch 42 publishes; the REPLAY (checkpoint
       // recovery re-running a committed batch with a fresh task) is a
       // no-op that still cleans its stage
@@ -532,10 +537,19 @@ class PgLiteDataSourceSpec extends SparkSpec {
         c.query("SELECT k FROM st.r").rows shouldBe Seq(Seq(Some("7")))
         c.query("SELECT epoch FROM st.r__epochs").rows shouldBe
           Seq(Seq(Some("42")))
-        // the replay's stage table did not survive
-        val e = intercept[c.PgServerError](
-          c.query("SELECT k FROM st.r__stage_e42_p0_t2"))
-        e.code shouldBe "42P01"
+        // epoch 42's stages (original AND replay duplicate) are gone;
+        // the in-flight epoch 43 stage SURVIVED the epoch-42 sweeps
+        val stages = c.query(
+          "SELECT table_name FROM information_schema.tables " +
+            "WHERE table_name >= 'r__stage_' AND table_name < 'r__stage~'")
+          .rows.flatMap(_.head)
+        stages.length shouldBe 1
+        stages.head should include("_e43_")
+        // …and epoch 43 then commits normally
+        sw.commit(43L, Array(m43))
+        c.query("SELECT k FROM st.r").rows.length shouldBe 2
+        c.query("SELECT epoch FROM st.r__epochs ORDER BY epoch")
+          .rows.map(_.head.get) shouldBe Seq("42", "43")
       } finally c.close()
     } finally server.stop()
   }

@@ -837,9 +837,10 @@ class PgLiteSpec extends SparkSpec {
       c.query("CREATE SCHEMA silver")
       c.query("CREATE TABLE silver.t (k TEXT)")
       val rows = Seq(Seq(Some("r1")), Seq(Some("r2")))
+      val run = "aaaa01" // this job's run id
       // attempt 0 SUCCEEDS…
       def stageAttempt(a: Int): String = {
-        val st = graft.io.pg.PgWire.stageName("t", 0, a)
+        val st = graft.io.pg.PgWire.stageName("t", run, 0, a)
         c.query(s"DROP TABLE IF EXISTS silver.$st")
         c.query(s"CREATE TABLE IF NOT EXISTS silver.$st (k TEXT)")
         c.copyIn(s"COPY silver.$st (k) FROM STDIN", rows) shouldBe "COPY 2"
@@ -850,19 +851,27 @@ class PgLiteSpec extends SparkSpec {
       // success as attempt 1 — the scenario that double-loads the naive
       // per-partition COPY
       val winner = stageAttempt(1)
+      // meanwhile a CONCURRENT writer to the same target has a LIVE
+      // stage under a different run id — the r16 unscoped publish
+      // sweep dropped it and killed that job (ADVICE r16)
+      val other = graft.io.pg.PgWire.stageName("t", "bbbb02", 0, 0)
+      c.query(s"CREATE TABLE silver.$other (k TEXT)")
+      c.copyIn(s"COPY silver.$other (k) FROM STDIN", rows)
       // the driver publishes ONE winner (Spark's task-commit keeps one
-      // result per partition) and sweeps every attempt, in one tx
-      c.query("BEGIN")
-      c.query(s"INSERT INTO silver.t (k) SELECT k FROM silver.$winner")
-      (0 until 5).foreach { a =>
-        c.query(s"DROP TABLE IF EXISTS silver.${graft.io.pg.PgWire.stageName("t", 0, a)}")
-      }
-      c.query("COMMIT").tags shouldBe Seq("COMMIT")
-      // exactly one copy of the partition, and no stage residue
+      // result per partition) and sweeps THIS RUN's attempts, in one tx
+      graft.io.pg.PgWire.publishStages(c, "silver.t", "k", "silver", "t",
+        run, Seq((winner, 2L)))
+      // exactly one copy of the partition, and no stage residue of
+      // this run — loser and winner both gone
       c.query("SELECT k FROM silver.t ORDER BY k").rows.flatMap(_.head) shouldBe
         Seq("r1", "r2")
       intercept[c.PgServerError](
         c.query(s"SELECT k FROM silver.$winner")).code shouldBe "42P01"
+      intercept[c.PgServerError](c.query(
+        s"SELECT k FROM silver.${graft.io.pg.PgWire.stageName("t", run, 0, 0)}"))
+        .code shouldBe "42P01"
+      // the concurrent writer's live stage SURVIVED the publish
+      c.query(s"SELECT k FROM silver.$other").rows.length shouldBe 2
       c.close()
     } finally server.stop()
   }
