@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -29,11 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    only the required columns, so unprojected columns never leave
   *    the server;
   *  - FILTER PUSHDOWN: any number of ANDed `>=`/`>`/`<=`/`<`/`=`
-  *    predicates (the engine's WHERE grammar takes N conjunctions
-  *    since r17; `=` serves point lookups) evaluate server-side, and
-  *    a pushed comparison subsumes Spark's auto-generated IsNotNull
-  *    on the same column; everything else stays a Spark-side
-  *    residual. With `partitionColumn` set, pushed filters AND onto
+  *    comparisons, `IN (…)` lists, and `IS [NOT] NULL` tests (the
+  *    engine's WHERE grammar takes N conjunctions since r17; `=`
+  *    serves point lookups) evaluate server-side; a pushed
+  *    comparison/IN subsumes Spark's auto-generated IsNotNull on the
+  *    same column (no WHERE text), standalone null tests render
+  *    directly; everything else stays a Spark-side residual. With `partitionColumn` set, pushed filters AND onto
   *    each partition's key-range bounds — a filtered read of a big
   *    partitioned table filters server-side instead of shipping
   *    whole ranges.
@@ -558,38 +559,50 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case LessThanOrEqual(a, v) => pushable(a, v)
       case LessThan(a, v) => pushable(a, v)
       case EqualTo(a, v) => pushable(a, v)
+      // r17: IN-lists and null tests push too (the engine grammar
+      // grew `col IN (…)` and `col IS [NOT] NULL`)
+      case In(a, vs) => full.fieldNames.contains(a) &&
+        vs.nonEmpty && vs.forall(v => lit(v).isDefined)
       case _ => false
     }
-    val cmpCols = cmp.collect {
-      case GreaterThanOrEqual(a, _) => a
-      case GreaterThan(a, _) => a
-      case LessThanOrEqual(a, _) => a
-      case LessThan(a, _) => a
-      case EqualTo(a, _) => a
-    }.toSet
-    // a pushed comparison on c already excludes NULLs server-side (SQL:
-    // NULL never satisfies a comparison), so IsNotNull(c) is subsumed —
-    // claiming it keeps the scan residual-free, which is what lets
-    // aggregate pushdown compose with a pushed range filter
-    val (absorbed, residual) = rest.partition {
-      case IsNotNull(a) => cmpCols.contains(a)
+    // a pushed comparison/IN on c already excludes NULLs server-side
+    // (SQL: NULL satisfies neither), so IsNotNull(c) is subsumed with
+    // no WHERE text; STANDALONE null tests render as `IS [NOT] NULL`.
+    // Claiming them keeps the scan residual-free, which is what lets
+    // aggregate pushdown compose with pushed filters.
+    val (nulls, residual) = rest.partition {
+      case IsNotNull(a) => full.fieldNames.contains(a)
+      case IsNull(a) => full.fieldNames.contains(a)
       case _ => false
     }
-    pushed = cmp ++ absorbed
+    pushed = cmp ++ nulls
     residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
   private def whereOf(fs: Array[Filter]): Option[String] = {
+    val comparedCols = fs.collect {
+      case GreaterThanOrEqual(a, _) => a
+      case GreaterThan(a, _) => a
+      case LessThanOrEqual(a, _) => a
+      case LessThan(a, _) => a
+      case EqualTo(a, _) => a
+      case In(a, _) => a
+    }.toSet
     val parts = fs.flatMap {
       case GreaterThanOrEqual(a, v) => Some(s"$a >= ${lit(v).get}")
       case GreaterThan(a, v) => Some(s"$a > ${lit(v).get}")
       case LessThanOrEqual(a, v) => Some(s"$a <= ${lit(v).get}")
       case LessThan(a, v) => Some(s"$a < ${lit(v).get}")
       case EqualTo(a, v) => Some(s"$a = ${lit(v).get}")
-      // IsNotNull carries no WHERE text: the comparison it rode in on
-      // (pushFilters only absorbs it alongside one) excludes NULLs
-      case _: IsNotNull => None
+      case In(a, vs) =>
+        Some(s"$a IN (${vs.map(v => lit(v).get).mkString(", ")})")
+      case IsNull(a) => Some(s"$a IS NULL")
+      // IsNotNull next to a comparison/IN on the same column carries
+      // no WHERE text (the comparison excludes NULLs); standalone it
+      // renders as the engine's null test
+      case IsNotNull(a) =>
+        if (comparedCols.contains(a)) None else Some(s"$a IS NOT NULL")
       // anything else in pushedFilters() without WHERE text would be
       // silently unenforced (Spark removed it from the plan) — fail
       // loudly instead, the tripwire for a pushFilters/whereOf drift

@@ -503,11 +503,12 @@ final class PgLiteEngine {
   }
 
   /** The supported SELECT surface: projection, single table, optional
-    * WHERE of ANY NUMBER of ANDed `col (>=|<=|<|>|=) literal`
-    * predicates (round-17, VERDICT r16 task 4 — two fixed slots meant
-    * a partitioned reader's key range consumed the whole grammar and
-    * no user filter could ride alongside it; `>= AND <` is the
-    * half-open range a PARTITIONED reader scans —
+    * WHERE of ANY NUMBER of ANDed predicates — comparisons
+    * `col (>=|<=|<|>|=) literal`, `col IN (lit, …)`, and
+    * `col IS [NOT] NULL` (round-17, VERDICT r16 task 4 — two fixed
+    * comparison slots meant a partitioned reader's key range consumed
+    * the whole grammar and no user filter could ride alongside it;
+    * `>= AND <` is the half-open range a PARTITIONED reader scans —
     * [[graft.io.pg.PgWire.readDistributed]] issues exactly this shape
     * per partition; `=` serves pushed point lookups), optional
     * `ORDER BY col [ASC|DESC] [NULLS FIRST|LAST]`, optional LIMIT.
@@ -515,7 +516,10 @@ final class PgLiteEngine {
     * sort semantics differ from PG's defaults — Spark's ASC is
     * NULLS FIRST where PG's is NULLS LAST — can push an order the
     * engine reproduces exactly (the DSv2 TopN pushdown needs this). */
-  private val PredPat = "[\\w]+\\s*(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)"
+  private val PredPat =
+    "[\\w]+\\s*(?:(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)" +
+      "|IN\\s*\\((?:'[^']*'|[^()'])*\\)" +
+      "|IS\\s+(?:NOT\\s+)?NULL)"
   private val WherePat =
     s"(?:\\s+WHERE\\s+($PredPat(?:\\s+AND\\s+$PredPat)*))?"
   private val SelectRe =
@@ -524,17 +528,24 @@ final class PgLiteEngine {
       "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
 
-  /** (col, op, literal) triples of an already-validated WHERE clause
+  /** (col, op, payload) triples of an already-validated WHERE clause
     * (the enclosing SelectRe/AggSelectRe anchored it to
     * `pred (AND pred)*`, so a per-predicate scan can't pick up junk —
     * quoted literals never contain a quote by the grammar, so a
-    * literal can't swallow an AND). */
+    * literal can't swallow an AND). op is a comparison, `in` (payload
+    * = the raw parenthesized list, parsed by [[parseValues]]),
+    * `isnull`, or `notnull`. */
   private val PredRe =
-    "([\\w]+)\\s*(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)".r
+    ("(?i)([\\w]+)\\s*(?:(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
+      "|(IN)\\s*\\(((?:'[^']*'|[^()'])*)\\)" +
+      "|IS\\s+(NOT\\s+)?(NULL))").r
   private def parseWhere(clause: String): Seq[(String, String, String)] =
     if (clause == null) Nil
-    else PredRe.findAllMatchIn(clause)
-      .map(m => (m.group(1), m.group(2), m.group(3))).toSeq
+    else PredRe.findAllMatchIn(clause).map { m =>
+      if (m.group(2) != null) (m.group(1), m.group(2), m.group(3))
+      else if (m.group(4) != null) (m.group(1), "in", m.group(5))
+      else (m.group(1), if (m.group(6) != null) "notnull" else "isnull", null)
+    }.toSeq
 
   /** Catalog-resolve an already-matched plain SELECT (shared by
     * [[plainSelect]] and [[describe]] — both hold the Match, so the
@@ -621,33 +632,55 @@ final class PgLiteEngine {
   private def cmpLt(oid: Int, a: String, b: String): Boolean =
     cmpVal(oid, a, b) < 0
 
-  /** WHERE predicates from (col, op, literal) triples — evaluated
+  /** WHERE predicates from (col, op, payload) triples — evaluated
     * against the FULL row (the filter column need not be projected);
-    * SQL semantics: NULL never satisfies a comparison. */
+    * SQL semantics: NULL never satisfies a comparison or IN (a NULL
+    * list element can match nothing and is dropped); IS [NOT] NULL
+    * tests nullness directly. */
   private def predFilter(t: Table,
       triples: Seq[(String, String, String)]): Array[String] => Boolean = {
-    val preds = triples.collect { case (c, op, lit) if c != null =>
+    def colIdx(c: String): (Int, Int) = {
       val ci = t.cols.indexWhere(_.name == c.toLowerCase)
       if (ci < 0) throw PgError("42703", s"column \"$c\" does not exist")
-      val oid = oidOf(t.cols(ci).pgType)
-      val v = if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit
+      (ci, oidOf(t.cols(ci).pgType))
+    }
+    def validated(oid: Int, c: String, v: String): String = {
       try cmpKey(oid, v) // validates the literal's type eagerly
       catch { case _: NumberFormatException =>
-        throw PgError("22P02", s"bad literal for \"$c\": $lit") }
-      (ci, oid, op, v)
+        throw PgError("22P02", s"bad literal for \"$c\": $v") }
+      v
     }
-    r => preds.forall { case (ci, oid, op, v) =>
-      r(ci) != null && {
-        val c = cmpVal(oid, r(ci), v)
-        op match {
-          case ">=" => c >= 0
-          case ">" => c > 0
-          case "<=" => c <= 0
-          case "<" => c < 0
-          case "=" => c == 0
+    val preds: Seq[Array[String] => Boolean] = triples.collect {
+      case (c, "isnull", _) if c != null =>
+        val (ci, _) = colIdx(c)
+        (r: Array[String]) => r(ci) == null
+      case (c, "notnull", _) if c != null =>
+        val (ci, _) = colIdx(c)
+        (r: Array[String]) => r(ci) != null
+      case (c, "in", list) if c != null =>
+        val (ci, oid) = colIdx(c)
+        // parseValues unquotes and maps the NULL token to null; a
+        // NULL element can never equate, so it drops (PG semantics)
+        val vals = parseValues(list).filter(_ != null)
+          .map(validated(oid, c, _))
+        (r: Array[String]) =>
+          r(ci) != null && vals.exists(v => cmpVal(oid, r(ci), v) == 0)
+      case (c, op, lit) if c != null =>
+        val (ci, oid) = colIdx(c)
+        val v = validated(oid, c,
+          if (lit.startsWith("'")) lit.substring(1, lit.length - 1) else lit)
+        (r: Array[String]) => r(ci) != null && {
+          val cmp = cmpVal(oid, r(ci), v)
+          op match {
+            case ">=" => cmp >= 0
+            case ">" => cmp > 0
+            case "<=" => cmp <= 0
+            case "<" => cmp < 0
+            case "=" => cmp == 0
+          }
         }
-      }
     }
+    r => preds.forall(_(r))
   }
 
   private def select(sql: String, tx: PgTx): Result =

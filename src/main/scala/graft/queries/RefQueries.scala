@@ -711,9 +711,10 @@ object RefQueries {
         .option("partitionColumn", "c_custkey")
         .option("numPartitions", "8")
         .load()
-        .filter(col("c_mktsegment") === "building")
+        .filter(col("c_mktsegment").isin("building", "machinery"))
       val plan = filtered.queryExecution.executedPlan.toString
-      require(plan.contains("where=[c_mktsegment = 'building']") &&
+      require(
+        plan.contains("where=[c_mktsegment IN ('building', 'machinery')]") &&
           plan.contains("rangeOn=[c_custkey"),
         s"DSv2 filter pushdown on a partitioned scan regressed — " +
           s"ranges ship unfiltered:\n$plan")
@@ -1040,7 +1041,8 @@ object RefQueries {
            coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
            coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
          FROM customer
-         WHERE coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') = 'building'
+         WHERE coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown')
+               IN ('building', 'machinery')
          ORDER BY c_custkey""",
     // the DSv2 face of the distributed scan: server-inferred schema +
     // range-partitioned read — same clean-rules oracle as its sibling

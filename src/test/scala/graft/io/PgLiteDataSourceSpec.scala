@@ -140,6 +140,43 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "push IN lists and IS [NOT] NULL to the wire" in {
+    val (server, data) = fixture()
+    try {
+      // IN on the key: typed point-set lookup server-side
+      val inq = read(server).load()
+        .filter(col("k").isin(1L, 21L, 999L)).select(col("k"))
+      inq.queryExecution.executedPlan.toString should
+        include("where=[k IN (1, 21, 999)]")
+      inq.collect().map(_.getLong(0)).sorted shouldBe Array(1L, 21L)
+      // standalone IS NULL / IS NOT NULL render directly; composed
+      // with a comparison the IsNotNull is subsumed (no WHERE text)
+      val nullq = read(server).load()
+        .filter(col("s").isNull).select(col("k"))
+      nullq.queryExecution.executedPlan.toString should
+        include("where=[s IS NULL]")
+      nullq.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(_.isNullAt(1)).map(_.getLong(0)).sorted.toArray
+      val nnq = read(server).load()
+        .filter(col("d").isNotNull).select(col("k"))
+      nnq.queryExecution.executedPlan.toString should
+        include("where=[d IS NOT NULL]")
+      nnq.collect().length shouldBe data.count(!_.isNullAt(2))
+      // IN composes with ranges on a partitioned scan like any filter
+      val part = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+        .filter(col("s").isin("s 3", "s 13") && col("d").isNotNull)
+        .select(col("k"))
+      part.queryExecution.executedPlan.toString should
+        include("where=[s IN ('s 3', 's 13') AND d IS NOT NULL]")
+      part.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(r => !r.isNullAt(1) && !r.isNullAt(2) &&
+            Set("s 3", "s 13")(r.getString(1)))
+          .map(_.getLong(0)).sorted.toArray
+    } finally server.stop()
+  }
+
   it should "scale the partition count with the table, fail fast on NULL keys, report stats" in {
     val (server, data) = fixture()
     try {

@@ -397,6 +397,43 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "filter by IN lists and IS [NOT] NULL in plain and aggregate selects" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE t (k INTEGER, g TEXT, n INTEGER)")
+      Seq(("1", "'a'", "10"), ("2", "'b'", "NULL"), ("3", "NULL", "30"),
+          ("4", "'c, d'", "40"), ("5", "'a'", "NULL")).foreach {
+        case (k, g, n) =>
+          c.query(s"INSERT INTO t (k, g, n) VALUES ($k, $g, $n)")
+      }
+      // typed IN on integers; quoted IN with an embedded comma; a NULL
+      // list element matches nothing (PG semantics)
+      c.query("SELECT k FROM t WHERE k IN (1, 3, 99)")
+        .rows.map(_.head.get) shouldBe Seq("1", "3")
+      c.query("SELECT k FROM t WHERE g IN ('c, d', 'b', NULL)")
+        .rows.map(_.head.get) shouldBe Seq("2", "4")
+      // null tests, standalone and composed with comparisons
+      c.query("SELECT k FROM t WHERE g IS NULL")
+        .rows.map(_.head.get) shouldBe Seq("3")
+      c.query("SELECT k FROM t WHERE n IS NOT NULL AND k >= 2")
+        .rows.map(_.head.get) shouldBe Seq("3", "4")
+      c.query("SELECT k FROM t WHERE g IN ('a') AND n IS NULL")
+        .rows.map(_.head.get) shouldBe Seq("5")
+      // the aggregate path takes the same predicates
+      c.query("SELECT count(*), sum(k) FROM t WHERE n IS NULL")
+        .rows.map(_.map(_.get)) shouldBe Seq(Seq("2", "7"))
+      c.query("SELECT g, count(*) AS c FROM t WHERE k IN (1, 2, 5) GROUP BY g")
+        .rows.map(_.map(_.orNull)).sortBy(_.head) shouldBe
+        Seq(Seq("a", "2"), Seq("b", "1"))
+      // a bad literal in the list is a typed error, not a mis-compare
+      intercept[c.PgServerError](
+        c.query("SELECT k FROM t WHERE k IN (1, 'x')")).code shouldBe "22P02"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "continue the serial via setval after an explicit-id bulk load" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
