@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggr
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -545,6 +545,15 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     case _ => None
   }
 
+  /** A LIKE-class string filter pushes only when its constant cannot
+    * collide with the pattern language or the grammar's quoting: no
+    * `%`/`_` (pattern metachars), no `\` (the escape), no `'` (the
+    * grammar has no quote escape). Anything else stays a residual. */
+  private def likePushable(a: String, v: String): Boolean =
+    full.fieldNames.contains(a) &&
+      full.fields(full.fieldIndex(a)).dataType == StringType &&
+      v != null && !v.exists(c => c == '%' || c == '_' || c == '\\' || c == '\'')
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // the engine's WHERE grammar takes N ANDed predicates (r17 —
     // previously two fixed slots, which a partitioned scan's key range
@@ -559,10 +568,13 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case LessThanOrEqual(a, v) => pushable(a, v)
       case LessThan(a, v) => pushable(a, v)
       case EqualTo(a, v) => pushable(a, v)
-      // r17: IN-lists and null tests push too (the engine grammar
-      // grew `col IN (…)` and `col IS [NOT] NULL`)
+      // r17: IN-lists, null tests, and LIKE-class string filters push
+      // too (the engine grammar grew `IN (…)`, `IS [NOT] NULL`, LIKE)
       case In(a, vs) => full.fieldNames.contains(a) &&
         vs.nonEmpty && vs.forall(v => lit(v).isDefined)
+      case StringStartsWith(a, v) => likePushable(a, v)
+      case StringEndsWith(a, v) => likePushable(a, v)
+      case StringContains(a, v) => likePushable(a, v)
       case _ => false
     }
     // a pushed comparison/IN on c already excludes NULLs server-side
@@ -588,6 +600,9 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case LessThan(a, _) => a
       case EqualTo(a, _) => a
       case In(a, _) => a
+      case StringStartsWith(a, _) => a
+      case StringEndsWith(a, _) => a
+      case StringContains(a, _) => a
     }.toSet
     val parts = fs.flatMap {
       case GreaterThanOrEqual(a, v) => Some(s"$a >= ${lit(v).get}")
@@ -597,6 +612,9 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       case EqualTo(a, v) => Some(s"$a = ${lit(v).get}")
       case In(a, vs) =>
         Some(s"$a IN (${vs.map(v => lit(v).get).mkString(", ")})")
+      case StringStartsWith(a, v) => Some(s"$a LIKE '$v%'")
+      case StringEndsWith(a, v) => Some(s"$a LIKE '%$v'")
+      case StringContains(a, v) => Some(s"$a LIKE '%$v%'")
       case IsNull(a) => Some(s"$a IS NULL")
       // IsNotNull next to a comparison/IN on the same column carries
       // no WHERE text (the comparison excludes NULLs); standalone it

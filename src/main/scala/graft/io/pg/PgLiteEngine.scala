@@ -519,6 +519,7 @@ final class PgLiteEngine {
   private val PredPat =
     "[\\w]+\\s*(?:(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)" +
       "|IN\\s*\\((?:'[^']*'|[^()'])*\\)" +
+      "|LIKE\\s+'[^']*'" +
       "|IS\\s+(?:NOT\\s+)?NULL)"
   private val WherePat =
     s"(?:\\s+WHERE\\s+($PredPat(?:\\s+AND\\s+$PredPat)*))?"
@@ -538,13 +539,15 @@ final class PgLiteEngine {
   private val PredRe =
     ("(?i)([\\w]+)\\s*(?:(>=|<=|<|>|=)\\s*('[^']*'|[\\w.+-]+)" +
       "|(IN)\\s*\\(((?:'[^']*'|[^()'])*)\\)" +
+      "|(LIKE)\\s+'([^']*)'" +
       "|IS\\s+(NOT\\s+)?(NULL))").r
   private def parseWhere(clause: String): Seq[(String, String, String)] =
     if (clause == null) Nil
     else PredRe.findAllMatchIn(clause).map { m =>
       if (m.group(2) != null) (m.group(1), m.group(2), m.group(3))
       else if (m.group(4) != null) (m.group(1), "in", m.group(5))
-      else (m.group(1), if (m.group(6) != null) "notnull" else "isnull", null)
+      else if (m.group(6) != null) (m.group(1), "like", m.group(7))
+      else (m.group(1), if (m.group(8) != null) "notnull" else "isnull", null)
     }.toSeq
 
   /** Catalog-resolve an already-matched plain SELECT (shared by
@@ -665,6 +668,31 @@ final class PgLiteEngine {
           .map(validated(oid, c, _))
         (r: Array[String]) =>
           r(ci) != null && vals.exists(v => cmpVal(oid, r(ci), v) == 0)
+      case (c, "like", pat) if c != null =>
+        val (ci, oid) = colIdx(c)
+        if (oid != 25) // PG: LIKE is a text operator
+          throw PgError("42883",
+            s"operator does not exist: ${t.cols(ci).pgType} LIKE text")
+        // SQL LIKE → anchored regex: % = any run, _ = any one char,
+        // backslash escapes the next pattern char (PG's default
+        // ESCAPE), everything else literal
+        val sb = new StringBuilder("(?s)^")
+        var i = 0
+        while (i < pat.length) {
+          pat.charAt(i) match {
+            case '\\' if i + 1 < pat.length =>
+              sb.append(java.util.regex.Pattern.quote(
+                pat.charAt(i + 1).toString)); i += 2
+            case '%' => sb.append(".*"); i += 1
+            case '_' => sb.append("."); i += 1
+            case ch =>
+              sb.append(java.util.regex.Pattern.quote(ch.toString)); i += 1
+          }
+        }
+        sb.append("$")
+        val re = sb.toString.r
+        (r: Array[String]) =>
+          r(ci) != null && re.findFirstIn(r(ci)).isDefined
       case (c, op, lit) if c != null =>
         val (ci, oid) = colIdx(c)
         val v = validated(oid, c,

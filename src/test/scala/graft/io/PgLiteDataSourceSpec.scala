@@ -177,6 +177,39 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "push startsWith/endsWith/contains as LIKE, declining unsafe constants" in {
+    val (server, data) = fixture()
+    try {
+      val sw = read(server).load()
+        .filter(col("s").startsWith("s 1")).select(col("k"))
+      sw.queryExecution.executedPlan.toString should
+        include("where=[s LIKE 's 1%']")
+      sw.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(r => !r.isNullAt(1) && r.getString(1).startsWith("s 1"))
+          .map(_.getLong(0)).sorted.toArray
+      val ew = read(server).load()
+        .filter(col("s").endsWith("3")).select(col("k"))
+      ew.queryExecution.executedPlan.toString should
+        include("where=[s LIKE '%3']")
+      ew.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(r => !r.isNullAt(1) && r.getString(1).endsWith("3"))
+          .map(_.getLong(0)).sorted.toArray
+      val cw = read(server).load()
+        .filter(col("s").contains(" 2")).select(col("k"))
+      cw.queryExecution.executedPlan.toString should
+        include("where=[s LIKE '% 2%']")
+      cw.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(r => !r.isNullAt(1) && r.getString(1).contains(" 2"))
+          .map(_.getLong(0)).sorted.toArray
+      // a constant carrying pattern metachars ('%'/'_'/'\'/quote)
+      // must NOT push — it stays a correct Spark-side residual
+      val unsafe = read(server).load()
+        .filter(col("s").contains("100%")).select(col("k"))
+      unsafe.queryExecution.executedPlan.toString should not include "LIKE"
+      unsafe.collect() shouldBe empty
+    } finally server.stop()
+  }
+
   it should "scale the partition count with the table, fail fast on NULL keys, report stats" in {
     val (server, data) = fixture()
     try {

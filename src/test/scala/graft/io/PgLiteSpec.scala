@@ -430,6 +430,28 @@ class PgLiteSpec extends SparkSpec {
       // a bad literal in the list is a typed error, not a mis-compare
       intercept[c.PgServerError](
         c.query("SELECT k FROM t WHERE k IN (1, 'x')")).code shouldBe "22P02"
+      // LIKE: %/_ patterns, escape, regex metachars stay literal
+      c.query("INSERT INTO t (k, g, n) VALUES (6, 'abc.d', 1)")
+      c.query("INSERT INTO t (k, g, n) VALUES (7, 'abcxd', 1)")
+      c.query("SELECT k FROM t WHERE g LIKE 'abc%'")
+        .rows.map(_.head.get) shouldBe Seq("6", "7")
+      c.query("SELECT k FROM t WHERE g LIKE 'abc_d'")
+        .rows.map(_.head.get) shouldBe Seq("6", "7")
+      c.query("SELECT k FROM t WHERE g LIKE 'abc.d'") // '.' literal
+        .rows.map(_.head.get) shouldBe Seq("6")
+      c.query("SELECT k FROM t WHERE g LIKE '%c%d%'") // 'c, d' matches too
+        .rows.map(_.head.get) shouldBe Seq("4", "6", "7")
+      // no wildcards = exact equality; a bare prefix matches nothing
+      c.query("SELECT k FROM t WHERE g LIKE 'a'")
+        .rows.map(_.head.get) shouldBe Seq("1", "5")
+      c.query("SELECT k FROM t WHERE g LIKE 'ab'").rows shouldBe Nil
+      // backslash escapes the next pattern char (PG default ESCAPE)
+      c.query("INSERT INTO t (k, g, n) VALUES (8, '50%', 1)")
+      c.query("SELECT k FROM t WHERE g LIKE '50\\%'")
+        .rows.map(_.head.get) shouldBe Seq("8")
+      // LIKE on a non-text column is 42883, like PG
+      intercept[c.PgServerError](
+        c.query("SELECT k FROM t WHERE k LIKE '1%'")).code shouldBe "42883"
       c.close()
     } finally server.stop()
   }
