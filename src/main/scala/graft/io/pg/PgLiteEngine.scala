@@ -724,15 +724,18 @@ final class PgLiteEngine {
     val (t, cols, proj) = selectShape(m, tx)
     t.synchronized {
       val keep = predFilter(t, parseWhere(m.group(3)))
-      var rows = t.rows.toSeq.iterator
-        .filter(keep).map(r => proj.map(r(_)).toArray).toSeq
+      // filter and SORT over the full rows, project LAST — the ORDER
+      // BY column need not be in the projection (real-PG semantics;
+      // r17: `SELECT a FROM t ORDER BY id` previously 42703'd)
+      var rows: Seq[Array[String]] =
+        t.rows.toSeq.iterator.filter(keep).toSeq
       val limit = Option(m.group(7)).map(_.toInt)
       val desc = m.group(5) != null && m.group(5).equalsIgnoreCase("DESC")
       Option(m.group(4)).map(_.toLowerCase) match {
         case Some(ob) =>
-          val oi = cols.indexWhere(_.name == ob)
+          val oi = t.cols.indexWhere(_.name == ob)
           if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
-          val oid = oidOf(cols(oi).pgType)
+          val oid = oidOf(t.cols(oi).pgType)
           // NULL placement: PG defaults (ASC → LAST, DESC → FIRST)
           // unless the statement says NULLS FIRST|LAST explicitly.
           // NULLs are placed, never fed to numeric/String comparison.
@@ -768,7 +771,8 @@ final class PgLiteEngine {
         case None => ()
       }
       limit.foreach(n => rows = rows.take(n))
-      Result(cols, rows, s"SELECT ${rows.length}")
+      val out = rows.map(r => proj.map(r(_)).toArray)
+      Result(cols, out, s"SELECT ${out.length}")
     }
   }
 

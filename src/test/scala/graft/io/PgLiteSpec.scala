@@ -452,6 +452,14 @@ class PgLiteSpec extends SparkSpec {
       // LIKE on a non-text column is 42883, like PG
       intercept[c.PgServerError](
         c.query("SELECT k FROM t WHERE k LIKE '1%'")).code shouldBe "42883"
+      // ORDER BY a column OUTSIDE the projection (real-PG semantics,
+      // r17) — sorted by k descending, only g emitted
+      c.query("SELECT g FROM t WHERE k IN (1, 2, 4) ORDER BY k DESC")
+        .rows.map(_.head.orNull) shouldBe Seq("c, d", "b", "a")
+      // …including through the bounded top-k heap path (LIMIT):
+      // n=40 → 'c, d', n=30 → the NULL-g row
+      c.query("SELECT g FROM t WHERE n IS NOT NULL ORDER BY n DESC LIMIT 2")
+        .rows.map(_.head.orNull) shouldBe Seq("c, d", null)
       c.close()
     } finally server.stop()
   }
