@@ -724,6 +724,46 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** DSv2 LIKE-pushdown gate (round-17): a `startsWith` filter on a
+    * partitioned wire scan renders `c_name LIKE 'prefix%'` alongside
+    * each key range — the prefix family is the bread-and-butter
+    * predicate of document pipelines, and pushing it means the wire
+    * ships the matching ~0.7 % of each range, not the range. The gate
+    * REQUIRES the pushdown structurally and the oracle replays clean
+    * rules + LIKE on the parquet source. */
+  def pgDsv2Like(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_lk"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_lk",
+        numPartitions = 8)
+      val filtered = s.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_lk")
+        .option("partitionColumn", "c_custkey")
+        .option("numPartitions", "8")
+        .load()
+        .filter(col("c_name").startsWith("customer#0000001"))
+      val plan = filtered.queryExecution.executedPlan.toString
+      require(plan.contains("where=[c_name LIKE 'customer#0000001%']") &&
+          plan.contains("rangeOn=[c_custkey"),
+        s"DSv2 LIKE pushdown on a partitioned scan regressed — " +
+          s"ranges ship unfiltered:\n$plan")
+      // EAGER: the scan must run while the endpoint is alive — the
+      // enclosing finally stops the server before any later action
+      filtered.checkpointLinted().orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** DSv2 AGGREGATE pushdown gate (round-16, [[graft.io.pg
     * .PgLiteDataSource]]): `groupBy(segment).agg(count/sum/min/max)`
     * over the range-partitioned wire scan renders
@@ -950,6 +990,7 @@ object RefQueries {
     "ref_pg_dsv2_topn" -> (pgDsv2TopN _),
     "ref_pg_dsv2_agg" -> (pgDsv2Agg _),
     "ref_pg_dsv2_filter" -> (pgDsv2Filter _),
+    "ref_pg_dsv2_like" -> (pgDsv2Like _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
@@ -1033,6 +1074,16 @@ object RefQueries {
            min(c_custkey) AS min_key,
            max(c_custkey) AS max_key
          FROM customer GROUP BY 1 ORDER BY 1""",
+    // the LIKE-filtered partitioned read: the pushed prefix pattern
+    // evaluates server-side inside every key range
+    "ref_pg_dsv2_like" ->
+      """SELECT c_custkey,
+           coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+           coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer
+         WHERE coalesce(nullif(lower(trim(c_name)), ''), 'unknown')
+               LIKE 'customer#0000001%'
+         ORDER BY c_custkey""",
     // the FILTERED partitioned read: the pushed comparison evaluates
     // server-side inside every key range — the oracle replays clean
     // rules + the filter on the parquet source
