@@ -8,6 +8,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
@@ -191,10 +192,11 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts,
-      rowsPerPart)
+      rowsPerPart,
+      Option(options.get("maxKeysPerTrigger")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
@@ -430,7 +432,8 @@ private class PgLiteDataWriter(conn: PgLiteConn, schemaName: String,
 private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
                                 full: StructType,
                                 partCol: Option[String], numParts: Int,
-                                rowsPerPart: Long)
+                                rowsPerPart: Long,
+                                maxKeysPerTrigger: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -649,11 +652,11 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       // threading tailOf here would wire an unreachable-but-crashing
       // statement shape
       new PgLiteScan(conn, table, full, schema, whereOf(pushed),
-        tail = None, partCol, numParts, rowsPerPart,
+        tail = None, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
         aggSelect = Some(sel), groupBy = group)
     case None =>
       new PgLiteScan(conn, table, full, required, whereOf(pushed),
-        tailOf, partCol, numParts, rowsPerPart,
+        tailOf, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
         aggSelect = None, groupBy = None)
   }
 }
@@ -663,8 +666,28 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
                          where: Option[String], tail: Option[String],
                          partCol: Option[String], numParts: Int,
                          rowsPerPart: Long,
+                         maxKeysPerTrigger: Option[Long],
                          aggSelect: Option[String], groupBy: Option[String])
     extends Scan with Batch with SupportsReportStatistics {
+
+  /** STREAMING SOURCE (r17): `spark.readStream.format("pglite")` — the
+    * incremental-ingest posture a warehouse CDC poller has. Requires
+    * `partitionColumn` as a MONOTONICALLY APPENDED key (the offset IS
+    * the high-water key); each trigger polls `max(key)` server-side
+    * and plans range partitions over `(lastKey, newMax]`, optionally
+    * rate-limited by `maxKeysPerTrigger`. Exactly-once under replays
+    * because offsets live in Spark's checkpoint and the key ranges
+    * re-read deterministically — the append-only contract every
+    * key-polling JDBC ingest carries. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(aggSelect.isEmpty && tail.isEmpty,
+      "pglite streaming read supports projection and filter pushdown only")
+    new PgLiteMicroBatchStream(conn, table, required,
+      partCol.getOrElse(throw new IllegalArgumentException(
+        "pglite streaming read requires .option(\"partitionColumn\", ...) " +
+          "(a monotonically appended integer key)")),
+      numParts, rowsPerPart, maxKeysPerTrigger, where)
+  }
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -732,6 +755,122 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
 }
 
 private case class PgLitePartition(where: Option[String]) extends InputPartition
+
+/** High-water-mark offset of the streaming source: every row with
+  * `key <= maxKey` has been delivered. */
+private case class PgLiteOffset(maxKey: Long) extends Offset {
+  override def json(): String = s"""{"maxKey":$maxKey}"""
+}
+
+/** Micro-batch POLLING source over the wire (r17): the offset is the
+  * key high-water mark; each trigger probes `max(key)` (one aggregate
+  * round trip under the pushed WHERE) and plans range partitions over
+  * `(lastKey, newMax]` — the standard append-only key-polling ingest
+  * every JDBC CDC reader runs. `maxKeysPerTrigger` rate-limits a
+  * trigger's key span (admission control; a front gap is skipped via
+  * a `min(key > last)` probe so sparse key spaces don't crawl).
+  * Trigger.AvailableNow snapshots the server max once and drains to
+  * it. Replays are exactly-once BECAUSE ranges re-read
+  * deterministically under the append-only, monotonic-key contract —
+  * rows behind the committed high-water mark must not change. */
+private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
+                                     required: StructType, keyCol: String,
+                                     numParts: Int, rowsPerPart: Long,
+                                     maxKeysPerTrigger: Option[Long],
+                                     where: Option[String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def whereSql: String = where.map(w => s" WHERE $w").getOrElse("")
+  private def probe(agg: String, extra: Option[String]): Option[Long] = {
+    val w = (where.toSeq ++ extra.toSeq).mkString(" AND ") match {
+      case "" => ""
+      case p => s" WHERE $p"
+    }
+    val c = conn.open()
+    try c.query(s"SELECT $agg AS m FROM $table$w").rows.head.head.map(_.toLong)
+    finally c.close()
+  }
+  private def serverMax(): Option[Long] = probe(s"max($keyCol)", None)
+
+  @volatile private var availableNowMode = false
+  @volatile private var availableNowCap: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowMode = true
+    availableNowCap = serverMax()
+  }
+
+  /** Start BEFORE the current smallest key so the first batches
+    * deliver the existing rows; an empty table starts at Long.MinValue
+    * and advances once rows appear. */
+  override def initialOffset(): Offset =
+    PgLiteOffset(probe(s"min($keyCol)", None).map(_ - 1)
+      .getOrElse(Long.MinValue))
+
+  override def deserializeOffset(json: String): Offset =
+    PgLiteOffset(""""maxKey"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(
+        throw new IllegalArgumentException(s"bad pglite offset: $json")))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is the admission-control entry point")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[PgLiteOffset].maxKey
+    val target =
+      (if (availableNowMode) availableNowCap else serverMax()).getOrElse(s0)
+    if (target <= s0) return PgLiteOffset(s0) // caught up
+    val next = maxKeysPerTrigger match {
+      case Some(mk) =>
+        // skip the front gap (keys may start far above s0), then take
+        // at most mk keys of span — conservative under interior gaps
+        val lo = probe(s"min($keyCol)", Some(s"$keyCol > $s0")).getOrElse(target)
+        val cand = lo + mk - 1
+        if (cand < lo || cand > target) target else cand // overflow-safe
+      case None => target
+    }
+    PgLiteOffset(next)
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[PgLiteOffset].maxKey
+    val e = end.asInstanceOf[PgLiteOffset].maxKey
+    if (e <= s0) return Array.empty
+    // a deeply negative start (the stream began on an empty table)
+    // would overflow the range arithmetic — clamp to the actual
+    // smallest unread key
+    val lo =
+      try { Math.subtractExact(e, s0); s0 + 1 } // span computable
+      catch { case _: ArithmeticException =>
+        probe(s"min($keyCol)", Some(s"$keyCol > $s0")) match {
+          case Some(m) => m
+          case None => return Array.empty
+        }
+      }
+    val span = try Math.addExact(Math.subtractExact(e, lo), 1L)
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val parts = PgWire.adaptivePartitions(span, numParts, rowsPerPart)
+    PgWire.splitRanges(lo, e, parts)
+      .map { case (a, b) =>
+        PgLitePartition(Some(
+          (s"$keyCol >= $a AND $keyCol < $b" +: where.toSeq)
+            .mkString(" AND ")))
+      }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PgLiteReaderFactory(conn, table, required,
+      tail = None, aggSelect = None, groupBy = None)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String =
+    s"pglite:$table keyCol=$keyCol$whereSql"
+}
 
 private class PgLiteReaderFactory(conn: PgLiteConn, table: String,
                                   required: StructType, tail: Option[String],

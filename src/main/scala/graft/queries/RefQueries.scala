@@ -876,6 +876,58 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** STREAMING wire-SOURCE gate (round-17, [[graft.io.pg
+    * .PgLiteDataSource]] micro-batch reads): the INGEST mirror of
+    * [[pgStreamSink]] — the cleaned customer frame lands in a wire
+    * table, then `spark.readStream.format("pglite")` polls it out by
+    * the key high-water mark in MULTIPLE rate-limited micro-batches
+    * (`maxKeysPerTrigger` = a third of the key span, AvailableNow
+    * drains to a snapshot) into a parquet sink. The oracle replays the
+    * clean rules: a key lost or doubled at a batch boundary, a seam in
+    * the per-batch range partitioning, or a stale high-water mark
+    * breaks the hash. */
+  def pgStreamSource(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-pg-src-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val spanThird = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_src"))
+        graft.io.pg.PgWire.copyDistributed(
+          cleaned, "127.0.0.1", server.port, "silver.customer_src",
+          numPartitions = 8)
+        val mm = c.query("SELECT min(c_custkey) AS lo, max(c_custkey) AS hi " +
+          "FROM silver.customer_src").rows.head
+        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3)
+      } finally c.close()
+      val q = s.readStream.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_src")
+        .option("partitionColumn", "c_custkey")
+        .option("maxKeysPerTrigger", spanThird.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out").orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
   /** CSV-format COPY gate (round-16, [[graft.io.pg.PgCsvCopy]]): the
     * third published COPY format — quoted-empty-vs-NULL semantics and
     * quote-aware row framing — through the full socket round trip:
@@ -992,6 +1044,7 @@ object RefQueries {
     "ref_pg_dsv2_filter" -> (pgDsv2Filter _),
     "ref_pg_dsv2_like" -> (pgDsv2Like _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
+    "ref_pg_stream_source" -> (pgStreamSource _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -1036,6 +1089,13 @@ object RefQueries {
     // the staged, transactionally-published COPY must land on the
     // identical read-back — same oracle as its two siblings
     "ref_pg_copy_exactly_once" ->
+      """SELECT c_custkey,
+         coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+         coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer ORDER BY c_custkey""",
+    // the STREAMING source: the table polled out by key high-water
+    // mark in rate-limited micro-batches — same clean-rules oracle
+    "ref_pg_stream_source" ->
       """SELECT c_custkey,
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
