@@ -851,9 +851,15 @@ private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
           case None => return Array.empty
         }
       }
-    val span = try Math.addExact(Math.subtractExact(e, lo), 1L)
-      catch { case _: ArithmeticException => Long.MaxValue }
-    val parts = PgWire.adaptivePartitions(span, numParts, rowsPerPart)
+    // partition count scales with the batch's ROW census, never the
+    // key span — a sparse keyspace (offset ids, deleted ranges) would
+    // otherwise plan hundreds of near-empty range scans per trigger
+    // (measured: 10x rehearsal ratio 5.7 span-based vs scan-band
+    // row-based). One aggregate round trip per trigger.
+    val rows = probe(s"count($keyCol)",
+      Some(s"$keyCol >= $lo AND $keyCol <= $e")).getOrElse(0L)
+    if (rows == 0L) return Array.empty
+    val parts = PgWire.adaptivePartitions(rows, numParts, rowsPerPart)
     PgWire.splitRanges(lo, e, parts)
       .map { case (a, b) =>
         PgLitePartition(Some(

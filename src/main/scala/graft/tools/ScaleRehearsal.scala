@@ -256,7 +256,13 @@ object ScaleRehearsal {
       // (the N-conjunction grammar) — the filter evaluates server-side
       // inside every range, so the wire payload is the SELECTIVITY
       // share of the table, not the table
-      "ref_pg_dsv2_filter")
+      "ref_pg_dsv2_filter",
+      // round-17 second batch: the prefix-LIKE pushdown (same
+      // selectivity story as the IN filter row), and the STREAMING
+      // source draining the table in rate-limited micro-batches —
+      // its wall is micro-batch machinery + range scans, so the
+      // ratio should sit in the scan family band
+      "ref_pg_dsv2_like", "ref_pg_stream_source")
       .map(n => n -> ((s: SparkSession, d: String) =>
         graft.SparkEntry.queries(n)(s, d).count())) ++ Seq(
       // round-16 (VERDICT r15 task 7): the flagship's PROTOCOL-FIDELITY
