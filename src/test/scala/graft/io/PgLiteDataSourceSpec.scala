@@ -708,6 +708,45 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "agree with Spark on 60 seeded random filter combinations (differential)" in {
+    val (server, data) = fixture()
+    try {
+      // the same rows as a LOCAL frame: Spark's own evaluation is the
+      // reference; the wire scan + pushdown stack must agree on every
+      // randomly composed filter from the pushable family (and the
+      // residual family — a declined pushdown must also stay correct)
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 3), schema)
+      val rnd = new scala.util.Random(20260816L) // seeded: reproducible
+      import org.apache.spark.sql.Column
+      def atom(): Column = rnd.nextInt(9) match {
+        case 0 => col("k") >= rnd.nextLong(120)
+        case 1 => col("k") < rnd.nextLong(120)
+        case 2 => col("d") > rnd.nextInt(60) * 0.5
+        case 3 => col("s") === s"s ${rnd.nextInt(60)}"
+        case 4 => col("k").isin(
+          Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong(120)): _*)
+        case 5 => if (rnd.nextBoolean()) col("s").isNull else col("s").isNotNull
+        case 6 => col("s").startsWith(s"s ${rnd.nextInt(6)}")
+        case 7 => col("s").contains(rnd.nextInt(10).toString)
+        case 8 => col("n") <= new java.math.BigDecimal(s"${rnd.nextInt(60)}.25")
+      }
+      (1 to 60).foreach { i =>
+        val pred = (1 to (1 + rnd.nextInt(3))).map(_ => atom())
+          .reduce(_ && _)
+        withClue(s"case $i, filter $pred:") {
+          val wire = read(server)
+            .option("partitionColumn", "k").option("numPartitions", "3")
+            .load().filter(pred)
+            .select(col("k")).collect().map(_.getLong(0)).sorted
+          val want = local.filter(pred)
+            .select(col("k")).collect().map(_.getLong(0)).sorted
+          wire shouldBe want
+        }
+      }
+    } finally server.stop()
+  }
+
   behavior of "pglite streaming source"
 
   it should "poll new rows incrementally by the key high-water mark" in {
