@@ -747,6 +747,49 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "agree with Spark on seeded random filtered aggregations (differential)" in {
+    val (server, data) = fixture()
+    try {
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 3), schema)
+      val rnd = new scala.util.Random(8161717L)
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.functions.{count, lit, max, min, sum}
+      def atom(): Column = rnd.nextInt(5) match {
+        case 0 => col("k") >= rnd.nextLong(120)
+        case 1 => col("d") > rnd.nextInt(60) * 0.5
+        case 2 => col("s").isNotNull
+        case 3 => col("b") === (rnd.nextInt(2) == 0)
+        case 4 => col("k").isin(
+          Seq.fill(2 + rnd.nextInt(5))(rnd.nextLong(120)): _*)
+      }
+      def normalize(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+        df.collect().toSeq.map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) "∅" else r.get(i) match {
+            case d: java.math.BigDecimal => d.stripTrailingZeros.toPlainString
+            case v => v.toString
+          })).sortBy(_.mkString("|"))
+      (1 to 30).foreach { i =>
+        val pred = (1 to (1 + rnd.nextInt(2))).map(_ => atom())
+          .reduce(_ && _)
+        withClue(s"case $i, filter $pred:") {
+          def aggOf(df: org.apache.spark.sql.DataFrame) =
+            df.filter(pred).groupBy(col("b"))
+              .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"),
+                min(col("d")).as("mind"), max(col("s")).as("maxs"))
+          // sum(long) surfaces as Decimal(38,0) pushed vs Long local —
+          // normalize compares canonical text, so types may differ
+          // only in lossless widening
+          normalize(aggOf(read(server)
+            .option("partitionColumn", "k").option("numPartitions", "3")
+            .load()).selectExpr("b", "n", "CAST(sk AS STRING) sk", "mind", "maxs")) shouldBe
+          normalize(aggOf(local)
+            .selectExpr("b", "n", "CAST(sk AS STRING) sk", "mind", "maxs"))
+        }
+      }
+    } finally server.stop()
+  }
+
   behavior of "pglite streaming source"
 
   it should "poll new rows incrementally by the key high-water mark" in {
