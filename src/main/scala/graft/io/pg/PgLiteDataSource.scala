@@ -39,8 +39,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    each partition's key-range bounds — a filtered read of a big
   *    partitioned table filters server-side instead of shipping
   *    whole ranges.
-  *  - LIMIT / TOP-N PUSHDOWN: `df.orderBy(c).limit(n)` (one sort
-  *    column) renders `ORDER BY c dir NULLS place LIMIT n` into every
+  *  - LIMIT / TOP-N PUSHDOWN: `df.orderBy(c1, c2, …).limit(n)` (any
+  *    number of plain sort columns, r17; expression-valued keys stay
+  *    Spark-side) renders `ORDER BY … LIMIT n` into every
   *    per-partition SELECT — the engine serves it from a bounded
   *    top-k heap, so each connection ships ≤ n rows however large the
   *    table is; a bare `.limit(n)` pushes `LIMIT n`. Both are PARTIAL
@@ -446,26 +447,31 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
   // table is. Always PARTIAL: Spark keeps its own TopK/Limit above the
   // scan (each range returns a local top-n; the global answer is the
   // merge), so correctness never depends on the engine's sort.
-  private var topn: Option[(String, SortDirection, NullOrdering, Int)] = None
+  private var topn: Option[(Seq[(String, SortDirection, NullOrdering)], Int)] = None
   private var plainLimit: Option[Int] = None
 
   override def pushLimit(limit: Int): Boolean = {
     plainLimit = Some(limit); true
   }
-  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean =
-    orders match {
-      case Array(o) => o.expression() match {
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    // ANY number of plain-column sort keys pushes (the engine ORDER BY
+    // is multi-column since r17); Spark's ASC defaults to NULLS FIRST
+    // where PG's is NULLS LAST — the engine grammar takes an explicit
+    // NULLS clause per item, so the wire order matches Spark's
+    // exactly. Expression-valued sort keys stay Spark-side.
+    val items = orders.toSeq.map { o =>
+      o.expression() match {
         case ref: NamedReference if ref.fieldNames().length == 1 &&
             full.fieldNames.contains(ref.fieldNames()(0)) =>
-          // Spark's ASC defaults to NULLS FIRST where PG's is NULLS
-          // LAST — the engine grammar takes an explicit NULLS clause,
-          // so ANY single-column order pushes faithfully.
-          topn = Some((ref.fieldNames()(0), o.direction(), o.nullOrdering(), limit))
-          true
-        case _ => false
+          Some((ref.fieldNames()(0), o.direction(), o.nullOrdering()))
+        case _ => None
       }
-      case _ => false
     }
+    if (items.nonEmpty && items.forall(_.isDefined)) {
+      topn = Some((items.flatten, limit))
+      true
+    } else false
+  }
   override def isPartiallyPushed(): Boolean = true
 
   // pushed aggregation: the per-partition SELECT list (group cols
@@ -637,10 +643,13 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     * means Spark re-sorts above the scan, so it always does), or a
     * bare `LIMIT n`. */
   private def tailOf: Option[String] = topn match {
-    case Some((col, dir, no, n)) =>
-      val d = if (dir == SortDirection.DESCENDING) "DESC" else "ASC"
-      val nu = if (no == NullOrdering.NULLS_FIRST) "FIRST" else "LAST"
-      Some(s"ORDER BY $col $d NULLS $nu LIMIT $n")
+    case Some((items, n)) =>
+      val rendered = items.map { case (col, dir, no) =>
+        val d = if (dir == SortDirection.DESCENDING) "DESC" else "ASC"
+        val nu = if (no == NullOrdering.NULLS_FIRST) "FIRST" else "LAST"
+        s"$col $d NULLS $nu"
+      }.mkString(", ")
+      Some(s"ORDER BY $rendered LIMIT $n")
     case None => plainLimit.map(n => s"LIMIT $n")
   }
 

@@ -523,11 +523,28 @@ final class PgLiteEngine {
       "|IS\\s+(?:NOT\\s+)?NULL)"
   private val WherePat =
     s"(?:\\s+WHERE\\s+($PredPat(?:\\s+AND\\s+$PredPat)*))?"
+  private val OrderItemPat =
+    "[\\w]+(?:\\s+(?:ASC|DESC))?(?:\\s+NULLS\\s+(?:FIRST|LAST))?"
   private val SelectRe =
     ("(?is)SELECT\\s+(.*?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" + WherePat +
-      "(?:\\s+ORDER\\s+BY\\s+([\\w]+)(?:\\s+(ASC|DESC))?" +
-      "(?:\\s+NULLS\\s+(FIRST|LAST))?)?" +
+      s"(?:\\s+ORDER\\s+BY\\s+($OrderItemPat(?:\\s*,\\s*$OrderItemPat)*))?" +
       "(?:\\s+LIMIT\\s+(\\d+))?\\s*$").r
+
+  /** (col, desc, nullsFirst) per ORDER BY item of an already-validated
+    * order list. NULL placement: PG defaults (ASC → LAST, DESC →
+    * FIRST) unless the item says NULLS FIRST|LAST explicitly. */
+  private val OrderItemRe =
+    "(?i)([\\w]+)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?".r
+  private def parseOrder(list: String): Seq[(String, Boolean, Boolean)] =
+    if (list == null) Nil
+    else OrderItemRe.findAllMatchIn(list).map { m =>
+      val desc = m.group(2) != null && m.group(2).equalsIgnoreCase("DESC")
+      val nullsFirst = Option(m.group(3)) match {
+        case Some(nf) => nf.equalsIgnoreCase("FIRST")
+        case None => desc
+      }
+      (m.group(1).toLowerCase, desc, nullsFirst)
+    }.toSeq
 
   /** (col, op, payload) triples of an already-validated WHERE clause
     * (the enclosing SelectRe/AggSelectRe anchored it to
@@ -729,29 +746,35 @@ final class PgLiteEngine {
       // r17: `SELECT a FROM t ORDER BY id` previously 42703'd)
       var rows: Seq[Array[String]] =
         t.rows.toSeq.iterator.filter(keep).toSeq
-      val limit = Option(m.group(7)).map(_.toInt)
-      val desc = m.group(5) != null && m.group(5).equalsIgnoreCase("DESC")
-      Option(m.group(4)).map(_.toLowerCase) match {
-        case Some(ob) =>
-          val oi = t.cols.indexWhere(_.name == ob)
-          if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
-          val oid = oidOf(t.cols(oi).pgType)
-          // NULL placement: PG defaults (ASC → LAST, DESC → FIRST)
-          // unless the statement says NULLS FIRST|LAST explicitly.
-          // NULLs are placed, never fed to numeric/String comparison.
-          // Integer columns compare as Long (INT/BIGINT/SERIAL store
-          // their canonical toString), decimals as BigDecimal.
-          val nullsFirst = Option(m.group(6)) match {
-            case Some(s) => s.equalsIgnoreCase("FIRST")
-            case None => desc
+      val limit = Option(m.group(5)).map(_.toInt)
+      val order = parseOrder(m.group(4))
+      if (order.nonEmpty) {
+          // one (colIdx, oid, desc, nullsFirst) per ORDER BY item —
+          // composed lexicographically. NULL placement: PG defaults
+          // (ASC → LAST, DESC → FIRST) unless the item says NULLS
+          // FIRST|LAST. NULLs are placed, never fed to numeric/String
+          // comparison. Integer columns compare as Long (INT/BIGINT/
+          // SERIAL store their canonical toString), decimals as
+          // BigDecimal.
+          val items = order.map { case (ob, desc, nullsFirst) =>
+            val oi = t.cols.indexWhere(_.name == ob)
+            if (oi < 0) throw PgError("42703", s"column \"$ob\" does not exist")
+            (oi, oidOf(t.cols(oi).pgType), desc, nullsFirst)
           }
           val ord: Ordering[Array[String]] = (x: Array[String], y: Array[String]) => {
-            val (a, b) = (x(oi), y(oi))
-            if (a == null && b == null) 0
-            else if (a == null) { if (nullsFirst) -1 else 1 }
-            else if (b == null) { if (nullsFirst) 1 else -1 }
-            else if (desc) -cmpVal(oid, a, b)
-            else cmpVal(oid, a, b)
+            var res = 0
+            val it = items.iterator
+            while (res == 0 && it.hasNext) {
+              val (oi, oid, desc, nullsFirst) = it.next()
+              val (a, b) = (x(oi), y(oi))
+              res =
+                if (a == null && b == null) 0
+                else if (a == null) { if (nullsFirst) -1 else 1 }
+                else if (b == null) { if (nullsFirst) 1 else -1 }
+                else if (desc) -cmpVal(oid, a, b)
+                else cmpVal(oid, a, b)
+            }
+            res
           }
           rows = limit match {
             case Some(0) => Seq.empty // legal LIMIT 0: no sort, no heap
@@ -768,7 +791,6 @@ final class PgLiteEngine {
               heap.dequeueAll.reverse.toSeq
             case _ => rows.sorted(ord)
           }
-        case None => ()
       }
       limit.foreach(n => rows = rows.take(n))
       val out = rows.map(r => proj.map(r(_)).toArray)

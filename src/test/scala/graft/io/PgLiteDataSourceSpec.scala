@@ -351,20 +351,41 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  it should "decline top-n it cannot express (multi-column order) and stay correct" in {
+  it should "push MULTI-COLUMN top-n and decline expression sort keys" in {
     val (server, data) = fixture()
     try {
+      // composite sort pushes since r17: each item renders with its
+      // own direction and explicit NULLS placement
       val q = read(server).load()
         .orderBy(col("b"), col("k").desc).limit(3).select(col("k"))
-      q.queryExecution.executedPlan.toString should not include "pushed=["
-      // Spark computes the whole top-n itself; answer still right
-      // (b: false < true < null under Spark ASC NULLS LAST? — no:
-      // Spark ASC default is NULLS FIRST, so null-b rows sort first)
+      q.queryExecution.executedPlan.toString should
+        include("pushed=[ORDER BY b ASC NULLS FIRST, k DESC NULLS LAST LIMIT 3]")
+      // Spark ASC default is NULLS FIRST, so null-b rows sort first
       val want = data.sortBy(r =>
         (Option(r.get(4)).fold(0)(_ => 1), // nulls first
          Option(r.get(4)).map(_.asInstanceOf[Boolean]).getOrElse(false),
          -r.getLong(0))).take(3).map(_.getLong(0))
       q.collect().map(_.getLong(0)) shouldBe want
+      // the partitioned scan merges per-range composite winners too
+      val part = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .load()
+        .orderBy(col("s").desc, col("k")).limit(5).select(col("k"))
+      part.queryExecution.executedPlan.toString should
+        include("pushed=[ORDER BY s DESC NULLS LAST, k ASC NULLS FIRST LIMIT 5]")
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 3), schema)
+      part.collect().map(_.getLong(0)) shouldBe
+        local.orderBy(col("s").desc, col("k")).limit(5)
+          .select(col("k")).collect().map(_.getLong(0))
+      // an expression-valued sort key is NOT expressible: declined,
+      // Spark computes the whole top-n, values still right
+      val expr = read(server).load()
+        .orderBy((col("k") % 7).asc, col("k")).limit(3).select(col("k"))
+      expr.queryExecution.executedPlan.toString should not include "pushed=["
+      expr.collect().map(_.getLong(0)) shouldBe
+        local.orderBy((col("k") % 7).asc, col("k")).limit(3)
+          .select(col("k")).collect().map(_.getLong(0))
     } finally server.stop()
   }
 

@@ -456,6 +456,15 @@ class PgLiteSpec extends SparkSpec {
       // r17) — sorted by k descending, only g emitted
       c.query("SELECT g FROM t WHERE k IN (1, 2, 4) ORDER BY k DESC")
         .rows.map(_.head.orNull) shouldBe Seq("c, d", "b", "a")
+      // MULTI-COLUMN ORDER BY (r17 second batch): composed
+      // lexicographically, per-item direction and NULLS placement —
+      // n groups {1: k=6,7,8; 10: k=1; 30: k=3; 40: k=4; NULL: k=2,5}
+      c.query("SELECT k FROM t ORDER BY n ASC NULLS LAST, k DESC")
+        .rows.map(_.head.get) shouldBe
+        Seq("8", "7", "6", "1", "3", "4", "5", "2")
+      // …including through the bounded top-k heap (LIMIT)
+      c.query("SELECT k FROM t ORDER BY n ASC NULLS LAST, k DESC LIMIT 4")
+        .rows.map(_.head.get) shouldBe Seq("8", "7", "6", "1")
       // …including through the bounded top-k heap path (LIMIT):
       // n=40 → 'c, d', n=30 → the NULL-g row
       c.query("SELECT g FROM t WHERE n IS NOT NULL ORDER BY n DESC LIMIT 2")
