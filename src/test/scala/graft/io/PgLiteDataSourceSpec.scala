@@ -811,6 +811,35 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "agree with Spark on seeded random composite top-n queries (differential)" in {
+    val (server, data) = fixture()
+    try {
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 3), schema)
+      val rnd = new scala.util.Random(4242424L)
+      val sortable = Seq("k", "s", "d", "n", "dt")
+      (1 to 30).foreach { i =>
+        val names = rnd.shuffle(sortable).take(1 + rnd.nextInt(3))
+        val keys = names.map { c0 =>
+          if (rnd.nextBoolean()) col(c0).asc else col(c0).desc
+        }
+        val n = 1 + rnd.nextInt(10)
+        withClue(s"case $i, orderBy(${keys.mkString(", ")}).limit($n):") {
+          // rows tied on every sort key are interchangeable, so any
+          // valid top-n shares the same MULTISET of sort-key tuples —
+          // compare that, not row identity
+          def run(df: org.apache.spark.sql.DataFrame) =
+            df.orderBy(keys: _*).limit(n)
+              .select(names.map(col): _*).collect()
+              .map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+          run(read(server)
+            .option("partitionColumn", "k").option("numPartitions", "3")
+            .load()) shouldBe run(local)
+        }
+      }
+    } finally server.stop()
+  }
+
   behavior of "pglite streaming source"
 
   it should "poll new rows incrementally by the key high-water mark" in {
