@@ -736,12 +736,15 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
       // PgWire.readDistributed — shared helpers, not a copy. Pushed
       // user filters AND onto each range (the engine WHERE takes N
       // conjunctions since r17), so a filtered partitioned read
-      // evaluates the filter server-side instead of shipping ranges.
-      // NULL partition keys fail planning fast (ADVICE r16); the
-      // partition count scales with the table toward rowsPerPart
-      // rows/task, never below numParts (r17).
+      // evaluates the filter server-side instead of shipping ranges —
+      // and the census itself runs UNDER the pushed WHERE, so ranges
+      // span only the filtered key space and the partition count
+      // follows filtered rows, not the table. NULL partition keys
+      // fail planning fast (ADVICE r16); the partition count scales
+      // toward rowsPerPart rows/task, never below numParts (r17).
       val c = conn.open()
-      val st = try PgWire.probeScanStats(c, table, k) finally c.close()
+      val st = try PgWire.probeScanStats(c, table, k, where)
+        finally c.close()
       PgWire.requireKeysNonNull(st, table, k)
       st.bounds match {
         // empty table: ONE full-table partition, not zero — a pushed

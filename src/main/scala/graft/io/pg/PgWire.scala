@@ -251,9 +251,11 @@ object PgWire {
   final case class ScanStats(rows: Long, keyRows: Long,
                              bounds: Option[(Long, Long)])
   private[pg] def probeScanStats(c: PgLiteClient, table: String,
-                                 keyCol: String): ScanStats = {
+                                 keyCol: String,
+                                 where: Option[String] = None): ScanStats = {
     val r = c.query(s"SELECT count(*) AS n, count($keyCol) AS nk, " +
-      s"min($keyCol) AS lo, max($keyCol) AS hi FROM $table").rows.head
+      s"min($keyCol) AS lo, max($keyCol) AS hi FROM $table" +
+      where.map(w => s" WHERE $w").getOrElse("")).rows.head
     ScanStats(r(0).get.toLong, r(1).get.toLong,
       r(2).map(lo => (lo.toLong, r(3).get.toLong)))
   }

@@ -233,6 +233,19 @@ class PgLiteDataSourceSpec extends SparkSpec {
       }.head
       frel.computeStats().rowCount shouldBe
         Some(BigInt(data.count(_.getLong(0) <= 19L)))
+      // the census runs UNDER the pushed WHERE: a selective filter
+      // shrinks the partition count to the FILTERED row census (10
+      // matching rows at 5 rows/task -> 2 partitions, where the
+      // unfiltered table would plan 12) and ranges span only the
+      // filtered key space
+      val fadp = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "1")
+        .option("rowsPerPartition", "5")
+        .load()
+        .filter(col("k") <= 19L)
+      fadp.rdd.getNumPartitions shouldBe 2
+      fadp.select(col("k")).collect().map(_.getLong(0)).sorted shouldBe
+        (1L to 19L by 2).toArray
       // a NULL partition key would be invisible to the ranged scan:
       // planning fails fast (ADVICE r16) instead of hiding rows
       val c = new PgLiteClient("127.0.0.1", server.port)
