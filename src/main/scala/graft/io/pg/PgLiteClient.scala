@@ -261,6 +261,37 @@ final class PgLiteClient(host: String, port: Int,
       payloads = params.map { case (oid, v) => v.map(encodeBinParam(oid, _)) },
       formats = Seq.fill(params.length)(1))
 
+  /** [[execParamsBinary]] additionally requesting BINARY RESULT
+    * format for every column (Bind result-format code 1 — what a real
+    * driver's prepared path requests for fixed-width types by
+    * default, r18): DataRow cells arrive as the published int4/int8/
+    * float8 encodings and decode back to canonical text by the
+    * RowDescription oids, so [[QueryResult]] is format-invisible. */
+  def execParamsBinaryResults(sql: String,
+                              params: Seq[(Int, Option[Any])] = Nil): QueryResult =
+    execExtended(sql, paramOids = params.map(_._1),
+      payloads = params.map { case (oid, v) => v.map(encodeBinParam(oid, _)) },
+      formats = Seq.fill(params.length)(1), resultFormats = Seq(1))
+
+  /** Inverse of [[encodeBinParam]] for binary RESULT cells: the
+    * published fixed-width encodings back to canonical text. */
+  private def decodeBinResult(oid: Int, b: Array[Byte],
+                              off: Int, len: Int): String = oid match {
+    case 23 =>
+      require(len == 4, s"int4 binary cell of $len bytes"); readInt(b, off).toString
+    case 20 =>
+      require(len == 8, s"int8 binary cell of $len bytes")
+      (((readInt(b, off) & 0xffffffffL) << 32) |
+        (readInt(b, off + 4) & 0xffffffffL)).toString
+    case 701 =>
+      require(len == 8, s"float8 binary cell of $len bytes")
+      java.lang.Double.longBitsToDouble(
+        ((readInt(b, off) & 0xffffffffL) << 32) |
+          (readInt(b, off + 4) & 0xffffffffL)).toString
+    case other => throw new IllegalStateException(
+      s"server sent a binary result for undecodable oid $other")
+  }
+
   /** Published binary send formats for the fixed-width types. */
   private def encodeBinParam(oid: Int, v: Any): Array[Byte] = oid match {
     case 23 => java.nio.ByteBuffer.allocate(4).putInt(v.toString.toInt).array()
@@ -273,11 +304,15 @@ final class PgLiteClient(host: String, port: Int,
 
   /** Shared extended-protocol pipeline; `formats` is the Bind
     * parameter-format-code array (empty = all text, one = uniform,
-    * else per-parameter). private[io] so specs can craft hostile
-    * shapes (e.g. a binary format code on an unsupported oid). */
+    * else per-parameter), `resultFormats` the result-column format
+    * codes (same zero/one/per-column rule; binary cells decode back
+    * to canonical text by the RowDescription oids). private[io] so
+    * specs can craft hostile shapes (e.g. a binary format code on an
+    * unsupported oid). */
   private[io] def execExtended(sql: String, paramOids: Seq[Int],
                                payloads: Seq[Option[Array[Byte]]],
-                               formats: Seq[Int]): QueryResult = {
+                               formats: Seq[Int],
+                               resultFormats: Seq[Int] = Seq.empty): QueryResult = {
     def msg(tpe: Char, body: Array[Byte]): Unit = {
       out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
     }
@@ -299,7 +334,7 @@ final class PgLiteClient(host: String, port: Int,
       case None => i32(-1)
       case Some(b) => i32(b.length); bb.write(b, 0, b.length)
     }
-    i16(0)
+    i16(resultFormats.length); resultFormats.foreach(i16)
     msg('B', bb.toByteArray); bb.reset()
     msg('D', Array[Byte]('P'.toByte, 0))
     // Execute: unnamed portal, no row limit
@@ -324,10 +359,22 @@ final class PgLiteClient(host: String, port: Int,
           val n = readShort(payload, 0)
           var off = 2
           val r = mutable.ArrayBuffer[Option[String]]()
-          (0 until n).foreach { _ =>
+          (0 until n).foreach { i =>
             val len = readInt(payload, off); off += 4
             if (len < 0) r += None
-            else { r += Some(new String(payload, off, len, UTF_8)); off += len }
+            else {
+              // a column this Bind requested binary decodes by its
+              // RowDescription oid ('T' always precedes 'D'); text
+              // columns pass through as UTF-8
+              val fmt =
+                if (resultFormats.isEmpty) 0
+                else if (resultFormats.length == 1) resultFormats.head
+                else resultFormats(i)
+              r += Some(
+                if (fmt == 0) new String(payload, off, len, UTF_8)
+                else decodeBinResult(oids(i), payload, off, len))
+              off += len
+            }
           }
           rows += r.toSeq
         case 'C' =>

@@ -108,7 +108,13 @@ class PgLiteDataSource extends TableProvider with DataSourceRegister {
     new PgLiteTable(PgLiteConn(opts), tableOf(opts), schema,
       Option(opts.get("partitionColumn")),
       Option(opts.get("numPartitions")).map(_.toInt).getOrElse(8),
-      Option(opts.get("rowsPerPartition")).map(_.toLong).getOrElse(100000L))
+      Option(opts.get("rowsPerPartition")).map(_.toLong).getOrElse(100000L),
+      // janitor=false (r18, ADVICE r17): skip the start-of-job UNSCOPED
+      // orphan-stage sweep — it assumes no OTHER writer has live stages
+      // on this table when this writer starts; an orchestrator running
+      // deliberately overlapping writers opts out and owns cross-run
+      // orphan cleanup itself
+      Option(opts.get("janitor")).forall(_.toBoolean))
   }
 }
 
@@ -187,7 +193,7 @@ private[pg] object PgLiteDataSource {
 private class PgLiteTable(conn: PgLiteConn, table: String,
                           tableSchema: StructType,
                           partCol: Option[String], numParts: Int,
-                          rowsPerPart: Long)
+                          rowsPerPart: Long, janitor: Boolean = true)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"pglite:$table"
   override def schema(): StructType = tableSchema
@@ -197,14 +203,23 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PgLiteScanBuilder(conn, table, tableSchema, partCol, numParts,
       rowsPerPart,
-      Option(options.get("maxKeysPerTrigger")).map(_.toLong))
+      Option(options.get("maxKeysPerTrigger")).map(_.toLong),
+      // .option("where", "…") — an explicit server-side predicate in
+      // the engine's WHERE grammar, ANDed with (and ahead of) any
+      // Catalyst-pushed filters. It exists for STREAMING reads (r18):
+      // Spark's optimizer runs filter pushdown only on BATCH DSv2
+      // relations, so a streaming filter(…) stays Spark-side — this
+      // option is the streaming equivalent (the posture of
+      // spark.read.jdbc's `predicates`/dbtable-subquery idiom), riding
+      // every trigger's key ranges and the planning census server-side
+      Option(options.get("where")))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new PgLiteBatchWrite(conn, table, info.schema())
+          new PgLiteBatchWrite(conn, table, info.schema(), janitor)
         override def toStreaming: StreamingWrite =
-          new PgLiteStreamingWrite(conn, table, info.schema())
+          new PgLiteStreamingWrite(conn, table, info.schema(), janitor)
       }
     }
 }
@@ -225,7 +240,8 @@ private class PgLiteTable(conn: PgLiteConn, table: String,
   * ([[PgWire.sweepStages]], run before writers start).
   * The TARGET table must already exist (JDBC-append semantics). */
 private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
-                               schema: StructType) extends BatchWrite {
+                               schema: StructType,
+                               janitor: Boolean = true) extends BatchWrite {
   private val Array(schemaName, bare) = table.split("\\.", 2) match {
     case a @ Array(_, _) => a
     case _ => throw new IllegalArgumentException(
@@ -239,9 +255,13 @@ private class PgLiteBatchWrite(conn: PgLiteConn, table: String,
     // janitor (driver-side, before any writer runs): a previous run's
     // hard-killed task leaves a stage table whose (run, taskId) name
     // no later run can guess — the one UNSCOPED prefix sweep, under
-    // the documented single-writer-at-start assumption
-    val c = conn.open()
-    try PgWire.sweepStages(c, schemaName, bare) finally c.close()
+    // the documented single-writer-at-start assumption; .option(
+    // "janitor", "false") opts out for deliberately overlapping
+    // writers (r18, ADVICE r17)
+    if (janitor) {
+      val c = conn.open()
+      try PgWire.sweepStages(c, schemaName, bare) finally c.close()
+    }
     PgLiteWriterFactory(conn, schemaName, bare, runId, schema)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -285,7 +305,8 @@ private case class PgLiteWriterFactory(conn: PgLiteConn, schemaName: String,
   * stages. The marker write and the data publish commit atomically, so
   * there is no window where one lands without the other. */
 private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
-                                       schema: StructType)
+                                       schema: StructType,
+                                       janitor: Boolean = true)
     extends StreamingWrite {
   private val Array(schemaName, bare) = table.split("\\.", 2) match {
     case a @ Array(_, _) => a
@@ -302,11 +323,12 @@ private[pg] class PgLiteStreamingWrite(conn: PgLiteConn, table: String,
     // Also the orphan-stage janitor (once per query start, not per
     // epoch): a crash between an epoch's staging and its publish
     // leaves task-unique stage tables only discovery can clean —
-    // the one UNSCOPED sweep (single-writer-at-start assumption)
+    // the one UNSCOPED sweep (single-writer-at-start assumption;
+    // .option("janitor", "false") opts out, r18)
     val c = conn.open()
     try {
       c.query(s"CREATE TABLE IF NOT EXISTS $epochsTable (epoch BIGINT UNIQUE)")
-      PgWire.sweepStages(c, schemaName, bare)
+      if (janitor) PgWire.sweepStages(c, schemaName, bare)
     } finally c.close()
   }
   override def createStreamingWriterFactory(
@@ -434,7 +456,8 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
                                 full: StructType,
                                 partCol: Option[String], numParts: Int,
                                 rowsPerPart: Long,
-                                maxKeysPerTrigger: Option[Long] = None)
+                                maxKeysPerTrigger: Option[Long] = None,
+                                baseWhere: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -510,6 +533,17 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
         case (f: Max, i) =>
           singleName(f.column()).map(n =>
             (s"max($n) AS agg$i", StructField(s"agg$i", field(n).dataType)))
+        // Overflow posture of pushed sums (r18, ADVICE r17): the
+        // engine answers sum(INTEGER) as BIGINT and raises 22003 when
+        // the exact sum leaves the 64-bit range — real PG's behavior —
+        // so a pushed overflow FAILS LOUDLY in every session mode.
+        // Under ANSI (the Spark 4 default) the unpushed plan throws
+        // too, so semantics align; under non-ANSI the unpushed plan
+        // silently wraps where the pushed one errors — the divergence
+        // stock Spark JDBC pushdown against a real PostgreSQL has,
+        // and the loud side of it. sum(BIGINT)/sum(DECIMAL) are exact
+        // NUMERIC server-side (declared decimal(38,_) here), so they
+        // can neither wrap nor throw.
         case (s: Sum, i) if !s.isDistinct =>
           singleName(s.column()).flatMap { n =>
             // the engine sums exactly (BigDecimal over the text cells);
@@ -635,7 +669,11 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
       // loudly instead, the tripwire for a pushFilters/whereOf drift
       case f => throw new IllegalStateException(s"unpushable filter $f")
     }
-    if (parts.isEmpty) None else Some(parts.mkString(" AND "))
+    // an explicit .option("where", …) predicate leads, Catalyst-pushed
+    // filters AND after it (r18 — the streaming path's server-side
+    // filter; on batch scans the two compose)
+    val all = baseWhere.toSeq ++ parts
+    if (all.isEmpty) None else Some(all.mkString(" AND "))
   }
 
   /** The statement tail after the WHERE: `ORDER BY … LIMIT n` for a
@@ -653,20 +691,31 @@ private class PgLiteScanBuilder(conn: PgLiteConn, table: String,
     case None => plainLimit.map(n => s"LIMIT $n")
   }
 
-  override def build(): Scan = agg match {
-    case Some((sel, group, schema)) =>
-      // tail=None: Spark never pushes a limit/top-n into a scan that
-      // carries a pushed aggregation (the final Aggregate sits between
-      // them), and the engine grammar accepts no tail after GROUP BY —
-      // threading tailOf here would wire an unreachable-but-crashing
-      // statement shape
-      new PgLiteScan(conn, table, full, schema, whereOf(pushed),
-        tail = None, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
-        aggSelect = Some(sel), groupBy = group)
-    case None =>
-      new PgLiteScan(conn, table, full, required, whereOf(pushed),
-        tailOf, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
-        aggSelect = None, groupBy = None)
+  override def build(): Scan = {
+    // a pushed `partitionColumn IS NULL` (r18, ADVICE r17): the rows
+    // it selects are EXACTLY the ones a key-range scan cannot see, so
+    // the planner must serve them from one full-table partition
+    // carrying the WHERE instead of failing the non-null key check
+    val partKeyIsNull = partCol.exists(k =>
+      pushed.exists { case IsNull(a) => a == k; case _ => false })
+    agg match {
+      case Some((sel, group, schema)) =>
+        // tail=None: Spark never pushes a limit/top-n into a scan that
+        // carries a pushed aggregation (the final Aggregate sits between
+        // them), and the engine grammar accepts no tail after GROUP BY —
+        // threading tailOf here would wire an unreachable-but-crashing
+        // statement shape
+        new PgLiteScan(conn, table, full, schema, whereOf(pushed),
+          tail = None, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
+          aggSelect = Some(sel), groupBy = group,
+          pushedLimit = None, partKeyIsNull = partKeyIsNull)
+      case None =>
+        new PgLiteScan(conn, table, full, required, whereOf(pushed),
+          tailOf, partCol, numParts, rowsPerPart, maxKeysPerTrigger,
+          aggSelect = None, groupBy = None,
+          pushedLimit = topn.map(_._2).orElse(plainLimit),
+          partKeyIsNull = partKeyIsNull)
+    }
   }
 }
 
@@ -676,7 +725,9 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
                          partCol: Option[String], numParts: Int,
                          rowsPerPart: Long,
                          maxKeysPerTrigger: Option[Long],
-                         aggSelect: Option[String], groupBy: Option[String])
+                         aggSelect: Option[String], groupBy: Option[String],
+                         pushedLimit: Option[Int] = None,
+                         partKeyIsNull: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
 
   /** STREAMING SOURCE (r17): `spark.readStream.format("pglite")` — the
@@ -704,21 +755,35 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
     * 8): one aggregate round trip under the PUSHED where, so Spark's
     * CBO sees the filtered cardinality of the wire table — broadcast
     * decisions stop riding the sizeInBytes default. Lazy + cached: the
-    * probe runs once per planned scan, only when the planner asks. */
-  private lazy val probedStats: Statistics = {
-    val c = conn.open()
-    val n =
-      try c.query(s"SELECT count(*) AS n FROM $table" +
-        where.map(w => s" WHERE $w").getOrElse("")).rows.head.head.get.toLong
-      finally c.close()
-    val rowBytes = required.fields.map(_.dataType.defaultSize).sum
-      .max(1).toLong
-    new Statistics {
-      override def sizeInBytes(): util.OptionalLong =
-        util.OptionalLong.of(n * rowBytes)
-      override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+    * probe runs once per planned scan, only when the planner asks.
+    * r18 (ADVICE r17): a pushed LIMIT/TopN caps the reported count
+    * (the scan can never produce more than the limit per partition,
+    * and the global plan caps it again — the uncapped table count
+    * would overreport a limited scan's cardinality), and a probe
+    * failure degrades to UNKNOWN stats instead of killing planning on
+    * a transient wire error. */
+  private lazy val probedStats: Statistics =
+    try {
+      val c = conn.open()
+      val n0 =
+        try c.query(s"SELECT count(*) AS n FROM $table" +
+          where.map(w => s" WHERE $w").getOrElse("")).rows.head.head.get.toLong
+        finally c.close()
+      val n = pushedLimit.fold(n0)(l => math.min(n0, l.toLong))
+      val rowBytes = required.fields.map(_.dataType.defaultSize).sum
+        .max(1).toLong
+      new Statistics {
+        override def sizeInBytes(): util.OptionalLong =
+          util.OptionalLong.of(n * rowBytes)
+        override def numRows(): util.OptionalLong = util.OptionalLong.of(n)
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        new Statistics {
+          override def sizeInBytes(): util.OptionalLong = util.OptionalLong.empty()
+          override def numRows(): util.OptionalLong = util.OptionalLong.empty()
+        }
     }
-  }
   override def estimateStatistics(): Statistics = probedStats
   // surfaced in .explain so pruning/pushdown are ASSERTABLE, the same
   // way parquet shows ReadSchema/PushedFilters
@@ -731,8 +796,14 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
 
   override def planInputPartitions(): Array[InputPartition] = partCol match {
     case None => Array(PgLitePartition(where))
+    // a pushed `k IS NULL` answers from ONE full-table partition (r18,
+    // ADVICE r17): its rows are exactly the ones every key range hides
+    // (NULL satisfies no comparison), so range planning — and the
+    // non-null census check it rides on — is the wrong tool; the WHERE
+    // carries the null test server-side
+    case Some(_) if partKeyIsNull => Array(PgLitePartition(where))
     case Some(k) =>
-      // the SAME census-probe + half-open split as
+      // the SAME census-probe + equi-depth split as
       // PgWire.readDistributed — shared helpers, not a copy. Pushed
       // user filters AND onto each range (the engine WHERE takes N
       // conjunctions since r17), so a filtered partitioned read
@@ -741,24 +812,30 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
       // span only the filtered key space and the partition count
       // follows filtered rows, not the table. NULL partition keys
       // fail planning fast (ADVICE r16); the partition count scales
-      // toward rowsPerPart rows/task, never below numParts (r17).
+      // toward rowsPerPart rows/task, never below numParts (r17);
+      // range BOUNDARIES are equi-depth from a one-round-trip bucket
+      // histogram (r18), so sparse/skewed keyspaces still get
+      // near-even per-range row counts.
       val c = conn.open()
-      val st = try PgWire.probeScanStats(c, table, k, where)
-        finally c.close()
-      PgWire.requireKeysNonNull(st, table, k)
-      st.bounds match {
+      val planned = try {
+        val st = PgWire.probeScanStats(c, table, k, where)
+        PgWire.requireKeysNonNull(st, table, k)
+        st.bounds.map { case (lo, hi) =>
+          PgWire.equiDepthRanges(c, table, k, where, lo, hi, st.keyRows,
+            PgWire.adaptivePartitions(st.keyRows, numParts, rowsPerPart))
+        }
+      } finally c.close()
+      planned match {
         // empty table: ONE full-table partition, not zero — a pushed
         // global aggregate must still produce its one count=0 partial
         // row per SQL (zero partitions would make Spark's final Sum
         // over the partial counts return NULL instead of 0)
         case None => Array(PgLitePartition(where))
-        case Some((lo, hi)) =>
-          PgWire.splitRanges(lo, hi,
-              PgWire.adaptivePartitions(st.keyRows, numParts, rowsPerPart))
-            .map { case (a, b) =>
-              PgLitePartition(Some(
-                (s"$k >= $a AND $k < $b" +: where.toSeq).mkString(" AND ")))
-            }.toArray[InputPartition]
+        case Some(ranges) =>
+          ranges.map { case (a, b) =>
+            PgLitePartition(Some(
+              (s"$k >= $a AND $k < $b" +: where.toSeq).mkString(" AND ")))
+          }.toArray[InputPartition]
       }
   }
 

@@ -805,18 +805,33 @@ final class PgLiteEngine {
     * total without GROUP BY, even over zero input rows, per SQL), so a
     * partitioned reader ships group-count rows per connection instead
     * of the table. */
+  // a GROUP BY item is a column or `col / N` — integer-division
+  // bucketing (r18): the ONE expression an equi-depth range planner
+  // needs server-side (`SELECT k/W, count(*) … GROUP BY k/W` returns
+  // the whole bucket histogram in one round trip, one row per
+  // non-empty bucket, instead of N ranged count(*) probes). Division
+  // truncates toward zero, PG's integer `/` semantics.
+  private val GroupByItemPat = "[\\w]+(?:\\s*/\\s*\\d+)?"
   private val AggSelectRe =
     ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" + WherePat +
-      "(?:\\s+GROUP\\s+BY\\s+([\\w]+(?:\\s*,\\s*[\\w]+)*))?\\s*$").r
+      s"(?:\\s+GROUP\\s+BY\\s+($GroupByItemPat(?:\\s*,\\s*$GroupByItemPat)*))?\\s*$$").r
   private val AggItemRe =
     "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r
+  private val GroupItemRe = "(?i)^([\\w]+)(?:\\s*/\\s*(\\d+))?$".r
+  private val BareGroupRe =
+    "(?i)^([\\w]+)(?:\\s*/\\s*(\\d+))?(?:\\s+AS\\s+([\\w]+))?$".r
 
   /** Parsed aggregate-select shape, shared by [[aggSelect]] and
-    * [[describe]]: item = (fn, colIdx or -1 for `*`, input oid,
-    * output Col). A bare column reference is legal only when it IS
-    * one of the grouping columns (42803 otherwise). */
+    * [[describe]]: item = (fn, index, input oid, output Col) — for
+    * aggregate items the index is the table column (-1 for `*`), for
+    * `"group"` items it is the index INTO the groupCols list (r18:
+    * group keys may be `col / N` bucket expressions, so the raw table
+    * index no longer identifies them). A bare/divided column
+    * reference is legal only when it IS one of the grouping
+    * expressions (42803 otherwise). groupCols entry =
+    * (table col idx, divisor). */
   private def aggShape(sql: String, tx: PgTx)
-      : (Table, Seq[(String, Int, Int, Col)], Option[Seq[Int]],
+      : (Table, Seq[(String, Int, Int, Col)], Option[Seq[(Int, Option[Long])]],
          scala.util.matching.Regex.Match) = {
     val m = AggSelectRe.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
@@ -826,8 +841,22 @@ final class PgLiteEngine {
       if (i < 0) throw PgError("42703", s"column \"$c\" does not exist")
       i
     }
-    val groupCols: Option[Seq[Int]] = Option(m.group(4))
-      .map(_.split(",").map(g => colIdx(g.trim)).toSeq)
+    def divCheck(ci: Int, div: Option[Long]): Unit = div.foreach { d =>
+      if (d == 0L) throw PgError("22012", "division by zero")
+      val oid = oidOf(t.cols(ci).pgType)
+      if (oid != 23 && oid != 20)
+        throw PgError("42883",
+          s"operator does not exist: ${t.cols(ci).pgType} / integer")
+    }
+    val groupCols: Option[Seq[(Int, Option[Long])]] = Option(m.group(4))
+      .map(_.split(",").map { g =>
+        val gm = GroupItemRe.findFirstMatchIn(g.trim)
+          .getOrElse(throw PgError("42601", s"bad GROUP BY item: $g"))
+        val ci = colIdx(gm.group(1))
+        val div = Option(gm.group(2)).map(_.toLong)
+        divCheck(ci, div)
+        (ci, div)
+      }.toSeq)
     val items: Seq[(String, Int, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
       AggItemRe.findFirstMatchIn(raw.trim) match {
         case Some(im) =>
@@ -853,11 +882,21 @@ final class PgLiteEngine {
             .getOrElse(if (arg == "*") fn else s"${fn}_${arg.toLowerCase}")
           (fn, ci, inOid, Col(name, outType, serial = false, unique = false, None))
         case None =>
-          val ci = colIdx(raw.trim)
-          if (!groupCols.exists(_.contains(ci)))
+          val bm = BareGroupRe.findFirstMatchIn(raw.trim)
+            .getOrElse(throw PgError("42601", s"bad SELECT item: ${raw.trim}"))
+          val ci = colIdx(bm.group(1))
+          val div = Option(bm.group(2)).map(_.toLong)
+          val gi = groupCols.map(_.indexOf((ci, div))).getOrElse(-1)
+          if (gi < 0)
             throw PgError("42803",
               s"column \"${raw.trim}\" must appear in the GROUP BY clause")
-          ("group", ci, oidOf(t.cols(ci).pgType), t.cols(ci))
+          val base = t.cols(ci)
+          val alias = Option(bm.group(3)).map(_.toLowerCase)
+          val out =
+            if (div.isEmpty && alias.isEmpty) base
+            else Col(alias.getOrElse(base.name), base.pgType,
+              serial = false, unique = false, None)
+          ("group", gi, oidOf(base.pgType), out)
       }
     }
     (t, items, groupCols, m)
@@ -886,7 +925,13 @@ final class PgLiteEngine {
       // row out even over zero input rows, per SQL aggregate semantics
       t.rows.foreach { r =>
         if (keep(r)) {
-          val key = groupCols.map(_.map(gi => Option(r(gi))))
+          // group key: the raw cell, or the `col / N` bucket number
+          // (truncating integer division, PG semantics); NULL cells
+          // group together as NULL either way
+          val key = groupCols.map(_.map { case (gi, div) =>
+            Option(r(gi)).map(v =>
+              div.fold(v)(d => (java.lang.Long.parseLong(v) / d).toString))
+          })
           val acc = groups.getOrElseUpdate(key, fresh())
           items.zipWithIndex.foreach { case ((fn, ci, oid, _), i) =>
             fn match {
@@ -916,22 +961,26 @@ final class PgLiteEngine {
       val out = groups.toSeq.map { case (key, acc) =>
         items.zipWithIndex.map { case ((fn, ci, oid, c), i) =>
           fn match {
-            case "group" => key.get(groupCols.get.indexOf(ci)).orNull
+            // ci of a group item IS the groupCols index (aggShape r18)
+            case "group" => key.get(ci).orNull
             case "count" => acc.count(i).toString
             case "sum" =>
               if (oid == 701) {
                 if (acc.seen(i)) acc.dsum(i).toString else null
               } else Option(acc.sum(i)).map { s =>
-                // BIGINT sum outputs emit a WRAPPED 64-bit value: a
-                // pushed sum(int) declares LongType on the Spark side,
-                // and Spark's own unpushed sum(int) wraps — printing
-                // the exact BigInt here would make the same query
-                // crash the reader's Long parse only when pushdown
-                // fired (ADVICE r16). mod-2^64 addition is
-                // associative, so wrapped per-range partials re-summed
-                // by Spark equal the globally wrapped total.
-                if (oidOf(c.pgType) == 20) s.toBigInt.longValue.toString
-                else s.bigDecimal.toPlainString
+                // BIGINT sum outputs (sum over INTEGER) range-check
+                // like real PG: the exact sum must fit 64 bits or the
+                // statement fails with 22003 — never a silently
+                // wrapped value (r18, ADVICE r17: the r16-r17 mod-2^64
+                // wrap mirrored Spark's NON-ANSI overflow, but Spark 4
+                // sessions default to ANSI, where the unpushed plan
+                // throws — a silent pushed wrap was the one WRONG
+                // answer; a loud error matches PG and ANSI alike).
+                if (oidOf(c.pgType) == 20) {
+                  if (!s.isValidLong)
+                    throw PgError("22003", "bigint out of range")
+                  s.toBigInt.longValue.toString
+                } else s.bigDecimal.toPlainString
               }.orNull
             case _ => acc.mm(i)
           }

@@ -59,12 +59,13 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     // were never touched) — Postgres' implicit-rollback-on-disconnect
     val tx = new PgLiteEngine.PgTx
     // extended-protocol session state: named prepared statements
-    // (sql + declared param oids) and bound portals, plus the
-    // error-skip flag — after an error, every extended message is
-    // IGNORED until Sync (the published recovery rule), which answers
-    // ReadyForQuery and clears the flag
+    // (sql + declared param oids) and bound portals (sql + the Bind
+    // message's RESULT format codes, r18), plus the error-skip flag —
+    // after an error, every extended message is IGNORED until Sync
+    // (the published recovery rule), which answers ReadyForQuery and
+    // clears the flag
     val prepared = scala.collection.mutable.Map[String, (String, Seq[Int])]()
-    val portals = scala.collection.mutable.Map[String, String]()
+    val portals = scala.collection.mutable.Map[String, (String, Seq[Int])]()
     var extFailed = false
     def extTry(f: => Unit): Unit =
       if (!extFailed) {
@@ -126,7 +127,12 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   // fixed-width types a real driver binds binary by default —
   // int4/int8/float8, decoded by the oid declared in Parse (r17);
   // any other binary oid is refused with 0A000 rather than
-  // mis-decoded. Binary RESULT format codes stay refused.
+  // mis-decoded. Binary RESULT formats mirror that exactly (r18,
+  // VERDICT r17 task 4 — a real driver's prepared path requests
+  // binary results for the fixed-width types by default): Bind's
+  // result format codes are honored for int4/int8/float8 (big-endian
+  // two's complement / IEEE 754 bits, the published encodings), any
+  // other oid bound binary is refused loudly with 0A000.
 
   private def cstr(b: Array[Byte], off: Int): (String, Int) = {
     val end = b.indexOf(0, off)
@@ -179,12 +185,40 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     }
   }
 
+  /** One value's published binary RESULT encoding, by its type oid —
+    * the exact mirror of [[decodeBinParam]]: int4/int8 big-endian
+    * two's complement, float8 IEEE 754 bits. Any other oid requested
+    * binary is refused loudly (0A000) rather than mis-encoded. */
+  private def encodeBinResult(oid: Int, v: String): Array[Byte] = oid match {
+    case 23 => java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    case 20 => java.nio.ByteBuffer.allocate(8).putLong(v.toLong).array()
+    case 701 => java.nio.ByteBuffer.allocate(8)
+      .putLong(java.lang.Double.doubleToLongBits(
+        java.lang.Double.parseDouble(v))).array()
+    case other =>
+      throw PgLiteEngine.PgError("0A000",
+        s"binary result format not supported for type oid $other " +
+          "(int4/int8/float8 only)")
+  }
+
+  /** Per-column result format of a portal: zero codes = all text, one
+    * code = uniform, otherwise one per column (the same rule Bind's
+    * parameter formats follow, per the docs). */
+  private def resultFmt(resFmts: Seq[Int], i: Int, ncols: Int): Int =
+    if (resFmts.isEmpty) 0
+    else if (resFmts.length == 1) resFmts.head
+    else if (resFmts.length == ncols) resFmts(i)
+    else throw PgLiteEngine.PgError("08P01",
+      s"${resFmts.length} result format codes for $ncols result columns")
+
   /** Bind: substitute the parameters into $1..$n as SQL literals
     * (NULL for the -1-length parameter; binary-format params decode
-    * through [[decodeBinParam]] first) and store the portal. */
+    * through [[decodeBinParam]] first) and store the portal with its
+    * requested RESULT format codes (r18 — honored at Describe/Execute
+    * for the fixed-width oids, refused 0A000 otherwise). */
   private def handleBind(body: Array[Byte], out: DataOutputStream,
                          prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                         portals: scala.collection.mutable.Map[String, String]): Unit = {
+                         portals: scala.collection.mutable.Map[String, (String, Seq[Int])]): Unit = {
     val (portal, o1) = cstr(body, 0)
     val (stmt, o2) = cstr(body, o1)
     val (sql0, oids) = prepared.getOrElse(stmt,
@@ -220,10 +254,11 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
     }
     val nResFmt = int16(body, off); off += 2
-    (0 until nResFmt).foreach { _ =>
-      if (int16(body, off) != 0)
-        throw PgLiteEngine.PgError("0A000", "binary result format not supported")
-      off += 2
+    val resFmts = (0 until nResFmt).map { _ =>
+      val f = int16(body, off); off += 2
+      if (f != 0 && f != 1)
+        throw PgLiteEngine.PgError("08P01", s"bad result format code $f")
+      f
     }
     // ONE left-to-right scan, quote-aware: sequential string replaces
     // would re-substitute $n tokens INSIDE an earlier parameter's
@@ -262,7 +297,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
       sb.toString
     }
-    portals(portal) = bound
+    portals(portal) = (bound, resFmts)
     complete(out, '2') // BindComplete
   }
 
@@ -272,17 +307,22 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * from Parse + NoData. */
   private def handleDescribe(body: Array[Byte], out: DataOutputStream,
                              prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                             portals: scala.collection.mutable.Map[String, String],
+                             portals: scala.collection.mutable.Map[String, (String, Seq[Int])],
                              tx: PgLiteEngine.PgTx): Unit = {
     val kind = body(0).toChar
     val (name, _) = cstr(body, 1)
     kind match {
       case 'P' =>
-        val sql = portals.getOrElse(name,
+        val (sql, resFmts) = portals.getOrElse(name,
           throw PgLiteEngine.PgError("34000", s"portal \"$name\" does not exist"))
         val cols = engine.describe(sql, tx)
         if (cols.isEmpty) complete(out, 'n') // NoData
-        else writeRowDescription(out, cols)
+        else
+          // the portal's RowDescription echoes the RESOLVED result
+          // format per column (r18) — what a real server reports for
+          // a binary-result portal
+          writeRowDescription(out, cols,
+            cols.indices.map(i => resultFmt(resFmts, i, cols.length)))
       case 'S' =>
         val oids = prepared.get(name).map(_._2).getOrElse(
           throw PgLiteEngine.PgError("26000",
@@ -299,10 +339,10 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * emits DataRows + CommandComplete only — the RowDescription came
     * from Describe. */
   private def handleExecute(body: Array[Byte], out: DataOutputStream,
-                            portals: scala.collection.mutable.Map[String, String],
+                            portals: scala.collection.mutable.Map[String, (String, Seq[Int])],
                             tx: PgLiteEngine.PgTx): Unit = {
     val (portal, _) = cstr(body, 0)
-    val sql = portals.getOrElse(portal,
+    val (sql, resFmts) = portals.getOrElse(portal,
       throw PgLiteEngine.PgError("34000", s"portal \"$portal\" does not exist"))
     if ("(?is)^COPY\\b.*\\b(FROM\\s+STDIN|TO\\s+STDOUT)\\b".r
           .findFirstIn(sql.trim).isDefined)
@@ -312,7 +352,29 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
     val r = engine.execute(sql, tx)
-    r.rows.foreach(writeDataRow(out, _))
+    if (resFmts.forall(_ == 0)) r.rows.foreach(writeDataRow(out, _))
+    else {
+      // binary result columns (r18): resolve each column's format,
+      // validate the oids BEFORE the first row ships (a mid-stream
+      // 0A000 would leave a half-answered Execute), then encode
+      val fmts = r.columns.indices
+        .map(i => resultFmt(resFmts, i, r.columns.length))
+      val oids = r.columns.map(c => engine.oidOf(c.pgType))
+      fmts.zip(oids).foreach { case (f, oid) =>
+        if (f == 1 && oid != 23 && oid != 20 && oid != 701)
+          throw PgLiteEngine.PgError("0A000",
+            s"binary result format not supported for type oid $oid " +
+              "(int4/int8/float8 only)")
+      }
+      r.rows.foreach { row =>
+        val cells = row.indices.map { i =>
+          if (row(i) == null) null
+          else if (fmts(i) == 1) encodeBinResult(oids(i), row(i))
+          else row(i).getBytes(UTF_8)
+        }
+        writeDataRowCells(out, cells)
+      }
+    }
     val tag = r.tag.getBytes(UTF_8)
     out.writeByte('C'); out.writeInt(4 + tag.length + 1)
     out.write(tag); out.writeByte(0)
@@ -322,7 +384,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * is NOT an error (per the docs). */
   private def handleClose(body: Array[Byte], out: DataOutputStream,
                           prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                          portals: scala.collection.mutable.Map[String, String]): Unit = {
+                          portals: scala.collection.mutable.Map[String, (String, Seq[Int])]): Unit = {
     val kind = body(0).toChar
     val (name, _) = cstr(body, 1)
     kind match {
@@ -550,26 +612,35 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   }
 
   private def writeRowDescription(
-      out: DataOutputStream, cols: Seq[PgLiteEngine.Col]): Unit = {
+      out: DataOutputStream, cols: Seq[PgLiteEngine.Col],
+      formats: Seq[Int] = Nil): Unit = {
     val names = cols.map(_.name.getBytes(UTF_8))
     val len = 4 + 2 + cols.zip(names)
       .map { case (_, n) => n.length + 1 + 4 + 2 + 4 + 2 + 4 + 2 }.sum
     out.writeByte('T'); out.writeInt(len); out.writeShort(cols.length)
-    cols.zip(names).foreach { case (c, n) =>
+    cols.zip(names).zipWithIndex.foreach { case ((c, n), i) =>
       out.write(n); out.writeByte(0)
       out.writeInt(0)                   // table oid (not tracked)
       out.writeShort(0)                 // attribute number
       out.writeInt(engine.oidOf(c.pgType)) // type oid
       out.writeShort(-1)                // typlen (varlena)
       out.writeInt(engine.typmodOf(c.pgType)) // typmod (NUMERIC p,s)
-      out.writeShort(0)                 // text format
+      // format: text, unless the portal resolved this column binary
+      out.writeShort(if (i < formats.length) formats(i) else 0)
     }
   }
 
-  private def writeDataRow(out: DataOutputStream, row: Array[String]): Unit = {
-    val cells = row.map(v => if (v == null) null else v.getBytes(UTF_8))
+  private def writeDataRow(out: DataOutputStream, row: Array[String]): Unit =
+    writeDataRowCells(out,
+      row.toSeq.map(v => if (v == null) null else v.getBytes(UTF_8)))
+
+  /** DataRow from pre-encoded cells (text bytes or the binary result
+    * encodings) — the byte layout is format-blind: int32 length + the
+    * cell's bytes, -1 for NULL. */
+  private def writeDataRowCells(out: DataOutputStream,
+                                cells: Seq[Array[Byte]]): Unit = {
     val len = 4 + 2 + cells.map(c => 4 + (if (c == null) 0 else c.length)).sum
-    out.writeByte('D'); out.writeInt(len); out.writeShort(row.length)
+    out.writeByte('D'); out.writeInt(len); out.writeShort(cells.length)
     cells.foreach { c =>
       if (c == null) out.writeInt(-1)
       else { out.writeInt(c.length); out.write(c) }

@@ -73,18 +73,58 @@ object PgWire {
     }
   }
 
-  /** COPY `df` into `table` (schema-qualified) over `numPartitions`
-    * concurrent wire connections. Column order is the frame's; values
-    * ship as [[wireText]] — the exact
-    * serialization [[graft.pipeline.PgGold.fromWire]] inverts.
-    * `coalesce` (not `repartition`) caps the connection count WITHOUT
-    * an exchange — the write itself is the bottleneck, not balance;
-    * a caller with a skewed layout repartitions upstream. */
+  /** Connection/task count for a distributed wire WRITE (r18, VERDICT
+    * r17 task 1 — the write-side mirror of [[adaptivePartitions]]):
+    * with a known row count the count targets `rowsPerConnection` rows
+    * per connection (floor = the caller's `numPartitions`, cap 4096 —
+    * 100× the data is ~100× the connections, not 100× the per-
+    * connection work); without one the caller's cap stands, exactly
+    * the pre-r18 behavior. Callers at the corpus size class
+    * ([[graft.pipeline.PgGold]]) always have the count — they verify
+    * against it anyway — so the fixed-8 funnel only survives for
+    * small uncounted frames, where it is the right size. */
+  private[graft] def writeConnections(srcParts: Int, floor: Int,
+                                      rowsHint: Option[Long],
+                                      rowsPerConnection: Long): Int =
+    rowsHint match {
+      case Some(rows) => adaptivePartitions(rows, floor, rowsPerConnection)
+      case None => math.max(1, math.min(srcParts, floor))
+    }
+
+  /** Reshape `df` to `target` write partitions WITHOUT collapsing the
+    * upstream stage (VERDICT r17 finding 1: `coalesce(8)` on a wide
+    * frame folds the last pre-write stage into 8 tasks, so at 100×
+    * the pre-write compute runs at 1/12.5 of its parallelism).
+    * Growing or deeply shrinking repartitions — one exchange, the
+    * upstream stage keeps its own task count; a mild shrink (≤ 4×)
+    * coalesces, where the lost parallelism is bounded and the
+    * exchange would cost more than it frees. */
+  private[io] def reshapeForWrite(df: DataFrame, target: Int): DataFrame = {
+    val src = df.rdd.getNumPartitions
+    if (src == target) df
+    else if (src < target) df.repartition(target)
+    else if (src <= target * 4) df.coalesce(target)
+    else df.repartition(target)
+  }
+
+  /** COPY `df` into `table` (schema-qualified) over concurrent wire
+    * connections — one per write partition, sized by
+    * [[writeConnections]]: pass `rowsHint` (the frame's row count,
+    * which corpus-class callers hold anyway) and the connection count
+    * scales toward `rowsPerConnection` rows per connection above the
+    * `numPartitions` floor; without a hint `numPartitions` caps the
+    * count as before. Column order is the frame's; values ship as
+    * [[wireText]] — the exact serialization
+    * [[graft.pipeline.PgGold.fromWire]] inverts. */
   def copyDistributed(df: DataFrame, host: String, port: Int,
-                      table: String, numPartitions: Int = 8): Unit = {
+                      table: String, numPartitions: Int = 8,
+                      rowsHint: Option[Long] = None,
+                      rowsPerConnection: Long = 100000L): Unit = {
     val cols = df.columns.toSeq
     val copySql = s"COPY $table (${cols.mkString(", ")}) FROM STDIN"
-    df.coalesce(numPartitions).foreachPartition { (it: Iterator[Row]) =>
+    val target = writeConnections(df.rdd.getNumPartitions, numPartitions,
+      rowsHint, rowsPerConnection)
+    reshapeForWrite(df, target).foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = new PgLiteClient(host, port)
         c.connect()
@@ -109,12 +149,16 @@ object PgWire {
     * variant; `ref_pg_copy_binary`'s oracle proves the two formats land
     * value-identical tables. */
   def copyDistributedBinary(df: DataFrame, host: String, port: Int,
-                            table: String, numPartitions: Int = 8): Unit = {
+                            table: String, numPartitions: Int = 8,
+                            rowsHint: Option[Long] = None,
+                            rowsPerConnection: Long = 100000L): Unit = {
     val cols = df.columns.toSeq
     val types = df.schema.fields.map(f => graft.io.Sinks.pgType(f.dataType)).toSeq
     val copySql =
       s"COPY $table (${cols.mkString(", ")}) FROM STDIN WITH (FORMAT BINARY)"
-    df.coalesce(numPartitions).foreachPartition { (it: Iterator[Row]) =>
+    val target = writeConnections(df.rdd.getNumPartitions, numPartitions,
+      rowsHint, rowsPerConnection)
+    reshapeForWrite(df, target).foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val c = new PgLiteClient(host, port)
         c.connect()
@@ -140,8 +184,11 @@ object PgWire {
     * nothing table-sized on the driver.
     * `keyCol` must be an INTEGER/BIGINT NON-NULL column of `schema`
     * (planning fails fast on NULL keys — a range scan would silently
-    * hide them); skewed key spaces get skewed partitions, exactly like
-    * the JDBC source — repartition downstream if that matters.
+    * hide them). Range BOUNDARIES are EQUI-DEPTH since r18
+    * ([[equiDepthRanges]]): one extra histogram round trip per planned
+    * scan buys near-even per-range ROW counts on skewed or sparse
+    * keyspaces — where stock spark.read.jdbc slices the key span
+    * evenly and ships skewed tasks.
     *
     * `numPartitions` is the FLOOR: the actual partition count derives
     * from a one-round-trip server-side census targeting
@@ -157,19 +204,25 @@ object PgWire {
     val cols = schema.fieldNames.toSeq
     require(cols.contains(keyCol), s"keyCol $keyCol not in schema")
     val colList = cols.mkString(", ")
-    val st = {
+    // census + equi-depth histogram share one planning connection
+    val planned = {
       val c = new PgLiteClient(host, port)
       c.connect()
-      try probeScanStats(c, table, keyCol) finally c.close()
+      try {
+        val stats = probeScanStats(c, table, keyCol)
+        requireKeysNonNull(stats, table, keyCol)
+        stats.bounds.map { case (lo, hi) =>
+          equiDepthRanges(c, table, keyCol, where = None, lo, hi,
+            stats.keyRows,
+            adaptivePartitions(stats.keyRows, numPartitions, rowsPerPartition))
+        }
+      } finally c.close()
     }
-    requireKeysNonNull(st, table, keyCol)
     val empty = spark.createDataFrame(
       new java.util.ArrayList[Row](), schema)
-    st.bounds match {
+    planned match {
       case None => empty
-      case Some((lo, hi)) =>
-        val ranges = splitRanges(lo, hi,
-          adaptivePartitions(st.keyRows, numPartitions, rowsPerPartition))
+      case Some(ranges) =>
         val fields = schema.fields
         val rdd = spark.sparkContext
           .parallelize(ranges, ranges.length)
@@ -284,13 +337,98 @@ object PgWire {
   }
 
   /** Half-open key ranges covering [lo, hi] in ≤ numPartitions
-    * near-even slices (never an empty slice). */
-  private[pg] def splitRanges(lo: Long, hi: Long,
+    * near-even KEY-SPACE slices (never an empty slice) — the fallback
+    * boundary planner ([[equiDepthRanges]] is the row-aware one). */
+  private[io] def splitRanges(lo: Long, hi: Long,
                               numPartitions: Int): Seq[(Long, Long)] = {
     val n = math.max(1, math.min(numPartitions.toLong, hi - lo + 1)).toInt
     val step = (hi - lo) / n + 1
     (0 until n).map(i => (lo + i * step, math.min(lo + (i + 1) * step, hi + 1)))
       .filter { case (a, b) => a < b }
+  }
+
+  /** EQUI-DEPTH half-open key ranges for a partitioned wire scan
+    * (r18, VERDICT r17 task 2): [[splitRanges]] slices the KEY SPACE
+    * evenly, so a deletion-hollowed or id-offset keyspace puts most
+    * rows in few ranges while others scan near-empty (the streaming
+    * source's sf1 incident, docs/SCALE.md r17). This planner spends
+    * ONE extra aggregate round trip on a server-side bucket histogram —
+    * `SELECT key/W, count(*) … GROUP BY key/W` (the engine grammar
+    * grew integer-division group keys for exactly this; on a real PG
+    * the same statement works verbatim) — and packs the buckets
+    * greedily into ≤ `parts` ranges of ≈ rows/parts rows each.
+    * Boundaries land on bucket edges, so within-range skew is bounded
+    * by one bucket's ROW count above the even target (bucket width =
+    * span/max(4096, 16·parts) of the keyspace, ≤ 65536 buckets — the
+    * histogram reply is one small row per non-empty bucket, bounded
+    * regardless of table size).
+    *
+    * Falls back to the even split when the histogram cannot help:
+    * parts ≤ 1, a keyspace no wider than parts, or a negative `lo`
+    * (SQL integer division truncates toward zero, so buckets would
+    * straddle 0 unevenly — not worth special-casing: production keys
+    * are non-negative SERIALs). The histogram result is one row per
+    * NON-EMPTY bucket, ≤ 8192 rows on the driver at any table size. */
+  private[io] def equiDepthRanges(c: PgLiteClient, table: String,
+                                  keyCol: String, where: Option[String],
+                                  lo: Long, hi: Long, rows: Long,
+                                  parts: Int): Seq[(Long, Long)] = {
+    if (parts <= 1 || lo < 0 || hi - lo + 1 <= parts.toLong || rows <= 0)
+      return splitRanges(lo, hi, parts)
+    val target = math.max(1L, (rows + parts - 1) / parts)
+    refineRanges(c, table, keyCol, where, lo, hi + 1, rows, parts,
+      target, depth = 6)
+  }
+
+  /** One histogram pass over [lo, end): greedy-pack the buckets into
+    * ≤ `parts` ranges of ≈ `target` rows each, re-targeting after
+    * every close so late ranges absorb rounding. A packed range still
+    * holding > 1.5×target rows — a dense cluster inside ONE bucket of
+    * a hugely sparse span, the shape a uniform bucket width cannot
+    * resolve — recurses over its own sub-span with a 4096×-finer
+    * width. `depth` bounds the round trips: the bucket width shrinks
+    * 4096× per level, so six levels resolve any 64-bit keyspace down
+    * to width-1 buckets; in practice one or two passes suffice and the
+    * probe cost stays a handful of bounded aggregate round trips. */
+  private def refineRanges(c: PgLiteClient, table: String, keyCol: String,
+                           where: Option[String], lo: Long, end: Long,
+                           rows: Long, parts: Int, target: Long,
+                           depth: Int): Seq[(Long, Long)] = {
+    val span = end - lo
+    if (parts <= 1 || span <= parts.toLong || depth <= 0)
+      return splitRanges(lo, end - 1, parts)
+    val buckets = 4096L
+    val width = math.max(1L, span / buckets + (if (span % buckets == 0) 0 else 1))
+    val w = (Seq(s"$keyCol >= $lo", s"$keyCol < $end") ++ where.toSeq)
+      .mkString(" AND ")
+    val hist = c.query(s"SELECT $keyCol / $width AS b, count(*) AS n " +
+        s"FROM $table WHERE $w GROUP BY $keyCol / $width")
+      .rows.map(r => (r(0).get.toLong, r(1).get.toLong)).sortBy(_._1)
+    val packed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    var start = lo
+    var acc = 0L
+    var remRows = rows
+    var remParts = parts
+    hist.foreach { case (b, n) =>
+      acc += n
+      val tgt = math.max(1L, (remRows + remParts - 1) / remParts)
+      val edge = math.min((b + 1) * width, end)
+      if (acc >= tgt && remParts > 1 && edge > start && edge < end) {
+        packed += ((start, edge, acc))
+        start = edge
+        remRows = math.max(0L, remRows - acc)
+        acc = 0L
+        remParts -= 1
+      }
+    }
+    packed += ((start, end, acc))
+    packed.toSeq.flatMap { case (a, b, cnt) =>
+      val want = math.min(parts.toLong, (cnt + target - 1) / target).toInt
+      if (cnt > target + target / 2 && b - a > 1 && want > 1 && width > 1)
+        refineRanges(c, table, keyCol, where, a, b, cnt, want, target,
+          depth - 1)
+      else Seq((a, b))
+    }
   }
 
   /** The one-transaction staged publish every exactly-once writer
@@ -387,10 +525,21 @@ object PgWire {
     * sweep.
     *
     * `table` is schema-qualified (`silver.customer`); stage tables land
-    * in the same schema. Returns total rows published. */
+    * in the same schema. Connection count sizes exactly like
+    * [[copyDistributed]] (`rowsHint` toward `rowsPerConnection`,
+    * r18); the stage-name grammar is untouched — more partitions just
+    * mean more `p<pid>` stages in the same one-transaction publish.
+    * `janitor = false` skips the start-of-job UNSCOPED orphan sweep
+    * (ADVICE r17: that sweep assumes no OTHER writer has live stages
+    * on this table when this one starts; a caller orchestrating
+    * deliberately overlapping writers opts out and owns cross-run
+    * orphan cleanup itself). Returns total rows published. */
   def copyDistributedExactlyOnce(df: DataFrame, host: String, port: Int,
                                  table: String,
-                                 numPartitions: Int = 8): Long = {
+                                 numPartitions: Int = 8,
+                                 rowsHint: Option[Long] = None,
+                                 rowsPerConnection: Long = 100000L,
+                                 janitor: Boolean = true): Long = {
     val Array(schemaName, bare) = table.split("\\.", 2) match {
       case a @ Array(_, _) => a
       case _ => throw new IllegalArgumentException(
@@ -400,17 +549,19 @@ object PgWire {
     val colList = cols.mkString(", ")
     val schema = df.schema
     val runId = newRunId()
-    locally { // janitor: a previous run hard-killed mid-write may have
-      // left stages no later attempt-numbered drop can ever match —
+    if (janitor) { // janitor: a previous run hard-killed mid-write may
+      // have left stages no later attempt-numbered drop can ever match —
       // the ONE unscoped sweep (single-writer-at-start assumption)
       val c = new PgLiteClient(host, port)
       c.connect()
       try sweepStages(c, schemaName, bare) finally c.close()
     }
+    val target = writeConnections(df.rdd.getNumPartitions, numPartitions,
+      rowsHint, rowsPerConnection)
     // one winning (pid, stage, count) per partition: mapPartitions
     // results ride Spark's task-commit protocol, which keeps exactly
     // one attempt's output per partition under retries AND speculation
-    val winners = df.coalesce(numPartitions).rdd
+    val winners = reshapeForWrite(df, target).rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.attemptNumber()).getOrElse(0)

@@ -184,8 +184,12 @@ object PgGold {
       if (total > k) {
         val rest = cached.filter(col(idCol) > k)
           .select(allCols.map(col): _*)
+        // rowsHint (r18): the connection count scales with the corpus
+        // toward rowsPerConnection instead of a fixed 8 — the count is
+        // already in hand from the verification pass
         val published = PgWire.copyDistributedExactlyOnce(
-          rest, host, port, s"$schemaName.$table")
+          rest, host, port, s"$schemaName.$table",
+          rowsHint = Some(total - k))
         require(published == total - k,
           s"$table: published $published rows, expected ${total - k}")
       }
@@ -247,9 +251,12 @@ object PgGold {
     val cached = df.persist()
     val total =
       try {
-        val published = PgWire.copyDistributedExactlyOnce(
-          cached, host, port, s"$schemaName.$table")
+        // count FIRST (it is needed for verification regardless) so the
+        // COPY's connection count can scale with it (r18)
         val expected = cached.count()
+        val published = PgWire.copyDistributedExactlyOnce(
+          cached, host, port, s"$schemaName.$table",
+          rowsHint = Some(expected))
         require(published == expected,
           s"$table: server confirmed $published rows, engine expected $expected")
         val back = PgWire.readDistributed(df.sparkSession, host, port,

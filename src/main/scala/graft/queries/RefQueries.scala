@@ -928,6 +928,126 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** FILTERED streaming wire-SOURCE gate (round-18, VERDICT r17 task
+    * 5): [[pgStreamSource]] with a server-side `IN` predicate riding
+    * every trigger — the r17 planner composes a WHERE with per-trigger
+    * key ranges ([[graft.io.pg.PgLiteDataSource]], census under the
+    * WHERE) but no gate drove the filter×streaming composition until
+    * now. Spark's optimizer runs filter pushdown only on BATCH DSv2
+    * relations, so the streaming filter arrives as the source's
+    * `where` option (the spark.read.jdbc `predicates` idiom); the
+    * equivalent Spark-side filter stays in the plan as
+    * belt-and-braces. The gate REQUIRES the server-side predicate
+    * structurally (every trigger's reported source description must
+    * carry the WHERE — a regression to shipping unfiltered rows fails
+    * even if values match) and the oracle replays clean rules +
+    * filter on the parquet source. */
+  def pgStreamSourceFiltered(s: SparkSession, dir: String): DataFrame =
+      Tables.withGateShuffle(s) {
+    val slug = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = s"target/tmp-pg-srcf-$slug"
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) { val fs = p.listFiles(); if (fs != null) fs.foreach(rmrf) }
+      p.delete(); ()
+    }
+    rmrf(new java.io.File(base))
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      val spanThird = try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_srcf"))
+        graft.io.pg.PgWire.copyDistributed(
+          cleaned, "127.0.0.1", server.port, "silver.customer_srcf",
+          numPartitions = 8)
+        val mm = c.query("SELECT min(c_custkey) AS lo, max(c_custkey) AS hi " +
+          "FROM silver.customer_srcf").rows.head
+        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3)
+      } finally c.close()
+      val q = s.readStream.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "silver.customer_srcf")
+        .option("partitionColumn", "c_custkey")
+        .option("maxKeysPerTrigger", spanThird.toString)
+        .option("where", "c_mktsegment IN ('building', 'machinery')")
+        .load()
+        .filter(col("c_mktsegment").isin("building", "machinery"))
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // structural assertion: every trigger's source carried the
+      // pushed WHERE (the micro-batch stream reports it; a regression
+      // to Spark-side filtering drops it from the description)
+      val descs = q.recentProgress.toSeq.flatMap(_.sources.toSeq)
+        .map(_.description)
+      require(descs.nonEmpty && descs.forall(
+          _.contains("WHERE c_mktsegment IN ('building', 'machinery')")),
+        s"streaming filter pushdown regressed — sources: $descs")
+      s.read.parquet(s"$base/out").orderBy(col("c_custkey"))
+    } finally server.stop()
+  }
+
+  /** CBO-statistics broadcast gate (round-18, VERDICT r17 task 7 —
+    * harvesting the r17 `estimateStatistics` stretch): a join between
+    * the orders parquet table and a FILTERED wire scan must plan a
+    * BroadcastHashJoin with the WIRE side as the broadcast build —
+    * possible only because the scan reports its server-probed,
+    * filter-aware row count to Spark's CBO. Without the probe the
+    * DSv2 relation's size defaults to "unknown/huge", Spark
+    * broadcasts the parquet side instead, and the structural
+    * assertion fails — so the gate pins the stats path, not just the
+    * join result. AQE is disabled inside the gate so the STATIC
+    * planner's decision (the one CBO stats drive) is what's asserted. */
+  def pgCboBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val (server, _) = graft.io.pg.PgLiteServer.start()
+    try {
+      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(graft.io.Sinks.createSchemaDdl("silver"))
+        c.query(graft.io.Sinks.createTableDdl(
+          cleaned.schema, "silver", "customer_cbo"))
+      } finally c.close()
+      graft.io.pg.PgWire.copyDistributed(
+        cleaned, "127.0.0.1", server.port, "silver.customer_cbo",
+        numPartitions = 8)
+      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val wire = s.read.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "silver.customer_cbo")
+          .option("partitionColumn", "c_custkey")
+          .option("numPartitions", "8")
+          .load()
+          .filter(col("c_mktsegment").isin("building", "machinery"))
+        val joined = t(s, dir, "orders")
+          .select(col("o_custkey"))
+          .join(wire, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_custkey")).cast("long").as("sum_cust"))
+        val exchanges = joined.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+        }
+        require(exchanges.nonEmpty &&
+            exchanges.exists(_.toString.contains("pglite:silver.customer_cbo")),
+          "CBO stats regressed — the filtered wire scan was not the " +
+            s"broadcast side:\n${joined.queryExecution.executedPlan}")
+        joined.checkpointLinted().orderBy(col("c_mktsegment"))
+      } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    } finally server.stop()
+  }
+
   /** CSV-format COPY gate (round-16, [[graft.io.pg.PgCsvCopy]]): the
     * third published COPY format — quoted-empty-vs-NULL semantics and
     * quote-aware row framing — through the full socket round trip:
@@ -1045,6 +1165,8 @@ object RefQueries {
     "ref_pg_dsv2_like" -> (pgDsv2Like _),
     "ref_pg_stream_sink" -> (pgStreamSink _),
     "ref_pg_stream_source" -> (pgStreamSource _),
+    "ref_pg_stream_source_filtered" -> (pgStreamSourceFiltered _),
+    "ref_pg_cbo_broadcast" -> (pgCboBroadcast _),
     "ref_io_csv_roundtrip" -> (ioCsvRoundtrip _),
     "ref_io_xlsx_scan" -> (ioXlsxScan _),
     "ref_gold_star" -> (goldStar _),
@@ -1100,6 +1222,28 @@ object RefQueries {
          coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
          coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
          FROM customer ORDER BY c_custkey""",
+    // the FILTERED streaming source: the pushed IN-list rides every
+    // trigger's key ranges server-side — clean rules + filter oracle
+    "ref_pg_stream_source_filtered" ->
+      """SELECT c_custkey,
+           coalesce(nullif(lower(trim(c_name)), ''), 'unknown') AS c_name,
+           coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS c_mktsegment
+         FROM customer
+         WHERE coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown')
+               IN ('building', 'machinery')
+         ORDER BY c_custkey""",
+    // the CBO-statistics harvest: the join itself must be exact —
+    // count + key checksum per segment over the filtered join
+    "ref_pg_cbo_broadcast" ->
+      """SELECT seg AS c_mktsegment, count(1) AS n_orders,
+           CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+         FROM orders
+         JOIN (SELECT c_custkey,
+                 coalesce(nullif(lower(trim(c_mktsegment)), ''), 'unknown') AS seg
+               FROM customer) c
+           ON o_custkey = c_custkey
+         WHERE seg IN ('building', 'machinery')
+         GROUP BY 1 ORDER BY 1""",
     // the STREAMING sink: micro-batched epochs, each published
     // atomically with its epoch marker — same clean-rules oracle
     "ref_pg_stream_sink" ->

@@ -256,6 +256,15 @@ class PgLiteDataSourceSpec extends SparkSpec {
         read(server).option("partitionColumn", "k").load().count()
       }
       e.getMessage should include("NULL")
+      // …but a PUSHED `k IS NULL` answers exactly those hidden rows
+      // from ONE full-table partition carrying the WHERE (r18, ADVICE
+      // r17: pre-r18 this reachable query died on the non-null check)
+      val nulls = read(server).option("partitionColumn", "k").load()
+        .filter(col("k").isNull).select(col("s"))
+      nulls.rdd.getNumPartitions shouldBe 1
+      nulls.queryExecution.executedPlan.toString should
+        include("where=[k IS NULL]")
+      nulls.collect().map(_.getString(0)) shouldBe Array("null-key")
     } finally server.stop()
   }
 
@@ -911,11 +920,16 @@ class PgLiteDataSourceSpec extends SparkSpec {
       (1 to 20).foreach(i => engine.execute(
         s"INSERT INTO src.a (k, g) VALUES ($i, '${if (i % 2 == 0) "even" else "odd"}')"))
       val dir = freshDir("pglite-stream-an")
+      // the `where` option is the STREAMING filter path (r18): Spark
+      // only runs DSv2 filter pushdown on batch relations, so the
+      // server-side predicate arrives as an option and rides every
+      // trigger's ranges; the Spark-side filter stays belt-and-braces
       val q = spark.readStream.format("pglite")
         .option("host", "127.0.0.1").option("port", server.port)
         .option("table", "src.a")
         .option("partitionColumn", "k")
         .option("maxKeysPerTrigger", "7")
+        .option("where", "g = 'even'")
         .load()
         .filter(col("g") === "even")
         .writeStream.format("memory").queryName("pgan")
@@ -925,6 +939,27 @@ class PgLiteDataSourceSpec extends SparkSpec {
       q.awaitTermination()
       spark.table("pgan").select(col("k")).collect()
         .map(_.getLong(0)).sorted shouldBe (2L to 20L by 2).toArray
+      // every trigger's source carried the server-side WHERE
+      val descs = q.recentProgress.toSeq.flatMap(_.sources.toSeq)
+        .map(_.description)
+      descs should not be empty
+      descs.foreach(_ should include("WHERE g = 'even'"))
+    } finally server.stop()
+  }
+
+  it should "AND the where option with Catalyst-pushed filters on a batch scan" in {
+    val (server, data) = fixture()
+    try {
+      val df = read(server)
+        .option("partitionColumn", "k").option("numPartitions", "4")
+        .option("where", "k <= 61")
+        .load()
+        .filter(col("d") > 1.0).select(col("k"))
+      val plan = df.queryExecution.executedPlan.toString
+      plan should include("where=[k <= 61 AND d > 1.0]")
+      df.collect().map(_.getLong(0)).sorted shouldBe
+        data.filter(r => r.getLong(0) <= 61L && !r.isNullAt(2) &&
+          r.getDouble(2) > 1.0).map(_.getLong(0)).sorted.toArray
     } finally server.stop()
   }
 }

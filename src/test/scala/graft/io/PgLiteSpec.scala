@@ -566,17 +566,61 @@ class PgLiteSpec extends SparkSpec {
       c.query(s"INSERT INTO t (k, g, n, big) VALUES (12, 'x', 0, 1)")
       c.query("SELECT sum(big) FROM t WHERE g = 'x'")
         .rows.head.head.get shouldBe "9223372036854775808"
-      // sum(INTEGER) outputs BIGINT, which WRAPS at 64 bits (ADVICE
-      // r16): the pushed scan declares LongType and Spark's own
-      // unpushed sum(int) wraps — pushdown must not turn the same
-      // query's success into a Long-parse crash. The engine stores
-      // text and doesn't range-check int4, so oversized cells stand
-      // in for the 2^33 rows a real wrap would need.
+      // sum(INTEGER) outputs BIGINT and RANGE-CHECKS like real PG
+      // (r18, ADVICE r17): an overflowing sum fails loudly with 22003
+      // ("bigint out of range") — never a silently wrapped value. A
+      // pushed overflow then errors in every Spark mode, matching the
+      // ANSI default's throw; the r16-r17 mod-2^64 wrap mirrored
+      // non-ANSI Spark, the mode sessions don't run. The engine
+      // stores text and doesn't range-check int4, so oversized cells
+      // stand in for the 2^33 rows a real overflow would need.
       c.query("CREATE TABLE ti (v INTEGER)")
       c.query(s"INSERT INTO ti (v) VALUES (${Long.MaxValue})")
       c.query("INSERT INTO ti (v) VALUES (1)")
-      c.query("SELECT sum(v) FROM ti").rows.head.head.get shouldBe
-        Long.MinValue.toString
+      intercept[c.PgServerError](c.query("SELECT sum(v) FROM ti"))
+        .code shouldBe "22003"
+      // a fitting sum still answers exactly
+      c.query("SELECT sum(v) FROM ti WHERE v = 1")
+        .rows.head.head.get shouldBe "1"
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "group by integer-division buckets: the equi-depth histogram probe" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE h (k BIGINT, t TEXT)")
+      // a sparse, skewed keyspace: 1..6 dense, then a hollow gap, then
+      // 1000..1001 — the shape even key-space splits mishandle
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 1000L, 1001L).foreach(k =>
+        c.query(s"INSERT INTO h (k, t) VALUES ($k, 'x')"))
+      c.query("INSERT INTO h (k, t) VALUES (NULL, 'n')")
+      // one round trip returns the whole bucket histogram: one row per
+      // NON-EMPTY bucket; NULL keys group as the NULL bucket (SQL)
+      val r = c.query("SELECT k / 10 AS b, count(*) AS n FROM h GROUP BY k / 10")
+      r.columns shouldBe Seq("b", "n")
+      r.rows.map(row => (row(0), row(1).get)).sortBy(_._1.getOrElse("")) shouldBe
+        Seq((None, "1"), (Some("0"), "6"), (Some("100"), "2"))
+      // the bucket expression composes with WHERE (the planner probes
+      // UNDER the pushed filter) and with aggregate siblings
+      c.query("SELECT k / 10 AS b, count(*) AS n, min(k) AS lo FROM h " +
+          "WHERE k >= 2 AND k < 1001 GROUP BY k / 10")
+        .rows.map(_.map(_.orNull)).sortBy(_.head) shouldBe
+        Seq(Seq("0", "5", "2"), Seq("100", "1", "1000"))
+      // PG semantics: truncation toward zero, zero divisor errors
+      intercept[c.PgServerError](
+        c.query("SELECT k / 0 AS b, count(*) FROM h GROUP BY k / 0"))
+        .code shouldBe "22012"
+      // division is an integer-key affair: TEXT columns refuse (42883),
+      // and a select-list bucket must appear in GROUP BY (42803)
+      intercept[c.PgServerError](
+        c.query("SELECT t / 10 AS b, count(*) FROM h GROUP BY t / 10"))
+        .code shouldBe "42883"
+      intercept[c.PgServerError](
+        c.query("SELECT k / 10 AS b, count(*) FROM h GROUP BY k / 7"))
+        .code shouldBe "42803"
       c.close()
     } finally server.stop()
   }
@@ -852,6 +896,53 @@ class PgLiteSpec extends SparkSpec {
         Seq(Some(Array[Byte](1, 2, 3))), Seq(1))).code shouldBe "08P01"
       // the connection survived both refusals
       c.query("SELECT count(*) FROM pb").rows.head.head.get shouldBe "2"
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "serve BINARY result formats for int4/int8/float8 and refuse others" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE pr (id SERIAL PRIMARY KEY, " +
+        "i INTEGER, n BIGINT, d DOUBLE PRECISION, t TEXT)")
+      c.query("INSERT INTO pr (i, n, d, t) VALUES " +
+        s"(-7, ${Long.MinValue}, -0.5, 'x')")
+      c.query("INSERT INTO pr (i, n, d, t) VALUES (NULL, NULL, NULL, NULL)")
+      // Bind requests result format 1 (uniform) — the shape a real
+      // driver's prepared path sends for fixed-width columns by
+      // default (r18, VERDICT r17 task 4): DataRow cells arrive as
+      // big-endian two's complement / IEEE 754 bits and must decode
+      // back to exactly the text-format values, NULL as the -1 cell
+      val r = c.execParamsBinaryResults(
+        "SELECT id, i, n, d FROM pr ORDER BY id")
+      r.columns shouldBe Seq("id", "i", "n", "d")
+      r.typeOids shouldBe Seq(23, 23, 20, 701)
+      r.rows shouldBe Seq(
+        Seq(Some("1"), Some("-7"), Some(Long.MinValue.toString), Some("-0.5")),
+        Seq(Some("2"), None, None, None))
+      // binary results compose with binary params in one pipeline
+      c.execParamsBinaryResults("SELECT n FROM pr WHERE id = $1",
+        Seq((23, Some(1)))).rows shouldBe Seq(Seq(Some(Long.MinValue.toString)))
+      // float8 specials survive the bit-level round trip
+      c.query("INSERT INTO pr (i, n, d, t) VALUES (0, 0, 'NaN', '')")
+      c.execParamsBinaryResults("SELECT d FROM pr WHERE id = 3")
+        .rows shouldBe Seq(Seq(Some("NaN")))
+      // a TEXT column requested binary is refused loudly (0A000),
+      // never mis-encoded; the pipeline recovers at Sync
+      intercept[c.PgServerError](
+        c.execParamsBinaryResults("SELECT t FROM pr")).code shouldBe "0A000"
+      // per-column codes: binary where asked, text elsewhere
+      c.execExtended("SELECT n, t FROM pr WHERE id = 1",
+        Nil, Nil, Nil, resultFormats = Seq(1, 0))
+        .rows shouldBe Seq(Seq(Some(Long.MinValue.toString), Some("x")))
+      // a result-format count that matches neither 0, 1, nor the
+      // column count is a protocol error
+      intercept[c.PgServerError](c.execExtended("SELECT n, t, i FROM pr",
+        Nil, Nil, Nil, resultFormats = Seq(1, 0))).code shouldBe "08P01"
+      // the connection survived every refusal
+      c.query("SELECT count(*) FROM pr").rows.head.head.get shouldBe "3"
       c.close()
     } finally server.stop()
   }

@@ -202,4 +202,98 @@ class PgWireSpec extends SparkSpec {
     PgWire.adaptivePartitions(15000000L, 8, 100000L) shouldBe 150
     PgWire.adaptivePartitions(Long.MaxValue / 4, 8, 100000L) shouldBe 4096
   }
+
+  it should "size write connections adaptively and reshape without collapsing upstream" in {
+    // with a row count: the read side's adaptive rule, floor and cap
+    PgWire.writeConnections(3, 8, Some(50000L), 100000L) shouldBe 8
+    PgWire.writeConnections(3, 8, Some(1500000L), 100000L) shouldBe 15
+    PgWire.writeConnections(5000, 8, Some(Long.MaxValue / 4), 100000L) shouldBe 4096
+    // without one: the caller's cap stands (pre-r18 behavior)
+    PgWire.writeConnections(3, 8, None, 100000L) shouldBe 3
+    PgWire.writeConnections(32, 8, None, 100000L) shouldBe 8
+    val df32 = spark.range(0, 1000, 1, 32).toDF("k")
+    // mild shrink (≤4×): coalesce — no exchange
+    PgWire.reshapeForWrite(df32, 8).rdd.getNumPartitions shouldBe 8
+    PgWire.reshapeForWrite(df32, 32).rdd.getNumPartitions shouldBe 32
+    // deep shrink: repartition, so the upstream stage keeps its own
+    // parallelism (the r17 finding: coalesce(8) folded it into 8 tasks)
+    val deep = PgWire.reshapeForWrite(spark.range(0, 1000, 1, 64).toDF("k"), 8)
+    deep.rdd.getNumPartitions shouldBe 8
+    deep.queryExecution.executedPlan.toString should include("Exchange")
+    // growth (rowsHint says the frame is big): repartition up
+    PgWire.reshapeForWrite(spark.range(0, 1000, 1, 4).toDF("k"), 16)
+      .rdd.getNumPartitions shouldBe 16
+  }
+
+  behavior of "PgWire.equiDepthRanges"
+
+  it should "pack skewed keyspaces into near-even row ranges from one histogram probe" in {
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA ed")
+      engine.execute("CREATE TABLE ed.t (k BIGINT)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        // id-offset sparse keyspace, the r17 streaming-source incident
+        // shape: 300 dense keys at the bottom, 100 hollowed far keys —
+        // an even key-space split puts 300 rows in the first range and
+        // near-nothing in the rest
+        val keys = (1L to 300L) ++ (9001L to 9100L)
+        c.copyIn("COPY ed.t (k) FROM STDIN",
+          keys.map(k => Seq(Some(k.toString))))
+        val even = PgWire.splitRanges(1L, 9100L, 4)
+        def count(rs: Seq[(Long, Long)]): Seq[Long] = rs.map { case (a, b) =>
+          keys.count(k => k >= a && k < b).toLong
+        }
+        count(even).max shouldBe 300L // the skew equi-depth must kill
+        val ed = PgWire.equiDepthRanges(c, "ed.t", "k", None,
+          1L, 9100L, 400L, 4)
+        ed.length shouldBe 4
+        // half-open, gapless cover of [lo, hi]
+        ed.head._1 shouldBe 1L
+        ed.last._2 shouldBe 9101L
+        ed.sliding(2).foreach { case Seq((_, b), (a2, _)) => b shouldBe a2 }
+        // near-even depth: every range carries ~100 rows, within one
+        // bucket's rows of the even target (width = span/4096 = 3)
+        val depths = count(ed)
+        depths.sum shouldBe 400L
+        depths.max should be <= 120L
+        // a WHERE composes: the histogram runs under it
+        val edW = PgWire.equiDepthRanges(c, "ed.t", "k", Some("k >= 200"),
+          200L, 9100L, 201L, 3)
+        count(edW).sum shouldBe 201L // ranges cover every filtered row
+        // fallbacks: tiny spans and negative keyspaces split evenly
+        PgWire.equiDepthRanges(c, "ed.t", "k", None, 1L, 4L, 400L, 8) shouldBe
+          PgWire.splitRanges(1L, 4L, 8)
+        PgWire.equiDepthRanges(c, "ed.t", "k", None, -5L, 9100L, 400L, 4) shouldBe
+          PgWire.splitRanges(-5L, 9100L, 4)
+      } finally c.close()
+    } finally server.stop()
+  }
+
+  it should "plan near-even readDistributed partitions on a hollowed keyspace" in {
+    val schema2 = StructType(Seq(StructField("k", LongType)))
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA ed2")
+      engine.execute("CREATE TABLE ed2.t (k BIGINT)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try c.copyIn("COPY ed2.t (k) FROM STDIN",
+        ((1L to 90L) ++ (100000L to 100009L)).map(k => Seq(Some(k.toString))))
+      finally c.close()
+      val got = PgWire.readDistributed(spark, "127.0.0.1", server.port,
+        "ed2.t", schema2, "k", numPartitions = 4, rowsPerPartition = 25L)
+      got.count() shouldBe 100L
+      // per-partition row counts: 100 rows / 4 ranges ≈ 25 each; the
+      // even key-space split would put 90+10 in one range and zero in
+      // the rest (the keyspace is 99.9 % hollow)
+      val sizes = got.rdd.mapPartitions(it => Iterator.single(it.size))
+        .collect().toSeq
+      sizes.sum shouldBe 100
+      sizes.max should be <= 50 // even split: 90 in one range
+      sizes.count(_ > 0) should be >= 3
+    } finally server.stop()
+  }
 }
