@@ -525,40 +525,63 @@ object RefQueries {
     } finally server.stop()
   }
 
+  /** Shared READ-ONLY wire fixture (round-18, VERDICT r17 task 8):
+    * ONE server + ONE distributed-COPY-seeded clean-customer table
+    * (`silver.customer_ro`) per testdata dir, reused by every
+    * read-only scan gate — `ref_pg_scan_distributed` and the
+    * `ref_pg_dsv2_*` pushdown family each used to pay their own
+    * server start + fixture COPY (~2.4 s × 7 gates) to measure a
+    * SCAN. The write path keeps its own per-gate servers
+    * (`ref_pg_copy_*`, `ref_pg_dsv2_write`, the stream gates), so no
+    * write-side gate is weakened; the seeding COPY itself stays
+    * gated by `ref_pg_copy_distributed`. The server thread is a
+    * daemon and lives for the JVM — gates must NOT stop it. */
+  private val roFixture =
+    scala.collection.mutable.Map[String, graft.io.pg.PgLiteServer]()
+  private def pgReadOnlyPort(s: SparkSession, dir: String): Int =
+    roFixture.synchronized {
+      roFixture.getOrElseUpdate(dir, {
+        val (server, _) = graft.io.pg.PgLiteServer.start()
+        val cleaned = roClean(s, dir)
+        val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
+        c.connect()
+        try {
+          c.query(graft.io.Sinks.createSchemaDdl("silver"))
+          c.query(graft.io.Sinks.createTableDdl(
+            cleaned.schema, "silver", "customer_ro"))
+        } finally c.close()
+        graft.io.pg.PgWire.copyDistributed(
+          cleaned, "127.0.0.1", server.port, "silver.customer_ro",
+          numPartitions = 8)
+        server
+      }).port
+    }
+  private def roClean(s: SparkSession, dir: String): DataFrame =
+    graft.etl.Clean.clean(t(s, dir, "customer"))
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  private def roRead(s: SparkSession, port: Int) = s.read.format("pglite")
+    .option("host", "127.0.0.1").option("port", port)
+    .option("table", "silver.customer_ro")
+    .option("partitionColumn", "c_custkey")
+    .option("numPartitions", "8")
+
   /** DISTRIBUTED wire SCAN gate (round-16,
     * [[graft.io.pg.PgWire.readDistributed]]): §2 #10's production READ
-    * posture over the live protocol — the cleaned customer frame lands
-    * through the 8-connection distributed COPY, then comes back
-    * through 8 per-partition wire connections each scanning a key
-    * range (`WHERE c_custkey >= lo AND c_custkey < hi` — the engine's
-    * SELECT grew range predicates + DESC for the max probe), so BOTH
-    * directions of the round trip are distributed and nothing
-    * table-sized touches the driver. The oracle replays the clean
-    * rules: any range seam (row lost or doubled at a partition
-    * boundary) breaks the hash. */
+    * posture over the live protocol — the cleaned customer frame
+    * landed through the 8-connection distributed COPY (the shared
+    * fixture seeding, r18) and comes back through per-partition wire
+    * connections each scanning a key range (`WHERE c_custkey >= lo
+    * AND c_custkey < hi`), so BOTH directions of the round trip are
+    * distributed and nothing table-sized touches the driver. The
+    * oracle replays the clean rules: any range seam (row lost or
+    * doubled at a partition boundary) breaks the hash. */
   def pgScanDistributed(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_scan"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_scan",
-        numPartitions = 8)
-      graft.io.pg.PgWire.readDistributed(
-          s, "127.0.0.1", server.port, "silver.customer_scan",
-          cleaned.schema, keyCol = "c_custkey", numPartitions = 8)
-        // EAGER: the scan must run while the endpoint is alive — the
-        // enclosing finally stops the server before any later action
-        .checkpointLinted()
-        .orderBy(col("c_custkey"))
-    } finally server.stop()
+    val port = pgReadOnlyPort(s, dir)
+    graft.io.pg.PgWire.readDistributed(
+        s, "127.0.0.1", port, "silver.customer_ro",
+        roClean(s, dir).schema, keyCol = "c_custkey", numPartitions = 8)
+      .checkpointLinted()
+      .orderBy(col("c_custkey"))
   }
 
   /** DSv2 wire-source gate (round-16, [[graft.io.pg.PgLiteDataSource]]):
@@ -570,33 +593,10 @@ object RefQueries {
     * PgLiteDataSourceSpec). Same clean-rules oracle as its
     * `readDistributed` sibling: a seam, a mis-inferred type, or a
     * mis-decoded cell breaks the hash. */
-  def pgDsv2Scan(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_ds"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_ds",
-        numPartitions = 8)
-      s.read.format("pglite")
-        .option("host", "127.0.0.1").option("port", server.port)
-        .option("table", "silver.customer_ds")
-        .option("partitionColumn", "c_custkey")
-        .option("numPartitions", "8")
-        .load()
-        // EAGER: the scan must run while the endpoint is alive — the
-        // enclosing finally stops the server before any later action
-        .checkpointLinted()
-        .orderBy(col("c_custkey"))
-    } finally server.stop()
-  }
+  def pgDsv2Scan(s: SparkSession, dir: String): DataFrame =
+    roRead(s, pgReadOnlyPort(s, dir)).load()
+      .checkpointLinted()
+      .orderBy(col("c_custkey"))
 
   /** DSv2 wire-sink gate (round-16, [[graft.io.pg.PgLiteDataSource]]
     * writes): the round trip entirely through Spark's V2 planner —
@@ -650,34 +650,12 @@ object RefQueries {
     * source: a dropped range winner, a null-ordering mismatch, or an
     * off-by-one at the heap bound breaks the hash. */
   def pgDsv2TopN(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_topn"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_topn",
-        numPartitions = 8)
-      val topn = s.read.format("pglite")
-        .option("host", "127.0.0.1").option("port", server.port)
-        .option("table", "silver.customer_topn")
-        .option("partitionColumn", "c_custkey")
-        .option("numPartitions", "8")
-        .load()
-        .orderBy(col("c_custkey").desc).limit(100)
-      val plan = topn.queryExecution.executedPlan.toString
-      require(plan.contains("pushed=[ORDER BY c_custkey DESC NULLS LAST LIMIT 100]"),
-        s"DSv2 top-n pushdown regressed — scan ships whole ranges:\n$plan")
-      // EAGER: the scan must run while the endpoint is alive — the
-      // enclosing finally stops the server before any later action
-      topn.checkpointLinted().orderBy(col("c_custkey"))
-    } finally server.stop()
+    val topn = roRead(s, pgReadOnlyPort(s, dir)).load()
+      .orderBy(col("c_custkey").desc).limit(100)
+    val plan = topn.queryExecution.executedPlan.toString
+    require(plan.contains("pushed=[ORDER BY c_custkey DESC NULLS LAST LIMIT 100]"),
+      s"DSv2 top-n pushdown regressed — scan ships whole ranges:\n$plan")
+    topn.checkpointLinted().orderBy(col("c_custkey"))
   }
 
   /** DSv2 FILTER-pushdown-on-a-PARTITIONED-scan gate (round-17,
@@ -691,37 +669,15 @@ object RefQueries {
     * match) and the oracle replays clean rules + filter on the parquet
     * source: a row wrongly filtered at a range seam breaks the hash. */
   def pgDsv2Filter(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_f"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_f",
-        numPartitions = 8)
-      val filtered = s.read.format("pglite")
-        .option("host", "127.0.0.1").option("port", server.port)
-        .option("table", "silver.customer_f")
-        .option("partitionColumn", "c_custkey")
-        .option("numPartitions", "8")
-        .load()
-        .filter(col("c_mktsegment").isin("building", "machinery"))
-      val plan = filtered.queryExecution.executedPlan.toString
-      require(
-        plan.contains("where=[c_mktsegment IN ('building', 'machinery')]") &&
-          plan.contains("rangeOn=[c_custkey"),
-        s"DSv2 filter pushdown on a partitioned scan regressed — " +
-          s"ranges ship unfiltered:\n$plan")
-      // EAGER: the scan must run while the endpoint is alive — the
-      // enclosing finally stops the server before any later action
-      filtered.checkpointLinted().orderBy(col("c_custkey"))
-    } finally server.stop()
+    val filtered = roRead(s, pgReadOnlyPort(s, dir)).load()
+      .filter(col("c_mktsegment").isin("building", "machinery"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    require(
+      plan.contains("where=[c_mktsegment IN ('building', 'machinery')]") &&
+        plan.contains("rangeOn=[c_custkey"),
+      s"DSv2 filter pushdown on a partitioned scan regressed — " +
+        s"ranges ship unfiltered:\n$plan")
+    filtered.checkpointLinted().orderBy(col("c_custkey"))
   }
 
   /** DSv2 LIKE-pushdown gate (round-17): a `startsWith` filter on a
@@ -732,36 +688,14 @@ object RefQueries {
     * REQUIRES the pushdown structurally and the oracle replays clean
     * rules + LIKE on the parquet source. */
   def pgDsv2Like(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_lk"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_lk",
-        numPartitions = 8)
-      val filtered = s.read.format("pglite")
-        .option("host", "127.0.0.1").option("port", server.port)
-        .option("table", "silver.customer_lk")
-        .option("partitionColumn", "c_custkey")
-        .option("numPartitions", "8")
-        .load()
-        .filter(col("c_name").startsWith("customer#0000001"))
-      val plan = filtered.queryExecution.executedPlan.toString
-      require(plan.contains("where=[c_name LIKE 'customer#0000001%']") &&
-          plan.contains("rangeOn=[c_custkey"),
-        s"DSv2 LIKE pushdown on a partitioned scan regressed — " +
-          s"ranges ship unfiltered:\n$plan")
-      // EAGER: the scan must run while the endpoint is alive — the
-      // enclosing finally stops the server before any later action
-      filtered.checkpointLinted().orderBy(col("c_custkey"))
-    } finally server.stop()
+    val filtered = roRead(s, pgReadOnlyPort(s, dir)).load()
+      .filter(col("c_name").startsWith("customer#0000001"))
+    val plan = filtered.queryExecution.executedPlan.toString
+    require(plan.contains("where=[c_name LIKE 'customer#0000001%']") &&
+        plan.contains("rangeOn=[c_custkey"),
+      s"DSv2 LIKE pushdown on a partitioned scan regressed — " +
+        s"ranges ship unfiltered:\n$plan")
+    filtered.checkpointLinted().orderBy(col("c_custkey"))
   }
 
   /** DSv2 AGGREGATE pushdown gate (round-16, [[graft.io.pg
@@ -776,40 +710,18 @@ object RefQueries {
     * source: a lost group at a range seam, a double-counted partial,
     * or a sum overflow breaks the hash. */
   def pgDsv2Agg(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
-    try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_agg"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_agg",
-        numPartitions = 8)
-      val agg = s.read.format("pglite")
-        .option("host", "127.0.0.1").option("port", server.port)
-        .option("table", "silver.customer_agg")
-        .option("partitionColumn", "c_custkey")
-        .option("numPartitions", "8")
-        .load()
-        .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("c_custkey")).as("sum_key"),
-          min(col("c_custkey")).as("min_key"),
-          max(col("c_custkey")).as("max_key"))
-      val plan = agg.queryExecution.executedPlan.toString
-      require(plan.contains("agg=[c_mktsegment, count(*) AS agg0, " +
-          "sum(c_custkey) AS agg1, min(c_custkey) AS agg2, " +
-          "max(c_custkey) AS agg3 GROUP BY c_mktsegment]"),
-        s"DSv2 aggregate pushdown regressed — scan ships whole ranges:\n$plan")
-      // EAGER: the scan must run while the endpoint is alive — the
-      // enclosing finally stops the server before any later action
-      agg.checkpointLinted().orderBy(col("c_mktsegment"))
-    } finally server.stop()
+    val agg = roRead(s, pgReadOnlyPort(s, dir)).load()
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_custkey")).as("sum_key"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"))
+    val plan = agg.queryExecution.executedPlan.toString
+    require(plan.contains("agg=[c_mktsegment, count(*) AS agg0, " +
+        "sum(c_custkey) AS agg1, min(c_custkey) AS agg2, " +
+        "max(c_custkey) AS agg3 GROUP BY c_mktsegment]"),
+      s"DSv2 aggregate pushdown regressed — scan ships whole ranges:\n$plan")
+    agg.checkpointLinted().orderBy(col("c_mktsegment"))
   }
 
   /** STREAMING wire-sink gate (round-16, [[graft.io.pg
@@ -1006,46 +918,27 @@ object RefQueries {
     * join result. AQE is disabled inside the gate so the STATIC
     * planner's decision (the one CBO stats drive) is what's asserted. */
   def pgCboBroadcast(s: SparkSession, dir: String): DataFrame = {
-    val (server, _) = graft.io.pg.PgLiteServer.start()
+    val port = pgReadOnlyPort(s, dir)
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
-        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-      val c = new graft.io.pg.PgLiteClient("127.0.0.1", server.port)
-      c.connect()
-      try {
-        c.query(graft.io.Sinks.createSchemaDdl("silver"))
-        c.query(graft.io.Sinks.createTableDdl(
-          cleaned.schema, "silver", "customer_cbo"))
-      } finally c.close()
-      graft.io.pg.PgWire.copyDistributed(
-        cleaned, "127.0.0.1", server.port, "silver.customer_cbo",
-        numPartitions = 8)
-      val prevAqe = s.conf.get("spark.sql.adaptive.enabled")
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      try {
-        val wire = s.read.format("pglite")
-          .option("host", "127.0.0.1").option("port", server.port)
-          .option("table", "silver.customer_cbo")
-          .option("partitionColumn", "c_custkey")
-          .option("numPartitions", "8")
-          .load()
-          .filter(col("c_mktsegment").isin("building", "machinery"))
-        val joined = t(s, dir, "orders")
-          .select(col("o_custkey"))
-          .join(wire, col("o_custkey") === col("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(count(lit(1)).as("n_orders"),
-            sum(col("o_custkey")).cast("long").as("sum_cust"))
-        val exchanges = joined.queryExecution.executedPlan.collect {
-          case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
-        }
-        require(exchanges.nonEmpty &&
-            exchanges.exists(_.toString.contains("pglite:silver.customer_cbo")),
-          "CBO stats regressed — the filtered wire scan was not the " +
-            s"broadcast side:\n${joined.queryExecution.executedPlan}")
-        joined.checkpointLinted().orderBy(col("c_mktsegment"))
-      } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    } finally server.stop()
+      val wire = roRead(s, port).load()
+        .filter(col("c_mktsegment").isin("building", "machinery"))
+      val joined = t(s, dir, "orders")
+        .select(col("o_custkey"))
+        .join(wire, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_custkey")).cast("long").as("sum_cust"))
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      require(exchanges.nonEmpty &&
+          exchanges.exists(_.toString.contains("pglite:silver.customer_ro")),
+        "CBO stats regressed — the filtered wire scan was not the " +
+          s"broadcast side:\n${joined.queryExecution.executedPlan}")
+      joined.checkpointLinted().orderBy(col("c_mktsegment"))
+    } finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
   /** CSV-format COPY gate (round-16, [[graft.io.pg.PgCsvCopy]]): the

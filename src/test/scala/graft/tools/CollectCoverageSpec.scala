@@ -55,8 +55,9 @@ class CollectCoverageSpec extends SparkSpec {
         "copyDistributedExactlyOnce with distributed read-back (r17)"),
     "graft/etl/Split.scala" -> (2,
       "field-config targets — config-table-sized"),
-    "graft/tools/ScaleRehearsal.scala" -> (2,
-      "diagnostic tool: bounded rehearsal probe sets, never in gates"),
+    "graft/tools/ScaleRehearsal.scala" -> (3,
+      "diagnostic tool: bounded rehearsal probe sets, never in gates " +
+        "(r18 adds the equi-depth row's partition-count-sized sizes)"),
     "graft/io/pg/PgWire.scala" -> (1,
       "exactly-once publish metadata — one (pid, stage, count) row per " +
         "partition"),
