@@ -75,47 +75,54 @@ object PgWire {
 
   /** Connection/task count for a distributed wire WRITE (r18, VERDICT
     * r17 task 1 — the write-side mirror of [[adaptivePartitions]]):
-    * with a known row count the count targets `rowsPerConnection` rows
-    * per connection (floor = the caller's `numPartitions`, cap 4096 —
-    * 100× the data is ~100× the connections, not 100× the per-
-    * connection work); without one the caller's cap stands, exactly
-    * the pre-r18 behavior. Callers at the corpus size class
-    * ([[graft.pipeline.PgGold]]) always have the count — they verify
-    * against it anyway — so the fixed-8 funnel only survives for
-    * small uncounted frames, where it is the right size. */
+    * the frame's OWN partition count, capped by the adaptive target —
+    * with a known row count, `rowsPerConnection` rows per connection
+    * above the caller's `numPartitions` floor (cap 4096); without
+    * one, the caller's cap, exactly the pre-r18 behavior. 100× the
+    * data arrives in ~100× the partitions (Spark sizes them by
+    * bytes), so the connection count scales with the corpus while
+    * the cap keeps a mis-partitioned frame from opening thousands of
+    * sockets. NEVER above the source count: growing would repartition
+    * the whole frame — at 100 TB any frame whose partitions average
+    * more than rowsPerConnection rows would pay a full exchange just
+    * to add connections, an exchange that dwarfs the write (measured:
+    * +25 % on ref_medallion's fact legs when a first implementation
+    * grew). A caller whose frame genuinely arrives under-partitioned
+    * repartitions upstream, where the cost is a visible choice. */
   private[graft] def writeConnections(srcParts: Int, floor: Int,
                                       rowsHint: Option[Long],
-                                      rowsPerConnection: Long): Int =
-    rowsHint match {
+                                      rowsPerConnection: Long): Int = {
+    val cap = rowsHint match {
       case Some(rows) => adaptivePartitions(rows, floor, rowsPerConnection)
-      case None => math.max(1, math.min(srcParts, floor))
+      case None => floor
     }
+    math.max(1, math.min(srcParts, cap))
+  }
 
-  /** Reshape `df` to `target` write partitions WITHOUT collapsing the
-    * upstream stage (VERDICT r17 finding 1: `coalesce(8)` on a wide
-    * frame folds the last pre-write stage into 8 tasks, so at 100×
-    * the pre-write compute runs at 1/12.5 of its parallelism).
-    * Growing or deeply shrinking repartitions — one exchange, the
-    * upstream stage keeps its own task count; a mild shrink (≤ 4×)
-    * coalesces, where the lost parallelism is bounded and the
-    * exchange would cost more than it frees. */
+  /** Shrink `df` to `target` write partitions (`target` ≤ the source
+    * count by [[writeConnections]]) WITHOUT collapsing the upstream
+    * stage (VERDICT r17 finding 1: `coalesce(8)` on a wide frame
+    * folds the last pre-write stage into 8 tasks, so at 100× the
+    * pre-write compute runs at 1/12.5 of its parallelism). A mild
+    * shrink (≤ 4×) coalesces — the lost parallelism is bounded and an
+    * exchange would cost more than it frees; a deep shrink
+    * repartitions, one exchange buying the upstream stage its own
+    * task count. */
   private[io] def reshapeForWrite(df: DataFrame, target: Int): DataFrame = {
     val src = df.rdd.getNumPartitions
-    if (src == target) df
-    else if (src < target) df.repartition(target)
+    if (src <= target) df
     else if (src <= target * 4) df.coalesce(target)
     else df.repartition(target)
   }
 
   /** COPY `df` into `table` (schema-qualified) over concurrent wire
     * connections — one per write partition, sized by
-    * [[writeConnections]]: pass `rowsHint` (the frame's row count,
-    * which corpus-class callers hold anyway) and the connection count
-    * scales toward `rowsPerConnection` rows per connection above the
-    * `numPartitions` floor; without a hint `numPartitions` caps the
-    * count as before. Column order is the frame's; values ship as
-    * [[wireText]] — the exact serialization
-    * [[graft.pipeline.PgGold.fromWire]] inverts. */
+    * [[writeConnections]]: the frame's own partition count, capped by
+    * `numPartitions` — or, with `rowsHint` (the frame's row count,
+    * which corpus-class callers hold anyway), by the adaptive target
+    * of `rowsPerConnection` rows per connection above that floor.
+    * Column order is the frame's; values ship as [[wireText]] — the
+    * exact serialization [[graft.pipeline.PgGold.fromWire]] inverts. */
   def copyDistributed(df: DataFrame, host: String, port: Int,
                       table: String, numPartitions: Int = 8,
                       rowsHint: Option[Long] = None,

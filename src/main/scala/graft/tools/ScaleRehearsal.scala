@@ -340,9 +340,14 @@ object ScaleRehearsal {
       // the printed counts ARE the scaling claim. Exactly-once path,
       // so the stage grammar is exercised at the scaled fan-out too.
       "op_pg_copy_adaptive" -> ((s: SparkSession, d: String) => {
+        // .repartition(32) models the upstream a corpus-shaped frame
+        // actually has (a join/agg stage at shuffle parallelism) — the
+        // testdata's single-file parquet would otherwise arrive in 1
+        // partition and the count follows the frame's own layout
         val cleaned = graft.etl.Clean.clean(
             s.read.parquet(s"$d/customer.parquet"))
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .repartition(32)
         val n = cleaned.count()
         val conns = graft.io.pg.PgWire.writeConnections(
           cleaned.rdd.getNumPartitions, 8, Some(n), 10000L)
@@ -370,8 +375,12 @@ object ScaleRehearsal {
             s.read.parquet(s"$d/customer.parquet"))
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
         val n = cleaned.count()
+        // the caller sizes the sink's upstream with the same census
+        // rule (src = 32, a corpus-shaped stage at shuffle
+        // parallelism); the DSv2 sink then stages one table per
+        // arriving partition — fan-out follows the data
         val target = graft.io.pg.PgWire.writeConnections(
-          cleaned.rdd.getNumPartitions, 8, Some(n), 10000L)
+          32, 8, Some(n), 10000L)
         println(s"[scale] dsv2 sink stage fan-out at $d: $target")
         val (server, _) = graft.io.pg.PgLiteServer.start()
         try {

@@ -204,25 +204,29 @@ class PgWireSpec extends SparkSpec {
   }
 
   it should "size write connections adaptively and reshape without collapsing upstream" in {
-    // with a row count: the read side's adaptive rule, floor and cap
-    PgWire.writeConnections(3, 8, Some(50000L), 100000L) shouldBe 8
-    PgWire.writeConnections(3, 8, Some(1500000L), 100000L) shouldBe 15
+    // with a row count: the frame's own layout capped by the adaptive
+    // target (rowsPerConnection above the floor, 4096 hard cap)
+    PgWire.writeConnections(32, 8, Some(50000L), 100000L) shouldBe 8
+    PgWire.writeConnections(32, 8, Some(1500000L), 100000L) shouldBe 15
     PgWire.writeConnections(5000, 8, Some(Long.MaxValue / 4), 100000L) shouldBe 4096
-    // without one: the caller's cap stands (pre-r18 behavior)
+    // NEVER above the source count: growing would exchange the whole
+    // frame just to add connections — an under-partitioned frame is
+    // the caller's upstream choice
+    PgWire.writeConnections(3, 8, Some(1500000L), 100000L) shouldBe 3
+    // without a count: the caller's cap stands (pre-r18 behavior)
     PgWire.writeConnections(3, 8, None, 100000L) shouldBe 3
     PgWire.writeConnections(32, 8, None, 100000L) shouldBe 8
     val df32 = spark.range(0, 1000, 1, 32).toDF("k")
-    // mild shrink (≤4×): coalesce — no exchange
+    // mild shrink (≤4×): coalesce — no exchange; at-or-under: no-op
     PgWire.reshapeForWrite(df32, 8).rdd.getNumPartitions shouldBe 8
     PgWire.reshapeForWrite(df32, 32).rdd.getNumPartitions shouldBe 32
+    PgWire.reshapeForWrite(
+      spark.range(0, 1000, 1, 4).toDF("k"), 16).rdd.getNumPartitions shouldBe 4
     // deep shrink: repartition, so the upstream stage keeps its own
     // parallelism (the r17 finding: coalesce(8) folded it into 8 tasks)
     val deep = PgWire.reshapeForWrite(spark.range(0, 1000, 1, 64).toDF("k"), 8)
     deep.rdd.getNumPartitions shouldBe 8
     deep.queryExecution.executedPlan.toString should include("Exchange")
-    // growth (rowsHint says the frame is big): repartition up
-    PgWire.reshapeForWrite(spark.range(0, 1000, 1, 4).toDF("k"), 16)
-      .rdd.getNumPartitions shouldBe 16
   }
 
   behavior of "PgWire.equiDepthRanges"
