@@ -751,11 +751,27 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
+  /** The scan's planning census, probed ONCE per planned scan and
+    * shared by [[estimateStatistics]] and [[planInputPartitions]]
+    * (r18, ADVICE r17: the stats probe and the partition census each
+    * issued their own blocking round trip) — for a partitioned scan
+    * the full 4-aggregate census under the pushed WHERE; otherwise a
+    * bare count. Lazy: nothing probes until the planner asks. */
+  private lazy val census: PgWire.ScanStats = {
+    val c = conn.open()
+    try partCol match {
+      case Some(k) if !partKeyIsNull => PgWire.probeScanStats(c, table, k, where)
+      case _ =>
+        val n = c.query(s"SELECT count(*) AS n FROM $table" +
+          where.map(w => s" WHERE $w").getOrElse("")).rows.head.head.get.toLong
+        PgWire.ScanStats(n, n, None)
+    } finally c.close()
+  }
+
   /** Server-side row-count statistics (r17 stretch, VERDICT r16 task
-    * 8): one aggregate round trip under the PUSHED where, so Spark's
-    * CBO sees the filtered cardinality of the wire table — broadcast
-    * decisions stop riding the sizeInBytes default. Lazy + cached: the
-    * probe runs once per planned scan, only when the planner asks.
+    * 8): the shared census under the PUSHED where, so Spark's CBO
+    * sees the filtered cardinality of the wire table — broadcast
+    * decisions stop riding the sizeInBytes default.
     * r18 (ADVICE r17): a pushed LIMIT/TopN caps the reported count
     * (the scan can never produce more than the limit per partition,
     * and the global plan caps it again — the uncapped table count
@@ -764,12 +780,7 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
     * a transient wire error. */
   private lazy val probedStats: Statistics =
     try {
-      val c = conn.open()
-      val n0 =
-        try c.query(s"SELECT count(*) AS n FROM $table" +
-          where.map(w => s" WHERE $w").getOrElse("")).rows.head.head.get.toLong
-        finally c.close()
-      val n = pushedLimit.fold(n0)(l => math.min(n0, l.toLong))
+      val n = pushedLimit.fold(census.rows)(l => math.min(census.rows, l.toLong))
       val rowBytes = required.fields.map(_.dataType.defaultSize).sum
         .max(1).toLong
       new Statistics {
@@ -816,15 +827,14 @@ private class PgLiteScan(conn: PgLiteConn, table: String,
       // range BOUNDARIES are equi-depth from a one-round-trip bucket
       // histogram (r18), so sparse/skewed keyspaces still get
       // near-even per-range row counts.
-      val c = conn.open()
-      val planned = try {
-        val st = PgWire.probeScanStats(c, table, k, where)
-        PgWire.requireKeysNonNull(st, table, k)
-        st.bounds.map { case (lo, hi) =>
-          PgWire.equiDepthRanges(c, table, k, where, lo, hi, st.keyRows,
-            PgWire.adaptivePartitions(st.keyRows, numParts, rowsPerPart))
-        }
-      } finally c.close()
+      val st = census // shared with estimateStatistics (one probe, r18)
+      PgWire.requireKeysNonNull(st, table, k)
+      val planned = st.bounds.map { case (lo, hi) =>
+        val c = conn.open()
+        try PgWire.equiDepthRanges(c, table, k, where, lo, hi, st.keyRows,
+          PgWire.adaptivePartitions(st.keyRows, numParts, rowsPerPart))
+        finally c.close()
+      }
       planned match {
         // empty table: ONE full-table partition, not zero — a pushed
         // global aggregate must still produce its one count=0 partial
@@ -944,12 +954,25 @@ private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
     // key span — a sparse keyspace (offset ids, deleted ranges) would
     // otherwise plan hundreds of near-empty range scans per trigger
     // (measured: 10x rehearsal ratio 5.7 span-based vs scan-band
-    // row-based). One aggregate round trip per trigger.
+    // row-based). Boundaries are EQUI-DEPTH like the batch planner
+    // (r18): within a rate-limited trigger the keyspace can still be
+    // hollow, and the histogram costs one more aggregate round trip
+    // per trigger that plans > 1 partition.
     val rows = probe(s"count($keyCol)",
       Some(s"$keyCol >= $lo AND $keyCol <= $e")).getOrElse(0L)
     if (rows == 0L) return Array.empty
     val parts = PgWire.adaptivePartitions(rows, numParts, rowsPerPart)
-    PgWire.splitRanges(lo, e, parts)
+    val triggerWhere = (s"$keyCol >= $lo" +: s"$keyCol <= $e" +:
+      where.toSeq).mkString(" AND ")
+    val ranges =
+      if (parts <= 1) PgWire.splitRanges(lo, e, parts)
+      else {
+        val c = conn.open()
+        try PgWire.equiDepthRanges(c, table, keyCol, Some(triggerWhere),
+          lo, e, rows, parts)
+        finally c.close()
+      }
+    ranges
       .map { case (a, b) =>
         PgLitePartition(Some(
           (s"$keyCol >= $a AND $keyCol < $b" +: where.toSeq)

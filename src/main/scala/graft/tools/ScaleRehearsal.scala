@@ -308,7 +308,9 @@ object ScaleRehearsal {
       // round-17 (VERDICT r16 task 3): ADAPTIVE partition planning —
       // rowsPerPartition=10000 makes the census the partition driver
       // (sf0.1 customer ~15k rows → the floor of 8 holds; sf1 ~150k →
-      // 15 ranges), so the printed counts ARE the scaling claim
+      // ~10-15 ranges: the r18 equi-depth packer closes each range at
+      // ≤ 1.5× the row target, so the exact count follows the
+      // keyspace's bucket layout), printed counts ARE the scaling claim
       "op_pg_scan_adaptive" -> ((s: SparkSession, d: String) => {
         val cleaned = graft.etl.Clean.clean(
             s.read.parquet(s"$d/customer.parquet"))

@@ -276,6 +276,57 @@ class PgWireSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "cover any keyspace exactly: seeded property sweep over random distributions" in {
+    // the packer's one inviolable contract: whatever the distribution,
+    // the ranges are a sorted, disjoint, gapless half-open cover of
+    // [lo, hi] whose depths sum to every row — a seam here is a lost
+    // or doubled row in every partitioned wire scan
+    val rnd = new scala.util.Random(18181)
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA pp")
+      (1 to 12).foreach { i =>
+        engine.execute(s"CREATE TABLE pp.t$i (k BIGINT)")
+        val shape = i % 4 match {
+          case 0 => // uniform
+            Seq.fill(50 + rnd.nextInt(300))(rnd.nextLong(1000000L))
+          case 1 => // dense cluster + far outliers (the hollow shape)
+            Seq.fill(200)(rnd.nextLong(500L)) ++
+              Seq.fill(10)(900000000L + rnd.nextLong(100L))
+          case 2 => // zipf-ish: heavy duplicates on few keys
+            Seq.fill(300)(math.abs(rnd.nextGaussian() * 10).toLong)
+          case _ => // two clusters
+            Seq.fill(100)(rnd.nextLong(1000L)) ++
+              Seq.fill(100)(700000L + rnd.nextLong(1000L))
+        }
+        val c = new PgLiteClient("127.0.0.1", server.port)
+        c.connect()
+        try {
+          c.copyIn(s"COPY pp.t$i (k) FROM STDIN",
+            shape.map(k => Seq(Some(k.toString))))
+          val keys = shape.sorted
+          val (lo, hi) = (keys.head, keys.last)
+          val parts = 1 + rnd.nextInt(10)
+          val ranges = PgWire.equiDepthRanges(c, s"pp.t$i", "k", None,
+            lo, hi, keys.length.toLong, parts)
+          withClue(s"table $i parts=$parts n=${keys.length} [$lo,$hi]: ") {
+            ranges.head._1 shouldBe lo
+            ranges.last._2 shouldBe hi + 1
+            ranges.sliding(2).foreach {
+              case Seq((_, b), (a2, _)) => b shouldBe a2
+              case _ => ()
+            }
+            ranges.foreach { case (a, b) => a should be < b }
+            ranges.map { case (a, b) =>
+              keys.count(k => k >= a && k < b)
+            }.sum shouldBe keys.length
+            ranges.length should be <= math.max(parts * 8, 8)
+          }
+        } finally c.close()
+      }
+    } finally server.stop()
+  }
+
   it should "plan near-even readDistributed partitions on a hollowed keyspace" in {
     val schema2 = StructType(Seq(StructField("k", LongType)))
     val (server, engine) = PgLiteServer.start()
