@@ -273,6 +273,17 @@ final class PgLiteClient(host: String, port: Int,
       payloads = params.map { case (oid, v) => v.map(encodeBinParam(oid, _)) },
       formats = Seq.fill(params.length)(1), resultFormats = Seq(1))
 
+  /** [[execParams]] with EXPLICIT per-column result format codes
+    * (0 text, 1 binary — zero codes = all text, one = uniform, else
+    * one per column, the published Bind rule): the mixed-format shape
+    * a real driver sends for a row of fixed-width AND varlena columns.
+    * Binary cells decode back to canonical text transparently. */
+  def execParamsFormats(sql: String, params: Seq[Option[String]],
+                        resultFormats: Seq[Int]): QueryResult =
+    execExtended(sql, paramOids = Seq.fill(params.length)(0),
+      payloads = params.map(_.map(_.getBytes(UTF_8))),
+      formats = Seq.empty, resultFormats = resultFormats)
+
   /** Inverse of [[encodeBinParam]] for binary RESULT cells: the
     * published fixed-width encodings back to canonical text. */
   private def decodeBinResult(oid: Int, b: Array[Byte],

@@ -68,8 +68,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *    cardinality instead of the sizeInBytes default.
   *
   * Options: `host`, `port`, `table` (schema-qualified) required;
-  * `partitionColumn` (an integer-typed, NON-NULL column — the PK;
-  * planning fails fast on NULL keys, which a range scan would
+  * `where` (r18) an explicit server-side predicate in the engine's
+  * WHERE grammar, ANDed ahead of Catalyst-pushed filters — it exists
+  * for STREAMING reads, where Spark's optimizer never runs filter
+  * pushdown (batch relations only), and is the spark.read.jdbc
+  * `predicates` idiom; `janitor` (default true) opts the start-of-job
+  * unscoped orphan-stage sweep out for deliberately overlapping
+  * writers; `partitionColumn` (an integer-typed, NON-NULL column —
+  * the PK; planning fails fast on NULL keys, which a range scan would
   * silently hide) + `numPartitions` (default 8, the FLOOR) switch the
   * scan from one connection to one per key range, planned exactly
   * like [[PgWire.readDistributed]]: the actual partition count grows

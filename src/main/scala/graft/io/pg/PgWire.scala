@@ -383,8 +383,13 @@ object PgWire {
     if (parts <= 1 || lo < 0 || hi - lo + 1 <= parts.toLong || rows <= 0)
       return splitRanges(lo, hi, parts)
     val target = math.max(1L, (rows + parts - 1) / parts)
+    // probe budget: a fractal keyspace could otherwise refine ~parts
+    // ranges at every level (≤ 6·parts round trips at 4096 parts) —
+    // past 64 histograms the residual ranges accept bucket-granular
+    // skew rather than keep the driver probing
+    val budget = new java.util.concurrent.atomic.AtomicInteger(64)
     refineRanges(c, table, keyCol, where, lo, hi + 1, rows, parts,
-      target, depth = 6)
+      target, depth = 6, budget)
   }
 
   /** One histogram pass over [lo, end): greedy-pack the buckets into
@@ -400,9 +405,12 @@ object PgWire {
   private def refineRanges(c: PgLiteClient, table: String, keyCol: String,
                            where: Option[String], lo: Long, end: Long,
                            rows: Long, parts: Int, target: Long,
-                           depth: Int): Seq[(Long, Long)] = {
+                           depth: Int,
+                           budget: java.util.concurrent.atomic.AtomicInteger)
+      : Seq[(Long, Long)] = {
     val span = end - lo
-    if (parts <= 1 || span <= parts.toLong || depth <= 0)
+    if (parts <= 1 || span <= parts.toLong || depth <= 0 ||
+        budget.getAndDecrement() <= 0)
       return splitRanges(lo, end - 1, parts)
     val buckets = 4096L
     val width = math.max(1L, span / buckets + (if (span % buckets == 0) 0 else 1))
@@ -433,7 +441,7 @@ object PgWire {
       val want = math.min(parts.toLong, (cnt + target - 1) / target).toInt
       if (cnt > target + target / 2 && b - a > 1 && want > 1 && width > 1)
         refineRanges(c, table, keyCol, where, a, b, cnt, want, target,
-          depth - 1)
+          depth - 1, budget)
       else Seq((a, b))
     }
   }

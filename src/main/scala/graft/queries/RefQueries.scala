@@ -322,7 +322,14 @@ object RefQueries {
         c.query("BEGIN")
         c.query("INSERT INTO gold.segment (seg) VALUES ('zzz_rolled_back')")
         require(c.query("ROLLBACK").tags == Seq("ROLLBACK"))
-        c.query("SELECT id, seg FROM gold.segment ORDER BY id")
+        // read-back under MIXED result formats (r18): the int4 id
+        // crosses the wire as the published big-endian binary cell,
+        // seg as text — the shape a real driver's prepared path
+        // requests — so the binary RESULT codec sits under this
+        // gate's oracle hash, not just its spec
+        c.execParamsFormats(
+            "SELECT id, seg FROM gold.segment ORDER BY id",
+            Nil, resultFormats = Seq(1, 0))
           .rows.map(r => (r(0).get.toInt, r(1).get))
       } finally c.close()
       val dimDf = dim.toDF("id", "seg")
