@@ -707,6 +707,40 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "leave another writer's stages alone under janitor=false" in {
+    val (server, data) = fixture()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query(Sinks.createTableDdl(schema, "ds", "jn"))
+        // a CONCURRENT writer's live stage (the shape the unscoped
+        // start-of-job sweep would kill — ADVICE r17: the sweep
+        // assumes single-writer-at-start; janitor=false is the
+        // orchestrator's opt-out for deliberately overlapping writers)
+        c.query("CREATE TABLE ds.jn__stage_rabc123_p0_t7 (k BIGINT)")
+        c.query("INSERT INTO ds.jn__stage_rabc123_p0_t7 (k) VALUES (42)")
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 3), schema)
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.jn").option("janitor", "false")
+          .mode("append").save()
+        // the append landed, and the other writer's stage SURVIVED
+        c.query("SELECT k FROM ds.jn").rows.length shouldBe data.length
+        c.query("SELECT k FROM ds.jn__stage_rabc123_p0_t7")
+          .rows.map(_.head.get) shouldBe Seq("42")
+        // default janitor=true sweeps it (regression pair)
+        df.write.format("pglite")
+          .option("host", "127.0.0.1").option("port", server.port)
+          .option("table", "ds.jn").mode("append").save()
+        intercept[c.PgServerError](
+          c.query("SELECT k FROM ds.jn__stage_rabc123_p0_t7"))
+          .code shouldBe "42P01"
+      } finally c.close()
+    } finally server.stop()
+  }
+
   it should "read TimestampNTZ back under a user-specified schema" in {
     import org.apache.spark.sql.types.TimestampNTZType
     val (server, _) = PgLiteServer.start()
