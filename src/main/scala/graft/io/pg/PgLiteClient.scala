@@ -263,10 +263,10 @@ final class PgLiteClient(host: String, port: Int,
 
   /** [[execParamsBinary]] additionally requesting BINARY RESULT
     * format for every column (Bind result-format code 1 — what a real
-    * driver's prepared path requests for fixed-width types by
-    * default, r18): DataRow cells arrive as the published int4/int8/
-    * float8 encodings and decode back to canonical text by the
-    * RowDescription oids, so [[QueryResult]] is format-invisible. */
+    * driver's prepared path requests by default, r18): DataRow cells
+    * arrive as the published per-type binary send formats and decode
+    * back to canonical text by the RowDescription oids, so
+    * [[QueryResult]] is format-invisible for every wire type. */
   def execParamsBinaryResults(sql: String,
                               params: Seq[(Int, Option[Any])] = Nil): QueryResult =
     execExtended(sql, paramOids = params.map(_._1),
@@ -284,23 +284,27 @@ final class PgLiteClient(host: String, port: Int,
       payloads = params.map(_.map(_.getBytes(UTF_8))),
       formats = Seq.empty, resultFormats = resultFormats)
 
-  /** Inverse of [[encodeBinParam]] for binary RESULT cells: the
-    * published fixed-width encodings back to canonical text. */
+  /** Binary RESULT cells back to canonical text, by the
+    * RowDescription oid — the published per-type binary send formats,
+    * decoded through the same codecs the COPY BINARY surface uses
+    * ([[PgBinaryCopy.decodeField]], spec-pinned against the published
+    * layouts), so every wire type round-trips format-invisibly. */
   private def decodeBinResult(oid: Int, b: Array[Byte],
-                              off: Int, len: Int): String = oid match {
-    case 23 =>
-      require(len == 4, s"int4 binary cell of $len bytes"); readInt(b, off).toString
-    case 20 =>
-      require(len == 8, s"int8 binary cell of $len bytes")
-      (((readInt(b, off) & 0xffffffffL) << 32) |
-        (readInt(b, off + 4) & 0xffffffffL)).toString
-    case 701 =>
-      require(len == 8, s"float8 binary cell of $len bytes")
-      java.lang.Double.longBitsToDouble(
-        ((readInt(b, off) & 0xffffffffL) << 32) |
-          (readInt(b, off + 4) & 0xffffffffL)).toString
-    case other => throw new IllegalStateException(
-      s"server sent a binary result for undecodable oid $other")
+                              off: Int, len: Int): String = {
+    val pgType = oid match {
+      case 25 => "TEXT"
+      case 23 => "INTEGER"
+      case 20 => "BIGINT"
+      case 701 => "DOUBLE PRECISION"
+      case 16 => "BOOLEAN"
+      case 1114 => "TIMESTAMP"
+      case 1082 => "DATE"
+      case 1700 => "NUMERIC"
+      case other => throw new IllegalStateException(
+        s"server sent a binary result for undecodable oid $other")
+    }
+    PgBinaryCopy.decodeField(pgType,
+      java.util.Arrays.copyOfRange(b, off, off + len))
   }
 
   /** Published binary send formats for the fixed-width types. */

@@ -127,12 +127,13 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   // fixed-width types a real driver binds binary by default —
   // int4/int8/float8, decoded by the oid declared in Parse (r17);
   // any other binary oid is refused with 0A000 rather than
-  // mis-decoded. Binary RESULT formats mirror that exactly (r18,
-  // VERDICT r17 task 4 — a real driver's prepared path requests
-  // binary results for the fixed-width types by default): Bind's
-  // result format codes are honored for int4/int8/float8 (big-endian
-  // two's complement / IEEE 754 bits, the published encodings), any
-  // other oid bound binary is refused loudly with 0A000.
+  // mis-decoded. Binary RESULT formats (r18, VERDICT r17 task 4 — a
+  // real driver's prepared path requests them by default): Bind's
+  // result format codes are honored for EVERY wire type through the
+  // published per-type binary send formats the COPY BINARY surface
+  // already implements and PgBinarySpec pins (big-endian ints, IEEE
+  // 754 float8 bits, bool byte, 2000-epoch day/micro counts,
+  // base-10000 numerics, text = its UTF-8 bytes).
 
   private def cstr(b: Array[Byte], off: Int): (String, Int) = {
     val end = b.indexOf(0, off)
@@ -185,22 +186,6 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     }
   }
 
-  /** One value's published binary RESULT encoding, by its type oid —
-    * the exact mirror of [[decodeBinParam]]: int4/int8 big-endian
-    * two's complement, float8 IEEE 754 bits. Any other oid requested
-    * binary is refused loudly (0A000) rather than mis-encoded. */
-  private def encodeBinResult(oid: Int, v: String): Array[Byte] = oid match {
-    case 23 => java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
-    case 20 => java.nio.ByteBuffer.allocate(8).putLong(v.toLong).array()
-    case 701 => java.nio.ByteBuffer.allocate(8)
-      .putLong(java.lang.Double.doubleToLongBits(
-        java.lang.Double.parseDouble(v))).array()
-    case other =>
-      throw PgLiteEngine.PgError("0A000",
-        s"binary result format not supported for type oid $other " +
-          "(int4/int8/float8 only)")
-  }
-
   /** Per-column result format of a portal: zero codes = all text, one
     * code = uniform, otherwise one per column (the same rule Bind's
     * parameter formats follow, per the docs). */
@@ -215,7 +200,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * (NULL for the -1-length parameter; binary-format params decode
     * through [[decodeBinParam]] first) and store the portal with its
     * requested RESULT format codes (r18 — honored at Describe/Execute
-    * for the fixed-width oids, refused 0A000 otherwise). */
+    * for every wire type via the published binary send formats). */
   private def handleBind(body: Array[Byte], out: DataOutputStream,
                          prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
                          portals: scala.collection.mutable.Map[String, (String, Seq[Int])]): Unit = {
@@ -354,22 +339,19 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     val r = engine.execute(sql, tx)
     if (resFmts.forall(_ == 0)) r.rows.foreach(writeDataRow(out, _))
     else {
-      // binary result columns (r18): resolve each column's format,
-      // validate the oids BEFORE the first row ships (a mid-stream
-      // 0A000 would leave a half-answered Execute), then encode
+      // binary result columns (r18): each requested column ships its
+      // PUBLISHED binary send format — the exact per-type codecs the
+      // COPY BINARY surface already implements and PgBinarySpec pins
+      // (int4/int8 big-endian, float8 IEEE bits, bool byte, date/
+      // timestamp 2000-epoch day/micro counts, base-10000 numerics,
+      // text = its UTF-8 bytes) — every wire type, like real PG
       val fmts = r.columns.indices
         .map(i => resultFmt(resFmts, i, r.columns.length))
-      val oids = r.columns.map(c => engine.oidOf(c.pgType))
-      fmts.zip(oids).foreach { case (f, oid) =>
-        if (f == 1 && oid != 23 && oid != 20 && oid != 701)
-          throw PgLiteEngine.PgError("0A000",
-            s"binary result format not supported for type oid $oid " +
-              "(int4/int8/float8 only)")
-      }
       r.rows.foreach { row =>
         val cells = row.indices.map { i =>
           if (row(i) == null) null
-          else if (fmts(i) == 1) encodeBinResult(oids(i), row(i))
+          else if (fmts(i) == 1)
+            PgBinaryCopy.encodeField(r.columns(i).pgType, row(i))
           else row(i).getBytes(UTF_8)
         }
         writeDataRowCells(out, cells)

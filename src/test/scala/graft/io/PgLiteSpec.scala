@@ -900,48 +900,57 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
-  it should "serve BINARY result formats for int4/int8/float8 and refuse others" in {
+  it should "serve BINARY result formats for every wire type" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
     try {
       c.connect()
       c.query("CREATE TABLE pr (id SERIAL PRIMARY KEY, " +
-        "i INTEGER, n BIGINT, d DOUBLE PRECISION, t TEXT)")
-      c.query("INSERT INTO pr (i, n, d, t) VALUES " +
-        s"(-7, ${Long.MinValue}, -0.5, 'x')")
-      c.query("INSERT INTO pr (i, n, d, t) VALUES (NULL, NULL, NULL, NULL)")
+        "i INTEGER, n BIGINT, d DOUBLE PRECISION, t TEXT, " +
+        "b BOOLEAN, m NUMERIC(12,2), dt DATE, ts TIMESTAMP)")
+      c.query("INSERT INTO pr (i, n, d, t, b, m, dt, ts) VALUES " +
+        s"(-7, ${Long.MinValue}, -0.5, 'o''brien', 'true', " +
+        "-12345.67, '2026-02-01', '2026-02-01 03:04:05.123456')")
+      c.query("INSERT INTO pr (i, n, d, t, b, m, dt, ts) VALUES " +
+        "(NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL)")
       // Bind requests result format 1 (uniform) — the shape a real
-      // driver's prepared path sends for fixed-width columns by
-      // default (r18, VERDICT r17 task 4): DataRow cells arrive as
-      // big-endian two's complement / IEEE 754 bits and must decode
-      // back to exactly the text-format values, NULL as the -1 cell
+      // driver's prepared path sends by default (r18, VERDICT r17
+      // task 4): DataRow cells arrive as the PUBLISHED binary send
+      // formats (big-endian ints, IEEE 754 bits, bool byte,
+      // 2000-epoch day/micro counts, base-10000 numerics, text =
+      // UTF-8 bytes — the same codecs the COPY BINARY surface pins)
+      // and must decode back to exactly the text-format values, NULL
+      // as the -1 cell
       val r = c.execParamsBinaryResults(
-        "SELECT id, i, n, d FROM pr ORDER BY id")
-      r.columns shouldBe Seq("id", "i", "n", "d")
-      r.typeOids shouldBe Seq(23, 23, 20, 701)
+        "SELECT id, i, n, d, t, b, m, dt, ts FROM pr ORDER BY id")
+      r.columns shouldBe Seq("id", "i", "n", "d", "t", "b", "m", "dt", "ts")
+      r.typeOids shouldBe Seq(23, 23, 20, 701, 25, 16, 1700, 1082, 1114)
       r.rows shouldBe Seq(
-        Seq(Some("1"), Some("-7"), Some(Long.MinValue.toString), Some("-0.5")),
-        Seq(Some("2"), None, None, None))
+        Seq(Some("1"), Some("-7"), Some(Long.MinValue.toString),
+          Some("-0.5"), Some("o'brien"), Some("true"), Some("-12345.67"),
+          Some("2026-02-01"), Some("2026-02-01 03:04:05.123456")),
+        Seq(Some("2"), None, None, None, None, None, None, None, None))
+      // the same row over the TEXT format must be cell-identical —
+      // format invisibility, the property the whole feature rides on
+      c.execParams("SELECT id, i, n, d, t, b, m, dt, ts FROM pr ORDER BY id")
+        .rows shouldBe r.rows
       // binary results compose with binary params in one pipeline
       c.execParamsBinaryResults("SELECT n FROM pr WHERE id = $1",
         Seq((23, Some(1)))).rows shouldBe Seq(Seq(Some(Long.MinValue.toString)))
       // float8 specials survive the bit-level round trip
-      c.query("INSERT INTO pr (i, n, d, t) VALUES (0, 0, 'NaN', '')")
+      c.query("INSERT INTO pr (i, n, d, t, b, m, dt, ts) VALUES " +
+        "(0, 0, 'NaN', '', 'false', 0, '2026-01-01', '2026-01-01 00:00:00')")
       c.execParamsBinaryResults("SELECT d FROM pr WHERE id = 3")
         .rows shouldBe Seq(Seq(Some("NaN")))
-      // a TEXT column requested binary is refused loudly (0A000),
-      // never mis-encoded; the pipeline recovers at Sync
-      intercept[c.PgServerError](
-        c.execParamsBinaryResults("SELECT t FROM pr")).code shouldBe "0A000"
       // per-column codes: binary where asked, text elsewhere
       c.execExtended("SELECT n, t FROM pr WHERE id = 1",
         Nil, Nil, Nil, resultFormats = Seq(1, 0))
-        .rows shouldBe Seq(Seq(Some(Long.MinValue.toString), Some("x")))
+        .rows shouldBe Seq(Seq(Some(Long.MinValue.toString), Some("o'brien")))
       // a result-format count that matches neither 0, 1, nor the
       // column count is a protocol error
       intercept[c.PgServerError](c.execExtended("SELECT n, t, i FROM pr",
         Nil, Nil, Nil, resultFormats = Seq(1, 0))).code shouldBe "08P01"
-      // the connection survived every refusal
+      // the connection survived the refusal
       c.query("SELECT count(*) FROM pr").rows.head.head.get shouldBe "3"
       c.close()
     } finally server.stop()
