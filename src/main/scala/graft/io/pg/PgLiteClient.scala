@@ -307,14 +307,22 @@ final class PgLiteClient(host: String, port: Int,
       java.util.Arrays.copyOfRange(b, off, off + len))
   }
 
-  /** Published binary send formats for the fixed-width types. */
-  private def encodeBinParam(oid: Int, v: Any): Array[Byte] = oid match {
-    case 23 => java.nio.ByteBuffer.allocate(4).putInt(v.toString.toInt).array()
-    case 20 => java.nio.ByteBuffer.allocate(8).putLong(v.toString.toLong).array()
-    case 701 =>
-      java.nio.ByteBuffer.allocate(8).putDouble(v.toString.toDouble).array()
-    case other => throw new IllegalArgumentException(
-      s"no binary parameter encoding for oid $other")
+  /** Published binary send formats, every wire type (r18) — the same
+    * per-type codecs the COPY BINARY surface pins. */
+  private def encodeBinParam(oid: Int, v: Any): Array[Byte] = {
+    val pgType = oid match {
+      case 25 => "TEXT"
+      case 23 => "INTEGER"
+      case 20 => "BIGINT"
+      case 701 => "DOUBLE PRECISION"
+      case 16 => "BOOLEAN"
+      case 1114 => "TIMESTAMP"
+      case 1082 => "DATE"
+      case 1700 => "NUMERIC"
+      case other => throw new IllegalArgumentException(
+        s"no binary parameter encoding for oid $other")
+    }
+    PgBinaryCopy.encodeField(pgType, v.toString)
   }
 
   /** Shared extended-protocol pipeline; `formats` is the Bind

@@ -123,10 +123,10 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   //
   // The subset a real driver's server-side-prepared path exercises
   // (psycopg2's client-side-interpolated execute rides the simple
-  // protocol above). Parameters: text format always, plus the BINARY
-  // fixed-width types a real driver binds binary by default —
-  // int4/int8/float8, decoded by the oid declared in Parse (r17);
-  // any other binary oid is refused with 0A000 rather than
+  // protocol above). Parameters: text format always, plus BINARY for
+  // every wire type (r17 fixed-width trio, widened r18), decoded by
+  // the oid declared in Parse through the published per-type send
+  // formats; an unknown binary oid is refused with 0A000 rather than
   // mis-decoded. Binary RESULT formats (r18, VERDICT r17 task 4 — a
   // real driver's prepared path requests them by default): Bind's
   // result format codes are honored for EVERY wire type through the
@@ -161,28 +161,33 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   }
 
   /** One binary-format parameter → its canonical text (r17, VERDICT
-    * r16 task 5): the fixed-width types a real driver binds binary by
-    * default — int4/int8 big-endian two's complement, float8 IEEE 754
-    * bits — decoded by the DECLARED oid from Parse; anything else is
+    * r16 task 5; widened to EVERY wire type in r18): decoded by the
+    * DECLARED oid from Parse through the published per-type binary
+    * send formats the COPY BINARY surface pins
+    * ([[PgBinaryCopy.decodeField]] — a wrong-width fixed-size payload
+    * is its 08P01); an UNDECLARED oid (0 or unknown) bound binary is
     * refused loudly (0A000) rather than mis-decoded. */
   private def decodeBinParam(oid: Int, b: Array[Byte],
                              off: Int, len: Int): String = {
-    def req(n: Int): Unit = if (len != n)
-      throw PgLiteEngine.PgError("08P01",
-        s"binary parameter for oid $oid must be $n bytes, got $len")
-    oid match {
-      case 23 => req(4); int32(b, off).toString
-      case 20 => req(8)
-        (((int32(b, off) & 0xffffffffL) << 32) |
-          (int32(b, off + 4) & 0xffffffffL)).toString
-      case 701 => req(8)
-        java.lang.Double.longBitsToDouble(
-          ((int32(b, off) & 0xffffffffL) << 32) |
-            (int32(b, off + 4) & 0xffffffffL)).toString
+    val pgType = oid match {
+      case 25 => "TEXT"
+      case 23 => "INTEGER"
+      case 20 => "BIGINT"
+      case 701 => "DOUBLE PRECISION"
+      case 16 => "BOOLEAN"
+      case 1114 => "TIMESTAMP"
+      case 1082 => "DATE"
+      case 1700 => "NUMERIC"
       case other =>
         throw PgLiteEngine.PgError("0A000",
-          s"binary parameter format not supported for type oid $other " +
-            "(int4/int8/float8 only)")
+          s"binary parameter format not supported for type oid $other")
+    }
+    try PgBinaryCopy.decodeField(pgType,
+      java.util.Arrays.copyOfRange(b, off, off + len))
+    catch {
+      case e: PgLiteEngine.PgError =>
+        throw PgLiteEngine.PgError("08P01",
+          s"bad binary parameter for oid $oid: ${e.message}")
     }
   }
 

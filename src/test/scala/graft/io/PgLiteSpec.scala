@@ -885,10 +885,24 @@ class PgLiteSpec extends SparkSpec {
       // binary params compose with WHERE through the extended path
       c.execParamsBinary("SELECT id FROM pb WHERE n = $1",
         Seq((20, Some(Long.MaxValue)))).rows shouldBe Seq(Seq(Some("1")))
-      // an UNSUPPORTED oid in binary format is refused loudly (0A000),
+      // r18: every wire type binds binary through the published
+      // per-type send formats (the JDBC-driver default for temporal
+      // and numeric params too, not just the fixed-width trio)
+      c.query("CREATE TABLE pw (m NUMERIC(12,2), dt DATE, " +
+        "ts TIMESTAMP, b BOOLEAN, t TEXT)")
+      c.execParamsBinary(
+        "INSERT INTO pw (m, dt, ts, b, t) VALUES ($1, $2, $3, $4, $5)",
+        Seq((1700, Some(new java.math.BigDecimal("-12345.67"))),
+          (1082, Some(java.sql.Date.valueOf("2026-02-01"))),
+          (1114, Some(java.sql.Timestamp.valueOf("2026-02-01 03:04:05.123456"))),
+          (16, Some(true)), (25, Some("o'brien"))))
+      c.query("SELECT m, dt, ts, b, t FROM pw").rows shouldBe Seq(
+        Seq(Some("-12345.67"), Some("2026-02-01"),
+          Some("2026-02-01 03:04:05.123456"), Some("true"), Some("o'brien")))
+      // an UNKNOWN oid in binary format is refused loudly (0A000),
       // never mis-decoded; the pipeline recovers at Sync
       intercept[c.PgServerError](c.execExtended(
-        "SELECT id FROM pb WHERE i = $1", Seq(25),
+        "SELECT id FROM pb WHERE i = $1", Seq(600),
         Seq(Some("x".getBytes("UTF-8"))), Seq(1))).code shouldBe "0A000"
       // a wrong-width payload is a protocol error, not a mis-parse
       intercept[c.PgServerError](c.execExtended(
