@@ -73,13 +73,42 @@ final class PgLiteClient(host: String, port: Int,
           require(payload.length == 4 && readInt(payload, 0) == 0,
             "expected AuthenticationOk")
           authOk = true
-        case 'S' | 'K' | 'N' => ()
+        case 'K' => // BackendKeyData: the session's live cancel key
+          backendPid = readInt(payload, 0)
+          backendSecret = readInt(payload, 4)
+        case 'S' | 'N' => ()
         case 'Z' => ready = true
         case 'E' => throw parseError(payload)
         case other => throw new IllegalStateException(s"startup: unexpected '$other'")
       }
     }
     require(authOk, "server never sent AuthenticationOk")
+  }
+
+  @volatile private var backendPid = 0
+  @volatile private var backendSecret = 0
+
+  /** This session's BackendKeyData as received at startup. */
+  def backendKey: (Int, Int) = (backendPid, backendSecret)
+
+  /** Out-of-band CancelRequest (r19): the published flow — a FRESH
+    * socket carrying code 80877102 plus this session's BackendKeyData
+    * (pid, secret), then closed without a reply. Best-effort like real
+    * PG: it lands only if the target session has a statement in
+    * flight, which then fails with SQLSTATE 57014 on the session's own
+    * connection. */
+  def cancelRequest(): Unit = cancelRequest(backendPid, backendSecret)
+
+  /** [[cancelRequest]] with an explicit key — lets a spec prove a
+    * wrong secret is ignored. */
+  def cancelRequest(pid: Int, secret: Int): Unit = {
+    val s = new Socket(host, port)
+    try {
+      val o = new DataOutputStream(s.getOutputStream)
+      o.writeInt(16); o.writeInt(80877102)
+      o.writeInt(pid); o.writeInt(secret)
+      o.flush()
+    } finally s.close()
   }
 
   /** Simple-query round trip. Multiple result sets merge their rows;
@@ -283,6 +312,113 @@ final class PgLiteClient(host: String, port: Int,
     execExtended(sql, paramOids = Seq.fill(params.length)(0),
       payloads = params.map(_.map(_.getBytes(UTF_8))),
       formats = Seq.empty, resultFormats = resultFormats)
+
+  /** CURSOR-style extended-protocol fetch loop (r19, VERDICT r18 task
+    * 1) — the wire flow a JDBC driver's `setFetchSize(n)` runs: Parse/
+    * Bind/Describe once, then `Execute(maxRows=n)` + Flush repeatedly,
+    * resuming each time the server answers PortalSuspended ('s'),
+    * until CommandComplete; Sync closes the pipeline. Works on the
+    * implicit transaction because Sync is withheld until the cursor
+    * drains (libpq's portal-suspend pattern); the JDBC autocommit-off
+    * variant — Sync BETWEEN fetches inside BEGIN…COMMIT — is specced
+    * separately against the server's portal lifetime rules.
+    * Returns the full result plus the number of Execute round trips
+    * (ceil(rows/fetchSize) when the row count is a multiple boundary —
+    * the observable proof the server suspended instead of streaming
+    * everything on the first Execute). */
+  def execFetch(sql: String, params: Seq[Option[String]] = Nil,
+                fetchSize: Int = 0,
+                resultFormats: Seq[Int] = Seq.empty): (QueryResult, Int) = {
+    require(fetchSize > 0, "execFetch requires a positive fetchSize")
+    def msg(tpe: Char, body: Array[Byte]): Unit = {
+      out.writeByte(tpe); out.writeInt(4 + body.length); out.write(body)
+    }
+    val bb = new java.io.ByteArrayOutputStream()
+    def i16(v: Int): Unit = { bb.write((v >> 8) & 0xff); bb.write(v & 0xff) }
+    def i32(v: Int): Unit = {
+      bb.write((v >> 24) & 0xff); bb.write((v >> 16) & 0xff)
+      bb.write((v >> 8) & 0xff); bb.write(v & 0xff)
+    }
+    // Parse: unnamed statement, untyped text parameters
+    bb.write(0); bb.write(sql.getBytes(UTF_8)); bb.write(0); i16(0)
+    msg('P', bb.toByteArray); bb.reset()
+    // Bind: unnamed portal, text params, the caller's result formats
+    bb.write(0); bb.write(0)
+    i16(0)
+    i16(params.length)
+    params.foreach {
+      case None => i32(-1)
+      case Some(v) =>
+        val b = v.getBytes(UTF_8); i32(b.length); bb.write(b, 0, b.length)
+    }
+    i16(resultFormats.length); resultFormats.foreach(i16)
+    msg('B', bb.toByteArray); bb.reset()
+    msg('D', Array[Byte]('P'.toByte, 0))
+    def execute(): Unit = {
+      bb.reset()
+      bb.write(0) // unnamed portal
+      i32(fetchSize)
+      msg('E', bb.toByteArray); bb.reset()
+      msg('H', Array.emptyByteArray) // Flush: responses without Sync
+      out.flush()
+    }
+    execute()
+    var executes = 1
+    var cols = Seq.empty[String]
+    var oids = Seq.empty[Int]
+    var mods = Seq.empty[Int]
+    val rows = mutable.ArrayBuffer[Seq[Option[String]]]()
+    val tags = mutable.ArrayBuffer[String]()
+    var err: PgServerError = null
+    var synced = false
+    def sync(): Unit = if (!synced) {
+      synced = true
+      msg('S', Array.emptyByteArray); out.flush()
+    }
+    var ready = false
+    while (!ready) {
+      val (tpe, payload) = readMessage()
+      tpe match {
+        case '1' | '2' | '3' | 'n' | 't' | 'N' => ()
+        case 'T' =>
+          val (cs, os, ms) = parseRowDescription(payload)
+          cols = cs; oids = os; mods = ms
+        case 'D' =>
+          val n = readShort(payload, 0)
+          var off = 2
+          val r = mutable.ArrayBuffer[Option[String]]()
+          (0 until n).foreach { i =>
+            val len = readInt(payload, off); off += 4
+            if (len < 0) r += None
+            else {
+              val fmt =
+                if (resultFormats.isEmpty) 0
+                else if (resultFormats.length == 1) resultFormats.head
+                else resultFormats(i)
+              r += Some(
+                if (fmt == 0) new String(payload, off, len, UTF_8)
+                else decodeBinResult(oids(i), payload, off, len))
+              off += len
+            }
+          }
+          rows += r.toSeq
+        case 's' => // PortalSuspended: the fetchSize truncated — resume
+          execute()
+          executes += 1
+        case 'C' => // cursor drained
+          tags += new String(payload, 0, payload.length - 1, UTF_8)
+          sync()
+        case 'E' =>
+          err = parseError(payload)
+          sync() // server skips to Sync after an error
+        case 'Z' => ready = true
+        case other =>
+          throw new IllegalStateException(s"execFetch: unexpected '$other'")
+      }
+    }
+    if (err != null) throw err
+    (QueryResult(cols, oids, rows.toSeq, tags.toSeq, mods), executes)
+  }
 
   /** Binary RESULT cells back to canonical text, by the
     * RowDescription oid — the published per-type binary send formats,

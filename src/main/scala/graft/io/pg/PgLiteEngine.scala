@@ -74,6 +74,14 @@ object PgLiteEngine {
   final class PgTx {
     private[pg] var active = false
     private[pg] var aborted = false
+    /** CancelRequest plumbing (r19): the server raises
+      * `cancelRequested` when a matching out-of-band cancel arrives
+      * while `executing`; the engine's cancellation points consume it
+      * as SQLSTATE 57014. Connection-level, NOT transaction state —
+      * [[reset]] leaves both untouched. */
+    private[pg] val cancelRequested =
+      new java.util.concurrent.atomic.AtomicBoolean(false)
+    @volatile private[pg] var executing = false
     /** Tables touched (copy-on-first-write) or created in this tx. */
     private[pg] val copies = mutable.LinkedHashMap[String, Table]()
     /** Names in `copies` that were CREATEd inside the tx (no base). */
@@ -142,9 +150,39 @@ final class PgLiteEngine {
     else if (up.startsWith("INSERT INTO")) insert(sql, tx)
     else if ("(?is)^SELECT\\s+SETVAL\\s*\\(".r.findFirstIn(sql).isDefined)
       setval(sql, tx)
+    else if ("(?is)^SELECT\\s+PG_SLEEP\\s*\\(".r.findFirstIn(sql).isDefined)
+      pgSleep(sql, tx)
     else if (up.startsWith("SELECT")) select(sql, tx)
     else if (up.startsWith("DROP TABLE")) dropTable(sql, tx)
     else throw PgError("42601", s"unsupported statement: ${sql.take(60)}")
+  }
+
+  /** Cancellation point (r19, VERDICT r18 task 5): consume a pending
+    * out-of-band CancelRequest as real PG does — SQLSTATE 57014,
+    * statement aborted, connection (and transaction abort semantics)
+    * intact. Called at the long-running loops: [[pgSleep]]'s wait and
+    * every 8192 scanned rows of a SELECT. */
+  private def checkCancel(tx: PgTx): Unit =
+    if (tx != null && tx.cancelRequested.getAndSet(false))
+      throw PgError("57014", "canceling statement due to user request")
+
+  /** `SELECT pg_sleep(seconds)` — the published PG sleep function, the
+    * deterministic long-running statement a cancellation test needs
+    * (and the only statement here whose runtime is input-controlled).
+    * Sleeps in small slices so a CancelRequest lands promptly. */
+  private def pgSleep(sql: String, tx: PgTx): Result = {
+    val m = "(?is)^SELECT\\s+pg_sleep\\s*\\(\\s*(\\d+(?:\\.\\d+)?)\\s*\\)\\s*$".r
+      .findFirstMatchIn(sql)
+      .getOrElse(throw PgError("42601", s"bad pg_sleep: ${sql.take(60)}"))
+    val deadline = System.nanoTime + (m.group(1).toDouble * 1e9).toLong
+    while (System.nanoTime < deadline) {
+      checkCancel(tx)
+      Thread.sleep(5)
+    }
+    checkCancel(tx)
+    // real PG: pg_sleep returns one void row, rendered as empty text
+    Result(Seq(Col("pg_sleep", "TEXT", serial = false, unique = false, None)),
+      Seq(Array("")), "SELECT 1")
   }
 
   /** `SELECT setval('<table>_<col>_seq', v)` — the published PG idiom
@@ -740,7 +778,14 @@ final class PgLiteEngine {
                           tx: PgTx): Result = {
     val (t, cols, proj) = selectShape(m, tx)
     t.synchronized {
-      val keep = predFilter(t, parseWhere(m.group(3)))
+      val keep0 = predFilter(t, parseWhere(m.group(3)))
+      // cancellation point every 8k scanned rows (r19)
+      var scanned = 0
+      val keep = (r: Array[String]) => {
+        scanned += 1
+        if ((scanned & 8191) == 0) checkCancel(tx)
+        keep0(r)
+      }
       // filter and SORT over the full rows, project LAST — the ORDER
       // BY column need not be in the projection (real-PG semantics;
       // r17: `SELECT a FROM t ORDER BY id` previously 42703'd)
@@ -805,21 +850,32 @@ final class PgLiteEngine {
     * total without GROUP BY, even over zero input rows, per SQL), so a
     * partitioned reader ships group-count rows per connection instead
     * of the table. */
-  // a GROUP BY item is a column or `col / N` — integer-division
-  // bucketing (r18): the ONE expression an equi-depth range planner
-  // needs server-side (`SELECT k/W, count(*) … GROUP BY k/W` returns
-  // the whole bucket histogram in one round trip, one row per
-  // non-empty bucket, instead of N ranged count(*) probes). Division
-  // truncates toward zero, PG's integer `/` semantics.
-  private val GroupByItemPat = "[\\w]+(?:\\s*/\\s*\\d+)?"
+  // a GROUP BY item is a column, `col / N`, or `(col + S) / N` —
+  // integer-division bucketing (r18): the ONE expression an equi-depth
+  // range planner needs server-side (`SELECT k/W, count(*) … GROUP BY
+  // k/W` returns the whole bucket histogram in one round trip, one row
+  // per non-empty bucket, instead of N ranged count(*) probes).
+  // Division truncates toward zero, PG's integer `/` semantics — which
+  // is exactly why the shifted form exists (r19, VERDICT r18 wrong 2):
+  // truncation is NOT floor on negatives, so a planner bucketing a
+  // signed keyspace adds a non-negative offset first (`(k + S) / W`,
+  // PG-legal arithmetic) to keep every bucketed value ≥ 0.
+  private val GroupByItemPat =
+    "(?:[\\w]+(?:\\s*/\\s*\\d+)?|\\(\\s*[\\w]+\\s*\\+\\s*\\d+\\s*\\)\\s*/\\s*\\d+)"
   private val AggSelectRe =
     ("(?is)SELECT\\s+(.+?)\\s+FROM\\s+([\\w]+(?:\\.[\\w]+)?)" + WherePat +
       s"(?:\\s+GROUP\\s+BY\\s+($GroupByItemPat(?:\\s*,\\s*$GroupByItemPat)*))?\\s*$$").r
   private val AggItemRe =
     "(?i)^(count|sum|min|max)\\s*\\(\\s*(\\*|[\\w]+)\\s*\\)(?:\\s+AS\\s+([\\w]+))?$".r
-  private val GroupItemRe = "(?i)^([\\w]+)(?:\\s*/\\s*(\\d+))?$".r
+  // groups: (1 col, 2 div) plain/divided form; (3 col, 4 shift, 5 div)
+  // shifted form `(col + S) / N`
+  private val GroupItemRe =
+    ("(?i)^(?:([\\w]+)(?:\\s*/\\s*(\\d+))?" +
+      "|\\(\\s*([\\w]+)\\s*\\+\\s*(\\d+)\\s*\\)\\s*/\\s*(\\d+))$").r
   private val BareGroupRe =
-    "(?i)^([\\w]+)(?:\\s*/\\s*(\\d+))?(?:\\s+AS\\s+([\\w]+))?$".r
+    ("(?i)^(?:([\\w]+)(?:\\s*/\\s*(\\d+))?" +
+      "|\\(\\s*([\\w]+)\\s*\\+\\s*(\\d+)\\s*\\)\\s*/\\s*(\\d+))" +
+      "(?:\\s+AS\\s+([\\w]+))?$").r
 
   /** Parsed aggregate-select shape, shared by [[aggSelect]] and
     * [[describe]]: item = (fn, index, input oid, output Col) — for
@@ -829,9 +885,11 @@ final class PgLiteEngine {
     * index no longer identifies them). A bare/divided column
     * reference is legal only when it IS one of the grouping
     * expressions (42803 otherwise). groupCols entry =
-    * (table col idx, divisor). */
+    * (table col idx, shift, divisor) for `(col + shift) / div` (shift
+    * 0 for the unshifted forms, r19). */
   private def aggShape(sql: String, tx: PgTx)
-      : (Table, Seq[(String, Int, Int, Col)], Option[Seq[(Int, Option[Long])]],
+      : (Table, Seq[(String, Int, Int, Col)],
+         Option[Seq[(Int, Long, Option[Long])]],
          scala.util.matching.Regex.Match) = {
     val m = AggSelectRe.findFirstMatchIn(sql)
       .getOrElse(throw PgError("42601", s"bad SELECT: ${sql.take(60)}"))
@@ -848,14 +906,23 @@ final class PgLiteEngine {
         throw PgError("42883",
           s"operator does not exist: ${t.cols(ci).pgType} / integer")
     }
-    val groupCols: Option[Seq[(Int, Option[Long])]] = Option(m.group(4))
-      .map(_.split(",").map { g =>
-        val gm = GroupItemRe.findFirstMatchIn(g.trim)
-          .getOrElse(throw PgError("42601", s"bad GROUP BY item: $g"))
+    /** (col, shift, div) of one matched group/bare item. */
+    def groupExpr(gm: scala.util.matching.Regex.Match): (Int, Long, Option[Long]) =
+      if (gm.group(1) != null) {
         val ci = colIdx(gm.group(1))
         val div = Option(gm.group(2)).map(_.toLong)
         divCheck(ci, div)
-        (ci, div)
+        (ci, 0L, div)
+      } else {
+        val ci = colIdx(gm.group(3))
+        val div = Some(gm.group(5).toLong)
+        divCheck(ci, div)
+        (ci, gm.group(4).toLong, div)
+      }
+    val groupCols: Option[Seq[(Int, Long, Option[Long])]] = Option(m.group(4))
+      .map(_.split(",").map { g =>
+        groupExpr(GroupItemRe.findFirstMatchIn(g.trim)
+          .getOrElse(throw PgError("42601", s"bad GROUP BY item: $g")))
       }.toSeq)
     val items: Seq[(String, Int, Int, Col)] = topLevelSplit(m.group(1)).map { raw =>
       AggItemRe.findFirstMatchIn(raw.trim) match {
@@ -884,14 +951,13 @@ final class PgLiteEngine {
         case None =>
           val bm = BareGroupRe.findFirstMatchIn(raw.trim)
             .getOrElse(throw PgError("42601", s"bad SELECT item: ${raw.trim}"))
-          val ci = colIdx(bm.group(1))
-          val div = Option(bm.group(2)).map(_.toLong)
-          val gi = groupCols.map(_.indexOf((ci, div))).getOrElse(-1)
+          val (ci, shift, div) = groupExpr(bm)
+          val gi = groupCols.map(_.indexOf((ci, shift, div))).getOrElse(-1)
           if (gi < 0)
             throw PgError("42803",
               s"column \"${raw.trim}\" must appear in the GROUP BY clause")
           val base = t.cols(ci)
-          val alias = Option(bm.group(3)).map(_.toLowerCase)
+          val alias = Option(bm.group(6)).map(_.toLowerCase)
           val out =
             if (div.isEmpty && alias.isEmpty) base
             else Col(alias.getOrElse(base.name), base.pgType,
@@ -923,14 +989,26 @@ final class PgLiteEngine {
       val groups = mutable.LinkedHashMap[Option[Seq[Option[String]]], Acc]()
       if (groupCols.isEmpty) groups(None) = fresh() // global group: one
       // row out even over zero input rows, per SQL aggregate semantics
+      var scanned = 0
       t.rows.foreach { r =>
+        scanned += 1
+        if ((scanned & 8191) == 0) checkCancel(tx) // r19 cancel point
         if (keep(r)) {
-          // group key: the raw cell, or the `col / N` bucket number
-          // (truncating integer division, PG semantics); NULL cells
-          // group together as NULL either way
-          val key = groupCols.map(_.map { case (gi, div) =>
+          // group key: the raw cell, or the `(col + S) / N` bucket
+          // number (shift, then truncating integer division — PG
+          // semantics); NULL cells group together as NULL either way.
+          // The shift is checked arithmetic: a hostile offset that
+          // overflows 64 bits fails loudly (22003), never wraps into a
+          // wrong bucket
+          val key = groupCols.map(_.map { case (gi, shift, div) =>
             Option(r(gi)).map(v =>
-              div.fold(v)(d => (java.lang.Long.parseLong(v) / d).toString))
+              div.fold(v) { d =>
+                val x =
+                  try Math.addExact(java.lang.Long.parseLong(v), shift)
+                  catch { case _: ArithmeticException =>
+                    throw PgError("22003", "bigint out of range") }
+                (x / d).toString
+              })
           })
           val acc = groups.getOrElseUpdate(key, fresh())
           items.zipWithIndex.foreach { case ((fn, ci, oid, _), i) =>

@@ -39,6 +39,15 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
 
   @volatile private var running = true
 
+  // CancelRequest registry (r19, VERDICT r18 task 5): BackendKeyData
+  // hands each connection a REAL (pid, secret) pair; a CancelRequest
+  // on a fresh socket quoting them flags the target session's tx,
+  // which the engine's cancellation points turn into SQLSTATE 57014
+  // mid-statement — the published out-of-band cancel flow.
+  private val nextPid = new java.util.concurrent.atomic.AtomicInteger(1000)
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Int, PgLiteEngine.PgTx)]()
+
   private def acceptLoop(): Unit =
     while (running && !server.isClosed) {
       try {
@@ -51,6 +60,20 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
     }
 
+  /** One bound portal's lifetime state (r19, VERDICT r18 task 1): the
+    * bound statement, Bind's result-format codes, and — once the first
+    * Execute materializes it — the result with a fetch cursor, so an
+    * Execute carrying a row limit can suspend ('s') and a re-Execute
+    * resumes where it left off, exactly the setFetchSize flow a real
+    * driver runs. State drops on Close('P') and at Sync (the implicit
+    * transaction boundary destroys portals). */
+  private final class Portal(val sql: String, val resFmts: Seq[Int]) {
+    var result: PgLiteEngine.Result = _
+    var pos: Int = 0
+    var completed: Boolean = false
+    var tag: String = _
+  }
+
   private def handle(sock: Socket): Unit = {
     val in = new DataInputStream(sock.getInputStream)
     val out = new DataOutputStream(sock.getOutputStream)
@@ -58,14 +81,17 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     // transaction discards its overlay implicitly (the base tables
     // were never touched) — Postgres' implicit-rollback-on-disconnect
     val tx = new PgLiteEngine.PgTx
+    val pid = nextPid.getAndIncrement()
+    val secret = java.util.concurrent.ThreadLocalRandom.current().nextInt()
+    cancelKeys.put(pid, (secret, tx))
     // extended-protocol session state: named prepared statements
-    // (sql + declared param oids) and bound portals (sql + the Bind
-    // message's RESULT format codes, r18), plus the error-skip flag —
-    // after an error, every extended message is IGNORED until Sync
-    // (the published recovery rule), which answers ReadyForQuery and
-    // clears the flag
+    // (sql + declared param oids) and bound portals ([[Portal]]:
+    // sql + Bind's RESULT format codes + the r19 fetch cursor), plus
+    // the error-skip flag — after an error, every extended message is
+    // IGNORED until Sync (the published recovery rule), which answers
+    // ReadyForQuery and clears the flag
     val prepared = scala.collection.mutable.Map[String, (String, Seq[Int])]()
-    val portals = scala.collection.mutable.Map[String, (String, Seq[Int])]()
+    val portals = scala.collection.mutable.Map[String, Portal]()
     var extFailed = false
     def extTry(f: => Unit): Unit =
       if (!extFailed) {
@@ -83,7 +109,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
         }
       }
     try {
-      if (!startup(in, out, tx)) return
+      if (!startup(in, out, tx, pid, secret)) return
       var open = true
       while (open) {
         val tpe = in.read()
@@ -96,13 +122,26 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
             case 'Q' =>
               val sql = new String(body, 0, body.length - 1, UTF_8) // strip \0
               runQuery(sql, in, out, tx)
+              // a simple query that left no transaction open ended one
+              // (its own implicit one, or an explicit COMMIT/ROLLBACK)
+              // — portals die at transaction end, per the published
+              // lifetime rules
+              if (!tx.inTransaction) portals.clear()
             case 'P' => extTry(handleParse(body, out, prepared))
             case 'B' => extTry(handleBind(body, out, prepared, portals))
             case 'D' => extTry(handleDescribe(body, out, prepared, portals, tx))
             case 'E' => extTry(handleExecute(body, out, portals, tx))
             case 'C' => extTry(handleClose(body, out, prepared, portals))
-            case 'S' => // Sync: end of the extended pipeline
+            case 'S' => // Sync: end of the extended pipeline. OUTSIDE
+              // an explicit transaction it closes the implicit one,
+              // destroying portals (and their suspended cursors) like
+              // real PG; INSIDE a transaction portals survive — the
+              // JDBC setFetchSize loop sends Execute(n)/Sync per fetch
+              // and only works because autocommit-off keeps the portal
+              // alive across Syncs. Prepared statements are
+              // session-scoped and survive either way.
               extFailed = false
+              if (!tx.inTransaction) portals.clear()
               readyForQuery(out, tx)
             case 'H' => out.flush() // Flush
             case 'X' => open = false
@@ -115,6 +154,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     } catch {
       case _: EOFException | _: IOException => ()
     } finally {
+      cancelKeys.remove(pid)
       try sock.close() catch { case _: IOException => () }
     }
   }
@@ -134,6 +174,20 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   // already implements and PgBinarySpec pins (big-endian ints, IEEE
   // 754 float8 bits, bool byte, 2000-epoch day/micro counts,
   // base-10000 numerics, text = its UTF-8 bytes).
+
+  /** Mark `tx` as having a statement in flight for the CancelRequest
+    * window (r19): a cancel only lands while `executing` is true, and
+    * the flag is cleared on BOTH edges so a cancel raced against the
+    * previous statement's tail can never kill the next one. */
+  private def withExec[A](tx: PgLiteEngine.PgTx)(f: => A): A = {
+    tx.cancelRequested.set(false)
+    tx.executing = true
+    try f
+    finally {
+      tx.executing = false
+      tx.cancelRequested.set(false)
+    }
+  }
 
   private def cstr(b: Array[Byte], off: Int): (String, Int) = {
     val end = b.indexOf(0, off)
@@ -208,7 +262,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * for every wire type via the published binary send formats). */
   private def handleBind(body: Array[Byte], out: DataOutputStream,
                          prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                         portals: scala.collection.mutable.Map[String, (String, Seq[Int])]): Unit = {
+                         portals: scala.collection.mutable.Map[String, Portal]): Unit = {
     val (portal, o1) = cstr(body, 0)
     val (stmt, o2) = cstr(body, o1)
     val (sql0, oids) = prepared.getOrElse(stmt,
@@ -287,7 +341,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       }
       sb.toString
     }
-    portals(portal) = (bound, resFmts)
+    portals(portal) = new Portal(bound, resFmts)
     complete(out, '2') // BindComplete
   }
 
@@ -297,22 +351,22 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
     * from Parse + NoData. */
   private def handleDescribe(body: Array[Byte], out: DataOutputStream,
                              prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                             portals: scala.collection.mutable.Map[String, (String, Seq[Int])],
+                             portals: scala.collection.mutable.Map[String, Portal],
                              tx: PgLiteEngine.PgTx): Unit = {
     val kind = body(0).toChar
     val (name, _) = cstr(body, 1)
     kind match {
       case 'P' =>
-        val (sql, resFmts) = portals.getOrElse(name,
+        val p = portals.getOrElse(name,
           throw PgLiteEngine.PgError("34000", s"portal \"$name\" does not exist"))
-        val cols = engine.describe(sql, tx)
+        val cols = engine.describe(p.sql, tx)
         if (cols.isEmpty) complete(out, 'n') // NoData
         else
           // the portal's RowDescription echoes the RESOLVED result
           // format per column (r18) — what a real server reports for
           // a binary-result portal
           writeRowDescription(out, cols,
-            cols.indices.map(i => resultFmt(resFmts, i, cols.length)))
+            cols.indices.map(i => resultFmt(p.resFmts, i, cols.length)))
       case 'S' =>
         val oids = prepared.get(name).map(_._2).getOrElse(
           throw PgLiteEngine.PgError("26000",
@@ -326,23 +380,44 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
   }
 
   /** Execute: run the bound portal. Per the published flow, Execute
-    * emits DataRows + CommandComplete only — the RowDescription came
-    * from Describe. */
+    * emits DataRows then CommandComplete — the RowDescription came
+    * from Describe. The trailing int32 ROW LIMIT is honored (r19,
+    * VERDICT r18 task 1): a positive limit that truncates the result
+    * emits PortalSuspended ('s') instead of CommandComplete, the
+    * portal keeps its cursor, and a re-Execute resumes from it — the
+    * exact flow a JDBC driver's setFetchSize(n) cursor loop drives
+    * (Execute(n) → 's' → Execute(n) → … → 'C'). Re-executing a
+    * COMPLETED portal answers its saved CommandComplete tag with no
+    * rows, like a drained cursor. */
   private def handleExecute(body: Array[Byte], out: DataOutputStream,
-                            portals: scala.collection.mutable.Map[String, (String, Seq[Int])],
+                            portals: scala.collection.mutable.Map[String, Portal],
                             tx: PgLiteEngine.PgTx): Unit = {
-    val (portal, _) = cstr(body, 0)
-    val (sql, resFmts) = portals.getOrElse(portal,
+    val (portal, off) = cstr(body, 0)
+    val maxRows = if (body.length >= off + 4) int32(body, off) else 0
+    val p = portals.getOrElse(portal,
       throw PgLiteEngine.PgError("34000", s"portal \"$portal\" does not exist"))
-    if ("(?is)^COPY\\b.*\\b(FROM\\s+STDIN|TO\\s+STDOUT)\\b".r
-          .findFirstIn(sql.trim).isDefined)
-      throw PgLiteEngine.PgError("0A000",
-        "COPY FROM STDIN / TO STDOUT are simple-protocol statements here")
     if (tx.inTransaction && tx.isAborted)
       throw PgLiteEngine.PgError("25P02", "current transaction is aborted, " +
         "commands ignored until end of transaction block")
-    val r = engine.execute(sql, tx)
-    if (resFmts.forall(_ == 0)) r.rows.foreach(writeDataRow(out, _))
+    def commandComplete(tag: String): Unit = {
+      val t = tag.getBytes(UTF_8)
+      out.writeByte('C'); out.writeInt(4 + t.length + 1)
+      out.write(t); out.writeByte(0)
+    }
+    if (p.completed) { commandComplete(p.tag); return }
+    if (p.result == null) {
+      if ("(?is)^COPY\\b.*\\b(FROM\\s+STDIN|TO\\s+STDOUT)\\b".r
+            .findFirstIn(p.sql.trim).isDefined)
+        throw PgLiteEngine.PgError("0A000",
+          "COPY FROM STDIN / TO STDOUT are simple-protocol statements here")
+      p.result = withExec(tx)(engine.execute(p.sql, tx))
+    }
+    val r = p.result
+    val end =
+      if (maxRows > 0) math.min(r.rows.length, p.pos + maxRows)
+      else r.rows.length
+    val slice = r.rows.slice(p.pos, end)
+    if (p.resFmts.forall(_ == 0)) slice.foreach(writeDataRow(out, _))
     else {
       // binary result columns (r18): each requested column ships its
       // PUBLISHED binary send format — the exact per-type codecs the
@@ -351,8 +426,8 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       // timestamp 2000-epoch day/micro counts, base-10000 numerics,
       // text = its UTF-8 bytes) — every wire type, like real PG
       val fmts = r.columns.indices
-        .map(i => resultFmt(resFmts, i, r.columns.length))
-      r.rows.foreach { row =>
+        .map(i => resultFmt(p.resFmts, i, r.columns.length))
+      slice.foreach { row =>
         val cells = row.indices.map { i =>
           if (row(i) == null) null
           else if (fmts(i) == 1)
@@ -362,16 +437,22 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
         writeDataRowCells(out, cells)
       }
     }
-    val tag = r.tag.getBytes(UTF_8)
-    out.writeByte('C'); out.writeInt(4 + tag.length + 1)
-    out.write(tag); out.writeByte(0)
+    p.pos = end
+    if (p.pos < r.rows.length) {
+      out.writeByte('s'); out.writeInt(4) // PortalSuspended
+    } else {
+      p.completed = true
+      p.tag = r.tag
+      p.result = null // cursor drained: free the rows, keep the tag
+      commandComplete(p.tag)
+    }
   }
 
   /** Close: drop a prepared statement or portal; closing a missing one
     * is NOT an error (per the docs). */
   private def handleClose(body: Array[Byte], out: DataOutputStream,
                           prepared: scala.collection.mutable.Map[String, (String, Seq[Int])],
-                          portals: scala.collection.mutable.Map[String, (String, Seq[Int])]): Unit = {
+                          portals: scala.collection.mutable.Map[String, Portal]): Unit = {
     val kind = body(0).toChar
     val (name, _) = cstr(body, 1)
     kind match {
@@ -385,9 +466,17 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
 
   /** Startup phase: loop over SSLRequest/CancelRequest until a real
     * StartupMessage arrives; answer the auth/params/ready sequence.
-    * Returns false if the connection should close. */
+    * Returns false if the connection should close.
+    *
+    * A CancelRequest (r19, VERDICT r18 task 5) carries the (pid,
+    * secret) pair BackendKeyData issued to the session it targets; on
+    * a match with a statement IN FLIGHT, the target's cancel flag is
+    * raised and the engine's cancellation points abort it with 57014.
+    * A stale/forged pair is silently ignored (the published posture —
+    * cancellation is best-effort and unauthenticated beyond the
+    * secret). Either way this connection closes without a reply. */
   private def startup(in: DataInputStream, out: DataOutputStream,
-                      tx: PgLiteEngine.PgTx): Boolean = {
+                      tx: PgLiteEngine.PgTx, pid: Int, secret: Int): Boolean = {
     var done = false
     while (!done) {
       val len = in.readInt()
@@ -395,7 +484,13 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       code match {
         case 80877103 => // SSLRequest: refuse, stay plaintext
           out.write('N'); out.flush()
-        case 80877102 => // CancelRequest: nothing to cancel
+        case 80877102 => // CancelRequest: body = target pid + secret
+          val targetPid = in.readInt()
+          val targetSecret = in.readInt()
+          Option(cancelKeys.get(targetPid)).foreach { case (sec, target) =>
+            if (sec == targetSecret && target.executing)
+              target.cancelRequested.set(true)
+          }
           return false
         case 196608 => // protocol 3.0
           val body = new Array[Byte](len - 8)
@@ -414,8 +509,8 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       out.writeByte('S'); out.writeInt(4 + kb.length + 1 + vb.length + 1)
       out.write(kb); out.writeByte(0); out.write(vb); out.writeByte(0)
     }
-    // BackendKeyData: 'K' + len 12 + pid + secret
-    out.writeByte('K'); out.writeInt(12); out.writeInt(4242); out.writeInt(7)
+    // BackendKeyData: 'K' + len 12 + THIS session's live cancel key
+    out.writeByte('K'); out.writeInt(12); out.writeInt(pid); out.writeInt(secret)
     readyForQuery(out, tx)
     true
   }
@@ -463,7 +558,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       stmts.foreach { st =>
         if (!failed) {
           try {
-            val r =
+            val r = withExec(tx) {
               if ("(?is)^COPY\\b.*\\bFROM\\s+STDIN\\b".r
                     .findFirstIn(st.trim).isDefined)
                 runCopyIn(st, in, out, tx)
@@ -471,6 +566,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
                     .findFirstIn(st.trim).isDefined)
                 runCopyOut(st, out, tx)
               else engine.execute(st, tx)
+            }
             if (r.columns.nonEmpty) {
               writeRowDescription(out, r.columns)
               r.rows.foreach(writeDataRow(out, _))

@@ -970,6 +970,182 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "suspend portals on Execute row limits and resume like a fetchSize cursor" in {
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE fz (id SERIAL PRIMARY KEY, v TEXT)")
+      (1 to 10).foreach(i => c.query(s"INSERT INTO fz (v) VALUES ('v$i')"))
+      // TEXT cursor: 10 rows at fetchSize 3 → Execute(3) four times,
+      // the first three answered PortalSuspended (r19, VERDICT r18
+      // task 1: pre-r19 the int32 limit was discarded and the first
+      // Execute streamed all 10 rows + CommandComplete)
+      val (r, execs) = c.execFetch(
+        "SELECT id, v FROM fz ORDER BY id", Nil, fetchSize = 3)
+      r.rows.map(_.head.get) shouldBe (1 to 10).map(_.toString)
+      r.rows.map(_(1).get) shouldBe (1 to 10).map(i => s"v$i")
+      execs shouldBe 4
+      r.tags shouldBe Seq("SELECT 10")
+      // BINARY result formats ride the same cursor unchanged
+      val (rb, execsB) = c.execFetch(
+        "SELECT id, v FROM fz ORDER BY id", Nil, fetchSize = 4,
+        resultFormats = Seq(1))
+      rb.rows shouldBe r.rows
+      execsB shouldBe 3
+      // an exact-multiple drain completes on the boundary Execute —
+      // no wasted extra round trip
+      c.execFetch("SELECT id FROM fz ORDER BY id", Nil,
+        fetchSize = 5)._2 shouldBe 2
+      // fetchSize ≥ result: one Execute, no suspension
+      c.execFetch("SELECT id FROM fz", Nil, fetchSize = 100)._2 shouldBe 1
+      // parameters compose with the cursor loop
+      c.execFetch("SELECT id FROM fz WHERE v = $1", Seq(Some("v7")),
+        fetchSize = 2)._1.rows shouldBe Seq(Seq(Some("7")))
+      // an error inside the loop surfaces and the pipeline recovers
+      intercept[c.PgServerError](c.execFetch(
+        "SELECT nope FROM fz", Nil, fetchSize = 2)).code shouldBe "42703"
+      c.query("SELECT count(*) FROM fz").rows.head.head.get shouldBe "10"
+      c.close()
+    } finally server.stop()
+  }
+
+  it should "keep suspended portals alive across Sync inside a transaction only" in {
+    // the JDBC autocommit-off cursor: setFetchSize sends Execute(n) +
+    // SYNC per fetch and relies on the explicit transaction to keep
+    // the portal alive; at transaction end (and at Sync outside one)
+    // the portal — and its cursor — is destroyed, per the published
+    // portal lifetime rules
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE TABLE jz (id SERIAL PRIMARY KEY, v TEXT)")
+      (1 to 10).foreach(i => engine.execute(s"INSERT INTO jz (v) VALUES ('v$i')"))
+      val sock = new Socket("127.0.0.1", server.port)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      // handshake
+      val body = "user".getBytes(UTF_8) ++ Array(0.toByte) ++
+        "graft".getBytes(UTF_8) ++ Array(0.toByte, 0.toByte)
+      out.writeInt(4 + 4 + body.length); out.writeInt(196608)
+      out.write(body); out.flush()
+      def readMsg(): (Char, Array[Byte]) = {
+        val tpe = in.read().toChar
+        val len = in.readInt()
+        val b = new Array[Byte](len - 4)
+        in.readFully(b)
+        (tpe, b)
+      }
+      def drainToZ(): Seq[(Char, Array[Byte])] = {
+        val seen = Seq.newBuilder[(Char, Array[Byte])]
+        var done = false
+        while (!done) {
+          val m = readMsg()
+          seen += m
+          if (m._1 == 'Z') done = true
+        }
+        seen.result()
+      }
+      drainToZ()
+      def msg(tpe: Char, b: Array[Byte]): Unit = {
+        out.writeByte(tpe); out.writeInt(4 + b.length); out.write(b)
+      }
+      def cstr(s: String): Array[Byte] = s.getBytes(UTF_8) :+ 0.toByte
+      def i16(v: Int): Array[Byte] =
+        Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def i32(v: Int): Array[Byte] =
+        Array((v >>> 24).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def simpleQuery(sql: String): Unit = {
+        msg('Q', cstr(sql)); out.flush(); drainToZ()
+      }
+      // one fetch = Execute("cur", n) + Sync, the JDBC shape; returns
+      // (row count, terminal message type: 's' suspended / 'C'
+      // complete / 'E' error)
+      def fetch(n: Int): (Int, Char) = {
+        msg('E', cstr("cur") ++ i32(n)); msg('S', Array.emptyByteArray)
+        out.flush()
+        val msgs = drainToZ()
+        val rows = msgs.count(_._1 == 'D')
+        val term = msgs.map(_._1).find(t => t == 's' || t == 'C' || t == 'E').get
+        (rows, term)
+      }
+      simpleQuery("BEGIN")
+      // Parse unnamed, Bind NAMED portal "cur", Sync — the portal is
+      // created inside the open transaction
+      msg('P', cstr("") ++ cstr("SELECT id FROM jz ORDER BY id") ++ i16(0))
+      msg('B', cstr("cur") ++ cstr("") ++ i16(0) ++ i16(0) ++ i16(0))
+      msg('S', Array.emptyByteArray)
+      out.flush(); drainToZ()
+      // three fetches of 4: the portal SURVIVES the Sync between them
+      // because the explicit transaction is open
+      fetch(4) shouldBe ((4, 's'))
+      fetch(4) shouldBe ((4, 's'))
+      fetch(4) shouldBe ((2, 'C'))
+      // drained cursor: re-Execute answers the saved tag, no rows
+      fetch(4) shouldBe ((0, 'C'))
+      // COMMIT ends the transaction → portal destroyed
+      simpleQuery("COMMIT")
+      val (rowsAfter, termAfter) = fetch(4)
+      rowsAfter shouldBe 0
+      termAfter shouldBe 'E' // 34000: portal "cur" does not exist
+      sock.close()
+    } finally server.stop()
+  }
+
+  behavior of "CancelRequest (out-of-band statement cancellation)"
+
+  it should "cancel a running statement from a second socket with SQLSTATE 57014" in {
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE TABLE cx (k BIGINT)")
+      engine.execute("INSERT INTO cx (k) VALUES (1)")
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      // a WRONG secret is silently ignored: the short sleep completes
+      val (pid, secret) = c.backendKey
+      val tShort = new Thread(() => c.query("SELECT pg_sleep(0.5)"))
+      var shortErr: Throwable = null
+      tShort.setUncaughtExceptionHandler((_, e) => shortErr = e)
+      tShort.start()
+      Thread.sleep(100)
+      c.cancelRequest(pid, secret ^ 1)
+      tShort.join(10000)
+      shortErr shouldBe null
+      // the REAL key cancels a long statement mid-flight, promptly
+      @volatile var caught: Throwable = null
+      val t0 = System.nanoTime()
+      val tLong = new Thread(() => c.query("SELECT pg_sleep(30)"))
+      tLong.setUncaughtExceptionHandler((_, e) => caught = e)
+      tLong.start()
+      Thread.sleep(200)
+      c.cancelRequest()
+      tLong.join(10000)
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      caught should not be null
+      caught shouldBe a[c.PgServerError]
+      caught.asInstanceOf[c.PgServerError].code shouldBe "57014"
+      elapsedMs should be < 8000L // cancelled, not ran to completion
+      // the session connection survived the cancellation
+      c.query("SELECT count(*) FROM cx").rows.head.head.get shouldBe "1"
+      // inside a transaction, a cancelled statement ABORTS it (25P02
+      // until rollback) — an error like any other, per PG
+      c.query("BEGIN")
+      @volatile var txErr: Throwable = null
+      val tTx = new Thread(() => c.query("SELECT pg_sleep(30)"))
+      tTx.setUncaughtExceptionHandler((_, e) => txErr = e)
+      tTx.start()
+      Thread.sleep(200)
+      c.cancelRequest()
+      tTx.join(10000)
+      txErr.asInstanceOf[c.PgServerError].code shouldBe "57014"
+      intercept[c.PgServerError](
+        c.query("SELECT count(*) FROM cx")).code shouldBe "25P02"
+      c.query("ROLLBACK")
+      c.query("SELECT count(*) FROM cx").rows.head.head.get shouldBe "1"
+      c.close()
+    } finally server.stop()
+  }
+
   it should "recover from an extended-pipeline error at Sync and stay usable" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)

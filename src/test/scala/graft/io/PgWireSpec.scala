@@ -267,11 +267,18 @@ class PgWireSpec extends SparkSpec {
         val edW = PgWire.equiDepthRanges(c, "ed.t", "k", Some("k >= 200"),
           200L, 9100L, 201L, 3)
         count(edW).sum shouldBe 201L // ranges cover every filtered row
-        // fallbacks: tiny spans and negative keyspaces split evenly
+        // fallback: a keyspace no wider than parts splits evenly
         PgWire.equiDepthRanges(c, "ed.t", "k", None, 1L, 4L, 400L, 8) shouldBe
           PgWire.splitRanges(1L, 4L, 8)
-        PgWire.equiDepthRanges(c, "ed.t", "k", None, -5L, 9100L, 400L, 4) shouldBe
-          PgWire.splitRanges(-5L, 9100L, 4)
+        // a negative lo no longer degrades to even splits (r19): the
+        // shifted bucket expression keeps the histogram exact, so the
+        // same skew bound holds with the span origin below zero
+        val edNeg = PgWire.equiDepthRanges(c, "ed.t", "k", None,
+          -5L, 9100L, 400L, 4)
+        edNeg.head._1 shouldBe -5L
+        edNeg.last._2 shouldBe 9101L
+        count(edNeg).sum shouldBe 400L
+        count(edNeg).max should be <= 120L
       } finally c.close()
     } finally server.stop()
   }
@@ -285,9 +292,13 @@ class PgWireSpec extends SparkSpec {
     val (server, engine) = PgLiteServer.start()
     try {
       engine.execute("CREATE SCHEMA pp")
-      (1 to 12).foreach { i =>
+      (1 to 16).foreach { i =>
         engine.execute(s"CREATE TABLE pp.t$i (k BIGINT)")
-        val shape = i % 4 match {
+        // random NEGATIVE origin every other table (r19, VERDICT r18
+        // wrong 2): signed-hash / id-offset keyspaces must get the
+        // same cover-and-depth contract as SERIAL ones
+        val off = if (i % 2 == 0) 0L else -(1L + rnd.nextLong(2000000L))
+        val shape0 = i % 4 match {
           case 0 => // uniform
             Seq.fill(50 + rnd.nextInt(300))(rnd.nextLong(1000000L))
           case 1 => // dense cluster + far outliers (the hollow shape)
@@ -299,6 +310,7 @@ class PgWireSpec extends SparkSpec {
             Seq.fill(100)(rnd.nextLong(1000L)) ++
               Seq.fill(100)(700000L + rnd.nextLong(1000L))
         }
+        val shape = shape0.map(_ + off)
         val c = new PgLiteClient("127.0.0.1", server.port)
         c.connect()
         try {
@@ -350,5 +362,57 @@ class PgWireSpec extends SparkSpec {
       sizes.max should be <= 50 // even split: 90 in one range
       sizes.count(_ > 0) should be >= 3
     } finally server.stop()
+  }
+
+  it should "keep near-even partitions on a SIGNED hollowed keyspace" in {
+    // the r19 fix end-to-end: a signed-hash-style keyspace (dense
+    // cluster below zero, sparse outliers far above) previously fell
+    // back to even key-space splits — one partition carried ~all rows
+    val schema2 = StructType(Seq(StructField("k", LongType)))
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA edn")
+      engine.execute("CREATE TABLE edn.t (k BIGINT)")
+      val keys = (-100090L to -100001L) ++ (50000L to 50009L)
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try c.copyIn("COPY edn.t (k) FROM STDIN",
+        keys.map(k => Seq(Some(k.toString))))
+      finally c.close()
+      val got = PgWire.readDistributed(spark, "127.0.0.1", server.port,
+        "edn.t", schema2, "k", numPartitions = 4, rowsPerPartition = 25L)
+      got.collect().map(_.getLong(0)).sorted shouldBe keys.sorted.toArray
+      val sizes = got.rdd.mapPartitions(it => Iterator.single(it.size))
+        .collect().toSeq
+      sizes.sum shouldBe 100
+      sizes.max should be <= 50 // even split: 90 in one range
+      sizes.count(_ > 0) should be >= 3
+    } finally server.stop()
+  }
+
+  behavior of "engine shifted bucket GROUP BY"
+
+  it should "bucket signed keys by (k + shift) / width with checked arithmetic" in {
+    val e = new graft.io.pg.PgLiteEngine
+    e.execute("CREATE SCHEMA sb")
+    e.execute("CREATE TABLE sb.t (k BIGINT)")
+    Seq(-7L, -6L, -1L, 0L, 3L, 9L).foreach(k =>
+      e.execute(s"INSERT INTO sb.t (k) VALUES ($k)"))
+    // shift 7 → shifted keys 0,1,6,7,10,16; width 4 → buckets 0,0,1,1,2,4
+    val r = e.execute(
+      "SELECT (k + 7) / 4 AS b, count(*) AS n FROM sb.t GROUP BY (k + 7) / 4")
+    r.rows.map(x => (x(0), x(1))).sortBy(_._1.toLong) shouldBe
+      Seq(("0", "2"), ("1", "2"), ("2", "1"), ("4", "1"))
+    // unshifted truncation would fold negatives into bucket 0 with the
+    // positives — the exact wrongness the shifted grammar exists to
+    // avoid; the engine still answers the truncated semantics honestly
+    val tr = e.execute("SELECT k / 4 AS b, count(*) AS n FROM sb.t GROUP BY k / 4")
+    tr.rows.map(x => (x(0), x(1))).sortBy(_._1.toLong) shouldBe
+      Seq(("-1", "2"), ("0", "3"), ("2", "1"))
+    // a shift that overflows 64 bits fails loudly, never a wrong bucket
+    e.execute(s"INSERT INTO sb.t (k) VALUES (${Long.MaxValue})")
+    intercept[graft.io.pg.PgLiteEngine.PgError](
+      e.execute("SELECT (k + 7) / 4 AS b, count(*) AS n FROM sb.t " +
+        "GROUP BY (k + 7) / 4")).code shouldBe "22003"
   }
 }
