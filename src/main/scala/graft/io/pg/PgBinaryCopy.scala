@@ -23,10 +23,11 @@ import scala.collection.mutable
   * so a table loaded through binary COPY reads back byte-identical to
   * its text-COPY twin (`ref_pg_copy_binary`'s oracle).
   *
-  * Supported (the [[graft.io.Sinks.pgType]] surface minus BYTEA, which
-  * no wire gate ships): TEXT/VARCHAR/CHAR, INTEGER, BIGINT,
-  * DOUBLE PRECISION, BOOLEAN, DATE, TIMESTAMP, NUMERIC. Anything else
-  * raises 0A000 rather than guessing a layout.
+  * Supported (the full [[graft.io.Sinks.pgType]] surface):
+  * TEXT/VARCHAR/CHAR, INTEGER, BIGINT, DOUBLE PRECISION, BOOLEAN,
+  * DATE, TIMESTAMP, NUMERIC, and BYTEA (r19, ADVICE r18 — binary
+  * bytea is the raw bytes; the canonical text form is PG's `\x…` hex
+  * output). Anything else raises 0A000 rather than guessing a layout.
   *
   * Reference: the PostgreSQL documentation "COPY … Binary Format" and
   * the public send/recv formats (timestamp: microseconds since
@@ -94,6 +95,15 @@ object PgBinaryCopy {
       val ldt = java.sql.Timestamp.valueOf(text.trim).toLocalDateTime
       be64(ChronoUnit.MICROS.between(PgEpochTs, ldt))
     case "NUMERIC" | "DECIMAL" => encodeNumeric(text.trim)
+    case "BYTEA" =>
+      // canonical text is PG's hex output format `\xDEADBEEF`; binary
+      // send format is simply the raw bytes
+      val t = text.trim
+      if (!t.startsWith("\\x") || (t.length % 2) != 0 ||
+          !t.drop(2).forall(c => Character.digit(c, 16) >= 0))
+        throw PgError("22P02", s"bad bytea hex literal: ${t.take(40)}")
+      t.drop(2).grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
     case other =>
       throw PgError("0A000", s"no binary format for type $other")
   }
@@ -117,6 +127,8 @@ object PgBinaryCopy {
       java.sql.Timestamp.valueOf(
         PgEpochTs.plus(rd64(b, 0), ChronoUnit.MICROS)).toString
     case "NUMERIC" | "DECIMAL" => decodeNumeric(b)
+    case "BYTEA" =>
+      b.map(x => f"${x & 0xff}%02x").mkString("\\x", "", "")
     case other =>
       throw PgError("0A000", s"no binary format for type $other")
   }

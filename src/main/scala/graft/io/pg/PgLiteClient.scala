@@ -436,6 +436,7 @@ final class PgLiteClient(host: String, port: Int,
       case 1114 => "TIMESTAMP"
       case 1082 => "DATE"
       case 1700 => "NUMERIC"
+      case 17 => "BYTEA"
       case other => throw new IllegalStateException(
         s"server sent a binary result for undecodable oid $other")
     }
@@ -455,6 +456,7 @@ final class PgLiteClient(host: String, port: Int,
       case 1114 => "TIMESTAMP"
       case 1082 => "DATE"
       case 1700 => "NUMERIC"
+      case 17 => "BYTEA"
       case other => throw new IllegalArgumentException(
         s"no binary parameter encoding for oid $other")
     }

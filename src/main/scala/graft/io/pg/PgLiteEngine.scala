@@ -67,6 +67,29 @@ object PgLiteEngine {
   case object FmtBinary extends CopyFormat
   case object FmtCsv extends CopyFormat
 
+  /** One WHERE predicate of the engine grammar — a comparison
+    * `col (>=|<=|<|>|=) literal`, `col IN (…)`, `col LIKE '…'`, or
+    * `col IS [NOT] NULL`. Companion-level so the DSv2 source can
+    * VALIDATE its `where` option against the grammar at option-parse
+    * time (r19, ADVICE r18): the option text is ANDed verbatim with
+    * range predicates, so against a REAL PostgreSQL an OR would bind
+    * tighter than the range bounds and silently duplicate rows across
+    * partitions — rejecting anything outside the conjunctive grammar
+    * up front closes that hole for every backend. */
+  private[pg] val PredPat =
+    "[\\w]+\\s*(?:(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)" +
+      "|IN\\s*\\((?:'[^']*'|[^()'])*\\)" +
+      "|LIKE\\s+'[^']*'" +
+      "|IS\\s+(?:NOT\\s+)?NULL)"
+  private val ConjunctiveWhereRe =
+    s"(?is)^\\s*$PredPat(?:\\s+AND\\s+$PredPat)*\\s*$$".r
+
+  /** Is `s` a pure AND-conjunction of the engine's WHERE predicates —
+    * the only shape that composes safely (associatively, without
+    * parentheses) with a partitioned scan's range bounds? */
+  def isConjunctiveWhere(s: String): Boolean =
+    ConjunctiveWhereRe.findFirstIn(s).isDefined
+
   /** Per-connection transaction state ([[PgLiteServer]] allocates one
     * per wire session). Rows appended to a copied table are fresh
     * arrays and existing row arrays are never mutated in place, so the
@@ -554,11 +577,7 @@ final class PgLiteEngine {
     * sort semantics differ from PG's defaults — Spark's ASC is
     * NULLS FIRST where PG's is NULLS LAST — can push an order the
     * engine reproduces exactly (the DSv2 TopN pushdown needs this). */
-  private val PredPat =
-    "[\\w]+\\s*(?:(?:>=|<=|<|>|=)\\s*(?:'[^']*'|[\\w.+-]+)" +
-      "|IN\\s*\\((?:'[^']*'|[^()'])*\\)" +
-      "|LIKE\\s+'[^']*'" +
-      "|IS\\s+(?:NOT\\s+)?NULL)"
+  private val PredPat = PgLiteEngine.PredPat // one grammar, one source
   private val WherePat =
     s"(?:\\s+WHERE\\s+($PredPat(?:\\s+AND\\s+$PredPat)*))?"
   private val OrderItemPat =

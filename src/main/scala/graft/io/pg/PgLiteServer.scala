@@ -232,6 +232,7 @@ final class PgLiteServer private (server: ServerSocket, engine: PgLiteEngine) {
       case 1114 => "TIMESTAMP"
       case 1082 => "DATE"
       case 1700 => "NUMERIC"
+      case 17 => "BYTEA"
       case other =>
         throw PgLiteEngine.PgError("0A000",
           s"binary parameter format not supported for type oid $other")

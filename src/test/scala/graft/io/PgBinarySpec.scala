@@ -36,6 +36,19 @@ class PgBinarySpec extends SparkSpec {
     rt("TIMESTAMP", "2026-01-15 12:34:56.123456") shouldBe
       "2026-01-15 12:34:56.123456"
     rt("TIMESTAMP", "1999-12-31 23:59:59.0") shouldBe "1999-12-31 23:59:59.0"
+    // bytea (r19, ADVICE r18): text form is PG's \x hex output, binary
+    // form the raw bytes — the trivial passthrough
+    rt("BYTEA", "\\x00ff7f10") shouldBe "\\x00ff7f10"
+    rt("BYTEA", "\\x") shouldBe "\\x" // empty byte string
+    PgBinaryCopy.encodeField("BYTEA", "\\x0001ff") shouldBe
+      Array[Byte](0, 1, 0xff.toByte)
+    PgBinaryCopy.decodeField("BYTEA", Array[Byte](0xde.toByte, 0xad.toByte)) shouldBe
+      "\\xdead"
+    // a malformed hex literal is a typed error, never a wrong payload
+    intercept[graft.io.pg.PgLiteEngine.PgError](
+      PgBinaryCopy.encodeField("BYTEA", "nothex")).code shouldBe "22P02"
+    intercept[graft.io.pg.PgLiteEngine.PgError](
+      PgBinaryCopy.encodeField("BYTEA", "\\x0g")).code shouldBe "22P02"
   }
 
   it should "pin the published binary layouts byte-for-byte" in {

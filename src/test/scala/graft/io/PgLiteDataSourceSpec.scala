@@ -524,6 +524,107 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "decline sum pushdown under non-ANSI so overflow never diverges" in {
+    // VERDICT r18 wrong 1: the engine's pushed sums are exact/loud
+    // (NUMERIC partials, 22003 past 64 bits) — correct under ANSI,
+    // where the unpushed plan also refuses to wrap. In a NON-ANSI
+    // session the unpushed plan wraps silently, so pushdown firing
+    // would change observable overflow behavior; the builder must
+    // decline sums there so both plans agree in BOTH modes.
+    val (server, _) = PgLiteServer.start()
+    try {
+      val c = new PgLiteClient("127.0.0.1", server.port)
+      c.connect()
+      try {
+        c.query("CREATE SCHEMA ov")
+        c.query("CREATE TABLE ov.t (v BIGINT)")
+        c.query(s"INSERT INTO ov.t (v) VALUES (${Long.MaxValue})")
+        c.query(s"INSERT INTO ov.t (v) VALUES (${Long.MaxValue})")
+      } finally c.close()
+      def scan() = spark.read.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "ov.t").load()
+      // the overflow outcome of one plan, comparable across plans:
+      // Left(error) or Right(value)
+      def outcome(df: org.apache.spark.sql.DataFrame): Either[String, Any] =
+        try Right(df.collect().head.get(0))
+        catch { case e: Throwable => Left(e.getClass.getSimpleName) }
+      spark.conf.get("spark.sql.ansi.enabled") shouldBe "true" // Spark 4 default
+      val pushedAnsi = scan().agg(sum(col("v")).as("s"))
+      pushedAnsi.queryExecution.executedPlan.toString should include("agg=[sum(v)")
+      // repartition between scan and aggregate blocks pushdown: the
+      // same query through Spark's own Sum is the unpushed twin
+      val unpushedAnsi = scan().repartition(2).agg(sum(col("v")).as("s"))
+      unpushedAnsi.queryExecution.executedPlan.toString should not include "agg=["
+      val (po, uo) = (outcome(pushedAnsi), outcome(unpushedAnsi))
+      withClue(s"ANSI pushed=$po unpushed=$uo: ") {
+        po.isLeft shouldBe true // ANSI: overflow is an error…
+        uo.isLeft shouldBe true // …on both plans
+      }
+      spark.conf.set("spark.sql.ansi.enabled", "false")
+      try {
+        val pushedOff = scan().agg(sum(col("v")).as("s"))
+        // no pushed aggregate in the plan: the builder declined
+        pushedOff.queryExecution.executedPlan.toString should not include "agg=["
+        // and both plans wrap identically (Long.MaxValue * 2 = -2)
+        outcome(pushedOff) shouldBe Right(-2L)
+        outcome(scan().repartition(2).agg(sum(col("v")).as("s"))) shouldBe
+          Right(-2L)
+        // non-sum aggregates still push under non-ANSI (nothing to wrap)
+        scan().agg(count(col("v")).as("n"))
+          .queryExecution.executedPlan.toString should include("agg=[count(v)")
+      } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    } finally server.stop()
+  }
+
+  it should "cap reported CBO row counts by a pushed limit" in {
+    // ADVICE r17 / VERDICT r18 task 6: estimateStatistics caps numRows
+    // by a pushed LIMIT — without the cap a limited scan overreports
+    // its cardinality to the CBO and a broadcast-able probe side looks
+    // shuffle-sized
+    val (server, data) = fixture()
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head
+    try {
+      rel(read(server).load().limit(5)).computeStats()
+        .rowCount shouldBe Some(BigInt(5))
+      // a top-n pushes its limit the same way
+      rel(read(server).load().orderBy(col("k")).limit(3)).computeStats()
+        .rowCount shouldBe Some(BigInt(3))
+      // a limit ABOVE the (filtered) census leaves the census in charge
+      val fcount = data.count(_.getLong(0) <= 19L)
+      rel(read(server).load().filter(col("k") <= 19L).limit(1000))
+        .computeStats().rowCount shouldBe Some(BigInt(fcount))
+    } finally server.stop()
+  }
+
+  it should "reject a where option outside the conjunctive grammar at parse time" in {
+    // ADVICE r18: the where text is ANDed verbatim with range bounds;
+    // against a real PostgreSQL an OR would bind tighter than the
+    // bounds and silently duplicate its matches across every range
+    // partition — so anything outside the AND-conjunction grammar is
+    // refused before a single statement ships
+    val (server, _) = fixture()
+    try {
+      val e = intercept[Exception] {
+        read(server).option("where", "k = 1 OR k = 3").load().collect()
+      }
+      e.getMessage should include("where option")
+      // a parenthesized group is equally unsafe for a grammar with no
+      // precedence rules — refused too
+      intercept[Exception] {
+        read(server).option("where", "(k = 1 OR k = 3) AND k >= 0")
+          .load().collect()
+      }.getMessage should include("where option")
+      // the conjunctive shapes all still pass
+      read(server)
+        .option("where", "k >= 3 AND s IS NOT NULL AND k IN (3, 5, 7)")
+        .load().count() shouldBe 3L
+    } finally server.stop()
+  }
+
   behavior of "pglite DataSource V2 writes"
 
   it should "append through the V2 commit protocol and leave no stage tables" in {

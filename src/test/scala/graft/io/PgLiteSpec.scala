@@ -970,6 +970,31 @@ class PgLiteSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "bind and serve BYTEA in binary format (raw bytes on the wire)" in {
+    // r19, ADVICE r18: the catalog supports BYTEA, so the binary
+    // param/result maps must too — PG's binary bytea format is the
+    // raw bytes; canonical text is the \x hex output form
+    val (server, _) = PgLiteServer.start()
+    val c = new PgLiteClient("127.0.0.1", server.port)
+    try {
+      c.connect()
+      c.query("CREATE TABLE by (id SERIAL PRIMARY KEY, p BYTEA)")
+      // binary PARAMETER by declared oid 17
+      c.execParamsBinary("INSERT INTO by (p) VALUES ($1) RETURNING id",
+        Seq((17, Some("\\x00ff7f")))).rows shouldBe Seq(Seq(Some("1")))
+      c.query("INSERT INTO by (p) VALUES (NULL)")
+      // binary RESULT: raw bytes decode back to the same hex text
+      val r = c.execParamsBinaryResults("SELECT id, p FROM by ORDER BY id")
+      r.typeOids shouldBe Seq(23, 17)
+      r.rows shouldBe Seq(
+        Seq(Some("1"), Some("\\x00ff7f")),
+        Seq(Some("2"), None))
+      // text-format twin is cell-identical (format invisibility)
+      c.execParams("SELECT id, p FROM by ORDER BY id").rows shouldBe r.rows
+      c.close()
+    } finally server.stop()
+  }
+
   it should "suspend portals on Execute row limits and resume like a fetchSize cursor" in {
     val (server, _) = PgLiteServer.start()
     val c = new PgLiteClient("127.0.0.1", server.port)
