@@ -29,6 +29,11 @@ final class PgLiteClient(host: String, port: Int,
                                typeMods: Seq[Int] = Nil)
 
   private val sock = new Socket(host, port)
+  // disable Nagle (r19): strict request/response framing — without it
+  // every Query/Bind round trip stalls ~40-90 ms in the kernel's
+  // small-packet coalescing against the peer's delayed ACK (libpq sets
+  // TCP_NODELAY on its sockets for the same reason)
+  sock.setTcpNoDelay(true)
   // byte-counting tap under the message reader: [[bytesRead]] lets a
   // spec PROVE the streaming read path is incremental (after pulling
   // one row of a large result, only ~one frame's bytes have left the

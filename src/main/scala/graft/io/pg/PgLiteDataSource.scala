@@ -927,9 +927,36 @@ private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
 
   @volatile private var availableNowMode = false
   @volatile private var availableNowCap: Option[Long] = None
+  /** AvailableNow planning snapshot (r19, VERDICT r18 task 4): one
+    * bucket histogram over the whole frozen key window, taken at
+    * prepare time alongside the max probe. The append-only contract
+    * makes it exact for the entire run — every new row lands above the
+    * cap — so per-trigger planning slices boundaries from it instead
+    * of re-probing census + histogram every micro-batch (2–3 round
+    * trips per trigger before; ~0 amortized after, counted by
+    * `PgLiteEngine.statementCount` in PgLiteDataSourceSpec).
+    * (minKey, width, shift, sorted (bucket, count) rows). */
+  @volatile private var availableNowHist
+      : Option[(Long, Long, Long, Seq[(Long, Long)])] = None
   override def prepareForTriggerAvailableNow(): Unit = {
     availableNowMode = true
     availableNowCap = serverMax()
+    availableNowHist = None
+    for (cap <- availableNowCap; lo <- probe(s"min($keyCol)", None)) {
+      // a span histogram needs representable span arithmetic — the
+      // degenerate >2^63 keyspace keeps the per-trigger probing path
+      val spanOk =
+        try { Math.addExact(Math.subtractExact(cap, lo), 1L); true }
+        catch { case _: ArithmeticException => false }
+      if (spanOk && cap != Long.MaxValue) {
+        val c = conn.open()
+        try {
+          val (w, sh, h) =
+            PgWire.spanHistogram(c, table, keyCol, where, lo, cap + 1)
+          availableNowHist = Some((lo, w, sh, h))
+        } finally c.close()
+      }
+    }
   }
 
   /** Start BEFORE the current smallest key so the first batches
@@ -958,8 +985,20 @@ private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
     val next = maxKeysPerTrigger match {
       case Some(mk) =>
         // skip the front gap (keys may start far above s0), then take
-        // at most mk keys of span — conservative under interior gaps
-        val lo = probe(s"min($keyCol)", Some(s"$keyCol > $s0")).getOrElse(target)
+        // at most mk keys of span — conservative under interior gaps.
+        // With an AvailableNow snapshot the gap is read from the cached
+        // histogram at bucket granularity (still conservative: a bucket
+        // floor is ≤ its first actual key) instead of a per-trigger
+        // min-probe round trip (r19).
+        val lo = availableNowHist match {
+          case Some((_, w, sh, h)) =>
+            h.collectFirst {
+              case (b, n) if n > 0 && (b + 1) * w - sh > s0 =>
+                math.max(b * w - sh, s0 + 1)
+            }.getOrElse(target)
+          case None =>
+            probe(s"min($keyCol)", Some(s"$keyCol > $s0")).getOrElse(target)
+        }
         val cand = lo + mk - 1
         if (cand < lo || cand > target) target else cand // overflow-safe
       case None => target
@@ -988,23 +1027,25 @@ private class PgLiteMicroBatchStream(conn: PgLiteConn, table: String,
     // otherwise plan hundreds of near-empty range scans per trigger
     // (measured: 10x rehearsal ratio 5.7 span-based vs scan-band
     // row-based). Boundaries are EQUI-DEPTH like the batch planner
-    // (r18): within a rate-limited trigger the keyspace can still be
-    // hollow, and the histogram costs one more aggregate round trip
-    // per trigger that plans > 1 partition.
-    val rows = probe(s"count($keyCol)",
-      Some(s"$keyCol >= $lo AND $keyCol <= $e")).getOrElse(0L)
-    if (rows == 0L) return Array.empty
-    val parts = PgWire.adaptivePartitions(rows, numParts, rowsPerPart)
-    val triggerWhere = (s"$keyCol >= $lo" +: s"$keyCol <= $e" +:
-      where.toSeq).mkString(" AND ")
-    val ranges =
-      if (parts <= 1) PgWire.splitRanges(lo, e, parts)
-      else {
+    // (r18). r19 (VERDICT r18 task 4 + ADVICE r18 finding 2): the
+    // census is the HISTOGRAM's own bucket-count sum, taken under the
+    // full trigger predicate INCLUDING the user where — one planning
+    // round trip per trigger instead of count + histogram, and the
+    // partition count follows FILTERED rows (a selective where used to
+    // chase an unfiltered target through filtered buckets and could
+    // collapse the trigger to one range). In AvailableNow mode even
+    // that round trip is amortized away: boundaries slice from the
+    // prepare-time span histogram (frozen by the append-only contract).
+    val (ranges, rows) = availableNowHist match {
+      case Some((h0, w, sh, h)) if lo >= h0 =>
+        PgWire.sliceRanges(lo, e, w, sh, h, numParts, rowsPerPart)
+      case _ =>
         val c = conn.open()
-        try PgWire.equiDepthRanges(c, table, keyCol, Some(triggerWhere),
-          lo, e, rows, parts)
+        try PgWire.equiDepthRangesCounted(c, table, keyCol, where,
+          lo, e, numParts, rowsPerPart)
         finally c.close()
-      }
+    }
+    if (rows == 0L) return Array.empty
     ranges
       .map { case (a, b) =>
         PgLitePartition(Some(

@@ -157,7 +157,15 @@ final class PgLiteEngine {
   /** Autocommit entry point (direct engine callers, e.g. specs). */
   def execute(sql0: String): Result = execute(sql0, null)
 
+  /** Monotone count of statements this engine executed, JVM-wide —
+    * lets specs and scale rehearsals COUNT round trips (r19, VERDICT
+    * r18 task 4: the streaming source must amortize its planning
+    * probes; the counter is how that is asserted rather than
+    * eyeballed). Never reset; callers diff before/after. */
+  val statementCount = new java.util.concurrent.atomic.AtomicLong
+
   def execute(sql0: String, tx: PgTx): Result = {
+    statementCount.incrementAndGet()
     val sql = sql0.trim.stripSuffix(";").trim
     val up = sql.toUpperCase
     // transaction control resolves FIRST: COMMIT/ROLLBACK must work

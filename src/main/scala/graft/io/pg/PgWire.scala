@@ -405,6 +405,77 @@ object PgWire {
       target, depth = 6, budget)
   }
 
+  /** [[equiDepthRanges]] with the census FOLDED INTO the histogram
+    * round trip (r19, VERDICT r18 task 4 + ADVICE r18 finding 2): the
+    * bucket histogram under the FULL predicate (key band AND the user
+    * where) yields both the filtered row count (Σ bucket counts) and
+    * the boundaries, so a per-trigger streaming plan pays ONE planning
+    * round trip where it previously paid census + histogram — and the
+    * partition count now follows FILTERED rows, so a selective where
+    * no longer collapses per-trigger fan-out (the packer used to chase
+    * an UNFILTERED per-range target through filtered bucket counts and
+    * could emit a single range). Returns (ranges, filteredRows);
+    * zero rows → (Nil, 0). */
+  private[io] def equiDepthRangesCounted(
+      c: PgLiteClient, table: String, keyCol: String,
+      where: Option[String], lo: Long, hi: Long,
+      floor: Int, rowsPerPartition: Long): (Seq[(Long, Long)], Long) = {
+    val spanOk =
+      try { Math.addExact(Math.subtractExact(hi, lo), 1L); true }
+      catch { case _: ArithmeticException => false }
+    if (!spanOk || hi == Long.MaxValue) {
+      // degenerate span (keyspace wider than 2^63): separate count +
+      // even split, the [[equiDepthRanges]] fallback posture
+      val w = (Seq(s"$keyCol >= $lo", s"$keyCol <= $hi") ++ where.toSeq)
+        .mkString(" AND ")
+      val rows = c.query(s"SELECT count(*) AS n FROM $table WHERE $w")
+        .rows.head.head.get.toLong
+      if (rows == 0L) return (Nil, 0L)
+      return (splitRanges(lo, hi,
+        adaptivePartitions(rows, floor, rowsPerPartition)), rows)
+    }
+    val (width, shift, hist) = spanHistogram(c, table, keyCol, where, lo, hi + 1)
+    val rows = hist.iterator.map(_._2).sum
+    if (rows == 0L) return (Nil, 0L)
+    val parts = adaptivePartitions(rows, floor, rowsPerPartition)
+    val span = hi - lo + 1
+    if (parts <= 1 || span <= parts.toLong)
+      return (splitRanges(lo, hi, parts), rows)
+    val target = math.max(1L, (rows + parts - 1) / parts)
+    val budget = new java.util.concurrent.atomic.AtomicInteger(64)
+    (packAndRefine(c, table, keyCol, where, lo, hi + 1, width, shift, hist,
+      rows, parts, target, depth = 6, budget), rows)
+  }
+
+  /** Plan ranges for a SUB-WINDOW [lo, hi] of an already-fetched span
+    * histogram — the streaming source's AvailableNow path (r19, VERDICT
+    * r18 task 4): the run snapshots ONE histogram at prepare time (the
+    * key window is frozen by the append-only contract once the max is
+    * capped), and every trigger slices its boundaries from it with ZERO
+    * planning round trips. Edge buckets may overcount rows just outside
+    * the window; boundaries stay correct half-open ranges, so the only
+    * effect is edge ranges planned slightly denser than reality.
+    * Within-trigger skew is bounded at bucket granularity (no
+    * refinement probes — that is the point). */
+  private[io] def sliceRanges(lo: Long, hi: Long, width: Long, shift: Long,
+      hist: Seq[(Long, Long)], floor: Int,
+      rowsPerPartition: Long): (Seq[(Long, Long)], Long) = {
+    val sliced = hist.filter { case (b, _) =>
+      (b + 1) * width - shift > lo && b * width - shift <= hi }
+    val rows = sliced.iterator.map(_._2).sum
+    if (rows == 0L) return (Nil, 0L)
+    val parts = adaptivePartitions(rows, floor, rowsPerPartition)
+    if (parts <= 1 || hi - lo + 1 <= parts.toLong)
+      return (splitRanges(lo, hi, parts), rows)
+    val target = math.max(1L, (rows + parts - 1) / parts)
+    // depth/budget 0: the refinement recursion is unreachable, so the
+    // null client is never dereferenced — oversized packed ranges fall
+    // back to even key-space splits instead of probing per trigger
+    (packAndRefine(null, "", "", None, lo, hi + 1, width, shift, sliced,
+      rows, parts, target, depth = 0,
+      new java.util.concurrent.atomic.AtomicInteger(0)), rows)
+  }
+
   /** One histogram pass over [lo, end): greedy-pack the buckets into
     * ≤ `parts` ranges of ≈ `target` rows each, re-targeting after
     * every close so late ranges absorb rounding. A packed range still
@@ -433,6 +504,18 @@ object PgWire {
     if (parts <= 1 || span <= parts.toLong || depth <= 0 ||
         budget.getAndDecrement() <= 0)
       return splitRanges(lo, end - 1, parts)
+    val (width, shift, hist) = spanHistogram(c, table, keyCol, where, lo, end)
+    packAndRefine(c, table, keyCol, where, lo, end, width, shift, hist,
+      rows, parts, target, depth, budget)
+  }
+
+  /** ONE bucket-histogram round trip over [lo, end): fixed 4096
+    * buckets, shift-normalized for negative keyspaces. Returns
+    * (width, shift, sorted (bucket, count) rows). */
+  private[io] def spanHistogram(c: PgLiteClient, table: String, keyCol: String,
+                                where: Option[String], lo: Long, end: Long)
+      : (Long, Long, Seq[(Long, Long)]) = {
+    val span = end - lo
     val buckets = 4096L
     val width = math.max(1L, span / buckets + (if (span % buckets == 0) 0 else 1))
     val shift = if (lo < 0) -lo else 0L
@@ -443,6 +526,23 @@ object PgWire {
     val hist = c.query(s"SELECT $bucketExpr AS b, count(*) AS n " +
         s"FROM $table WHERE $w GROUP BY $bucketExpr")
       .rows.map(r => (r(0).get.toLong, r(1).get.toLong)).sortBy(_._1)
+    (width, shift, hist)
+  }
+
+  /** Greedy-pack an already-fetched histogram into ≤ `parts` ranges,
+    * recursing (via [[refineRanges]]) into any packed range still
+    * holding > 1.5×target rows. Split from the probe so callers that
+    * already hold a histogram — the counted planner below, the
+    * streaming source's AvailableNow snapshot — pack without paying
+    * another round trip. */
+  private def packAndRefine(c: PgLiteClient, table: String, keyCol: String,
+                            where: Option[String], lo: Long, end: Long,
+                            width: Long, shift: Long,
+                            hist: Seq[(Long, Long)],
+                            rows: Long, parts: Int, target: Long,
+                            depth: Int,
+                            budget: java.util.concurrent.atomic.AtomicInteger)
+      : Seq[(Long, Long)] = {
     val packed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
     var start = lo
     var acc = 0L

@@ -205,26 +205,38 @@ object Graph {
     * partial-agg (the pageRank round shape); nothing collects to the
     * driver. Returns (hubs(node, h_u), authorities(node, a_u)) after
     * `iters` full rounds. */
-  def hits(edges0: DataFrame, iters: Int): (DataFrame, DataFrame) = {
+  def hits(edges0: DataFrame, iters: Int,
+           edgesDistinct: Boolean = false): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters=$iters out of range")
-    val e = edges0.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
-    val nSrc = e.select(col("src")).distinct().count()
+    // `edgesDistinct`: callers whose edge derivation already ends in a
+    // DISTINCT (the gate's memoized directed pair list) skip a second
+    // full-frame exchange here — a pure plan-shape saving, the row set
+    // is identical by the caller's contract (r19 optimization pass)
+    val cast = edges0.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val e = (if (edgesDistinct) cast else cast.distinct()).persist()
+    // ONE distinct-src census feeds both the node count and h₀ — the
+    // prior shape paid two full-edge exchanges for the same rows (r19)
+    val srcs = e.select(col("src").as("node")).distinct().checkpointLinted()
+    val nSrc = srcs.count()
     require(nSrc > 0, "empty graph")
     def normalize(raw0: DataFrame, out: String): DataFrame = {
       // materialize the raw sums once (they feed the total AND the
       // quotient); sum in DECIMAL: Σ_v raw(v) = Σ_u score(u)·deg(u)
       // can pass 2⁶³ on hub-heavy graphs even though each raw(v) fits
-      // a long
+      // a long. The total is ONE row — read it on the driver and embed
+      // it as a decimal literal instead of crossJoin(broadcast(agg)),
+      // which paid a BroadcastExchange job per half-step (r19; the
+      // values are bit-identical: same DECIMAL(38,0) operand, same
+      // integral division)
       val raw = raw0.checkpointLinted()
       val s = raw.agg(sum(col("raw").cast("decimal(38,0)")).as("s"))
-      raw.crossJoin(broadcast(s))
-        .select(col("node"),
-          expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * ${Scale}L AS DECIMAL(38,0)) div s")
-            .as(out))
+        .head().getDecimal(0)
+      raw.select(col("node"),
+        expr(s"CAST(CAST(raw AS DECIMAL(38,0)) * ${Scale}L AS DECIMAL(38,0)) " +
+          s"div CAST('$s' AS DECIMAL(38,0))").as(out))
     }
-    var h = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(Scale / nSrc)).checkpointLinted()
+    var h = srcs.withColumn("h", lit(Scale / nSrc))
     var a: DataFrame = null
     var r = 1
     while (r <= iters) {
@@ -252,7 +264,9 @@ object Graph {
     * when the edge list is shared across graph reports (one derivation
     * per epoch, N reports from it; the bench memoizes exactly this). */
   def hitsTopFrom(edges: DataFrame, iters: Int, k: Int): DataFrame = {
-    val (h, a) = hits(edges, iters)
+    // the gate's memoized edge list ends in a DISTINCT by construction
+    // ([[directedInteractionEdges]]) — skip re-deduplicating 586k rows
+    val (h, a) = hits(edges, iters, edgesDistinct = true)
     def arm(df: DataFrame, scoreCol: String, tpe: String) =
       df.orderBy(col(scoreCol).desc, col("node").asc).limit(k)
         .select(lit(tpe).as("node_type"),

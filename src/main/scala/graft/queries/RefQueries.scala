@@ -756,7 +756,12 @@ object RefQueries {
     rmrf(new java.io.File(s"$base/ckpt"))
     val cleaned = graft.etl.Clean.clean(t(s, dir, "customer"))
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
-    // 8 input files × maxFilesPerTrigger=2 → four real micro-batches
+    // 8 input files × maxFilesPerTrigger=3 → three real micro-batches
+    // (r19, VERDICT r18 task 8: the gate certifies multi-batch
+    // exactly-once semantics, which three triggers exercise exactly as
+    // four did — each trigger is ~1.5 s of fixed micro-batch machinery,
+    // so the fourth bought wall, not coverage; the published table and
+    // its oracle hash are trigger-count-invariant)
     graft.io.StageMemo.cachedDir(s, s"$base/in",
       graft.io.StageMemo.fingerprint(
         Seq(s"$dir/customer.parquet"), "pg-sink-in-v1")) {
@@ -772,7 +777,7 @@ object RefQueries {
           cleaned.schema, "silver", "customer_st"))
       } finally c.close()
       val q = s.readStream.schema(cleaned.schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "3")
         .parquet(s"$base/in")
         .writeStream.format("pglite")
         .option("host", "127.0.0.1").option("port", server.port)
@@ -829,7 +834,12 @@ object RefQueries {
           numPartitions = 8)
         val mm = c.query("SELECT min(c_custkey) AS lo, max(c_custkey) AS hi " +
           "FROM silver.customer_src").rows.head
-        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3)
+        // (hi-lo)/3 + 1 keys per trigger -> exactly THREE rate-limited
+        // micro-batches (r19, VERDICT r18 task 8: the floor-division
+        // span third left a 4th remainder trigger of pure fixed cost;
+        // the drained snapshot and its oracle hash are
+        // trigger-count-invariant)
+        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3 + 1)
       } finally c.close()
       val q = s.readStream.format("pglite")
         .option("host", "127.0.0.1").option("port", server.port)
@@ -885,7 +895,12 @@ object RefQueries {
           numPartitions = 8)
         val mm = c.query("SELECT min(c_custkey) AS lo, max(c_custkey) AS hi " +
           "FROM silver.customer_srcf").rows.head
-        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3)
+        // (hi-lo)/3 + 1 keys per trigger -> exactly THREE rate-limited
+        // micro-batches (r19, VERDICT r18 task 8: the floor-division
+        // span third left a 4th remainder trigger of pure fixed cost;
+        // the drained snapshot and its oracle hash are
+        // trigger-count-invariant)
+        math.max(1L, (mm(1).get.toLong - mm(0).get.toLong) / 3 + 1)
       } finally c.close()
       val q = s.readStream.format("pglite")
         .option("host", "127.0.0.1").option("port", server.port)

@@ -1,52 +1,63 @@
 package graft.tools
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.ops.Dedup
 
-/** Scratch stage-level profiler for the minhash pipeline. */
+/** Per-query job/stage/task census for the bench set (run:
+  * `sbt "runMain graft.tools.Profile [sfDir] [query…]"`). At gate scale
+  * the tables are tiny, so bench wall is dominated by FIXED cost —
+  * scheduled jobs, stages, tasks, codegen — not data. This main runs
+  * each named query exactly like Bench (count() action, cache-clear
+  * between queries) with a listener tallying how many jobs/stages/tasks
+  * the query schedules and how much executor time they consume, which
+  * is the measurement that tells fixed overhead from real compute. */
 object Profile {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"$name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
-    }
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val shingled = time("shingles+cache") {
-      val sh = Dedup.docShingles(docs, "text", "doc_id").cache()
-      sh.count(); sh
-    }
-    val sigs = time("signatures") {
-      val g = Dedup.minhashSignatures(shingled); g.count(); g
-    }
-    val cands = time("lsh-candidates") {
-      val c = Dedup.lshCandidatePairs(Dedup.minhashSignatures(shingled)); c.count(); c
-    }
-    time("verify") {
-      Dedup.verifyJaccard(cands, shingled).filter(col("jaccard") >= 0.8).count()
-    }
-    val tokenHashes = time("simhash-tokens") {
-      val th = docs.select(col("doc_id"), explode(graft.ops.Text.tokens(col("text"))).as("tok"))
-        .withColumn("th", xxhash64(col("tok")))
-      th.count(); th
-    }
-    time("simhash-full") {
-      Dedup.simhash(docs, "text", "doc_id").count()
-    }
-    time("simhash-full-again") {
-      Dedup.simhash(docs, "text", "doc_id").count()
-    }
-    // replicate Bench's sequence through SparkEntry
-    time("seq-minhash") { graft.SparkEntry.queries("q_dedup_minhash")(spark, sfDir).count() }
-    time("seq-ngram") { graft.SparkEntry.queries("q_dedup_ngram_jaccard")(spark, sfDir).count() }
-    time("seq-simhash") { graft.SparkEntry.queries("q_dedup_simhash")(spark, sfDir).count() }
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        if (t.taskMetrics != null)
+          taskMs.addAndGet(t.taskMetrics.executorRunTime)
+      }
+    })
+    // same warmup as Bench
+    spark.range(1000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+    println(f"${"query"}%-36s ${"sec"}%7s ${"jobs"}%6s ${"stages"}%7s ${"tasks"}%7s ${"taskSec"}%8s")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => which.isEmpty || which.contains(n) }
+      .foreach { case (name, fn) =>
+        jobs.set(0); stages.set(0); tasks.set(0); taskMs.set(0)
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[profile] $name FAILED: ${e.getMessage}"); false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        System.gc()
+        // listener events drain asynchronously; give the bus a moment
+        Thread.sleep(200)
+        println(f"$name%-36s ${if (ok) f"$dt%7.2f" else "  FAIL"}%7s ${jobs.get()}%6d ${stages.get()}%7d ${tasks.get()}%7d ${taskMs.get() / 1000.0}%8.1f")
+      }
     spark.stop()
   }
 }

@@ -1082,6 +1082,49 @@ class PgLiteDataSourceSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  it should "amortize AvailableNow planning probes across triggers" in {
+    // r19 (VERDICT r18 task 4): the per-trigger planner used to pay
+    // census + histogram (+ a min gap probe) round trips EVERY trigger;
+    // under AvailableNow the key window is frozen at prepare time, so
+    // one span histogram serves every trigger's boundaries. The engine
+    // statement counter proves it: the whole multi-trigger drain must
+    // cost setup probes (max + min + histogram + initial-offset min)
+    // plus ONE data SELECT per non-empty trigger — no per-trigger
+    // planning statements at all.
+    val (server, engine) = PgLiteServer.start()
+    try {
+      engine.execute("CREATE SCHEMA src")
+      engine.execute("CREATE TABLE src.c (k BIGINT, v TEXT)")
+      (1 to 30).foreach(i =>
+        engine.execute(s"INSERT INTO src.c (k, v) VALUES ($i, 'v$i')"))
+      val dir = freshDir("pglite-stream-probes")
+      val c0 = engine.statementCount.get()
+      val q = spark.readStream.format("pglite")
+        .option("host", "127.0.0.1").option("port", server.port)
+        .option("table", "src.c")
+        .option("partitionColumn", "k")
+        .option("numPartitions", "1")
+        .option("maxKeysPerTrigger", "10")
+        .load()
+        .writeStream.format("memory").queryName("pgprobes")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val statements = engine.statementCount.get() - c0
+      spark.table("pgprobes").count() shouldBe 30L
+      val triggers = q.recentProgress.count(_.numInputRows > 0)
+      triggers should be >= 3
+      // constant run cost (schema inference, prepare max+min+histogram,
+      // initial-offset min — 6 today) + one data SELECT per non-empty
+      // trigger, and NOTHING that scales with the trigger count beyond
+      // the data reads themselves: the pre-r19 planner paid 3 extra
+      // planning statements per trigger (gap min + census + histogram),
+      // i.e. ~18 for this drain. One statement of slack.
+      statements should be <= (7L + triggers)
+    } finally server.stop()
+  }
+
   it should "AND the where option with Catalyst-pushed filters on a batch scan" in {
     val (server, data) = fixture()
     try {
