@@ -40,6 +40,16 @@ final class S3LiteServer private (server: HttpServer) {
 
   def objectCount: Int = store.size()
 
+  /** Monotone HTTP request count — lets a spec or rehearsal measure
+    * request-granularity efficiency (r19: the ranged-GET stream issued
+    * one request per 4 KB read buffer before readahead). */
+  val requestCount = new java.util.concurrent.atomic.AtomicLong
+
+  private def handleCounted(ex: HttpExchange): Unit = {
+    requestCount.incrementAndGet()
+    handle(ex)
+  }
+
   private def handle(ex: HttpExchange): Unit = {
     try {
       val raw = ex.getRequestURI.getPath.stripPrefix("/")
@@ -169,7 +179,7 @@ object S3LiteServer {
   def start(): S3LiteServer = {
     val http = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val s = new S3LiteServer(http)
-    http.createContext("/", (ex: HttpExchange) => s.handle(ex))
+    http.createContext("/", (ex: HttpExchange) => s.handleCounted(ex))
     // daemon executor: the server never blocks JVM exit (the gate
     // query keeps a process-wide instance alive for lazy execution)
     http.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(

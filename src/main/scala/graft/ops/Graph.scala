@@ -76,7 +76,8 @@ object Graph {
 
   /** The shared iterate: rounds 0..iters of the exact-integer update,
     * with a per-round audit callback over the current rank frame. */
-  private def iterate(edges: DataFrame, iters: Int)
+  private def iterate(edges: DataFrame, iters: Int,
+                      noDanglingByConstruction: Boolean = false)
                      (audit: (Int, DataFrame) => Unit): DataFrame = {
     require(iters >= 1, s"iters=$iters out of range")
     // the raw edge frame backs every setup derivation (degree census,
@@ -89,10 +90,15 @@ object Graph {
     require(n > 0, "empty graph")
     // dangling = a dst that is nobody's src; anti join against the
     // node-sized census (broadcast under AQE while it fits) instead of
-    // an edge×edge exceptAll
-    val dangling = e.select(col("dst"))
-      .join(deg, col("dst") === col("src"), "left_anti").limit(1).count()
-    require(dangling == 0, "graph has dangling nodes (dst without out-edges)")
+    // an edge×edge exceptAll. Callers whose edge derivation is
+    // SYMMETRIC ([[symmetricFromDirected]]: every node appears as src)
+    // skip the full-edge audit job — the property holds by
+    // construction, not by data (r19 optimization pass).
+    if (!noDanglingByConstruction) {
+      val dangling = e.select(col("dst"))
+        .join(deg, col("dst") === col("src"), "left_anti").limit(1).count()
+      require(dangling == 0, "graph has dangling nodes (dst without out-edges)")
+    }
     val small = n <= BroadcastNodeLimit
     // node-sized rank frames broadcast into the round join (no edge
     // sort or exchange at all); huge graphs keep the shuffled join,
@@ -128,8 +134,9 @@ object Graph {
   /** K rounds of exact-integer PageRank over an edge list with no
     * dangling nodes. Returns the full final frame (node, pr) — pr is
     * the unscaled BIGINT rank at 10⁻¹⁷. */
-  def pageRank(edges: DataFrame, iters: Int): DataFrame =
-    iterate(edges, iters)((_, _) => ())
+  def pageRank(edges: DataFrame, iters: Int,
+               noDanglingByConstruction: Boolean = false): DataFrame =
+    iterate(edges, iters, noDanglingByConstruction)((_, _) => ())
 
   /** ONE iterate, BOTH reports: the final rank frame (checkpointed —
     * safe to reuse across queries) plus the per-round mass ledger. A
@@ -138,10 +145,11 @@ object Graph {
     * through a memo so the 6-round iterate doesn't execute once per
     * report. The ledger costs one node-frame aggregation per round on
     * top of the plain iterate. */
-  def pageRankWithMass(edges: DataFrame,
-      iters: Int): (DataFrame, Seq[(Int, Long, Long)]) = {
+  def pageRankWithMass(edges: DataFrame, iters: Int,
+      noDanglingByConstruction: Boolean = false)
+      : (DataFrame, Seq[(Int, Long, Long)]) = {
     val rows = Seq.newBuilder[(Int, Long, Long)]
-    val pr = iterate(edges, iters) { (round, p) =>
+    val pr = iterate(edges, iters, noDanglingByConstruction) { (round, p) =>
       val a = p.agg(count(lit(1)).as("n"), sum(col("pr")).as("s")).head()
       rows += ((round, a.getLong(0), a.getLong(1)))
     }

@@ -1004,7 +1004,10 @@ object AdvancedQueries {
     pagerankCache.computeIfAbsent(key, _ =>
       graft.ops.Graph.pageRankWithMass(
         graft.ops.Graph.symmetricFromDirected(directedEdgesAt(key, s, dir)),
-        iters = 6))
+        iters = 6,
+        // symmetric construction: every node appears as src — skip the
+        // full-edge dangling audit job (r19)
+        noDanglingByConstruction = true))
   }
 
   private def graphPagerank(s: SparkSession, dir: String): DataFrame =

@@ -642,8 +642,8 @@ object SimilarityQueries {
     * IVF-PQ 0.570–0.671 (the composed variants track plain IVF's
     * list-pruning recall — quantization costs a point or two). */
   private def recallRows(
-      e: DataFrame, truth: DataFrame, int8Ann: DataFrame, pqAnn: DataFrame,
-      binAnn: DataFrame,
+      e: DataFrame, truth: DataFrame, int8Ann: => DataFrame,
+      pqAnn: => DataFrame, binAnn: => DataFrame,
       ivfFloor: Double, lshFloor: Double, int8Floor: Double,
       pqFloor: Double, cents: Option[Array[Array[Double]]],
       cbs: Option[Array[Array[Array[Double]]]]): DataFrame = {
@@ -657,24 +657,43 @@ object SimilarityQueries {
         .select(lit(method).as("method"), col("n_queries"),
           (col("n_found").cast("double") / col("n_queries").cast("double") >= floor)
             .as("recall_ok"))
-    row("ivf", Similarity.ivfAnnTop1(e, k = 16, nprobe = 4, lloydIters = 3,
-        preTrained = cents), ivfFloor)
-      .unionAll(row("lsh", Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor))
-      .unionAll(row("int8", int8Ann, int8Floor))
-      .unionAll(row("pq", pqAnn, pqFloor))
+    // the seven method kernels are INDEPENDENT pipelines whose eager
+    // internal actions (censuses, checkpoints, shortlist rescores) used
+    // to run driver-sequentially, leaving the cluster idle in each
+    // kernel's scheduling gaps. Build them from a small thread pool
+    // (guide §2.6 — overlap independent jobs; 3 in flight fills the
+    // tail without starving any single kernel): every kernel is
+    // deterministic and isolated, so the rows — and the fixed union
+    // order below — are identical to the sequential build. The shared
+    // memo artifacts (cents/cbs/truth) are computed by the CALLER
+    // before this fan-out, so no memo initialization races.
+    val arms: Seq[(String, () => DataFrame, Double)] = Seq(
+      ("ivf", () => Similarity.ivfAnnTop1(e, k = 16, nprobe = 4,
+        lloydIters = 3, preTrained = cents), ivfFloor),
+      ("lsh", () => Similarity.lshAnnTop1(e, planes = 4, tables = 8), lshFloor),
+      ("int8", () => int8Ann, int8Floor),
+      ("pq", () => pqAnn, pqFloor),
       // the composed production variants (round-4/5 verdict item 2):
       // IVF list pruning over quantized in-list scans, gated at 0.50
       // under the measured 0.554/0.570 worst cases
-      .unionAll(row("ivf_sq8",
-        Similarity.ivfSq8AnnTop1(e, preTrained = cents), floor = 0.50))
-      .unionAll(row("ivf_pq",
-        Similarity.ivfPqAnnTop1(e, preTrained = cents,
-          preTrainedCodebooks = cbs), floor = 0.50))
+      ("ivf_sq8", () => Similarity.ivfSq8AnnTop1(e, preTrained = cents), 0.50),
+      ("ivf_pq", () => Similarity.ivfPqAnnTop1(e, preTrained = cents,
+        preTrainedCodebooks = cbs), 0.50),
       // binary quantization (round-13): 1 bit/dim + deep-shortlist
       // exact rescore, gated at 0.50 under the measured 0.572-0.764
       // (ProbeBin 2026-08-14, sf0.001/0.01/0.1, full and sampled)
-      .unionAll(row("bin", binAnn, floor = 0.50))
-      .orderBy(col("method"))
+      ("bin", () => binAnn, 0.50))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    val built =
+      try {
+        val futs = arms.map { case (m, mk, fl) =>
+          pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            override def call(): DataFrame = row(m, mk(), fl)
+          })
+        }
+        futs.map(_.get())
+      } finally pool.shutdown()
+    built.reduce(_.unionAll(_)).orderBy(col("method"))
   }
 
   /** The SAMPLED recall gate — the form that survives 100×: exact
