@@ -45,6 +45,14 @@ object Bench {
         graft.ops.Graph.pageRank(
           graft.ops.Graph.symmetricFromDirected(tinyEdges), iters = 1), k = 2)
         .count()
+      // ... and the text-dedup shapes (shingle hashing, minhash
+      // signatures, band join, exact verify, components): ~20 queries
+      // share these codegen units and the first one alphabetically
+      // (q_corpus_prep) was paying their one-time JIT
+      val tinyDocs = (0L until 8L)
+        .map(i => (i, s"tiny warm doc $i with a few shared words ${i % 3}"))
+        .toDF("doc_id", "text")
+      graft.ops.Dedup.minhashNearDups(tinyDocs, "text", "doc_id", 0.8).count()
       spark.catalog.clearCache()
       System.gc()
     }

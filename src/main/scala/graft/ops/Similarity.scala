@@ -223,10 +223,25 @@ object Similarity {
       .withColumn("__sd_nd", sqrt(aggregate(
         transform(col("embedding"), x => x.cast("double") * x.cast("double")),
         lit(0.0), (acc, x) => acc + x)))
-    val l = withNorms.select(col("centroid_id"),
+    // EXPLICIT centroid partitioning before the pair self-join (r19):
+    // the join shuffles on centroid_id either way, but as an
+    // ENSURE_REQUIREMENTS exchange AQE sizes it by BYTES and coalesces
+    // a KB-sized cluster frame onto one partition — serializing the
+    // O(cluster²) double-prefilter + exact-decimal rescore, the most
+    // compute-dense bytes in this operator (measured: the whole pair
+    // stage ran as 1 task at sf0.1, 31 cores idle). An EXPLICIT-count
+    // repartition declares the exchange compute-bound (AQE coalesces
+    // bare repartition(col) too — REPARTITION_BY_COL is rebalanceable;
+    // only the explicit count pins it); the count is the session's
+    // shuffle-partition setting, i.e. the cluster-sized knob, not a
+    // local constant. Identical data movement at every scale.
+    val byCentroid = withNorms.repartition(
+      vecs.sparkSession.sessionState.conf.numShufflePartitions,
+      col("centroid_id"))
+    val l = byCentroid.select(col("centroid_id"),
       col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("__sd_n2").as("n2a"), col("__sd_nd").as("nda"))
-    val r = withNorms.select(col("centroid_id"),
+    val r = byCentroid.select(col("centroid_id"),
       col("vec_id").as("id_b"), col("embedding").as("eb"),
       col("__sd_n2").as("n2b"), col("__sd_nd").as("ndb"))
     val fastDot = aggregate(
@@ -235,6 +250,13 @@ object Similarity {
     // checkpointed: the components loop downstream consumes the edge
     // list ITERATIVELY — uncached, every label-propagation round would
     // re-run the join + prefilter + decimal rescore from scratch
+    // label the pair-mining jobs (guide §1.5) and RESTORE the caller's
+    // description after — setJobDescription is thread-local and sticky,
+    // so an unrestored label would mislabel every later job on this
+    // driver thread
+    val sc = vecs.sparkSession.sparkContext
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("semdedup: pair mining")
     val pairs = l.join(r, Seq("centroid_id"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("__sd_fast", fastDot / (col("nda") * col("ndb")))
@@ -244,6 +266,7 @@ object Similarity {
       .filter(col("cos") >= lit(tau))
       .select(col("id_a"), col("id_b"))
       .checkpointLinted()
+    sc.setJobDescription(prevDesc)
     graft.ops.Dedup.dedupDecision(
         assign.select(col("vec_id")), pairs, "vec_id",
         aCol = "id_a", bCol = "id_b")

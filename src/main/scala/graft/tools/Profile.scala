@@ -18,11 +18,15 @@ object Profile {
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val which = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf experiments: SPARK_GRAFT_CONF="k=v;k2=v2"
+    val b = sys.env.get("SPARK_GRAFT_CONF").map(_.split(";").toSeq)
+      .getOrElse(Nil).map(_.split("=", 2))
+      .foldLeft(b0)((acc, kv) => acc.config(kv(0), kv(1)))
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val jobs = new java.util.concurrent.atomic.AtomicLong
     val stages = new java.util.concurrent.atomic.AtomicLong
