@@ -24,8 +24,26 @@ import org.apache.spark.sql.functions._
   * identical and are what this spec exercises live. */
 class GoldJdbcSpec extends SparkSpec {
 
+  /** Fresh, unique Derby home per run: a stale `db.lck` or half-written
+    * database left by an interrupted previous run must never fail this
+    * boot, and `derby.log` must land under target/, not the repo root.
+    * Both properties are read once at engine boot, so they are set
+    * before the first connection (this spec is the only Derby user). */
   private lazy val url = {
-    val dir = tmpDir("gold-jdbc")
+    val base = java.nio.file.Paths.get("target", "test-tmp", "gold-jdbc")
+    // best-effort sweep of prior runs' leftovers (locked files just stay)
+    if (java.nio.file.Files.isDirectory(base)) {
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) { val fs = f.listFiles(); if (fs != null) fs.foreach(rmrf) }
+        f.delete(); ()
+      }
+      try rmrf(base.toFile) catch { case _: Exception => }
+    }
+    java.nio.file.Files.createDirectories(base)
+    val dir = java.nio.file.Files.createTempDirectory(base, "run-").toAbsolutePath
+    System.setProperty("derby.system.home", dir.toString)
+    System.setProperty("derby.stream.error.file",
+      dir.resolve("derby.log").toString)
     s"jdbc:derby:$dir/derbydb;create=true"
   }
   private def props = {
