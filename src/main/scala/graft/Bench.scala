@@ -53,6 +53,25 @@ object Bench {
         .map(i => (i, s"tiny warm doc $i with a few shared words ${i % 3}"))
         .toDF("doc_id", "text")
       graft.ops.Dedup.minhashNearDups(tinyDocs, "text", "doc_id", 0.8).count()
+      // ... and the decimal cosine / zip_with kernels (r20): semdedup
+      // and the embed family share the exact-decimal rescore codegen
+      // units (zip_with products, decimal aggregate folds, norm sqrt),
+      // whose one-time JIT the first of q_semdedup/q_embed_* paid
+      // inside its gate. Same tiny-input posture as the ANN warm-up.
+      graft.ops.Similarity.semDedup(tiny, seeds = 2, tau = 0.5).count()
+      // ... and the zoned-write path (r20): repartitionByRange + sorted
+      // parquet write + footer-manifest read back — the zorder/zonemap
+      // gates' write IS their gate, but its first-use JIT is not the
+      // layout under test. 64 tiny rows, wiped after.
+      locally {
+        val wz = (0L until 64L).map(i => (i, i % 7)).toDF("a", "b")
+        graft.io.Zones.writeZonedMulti(wz, "target/tmp-warmup-zorder",
+          Seq("a", "b"), 2)
+        graft.io.Zones.readZoneRangeOn(spark, "target/tmp-warmup-zorder",
+          "a", org.apache.spark.sql.functions.lit(0L),
+          org.apache.spark.sql.functions.lit(9L)).count()
+        graft.io.Fs.deleteRecursive(spark, "target/tmp-warmup-zorder")
+      }
       spark.catalog.clearCache()
       System.gc()
     }

@@ -157,7 +157,8 @@ final class PgLiteEngine {
   /** Autocommit entry point (direct engine callers, e.g. specs). */
   def execute(sql0: String): Result = execute(sql0, null)
 
-  /** Monotone count of statements this engine executed, JVM-wide —
+  /** Monotone count of statements THIS ENGINE INSTANCE executed (one
+    * engine per server; spawn multiple servers and each counts alone) —
     * lets specs and scale rehearsals COUNT round trips (r19, VERDICT
     * r18 task 4: the streaming source must amortize its planning
     * probes; the counter is how that is asserted rather than

@@ -503,15 +503,24 @@ object Dedup {
     // object store, not just local disk ([[graft.io.Fs]])
     if (overwrite) graft.io.Fs.deleteRecursive(docs.sparkSession, path)
     val shingled = docShingles(docs, textCol, idCol).cache()
-    shingled.write.mode("overwrite").parquet(s"$path/shingles/batch=$batchId")
-    minhashBandTable(minhashSignatures(shingled))
-      .write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
-    docs
-      .select(col(idCol).as("doc_id"),
-        sha2(lower(trim(col(textCol))), 256).as("text_hash"))
-      .groupBy(col("text_hash"))
-      .agg(min(col("doc_id")).as("hash_doc_id"))
-      .write.mode("overwrite").parquet(s"$path/hashes/batch=$batchId")
+    // the three artifact families are independent writes to disjoint
+    // dirs: overlap the hash write (reads `docs`, not the shingle
+    // cache) with the shingle leg (guide §2.6); bands runs after
+    // shingles so it reads the then-hot cache instead of racing its
+    // fill
+    graft.tools.Par.run(2)(Seq(
+      () => {
+        shingled.write.mode("overwrite")
+          .parquet(s"$path/shingles/batch=$batchId")
+        minhashBandTable(minhashSignatures(shingled))
+          .write.mode("overwrite").parquet(s"$path/bands/batch=$batchId")
+      },
+      () => docs
+        .select(col(idCol).as("doc_id"),
+          sha2(lower(trim(col(textCol))), 256).as("text_hash"))
+        .groupBy(col("text_hash"))
+        .agg(min(col("doc_id")).as("hash_doc_id"))
+        .write.mode("overwrite").parquet(s"$path/hashes/batch=$batchId")))
     shingled.unpersist()
   }
 
@@ -537,15 +546,21 @@ object Dedup {
     * [[graft.io.Fs.replaceDir]] — run it from the maintenance role
     * that owns the index, not concurrently with readers. */
   def compactDedupIndex(spark: SparkSession, path: String): Unit = {
-    compactFamily(spark, s"$path/shingles")(identity)
-    compactFamily(spark, s"$path/bands")(identity)
-    compactFamily(spark, s"$path/hashes")(
-      _.groupBy(col("text_hash"))
-        .agg(min(col("hash_doc_id")).as("mn"),
-          max(col("hash_doc_id")).as("mx"))
-        .select(col("text_hash"),
-          explode(array_distinct(array(col("mn"), col("mx"))))
-            .as("hash_doc_id")))
+    // the three families compact independently (disjoint dirs, one
+    // read→write→swap each): overlap them (guide §2.6) — same swaps,
+    // same resulting epochs, one family's scheduling gaps back-filled
+    // by the others
+    graft.tools.Par.run(3)(Seq(
+      () => compactFamily(spark, s"$path/shingles")(identity),
+      () => compactFamily(spark, s"$path/bands")(identity),
+      () => compactFamily(spark, s"$path/hashes")(
+        _.groupBy(col("text_hash"))
+          .agg(min(col("hash_doc_id")).as("mn"),
+            max(col("hash_doc_id")).as("mx"))
+          .select(col("text_hash"),
+            explode(array_distinct(array(col("mn"), col("mx"))))
+              .as("hash_doc_id")))))
+    ()
   }
 
   /** Read every batch of one artifact family, apply `transform` to the
@@ -571,28 +586,53 @@ object Dedup {
   def minhashNearDupsIndexed(
       indexPath: String, newDocs: DataFrame, textCol: String, idCol: String,
       threshold: Double = 0.8): DataFrame = {
-    val spark = newDocs.sparkSession
-    // the batch's OWN ids are excluded from the corpus view (anti-join
-    // on a batch-sized id set): on an at-least-once REPLAY the index
-    // already holds the batch's survivors, and without the exclusion
-    // their stored bands/shingles would self-pair with the replayed
-    // docs and double-count shingles in the Jaccard verify. With it, a
-    // replay sees exactly the pre-batch index and re-derives
-    // byte-identical pairs. `batch` is the partition column of the
-    // epoch layout ([[writeDedupIndex]]), dropped on read.
-    val newIds = newDocs.select(col(idCol).as("doc_id")).distinct()
-    val corpusIndex = spark.read.parquet(s"$indexPath/bands")
-      .drop("batch").join(newIds, Seq("doc_id"), "left_anti")
-    val corpusShingles = spark.read.parquet(s"$indexPath/shingles")
-      .drop("batch").join(newIds, Seq("doc_id"), "left_anti")
     val newShingled = docShingles(newDocs, textCol, idCol).cache()
     val newIndex = minhashBandTable(minhashSignatures(newShingled)).cache()
-    val out = incrementalPairs(corpusIndex, newIndex,
-        corpusShingles.union(newShingled), threshold)
-      .checkpointLinted()
+    val out = minhashNearDupsIndexedPre(indexPath, newShingled, newIndex,
+      threshold,
+      // id set straight off the batch scan: routing it through the
+      // (lazy) shingle cache costs extra materialization jobs for the
+      // same distinct set
+      newIds = Some(newDocs.select(col(idCol).as("doc_id")).distinct()))
     newShingled.unpersist()
     newIndex.unpersist()
     out
+  }
+
+  /** [[minhashNearDupsIndexed]] over PRE-BUILT batch-side artifacts —
+    * for harnesses that mine the SAME batch against an index more than
+    * once (e.g. before/after a compaction): the caller shingles and
+    * bands the batch exactly once and each call re-reads only the
+    * INDEX side fresh. `newShingled`/`newIndex` must be
+    * [[docShingles]] / [[minhashBandTable]]∘[[minhashSignatures]] of
+    * the same batch (the batch id set is derived from `newShingled`,
+    * which carries every batch row). `eager = false` skips the
+    * verified-pair checkpoint — safe only when the index dirs are not
+    * mutated between this call and the consumption of the result.
+    * Output is identical to [[minhashNearDupsIndexed]] for the same
+    * batch (same expressions over the same frames).
+    *
+    * The batch's OWN ids are excluded from the corpus view (anti-join
+    * on a batch-sized id set): on an at-least-once REPLAY the index
+    * already holds the batch's survivors, and without the exclusion
+    * their stored bands/shingles would self-pair with the replayed
+    * docs and double-count shingles in the Jaccard verify. With it, a
+    * replay sees exactly the pre-batch index and re-derives
+    * byte-identical pairs. `batch` is the partition column of the
+    * epoch layout ([[writeDedupIndex]]), dropped on read. */
+  def minhashNearDupsIndexedPre(
+      indexPath: String, newShingled: DataFrame, newIndex: DataFrame,
+      threshold: Double, eager: Boolean = true,
+      newIds: Option[DataFrame] = None): DataFrame = {
+    val spark = newShingled.sparkSession
+    val newIds0 = newIds.getOrElse(newShingled.select(col("doc_id")).distinct())
+    val corpusIndex = spark.read.parquet(s"$indexPath/bands")
+      .drop("batch").join(newIds0, Seq("doc_id"), "left_anti")
+    val corpusShingles = spark.read.parquet(s"$indexPath/shingles")
+      .drop("batch").join(newIds0, Seq("doc_id"), "left_anti")
+    val out = incrementalPairs(corpusIndex, newIndex,
+      corpusShingles.union(newShingled), threshold)
+    if (eager) out.checkpointLinted() else out
   }
 
   /** INCREMENTAL exact dedup: classify a new batch against the corpus'
@@ -869,17 +909,28 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxIters: Int = 50, maxLocalEdges: Long = 1000000L,
-      algorithm: String = "label"): DataFrame = {
+      algorithm: String = "label", inputMaterialized: Boolean = false): DataFrame = {
     // materialize the pair frame BEFORE the symmetrize union: `fwd`
     // appears twice below, and without the cut the upstream pair-mining
-    // pipeline (e.g. the whole MinHash DAG) would execute twice
-    val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .checkpointLinted()
+    // pipeline (e.g. the whole MinHash DAG) would execute twice.
+    // Callers whose pair frame is ALREADY an eager cut (checkpointed
+    // verified pairs — the common mining output) declare it with
+    // `inputMaterialized = true` and skip the redundant second
+    // checkpoint job: re-projecting two long columns from a
+    // materialized RDD per consumer is cheaper than materializing the
+    // projection again.
+    val proj = pairs.select(
+      col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val fwd = if (inputMaterialized) proj else proj.checkpointLinted()
     if (fwd.count() <= maxLocalEdges) return localComponents(fwd)
     // high-diameter graphs route to the O(log²) star contraction —
-    // same output, rounds independent of diameter
+    // same output, rounds independent of diameter. `fwd` is stable and
+    // cheap by here (checkpointed above, or a projection over the
+    // caller's materialized pairs), so the stars path can re-derive its
+    // node set lazily instead of eagerly checkpointing it.
     if (algorithm == "stars")
-      return connectedComponentsStars(fwd, "src", "dst", maxIters)
+      return connectedComponentsStarsWithRounds(fwd, "src", "dst", maxIters,
+        inputMaterialized = true)._1
     require(algorithm == "label", s"unknown components algorithm '$algorithm'")
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().checkpointLinted()
@@ -957,16 +1008,28 @@ object Dedup {
     * citing it. */
   private[graft] def connectedComponentsStarsWithRounds(
       pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxIters: Int = 50): (DataFrame, Int) = {
+      maxIters: Int = 50, inputMaterialized: Boolean = false): (DataFrame, Int) = {
     // canonical child>parent orientation, self-loops dropped; eager cut
     // so the upstream pair-mining DAG runs once (the `fwd` pattern)
-    var edges = pairs.select(
+    val canon = pairs.select(
         greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
         least(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().checkpointLinted()
-    val nodes = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id"))).distinct()
-      .checkpointLinted()
+      .filter(col("a") =!= col("b"))
+    var edges = canon.distinct().checkpointLinted()
+    // the node set is consumed ONCE (the final labels join), but it
+    // must survive the loop (which reassigns AND unpersists `edges`),
+    // so it cannot lazily reference the initial checkpointed edges.
+    // With a lazy `pairs` it needs its own eager cut; when the caller
+    // declares `pairs` materialized, one lazy distinct over the canon
+    // projection at the end is cheaper than an up-front checkpoint job.
+    val nodes =
+      if (inputMaterialized)
+        canon.select(col("a").as("id"))
+          .union(canon.select(col("b").as("id"))).distinct()
+      else // lazy pairs: read the checkpointed edges, not the raw DAG
+        edges.select(col("a").as("id"))
+          .union(edges.select(col("b").as("id"))).distinct()
+          .checkpointLinted()
     def checksum(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)),
         sum(col("a").cast("decimal(30,0)")),
@@ -1066,9 +1129,11 @@ object Dedup {
       docs: DataFrame, pairs: DataFrame, idCol: String,
       aCol: String = "doc_a", bCol: String = "doc_b",
       maxLocalEdges: Long = 1000000L,
-      algorithm: String = "label"): DataFrame = {
+      algorithm: String = "label",
+      pairsMaterialized: Boolean = false): DataFrame = {
     val comp = connectedComponents(pairs, aCol, bCol,
-        maxLocalEdges = maxLocalEdges, algorithm = algorithm)
+        maxLocalEdges = maxLocalEdges, algorithm = algorithm,
+        inputMaterialized = pairsMaterialized)
       .select(col("id").as("doc_id"), col("comp"))
     docs.select(col(idCol).cast("long").as("doc_id"))
       .join(comp, Seq("doc_id"), "left")

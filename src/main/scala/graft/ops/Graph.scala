@@ -270,7 +270,13 @@ object Graph {
 
   /** [[hitsTop]] over ALREADY-DERIVED directed edges — the serve shape
     * when the edge list is shared across graph reports (one derivation
-    * per epoch, N reports from it; the bench memoizes exactly this). */
+    * per epoch, N reports from it; the bench memoizes exactly this).
+    *
+    * PRECONDITION: `edges` must be DISTINCT (src, dst) rows. The epoch
+    * derivation this entry point serves
+    * ([[directedInteractionEdges]]) ends in a DISTINCT by
+    * construction; callers bringing their own edge frame must dedup it
+    * first or duplicate edges double-count in the HITS sums. */
   def hitsTopFrom(edges: DataFrame, iters: Int, k: Int): DataFrame = {
     // the gate's memoized edge list ends in a DISTINCT by construction
     // ([[directedInteractionEdges]]) — skip re-deduplicating 586k rows

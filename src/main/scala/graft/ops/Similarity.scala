@@ -257,19 +257,20 @@ object Similarity {
     val sc = vecs.sparkSession.sparkContext
     val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription("semdedup: pair mining")
-    val pairs = l.join(r, Seq("centroid_id"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("__sd_fast", fastDot / (col("nda") * col("ndb")))
-      .filter(col("__sd_fast") >= lit(tau - margin))
-      .withColumn("cos",
-        cosExact(col("ea"), col("eb"), col("n2a"), col("n2b")))
-      .filter(col("cos") >= lit(tau))
-      .select(col("id_a"), col("id_b"))
-      .checkpointLinted()
-    sc.setJobDescription(prevDesc)
+    val pairs =
+      try l.join(r, Seq("centroid_id"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("__sd_fast", fastDot / (col("nda") * col("ndb")))
+        .filter(col("__sd_fast") >= lit(tau - margin))
+        .withColumn("cos",
+          cosExact(col("ea"), col("eb"), col("n2a"), col("n2b")))
+        .filter(col("cos") >= lit(tau))
+        .select(col("id_a"), col("id_b"))
+        .checkpointLinted()
+      finally sc.setJobDescription(prevDesc)
     graft.ops.Dedup.dedupDecision(
         assign.select(col("vec_id")), pairs, "vec_id",
-        aCol = "id_a", bCol = "id_b")
+        aCol = "id_a", bCol = "id_b", pairsMaterialized = true)
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("keep"))
       .join(assign.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
       .select(col("vec_id"), col("centroid_id"), col("cluster_id"), col("keep"))

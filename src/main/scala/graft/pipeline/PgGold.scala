@@ -89,7 +89,19 @@ object PgGold {
   def writeTable(c: PgLiteClient, df: DataFrame, schemaName: String,
                  table: String, idCol: String, unique: Seq[String] = Nil,
                  fks: Map[String, String] = Map.empty,
-                 returningProbe: Int = 3): DataFrame = {
+                 returningProbe: Int = 3): DataFrame =
+    writeTableWithRows(c, df, schemaName, table, idCol, unique, fks,
+      returningProbe)._1
+
+  /** [[writeTable]] returning BOTH the typed read-back frame and the
+    * engine frame's wire-text rows it already collected (column order
+    * `idCol` followed by the data columns) — so callers that verify the
+    * read-back against the source frame reuse the one collect instead
+    * of collecting the engine frame a second time. */
+  def writeTableWithRows(c: PgLiteClient, df: DataFrame, schemaName: String,
+                 table: String, idCol: String, unique: Seq[String] = Nil,
+                 fks: Map[String, String] = Map.empty,
+                 returningProbe: Int = 3): (DataFrame, Seq[Seq[Option[String]]]) = {
     val dataFields = df.schema.fields.filter(_.name != idCol).toSeq
     val ddl = Sinks.createTableDdl(StructType(dataFields), schemaName, table,
       serialPk = Some(idCol), unique = unique, foreignKeys = fks)
@@ -116,7 +128,7 @@ object PgGold {
     }
     val back = c.query(s"SELECT ${df.columns.mkString(", ")} " +
       s"FROM $schemaName.$table ORDER BY $idCol")
-    fromWire(df.sparkSession, back.rows, df.schema)
+    (fromWire(df.sparkSession, back.rows, df.schema), rows)
   }
 
   /** A distributed fact write: the server-confirmed published row

@@ -150,13 +150,18 @@ object RefQueries {
       c.connect()
       try {
         c.query(graft.io.Sinks.createSchemaDdl("gold"))
-        val dimBack = graft.pipeline.PgGold.writeTable(
-          c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
         // the dim leg is fully verified: read-back ≡ engine frame
-        // (dimension-sized driver compare, the protocol-fidelity class)
+        // (dimension-sized driver compare, the protocol-fidelity
+        // class). The engine side reuses the wire-text rows the write
+        // already collected — the engine frame's id column leads its
+        // schema, so the collected order IS the frame's column order
+        // (r20: this was a second driver collect of the same cached
+        // frame per run).
+        val (dimBack, engineRows) = graft.pipeline.PgGold.writeTableWithRows(
+          c, engine, "gold", "customer_dim", "id", unique = Seq("c_key"))
         val dimCols = engine.columns.toSeq
-        require(graft.pipeline.PgGold.textRows(dimBack, dimCols) ==
-          graft.pipeline.PgGold.textRows(engine, dimCols),
+        require(dimCols.head == "id", "engine dim must lead with id")
+        require(graft.pipeline.PgGold.textRows(dimBack, dimCols) == engineRows,
           "customer_dim wire read-back drifted from the engine frame")
         val fact = t(s, dir, "orders")
           .join(broadcast(engine.select(

@@ -683,16 +683,8 @@ object SimilarityQueries {
       // exact rescore, gated at 0.50 under the measured 0.572-0.764
       // (ProbeBin 2026-08-14, sf0.001/0.01/0.1, full and sampled)
       ("bin", () => binAnn, 0.50))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    val built =
-      try {
-        val futs = arms.map { case (m, mk, fl) =>
-          pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            override def call(): DataFrame = row(m, mk(), fl)
-          })
-        }
-        futs.map(_.get())
-      } finally pool.shutdown()
+    val built = graft.tools.Par.run(3)(
+      arms.map { case (m, mk, fl) => () => row(m, mk(), fl) })
     built.reduce(_.unionAll(_)).orderBy(col("method"))
   }
 

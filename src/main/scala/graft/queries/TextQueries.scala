@@ -156,7 +156,7 @@ object TextQueries {
   def dedupClusterSizesQ(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
-    Dedup.dedupDecision(d, pairs, "doc_id")
+    Dedup.dedupDecision(d, pairs, "doc_id", pairsMaterialized = true)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("sz"))
@@ -283,7 +283,7 @@ object TextQueries {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
-    Dedup.dedupDecision(d, pairs, "doc_id")
+    Dedup.dedupDecision(d, pairs, "doc_id", pairsMaterialized = true)
       .orderBy(col("doc_id"))
   }
 
@@ -297,7 +297,7 @@ object TextQueries {
     val d = docs(s, dir)
     val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
     Dedup.dedupDecision(d, pairs, "doc_id",
-        maxLocalEdges = -1L, algorithm = "stars")
+        maxLocalEdges = -1L, algorithm = "stars", pairsMaterialized = true)
       .orderBy(col("doc_id"))
   }
 
@@ -320,26 +320,42 @@ object TextQueries {
     graft.io.Fs.deleteRecursive(s, s"target/tmp-compact-$slug")
     val d = docs(s, dir)
     Dedup.writeDedupIndex(d.filter(col("doc_id") < 400), "text", "doc_id", base)
-    Dedup.appendDedupIndex(
-      d.filter(col("doc_id") >= 400 && col("doc_id") < 450),
-      "text", "doc_id", base, batchId = 1L)
-    Dedup.appendDedupIndex(
-      d.filter(col("doc_id") >= 450), "text", "doc_id", base, batchId = 2L)
+    // the two streamed batches write disjoint batch=<id> dirs after the
+    // corpus epoch's overwrite has cleared the root: independent —
+    // overlap them (guide §2.6)
+    graft.tools.Par.run(2)(Seq(
+      () => Dedup.appendDedupIndex(
+        d.filter(col("doc_id") >= 400 && col("doc_id") < 450),
+        "text", "doc_id", base, batchId = 1L),
+      () => Dedup.appendDedupIndex(
+        d.filter(col("doc_id") >= 450), "text", "doc_id", base, batchId = 2L)))
     val probe = d.filter(col("doc_id") < 50)
       .select((col("doc_id") + 10000).as("doc_id"), col("text"))
-    def decisions(): (DataFrame, DataFrame) = {
-      // eager cuts: both frames must be MATERIALIZED before compaction
-      // swaps the index dirs out from under their lazy plans
-      val exact = Dedup.exactGroupsIncremental(
+    // the probe's shingles and band table depend only on the probe —
+    // not on the index — so both decision passes share ONE materialized
+    // copy instead of re-shingling/re-hashing the probe per pass
+    val probeShingled = Dedup.docShingles(probe, "text", "doc_id")
+      .checkpointLinted()
+    val probeBands = Dedup
+      .minhashBandTable(Dedup.minhashSignatures(probeShingled))
+      .checkpointLinted()
+    def decisions(eager: Boolean): (DataFrame, DataFrame) = {
+      // eager cuts on the FIRST pass: both frames must be MATERIALIZED
+      // before compaction swaps the index dirs out from under their
+      // lazy plans. The second pass runs after the last index mutation,
+      // so its frames stay lazy and fold into the final output plan.
+      val exact0 = Dedup.exactGroupsIncremental(
           s.read.parquet(s"$base/hashes"), probe, "text", "doc_id")
-        .select(col("doc_id"), col("status")).checkpointLinted()
-      val pairs = Dedup.minhashNearDupsIndexed(base, probe, "text", "doc_id", 0.8)
-        .select(col("doc_a"), col("doc_b")).checkpointLinted()
+        .select(col("doc_id"), col("status"))
+      val exact = if (eager) exact0.checkpointLinted() else exact0
+      val pairs = Dedup.minhashNearDupsIndexedPre(
+          base, probeShingled, probeBands, 0.8, eager = eager)
+        .select(col("doc_a"), col("doc_b"))
       (exact, pairs)
     }
-    val (e1, p1) = decisions()
+    val (e1, p1) = decisions(eager = true)
     Dedup.compactDedupIndex(s, base)
-    val (e2, p2) = decisions()
+    val (e2, p2) = decisions(eager = false)
     val pairsMatch = p1.withColumn("l", lit(1))
       .join(p2.withColumn("r", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
       .agg(coalesce(min(col("l").isNotNull && col("r").isNotNull), lit(true))
@@ -465,8 +481,11 @@ object TextQueries {
     val base = s"target/tmp-lm-stream-$slug"
     rmrfLocal(new java.io.File(base))
     val d = docs(s, dir)
-    graft.ops.LangModel.writeLmModel(d, col("text"), s"$base/model")
-    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    // model build and stream-input staging are independent (disjoint
+    // dirs, the stream starts only after both) — overlap (guide §2.6)
+    graft.tools.Par.run(2)(Seq(
+      () => graft.ops.LangModel.writeLmModel(d, col("text"), s"$base/model"),
+      () => d.coalesce(2).write.parquet(s"$base/in"))) // 2 files → 2 micro-batches
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = graft.streaming.DocStreams.lmScoreIngest(
@@ -487,8 +506,9 @@ object TextQueries {
     val base = s"target/tmp-qm-stream-$slug"
     rmrfLocal(new java.io.File(base))
     val d = docs(s, dir)
-    graft.ops.QualityModel.writeModel(s, d, s"$base/model")
-    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    graft.tools.Par.run(2)(Seq( // independent: model dir vs stream input
+      () => graft.ops.QualityModel.writeModel(s, d, s"$base/model"),
+      () => d.coalesce(2).write.parquet(s"$base/in"))) // 2 files → 2 micro-batches
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = graft.streaming.DocStreams.qualityScoreIngest(
@@ -509,8 +529,9 @@ object TextQueries {
     val base = s"target/tmp-bpe-stream-$slug"
     rmrfLocal(new java.io.File(base))
     val d = docs(s, dir)
-    graft.ops.Bpe.writeBpeModel(s, d, s"$base/model")
-    d.coalesce(2).write.parquet(s"$base/in") // 2 files → 2 micro-batches
+    graft.tools.Par.run(2)(Seq( // independent: model dir vs stream input
+      () => graft.ops.Bpe.writeBpeModel(s, d, s"$base/model"),
+      () => d.coalesce(2).write.parquet(s"$base/in"))) // 2 files → 2 micro-batches
     val stream = s.readStream.schema(d.schema)
       .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
     val q = graft.streaming.DocStreams.bpeEncodeIngest(
@@ -921,7 +942,8 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("text"), col("n_words"))
       .checkpointLinted()
     val pairs = Dedup.minhashNearDups(ok, "text", "doc_id", 0.8)
-    val keepIds = Dedup.dedupDecision(ok, pairs, "doc_id")
+    val keepIds = Dedup.dedupDecision(ok, pairs, "doc_id",
+        pairsMaterialized = true)
       .filter(col("keep")).select(col("doc_id"))
     ok.join(keepIds, "doc_id")
       .groupBy(col("lang"))
@@ -959,12 +981,17 @@ object TextQueries {
     Dedup.writeDedupIndex(corpus, "text", "doc_id", s"$base/index")
     // EAGERLY materialized: the streaming ingest below EXTENDS the same
     // index, so the batch decisions must be snapshotted before it runs
-    // (sharing one index halves the corpus indexing cost of this gate)
-    val batchDec = graft.streaming.DocStreams
-      .batchDecisions(batch, s"$base/index", "text", "doc_id", 0.8)
-      .select(col("doc_id"), col("status").as("batch_status"))
-      .checkpointLinted()
-    batch.write.parquet(s"$base/in")
+    // (sharing one index halves the corpus indexing cost of this gate).
+    // The stream-input write only READS `batch` — independent of the
+    // decision snapshot, so the two legs overlap (guide §2.6); both
+    // complete before the stream starts.
+    val legs = graft.tools.Par.run(2)(Seq[() => Any](
+      () => graft.streaming.DocStreams
+        .batchDecisions(batch, s"$base/index", "text", "doc_id", 0.8)
+        .select(col("doc_id"), col("status").as("batch_status"))
+        .checkpointLinted(),
+      () => batch.write.parquet(s"$base/in")))
+    val batchDec = legs.head.asInstanceOf[DataFrame]
     val stream = s.readStream.schema(batch.schema).parquet(s"$base/in")
     val q = graft.streaming.DocStreams
       .dedupIngest(stream, s"$base/index", s"$base/sink")
@@ -1288,12 +1315,13 @@ object TextQueries {
     * machinery; the audit is one pair-sized join. */
   def leakageSplit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    // checkpointed: the decision AND the audit both consume the mined
-    // pair graph; without the cut the MinHash DAG would run twice
+    // the decision AND the audit both consume the mined pair graph —
+    // already an eager cut ([[Dedup.minhashNearDups]] checkpoints its
+    // verified pairs), so no second materialization here
     val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8)
-      .checkpointLinted()
     val hx = substring(md5(col("cluster_id").cast("string")), 1, 1)
-    val assigned = Dedup.dedupDecision(d, pairs, "doc_id")
+    val assigned = Dedup.dedupDecision(d, pairs, "doc_id",
+      pairsMaterialized = true)
       .withColumn("split",
         when(hx < "c", "train").when(hx < "e", "val").otherwise("test"))
     val bySplit = assigned.groupBy(col("split")).agg(

@@ -71,7 +71,9 @@ object DocStreams {
     val pairs = Dedup.minhashNearDupsIndexed(indexPath, exactNew, textCol, idCol, threshold)
     val batchIds = exact.filter(col("status") === "new")
       .select(col("doc_id"), lit(true).as("in_batch"))
-    val nearDropped = nearDupDropped(pairs, batchIds)
+    // the mined pairs are already an eager cut (checkpointed verified
+    // pairs), so the components step can skip its redundant re-cut
+    val nearDropped = nearDupDropped(pairs, batchIds, pairsMaterialized = true)
 
     exact.select(col("doc_id"),
         when(col("status") === "dup_of_corpus", lit("exact_dup_corpus"))
@@ -88,8 +90,10 @@ object DocStreams {
     * of a batch-only component. `batchIds` = (doc_id, in_batch=true)
     * for the batch side; pair ids absent from it are corpus docs.
     * Returns the dropped (doc_id) rows. */
-  private def nearDupDropped(pairs: DataFrame, batchIds: DataFrame): DataFrame = {
-    val comp = Dedup.connectedComponents(pairs) // (id, comp) — local-path sized
+  private def nearDupDropped(pairs: DataFrame, batchIds: DataFrame,
+      pairsMaterialized: Boolean = false): DataFrame = {
+    val comp = Dedup.connectedComponents(pairs, // (id, comp) — local-path sized
+      inputMaterialized = pairsMaterialized)
     val labeled = comp.join(batchIds, comp("id") === batchIds("doc_id"), "left")
     // a component survives inside the batch iff it contains no corpus
     // doc; its surviving member is the minimum batch id
@@ -281,10 +285,17 @@ object DocStreams {
     val survivors = batch.join(
       decisions.filter(col("status") === "kept").select(col("doc_id").as(idCol)), idCol)
       .checkpointLinted()
-    survivors.write.mode("overwrite").parquet(s"$sinkPath/docs/batch=$batchId")
-    decisions.write.mode("overwrite")
-      .parquet(s"$sinkPath/decisions/batch=$batchId")
-    Dedup.appendDedupIndex(survivors, textCol, idCol, indexPath, batchId)
+    // the sink writes and the index extension are independent once both
+    // frames are materialized (disjoint output dirs, no read-after-write
+    // between them): overlap (guide §2.6) instead of serializing five
+    // driver-blocking writes per micro-batch
+    graft.tools.Par.run(3)(Seq(
+      () => survivors.write.mode("overwrite")
+        .parquet(s"$sinkPath/docs/batch=$batchId"),
+      () => decisions.write.mode("overwrite")
+        .parquet(s"$sinkPath/decisions/batch=$batchId"),
+      () => Dedup.appendDedupIndex(survivors, textCol, idCol, indexPath, batchId)))
+    ()
   }
 
   /** Streaming EPOCH-LAYOUT ingest: deal each micro-batch of curated
