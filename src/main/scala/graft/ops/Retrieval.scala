@@ -387,13 +387,19 @@ object Retrieval {
   def writeSearchIndex(docs: DataFrame, textCol: String, idCol: String,
                        path: String, batch: Int = 0): Unit = {
     val (post, dl, vocab, stats) = indexFrames(docs, textCol, idCol)
-    post.withColumn("shard", shardCol)
-      .repartition(col("shard"))
-      .write.partitionBy("shard").mode("overwrite")
-      .parquet(s"$path/postings/batch=$batch")
-    dl.write.mode("overwrite").parquet(s"$path/doclen/batch=$batch")
-    vocab.write.mode("overwrite").parquet(s"$path/vocab/batch=$batch")
-    stats.write.mode("overwrite").parquet(s"$path/stats/batch=$batch")
+    // four independent family writes to disjoint dirs (each recomputes
+    // the lazy postings plan — the A/B-measured posture above): overlap
+    // them (guide §2.6) instead of running the four recomputations
+    // back-to-back
+    graft.tools.Par.run(4)(Seq(
+      () => post.withColumn("shard", shardCol)
+        .repartition(col("shard"))
+        .write.partitionBy("shard").mode("overwrite")
+        .parquet(s"$path/postings/batch=$batch"),
+      () => dl.write.mode("overwrite").parquet(s"$path/doclen/batch=$batch"),
+      () => vocab.write.mode("overwrite").parquet(s"$path/vocab/batch=$batch"),
+      () => stats.write.mode("overwrite").parquet(s"$path/stats/batch=$batch")))
+    ()
   }
 
   /** Append a DISJOINT doc batch — df/stats additivity does the merge
@@ -414,19 +420,24 @@ object Retrieval {
     * write-then-rename swap, and the postings epoch keeps the
     * term-shard partitioning so query-time pruning is unchanged. */
   def compactSearchIndex(spark: SparkSession, path: String): Unit = {
-    locally {
-      val fam = s"$path/postings"
-      val tmp = s"$fam.compact"
-      spark.read.parquet(fam).drop("batch")
-        .repartition(col("shard"))
-        .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
-      graft.io.Fs.replaceDir(spark, tmp, fam)
-    }
-    Dedup.compactFamily(spark, s"$path/doclen")(identity)
-    Dedup.compactFamily(spark, s"$path/vocab")(v =>
-      v.groupBy(col("term")).agg(sum(col("df")).as("df")))
-    Dedup.compactFamily(spark, s"$path/stats")(s =>
-      s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+    // the four families compact independently (disjoint dirs, one
+    // read→write→swap each): overlap them (guide §2.6) — same swaps,
+    // same resulting epochs
+    graft.tools.Par.run(4)(Seq(
+      () => {
+        val fam = s"$path/postings"
+        val tmp = s"$fam.compact"
+        spark.read.parquet(fam).drop("batch")
+          .repartition(col("shard"))
+          .write.partitionBy("shard").mode("overwrite").parquet(s"$tmp/batch=-1")
+        graft.io.Fs.replaceDir(spark, tmp, fam)
+      },
+      () => Dedup.compactFamily(spark, s"$path/doclen")(identity),
+      () => Dedup.compactFamily(spark, s"$path/vocab")(v =>
+        v.groupBy(col("term")).agg(sum(col("df")).as("df"))),
+      () => Dedup.compactFamily(spark, s"$path/stats")(s =>
+        s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))))
+    ()
   }
 
   /** The artifact's postings scan for a term set: filtered to the
