@@ -193,4 +193,62 @@ class ZonesSpec extends SparkSpec {
       lo2 should be > hi // range clustering → non-overlapping files
     }
   }
+
+  // ---- r20: manifests come from parquet FOOTERS (no data re-scan);
+  //      the footer stats must be value-identical to the re-scan
+  //      aggregation they replaced, for every footer-exact type ----
+
+  it should "build footer manifests identical to a re-scan aggregation (long + timestamp)" in {
+    val path = freshDir("zones-footer")
+    val ts = spark.range(1, 501)
+      .select(col("id").as("k"),
+        expr("timestamp_micros(1700000000000000 + id * 60000000)").as("t"),
+        (col("id") % 5).as("v"))
+    Zones.writeZoned(ts, path, "t", 6)
+    val manifest = spark.read.parquet(s"$path/manifest")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(_._1)
+    val rescan = spark.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("t")).as("zmin"), max(col("t")).as("zmax"),
+        count(lit(1)).as("rows"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getTimestamp(2), r.getLong(3))).sortBy(_._1)
+    manifest.toSeq shouldBe rescan.toSeq
+    manifest should not be empty
+  }
+
+  it should "fall back to the re-scan for non-footer-exact zone columns (string)" in {
+    val path = freshDir("zones-footer-fallback")
+    val st = spark.range(1, 201)
+      .select(format_string("k%04d", col("id")).as("k"), col("id").as("v"))
+    Zones.writeZoned(st, path, "k", 4)
+    // manifest must still be correct — and the range read must agree
+    // with the plain filter, proving the fallback produced honest zones
+    val got = Zones.readZoneRange(spark, path, "k", lit("k0050"), lit("k0100"))
+      .orderBy(col("k")).collect().map(_.getString(0))
+    val want = st.filter(col("k") >= "k0050" && col("k") <= "k0100")
+      .orderBy(col("k")).collect().map(_.getString(0))
+    got.toSeq shouldBe want.toSeq
+    got should not be empty
+  }
+
+  it should "build multi-column footer manifests identical to the re-scan" in {
+    val path = freshDir("zones-footer-multi")
+    val grid = spark.range(0, 400)
+      .select((col("id") % 20).as("x"), (col("id") / 20).cast("long").as("y"))
+    Zones.writeZonedMulti(grid, path, Seq("x", "y"), 8)
+    val m = spark.read.parquet(s"$path/manifest")
+      .select(col("file"), col("rows"), col("x_min"), col("x_max"),
+        col("y_min"), col("y_max"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val r = spark.read.parquet(s"$path/data")
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"), min(col("x")).as("x_min"),
+        max(col("x")).as("x_max"), min(col("y")).as("y_min"),
+        max(col("y")).as("y_max"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    m.toSeq shouldBe r.toSeq
+    m should not be empty
+  }
 }

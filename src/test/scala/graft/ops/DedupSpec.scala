@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import graft.tools.Ckpt._
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
@@ -116,6 +117,45 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     plan should include(tmp)
     plan should not include "documents.parquet"
+  }
+
+  "minhashNearDupsIndexedPre" should "equal minhashNearDupsIndexed for the same batch, eager or lazy" in {
+    import spark.implicits._
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val split = 250L
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dedup-pre").toString
+    Dedup.writeDedupIndex(real.filter(col("doc_id") < split), "text", "doc_id", tmp)
+    val batch = real.filter(col("doc_id") >= split)
+      .select(col("doc_id"), col("text"))
+    val viaDocs = Dedup.minhashNearDupsIndexed(tmp, batch, "text", "doc_id", 0.8)
+      .collect().map(_.toSeq).toSet
+    // pre-built batch artifacts, as the compaction harness shares them
+    val shingled = Dedup.docShingles(batch, "text", "doc_id").checkpointLinted()
+    val bands = Dedup.minhashBandTable(Dedup.minhashSignatures(shingled))
+      .checkpointLinted()
+    val eager = Dedup.minhashNearDupsIndexedPre(tmp, shingled, bands, 0.8)
+      .collect().map(_.toSeq).toSet
+    val lazyOut = Dedup.minhashNearDupsIndexedPre(tmp, shingled, bands, 0.8,
+        eager = false)
+      .collect().map(_.toSeq).toSet
+    eager shouldBe viaDocs
+    lazyOut shouldBe viaDocs
+    eager should not be empty
+  }
+
+  "dedupDecision" should "be invariant to the pairsMaterialized declaration on both components paths" in {
+    import spark.implicits._
+    val d = (1L to 40L).map(i => (i, s"doc ${i % 7} shares text ${i % 7}"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(d, "text", "doc_id", 0.8) // checkpointed
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    rows(Dedup.dedupDecision(d, pairs, "doc_id", pairsMaterialized = true)) shouldBe
+      rows(Dedup.dedupDecision(d, pairs, "doc_id"))
+    rows(Dedup.dedupDecision(d, pairs, "doc_id",
+        maxLocalEdges = -1L, algorithm = "stars", pairsMaterialized = true)) shouldBe
+      rows(Dedup.dedupDecision(d, pairs, "doc_id",
+        maxLocalEdges = -1L, algorithm = "stars"))
   }
 
   "exactGroupsIncremental" should "classify batch docs against the corpus hash set" in {
