@@ -347,13 +347,17 @@ object CurationQueries {
     val n = d.count()
     var m = 1L << 17
     while (m < 16L * n) m <<= 1
-    val merged = Membership.mergeBits(
-        Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 0),
-          "doc_id", m, k),
-        Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 1),
-          "doc_id", m, k))
-      .checkpointLinted()
-    val joint = Membership.bloomBits(d, "doc_id", m, k).checkpointLinted()
+    // the merged (two-half) and joint builds are independent eager
+    // cuts over the same scan — overlap them (guide §2.6)
+    val builds = graft.tools.Par.run(2)(Seq(
+      () => Membership.mergeBits(
+          Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 0),
+            "doc_id", m, k),
+          Membership.bloomBits(d.filter(pmod(col("doc_id"), lit(2)) === 1),
+            "doc_id", m, k))
+        .checkpointLinted(),
+      () => Membership.bloomBits(d, "doc_id", m, k).checkpointLinted()))
+    val (merged, joint) = (builds.head, builds(1))
     val mergeEq = merged.withColumnRenamed("bits", "mb")
       .join(joint.withColumnRenamed("bits", "jb"), Seq("word"), "full_outer")
       .agg(coalesce(
