@@ -50,8 +50,6 @@ object Zones {
   private def footerStats(
       spark: SparkSession, dataDir: String, zCols: Seq[String])
       : Option[Seq[(String, Long, Seq[(Option[Long], Option[Long])])]] = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
     val conf = spark.sessionState.newHadoopConf()
     val dir = new org.apache.hadoop.fs.Path(dataDir)
     val fs = dir.getFileSystem(conf)
@@ -59,78 +57,96 @@ object Zones {
       val n = st.getPath.getName
       n.startsWith("part-") && n.endsWith(".parquet")
     }).sortBy(_.getPath.getName)
-    val out = Seq.newBuilder[(String, Long, Seq[(Option[Long], Option[Long])])]
-    parts.foreach { st =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-      try {
-        val footer = reader.getFooter
-        val schema = footer.getFileMetaData.getSchema
-        val blocks = footer.getBlocks
-        var rows = 0L
-        blocks.forEach(b => rows += b.getRowCount)
-        if (rows > 0L) {
-          val colStats = zCols.map { c =>
-            if (!schema.containsField(c)) return None
-            val t = schema.getType(Seq(c): _*)
-            if (!t.isPrimitive) return None
-            val pt = t.asPrimitiveType()
-            // (normalize a physical long to the column's stat domain)
-            val toMicros: Long => Long = pt.getLogicalTypeAnnotation match {
-              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-                ts.getUnit match {
-                  case LogicalTypeAnnotation.TimeUnit.MICROS => identity
-                  case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
-                  case _ => return None // NANOS: not a Spark writer output
-                }
-              case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => identity
-              case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => identity
-              case null => identity
-              case _ => return None // decimal/string/enum: stats not exact-for-us
+    // footer reads are per-file metadata I/O with no shared state —
+    // read them from a bounded pool (the Iceberg/Delta manifest-read
+    // posture; serial driver opens would trade the re-scan's cluster
+    // cost for a driver wall floor that grows with the file count).
+    // Par preserves input order, so manifest row order is stable.
+    val perFile = graft.tools.Par.run(8)(parts.toSeq.map { st => () =>
+      fileFooterStat(conf, st.getPath, zCols)
+    })
+    // one unsupported layout anywhere → the whole manifest falls back
+    if (perFile.contains(None)) return None
+    Some(perFile.flatMap(_.get))
+  }
+
+  /** One file's footer stat row: None = layout not footer-exact
+    * (caller falls back to the re-scan); Some(Nil) = zero-row file
+    * (skipped, matching the re-scan's groupBy which never sees it);
+    * Some(row) = the (file, rows, per-column min/max) entry. */
+  private def fileFooterStat(
+      conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path, zCols: Seq[String])
+      : Option[Seq[(String, Long, Seq[(Option[Long], Option[Long])])]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf))
+    try {
+      val footer = reader.getFooter
+      val schema = footer.getFileMetaData.getSchema
+      val blocks = footer.getBlocks
+      var rows = 0L
+      blocks.forEach(b => rows += b.getRowCount)
+      if (rows == 0L) return Some(Nil)
+      val colStats = zCols.map { c =>
+        if (!schema.containsField(c)) return None
+        val t = schema.getType(Seq(c): _*)
+        if (!t.isPrimitive) return None
+        val pt = t.asPrimitiveType()
+        // (normalize a physical long to the column's stat domain)
+        val toMicros: Long => Long = pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+              case _ => return None // NANOS: not a Spark writer output
             }
-            if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64 &&
-                pt.getPrimitiveTypeName != PrimitiveTypeName.INT32) return None
-            var mn: Option[Long] = None
-            var mx: Option[Long] = None
-            val it = blocks.iterator()
-            while (it.hasNext) {
-              val b = it.next()
-              if (b.getRowCount > 0L) {
-                val chunk = {
-                  val cit = b.getColumns.iterator()
-                  var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-                  while (cit.hasNext && found == null) {
-                    val cc = cit.next()
-                    if (cc.getPath.toDotString == c) found = cc
-                  }
-                  found
-                }
-                if (chunk == null) return None
-                val stats = chunk.getStatistics
-                if (stats == null || stats.isEmpty) return None
-                if (stats.hasNonNullValue) {
-                  val (lo, hi) = (stats.genericGetMin, stats.genericGetMax) match {
-                    case (a: java.lang.Long, b: java.lang.Long) =>
-                      (a.longValue(), b.longValue())
-                    case (a: java.lang.Integer, b: java.lang.Integer) =>
-                      (a.longValue(), b.longValue())
-                    case _ => return None
-                  }
-                  mn = Some(mn.fold(toMicros(lo))(math.min(_, toMicros(lo))))
-                  mx = Some(mx.fold(toMicros(hi))(math.max(_, toMicros(hi))))
-                }
-              }
-            }
-            (mn, mx)
-          }
-          // EXACTLY input_file_name()'s rendering (SparkPath =
-          // Path.toUri.toString), so manifests interoperate with scans
-          // and specs that compare the two string sets
-          out += ((st.getPath.toUri.toString, rows, colStats))
+          case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => identity
+          case _: LogicalTypeAnnotation.IntLogicalTypeAnnotation => identity
+          case null => identity
+          case _ => return None // decimal/string/enum: stats not exact-for-us
         }
-      } finally reader.close()
-    }
-    Some(out.result())
+        if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64 &&
+            pt.getPrimitiveTypeName != PrimitiveTypeName.INT32) return None
+        var mn: Option[Long] = None
+        var mx: Option[Long] = None
+        val it = blocks.iterator()
+        while (it.hasNext) {
+          val b = it.next()
+          if (b.getRowCount > 0L) {
+            val chunk = {
+              val cit = b.getColumns.iterator()
+              var found: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+              while (cit.hasNext && found == null) {
+                val cc = cit.next()
+                if (cc.getPath.toDotString == c) found = cc
+              }
+              found
+            }
+            if (chunk == null) return None
+            val stats = chunk.getStatistics
+            if (stats == null || stats.isEmpty) return None
+            if (stats.hasNonNullValue) {
+              val (lo, hi) = (stats.genericGetMin, stats.genericGetMax) match {
+                case (a: java.lang.Long, b: java.lang.Long) =>
+                  (a.longValue(), b.longValue())
+                case (a: java.lang.Integer, b: java.lang.Integer) =>
+                  (a.longValue(), b.longValue())
+                case _ => return None
+              }
+              mn = Some(mn.fold(toMicros(lo))(math.min(_, toMicros(lo))))
+              mx = Some(mx.fold(toMicros(hi))(math.max(_, toMicros(hi))))
+            }
+          }
+        }
+        (mn, mx)
+      }
+      // EXACTLY input_file_name()'s rendering (SparkPath =
+      // Path.toUri.toString), so manifests interoperate with scans
+      // and specs that compare the two string sets
+      Some(Seq((path.toUri.toString, rows, colStats)))
+    } finally reader.close()
   }
 
   /** The expression that converts a normalized-long stat back to the
